@@ -1,0 +1,190 @@
+package graft
+
+/** DuckDB-dialect oracle SQL, one entry per SparkEntry.queries key that is
+  * SQL-expressible. Keys absent here get the driver's weaker rows-only
+  * check (side-effecting or engine-specific ops: sorted write, compaction,
+  * multimodal decode stub).
+  *
+  * Cross-engine determinism rules (SURVEY.md §5):
+  *  - sums over DOUBLE go through DECIMAL(30,6): exact, order-independent;
+  *  - time buckets are epoch-second BIGINTs via date_trunc (both engines
+  *    see identical µs timestamps: DuckDB truncates ns on read, our reader
+  *    truncates ns→µs in Tables.events);
+  *  - window orderings carry a unique tiebreak column;
+  *  - COUNT/row_number emitted as the same integer width on both sides.
+  */
+object OracleSql {
+
+  private val scanDistinct: Map[String, String] = Map(
+    "q_scan_eq" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+    "q_scan_range" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+        |  AND value >= 50.0""".stripMargin,
+    "q_projection" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem",
+    "q_scan_in" ->
+      "SELECT event_id, event_type FROM events WHERE event_type IN ('click','view','purchase')",
+    "q_scan_regex" ->
+      "SELECT event_id, event_type, user_id FROM events WHERE regexp_matches(event_type, '^(cl|si)')",
+    "q_scan_neg" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'error' AND user_id % 10 = 5",
+    "q_distinct_one" ->
+      "SELECT DISTINCT event_type FROM events",
+    "q_distinct_series" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_series_select" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 12:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-04 12:00:00'
+        |  AND event_type = 'click'""".stripMargin,
+    "q_label_names" ->
+      """SELECT 'event_type' AS label, COUNT(DISTINCT event_type) AS cardinality FROM events
+        |UNION ALL
+        |SELECT 'user_id' AS label, COUNT(DISTINCT user_id) AS cardinality FROM events""".stripMargin,
+  )
+
+  private val timeSeries: Map[String, String] = Map(
+    "q_range_sum" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_range_sum_by" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rate" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         lag(value) OVER w AS prev_value,
+        |         lag(epoch_us(ts)) OVER w AS prev_us,
+        |         epoch_us(ts) AS us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT user_id, event_type, event_id,
+        |       (value - prev_value) / ((us - prev_us) / 1000000.0) AS rate
+        |FROM x WHERE prev_value IS NOT NULL""".stripMargin,
+    "q_count_over_time" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |       user_id, event_type, COUNT(*) AS n_samples
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_avg_min_max_over_time" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |       user_id, event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |       MIN(value) AS min_value,
+        |       MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_topk" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         user_id, event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT step, user_id, event_type, sum_value, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY step ORDER BY sum_value DESC, user_id, event_type) AS rnk
+        |      FROM per)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_last_over_time" ->
+      """SELECT user_id, event_type, event_id, value
+        |FROM (SELECT user_id, event_type, event_id, value,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q_histogram_quantile" ->
+      """WITH x AS (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS p95 FROM x
+        |WHERE rn = CAST(ceil(n * 0.95) AS BIGINT)""".stripMargin,
+    "q_increase" ->
+      """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600) * 21600 AS step,
+        |       user_id, event_type, MAX(value) - MIN(value) AS increase
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_absent" ->
+      """WITH bounds AS (
+        |  SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+        |         CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+        |  FROM events),
+        |steps AS (SELECT unnest(generate_series(lo, hi, 3600)) AS step FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |present AS (
+        |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type
+        |  FROM events)
+        |SELECT s.step, t.event_type
+        |FROM steps s CROSS JOIN types t
+        |WHERE NOT EXISTS (SELECT 1 FROM present p
+        |                  WHERE p.step = s.step AND p.event_type = t.event_type)""".stripMargin,
+  )
+
+  private val relational: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS orderdate,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_orders_enrich" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+        |       AS DECIMAL(30,6))) AS DOUBLE) AS finished_value,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'no_pending' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |UNION ALL
+        |SELECT c_custkey, 'big_spender' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin,
+  )
+
+  def all: Map[String, String] =
+    scanDistinct ++ timeSeries ++ relational ++ Pipelines.oracles
+}

@@ -1,0 +1,223 @@
+package graft
+
+import graft.pipeline.Similarity
+
+/** DuckDB oracle SQL for the pipeline blocks (dedup / similarity / text).
+  * Long vector formulas are generated from the same integer formulas the
+  * Spark operators use (Similarity.planeComponent / centroidComponent),
+  * so both engines compute bit-identical planes, centroids, and decimal
+  * dot products by construction.
+  */
+object Pipelines {
+
+  // ---- shared DuckDB fragments -----------------------------------------
+
+  /** Exact decimal-accumulated dot product of two list columns (1-based).
+    * Element type DECIMAL(30,12) matches Similarity.decimalFold; DuckDB's
+    * SUM over decimals is exact, so both engines compute the same
+    * rational value and round it to DOUBLE once.
+    */
+  private def dot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,12)))) AS DOUBLE)"
+
+  /** Hyperplane-p dot product of a vector column (component formula must
+    * match Similarity.planeComponent; i is 1-based here).
+    */
+  private def planeDot(vec: String, p: Int): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(CAST($vec[i] AS DOUBLE) * CAST((($p * 97 + (i - 1) * 31) % 13) - 6 AS DOUBLE) AS DECIMAL(30,12)))) AS DOUBLE)"
+
+  private def bucket(vec: String): String =
+    (0 until Similarity.NumPlanes)
+      .map(p => s"(CASE WHEN ${planeDot(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Squared L2 distance to centroid k (a column named k; formula must
+    * match Similarity.centroidComponent).
+    */
+  private val centDiff =
+    "(CAST(embedding[i] AS DOUBLE) - CAST((((k * 53 + (i - 1) * 17) % 11) - 5) / 5.0 AS DOUBLE))"
+  private val centDist =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST($centDiff * $centDiff AS DECIMAL(30,12)))) AS DOUBLE)"
+
+  private val words = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  private val shingleCtes =
+    s"""ws AS (SELECT doc_id, $words AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+       |    THEN list_transform(range(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS s
+       |  FROM ws)),
+       |mh AS (SELECT doc_id,
+       |${(0 until 8).map(i => s"  min(md5('$i|' || s)) AS m$i").mkString(",\n")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |${(0 until 4).map(b => s"  SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bandval FROM mh")
+           .mkString("\n  UNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id)""".stripMargin
+
+  // ---- F. dedup ---------------------------------------------------------
+
+  private val dedup: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"WITH $shingleCtes\nSELECT id1, id2 FROM cand",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT id1, id2, COUNT(*) AS i
+         |  FROM cand
+         |  JOIN sh a ON a.doc_id = id1
+         |  JOIN sh b ON b.doc_id = id2 AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT inter.id1, inter.id2, i / (c1.n + c2.n - i) AS jaccard
+         |  FROM inter
+         |  JOIN cnt c1 ON c1.doc_id = inter.id1
+         |  JOIN cnt c2 ON c2.doc_id = inter.id2)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_simhash" -> {
+      val hexVal = (1 to 4).map { k =>
+        val mul = math.pow(16, 4 - k).toLong
+        s"((instr('0123456789abcdef', substring(md5(w), $k, 1)) - 1) * $mul)"
+      }.mkString(" + ")
+      val bitSums = (0 until 16).map(b =>
+        s"  SUM(CASE WHEN ((v >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
+      val simExpr = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+         |hv AS (SELECT doc_id, ($hexVal) AS v FROM toks),
+         |bits AS (SELECT doc_id,
+         |$bitSums
+         |  FROM hv GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+         |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM sim GROUP BY 1""".stripMargin
+    },
+    "dedup_embedding" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding")} AS bucket FROM embeddings)
+         |SELECT id1, id2, cosine FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3""".stripMargin,
+  )
+
+  // ---- G. similarity ----------------------------------------------------
+
+  private def topkSql(pairsCte: String, k: Int): String =
+    s"""$pairsCte
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= $k""".stripMargin
+
+  private val similarity: Map[String, String] = Map(
+    "ann_bruteforce" -> topkSql(
+      s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
+         |  FROM q JOIN emb e ON e.vec_id <> q.qid)""".stripMargin, 10),
+    "ann_lsh" -> topkSql(
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, bucket AS qb FROM emb WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
+         |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.qid)""".stripMargin, 5),
+    "ann_ivf" -> topkSql(
+      s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+         |dists AS (
+         |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+         |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+         |cells AS (
+         |  SELECT vec_id, embedding, norm, k AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, cell AS qc FROM cells WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT q.qid, c.vec_id,
+         |         ${dot("qe", "c.embedding")} / (sqrt(q.qn) * sqrt(c.norm)) AS cosine
+         |  FROM q JOIN cells c ON c.cell = q.qc AND c.vec_id <> q.qid)""".stripMargin, 5),
+  )
+
+  // ---- H. text analysis ---------------------------------------------------
+
+  private val stop = "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
+
+  private def langVotes(markers: Seq[String]): String =
+    markers.map(m => s"w = '$m'").mkString(" OR ")
+
+  private val text: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len($words) AS BIGINT) AS n_tokens,
+         |       CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len($words) AS BIGINT) AS t,
+         |  CAST(len(list_distinct($words)) AS BIGINT) AS dt,
+         |  CAST(len(list_filter($words, w -> $stop)) AS BIGINT) AS st
+         |FROM documents)
+         |SELECT doc_id, n_tokens, score,
+         |  CASE WHEN score >= 0.8 THEN 'high'
+         |       WHEN score >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS quality_band
+         |FROM (SELECT doc_id, t AS n_tokens,
+         |        least(1.0, t / 100.0) * 0.3 + (dt / t) * 0.4 + (1.0 - st / t) * 0.3 AS score
+         |      FROM d)""".stripMargin,
+    "text_langid" -> {
+      val en = langVotes(Seq("the", "a", "of", "and"))
+      val fr = langVotes(Seq("le", "la", "et", "les"))
+      val de = langVotes(Seq("der", "die", "und", "das"))
+      val es = langVotes(Seq("el", "los", "y", "las"))
+      s"""WITH d AS (SELECT doc_id, lang AS actual,
+         |  CAST(len(list_filter($words, w -> $en)) AS BIGINT) AS v_en,
+         |  CAST(len(list_filter($words, w -> $fr)) AS BIGINT) AS v_fr,
+         |  CAST(len(list_filter($words, w -> $de)) AS BIGINT) AS v_de,
+         |  CAST(len(list_filter($words, w -> $es)) AS BIGINT) AS v_es
+         |FROM documents)
+         |SELECT doc_id, v_en, v_fr, v_de, v_es, predicted, actual,
+         |       (predicted = actual) AS correct
+         |FROM (SELECT *,
+         |        CASE WHEN greatest(v_en, v_fr, v_de, v_es) = 0 THEN 'und'
+         |             WHEN v_en = greatest(v_en, v_fr, v_de, v_es) THEN 'en'
+         |             WHEN v_fr = greatest(v_en, v_fr, v_de, v_es) THEN 'fr'
+         |             WHEN v_de = greatest(v_en, v_fr, v_de, v_es) THEN 'de'
+         |             ELSE 'es' END AS predicted
+         |      FROM d)""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+  )
+
+  // ---- E. writer round-trips (content must equal source) ----------------
+
+  private val writer: Map[String, String] = Map(
+    "q_sorted_write" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "q_compaction" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+  )
+
+  def oracles: Map[String, String] = dedup ++ similarity ++ text ++ writer
+}

@@ -1,13 +1,75 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Relational, Scan, TimeSeries}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.SortedWriter
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TimeSeries.rangeSumBy(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. scan / projection / pushdown
+    "q_scan_eq"      -> (Scan.scanEq _),
+    "q_scan_range"   -> (Scan.scanRange _),
+    "q_projection"   -> (Scan.projection _),
+    "q_scan_in"      -> (Scan.scanIn _),
+    "q_scan_regex"   -> (Scan.scanRegex _),
+    "q_scan_neg"     -> (Scan.scanNeg _),
+    // B. distinct / series identity
+    "q_distinct_one"    -> (Scan.distinctOne _),
+    "q_distinct_series" -> (Scan.distinctSeries _),
+    "q_series_select"   -> (Scan.seriesSelect _),
+    "q_label_names"     -> (Scan.labelNames _),
+    // C. time-series range aggregation
+    "q_range_sum"       -> (TimeSeries.rangeSum _),
+    "q_range_sum_by"    -> (TimeSeries.rangeSumBy _),
+    "q_rate"            -> (TimeSeries.rate _),
+    "q_count_over_time" -> (TimeSeries.countOverTime _),
+    "q_avg_min_max_over_time" -> (TimeSeries.avgMinMaxOverTime _),
+    "q_topk"            -> (TimeSeries.topk _),
+    "q_last_over_time"  -> (TimeSeries.lastOverTime _),
+    "q_histogram_quantile" -> (TimeSeries.histogramQuantile _),
+    "q_increase"        -> (TimeSeries.increase _),
+    "q_absent"          -> (TimeSeries.absent _),
+    // D. relational core
+    "q1_pricing"     -> (Relational.q1Pricing _),
+    "q3_shipping"    -> (Relational.q3Shipping _),
+    "q5_local"       -> (Relational.q5Local _),
+    "q_window_rank"  -> (Relational.windowRank _),
+    "q_orders_enrich" -> (Relational.ordersEnrich _),
+    "q_semi_anti"    -> (Relational.semiAnti _),
+    // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
+    "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
+    "q_compaction"   -> (SortedWriter.compactionQuery _),
+    // F. dedup
+    "dedup_exact"         -> (Dedup.exact _),
+    "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_embedding"     -> (Dedup.embeddingNearDup _),
+    // G. similarity search
+    "ann_bruteforce" -> (Similarity.bruteForce _),
+    "ann_lsh"        -> (Similarity.lsh _),
+    "ann_ivf"        -> (Similarity.ivf _),
+    // H. text analysis
+    "text_tokens"      -> (TextAnalysis.tokens _),
+    "text_quality"     -> (TextAnalysis.quality _),
+    "text_langid"      -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // I. multimodal plumbing (rows-only: stubbed decode)
+    "mm_decode" -> (Multimodal.decode _),
+  )
+
+  /** DuckDB-dialect oracle SQL per query (same result, same column names).
+    * Convention (SURVEY.md §5): double sums go through DECIMAL (exact,
+    * order-independent), time buckets are epoch-second BIGINTs, ties are
+    * broken deterministically.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core over the star schema — the general scan/join/agg
+  * capabilities that back everything else. The reference is a single-table
+  * engine (one sorted parquet file per block); joins here are the Spark
+  * superset, kept shuffle-disciplined: dimension tables are broadcast,
+  * fact-fact joins shuffle on the join key once, aggregates are
+  * partial-agg friendly.
+  *
+  * All double sums go through DECIMAL (order-independent) and are emitted
+  * as DOUBLE; division happens in double after the exact sum.
+  */
+object Relational {
+
+  private def exactSum(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** TPC-H Q1 — grouped multi-aggregate pricing summary on lineitem. Pure
+    * map-side-combinable aggregation: shuffle carries 4-ish rows/partition.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        (exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (exactSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 — shipping priority: selective filters on both fact sides,
+    * dimension (customer) broadcast, grouped revenue, deterministic top-10.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1997-03-15 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1997-03-15 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-ish — 6-table join; every dimension chain collapses to a
+    * broadcast; only lineitem⋈orders shuffles (on orderkey).
+    */
+  def q5Local(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Window functions: top-3 orders per customer by price. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  /** Broadcast fact enrichment + conditional aggregation per nation. */
+  def ordersEnrich(s: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    Tables.orders(s, dir)
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(lit(0.0))).as("finished_value"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n_urgent"))
+  }
+
+  /** Semi/anti-join patterns (EXISTS / NOT EXISTS). */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val ord = Tables.orders(s, dir)
+    val pending = ord.filter(col("o_orderstatus") === "P").select("o_custkey")
+    val noPending = cust
+      .join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_pending").as("tag"))
+    val big = ord.filter(col("o_totalprice") > 450000.0).select("o_custkey")
+    val bigSpender = cust
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("big_spender").as("tag"))
+    noPending.unionAll(bigSpender)
+  }
+}

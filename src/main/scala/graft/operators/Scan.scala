@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scan-layer operators: predicate-pushdown scans, projections, and the
+  * distinct/series-identity family.
+  *
+  * The reference hand-rolls pushdown with bloom-filter / min-max-stats /
+  * dictionary row selectors (reference: dataset/predicate.go:66-117,
+  * dataset/row_selection.go) and batched column projection
+  * (reference: compute/projection.go). In Spark the same physics fall out
+  * of declarative filters + column pruning: `.filter`/`.select` reach the
+  * parquet scan as PushedFilters + ReadSchema, and the vectorized reader
+  * does page skipping off row-group stats. We keep predicates as simple
+  * Column exprs so Catalyst can push every one of them.
+  *
+  * The `events` table plays the TSDB role: `user_id` ≈ instance label,
+  * `event_type` ≈ metric name label, `ts` ≈ sample timestamp,
+  * `value` ≈ sample value.
+  */
+object Scan {
+
+  /** Equality matcher scan (reference: dataset/predicate.go NewEqualsPredicate,
+    * compute/scan.go Equals). Pushed to parquet as an EqualTo filter.
+    */
+  def scanEq(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+
+  /** GTE+LTE range scan — the reference's mint/maxt time-window selection
+    * (reference: dataset/predicate.go NewGTEPredicate/NewLTEPredicate,
+    * prometheus/querier.go:71-74). Both bounds push down; parquet row-group
+    * stats prune groups wholly outside the window, which is exactly the
+    * reference's stats-selector trick.
+    */
+  def scanRange(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
+      .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      .filter(col("value") >= 50.0)
+      .select("event_id", "event_type", "value")
+
+  /** Column-pruned projection (reference: compute/projection.go
+    * ProjectColumns) — ReadSchema must be exactly the two columns.
+    */
+  def projection(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+
+  /** Multi-value (IN) matcher — PromQL `=~"click|view|purchase"` resolved
+    * to a value set. Pushes down as In.
+    */
+  def scanIn(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select("event_id", "event_type")
+
+  /** Regex matcher (PromQL `=~`). Regex itself can't push to parquet, but
+    * column pruning still applies; at scale you'd pre-resolve the regex
+    * against the (tiny) distinct label-value set and rewrite to IN — which
+    * is what dictionary-filter pushdown in the reference amounts to
+    * (reference: dataset/predicate.go NewDictionaryFilter).
+    */
+  def scanRegex(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // Scale path: resolve regex over the distinct label set (dictionary-
+    // sized, not data-sized), then broadcast-semi-join ≡ IN pushdown.
+    val matching = ev.select("event_type").distinct()
+      .filter(col("event_type").rlike("^(cl|si)"))
+    ev.join(broadcast(matching), Seq("event_type"), "left_semi")
+      .select("event_id", "event_type", "user_id")
+  }
+
+  /** Negative matcher (`!=`) + modulo sharding predicate. */
+  def scanNeg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") =!= "error")
+      .filter(col("user_id") % 10 === 5)
+      .select("event_id", "user_id", "event_type")
+
+  // ---- B. distinct / series identity ----------------------------------
+
+  /** LabelValues(name) (reference: prometheus/querier.go LabelValues,
+    * compute/distinct.go). Distinct over a dictionary column — Spark does
+    * partial (map-side) distinct before the shuffle, so at 100 TB the
+    * shuffle carries only per-partition uniques.
+    */
+  def distinctOne(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_type").distinct()
+
+  /** Distinct series keys = UniqueByColumn over the series-id projection
+    * (reference: compute/distinct.go UniqueByColumn,
+    * prometheus/querier.go:84-90).
+    */
+  def distinctSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "event_type").distinct()
+
+  /** The reference's Querier.Select: time-range overlap + equality
+    * matchers → deduped series set (reference: prometheus/querier.go:66-93,
+    * prometheus/series_set.go).
+    */
+  def seriesSelect(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts") >= lit("2024-01-01 12:00:00").cast("timestamp"))
+      .filter(col("ts") <= lit("2024-01-04 12:00:00").cast("timestamp"))
+      .filter(col("event_type") === "click")
+      .select("user_id", "event_type")
+      .distinct()
+
+  /** LabelNames analogue: per-label cardinality profile. */
+  def labelNames(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.agg(
+        countDistinct(col("event_type")).as("cardinality"))
+      .select(lit("event_type").as("label"), col("cardinality"))
+      .unionAll(
+        ev.agg(countDistinct(col("user_id")).as("cardinality"))
+          .select(lit("user_id").as("label"), col("cardinality")))
+  }
+}

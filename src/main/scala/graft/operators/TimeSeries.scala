@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PromQL-style range-query operators over the `events` TSDB table.
+  *
+  * The reference delegates PromQL to thanos promql-engine on top of its
+  * series selection (reference: prometheus/promql_test.go runs
+  * `sum(http_requests_total)` as a range query with aligned steps;
+  * prometheus/querier.go supplies the series). Here each PromQL verb is
+  * re-expressed as a declarative Spark plan: step alignment is
+  * `date_trunc`, per-series state is a window over (series key) ordered
+  * by time, and cross-series aggregation is a groupBy on the step.
+  *
+  * Scale notes: groupBy(step, labels) has map-side partial aggregation,
+  * so the shuffle carries one row per (step × group), not per sample.
+  * Window functions partition by series key — cardinality ≫ cores, no
+  * skew. All sums over double samples go through DECIMAL so results are
+  * order-independent (floating addition is not associative; a 1000-way
+  * cluster merge must not change the answer).
+  */
+object TimeSeries {
+
+  /** Aligned step bucket as epoch seconds (BIGINT) — stable across
+    * engines, unlike raw ns timestamps.
+    */
+  private def stepHour(c: Column): Column =
+    unix_timestamp(date_trunc("hour", c)).as("step")
+
+  private def exactSum(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** `sum(metric)` per step (reference: prometheus/promql_test.go:36-60). */
+  def rangeSum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(stepHour(col("ts")))
+      .agg(exactSum(col("value")).as("sum_value"))
+
+  /** `sum by (label)(metric)` per step. */
+  def rangeSumBy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("event_type"))
+      .agg(exactSum(col("value")).as("sum_value"))
+
+  /** PromQL `rate()`: per-series dValue/dt between consecutive samples.
+    * Time deltas in microseconds (both engines agree at µs precision;
+    * ns does not survive Spark's parquet read).
+    */
+  def rate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_value").isNotNull)
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        ((col("value") - col("prev_value")) /
+          ((unix_micros(col("ts")) - col("prev_us")) / lit(1000000.0)))
+          .as("rate"))
+  }
+
+  /** `count_over_time(metric[step])` per series. */
+  def countOverTime(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_samples"))
+
+  /** avg/min/max_over_time per series per day. avg = exact decimal sum /
+    * count, divided in double (identical on any engine).
+    */
+  def avgMinMaxOverTime(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("user_id"), col("event_type"))
+      .agg(
+        (exactSum(col("value")) / count(lit(1))).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+
+  /** `topk(3, sum by (user_id,event_type)(metric))` per step; ties broken
+    * deterministically by (user_id, event_type).
+    */
+  def topk(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("user_id"), col("event_type"))
+      .agg(exactSum(col("value")).as("sum_value"))
+    val w = Window.partitionBy("step")
+      .orderBy(col("sum_value").desc, col("user_id"), col("event_type"))
+    per.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** `last_over_time` / instant-vector lookup: most recent sample per
+    * series (reference semantics: the newest chunk covering maxt).
+    */
+  def lastOverTime(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "value")
+  }
+
+  /** `quantile(0.95, metric)` per label group, computed as a discrete
+    * quantile (element at ceil(q·n) in sort order) so the result is a raw
+    * stored value — exact across engines, no interpolation-rounding drift.
+    */
+  def histogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === ceil(col("n") * 0.95).cast("long"))
+      .select(col("event_type"), col("value").as("p95"))
+  }
+
+  /** `increase(metric[6h])` ≈ per-series spread per 6h window (max-min;
+    * exact double arithmetic).
+    */
+  def increase(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / 21600) * 21600).as("step"),
+        col("user_id"), col("event_type"))
+      .agg((max("value") - min("value")).as("increase"))
+
+  /** `absent()`: (step × event_type) combinations with no samples.
+    * Dense step axis built with sequence(); presence anti-joined away.
+    */
+  def absent(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(
+      unix_timestamp(date_trunc("hour", min("ts"))).as("lo"),
+      unix_timestamp(date_trunc("hour", max("ts"))).as("hi"))
+    val steps = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(3600))).as("step"))
+    val types = ev.select("event_type").distinct()
+    val present = ev.select(
+      stepHour(col("ts")), col("event_type")).distinct()
+    steps.crossJoin(broadcast(types))
+      .join(present, Seq("step", "event_type"), "left_anti")
+  }
+}

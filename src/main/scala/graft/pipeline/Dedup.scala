@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for the documents table — the training-data
+  * pipeline side of the engine.
+  *
+  * Everything here is built from codegen'd builtins (split/transform/
+  * explode/md5) — no UDFs — so whole-stage codegen covers the hot path
+  * and the same logic is expressible in the DuckDB oracle.
+  *
+  * Cross-engine hashing: md5 (lowercase hex in both engines) is the shared
+  * deterministic hash; MinHash permutation i is md5("i|" + shingle), and
+  * min() over hex strings is a lexicographic min in both.
+  *
+  * Scale: exact dedup and MinHash are groupBy/self-join on hash keys —
+  * uniform by construction, no skew. LSH turns the O(N²) near-dup problem
+  * into per-band hash-join buckets; the band self-join shuffles on
+  * (band, bandval) whose cardinality ~ N·bands/dups.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle array; empty when the doc has <3 tokens. */
+  private[pipeline] def shingles(textCol: String): Column = {
+    val ws = s"filter(split($textCol, ' '), w -> w <> '')"
+    expr(
+      s"""CASE WHEN size($ws) >= 3
+         |THEN transform(sequence(0, size($ws) - 3),
+         |               i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2]))
+         |ELSE array() END""".stripMargin)
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private[pipeline] def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles("text")).as("sh"))
+      .distinct()
+
+  /** Exact dedup by content hash: one row per distinct text. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: 8 permutations via md5("i|" + shingle). */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+    shingleSets(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bandval): 4 LSH bands of 2 minhashes each. */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+    minhashes(s, dir).select(
+      col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bandval")))
+  }
+
+  /** LSH candidate pairs: docs sharing any band. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val ex = bands(s, dir)
+    ex.as("l").join(ex.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bandval") === col("r.bandval") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Word-3-gram Jaccard over the LSH candidates (verify step of the
+    * near-dup pipeline): |A∩B| / |A∪B| ≥ 0.5.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(s, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = minhashLsh(s, dir)
+      .join(sh.as("a"), col("id1") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("id2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("c1"), col("id1") === col("c1.doc_id"))
+      .join(counts.as("c2"), col("id2") === col("c2.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("inter") / (col("c1.n") + col("c2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** 16-bit SimHash from per-token md5 bits (tokens with multiplicity),
+    * then cluster stats per simhash value. All-integer arithmetic → exact
+    * across engines.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(
+      col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val h16 = conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long")
+    val withBits = toks.withColumn("v", h16)
+    val bitSums = (0 until 16).map(b =>
+      sum(when(shiftright(col("v"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b"))
+    val perDoc = withBits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    perDoc.select(col("doc_id"), sim.as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs, bucketed by the shared
+    * random-hyperplane LSH (Similarity.planeBucket) so the pair join is
+    * bucket-local instead of O(N²). Threshold 0.3 — the synthetic
+    * embeddings are near-orthogonal (max pairwise cos ≈ 0.44), so a
+    * production-style 0.9 would select nothing; the operator semantics
+    * are threshold-parametric either way.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.planeBucket(col("embedding")).as("bucket"),
+        Similarity.dot("embedding", "embedding").as("norm"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (Similarity.dot("a.embedding", "b.embedding") /
+          (sqrt(col("a.norm")) * sqrt(col("b.norm")))).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+  }
+}

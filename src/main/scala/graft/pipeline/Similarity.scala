@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (Array[Float], dim=64).
+  *
+  * Three tiers:
+  *  - bruteForce: exact cosine top-k — the correctness baseline; O(Q·N).
+  *  - lsh: random-hyperplane buckets — probe only the query's bucket.
+  *  - ivf: coarse-quantizer cells — assign once, probe the query's cell.
+  * LSH/IVF are the 100 TB path: candidate sets shrink from N to
+  * N/2^planes (resp. N/K), and both candidate joins are plain hash joins
+  * on the bucket/cell key.
+  *
+  * Numeric determinism: every dot product accumulates DECIMAL(38,12)
+  * (order-independent, engine-independent) and only converts to DOUBLE at
+  * the end; hyperplanes/centroids come from integer formulas, not RNG, so
+  * the oracle can reproduce them exactly.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NumPlanes = 8
+  val NumCells = 16
+
+  /** Deterministic pseudo-random hyperplane component, p-th plane, i-th
+    * dim: integer in [-6, 6].
+    */
+  def planeComponent(p: Int, i: Int): Int = (p * 97 + i * 31) % 13 - 6
+
+  /** Deterministic IVF centroid component in [-1, 1]. */
+  def centroidComponent(k: Int, i: Int): Double = ((k * 53 + i * 17) % 11 - 5) / 5.0
+
+  /** Decimal-exact fold: element products at DECIMAL(30,12), accumulator
+    * at DECIMAL(32,12) with a cast inside the merge — keeps Spark's
+    * decimal-precision propagation from silently dropping a scale digit
+    * ((38,12)+(38,12) would yield (38,11)). Every step is exact, so the
+    * sum is order- and engine-independent.
+    */
+  private def decimalFold(products: String): String =
+    s"""CAST(aggregate(
+       |  $products,
+       |  CAST(0 AS DECIMAL(32,12)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)""".stripMargin
+
+  /** Exact decimal-accumulated dot product of two array columns. */
+  def dot(a: String, b: String): Column = expr(decimalFold(
+    s"zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12)))"))
+
+  private def dotWithLiteral(vecCol: String, components: IndexedSeq[Double]): Column = {
+    val arr = components.mkString("array(", ", ", ")")
+    expr(decimalFold(
+      s"zip_with($vecCol, $arr, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12)))"))
+  }
+
+  /** LSH bucket id: sign bits of the 8 hyperplane dot products. */
+  def planeBucket(embedding: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val d = dotWithLiteral(embedding.toString,
+        IndexedSeq.tabulate(Dim)(i => planeComponent(p, i).toDouble))
+      when(d > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"),
+      dot("embedding", "embedding").as("norm"))
+
+  private def cosine(aVec: String, aNorm: Column, bVec: String, bNorm: Column): Column =
+    dot(aVec, bVec) / (sqrt(aNorm) * sqrt(bNorm))
+
+  private def topkPerQuery(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "vec_id", "rnk", "cosine")
+  }
+
+  /** Exact cosine top-10 for query vectors (vec_id < 5) — brute force. */
+  def bruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm").as("qn"))
+    val pairs = broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+    topkPerQuery(pairs, 10)
+  }
+
+  /** Hyperplane-LSH ANN: probe only the query's bucket, top-5 inside. */
+  def lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(s, dir)
+      .withColumn("bucket", planeBucket(col("embedding")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket").as("qb"))
+    val pairs = broadcast(q)
+      .join(emb, col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+    topkPerQuery(pairs, 5)
+  }
+
+  /** IVF cell assignment: nearest centroid by exact L2, ties → lower k. */
+  private def cells(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(s, dir)
+    val dists = (0 until NumCells).map { k =>
+      val cent = IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i))
+      val arr = cent.mkString("array(", ", ", ")")
+      expr(decimalFold(
+        s"zip_with(embedding, $arr, (x, y) -> " +
+          s"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,12)))"))
+        .as(s"d$k")
+    }
+    val withD = emb.select(col("vec_id") +: col("embedding") +: col("norm") +: dists: _*)
+    // argmin over the K distance columns: least() for the value, then a
+    // deterministic first-match CASE for the index (ties → lowest k).
+    val minD = least((0 until NumCells).map(k => col(s"d$k")): _*)
+    val cell = (0 until NumCells).foldRight(lit(-1)) { (k, rest) =>
+      when(col(s"d$k") === minD, lit(k)).otherwise(rest)
+    }
+    // foldRight gives CASE k=0 first → lowest k wins ties.
+    withD.select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
+  }
+
+  /** IVF ANN: probe the query's own cell, top-5 by exact cosine. */
+  def ivf(s: SparkSession, dir: String): DataFrame = {
+    val c = cells(s, dir)
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("cell").as("qc"))
+    val pairs = broadcast(q)
+      .join(c, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+    topkPerQuery(pairs, 5)
+  }
+}

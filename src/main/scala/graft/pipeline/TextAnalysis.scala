@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the documents table: token stats, quality
+  * scoring, language ID, fingerprinting. All built from codegen'd string/
+  * array builtins; all arithmetic derives doubles from exact integer
+  * counts, so results are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  private val words: Column = expr("filter(split(text, ' '), w -> w <> '')")
+
+  /** Token + char counts per doc. */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+
+  /** Quality score in [0,1]: length saturation + lexical diversity +
+    * stopword penalty (the classic cheap pretraining-quality features).
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val stopPred = "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $stopPred))")
+        .cast("long").as("n_stop"))
+    d.select(
+      col("doc_id"), col("n_tokens"),
+      (least(lit(1.0), col("n_tokens") / 100.0) * 0.3
+        + (col("n_distinct") / col("n_tokens")) * 0.4
+        + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3).as("score"))
+      .withColumn("quality_band",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.5, "medium")
+          .otherwise("low"))
+  }
+
+  /** Stopword-vote language ID (n-gram-heuristic stand-in): votes per
+    * language from tiny marker-word sets; argmax with deterministic
+    * fallback 'und' when no marker hits.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def votes(markers: Seq[String]): String =
+      markers.map(m => s"w = '$m'").mkString(" OR ")
+    val en = votes(Seq("the", "a", "of", "and"))
+    val fr = votes(Seq("le", "la", "et", "les"))
+    val de = votes(Seq("der", "die", "und", "das"))
+    val es = votes(Seq("el", "los", "y", "las"))
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("actual"),
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $en))").cast("long").as("v_en"),
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $fr))").cast("long").as("v_fr"),
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $de))").cast("long").as("v_de"),
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $es))").cast("long").as("v_es"))
+    val best = greatest(col("v_en"), col("v_fr"), col("v_de"), col("v_es"))
+    val predicted = when(best === 0, "und")
+      .when(col("v_en") === best, "en")
+      .when(col("v_fr") === best, "fr")
+      .when(col("v_de") === best, "de")
+      .otherwise("es")
+    d.select(col("doc_id"), col("v_en"), col("v_fr"), col("v_de"), col("v_es"),
+      predicted.as("predicted"), col("actual"),
+      (predicted === col("actual")).as("correct"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text,
+    * plus cluster stats per fingerprint.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sorted parquet layout + compaction — the reference's storage side.
+  *
+  * The reference writes chunk rows sorted by (mint, maxt, labels...) with
+  * per-label bloom filters, then merge-compacts `part.N.parquet` files
+  * (reference: db/writer.go:44-66, db/writer.go Compact,
+  * db/copying_row_group.go). Spark-first equivalent:
+  *  - `repartitionByRange(seriesKey, time)` + `sortWithinPartitions` →
+  *    every output file covers a tight (key, time) range, so parquet
+  *    row-group min/max stats give readers the same page-skipping the
+  *    reference gets from its hand-rolled stats selectors;
+  *  - compaction = read small files, range-repartition, rewrite — at
+  *    cluster scale each range partition is one task, no driver loop.
+  */
+object SortedWriter {
+
+  private def base = "/root/repo/target/tmp"
+
+  private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Sorted write: events laid out by (event_type, user_id, ts). */
+  def writeSorted(s: SparkSession, dir: String, out: String): Unit =
+    Tables.events(s, dir)
+      .repartitionByRange(4, col("event_type"), col("user_id"))
+      .sortWithinPartitions("event_type", "user_id", "ts")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+
+  /** Query wrapper: write sorted, read back — content must equal the
+    * source (oracle: plain SELECT on events).
+    */
+  def sortedWriteQuery(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$base/sorted_${sfTag(dir)}"
+    writeSorted(s, dir, out)
+    s.read.parquet(out).select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** Fragment events into many small files (simulating streaming ingest
+    * output), then compact: coalesce per date partition into sorted files.
+    */
+  def compactionQuery(s: SparkSession, dir: String): DataFrame = {
+    val frag = s"$base/frag_${sfTag(dir)}"
+    val compacted = s"$base/compact_${sfTag(dir)}"
+    val ev = Tables.events(s, dir).withColumn("date", to_date(col("ts")))
+    // 1. fragmented state: many tiny files per date partition
+    ev.repartition(16)
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(frag)
+    // 2. compaction: one sorted file per date partition
+    s.read.parquet(frag)
+      .repartition(col("date"))
+      .sortWithinPartitions("date", "event_type", "ts")
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(compacted)
+    s.read.parquet(compacted).select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** Number of parquet part-files under a path (recursive) — test helper. */
+  def partFileCount(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+  }
+}

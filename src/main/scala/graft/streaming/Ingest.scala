@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingestion — the online-writes side the reference
+  * handles with its TSDB→parquet converter (reference: cmd/convert/main.go,
+  * db/writer.go). Spark-first: a file-source stream, watermarked exact-once
+  * dedup on event_id, date-partitioned parquet sink. At scale the sink
+  * partitioning (by date) is what makes later time-range queries prune
+  * whole directories, and the watermark bounds the dedup state store.
+  */
+object Ingest {
+
+  /** Raw on-disk schema of the events stream (ts as long ns, matching the
+    * driver-generated parquet).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run one AvailableNow ingest pass: inDir (parquet files) → outDir
+    * (date-partitioned parquet), deduped by event_id within the watermark.
+    */
+  def runOnce(s: SparkSession, inDir: String, outDir: String,
+              checkpoint: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(rawSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("date", to_date(col("ts")))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def readBack(s: SparkSession, outDir: String): DataFrame =
+    s.read.parquet(outDir)
+}
