@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+import SparkFixture.{sf, spark}
+
+class DedupSpec extends AnyFunSuite {
+
+  test("exact dedup partitions the table: copies sum to row count") {
+    val df = Dedup.exact(spark, sf)
+    val total = df.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+    // content_hash is the group key → must be unique
+    assert(df.count() === df.select("content_hash").distinct().count())
+  }
+
+  test("minhashLsh emits ordered, distinct candidate pairs") {
+    val df = Dedup.minhashLsh(spark, sf)
+    assert(df.filter(col("id1") >= col("id2")).count() === 0)
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("ngramJaccard scores agree with a Scala-side recomputation") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    if (pairs.nonEmpty) {
+      val r = pairs.head
+      val (id1, id2) = (r.getLong(0), r.getLong(1))
+      val texts = Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(id1, id2))
+        .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ").filter(_.nonEmpty)
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val (a, b) = (sh(texts(id1)), sh(texts(id2)))
+      val expect = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12,
+        s"pair ($id1,$id2): got ${r.getDouble(2)}, recomputed $expect")
+    }
+  }
+
+  test("simhash values are 16-bit and cover all docs") {
+    val df = Dedup.simhash(spark, sf)
+    assert(df.filter(col("simhash") < 0 || col("simhash") > 0xFFFF).count() === 0)
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("embedding near-dup pairs are symmetric-free and cosine-bounded") {
+    val df = Dedup.embeddingNearDup(spark, sf)
+    assert(df.filter(col("id1") >= col("id2")).count() === 0)
+    assert(df.filter(col("cosine") < 0.3 || col("cosine") > 1.0 + 1e-9).count() === 0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Ingest
+import SparkFixture.{sf, spark}
+
+class IngestSpec extends AnyFunSuite {
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val base = s"/root/repo/target/tmp/ingest_$tag"
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Files.createDirectories(Paths.get(in))
+    (in, out, cp)
+  }
+
+  test("availableNow ingest lands every event date-partitioned") {
+    val (in, out, cp) = freshDirs("basic")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Ingest.runOnce(spark, in, out, cp)
+    val got = Ingest.readBack(spark, out)
+    assert(got.count() === Tables.events(spark, sf).count())
+    // sink must be date-partitioned (directory pruning for time queries)
+    val dateDirs = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(dateDirs > 1, "expected multiple date= partitions")
+  }
+
+  test("duplicate delivery is deduped by event_id within the watermark") {
+    val (in, out, cp) = freshDirs("dup")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events2.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Ingest.runOnce(spark, in, out, cp)
+    val got = Ingest.readBack(spark, out)
+    val expect = Tables.events(spark, sf).count()
+    assert(got.count() === expect,
+      s"duplicated input must collapse to $expect rows, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() === expect)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scan
+import SparkFixture.{sf, spark, planOf}
+
+class ScanSpec extends AnyFunSuite {
+
+  test("scanEq returns only matching rows and pushes the filter to parquet") {
+    val df = Scan.scanEq(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), "scan node should expose pushed filters")
+    assert(plan.contains("EqualTo(event_type,click)"),
+      s"equality must push down to parquet, plan was:\n$plan")
+    val types = Tables.events(spark, sf).filter(col("event_type") === "click").count()
+    assert(df.count() === types)
+    assert(df.count() > 0)
+  }
+
+  test("scanRange pushes both time bounds and the value bound") {
+    val plan = planOf(Scan.scanRange(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(value,50.0)"), plan)
+    // ts is rebuilt from the raw ns long (nanosAsLong), so the pushed
+    // predicate lands on the raw column via constraint propagation or
+    // stays post-scan; the value filter must push regardless.
+  }
+
+  test("projection prunes ReadSchema to exactly the selected columns") {
+    val plan = planOf(Scan.projection(spark, sf))
+    assert(plan.contains("l_orderkey") && plan.contains("l_extendedprice"))
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
+      s"unselected columns must not be read:\n$plan")
+  }
+
+  test("scanIn pushes an In filter") {
+    val plan = planOf(Scan.scanIn(spark, sf))
+    assert(plan.contains("In(event_type"), plan)
+  }
+
+  test("scanRegex resolves regex over the distinct set then semi-joins") {
+    val df = Scan.scanRegex(spark, sf)
+    assert(planOf(df).contains("BroadcastHashJoin"), "dictionary-side semi join should broadcast")
+    val ok = df.select("event_type").distinct().collect().map(_.getString(0))
+    assert(ok.forall(t => t.startsWith("cl") || t.startsWith("si")))
+  }
+
+  test("scanNeg excludes the negated value") {
+    val df = Scan.scanNeg(spark, sf)
+    assert(df.filter(col("event_type") === "error").count() === 0)
+    assert(df.filter(col("user_id") % 10 =!= 5).count() === 0)
+  }
+
+  test("distinctOne = set of event types") {
+    val vals = Scan.distinctOne(spark, sf).collect().map(_.getString(0)).toSet
+    assert(vals === Set("click", "view", "purchase", "signup", "error"))
+  }
+
+  test("distinctSeries has no duplicate (user_id, event_type) keys") {
+    val df = Scan.distinctSeries(spark, sf)
+    assert(df.count() === df.dropDuplicates("user_id", "event_type").count())
+  }
+
+  test("seriesSelect only returns series present in the window") {
+    val df = Scan.seriesSelect(spark, sf)
+    assert(df.count() > 0)
+    assert(df.select("event_type").distinct().collect().map(_.getString(0)).toSet === Set("click"))
+  }
+
+  test("labelNames reports one cardinality row per label") {
+    val rows = Scan.labelNames(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("event_type", "user_id"))
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Similarity
+import SparkFixture.{sf, spark, planOf}
+
+class SimilaritySpec extends AnyFunSuite {
+
+  test("bruteForce returns a full ranked top-10 per query") {
+    val df = Similarity.bruteForce(spark, sf)
+    val perQ = df.groupBy("qid").count().collect()
+    assert(perQ.length === 5) // vec_id < 5
+    assert(perQ.forall(_.getLong(1) === 10L))
+    // rank order must follow cosine desc
+    val viol = df.as("a").join(df.as("b"),
+      col("a.qid") === col("b.qid") && col("a.rnk") < col("b.rnk") &&
+        col("a.cosine") < col("b.cosine") - lit(1e-12))
+    assert(viol.count() === 0)
+  }
+
+  test("bruteForce broadcasts the query side") {
+    assert(planOf(Similarity.bruteForce(spark, sf)).contains("Broadcast"))
+  }
+
+  test("lsh results are a subset of same-bucket exact results") {
+    val lsh = Similarity.lsh(spark, sf)
+    // every returned neighbor must share the query's bucket
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.planeBucket(col("embedding")).as("bucket"))
+    val withB = lsh
+      .join(emb.withColumnRenamed("vec_id", "qid").withColumnRenamed("bucket", "qb"), "qid")
+      .join(emb, "vec_id")
+    assert(withB.filter(col("bucket") =!= col("qb")).count() === 0)
+  }
+
+  test("ivf probes only the query's cell and ranks by exact cosine") {
+    val df = Similarity.ivf(spark, sf)
+    assert(df.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+    assert(df.filter(col("cosine") > 1.0 + 1e-9).count() === 0)
+  }
+
+  test("lsh top-1 matches bruteForce when the true NN shares the bucket") {
+    // consistency: any (qid, vec_id) in lsh that also appears in bruteForce
+    // top-10 must have the identical cosine (same exact-decimal arithmetic).
+    val bf = Similarity.bruteForce(spark, sf).select(
+      col("qid"), col("vec_id"), col("cosine").as("c_bf"))
+    val both = Similarity.lsh(spark, sf).join(bf, Seq("qid", "vec_id"))
+    assert(both.filter(abs(col("cosine") - col("c_bf")) > 1e-12).count() === 0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SortedWriter
+import SparkFixture.{sf, spark}
+
+class SortedWriterSpec extends AnyFunSuite {
+
+  test("sorted write preserves content and orders rows within every file") {
+    val out = "/root/repo/target/tmp/test_sorted"
+    SortedWriter.writeSorted(spark, sf, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === Tables.events(spark, sf).count())
+    // within each physical file, (event_type, user_id, ts) must be
+    // non-decreasing — this is what gives parquet row-group stats their
+    // pruning power (the reference's sorted-layout invariant). Read each
+    // file on its own: collect() order is file order there.
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f)
+        .select(col("event_type"), col("user_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.zip(rows.tail).foreach { case (a, b) =>
+        assert(Ordering[(String, Long, Long)].lteq(a, b),
+          s"rows out of order inside $f: $a > $b")
+      }
+    }
+  }
+
+  test("files partition the key space: per-file key ranges do not overlap") {
+    val out = "/root/repo/target/tmp/test_sorted"
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(struct(col("event_type"), col("user_id"))).as("lo"),
+        max(struct(col("event_type"), col("user_id"))).as("hi"))
+      .collect()
+      .map(r => (r.getStruct(1), r.getStruct(2)))
+      .map { case (lo, hi) =>
+        ((lo.getString(0), lo.getLong(1)), (hi.getString(0), hi.getLong(1))) }
+      .sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(Ordering[(String, Long)].lteq(hi, lo2),
+        s"file ranges overlap: $hi vs $lo2")
+    }
+  }
+
+  test("compaction reduces to one file per date partition, content intact") {
+    val df = SortedWriter.compactionQuery(spark, sf)
+    assert(df.count() === Tables.events(spark, sf).count())
+    val compacted = s"/root/repo/target/tmp/compact_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val fragged = s"/root/repo/target/tmp/frag_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val datePartitions = new java.io.File(compacted).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("date="))
+    val nCompact = SortedWriter.partFileCount(compacted)
+    assert(SortedWriter.partFileCount(fragged) > nCompact,
+      "compaction must reduce file count")
+    assert(nCompact === datePartitions, "exactly one file per date partition")
+  }
+}

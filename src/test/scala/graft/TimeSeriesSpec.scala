@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+import SparkFixture.{sf, spark}
+
+class TimeSeriesSpec extends AnyFunSuite {
+
+  test("rangeSum total equals the exact ungrouped sum") {
+    val stepTotal = TimeSeries.rangeSum(spark, sf)
+      .agg(sum(col("sum_value").cast("decimal(30,6)"))).collect()(0).getDecimal(0)
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(30,6)"))).collect()(0).getDecimal(0)
+    assert(stepTotal.compareTo(direct) === 0)
+  }
+
+  test("rangeSumBy partitions the rangeSum: purchase rows agree") {
+    val by = TimeSeries.rangeSumBy(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("step", "sum_value")
+    val base = TimeSeries.rangeSum(spark, sf)
+    assert(by.exceptAll(base).count() === 0)
+    assert(base.exceptAll(by).count() === 0)
+  }
+
+  test("rate is finite and defined only from each series' second sample on") {
+    val df = TimeSeries.rate(spark, sf)
+    val nSeriesWith2 = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count().filter(col("count") >= 2)
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(df.count() === nSeriesWith2)
+    assert(df.filter(col("rate").isNull || isnan(col("rate"))).count() === 0)
+  }
+
+  test("countOverTime sums back to the table row count") {
+    val total = TimeSeries.countOverTime(spark, sf)
+      .agg(sum("n_samples")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("avgMinMaxOverTime: min <= avg <= max per group") {
+    val bad = TimeSeries.avgMinMaxOverTime(spark, sf)
+      .filter(col("avg_value") < col("min_value") || col("avg_value") > col("max_value"))
+    assert(bad.count() === 0)
+  }
+
+  test("topk emits at most 3 rows per step, ranked 1..k by sum desc") {
+    val df = TimeSeries.topk(spark, sf)
+    assert(df.groupBy("step").count().filter(col("count") > 3).count() === 0)
+    val orderViolations = df.as("a").join(df.as("b"),
+        col("a.step") === col("b.step") && (col("a.rnk") < col("b.rnk")) &&
+          col("a.sum_value") < col("b.sum_value"))
+    assert(orderViolations.count() === 0)
+  }
+
+  test("lastOverTime yields exactly one row per series, the newest") {
+    val df = TimeSeries.lastOverTime(spark, sf)
+    val nSeries = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(df.count() === nSeries)
+  }
+
+  test("histogramQuantile p95 sits at the 95th percentile position") {
+    val rows = TimeSeries.histogramQuantile(spark, sf).collect()
+    assert(rows.length === 5) // one per event_type
+    rows.foreach { r =>
+      val et = r.getString(0); val p95 = r.getDouble(1)
+      val below = Tables.events(spark, sf)
+        .filter(col("event_type") === et && col("value") <= p95).count()
+      val n = Tables.events(spark, sf).filter(col("event_type") === et).count()
+      assert(below >= (n * 0.95).floor.toLong, s"$et: $below of $n <= p95")
+    }
+  }
+
+  test("increase is non-negative (max - min)") {
+    assert(TimeSeries.increase(spark, sf).filter(col("increase") < 0).count() === 0)
+  }
+
+  test("absent is disjoint from present (step, event_type) pairs") {
+    val ab = TimeSeries.absent(spark, sf)
+    val present = Tables.events(spark, sf).select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("step"), col("event_type"))
+      .distinct()
+    assert(ab.join(present, Seq("step", "event_type"), "inner").count() === 0)
+  }
+}
