@@ -33,33 +33,22 @@ object Similarity {
   /** Deterministic IVF centroid component in [-1, 1]. */
   def centroidComponent(k: Int, i: Int): Double = ((k * 53 + i * 17) % 11 - 5) / 5.0
 
-  /** Decimal-exact fold: element products at DECIMAL(30,12), accumulator
-    * at DECIMAL(32,12) with a cast inside the merge — keeps Spark's
-    * decimal-precision propagation from silently dropping a scale digit
-    * ((38,12)+(38,12) would yield (38,11)). Every step is exact, so the
-    * sum is order- and engine-independent.
+  /** Exact decimal-accumulated dot product of two array columns — the
+    * native `DecimalDot` expression (graft.functions.VectorOps), codegen'd
+    * and bit-identical to the SQL decimal fold the oracle uses
+    * (`aggregate(zip_with(a, b, (x,y) -> CAST(x*y AS DECIMAL(30,12))), …)`).
     */
-  private def decimalFold(products: String): String =
-    s"""CAST(aggregate(
-       |  $products,
-       |  CAST(0 AS DECIMAL(32,12)),
-       |  (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)""".stripMargin
+  def dot(a: String, b: String): Column =
+    graft.functions.VectorOps.dot(col(a), col(b))
 
-  /** Exact decimal-accumulated dot product of two array columns. */
-  def dot(a: String, b: String): Column = expr(decimalFold(
-    s"zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12)))"))
-
-  private def dotWithLiteral(vecCol: String, components: IndexedSeq[Double]): Column = {
-    val arr = components.mkString("array(", ", ", ")")
-    expr(decimalFold(
-      s"zip_with($vecCol, $arr, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12)))"))
-  }
+  private def litVector(components: IndexedSeq[Double]): Column =
+    array(components.map(lit): _*)
 
   /** LSH bucket id: sign bits of the 8 hyperplane dot products. */
   def planeBucket(embedding: Column): Column =
     (0 until NumPlanes).map { p =>
-      val d = dotWithLiteral(embedding.toString,
-        IndexedSeq.tabulate(Dim)(i => planeComponent(p, i).toDouble))
+      val d = graft.functions.VectorOps.dot(embedding,
+        litVector(IndexedSeq.tabulate(Dim)(i => planeComponent(p, i).toDouble)))
       when(d > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -107,11 +96,8 @@ object Similarity {
   private def cells(s: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(s, dir)
     val dists = (0 until NumCells).map { k =>
-      val cent = IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i))
-      val arr = cent.mkString("array(", ", ", ")")
-      expr(decimalFold(
-        s"zip_with(embedding, $arr, (x, y) -> " +
-          s"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,12)))"))
+      graft.functions.VectorOps.sqDist(col("embedding"),
+        litVector(IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i))))
         .as(s"d$k")
     }
     val withD = emb.select(col("vec_id") +: col("embedding") +: col("norm") +: dists: _*)
