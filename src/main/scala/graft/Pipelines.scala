@@ -12,21 +12,21 @@ object Pipelines {
 
   // ---- shared DuckDB fragments -----------------------------------------
 
-  /** Exact decimal-accumulated dot product of two list columns (1-based).
-    * Element type DECIMAL(30,12) matches Similarity.decimalFold; DuckDB's
-    * SUM over decimals is exact, so both engines compute the same
-    * rational value and round it to DOUBLE once.
+  /** Quantized dot product of two list columns (1-based) — must match
+    * graft.functions.VectorKernels.dot: Σ ⌊aᵢ·bᵢ·2²⁴⌋ / 2²⁴. Every step
+    * is exact IEEE arithmetic (double multiply, power-of-two scale,
+    * floor, integer sum), so DuckDB reproduces Spark bit-for-bit.
     */
   private def dot(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
-      s"CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,12)))) AS DOUBLE)"
+    s"(CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
 
   /** Hyperplane-p dot product of a vector column (component formula must
     * match Similarity.planeComponent; i is 1-based here).
     */
   private def planeDot(vec: String, p: Int): String =
-    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
-      s"CAST(CAST($vec[i] AS DOUBLE) * CAST((($p * 97 + (i - 1) * 31) % 13) - 6 AS DOUBLE) AS DECIMAL(30,12)))) AS DOUBLE)"
+    s"(CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(floor(CAST($vec[i] AS DOUBLE) * CAST((($p * 97 + (i - 1) * 31) % 13) - 6 AS DOUBLE) * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
 
   private def bucket(vec: String): String =
     (0 until Similarity.NumPlanes)
@@ -39,8 +39,8 @@ object Pipelines {
   private val centDiff =
     "(CAST(embedding[i] AS DOUBLE) - CAST((((k * 53 + (i - 1) * 17) % 11) - 5) / 5.0 AS DOUBLE))"
   private val centDist =
-    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
-      s"CAST($centDiff * $centDiff AS DECIMAL(30,12)))) AS DOUBLE)"
+    s"(CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(floor($centDiff * $centDiff * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
 
   private val words = "list_filter(string_split(text, ' '), w -> w <> '')"
 

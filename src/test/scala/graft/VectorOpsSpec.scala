@@ -6,24 +6,23 @@ import graft.functions.VectorOps
 import SparkFixture.{sf, spark}
 
 /** The native DecimalDot/DecimalSquaredDistance expressions must be
-  * BIT-identical to the SQL decimal fold they replaced — that fold is
-  * what the DuckDB oracle still runs.
+  * BIT-identical to the quantized floor-sum formula — that formula is
+  * what the DuckDB oracle runs (Pipelines.dot):
+  * dot = Σ ⌊aᵢ·bᵢ·2²⁴⌋ / 2²⁴, all exact IEEE steps.
   */
 class VectorOpsSpec extends AnyFunSuite {
 
   private val sqlDot =
-    """CAST(aggregate(
-      |  zip_with(a, b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))),
-      |  CAST(0 AS DECIMAL(32,12)),
-      |  (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)""".stripMargin
+    """aggregate(
+      |  zip_with(a, b, (x, y) -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * CAST(16777216 AS DOUBLE)) AS BIGINT)),
+      |  CAST(0 AS BIGINT), (acc, v) -> acc + v) / CAST(16777216 AS DOUBLE)""".stripMargin
 
   private val sqlSqDist =
-    """CAST(aggregate(
-      |  zip_with(a, b, (x, y) -> CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,12))),
-      |  CAST(0 AS DECIMAL(32,12)),
-      |  (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)""".stripMargin
+    """aggregate(
+      |  zip_with(a, b, (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * CAST(16777216 AS DOUBLE)) AS BIGINT)),
+      |  CAST(0 AS BIGINT), (acc, v) -> acc + v) / CAST(16777216 AS DOUBLE)""".stripMargin
 
-  test("DecimalDot equals the interpreted SQL fold on every embedding pair") {
+  test("DecimalDot equals the SQL floor-sum on every embedding pair") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("a"))
       .crossJoin(emb.limit(10).select(col("vec_id").as("idb"), col("embedding").as("b")))
@@ -32,7 +31,7 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(cmp.filter(col("fast") =!= col("slow")).count() === 0)
   }
 
-  test("DecimalSquaredDistance equals the interpreted SQL fold") {
+  test("DecimalSquaredDistance equals the SQL floor-sum") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("a"))
       .crossJoin(emb.limit(10).select(col("vec_id").as("idb"), col("embedding").as("b")))
@@ -57,6 +56,14 @@ class VectorOpsSpec extends AnyFunSuite {
     // "*(n)" prefixes a node inside WholeStageCodegen stage n
     assert(plan.contains("*(1) Project [decimal_dot"), plan)
     assert(df.agg(sum("n")).collect()(0).getDouble(0) > 0)
+  }
+
+  test("quantization error is bounded by 64/2^24 per dot") {
+    val emb = Tables.embeddings(spark, sf)
+    val plain = "aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val cmp = emb.select(col("embedding").as("a"))
+      .select(VectorOps.dot(col("a"), col("a")).as("q"), expr(plain).as("t"))
+    assert(cmp.filter(abs(col("q") - col("t")) > 64.0 / 16777216.0).count() === 0)
   }
 
   test("type mismatch fails analysis loudly") {
