@@ -17,12 +17,19 @@ object Tables {
     * reader refuses. Read it as raw long ns (legacy conf) and truncate to
     * µs — the same truncation DuckDB applies on read, so both engines see
     * identical microsecond timestamps.
+    *
+    * The raw nanos survive as `ts_ns`: predicates on the rebuilt `ts`
+    * cannot reach the parquet scan (the cast blocks pushdown), but
+    * ns-converted bounds on `ts_ns` push down and prune row groups — the
+    * reference's mint/maxt stats-selector behavior
+    * (reference: dataset/predicate.go, prometheus/querier.go:71-74).
     */
   private def eventsNorm(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `ts div 1000`, NOT `ts / 1000`: long/int is double division in
     // Spark, and doubles lose µs precision at 1.7e18 ns.
     t(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

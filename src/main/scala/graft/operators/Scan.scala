@@ -30,16 +30,26 @@ object Scan {
       .filter(col("event_type") === "click")
       .select("event_id", "user_id", "value")
 
+  /** Epoch nanos of a UTC wall-clock instant — for pushable bounds on the
+    * raw `ts_ns` column. For whole-second bounds, `ts >= T` on the
+    * µs-truncated timestamp is exactly `ts_ns >= T_ns`, and `ts < T` is
+    * `ts_ns < T_ns`.
+    */
+  private def epochNs(isoLocal: String): Long =
+    java.time.LocalDateTime.parse(isoLocal.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+
   /** GTE+LTE range scan — the reference's mint/maxt time-window selection
     * (reference: dataset/predicate.go NewGTEPredicate/NewLTEPredicate,
-    * prometheus/querier.go:71-74). Both bounds push down; parquet row-group
-    * stats prune groups wholly outside the window, which is exactly the
-    * reference's stats-selector trick.
+    * prometheus/querier.go:71-74). The bounds are expressed on the raw
+    * ns column so they push down to parquet; row-group stats then prune
+    * groups wholly outside the window — exactly the reference's
+    * stats-selector trick.
     */
   def scanRange(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
-      .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      .filter(col("ts_ns") >= epochNs("2024-01-02 00:00:00"))
+      .filter(col("ts_ns") < epochNs("2024-01-05 00:00:00"))
       .filter(col("value") >= 50.0)
       .select("event_id", "event_type", "value")
 
@@ -103,20 +113,24 @@ object Scan {
     */
   def seriesSelect(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .filter(col("ts") >= lit("2024-01-01 12:00:00").cast("timestamp"))
-      .filter(col("ts") <= lit("2024-01-04 12:00:00").cast("timestamp"))
+      // ts <= T on the µs-truncated ts ⟺ ts_ns < T_ns + 1000 (one µs past)
+      .filter(col("ts_ns") >= epochNs("2024-01-01 12:00:00"))
+      .filter(col("ts_ns") < epochNs("2024-01-04 12:00:00") + 1000L)
       .filter(col("event_type") === "click")
       .select("user_id", "event_type")
       .distinct()
 
-  /** LabelNames analogue: per-label cardinality profile. */
-  def labelNames(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    ev.agg(
-        countDistinct(col("event_type")).as("cardinality"))
-      .select(lit("event_type").as("label"), col("cardinality"))
-      .unionAll(
-        ev.agg(countDistinct(col("user_id")).as("cardinality"))
-          .select(lit("user_id").as("label"), col("cardinality")))
-  }
+  /** LabelNames analogue: per-label cardinality profile. Both distinct
+    * counts come out of ONE scan (Spark plans multi-distinct via Expand),
+    * then unpivot to (label, cardinality) rows — at 100 TB the table is
+    * read once, not once per label.
+    */
+  def labelNames(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        countDistinct(col("event_type")).as("c_et"),
+        countDistinct(col("user_id")).as("c_uid"))
+      .select(explode(map(
+        lit("event_type"), col("c_et"),
+        lit("user_id"), col("c_uid"))).as(Seq("label", "cardinality")))
 }

@@ -26,6 +26,7 @@ object SortedWriter {
   /** Sorted write: events laid out by (event_type, user_id, ts). */
   def writeSorted(s: SparkSession, dir: String, out: String): Unit =
     Tables.events(s, dir)
+      .drop("ts_ns") // reader-side helper column, not part of the layout
       .repartitionByRange(4, col("event_type"), col("user_id"))
       .sortWithinPartitions("event_type", "user_id", "ts")
       .write.mode(SaveMode.Overwrite).parquet(out)
@@ -45,7 +46,8 @@ object SortedWriter {
   def compactionQuery(s: SparkSession, dir: String): DataFrame = {
     val frag = s"$base/frag_${sfTag(dir)}"
     val compacted = s"$base/compact_${sfTag(dir)}"
-    val ev = Tables.events(s, dir).withColumn("date", to_date(col("ts")))
+    val ev = Tables.events(s, dir).drop("ts_ns")
+      .withColumn("date", to_date(col("ts")))
     // 1. fragmented state: many tiny files per date partition
     ev.repartition(16)
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(frag)

@@ -21,9 +21,18 @@ class ScanSpec extends AnyFunSuite {
   test("scanRange pushes both time bounds and the value bound") {
     val plan = planOf(Scan.scanRange(spark, sf))
     assert(plan.contains("GreaterThanOrEqual(value,50.0)"), plan)
-    // ts is rebuilt from the raw ns long (nanosAsLong), so the pushed
-    // predicate lands on the raw column via constraint propagation or
-    // stays post-scan; the value filter must push regardless.
+    // time bounds are expressed on the raw ns column so parquet row-group
+    // stats can prune — the reference's mint/maxt selection
+    // (ts_ns aliases the physical `ts` nanos column, so the pushed
+    // filters name `ts` with raw ns bounds)
+    assert(plan.contains("GreaterThanOrEqual(ts,1704153600000000000)"), plan)
+    assert(plan.contains("LessThan(ts,1704412800000000000)"), plan)
+    // and the result matches the timestamp-based formulation
+    val viaTs = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
+      .filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp"))
+      .filter(col("value") >= 50.0)
+    assert(Scan.scanRange(spark, sf).count() === viaTs.count())
   }
 
   test("projection prunes ReadSchema to exactly the selected columns") {
