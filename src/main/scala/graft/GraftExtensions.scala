@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DecimalDot, DecimalSquaredDistance}
+
+/** Spark extension entry point: makes graft's native expressions available
+  * to plain SQL users. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions` on
+  * the builder) — the idiomatic way to ship a Spark-native library
+  * (same mechanism Delta/Iceberg use), no fork, no reflection.
+  *
+  *   SELECT decimal_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT decimal_sq_dist(embedding, array(...)) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def binary(fn: (Expression, Expression) => Expression, name: String)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => fn(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${other.size}")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("decimal_dot"),
+      info("decimal_dot",
+        "decimal_dot(a, b) - order-independent quantized dot product of two float/double arrays"),
+      binary(DecimalDot.apply, "decimal_dot")))
+    ext.injectFunction((
+      FunctionIdentifier("decimal_sq_dist"),
+      info("decimal_sq_dist",
+        "decimal_sq_dist(a, b) - order-independent quantized squared L2 distance"),
+      binary(DecimalSquaredDistance.apply, "decimal_sq_dist")))
+  }
+}
