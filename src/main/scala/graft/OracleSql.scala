@@ -107,6 +107,56 @@ object OracleSql {
       """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600) * 21600 AS step,
         |       user_id, event_type, MAX(value) - MIN(value) AS increase
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_stddev_over_time" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |       user_id, event_type,
+        |       sqrt(greatest(0.0,
+        |         (CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+        |          - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |            * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+        |         / COUNT(*))) AS stddev_value,
+        |       COUNT(*) AS n_samples
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_delta" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         user_id, event_type, value,
+        |         row_number() OVER w_asc  AS rn_a,
+        |         row_number() OVER w_desc AS rn_d
+        |  FROM events
+        |  WINDOW
+        |    w_asc  AS (PARTITION BY date_trunc('hour', ts), user_id, event_type
+        |               ORDER BY ts, event_id),
+        |    w_desc AS (PARTITION BY date_trunc('hour', ts), user_id, event_type
+        |               ORDER BY ts DESC, event_id DESC))
+        |SELECT step, user_id, event_type,
+        |       MAX(CASE WHEN rn_d = 1 THEN value END)
+        |       - MAX(CASE WHEN rn_a = 1 THEN value END) AS delta
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_deriv" ->
+      """WITH g AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         user_id, event_type,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |             - CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS sx,
+        |         SUM((CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |              - CAST(epoch(date_trunc('hour', ts)) AS BIGINT))
+        |             * (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |                - CAST(epoch(date_trunc('hour', ts)) AS BIGINT))) AS sxx,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |                            - CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS DOUBLE)
+        |                       * value AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT step, user_id, event_type,
+        |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS deriv
+        |FROM g
+        |WHERE n >= 2
+        |  AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0""".stripMargin,
     "q_absent" ->
       """WITH bounds AS (
         |  SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,

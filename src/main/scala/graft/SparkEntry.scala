@@ -37,6 +37,9 @@ object SparkEntry {
     "q_histogram_quantile" -> (TimeSeries.histogramQuantile _),
     "q_increase"        -> (TimeSeries.increase _),
     "q_absent"          -> (TimeSeries.absent _),
+    "q_stddev_over_time" -> (TimeSeries.stddevOverTime _),
+    "q_delta"           -> (TimeSeries.delta _),
+    "q_deriv"           -> (TimeSeries.deriv _),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -131,6 +131,60 @@ object TimeSeries {
         col("user_id"), col("event_type"))
       .agg((max("value") - min("value")).as("increase"))
 
+  /** `stddev_over_time` per series per day: population stddev from the
+    * exact decimal Σv and Σv² (order-independent), final arithmetic in
+    * double (identical IEEE steps on any engine). max(0,·) clamps the
+    * catastrophic-cancellation negatives.
+    */
+  def stddevOverTime(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("user_id"), col("event_type"))
+      .agg(
+        sqrt(greatest(lit(0.0),
+          (exactSum(col("value") * col("value"))
+            - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
+            / count(lit(1)))).as("stddev_value"),
+        count(lit(1)).as("n_samples"))
+
+  /** PromQL `delta(metric[step])`: newest − oldest sample per series per
+    * step. max_by/min_by on the unique (µs, event_id) tuple — a pure
+    * aggregation (map-side combinable), no window sort, which is the
+    * shape that survives 100 TB.
+    */
+  def delta(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("user_id"), col("event_type"))
+      .agg(
+        (max_by(col("value"), struct(unix_micros(col("ts")), col("event_id")))
+          - min_by(col("value"), struct(unix_micros(col("ts")), col("event_id"))))
+          .as("delta"))
+
+  /** PromQL `deriv(metric[step])`: per-series least-squares slope
+    * (value/sec) per hour step. x is the second offset within the step —
+    * small integers, so Σx and Σx² are exact BIGINTs; Σy and Σxy are
+    * exact decimals; the closed-form slope is then a handful of identical
+    * IEEE double ops on any engine. Groups need n ≥ 2 and x-variance > 0.
+    */
+  def deriv(s: SparkSession, dir: String): DataFrame = {
+    val x = unix_timestamp(col("ts")) - unix_timestamp(date_trunc("hour", col("ts")))
+    val g = Tables.events(s, dir)
+      .withColumn("x", x)
+      .groupBy(stepHour(col("ts")), col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        exactSum(col("value")).as("sy"),
+        exactSum(col("x").cast("double") * col("value")).as("sxy"))
+    val n = col("n").cast("double")
+    val den = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    g.filter(col("n") >= 2 && den =!= 0.0)
+      .select(col("step"), col("user_id"), col("event_type"),
+        ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("deriv"))
+  }
+
   /** `absent()`: (step × event_type) combinations with no samples.
     * Dense step axis built with sequence(); presence anti-joined away.
     */

@@ -78,6 +78,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.increase(spark, sf).filter(col("increase") < 0).count() === 0)
   }
 
+  test("stddevOverTime matches a direct two-pass computation on a sample") {
+    val rows = TimeSeries.stddevOverTime(spark, sf)
+      .orderBy("step", "user_id", "event_type").limit(10).collect()
+    rows.foreach { r =>
+      val (step, uid, et) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val vals = Tables.events(spark, sf)
+        .filter(unix_timestamp(date_trunc("day", col("ts"))) === step &&
+          col("user_id") === uid && col("event_type") === et)
+        .select("value").collect().map(_.getDouble(0))
+      val mean = vals.sum / vals.length
+      val expect = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+      // decimal(30,6) quantization of v and v² puts a ~1e-6 floor under
+      // the variance; 1e-4 absolute is well inside sanity-check range
+      assert(math.abs(r.getDouble(3) - expect) < 1e-4,
+        s"($step,$uid,$et): got ${r.getDouble(3)}, want ~$expect")
+      assert(r.getLong(4) === vals.length.toLong)
+    }
+  }
+
+  test("delta equals last-minus-first per series window") {
+    val d = TimeSeries.delta(spark, sf)
+    // spot check: singleton groups have delta 0
+    val singles = TimeSeries.countOverTime(spark, sf).filter(col("n_samples") === 1)
+    val joined = d.join(singles, Seq("step", "user_id", "event_type"))
+    assert(joined.filter(col("delta") =!= 0.0).count() === 0)
+    assert(d.count() === TimeSeries.countOverTime(spark, sf).count())
+  }
+
+  test("deriv is defined exactly for groups with n>=2 and time spread") {
+    val df = TimeSeries.deriv(spark, sf)
+    assert(df.filter(col("deriv").isNull || isnan(col("deriv"))).count() === 0)
+    // a constant-value series over distinct times must have slope ~0:
+    // synthesize by checking deriv of groups whose max=min value
+    val flat = Tables.events(spark, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("user_id"), col("event_type"))
+      .agg(max("value").as("mx"), min("value").as("mn"), count(lit(1)).as("n"))
+      .filter(col("mx") === col("mn") && col("n") >= 2)
+    val j = df.join(flat, Seq("step", "user_id", "event_type"))
+    assert(j.filter(abs(col("deriv")) > 1e-9).count() === 0)
+  }
+
   test("absent is disjoint from present (step, event_type) pairs") {
     val ab = TimeSeries.absent(spark, sf)
     val present = Tables.events(spark, sf).select(
