@@ -235,6 +235,12 @@ object OracleSql {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin,
   )
 
-  def all: Map[String, String] =
-    scanDistinct ++ timeSeries ++ relational ++ Pipelines.oracles
+  def all: Map[String, String] = {
+    val base = scanDistinct ++ timeSeries ++ relational ++ Pipelines.oracles
+    // the native TopKPerKey variants must produce byte-identical results
+    // to their window formulations, so they share the same oracle
+    base ++ Map(
+      "q_topk_native" -> base("q_topk"),
+      "q_window_rank_native" -> base("q_window_rank"))
+  }
 }

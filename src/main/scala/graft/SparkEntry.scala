@@ -33,6 +33,7 @@ object SparkEntry {
     "q_count_over_time" -> (TimeSeries.countOverTime _),
     "q_avg_min_max_over_time" -> (TimeSeries.avgMinMaxOverTime _),
     "q_topk"            -> (TimeSeries.topk _),
+    "q_topk_native"     -> (TimeSeries.topkNative _),
     "q_last_over_time"  -> (TimeSeries.lastOverTime _),
     "q_histogram_quantile" -> (TimeSeries.histogramQuantile _),
     "q_increase"        -> (TimeSeries.increase _),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q3_shipping"    -> (Relational.q3Shipping _),
     "q5_local"       -> (Relational.q5Local _),
     "q_window_rank"  -> (Relational.windowRank _),
+    "q_window_rank_native" -> (Relational.windowRankNative _),
     "q_orders_enrich" -> (Relational.ordersEnrich _),
     "q_semi_anti"    -> (Relational.semiAnti _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)

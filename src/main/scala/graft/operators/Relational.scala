@@ -93,6 +93,15 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
   }
 
+  /** windowRank via the custom TopKPerKey operator — identical result,
+    * map-side-pruned shuffle instead of full shuffle + per-key sort.
+    */
+  def windowRankNative(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+
   /** Broadcast fact enrichment + conditional aggregation per nation. */
   def ordersEnrich(s: SparkSession, dir: String): DataFrame = {
     val custNation = Tables.customer(s, dir)

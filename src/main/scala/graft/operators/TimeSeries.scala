@@ -96,6 +96,19 @@ object TimeSeries {
       .filter(col("rnk") <= 3)
   }
 
+  /** topk via the custom TopKPerKey operator (graft.plans): identical
+    * result to [[topk]], but planned as partial per-partition heaps →
+    * shuffle of ≤ partitions×steps×k candidate rows → final ranked merge,
+    * instead of a full-data shuffle + per-key sort. The 100 TB form.
+    */
+  def topkNative(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("user_id"), col("event_type"))
+      .agg(exactSum(col("value")).as("sum_value"))
+    graft.plans.TopK.perKey(per, Seq(col("step")),
+      Seq(col("sum_value").desc, col("user_id"), col("event_type")), 3)
+  }
+
   /** `last_over_time` / instant-vector lookup: most recent sample per
     * series (reference semantics: the newest chunk covering maxt).
     */

@@ -1,0 +1,174 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BaseOrdering, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
+
+/** Whole-operator top-k-per-key: logical node + strategy + two physical
+  * operators (the prompt's preference (c) — a capability the built-in
+  * operators can't express efficiently).
+  *
+  * The window formulation (`row_number().over(partitionBy(key).orderBy(…))
+  * <= k`) shuffles EVERY row to its key's reducer and fully sorts each
+  * key group — at 100 TB that is a full-data shuffle + sort to keep k
+  * rows per key. This operator plans as:
+  *
+  *   TopKPerKeyPartial (per-partition bounded heaps, ≤ k rows/key emitted)
+  *     → hash shuffle on keys (inserted by EnsureRequirements)
+  *       → TopKPerKeyFinal (merge heaps, emit rank 1..k)
+  *
+  * so the shuffle carries at most partitions×keys×k rows — the same
+  * partial-aggregation physics that makes groupBy scale, applied to
+  * ranking. Semantics are identical to the window formulation when the
+  * ordering is total (callers pass a unique tiebreak, as all graft
+  * queries do).
+  *
+  * Memory: each task holds (keys-in-partition × k) rows. For extreme
+  * per-partition key cardinality with large k, prefer the window form;
+  * for the TSDB/top-N shapes here (k ≤ 100, keys ≪ rows) it is strictly
+  * better.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Planner strategy — injected via GraftExtensions. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      TopKPerKeyFinalExec(keys, order, k, rankAttr,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+private object TopKHeaps {
+  /** Scan a partition into per-key bounded heaps (head = current worst). */
+  def build(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      inputSchema: Seq[Attribute])
+      : (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]], BaseOrdering) = {
+    val keyProj = UnsafeProjection.create(keys, inputSchema)
+    val ord = RowOrdering.create(order, inputSchema)
+    val reversed = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+    }
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var q = heaps.get(key)
+      if (q == null) {
+        q = new java.util.PriorityQueue[InternalRow](k + 1, reversed)
+        heaps.put(key.copy(), q)
+      }
+      if (q.size < k) q.offer(row.copy())
+      else if (ord.compare(row, q.peek) < 0) { q.poll(); q.offer(row.copy()) }
+    }
+    (heaps, ord)
+  }
+}
+
+/** Map-side prune: emits each partition's per-key top-k candidates.
+  * No distribution requirement — runs before the shuffle.
+  */
+case class TopKPerKeyPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture ONLY what the task needs — closing over `this` would drag
+    // the whole physical (and tag-linked logical) plan into the closure
+    val (ks, ord, kk, schema) = (keys, order, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      val (heaps, _) = TopKHeaps.build(iter, ks, ord, kk, schema)
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce side: requires clustering on the keys (EnsureRequirements
+  * inserts the hash exchange), merges the candidate heaps, emits each
+  * key's rows ranked 1..k.
+  */
+case class TopKPerKeyFinalExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, so, kk, schema, out, rank) =
+      (keys, order, k, child.output, output, rankAttr)
+    child.execute().mapPartitions({ iter =>
+      val (heaps, ord) = TopKHeaps.build(iter, ks, so, kk, schema)
+      val proj = UnsafeProjection.create(out, schema :+ rank)
+      val joined = new JoinedRow()
+      val rankRow = new GenericInternalRow(1)
+      heaps.values().asScala.iterator.flatMap { q =>
+        val rows = q.iterator().asScala.toArray
+        java.util.Arrays.sort(rows, ord)
+        rows.iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, i + 1)
+          proj(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level API. */
+object TopK {
+  /** Top `k` rows per `keys` group in `orderBy` order, with a 1-based
+    * rank column appended — same result as
+    * `row_number().over(Window.partitionBy(keys).orderBy(orderBy)) <= k`
+    * but with map-side pruning. Pass a total ordering (unique tiebreak)
+    * for deterministic results.
+    */
+  def perKey(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column], k: Int,
+             rankName: String = "rnk"): DataFrame = {
+    // eager conversion: these expressions go into a custom logical node
+    // (no Dataset-API builder to unwrap the lazy ColumnNodeExpression)
+    val sortOrders = orderBy.map(c => GraftInterop.eagerExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftInterop.ofRows(df.sparkSession,
+      TopKPerKeyNode(keys.map(GraftInterop.eagerExpression), sortOrders, k,
+        AttributeReference(rankName, IntegerType, nullable = false)(),
+        df.queryExecution.analyzed))
+  }
+}
