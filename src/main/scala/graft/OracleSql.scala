@@ -225,6 +225,12 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """WITH t AS (SELECT event_type,
+        |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS type_avg
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, type_avg, value - type_avg AS value_vs_avg
+        |FROM events e JOIN t ON e.event_type = t.event_type""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, 'no_pending' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

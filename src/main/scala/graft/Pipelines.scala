@@ -141,6 +141,21 @@ object Pipelines {
          |  SELECT q.qid, e.vec_id,
          |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
          |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.qid)""".stripMargin, 5),
+    "ann_ivf_nprobe2" -> topkSql(
+      s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+         |dists AS (
+         |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+         |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+         |  FROM dists),
+         |cells AS (SELECT vec_id, embedding, norm, k AS cell FROM ranked WHERE rn = 1),
+         |qcells AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, k AS cell
+         |           FROM ranked WHERE rn <= 2 AND vec_id < 5),
+         |pairs AS (
+         |  SELECT qc.qid, c.vec_id,
+         |         ${dot("qe", "c.embedding")} / (sqrt(qc.qn) * sqrt(c.norm)) AS cosine
+         |  FROM qcells qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.qid)""".stripMargin, 5),
     "ann_ivf" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |dists AS (
@@ -168,6 +183,7 @@ object Pipelines {
   private val text: Map[String, String] = Map(
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($words) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
          |       CAST(length(text) AS BIGINT) AS n_chars_calc
          |FROM documents""".stripMargin,
     "text_quality" ->

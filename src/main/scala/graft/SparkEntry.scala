@@ -49,6 +49,7 @@ object SparkEntry {
     "q_window_rank_native" -> (Relational.windowRankNative _),
     "q_orders_enrich" -> (Relational.ordersEnrich _),
     "q_semi_anti"    -> (Relational.semiAnti _),
+    "q_salted_join"  -> (Relational.saltedJoin _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> (Similarity.lsh _),
     "ann_ivf"        -> (Similarity.ivf _),
+    "ann_ivf_nprobe2" -> (Similarity.ivfProbe2 _),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_quality"     -> (TextAnalysis.quality _),

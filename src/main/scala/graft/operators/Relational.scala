@@ -118,6 +118,32 @@ object Relational {
           .as("n_urgent"))
   }
 
+  /** Salted skew join: enrich every event with its type's global mean.
+    * event_type has a handful of values, so a plain shuffle join would
+    * put each type's entire fact side on one reducer. Salting fans each
+    * hot key out over 8 buckets: the fact side gets a deterministic
+    * salt, the (tiny) aggregate side is exploded ×8, and the join key
+    * becomes (event_type, salt) — 8× the reduce parallelism, same rows.
+    * (With a truly tiny dim you'd broadcast instead — see ordersEnrich;
+    * salting is for when BOTH sides are too big to broadcast. AQE's
+    * skew-join split is the automatic fallback; this is the explicit,
+    * deterministic form.)
+    */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    val perType = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg((exactSum(col("value")) / count(lit(1))).as("type_avg"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    // hint forces the shuffled join the pattern exists for — Catalyst
+    // would otherwise broadcast this (test-sized) aggregate side
+    ev.join(perType.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("type_avg"), (col("value") - col("type_avg")).as("value_vs_avg"))
+  }
+
   /** Semi/anti-join patterns (EXISTS / NOT EXISTS). */
   def semiAnti(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")

@@ -110,6 +110,45 @@ object Similarity {
     withD.select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
   }
 
+  /** (vec_id, embedding, norm, cell, dist) — one row per vector per
+    * centroid, for rank-based cell selection.
+    */
+  private def cellDists(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(s, dir)
+    val cd = (0 until NumCells).map { k =>
+      struct(lit(k).as("cell"),
+        graft.functions.VectorOps.sqDist(col("embedding"),
+          litVector(IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i)))).as("dist"))
+    }
+    emb.select(col("vec_id"), col("embedding"), col("norm"),
+        explode(array(cd: _*)).as("cd"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cd.cell").as("cell"), col("cd.dist").as("dist"))
+  }
+
+  /** IVF with nprobe=2: every vector lives in its nearest cell; each
+    * query probes its TWO nearest cells (recall knob of real IVF
+    * indexes). Cell selection is rank-per-vector — the custom TopKPerKey
+    * operator, so assignment is a pruned shuffle, not a window sort.
+    */
+  def ivfProbe2(s: SparkSession, dir: String): DataFrame = {
+    val cd = cellDists(s, dir)
+    val dataCells = graft.plans.TopK
+      .perKey(cd, Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1)
+      .select("vec_id", "embedding", "norm", "cell")
+    val qCells = graft.plans.TopK
+      .perKey(cd.filter(col("vec_id") < 5),
+        Seq(col("vec_id")), Seq(col("dist"), col("cell")), 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("cell"))
+    val pairs = broadcast(qCells)
+      .join(dataCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+    topkPerQuery(pairs, 5)
+  }
+
   /** IVF ANN: probe the query's own cell, top-5 by exact cosine. */
   def ivf(s: SparkSession, dir: String): DataFrame = {
     val c = cells(s, dir)

@@ -13,11 +13,18 @@ object TextAnalysis {
 
   private val words: Column = expr("filter(split(text, ' '), w -> w <> '')")
 
-  /** Token + char counts per doc. */
+  /** Token + char counts per doc: whitespace tokens plus a BPE-ish
+    * regex tokenization (word pieces + individual punctuation — the
+    * pre-tokenizer split most BPE vocabularies assume). The pattern uses
+    * only explicit character classes so Java regex (Spark) and RE2
+    * (DuckDB) agree.
+    */
   def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(words).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
   /** Quality score in [0,1]: length saturation + lexical diversity +

@@ -29,6 +29,21 @@ class IngestSpec extends AnyFunSuite {
     assert(dateDirs > 1, "expected multiple date= partitions")
   }
 
+  test("time filters on the ingested layout prune whole date partitions") {
+    val (in, out, cp) = freshDirs("prune")
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Ingest.runOnce(spark, in, out, cp)
+    val pruned = Ingest.readBack(spark, out)
+      .filter(col("date") === lit("2024-01-02").cast("date"))
+    val plan = SparkFixture.planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+    // directory-level pruning: only the matching date= partition is read
+    val m = "Location: InMemoryFileIndex.*".r.findFirstIn(plan)
+    assert(pruned.count() ===
+      Tables.events(spark, sf).filter(to_date(col("ts")) === "2024-01-02").count())
+  }
+
   test("duplicate delivery is deduped by event_id within the watermark") {
     val (in, out, cp) = freshDirs("dup")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events1.parquet"),

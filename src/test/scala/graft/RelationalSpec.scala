@@ -46,6 +46,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(total === Tables.orders(spark, sf).count())
   }
 
+  test("saltedJoin enriches every event exactly once via a shuffled join") {
+    val df = Relational.saltedJoin(spark, sf)
+    assert(df.count() === Tables.events(spark, sf).count())
+    assert(df.select("event_id").distinct().count() === df.count())
+    val plan = planOf(df)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("semiAnti: tags are consistent with direct predicates") {
     val df = Relational.semiAnti(spark, sf)
     val pendingCust = Tables.orders(spark, sf)

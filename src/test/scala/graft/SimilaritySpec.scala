@@ -40,6 +40,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.filter(col("cosine") > 1.0 + 1e-9).count() === 0)
   }
 
+  test("ivf nprobe=2 recall >= nprobe=1 recall against brute force") {
+    val bf = Similarity.bruteForce(spark, sf)
+      .filter(col("rnk") <= 5).select("qid", "vec_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("qid", "vec_id").join(bf, Seq("qid", "vec_id")).count()
+    val r1 = recall(Similarity.ivf(spark, sf))
+    val r2 = recall(Similarity.ivfProbe2(spark, sf))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("lsh top-1 matches bruteForce when the true NN shares the bucket") {
     // consistency: any (qid, vec_id) in lsh that also appears in bruteForce
     // top-10 must have the identical cosine (same exact-decimal arithmetic).

@@ -15,7 +15,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     got.foreach { r =>
       val text = docs(r.getLong(0))
       assert(r.getLong(1) === text.split(" ").count(_.nonEmpty).toLong)
-      assert(r.getLong(2) === text.length.toLong)
+      assert(r.getLong(2) ===
+        "[A-Za-z0-9]+|[^A-Za-z0-9 ]".r.findAllIn(text).size.toLong, "bpe count")
+      assert(r.getLong(3) === text.length.toLong)
     }
   }
 
