@@ -241,8 +241,26 @@ object OracleSql {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin,
   )
 
+  /** The chunk store (reference data model: one row per chunk, sorted by
+    * mint/maxt/labels). Oracles recompute the metadata and round-trip
+    * straight from the events table.
+    */
+  private val chunks: Map[String, String] = Map(
+    "q_chunk_meta" ->
+      """SELECT user_id, event_type,
+        |       MIN(epoch_us(ts)) AS mint, MAX(epoch_us(ts)) AS maxt,
+        |       CAST(COUNT(*) AS INTEGER) AS n_samples
+        |FROM events
+        |GROUP BY user_id, event_type, epoch_us(ts) // 3600000000""".stripMargin,
+    "q_chunk_roundtrip" ->
+      "SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events",
+    "q_chunk_range" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
+        |WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) <= 1704240000000000""".stripMargin,
+  )
+
   def all: Map[String, String] = {
-    val base = scanDistinct ++ timeSeries ++ relational ++ Pipelines.oracles
+    val base = scanDistinct ++ timeSeries ++ relational ++ chunks ++ Pipelines.oracles
     // the native TopKPerKey variants must produce byte-identical results
     // to their window formulations, so they share the same oracle
     base ++ Map(

@@ -53,6 +53,10 @@ object SparkEntry {
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),
+    "q_chunk_meta"      -> (graft.sources.ChunkStore.chunkMeta _),
+    "q_chunk_roundtrip" -> (graft.sources.ChunkStore.roundtrip _),
+    "q_chunk_range"     -> ((s, d) => graft.sources.ChunkStore.rangeQuery(
+      s, d, 1704153600000000L, 1704240000000000L)),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
