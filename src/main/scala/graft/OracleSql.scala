@@ -157,6 +157,26 @@ object OracleSql {
         |WHERE n >= 2
         |  AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0""".stripMargin,
+    "q_changes" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |         user_id, event_type, value,
+        |         lag(value) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT step, user_id, event_type,
+        |       SUM(CASE WHEN prev IS NOT NULL AND prev <> value THEN 1 ELSE 0 END) AS n_changes
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_resets" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |         user_id, event_type, value,
+        |         lag(value) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT step, user_id, event_type,
+        |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q_absent" ->
       """WITH bounds AS (
         |  SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,

@@ -104,6 +104,31 @@ object Pipelines {
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          |FROM sim GROUP BY 1""".stripMargin
     },
+    "dedup_clusters" ->
+      s"""WITH $shingleCtes,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT id1, id2, COUNT(*) AS i
+         |  FROM cand
+         |  JOIN sh a ON a.doc_id = id1
+         |  JOIN sh b ON b.doc_id = id2 AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT inter.id1, inter.id2
+         |  FROM inter
+         |  JOIN cnt c1 ON c1.doc_id = inter.id1
+         |  JOIN cnt c2 ON c2.doc_id = inter.id2
+         |  WHERE i / (c1.n + c2.n - i) >= 0.5),
+         |sym AS (SELECT id1, id2 FROM verified
+         |        UNION SELECT id2, id1 FROM verified),
+         |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
+         |r AS (
+         |  WITH RECURSIVE reach(id, m) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.id1, reach.m FROM sym e JOIN reach ON reach.id = e.id2)
+         |  SELECT * FROM reach)
+         |SELECT id AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH emb AS (SELECT vec_id, embedding,
          |  ${dot("embedding", "embedding")} AS norm,

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_stddev_over_time" -> (TimeSeries.stddevOverTime _),
     "q_delta"           -> (TimeSeries.delta _),
     "q_deriv"           -> (TimeSeries.deriv _),
+    "q_changes"         -> (TimeSeries.changes _),
+    "q_resets"          -> (TimeSeries.resets _),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_embedding"     -> (Dedup.embeddingNearDup _),
+    "dedup_clusters"      -> (Dedup.clusters _),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> (Similarity.lsh _),

@@ -198,6 +198,37 @@ object TimeSeries {
         ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("deriv"))
   }
 
+  /** PromQL `changes(metric[1d])`: number of times the sample value
+    * changed, per series per day — lag comparison over the series
+    * window, counted per step.
+    */
+  def changes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag("value", 1).over(w))
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("user_id"), col("event_type"))
+      .agg(sum(when(col("prev").isNotNull && col("prev") =!= col("value"), 1L)
+        .otherwise(0L)).as("n_changes"))
+  }
+
+  /** PromQL `resets(counter[1d])`: counter resets = strict decreases
+    * between consecutive samples, per series per day.
+    */
+  def resets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag("value", 1).over(w))
+      .groupBy(
+        unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("user_id"), col("event_type"))
+      .agg(sum(when(col("prev").isNotNull && col("value") < col("prev"), 1L)
+        .otherwise(0L)).as("n_resets"))
+  }
+
   /** `absent()`: (step × event_type) combinations with no samples.
     * Dense step axis built with sequence(); presence anti-joined away.
     */

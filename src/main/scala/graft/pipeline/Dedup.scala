@@ -114,6 +114,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
   }
 
+  /** Duplicate clusters: connected components over the verified near-dup
+    * pairs (ngramJaccard ≥ 0.5), labeled by the minimum reachable doc_id.
+    * Distributed min-label propagation: each round every node takes the
+    * min of its own and its neighbors' labels; iterate to fixpoint
+    * (iterations = graph diameter, distributed joins each round — no
+    * driver-side data, only the convergence counter). The keep-one-per-
+    * cluster step every real dedup pipeline ends with.
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(s, dir).select("id1", "id2")
+    val sym = edges.unionAll(
+      edges.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+    var labels = sym.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("id2"), col("label").as("nlabel")), "id2")
+        .groupBy(col("id1").as("id")).agg(min("nlabel").as("nmin"))
+      val next = labels.join(neighborMin, "id")
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, bucketed by the shared
     * random-hyperplane LSH (Similarity.planeBucket) so the pair join is
     * bucket-local instead of O(N²). Threshold 0.3 — the synthetic

@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("clusters: both endpoints of every verified pair share a label, " +
+      "and the label is the cluster's min doc_id") {
+    val cl = Dedup.clusters(spark, sf)
+    val pairs = Dedup.ngramJaccard(spark, sf).select("id1", "id2")
+    val withLabels = pairs
+      .join(cl.select(col("doc_id").as("id1"), col("cluster_id").as("c1")), "id1")
+      .join(cl.select(col("doc_id").as("id2"), col("cluster_id").as("c2")), "id2")
+    assert(withLabels.filter(col("c1") =!= col("c2")).count() === 0)
+    // label is a member of its own cluster and its minimum
+    val mins = cl.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+    assert(mins.filter(col("cluster_id") =!= col("mn")).count() === 0)
+  }
+
   test("embedding near-dup pairs are symmetric-free and cosine-bounded") {
     val df = Dedup.embeddingNearDup(spark, sf)
     assert(df.filter(col("id1") >= col("id2")).count() === 0)

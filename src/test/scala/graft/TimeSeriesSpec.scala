@@ -120,6 +120,16 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(j.filter(abs(col("deriv")) > 1e-9).count() === 0)
   }
 
+  test("changes bounds resets; both cover all series-days") {
+    val ch = TimeSeries.changes(spark, sf)
+    val rs = TimeSeries.resets(spark, sf)
+    assert(ch.count() === rs.count())
+    val j = ch.join(rs, Seq("step", "user_id", "event_type"))
+    // a reset (decrease) is always a change
+    assert(j.filter(col("n_resets") > col("n_changes")).count() === 0)
+    assert(ch.agg(sum("n_changes")).collect()(0).getLong(0) > 0)
+  }
+
   test("absent is disjoint from present (step, event_type) pairs") {
     val ab = TimeSeries.absent(spark, sf)
     val present = Tables.events(spark, sf).select(
