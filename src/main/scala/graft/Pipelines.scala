@@ -53,7 +53,7 @@ object Pipelines {
        |    ELSE [] END) AS s
        |  FROM ws)),
        |mh AS (SELECT doc_id,
-       |${(0 until 8).map(i => s"  min(md5('$i|' || s)) AS m$i").mkString(",\n")}
+       |${(0 until 8).map(i => s"  min(substring(md5(s), ${4 * i + 1}, 4)) AS m$i").mkString(",\n")}
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |${(0 until 4).map(b => s"  SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bandval FROM mh")
