@@ -77,7 +77,9 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // I. multimodal plumbing (rows-only: stubbed decode)
-    "mm_decode" -> (Multimodal.decode _),
+    "mm_decode"   -> (Multimodal.decode _),
+    "mm_features" -> (Multimodal.features _),
+    "mm_frames"   -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same result, same column names).

@@ -46,4 +46,50 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Feature extraction: binary payload → fixed-dim float vector.
+    * STUB features (byte histogram folded to 16 dims, L1-normalized —
+    * deterministic); the Spark shape is the real thing: batched
+    * per-partition extraction emitting an Array[Float] column that
+    * feeds directly into the Similarity operators.
+    */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](16)
+          bytes.foreach(b => hist((b & 0xFF) % 16) += 1f)
+          val n = math.max(1, bytes.length)
+          (id, hist.map(_ / n))
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Frame sampling: one media payload → one row per sampled frame
+    * (every k-th "frame" of the stubbed container), the batch-expansion
+    * shape of video pipelines: flatMap per partition, output cardinality
+    * = frames/stride, partitioning inherited — no shuffle.
+    */
+  def sampleFrames(s: SparkSession, dir: String, stride: Int = 8): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (_, _, frames, _) = decodeStub(bytes)
+          (0 until frames by stride).map { f =>
+            // stub per-frame payload: the frame's byte slice fingerprint
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(bytes, f % math.max(1, bytes.length), math.min(16, bytes.length))
+            (id, f, md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_hash")
+  }
 }

@@ -26,6 +26,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("features are unit-L1 16-dim vectors compatible with Similarity ops") {
+    val df = Multimodal.features(spark, sf)
+    assert(df.count() === Tables.documents(spark, sf).count())
+    val rows = df.limit(20).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length === 16)
+      assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+    // the vector column must feed the dot-product kernel directly
+    val dot = df.limit(5).select(
+      graft.functions.VectorOps.dot(col("features"), col("features")).as("n"))
+    assert(dot.collect().forall(_.getDouble(0) > 0))
+  }
+
+  test("frame sampling expands one row per sampled frame, no shuffle") {
+    val df = Multimodal.sampleFrames(spark, sf, stride = 8)
+    val meta = Multimodal.decode(spark, sf)
+      .select(col("doc_id"), ceil(col("frames") / 8.0).as("expect"))
+    val got = df.groupBy("doc_id").count()
+    assert(got.join(meta, "doc_id").filter(col("count") =!= col("expect")).count() === 0)
+    assert(!SparkFixture.planOf(df).contains("Exchange"), "frame explode must not shuffle")
+  }
+
   test("decode stays distributed (no driver-side collect in the plan)") {
     val df = Multimodal.decode(spark, sf)
     // SerializeFromObject/MapPartitions = per-partition batched decode
