@@ -177,6 +177,18 @@ object OracleSql {
         |SELECT step, user_id, event_type,
         |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_vector_ratio" ->
+      """WITH p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.step, p.user_id, v_purchase / v_click AS ratio
+        |FROM p JOIN c ON p.step = c.step AND p.user_id = c.user_id
+        |WHERE v_click <> 0.0""".stripMargin,
     "q_absent" ->
       """WITH bounds AS (
         |  SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_deriv"           -> (TimeSeries.deriv _),
     "q_changes"         -> (TimeSeries.changes _),
     "q_resets"          -> (TimeSeries.resets _),
+    "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

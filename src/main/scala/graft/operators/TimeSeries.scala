@@ -229,6 +229,24 @@ object TimeSeries {
         .otherwise(0L)).as("n_resets"))
   }
 
+  /** PromQL vector matching — a binary operation between two instant
+    * vectors joined `on(user_id)`: per-user purchase/click value ratio
+    * per step. The two selectors share one scan lineage; the join keys
+    * on (step, user_id) — equi hash join, no skew (users ≫ cores).
+    */
+  def vectorRatio(s: SparkSession, dir: String): DataFrame = {
+    def side(t: String, as: String) =
+      Tables.events(s, dir)
+        .filter(col("event_type") === t)
+        .groupBy(stepHour(col("ts")), col("user_id"))
+        .agg(exactSum(col("value")).as(as))
+    side("purchase", "v_purchase")
+      .join(side("click", "v_click"), Seq("step", "user_id"))
+      .filter(col("v_click") =!= 0.0)
+      .select(col("step"), col("user_id"),
+        (col("v_purchase") / col("v_click")).as("ratio"))
+  }
+
   /** `absent()`: (step × event_type) combinations with no samples.
     * Dense step axis built with sequence(); presence anti-joined away.
     */

@@ -160,6 +160,11 @@ object TopK {
     */
   def perKey(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column], k: Int,
              rankName: String = "rnk"): DataFrame = {
+    // fail fast with an actionable message — without the strategy the
+    // planner dies later with an opaque INTERNAL_ERROR
+    require(GraftInterop.hasStrategy(df.sparkSession, TopKPerKeyStrategy),
+      "TopKPerKeyStrategy is not registered in this session; activate it " +
+        "with spark.sql.extensions=graft.GraftExtensions")
     // eager conversion: these expressions go into a custom logical node
     // (no Dataset-API builder to unwrap the lazy ColumnNodeExpression)
     val sortOrders = orderBy.map(c => GraftInterop.eagerExpression(c) match {

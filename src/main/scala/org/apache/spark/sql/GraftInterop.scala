@@ -21,4 +21,10 @@ object GraftInterop {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** True when the session's planner carries `strategy` (for fail-fast
+    * checks before building plans that need an injected strategy).
+    */
+  def hasStrategy(spark: SparkSession, strategy: AnyRef): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.planner.extraPlanningStrategies.exists(_ eq strategy)
 }

@@ -130,6 +130,17 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ch.agg(sum("n_changes")).collect()(0).getLong(0) > 0)
   }
 
+  test("vectorRatio only emits (step, user) present on BOTH sides") {
+    val df = TimeSeries.vectorRatio(spark, sf)
+    def side(t: String) = Tables.events(spark, sf)
+      .filter(col("event_type") === t)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("step"), col("user_id"))
+      .distinct()
+    val both = side("purchase").join(side("click"), Seq("step", "user_id"))
+    assert(df.count() === both.count())
+    assert(df.filter(col("ratio").isNull || isnan(col("ratio"))).count() === 0)
+  }
+
   test("absent is disjoint from present (step, event_type) pairs") {
     val ab = TimeSeries.absent(spark, sf)
     val present = Tables.events(spark, sf).select(
