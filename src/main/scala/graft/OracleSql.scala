@@ -177,6 +177,16 @@ object OracleSql {
         |SELECT step, user_id, event_type,
         |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_quantile_over_time" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |         user_id, event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY date_trunc('day', ts), user_id, event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY date_trunc('day', ts), user_id, event_type) AS n
+        |  FROM events)
+        |SELECT step, user_id, event_type, value AS p50 FROM x
+        |WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)""".stripMargin,
     "q_vector_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -245,6 +245,20 @@ object Pipelines {
          |             ELSE 'es' END AS predicted
          |      FROM d)""".stripMargin
     },
+    "text_rolling_fp" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [NULL] END) AS s
+         |  FROM ws),
+         |sk AS (SELECT doc_id,
+         |         list_slice(list_sort(list_distinct(
+         |           list(substring(md5(s), 1, 8)) FILTER (s IS NOT NULL))), 1, 8) AS sketch
+         |       FROM sh GROUP BY 1)
+         |SELECT doc_id,
+         |       md5(coalesce(array_to_string(sketch, ''), '')) AS rolling_fp
+         |FROM sk""".stripMargin,
     "text_fingerprint" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

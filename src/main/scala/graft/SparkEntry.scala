@@ -44,6 +44,7 @@ object SparkEntry {
     "q_changes"         -> (TimeSeries.changes _),
     "q_resets"          -> (TimeSeries.resets _),
     "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
+    "q_quantile_over_time" -> (TimeSeries.quantileOverTime _),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     // I. multimodal plumbing (rows-only: stubbed decode)
     "mm_decode"   -> (Multimodal.decode _),
     "mm_features" -> (Multimodal.features _),

@@ -229,6 +229,22 @@ object TimeSeries {
         .otherwise(0L)).as("n_resets"))
   }
 
+  /** `quantile_over_time(0.5, metric[1d])` — per-series median per day,
+    * as a discrete quantile (stored value at ceil(q·n) in sort order):
+    * exact across engines, no interpolation drift.
+    */
+  def quantileOverTime(s: SparkSession, dir: String): DataFrame = {
+    val part = Seq(
+      unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+      col("user_id"), col("event_type"))
+    val w = Window.partitionBy(part: _*).orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(part: _*)))
+      .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+      .select(part :+ col("value").as("p50"): _*)
+  }
+
   /** PromQL vector matching — a binary operation between two instant
     * vectors joined `on(user_id)`: per-user purchase/click value ratio
     * per step. The two selectors share one scan lineage; the join keys

@@ -77,6 +77,24 @@ object TextAnalysis {
       (predicted === col("actual")).as("correct"))
   }
 
+  /** Rolling-hash sketch fingerprint: hash every word 3-gram (the
+    * rolling window), keep the bottom-8 distinct hashes (a bottom-k
+    * sketch — stable under small edits, unlike the whole-document hash),
+    * and fingerprint the ordered sketch. Docs sharing the fingerprint
+    * are near-identical even when raw bytes differ mid-document.
+    */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"),
+        explode_outer(graft.pipeline.Dedup.shinglesOf("ws")).as("sh"))
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_set(substring(md5(col("sh")), 1, 8))), 1, 8)
+        .as("sketch"))
+    d.select(col("doc_id"), md5(concat_ws("", col("sketch"))).as("rolling_fp"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
     * plus cluster stats per fingerprint.
     */

@@ -46,6 +46,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling fingerprint is edit-tolerant where whole-doc hash is not") {
+    val fp = TextAnalysis.rollingFingerprint(spark, sf)
+    assert(fp.count() === Tables.documents(spark, sf).count())
+    assert(fp.filter(col("rolling_fp").isNull).count() === 0)
+    // exact duplicates must share the rolling fingerprint too
+    val dups = graft.pipeline.Dedup.exact(spark, sf).filter(col("n_copies") > 1)
+    if (dups.count() > 0) {
+      val sameText = Tables.documents(spark, sf)
+        .groupBy("text").agg(collect_list("doc_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("doc_id"), md5(col("text")).as("h"))
+      val j = sameText.join(fp, "doc_id")
+        .groupBy("h").agg(countDistinct("rolling_fp").as("nfp"))
+      assert(j.filter(col("nfp") > 1).count() === 0)
+    }
+  }
+
   test("fingerprint clusters cover all docs; whitespace variants collapse") {
     val df = TextAnalysis.fingerprint(spark, sf)
     assert(df.agg(sum("n_docs")).collect()(0).getLong(0) ===

@@ -130,6 +130,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ch.agg(sum("n_changes")).collect()(0).getLong(0) > 0)
   }
 
+  test("quantileOverTime p50 is a stored value with half the group at or below") {
+    val rows = TimeSeries.quantileOverTime(spark, sf)
+      .orderBy("step", "user_id", "event_type").limit(15).collect()
+    rows.foreach { r =>
+      val (step, uid, et, p50) = (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      val grp = Tables.events(spark, sf)
+        .filter(unix_timestamp(date_trunc("day", col("ts"))) === step &&
+          col("user_id") === uid && col("event_type") === et)
+      val n = grp.count()
+      val below = grp.filter(col("value") <= p50).count()
+      assert(below >= (n + 1) / 2, s"($step,$uid,$et): $below of $n <= p50")
+      assert(grp.filter(col("value") === p50).count() > 0, "p50 must be a stored value")
+    }
+  }
+
   test("vectorRatio only emits (step, user) present on BOTH sides") {
     val df = TimeSeries.vectorRatio(spark, sf)
     def side(t: String) = Tables.events(spark, sf)
