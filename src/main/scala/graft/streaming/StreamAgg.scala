@@ -30,6 +30,51 @@ object StreamAgg {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Gap-based sessionization via flatMapGroupsWithState: consecutive
+    * events of a user belong to one session while gaps stay under
+    * `gapUs`; a larger gap closes the session and starts the next. Emits
+    * one row per closed-or-final session. State per user is the open
+    * session only — O(1), the shape that survives unbounded streams.
+    * (AvailableNow processes the backlog as one batch, so within-batch
+    * events are sorted per group before splitting — deterministic.)
+    */
+  case class Session(user_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long)
+
+  def sessionize(s: SparkSession, inDir: String,
+                 gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .as[(Long, Long)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Session, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val times = rows.map(_._2).toArray.sorted
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          times.foreach { us =>
+            open match {
+              case Some(sess) if us - sess.session_end_us <= gapUs =>
+                open = Some(sess.copy(session_end_us = us,
+                  n_events = sess.n_events + 1))
+              case Some(sess) =>
+                out += sess // gap exceeded: close it
+                open = Some(Session(uid, us, us, 1))
+              case None =>
+                open = Some(Session(uid, us, us, 1))
+            }
+          }
+          open.foreach(state.update)
+          // emit the still-open session too: with AvailableNow this is
+          // the final state (a live stream would hold it for the next batch)
+          (out ++ open).iterator
+      }
+  }
+
   /** Per-user running stats via explicit state (mapGroupsWithState) —
     * the KeyValueGroupedDataset custom-state path for logic windows
     * can't express. State per key is O(1); partitioning is by user_id

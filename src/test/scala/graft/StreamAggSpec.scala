@@ -38,6 +38,35 @@ class StreamAggSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("flatMapGroupsWithState sessionization matches a batch lag-window sessionizer") {
+    val in = stageInput("sess")
+    import SparkFixture.spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val q = StreamAgg.sessionize(spark, in, gapUs).writeStream
+      .format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess_stream")
+    // batch sessionizer: session id = running count of gap-breaks per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", when(
+        col("us") - lag("us", 1).over(w) > gapUs || lag("us", 1).over(w).isNull, 1)
+        .otherwise(0))
+      .withColumn("sess", sum("gap").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess")
+      .agg(min("us").as("session_start_us"), max("us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("sess")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("mapGroupsWithState running stats equal the batch group stats") {
     val in = stageInput("state")
     import SparkFixture.spark.implicits._
