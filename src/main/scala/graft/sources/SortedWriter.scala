@@ -23,13 +23,26 @@ object SortedWriter {
 
   private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Sorted write: events laid out by (event_type, user_id, ts). */
+  /** Sorted write: events laid out by (event_type, user_id, ts), with
+    * parquet bloom filters on the point-lookup columns — the reference
+    * writes one bloom filter per label (reference: db/writer.go).
+    * parquet-mr only materializes a bloom when the column is NOT fully
+    * dictionary-encoded (the dictionary already gives exact membership),
+    * which is exactly the right behavior: at production cardinalities
+    * the label/id columns outgrow the dictionary and the bloom takes
+    * over row-group skipping. event_id (unique) models that case here,
+    * with dictionary encoding off to match its production shape.
+    */
   def writeSorted(s: SparkSession, dir: String, out: String): Unit =
     Tables.events(s, dir)
       .drop("ts_ns") // reader-side helper column, not part of the layout
       .repartitionByRange(4, col("event_type"), col("user_id"))
       .sortWithinPartitions("event_type", "user_id", "ts")
-      .write.mode(SaveMode.Overwrite).parquet(out)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .option("parquet.enable.dictionary#event_id", "false")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .parquet(out)
 
   /** Query wrapper: write sorted, read back — content must equal the
     * source (oracle: plain SELECT on events).

@@ -47,6 +47,27 @@ class SortedWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted files carry bloom filters on the label columns") {
+    val out = "/root/repo/target/tmp/test_sorted"
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      def bloomOf(name: String) = cols
+        .find(_.getPath.toDotString == name).get.getBloomFilterOffset
+      assert(bloomOf("event_id") > 0, "event_id needs a bloom filter")
+      // user_id fully dictionary-encodes at this scale, so parquet
+      // correctly skips its (redundant) bloom; unconfigured columns
+      // must not pay for blooms either
+      assert(bloomOf("value") <= 0, "unconfigured columns should not pay for blooms")
+    } finally reader.close()
+  }
+
   test("compaction reduces to one file per date partition, content intact") {
     val df = SortedWriter.compactionQuery(spark, sf)
     assert(df.count() === Tables.events(spark, sf).count())
