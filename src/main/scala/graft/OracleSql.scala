@@ -177,6 +177,19 @@ object OracleSql {
         |SELECT step, user_id, event_type,
         |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_promql_sum" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    "q_promql_topk" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step, user_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY step ORDER BY value DESC, user_id) AS rn
+        |  FROM per)
+        |WHERE rn <= 3""".stripMargin,
     "q_quantile_over_time" ->
       """WITH x AS (
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,

@@ -45,6 +45,11 @@ object SparkEntry {
     "q_resets"          -> (TimeSeries.resets _),
     "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
     "q_quantile_over_time" -> (TimeSeries.quantileOverTime _),
+    // PromQL front-end: parsed query strings compiled to the same plans
+    "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sum(count_over_time(click[1h]))""")),
+    "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),
