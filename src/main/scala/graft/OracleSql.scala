@@ -177,6 +177,11 @@ object OracleSql {
         |SELECT step, user_id, event_type,
         |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_count_values" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |       CAST(floor(value / 10) AS BIGINT) AS v_bucket,
+        |       COUNT(*) AS n_samples
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_promql_sum" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(COUNT(*) AS DOUBLE) AS value

@@ -104,6 +104,25 @@ object Pipelines {
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          |FROM sim GROUP BY 1""".stripMargin
     },
+    "dedup_keep_best" -> {
+      // NOTE: must not reference `stop` (declared below in the text
+      // section — object vals initialize in order); inline the predicate
+      val stopInline = "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
+      val score = "least(1.0, t / 100.0) * 0.3 + (dt / t) * 0.4 + (1.0 - st / t) * 0.3"
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len($words) AS BIGINT) AS t,
+         |  CAST(len(list_distinct($words)) AS BIGINT) AS dt,
+         |  CAST(len(list_filter($words, w -> $stopInline)) AS BIGINT) AS st,
+         |  md5(text) AS content_hash
+         |FROM documents),
+         |r AS (SELECT content_hash, doc_id, $score AS score,
+         |        row_number() OVER (PARTITION BY content_hash
+         |                           ORDER BY $score DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY content_hash) AS n
+         |      FROM d)
+         |SELECT content_hash, doc_id AS keep_id, n AS n_copies
+         |FROM r WHERE rn = 1""".stripMargin
+    },
     "dedup_clusters" ->
       s"""WITH $shingleCtes,
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

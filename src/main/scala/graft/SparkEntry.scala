@@ -44,6 +44,7 @@ object SparkEntry {
     "q_changes"         -> (TimeSeries.changes _),
     "q_resets"          -> (TimeSeries.resets _),
     "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
+    "q_count_values"    -> (TimeSeries.countValues _),
     "q_quantile_over_time" -> (TimeSeries.quantileOverTime _),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
@@ -73,6 +74,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_embedding"     -> (Dedup.embeddingNearDup _),
     "dedup_clusters"      -> (Dedup.clusters _),
+    "dedup_keep_best"     -> (Dedup.exactKeepBest _),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> (Similarity.lsh _),

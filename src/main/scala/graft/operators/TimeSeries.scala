@@ -245,6 +245,15 @@ object TimeSeries {
       .select(part :+ col("value").as("p50"): _*)
   }
 
+  /** PromQL `count_values("v", metric)` per step: the distribution of
+    * (rounded) sample values — groupBy on (step, bucketed value), one
+    * partial-agg shuffle.
+    */
+  def countValues(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), floor(col("value") / 10).cast("long").as("v_bucket"))
+      .agg(count(lit(1)).as("n_samples"))
+
   /** PromQL vector matching — a binary operation between two instant
     * vectors joined `on(user_id)`: per-user purchase/click value ratio
     * per step. The two selectors share one scan lineage; the join keys

@@ -122,6 +122,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
   }
 
+  /** Quality-aware exact dedup: within each content-hash group keep the
+    * doc the quality scorer ranks highest (ties → lowest doc_id) — the
+    * "which copy survives" policy real pipelines need when duplicates
+    * differ in metadata. Pure aggregation via max_by on the
+    * (score, -doc_id) tuple: map-side combinable, no window.
+    */
+  def exactKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.quality(s, dir).select("doc_id", "score")
+    Tables.documents(s, dir)
+      .join(scored, "doc_id")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        max_by(col("doc_id"), struct(col("score"), (-col("doc_id")).as("neg")))
+          .as("keep_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs (ngramJaccard ≥ 0.5), labeled by the minimum reachable doc_id.
     * Distributed min-label propagation: each round every node takes the

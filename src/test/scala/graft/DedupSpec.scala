@@ -49,6 +49,27 @@ class DedupSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("keep-best dedup keeps the highest-quality copy of each group") {
+    val kb = Dedup.exactKeepBest(spark, sf)
+    val plain = Dedup.exact(spark, sf)
+    // same groups, same sizes — only the keep policy differs
+    assert(kb.count() === plain.count())
+    val sizes = kb.select(col("content_hash"), col("n_copies").as("a"))
+      .join(plain.select(col("content_hash"), col("n_copies").as("b")), "content_hash")
+    assert(sizes.filter(col("a") =!= col("b")).count() === 0)
+    // the kept doc's score is the max in its group
+    val scored = graft.pipeline.TextAnalysis.quality(spark, sf).select("doc_id", "score")
+    val hashed = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(scored, "doc_id")
+    val best = hashed.groupBy("content_hash").agg(max("score").as("mx"))
+    val kept = kb.join(
+      hashed.select(col("doc_id").as("keep_id"), col("content_hash"), col("score")),
+      Seq("content_hash", "keep_id"))
+    assert(kept.join(best, "content_hash")
+      .filter(col("score") < col("mx")).count() === 0)
+  }
+
   test("clusters: both endpoints of every verified pair share a label, " +
       "and the label is the cluster's min doc_id") {
     val cl = Dedup.clusters(spark, sf)
