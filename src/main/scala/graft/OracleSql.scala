@@ -165,7 +165,7 @@ object OracleSql {
         |                          ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT step, user_id, event_type,
-        |       SUM(CASE WHEN prev IS NOT NULL AND prev <> value THEN 1 ELSE 0 END) AS n_changes
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> value THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q_resets" ->
       """WITH x AS (
@@ -175,7 +175,7 @@ object OracleSql {
         |                          ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT step, user_id, event_type,
-        |       SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS n_resets
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q_count_values" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,

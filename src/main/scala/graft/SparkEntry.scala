@@ -88,7 +88,7 @@ object SparkEntry {
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     // I. multimodal plumbing (rows-only: stubbed decode)
     "mm_decode"   -> (Multimodal.decode _),
-    "mm_features" -> (Multimodal.features _),
+    "mm_features" -> (Multimodal.featuresDigest _),
     "mm_frames"   -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 

@@ -69,6 +69,25 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** Driver-checkable projection of [[features]]: the raw Array[Float]
+    * column is unhashable for the correctness harness (pandas can't sort
+    * ndarray cells), so the query surface emits a deterministic sortable
+    * digest — each dim quantized to ⌊x·2²⁴⌋ (the same grid the decimal
+    * vector kernel uses) and joined into one string — plus the dim count.
+    * The Array[Float] variant above stays the internal API feeding
+    * Similarity.
+    */
+  def featuresDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    features(s, dir)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = v.map(x => math.floor(x.toDouble * (1 << 24)).toLong)
+        (id, v.length, q.mkString(","))
+      }
+      .toDF("doc_id", "dim", "features_digest")
+  }
+
   /** Frame sampling: one media payload → one row per sampled frame
     * (every k-th "frame" of the stubbed container), the batch-expansion
     * shape of video pipelines: flatMap per partition, output cardinality
@@ -85,7 +104,8 @@ object Multimodal {
           (0 until frames by stride).map { f =>
             // stub per-frame payload: the frame's byte slice fingerprint
             val md = java.security.MessageDigest.getInstance("MD5")
-            md.update(bytes, f % math.max(1, bytes.length), math.min(16, bytes.length))
+            val off = f % math.max(1, bytes.length)
+            md.update(bytes, off, math.min(16, bytes.length - off))
             (id, f, md.digest().map("%02x".format(_)).mkString)
           }
         }
