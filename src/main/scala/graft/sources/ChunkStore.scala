@@ -8,27 +8,56 @@ import graft.Tables
   *
   * tsdb-parquet stores one row per CHUNK: `__series__id, __mint, __maxt,
   * __chunk_bytes` plus one column per label, sorted by (mint, maxt,
-  * labels) (reference: schema/chunk.go, db/writer.go:44-53). This module
-  * reproduces that layout over the events table: samples are grouped
-  * per (series, hour), encoded into a deterministic binary chunk
-  * (16 bytes/sample: big-endian µs timestamp + IEEE-754 value bits),
-  * and written range-partitioned + sorted so parquet min/max stats on
+  * labels) (reference: schema/chunk.go, db/writer.go:44-53), where
+  * `__chunk_bytes` are raw Prometheus TSDB XOR chunk bytes
+  * (reference: schema/chunk.go:25-37; cmd/convert/main.go copies them
+  * straight out of a TSDB block). This module reproduces that layout over
+  * the events table: samples are grouped per (series, hour), encoded with
+  * the real Prometheus XOR bitstream ([[XorChunk]] — Gorilla §4.1), and
+  * written range-partitioned + sorted so parquet min/max stats on
   * mint/maxt give readers the reference's page-skipping behavior.
   *
-  * Chunk building is a single groupByKey→mapGroups shuffle (the
+  * Chunk building is a single groupByKey→flatMapGroups shuffle (the
   * compactor's job in the reference); decode is a flatMap — both scale
   * linearly and never touch the driver.
+  *
+  * The chunk table is written ONCE per (dataset, format) and read many
+  * times — `ensureWritten` checks the parquet _SUCCESS marker and a
+  * per-JVM memo instead of rebuilding per query (a store, not a cache
+  * miss per lookup).
   */
 object ChunkStore {
 
   val UsPerHour: Long = 3600L * 1000000L
+
+  /** Bump when the on-disk chunk encoding changes: the path carries the
+    * format tag, so stale tables from an older codec are never read.
+    */
+  private val FormatTag = "xor1"
 
   case class Chunk(user_id: Long, event_type: String, mint: Long, maxt: Long,
                    n_samples: Int, chunk: Array[Byte])
 
   case class Sample(user_id: Long, event_type: String, us: Long, value: Double)
 
-  /** Build one chunk per (series, hour) from the raw events. */
+  /** Output partition count sized from input bytes (~one shuffle
+    * partition per `bytesPerPartition` of source data), clamped to
+    * [1, 4096] — replaces a hardcoded count that would mean 4 giant
+    * tasks at 100 TB and 4 tiny ones at sf0.001.
+    */
+  def targetPartitions(s: SparkSession, path: String,
+                       bytesPerPartition: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.max(1, math.min(4096, math.ceil(bytes.toDouble / bytesPerPartition).toInt))
+  }
+
+  /** Build chunks per (series, hour) from the raw events, encoded as
+    * Prometheus XOR chunk bytes. A group overflowing the uint16 sample
+    * header (never at test sf, routine at 100 TB) splits into multiple
+    * chunks, exactly as Prometheus cuts chunks at a sample budget.
+    */
   def buildChunks(s: SparkSession, dir: String): Dataset[Chunk] = {
     import s.implicits._
     Tables.events(s, dir)
@@ -36,15 +65,14 @@ object ChunkStore {
         unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
       .as[(Long, String, Long, Double, Long)]
       .groupByKey(r => (r._1, r._2, r._3 / UsPerHour))
-      .mapGroups { (key: (Long, String, Long), rows: Iterator[(Long, String, Long, Double, Long)]) =>
+      .flatMapGroups { (key: (Long, String, Long), rows: Iterator[(Long, String, Long, Double, Long)]) =>
         val (uid, et) = (key._1, key._2)
         val sorted = rows.toArray.sortBy(r => (r._3, r._5))
-        val bb = java.nio.ByteBuffer.allocate(16 * sorted.length)
-        sorted.foreach { r =>
-          bb.putLong(r._3)
-          bb.putLong(java.lang.Double.doubleToLongBits(r._4))
+        sorted.grouped(XorChunk.MaxSamples).map { slice =>
+          val samples = slice.map(r => (r._3, r._4))
+          Chunk(uid, et, slice.head._3, slice.last._3, slice.length,
+            XorChunk.encode(samples))
         }
-        Chunk(uid, et, sorted.head._3, sorted.last._3, sorted.length, bb.array())
       }
   }
 
@@ -53,18 +81,28 @@ object ChunkStore {
     */
   def writeChunks(s: SparkSession, dir: String, out: String): Unit =
     buildChunks(s, dir).toDF()
-      .repartitionByRange(4, col("mint"))
+      .repartitionByRange(targetPartitions(s, s"$dir/events.parquet"), col("mint"))
       .sortWithinPartitions("mint", "maxt", "event_type", "user_id")
       .write.mode(SaveMode.Overwrite).parquet(out)
 
   private def chunkPath(dir: String) =
-    s"/root/repo/target/tmp/chunks_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"/root/repo/target/tmp/chunks_${FormatTag}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
-  private def ensureWritten(s: SparkSession, dir: String): String = {
-    val out = chunkPath(dir)
-    writeChunks(s, dir, out)
-    out
-  }
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once-read-many: the first query against a dataset builds the
+    * chunk table; every later query reads the existing parquet. The
+    * testdata is immutable, so the parquet _SUCCESS marker is a valid
+    * freshness proof across JVMs; the format tag in the path invalidates
+    * tables written by an older codec.
+    */
+  private def ensureWritten(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(dir, { _ =>
+      val out = chunkPath(dir)
+      val success = new java.io.File(out, "_SUCCESS")
+      if (!success.isFile) writeChunks(s, dir, out)
+      out
+    })
 
   /** Chunk-table metadata view — the reference's series/time index. */
   def chunkMeta(s: SparkSession, dir: String): DataFrame = {
@@ -74,7 +112,7 @@ object ChunkStore {
   }
 
   /** Decode every chunk back to samples — round-trip must equal the
-    * source table exactly.
+    * source table exactly (bit-exact values: XOR is lossless).
     */
   def roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -83,11 +121,7 @@ object ChunkStore {
       .select(col("user_id"), col("event_type"), col("chunk"))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (uid, et, bytes) =>
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        Iterator.continually(bb).takeWhile(_.hasRemaining).map { b =>
-          Sample(uid, et, b.getLong(),
-            java.lang.Double.longBitsToDouble(b.getLong()))
-        }
+        XorChunk.decode(bytes).iterator.map { case (us, v) => Sample(uid, et, us, v) }
       }
       .toDF()
   }
@@ -105,11 +139,7 @@ object ChunkStore {
       .select(col("user_id"), col("event_type"), col("chunk"))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (uid, et, bytes) =>
-        val bb = java.nio.ByteBuffer.wrap(bytes)
-        Iterator.continually(bb).takeWhile(_.hasRemaining).map { b =>
-          Sample(uid, et, b.getLong(),
-            java.lang.Double.longBitsToDouble(b.getLong()))
-        }
+        XorChunk.decode(bytes).iterator.map { case (us, v) => Sample(uid, et, us, v) }
       }
       .filter(r => r.us >= loUs && r.us <= hiUs)
       .toDF()

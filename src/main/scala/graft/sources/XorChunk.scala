@@ -75,9 +75,9 @@ object XorChunk {
   def encode(samples: Array[(Long, Double)]): Array[Byte] = {
     require(samples.length <= MaxSamples, s"chunk overflow: ${samples.length}")
     val w = new BitWriter
+    val st = new XorState // per-chunk XOR window, as Prometheus's xorAppender
     w.writeBits(samples.length.toLong, 16) // big-endian uint16 count
     var prevT = 0L; var prevDelta = 0L; var prevV = 0L
-    var leading = -1; var trailing = 0
     var i = 0
     while (i < samples.length) {
       val (t, value) = samples(i)
@@ -89,7 +89,7 @@ object XorChunk {
         prevDelta = t - prevT
         require(prevDelta >= 0, "samples must be time-ordered")
         w.writeUvarint(prevDelta)
-        writeXor(w, prevV, vbits)
+        writeXor(w, st, prevV, vbits)
       } else {
         val delta = t - prevT
         val dod = delta - prevDelta
@@ -100,23 +100,11 @@ object XorChunk {
         else if (inBits(dod, 17)) { w.writeBits(0x6L, 3); w.writeBits(dod & 0x1FFFFL, 17) }
         else if (inBits(dod, 20)) { w.writeBits(0xEL, 4); w.writeBits(dod & 0xFFFFFL, 20) }
         else { w.writeBits(0xFL, 4); w.writeBits(dod, 64) }
-        writeXor(w, prevV, vbits)
-      }
-      // value-XOR window state lives across samples
-      if (i >= 1) {
-        val delta = prevV ^ vbits
-        if (delta != 0L) {
-          var l = java.lang.Long.numberOfLeadingZeros(delta)
-          if (l >= 32) l = 31
-          val tr = java.lang.Long.numberOfTrailingZeros(delta)
-          if (!(leading != -1 && l >= leading && tr >= trailing)) { leading = l; trailing = tr }
-        }
+        writeXor(w, st, prevV, vbits)
       }
       prevT = t; prevV = vbits
       i += 1
     }
-    // re-run: the loop above tracked window state only to keep writeXor
-    // stateless — see writeXor's closure below.
     w.result()
   }
 
@@ -126,15 +114,12 @@ object XorChunk {
   private def inBits(x: Long, nbits: Int): Boolean =
     -((1L << (nbits - 1)) - 1) <= x && x <= (1L << (nbits - 1))
 
-  // The value-XOR window (leading/trailing) is cross-sample state; rather
-  // than thread it through encode() twice, writeXor keeps it in a
-  // per-encode mutable holder passed via a ThreadLocal-free trick: encode
-  // is single-threaded per chunk, so a small object is enough.
+  // The value-XOR window (leading/trailing) is cross-sample state scoped to
+  // one chunk; a fresh XorState is allocated per encode() call and threaded
+  // through writeXor, matching Prometheus's per-appender window.
   private final class XorState { var leading: Int = -1; var trailing: Int = 0 }
-  private val stateKey = new ThreadLocal[XorState] { override def initialValue = new XorState }
 
-  private def writeXor(w: BitWriter, prevV: Long, vbits: Long): Unit = {
-    val st = stateKey.get()
+  private def writeXor(w: BitWriter, st: XorState, prevV: Long, vbits: Long): Unit = {
     val delta = prevV ^ vbits
     if (delta == 0L) { w.writeBit(false); return }
     w.writeBit(true)

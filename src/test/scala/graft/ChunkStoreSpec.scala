@@ -16,16 +16,20 @@ class ChunkStoreSpec extends AnyFunSuite {
     assert(src.exceptAll(back).count() === 0)
   }
 
-  test("chunk bytes are exactly 16 per sample; mint/maxt bound the chunk") {
+  test("chunk bytes are Prometheus XOR chunks; mint/maxt bound the chunk") {
     val raw = ChunkStore.buildChunks(spark, sf).collect()
+    assert(raw.nonEmpty)
     raw.foreach { c =>
-      assert(c.chunk.length === 16 * c.n_samples)
       assert(c.mint <= c.maxt)
       assert(c.maxt - c.mint < ChunkStore.UsPerHour)
-      // first/last encoded timestamps match mint/maxt (sorted encoding)
-      val bb = java.nio.ByteBuffer.wrap(c.chunk)
-      assert(bb.getLong(0) === c.mint)
-      assert(bb.getLong(16 * (c.n_samples - 1)) === c.maxt)
+      // uint16 big-endian sample count header, as in tsdb/chunkenc
+      val hdr = ((c.chunk(0) & 0xFF) << 8) | (c.chunk(1) & 0xFF)
+      assert(hdr === c.n_samples)
+      // decoded first/last timestamps match mint/maxt (sorted encoding)
+      val samples = graft.sources.XorChunk.decode(c.chunk)
+      assert(samples.length === c.n_samples)
+      assert(samples.head._1 === c.mint)
+      assert(samples.last._1 === c.maxt)
     }
   }
 
