@@ -195,6 +195,18 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY step ORDER BY value DESC, user_id) AS rn
         |  FROM per)
         |WHERE rn <= 3""".stripMargin,
+    "q_promql_ratio" ->
+      """WITH p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_l
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v_r
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.step, p.user_id, v_l / v_r AS value
+        |FROM p JOIN c ON p.step = c.step AND p.user_id = c.user_id
+        |WHERE v_r <> 0.0""".stripMargin,
     "q_quantile_over_time" ->
       """WITH x AS (
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,

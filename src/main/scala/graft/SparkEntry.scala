@@ -51,6 +51,8 @@ object SparkEntry {
       s, d, """sum(count_over_time(click[1h]))""")),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
+    "q_promql_ratio" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

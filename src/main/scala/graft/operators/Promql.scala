@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -10,32 +11,50 @@ import graft.Tables
   * recursive-descent parser for the practical subset the §2.C operators
   * implement, compiled straight to declarative Spark plans:
   *
-  *   expr     := agg | func | selector
-  *   agg      := ("sum"|"avg"|"min"|"max"|"count") [by-clause] "(" expr ")"
+  *   expr     := primary (binop [("on"|"ignoring") "(" labels ")"] primary)*
+  *   binop    := "/" | "*" | "+" | "-"
+  *   primary  := agg | func | selector
+  *   agg      := ("sum"|"avg"|"min"|"max"|"count")
+  *                 [("by"|"without") "(" labels ")"] "(" expr ")"
   *             | "topk" "(" int "," expr ")"
-  *   func     := ("rate"|"increase"|"count_over_time"|"avg_over_time"|
-  *                "min_over_time"|"max_over_time") "(" selector range ")"
-  *   selector := metric [ "{" matcher ("," matcher)* "}" ]
+  *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
+  *                "avg_over_time"|"min_over_time"|"max_over_time")
+  *               "(" selector range ")"
+  *   selector := metric [ "{" matcher ("," matcher)* "}" ] ["offset" dur]
+  *               (a range selector's offset goes after the brackets:
+  *                `rate(click[5m] offset 1h)`)
   *   matcher  := label ("="|"!="|"=~") '"' value '"'
-  *   range    := "[" int ("s"|"m"|"h") "]"
+  *   range    := "[" dur "]"        dur := int ("s"|"m"|"h")
   *
   * Data-model mapping (the events table as TSDB): metric name ⇒
   * `event_type`, labels ⇒ the remaining identity columns (`user_id`),
-  * sample value ⇒ `value`, timestamp ⇒ `ts`. The evaluation step is
-  * fixed at 1h (a range query with hourly resolution); range windows
-  * select per-step lookback like PromQL's `metric[1h]` semantics when
-  * window == step.
+  * sample value ⇒ `value`, timestamp ⇒ `ts`.
   *
-  * Scale shape is inherited from the operators: matchers push to the
-  * parquet scan, per-step aggregation is partial-agg, topk is the rank
-  * window (or TopKPerKey at the call site).
+  * Range windows are HONORED: `rate(click[5m])` evaluates over aligned
+  * 300-second windows (evaluation step = window length, i.e. tumbling
+  * windows — the range-query case `step == range`). `rate`/`increase`
+  * are counter-reset aware: per window, each decrease between
+  * consecutive samples counts the post-reset value as growth from zero,
+  * exactly Prometheus's `extrapolatedRate` reset rule (without the
+  * edge extrapolation, so results are stored-value exact across
+  * engines).
+  *
+  * Scale shape: matchers push to the parquet scan (equality/negation
+  * matchers cast the LITERAL to the column type, never the column, so
+  * pushdown survives); per-step aggregation is partial-agg; the
+  * reset-scan is a window per (series, step) — cardinality ≫ cores;
+  * binary ops join on (step, matching labels) — equi hash join.
+  * `group_left` (many-to-one matching) is not in the subset.
   */
 object Promql {
 
   sealed trait Expr
-  case class Selector(metric: String, matchers: Seq[(String, String, String)]) extends Expr
+  case class Selector(metric: String, matchers: Seq[(String, String, String)],
+                      offsetSec: Long = 0L) extends Expr
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long) extends Expr
-  case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0) extends Expr
+  case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
+                 without: Boolean = false) extends Expr
+  case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -70,13 +89,24 @@ object Promql {
       if (i == start) fail("expected integer")
       s.substring(start, i).toInt
     }
+    /** duration: int + unit, in seconds */
+    def duration(): Long = {
+      val n = int()
+      ident() match {
+        case "s" => n.toLong
+        case "m" => n * 60L
+        case "h" => n * 3600L
+        case u => fail(s"unknown duration unit '$u'")
+      }
+    }
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"PromQL parse error at ${i}: $msg in '$s'")
   }
 
   private val aggOps = Set("sum", "avg", "min", "max", "count")
   private val rangeFns = Set("rate", "increase", "count_over_time",
-    "avg_over_time", "min_over_time", "max_over_time")
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time")
+  private val binOps = Seq("/", "*", "+", "-")
 
   def parse(q: String): Expr = {
     val p = new P(q)
@@ -85,36 +115,60 @@ object Promql {
     e
   }
 
+  /** Binary operators parse left-associative at equal precedence — the
+    * practical subset; parenthesize for anything fancier.
+    */
   private def parseExpr(p: P): Expr = {
+    var lhs = parsePrimary(p)
+    var continue = true
+    while (continue) {
+      binOps.find(p.peek) match {
+        case Some(op) =>
+          p.eat(op)
+          val on = if (p.peek("on")) {
+            p.eat("on"); labelList(p)
+          } else Seq.empty
+          lhs = BinOp(op, on, lhs, parsePrimary(p))
+        case None => continue = false
+      }
+    }
+    lhs
+  }
+
+  private def labelList(p: P): Seq[String] = {
+    p.eat("(")
+    val out = scala.collection.mutable.Buffer(p.ident())
+    while (p.peek(",")) { p.eat(","); out += p.ident() }
+    p.eat(")")
+    out.toSeq
+  }
+
+  private def parsePrimary(p: P): Expr = {
+    if (p.peek("(")) {
+      p.eat("("); val e = parseExpr(p); p.eat(")"); return e
+    }
     val name = p.ident()
     if (name == "topk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg("topk", Seq.empty, child, k)
     } else if (aggOps(name)) {
-      val by = if (p.peek("by")) {
-        p.eat("by"); p.eat("(")
-        val first = p.ident()
-        val rest = scala.collection.mutable.Buffer(first)
-        while (p.peek(",")) { p.eat(","); rest += p.ident() }
-        p.eat(")")
-        rest.toSeq
-      } else Seq.empty
+      val (by, without) =
+        if (p.peek("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peek("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
       p.eat("("); val child = parseExpr(p); p.eat(")")
-      Agg(name, by, child)
+      Agg(name, by, child, without = without)
     } else if (rangeFns(name)) {
       p.eat("(")
       val sel = parseSelector(p)
       p.eat("[")
-      val n = p.int()
-      val unit = p.ident()
-      val secs = unit match {
-        case "s" => n.toLong
-        case "m" => n * 60L
-        case "h" => n * 3600L
-        case u => p.fail(s"unknown duration unit '$u'")
-      }
-      p.eat("]"); p.eat(")")
-      RangeFunc(name, sel, secs)
+      val secs = p.duration()
+      p.eat("]")
+      // PromQL places a range selector's offset after the brackets:
+      // `rate(click[5m] offset 1h)`
+      val off = if (p.peek("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+      p.eat(")")
+      RangeFunc(name, sel.copy(offsetSec = off), secs)
     } else parseSelectorTail(p, name)
   }
 
@@ -134,7 +188,8 @@ object Promql {
       }
       p.eat("}")
     }
-    Selector(metric, ms.toSeq)
+    val off = if (p.peek("offset")) { p.eat("offset"); p.duration() } else 0L
+    Selector(metric, ms.toSeq, off)
   }
 
   // ---- evaluator -------------------------------------------------------
@@ -142,61 +197,104 @@ object Promql {
   private def stepHour(c: Column): Column =
     unix_timestamp(date_trunc("hour", c)).as("step")
 
+  /** Aligned window bucket of `rangeSec` as epoch seconds. */
+  private def stepOf(c: Column, rangeSec: Long): Column =
+    (floor(unix_timestamp(c) / rangeSec) * rangeSec).cast("long")
+
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
-  /** Samples matching a selector, with matchers as pushable filters. */
+  /** Samples matching a selector. Equality matchers cast the literal to
+    * the label column's type — the column itself stays bare, so the
+    * predicate reaches the parquet scan (a `cast(user_id as string) = v`
+    * form would read every row group). `offset` shifts samples forward
+    * so step t reports data from t − offset (PromQL offset modifier).
+    */
   private def select(s: SparkSession, dir: String, sel: Selector): DataFrame = {
-    val base = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+    val base0 = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+    val base =
+      if (sel.offsetSec == 0L) base0
+      else base0.withColumn("ts",
+        timestamp_micros(unix_micros(col("ts")) + lit(sel.offsetSec * 1000000L)))
+    val schema = base0.schema
     sel.matchers.foldLeft(base) { case (df, (label, op, v)) =>
-      val c = col(label)
+      val dt = schema(label).dataType
       op match {
-        case "="  => df.filter(c.cast("string") === v)
-        case "!=" => df.filter(c.cast("string") =!= v)
-        case "=~" => df.filter(c.cast("string").rlike(v))
+        case "="  => df.filter(col(label) === lit(v).cast(dt))
+        case "!=" => df.filter(col(label) =!= lit(v).cast(dt))
+        case "=~" => df.filter(col(label).cast("string").rlike(v))
       }
     }
   }
 
-  /** Evaluate a parsed expression as an hourly-step range query.
+  /** Per-window counter growth with Prometheus reset handling: between
+    * consecutive in-window samples, growth is `v - prev` normally and
+    * `v` after a reset (counter restarted from zero). The first sample
+    * of each window is the baseline (no extrapolation — stored-value
+    * exact on every engine).
+    */
+  private def counterIncrease(samples: DataFrame, rangeSec: Long): DataFrame = {
+    val stepped = samples.withColumn("step", stepOf(col("ts"), rangeSec))
+    val w = Window.partitionBy("user_id", "step")
+      .orderBy(col("ts"), col("event_id"))
+    stepped
+      .withColumn("prev", lag("value", 1).over(w))
+      .withColumn("growth",
+        when(col("prev").isNull, lit(0.0))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")))
+      .groupBy(col("step"), col("user_id"))
+      .agg(exactSum(col("growth")).as("increase"))
+  }
+
+  /** Evaluate a parsed expression as an aligned-step range query.
     * Output: (step, [labels...], value).
     */
   def eval(s: SparkSession, dir: String, expr: Expr): DataFrame = expr match {
     case sel: Selector =>
       // instant-vector per step: last sample per series per step
       val samples = select(s, dir, sel)
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("user_id"), stepHour(col("ts")))
         .orderBy(col("ts").desc, col("event_id").desc)
       samples.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(stepHour(col("ts")), col("user_id"), col("value"))
 
-    case RangeFunc(fn, sel, _) =>
+    case RangeFunc(fn, sel, rangeSec) =>
       val samples = select(s, dir, sel)
-      val g = samples.groupBy(stepHour(col("ts")), col("user_id"))
       fn match {
-        case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
-        case "avg_over_time" => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
-        case "min_over_time" => g.agg(min("value").as("value"))
-        case "max_over_time" => g.agg(max("value").as("value"))
-        case "increase" => g.agg((max("value") - min("value")).as("value"))
         case "rate" =>
-          // increase over the window divided by the window span
-          g.agg(((max("value") - min("value")) / lit(3600.0)).as("value"))
+          counterIncrease(samples, rangeSec)
+            .select(col("step"), col("user_id"),
+              (col("increase") / lit(rangeSec.toDouble)).as("value"))
+        case "increase" =>
+          counterIncrease(samples, rangeSec)
+            .select(col("step"), col("user_id"), col("increase").as("value"))
+        case _ =>
+          val g = samples
+            .groupBy(stepOf(col("ts"), rangeSec).as("step"), col("user_id"))
+          fn match {
+            case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
+            case "sum_over_time" => g.agg(exactSum(col("value")).as("value"))
+            case "avg_over_time" => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
+            case "min_over_time" => g.agg(min("value").as("value"))
+            case "max_over_time" => g.agg(max("value").as("value"))
+          }
       }
 
-    case Agg(op, by, child, k) =>
+    case Agg(op, by, child, k, without) =>
       val in = eval(s, dir, child)
-      val labelCols = in.columns.filter(c => c != "step" && c != "value")
+      val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
       op match {
         case "topk" =>
-          val w = org.apache.spark.sql.expressions.Window
+          val w = Window
             .partitionBy("step")
             .orderBy(col("value").desc +: labelCols.map(col): _*)
           in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
             .drop("rn")
         case _ =>
-          val keys = col("step") +: by.map(col)
+          val groupLabels = if (without) labelCols.diff(by) else by
+          val keys = col("step") +: groupLabels.map(col)
           val g = in.groupBy(keys: _*)
           op match {
             case "sum"   => g.agg(exactSum(col("value")).as("value"))
@@ -206,6 +304,26 @@ object Promql {
             case "count" => g.agg(count(lit(1)).cast("double").as("value"))
           }
       }
+
+    case BinOp(op, on, lhs, rhs) =>
+      val l = eval(s, dir, lhs)
+      val r = eval(s, dir, rhs)
+      val lLabels = l.columns.filter(c => c != "step" && c != "value")
+      val rLabels = r.columns.filter(c => c != "step" && c != "value")
+      val matchLabels = if (on.nonEmpty) on else lLabels.intersect(rLabels).toSeq
+      val keys = "step" +: matchLabels
+      val joined = l.withColumnRenamed("value", "v_l")
+        .select((keys :+ "v_l").map(col): _*)
+        .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
+          keys)
+      val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
+      val v = op match {
+        case "/" => col("v_l") / col("v_r")
+        case "*" => col("v_l") * col("v_r")
+        case "+" => col("v_l") + col("v_r")
+        case "-" => col("v_l") - col("v_r")
+      }
+      guarded.select(keys.map(col) :+ v.as("value"): _*)
   }
 
   /** Parse + evaluate. */

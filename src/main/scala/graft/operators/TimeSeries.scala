@@ -124,13 +124,29 @@ object TimeSeries {
   /** `quantile(0.95, metric)` per label group, computed as a discrete
     * quantile (element at ceil(q·n) in sort order) so the result is a raw
     * stored value — exact across engines, no interpolation-rounding drift.
+    *
+    * Two-phase for scale: phase 1 is a map-side-combinable
+    * groupBy(event_type, value) histogram — the shuffle keys on
+    * (type, value), so no hot reducers; phase 2 runs the cumulative pick
+    * over the per-type histogram only. The naive alternative — a window
+    * partitioned by the ~5 event_types over RAW samples — funnels the
+    * whole table into 5 reducers that each sort everything; this shape
+    * sorts only the distinct-value histogram.
     */
   def histogramQuantile(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rn") === ceil(col("n") * 0.95).cast("long"))
+    val hist = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type")
+    val wCum = byType.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(byType))
+      // sort positions cum-cnt+1 .. cum all hold `value`; pick the one
+      // covering ceil(q*n) — same element the row_number formulation finds
+      .filter(col("cum") >= ceil(col("n") * 0.95).cast("long") &&
+        col("cum") - col("cnt") < ceil(col("n") * 0.95).cast("long"))
       .select(col("event_type"), col("value").as("p95"))
   }
 

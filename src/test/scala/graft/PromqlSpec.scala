@@ -52,4 +52,76 @@ class PromqlSpec extends AnyFunSuite {
     assert(df.groupBy("step").count().filter(col("count") > 2).count() === 0)
     assert(df.count() > 0)
   }
+
+  test("equality matchers reach the parquet scan as pushed filters") {
+    val df = Promql.query(spark, sf, """count_over_time(click{user_id="123"}[1h])""")
+    val plan = SparkFixture.planOf(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(user_id,123)"),
+      s"user_id matcher not pushed to the scan:\n$plan")
+  }
+
+  test("range windows are honored: rate(click[5m]) evaluates 300s buckets") {
+    val df = Promql.query(spark, sf, "rate(click[5m])")
+    val steps = df.select("step").distinct().collect().map(_.getLong(0))
+    assert(steps.nonEmpty)
+    assert(steps.forall(_ % 300 === 0), "steps must align to the 5m window")
+    // windows are 300s wide, so there must be strictly more distinct 5m
+    // buckets than 1h buckets over the same data
+    val hourly = Promql.query(spark, sf, "rate(click[1h])")
+      .select("step").distinct().count()
+    assert(steps.length > hourly)
+  }
+
+  test("rate handles counter resets: monotonic growth, reset counts from zero") {
+    // synthetic: one series, one window; 10 -> 12 -> 3 -> 4 means
+    // growth 2, then a reset (3 counts fully), then 1 => increase 6
+    import spark.implicits._
+    val t0 = 1704067200000000L
+    val rows = Seq(
+      (1L, "click", t0, 10.0, 1L), (1L, "click", t0 + 1000000L, 12.0, 2L),
+      (1L, "click", t0 + 2000000L, 3.0, 3L), (1L, "click", t0 + 3000000L, 4.0, 4L))
+      .toDF("user_id", "event_type", "us", "value", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val tmp = "/root/repo/target/tmp/promql_reset_events"
+    rows.select("user_id", "event_type", "ts", "value", "event_id")
+      .withColumn("ts", unix_micros(col("ts")) * 1000) // raw ns long, as testdata
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val df = Promql.query(spark, tmp, "increase(click[1h])")
+    val got = df.collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Double]("value") === 6.0)
+  }
+
+  test("binary ops join on(step, label); division guards zero") {
+    val df = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])")
+    assert(df.columns.toSeq === Seq("step", "user_id", "value"))
+    assert(df.count() > 0)
+    // every output (step,user) exists on both sides
+    val p = Promql.query(spark, sf, "sum_over_time(purchase[1h])")
+    val c = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    assert(df.select("step", "user_id")
+      .exceptAll(p.select("step", "user_id")
+        .intersect(c.select("step", "user_id"))).count() === 0)
+  }
+
+  test("without() groups by the complement label set") {
+    // the only label after a range func is user_id, so `without (user_id)`
+    // must equal the bare `sum(...)` per-step aggregate
+    val withou = Promql.query(spark, sf,
+      "sum without (user_id)(count_over_time(click[1h]))")
+    val bare = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
+    assert(withou.exceptAll(bare).count() === 0)
+    assert(bare.exceptAll(withou).count() === 0)
+  }
+
+  test("offset shifts the evaluation window") {
+    val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
+    val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
+    // offset 1h reports each hour's data one step later
+    val shifted = plain.withColumn("step", col("step") + 3600L)
+    assert(off.exceptAll(shifted).count() === 0)
+    assert(shifted.exceptAll(off).count() === 0)
+  }
 }

@@ -74,6 +74,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramQuantile windows the histogram, not the raw samples") {
+    // the per-event_type window (~5 keys) must sit above the
+    // groupBy(event_type, value) aggregate — never over the full scan,
+    // which would funnel the whole table into 5 reducers at scale
+    val plan = SparkFixture.planOf(TimeSeries.histogramQuantile(spark, sf))
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0)
+    // formatted explain prints root-first: the Window must CONSUME the
+    // histogram HashAggregate, i.e. appear above it in the printout
+    assert(win < agg,
+      s"expected histogram aggregate below the window in the plan:\n$plan")
+  }
+
   test("increase is non-negative (max - min)") {
     assert(TimeSeries.increase(spark, sf).filter(col("increase") < 0).count() === 0)
   }
