@@ -55,14 +55,16 @@ def main(sfdir, outdir):
                 elif not (pd.Series(a).fillna('<N>') == pd.Series(b).fillna('<N>')).all():
                     bad.append(f"{c} values differ")
         results[name] = "OK rows=%d" % len(g) if not bad else "VALUES " + "; ".join(bad)
-    npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    def passed(v):
+        return v.startswith(("OK", "ROWS_ONLY")) and "EMPTY" not in v
+    npass = sum(1 for v in results.values() if passed(v))
     for k, v in sorted(results.items()):
-        mark = "✓" if v.startswith(("OK", "ROWS_ONLY")) and "EMPTY" not in v else "✗"
-        print(f"{mark} {k}: {v}")
+        print(f"{'✓' if passed(v) else '✗'} {k}: {v}")
     missing = set(oracle) - set(results)
     if missing:
         print("MISSING RESULTS:", missing)
     print(f"{npass}/{len(results)} pass")
+    return 0 if npass == len(results) and not missing else 1
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    sys.exit(main(sys.argv[1], sys.argv[2]))
