@@ -44,6 +44,9 @@ object OracleSql {
       """SELECT 'event_type' AS label, COUNT(DISTINCT event_type) AS cardinality FROM events
         |UNION ALL
         |SELECT 'user_id' AS label, COUNT(DISTINCT user_id) AS cardinality FROM events""".stripMargin,
+    "q_label_values" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS label_value
+        |FROM events WHERE event_type = 'click'""".stripMargin,
   )
 
   private val timeSeries: Map[String, String] = Map(

@@ -26,6 +26,8 @@ object SparkEntry {
     "q_distinct_series" -> (Scan.distinctSeries _),
     "q_series_select"   -> (Scan.seriesSelect _),
     "q_label_names"     -> (Scan.labelNames _),
+    "q_label_values"    -> ((s, d) => Scan.labelValues(
+      s, d, "user_id", Seq(("event_type", "=", "click")))),
     // C. time-series range aggregation
     "q_range_sum"       -> (TimeSeries.rangeSum _),
     "q_range_sum_by"    -> (TimeSeries.rangeSumBy _),

@@ -120,17 +120,58 @@ object Scan {
       .select("user_id", "event_type")
       .distinct()
 
-  /** LabelNames analogue: per-label cardinality profile. Both distinct
-    * counts come out of ONE scan (Spark plans multi-distinct via Expand),
-    * then unpivot to (label, cardinality) rows — at 100 TB the table is
-    * read once, not once per label.
+  /** Matcher application shared by the label APIs: (label, op, value)
+    * triples with op in =, !=, =~ — the reference's labels.Matcher set
+    * (reference: prometheus/querier.go:93-100). Equality/negation cast
+    * the LITERAL to the column type (the column stays bare, so the
+    * predicate pushes to the parquet scan); only regex needs the string
+    * view of the column.
+    */
+  def applyMatchers(df: DataFrame,
+                    matchers: Seq[(String, String, String)]): DataFrame =
+    matchers.foldLeft(df) { case (d, (label, op, v)) =>
+      val dt = df.schema(label).dataType
+      op match {
+        case "="  => d.filter(col(label) === lit(v).cast(dt))
+        case "!=" => d.filter(col(label) =!= lit(v).cast(dt))
+        case "=~" => d.filter(col(label).cast("string").rlike(v))
+        case o => throw new IllegalArgumentException(s"unknown matcher op '$o'")
+      }
+    }
+
+  /** General LabelValues(name, matchers...) — distinct values of an
+    * arbitrary label column under optional matcher constraints
+    * (reference: prometheus/querier.go:93-100 LabelValues). Values
+    * surface as strings, as in the reference's API. Distinct does
+    * map-side partial dedup, so the shuffle carries per-partition
+    * uniques, not rows.
+    */
+  def labelValues(s: SparkSession, dir: String, label: String,
+                  matchers: Seq[(String, String, String)] = Seq.empty): DataFrame =
+    applyMatchers(Tables.events(s, dir), matchers)
+      .select(col(label).cast("string").as("label_value"))
+      .distinct()
+
+  /** General LabelNames analogue: per-label cardinality profile over any
+    * label column set. All distinct counts come out of ONE scan (Spark
+    * plans multi-distinct via Expand), then unpivot to (label,
+    * cardinality) rows — at 100 TB the table is read once, not once per
+    * label.
+    */
+  def labelNamesFor(s: SparkSession, dir: String,
+                    labels: Seq[String],
+                    matchers: Seq[(String, String, String)] = Seq.empty): DataFrame = {
+    require(labels.nonEmpty, "need at least one label column")
+    val aggs = labels.map(l => countDistinct(col(l)).as(s"c_$l"))
+    val mapArgs = labels.flatMap(l => Seq(lit(l), col(s"c_$l")))
+    applyMatchers(Tables.events(s, dir), matchers)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(mapArgs: _*)).as(Seq("label", "cardinality")))
+  }
+
+  /** The §2 q_label_names entry: the (event_type, user_id) profile,
+    * via the general API.
     */
   def labelNames(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .agg(
-        countDistinct(col("event_type")).as("c_et"),
-        countDistinct(col("user_id")).as("c_uid"))
-      .select(explode(map(
-        lit("event_type"), col("c_et"),
-        lit("user_id"), col("c_uid"))).as(Seq("label", "cardinality")))
+    labelNamesFor(s, dir, Seq("event_type", "user_id"))
 }

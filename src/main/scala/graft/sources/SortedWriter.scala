@@ -36,7 +36,9 @@ object SortedWriter {
   def writeSorted(s: SparkSession, dir: String, out: String): Unit =
     Tables.events(s, dir)
       .drop("ts_ns") // reader-side helper column, not part of the layout
-      .repartitionByRange(4, col("event_type"), col("user_id"))
+      .repartitionByRange(
+        ChunkStore.targetPartitions(s, s"$dir/events.parquet"),
+        col("event_type"), col("user_id"))
       .sortWithinPartitions("event_type", "user_id", "ts")
       .write.mode(SaveMode.Overwrite)
       .option("parquet.bloom.filter.enabled#event_id", "true")

@@ -81,4 +81,35 @@ class ScanSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet === Set("event_type", "user_id"))
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("labelValues works on any label column, with and without matchers") {
+    val types = Scan.labelValues(spark, sf, "event_type")
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("click", "view", "purchase", "signup", "error"))
+    val users = Scan.labelValues(spark, sf, "user_id",
+      Seq(("event_type", "=", "click")))
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").cast("string")).distinct().count()
+    assert(users.count() === direct)
+    val re = Scan.labelValues(spark, sf, "event_type",
+      Seq(("event_type", "=~", "^(cl|si)")))
+      .collect().map(_.getString(0)).toSet
+    assert(re === Set("click", "signup"))
+  }
+
+  test("labelValues equality matchers push to the parquet scan") {
+    val plan = SparkFixture.planOf(Scan.labelValues(spark, sf, "user_id",
+      Seq(("event_type", "=", "click"))))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(event_type,click)"), plan)
+  }
+
+  test("labelNamesFor generalizes to arbitrary label sets") {
+    val rows = Scan.labelNamesFor(spark, sf, Seq("event_type"),
+      Seq(("event_type", "!=", "error"))).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "event_type")
+    assert(rows.head.getLong(1) === 4) // the 5 types minus 'error'
+  }
 }

@@ -68,6 +68,47 @@ class SortedWriterSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("part writer lays out part.N.parquet + part.N.metadata; compact merges") {
+    import graft.sources.{ChunkStore, PartWriter}
+    val dir = "/root/repo/target/tmp/test_parts"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val chunks = ChunkStore.buildChunks(spark, sf).toDF()
+    // two flushes, as the reference's buffered writer would emit
+    val batch0 = chunks.filter(col("user_id") % 2 === 0)
+    val batch1 = chunks.filter(col("user_id") % 2 === 1)
+    assert(PartWriter.writePart(batch0, dir) === 0)
+    assert(PartWriter.writePart(batch1, dir) === 1)
+    // layout: part.0.parquet, part.1.parquet dirs + .metadata sidecars
+    val names = new java.io.File(dir).list().toSet
+    assert(names.contains("part.0.parquet") && names.contains("part.1.parquet"))
+    assert(names.contains("part.0.metadata") && names.contains("part.1.metadata"))
+    val meta0 = scala.io.Source.fromFile(s"$dir/part.0.metadata", "UTF-8").mkString
+    assert(meta0.contains("\"rows\":" + batch0.count()))
+    assert(meta0.contains("\"sort_columns\":[\"event_type\",\"mint\",\"maxt\",\"user_id\"]"))
+    // compact merges every part, globally sorted on the sort columns
+    PartWriter.compact(spark, dir)
+    assert(new java.io.File(s"$dir/compact.parquet").isDirectory)
+    assert(new java.io.File(s"$dir/compact.metadata").isFile)
+    val compacted = spark.read.parquet(s"$dir/compact.parquet")
+    assert(compacted.count() === chunks.count())
+    assert(compacted.select("user_id", "event_type", "mint", "maxt")
+      .exceptAll(chunks.select("user_id", "event_type", "mint", "maxt"))
+      .count() === 0)
+    // per-file sort invariant on the leading sort columns
+    val files = new java.io.File(s"$dir/compact.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f).select("event_type", "mint")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      rows.zip(rows.tail).foreach { case (a, b) =>
+        assert(Ordering[(String, Long)].lteq(a, b), s"out of order in $f")
+      }
+    }
+    // readParts sees both parts but not compact.parquet
+    assert(PartWriter.readParts(spark, dir).count() === chunks.count())
+  }
+
   test("compaction reduces to one file per date partition, content intact") {
     val df = SortedWriter.compactionQuery(spark, sf)
     assert(df.count() === Tables.events(spark, sf).count())
