@@ -73,17 +73,17 @@ object SparkEntry {
       s, d, 1704153600000000L, 1704240000000000L)),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
-    "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhash _),
-    "dedup_embedding"     -> (Dedup.embeddingNearDup _),
+    "dedup_embedding"     -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"      -> (Dedup.clusters _),
     "dedup_keep_best"     -> (Dedup.exactKeepBest _),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
-    "ann_lsh"        -> (Similarity.lsh _),
-    "ann_ivf"        -> (Similarity.ivf _),
-    "ann_ivf_nprobe2" -> (Similarity.ivfProbe2 _),
+    "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),
+    "ann_ivf"        -> ((s, d) => Similarity.ivf(s, d)),
+    "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_quality"     -> (TextAnalysis.quality _),

@@ -56,25 +56,34 @@ object Dedup {
     * the hottest column of the pipeline; same cross-engine determinism
     * (md5 lowercase hex + substring agree in Spark and DuckDB).
     */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(i =>
+  private def minhashes(s: SparkSession, dir: String,
+                        numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8,
+      "one md5 yields 8 x 4-hex slices; salt extra md5s to go beyond 8")
+    val aggs = (0 until numHashes).map(i =>
       min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i"))
     shingleSets(s, dir)
       .withColumn("h", md5(col("sh")))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band, bandval): 4 LSH bands of 2 minhashes each. */
-  private def bands(s: SparkSession, dir: String): DataFrame = {
-    val bandCols = (0 until 4).map(b =>
-      concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
-    minhashes(s, dir).select(
+  /** (doc_id, band, bandval): `numBands` LSH bands of `rowsPerBand`
+    * minhashes each. The (bands, rows) pair is THE recall/precision
+    * scale knob: candidate probability at Jaccard j is
+    * 1 - (1 - j^rows)^bands, and shuffle volume grows with bands.
+    */
+  private def bands(s: SparkSession, dir: String,
+                    numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val bandCols = (0 until numBands).map(b =>
+      concat((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*))
+    minhashes(s, dir, numBands * rowsPerBand).select(
       col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bandval")))
   }
 
   /** LSH candidate pairs: docs sharing any band. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val ex = bands(s, dir)
+  def minhashLsh(s: SparkSession, dir: String,
+                 numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val ex = bands(s, dir, numBands, rowsPerBand)
     ex.as("l").join(ex.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bandval") === col("r.bandval") &&
@@ -125,19 +134,19 @@ object Dedup {
   /** Quality-aware exact dedup: within each content-hash group keep the
     * doc the quality scorer ranks highest (ties → lowest doc_id) — the
     * "which copy survives" policy real pipelines need when duplicates
-    * differ in metadata. Pure aggregation via max_by on the
-    * (score, -doc_id) tuple: map-side combinable, no window.
+    * differ in metadata. ONE scan: the score is computed inline
+    * (TextAnalysis.scoreCol) in the same pass that hashes the content,
+    * then a pure max_by aggregation — map-side combinable, no window,
+    * no second scan + shuffle join.
     */
-  def exactKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.quality(s, dir).select("doc_id", "score")
+  def exactKeepBest(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .join(scored, "doc_id")
+      .select(col("doc_id"), col("text"), TextAnalysis.scoreCol.as("score"))
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(
         max_by(col("doc_id"), struct(col("score"), (-col("doc_id")).as("neg")))
           .as("keep_id"),
         count(lit(1)).as("n_copies"))
-  }
 
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs (ngramJaccard ≥ 0.5), labeled by the minimum reachable doc_id.
@@ -179,10 +188,12 @@ object Dedup {
     * production-style 0.9 would select nothing; the operator semantics
     * are threshold-parametric either way.
     */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(s: SparkSession, dir: String,
+                       numPlanes: Int = Similarity.NumPlanes,
+                       threshold: Double = 0.3): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
-        Similarity.planeBucket(col("embedding")).as("bucket"),
+        Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
         Similarity.dot("embedding", "embedding").as("norm"))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -190,6 +201,6 @@ object Dedup {
         col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         (Similarity.dot("a.embedding", "b.embedding") /
           (sqrt(col("a.norm")) * sqrt(col("b.norm")))).as("cosine"))
-      .filter(col("cosine") >= 0.3)
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -22,8 +22,23 @@ import graft.Tables
 object Similarity {
 
   val Dim = 64
+
+  /** Default hyperplane count: 2^8 = 256 buckets. A scale knob — at N
+    * vectors aim for 2^planes ≈ N / desired-bucket-size, so bucket-local
+    * work stays bounded as N grows.
+    */
   val NumPlanes = 8
+
+  /** Default coarse-quantizer cell count. Real IVF guidance: cells ∝ √N
+    * (so probe cost ≈ N/√N = √N per cell) — see [[suggestedCells]]. 16
+    * fits the test corpus; a trained index at 100 TB would pass the
+    * k-means centroid table instead of the integer-formula centroids.
+    */
   val NumCells = 16
+
+  /** cells ∝ √N: the standard IVF sizing rule. */
+  def suggestedCells(n: Long): Int =
+    math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** Deterministic pseudo-random hyperplane component, p-th plane, i-th
     * dim: integer in [-6, 6].
@@ -43,9 +58,11 @@ object Similarity {
   private def litVector(components: IndexedSeq[Double]): Column =
     array(components.map(lit): _*)
 
-  /** LSH bucket id: sign bits of the 8 hyperplane dot products. */
-  def planeBucket(embedding: Column): Column =
-    (0 until NumPlanes).map { p =>
+  /** LSH bucket id: sign bits of the `numPlanes` hyperplane dot
+    * products.
+    */
+  def planeBucket(embedding: Column, numPlanes: Int = NumPlanes): Column =
+    (0 until numPlanes).map { p =>
       val d = graft.functions.VectorOps.dot(embedding,
         litVector(IndexedSeq.tabulate(Dim)(i => planeComponent(p, i).toDouble)))
       when(d > 0, lit(1 << p)).otherwise(lit(0))
@@ -77,10 +94,13 @@ object Similarity {
     topkPerQuery(pairs, 10)
   }
 
-  /** Hyperplane-LSH ANN: probe only the query's bucket, top-5 inside. */
-  def lsh(s: SparkSession, dir: String): DataFrame = {
+  /** Hyperplane-LSH ANN: probe only the query's bucket, top-k inside.
+    * `numPlanes` is the bucket-granularity knob (buckets = 2^planes).
+    */
+  def lsh(s: SparkSession, dir: String,
+          numPlanes: Int = NumPlanes, k: Int = 5): DataFrame = {
     val emb = withNorm(s, dir)
-      .withColumn("bucket", planeBucket(col("embedding")))
+      .withColumn("bucket", planeBucket(col("embedding"), numPlanes))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm").as("qn"), col("bucket").as("qb"))
@@ -88,13 +108,14 @@ object Similarity {
       .join(emb, col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
-    topkPerQuery(pairs, 5)
+    topkPerQuery(pairs, k)
   }
 
   /** IVF cell assignment: nearest centroid by exact L2, ties → lower k. */
-  private def cells(s: SparkSession, dir: String): DataFrame = {
+  private def cells(s: SparkSession, dir: String,
+                    numCells: Int = NumCells): DataFrame = {
     val emb = withNorm(s, dir)
-    val dists = (0 until NumCells).map { k =>
+    val dists = (0 until numCells).map { k =>
       graft.functions.VectorOps.sqDist(col("embedding"),
         litVector(IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i))))
         .as(s"d$k")
@@ -102,8 +123,8 @@ object Similarity {
     val withD = emb.select(col("vec_id") +: col("embedding") +: col("norm") +: dists: _*)
     // argmin over the K distance columns: least() for the value, then a
     // deterministic first-match CASE for the index (ties → lowest k).
-    val minD = least((0 until NumCells).map(k => col(s"d$k")): _*)
-    val cell = (0 until NumCells).foldRight(lit(-1)) { (k, rest) =>
+    val minD = least((0 until numCells).map(k => col(s"d$k")): _*)
+    val cell = (0 until numCells).foldRight(lit(-1)) { (k, rest) =>
       when(col(s"d$k") === minD, lit(k)).otherwise(rest)
     }
     // foldRight gives CASE k=0 first → lowest k wins ties.
@@ -113,9 +134,10 @@ object Similarity {
   /** (vec_id, embedding, norm, cell, dist) — one row per vector per
     * centroid, for rank-based cell selection.
     */
-  private def cellDists(s: SparkSession, dir: String): DataFrame = {
+  private def cellDists(s: SparkSession, dir: String,
+                        numCells: Int = NumCells): DataFrame = {
     val emb = withNorm(s, dir)
-    val cd = (0 until NumCells).map { k =>
+    val cd = (0 until numCells).map { k =>
       struct(lit(k).as("cell"),
         graft.functions.VectorOps.sqDist(col("embedding"),
           litVector(IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i)))).as("dist"))
@@ -131,14 +153,16 @@ object Similarity {
     * indexes). Cell selection is rank-per-vector — the custom TopKPerKey
     * operator, so assignment is a pruned shuffle, not a window sort.
     */
-  def ivfProbe2(s: SparkSession, dir: String): DataFrame = {
-    val cd = cellDists(s, dir)
+  def ivfProbe2(s: SparkSession, dir: String,
+                numCells: Int = NumCells, nprobe: Int = 2,
+                k: Int = 5): DataFrame = {
+    val cd = cellDists(s, dir, numCells)
     val dataCells = graft.plans.TopK
       .perKey(cd, Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1)
       .select("vec_id", "embedding", "norm", "cell")
     val qCells = graft.plans.TopK
       .perKey(cd.filter(col("vec_id") < 5),
-        Seq(col("vec_id")), Seq(col("dist"), col("cell")), 2)
+        Seq(col("vec_id")), Seq(col("dist"), col("cell")), nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm").as("qn"), col("cell"))
     val pairs = broadcast(qCells)
@@ -146,12 +170,13 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
-    topkPerQuery(pairs, 5)
+    topkPerQuery(pairs, k)
   }
 
-  /** IVF ANN: probe the query's own cell, top-5 by exact cosine. */
-  def ivf(s: SparkSession, dir: String): DataFrame = {
-    val c = cells(s, dir)
+  /** IVF ANN: probe the query's own cell, top-k by exact cosine. */
+  def ivf(s: SparkSession, dir: String,
+          numCells: Int = NumCells, k: Int = 5): DataFrame = {
+    val c = cells(s, dir, numCells)
     val q = c.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm").as("qn"), col("cell").as("qc"))
@@ -159,6 +184,6 @@ object Similarity {
       .join(c, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
-    topkPerQuery(pairs, 5)
+    topkPerQuery(pairs, k)
   }
 }

@@ -27,27 +27,36 @@ object TextAnalysis {
         lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_calc"))
 
+  private val stopPred =
+    "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
+
+  /** The quality score as a column expression over `text` — shared with
+    * the keep-best dedup policy so keep-best can score inline in its own
+    * scan instead of joining against a second pass over the table.
+    */
+  private[pipeline] def scoreCol: Column = {
+    val nTok = size(words).cast("long")
+    val nDist = size(array_distinct(words)).cast("long")
+    val nStop =
+      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $stopPred))")
+        .cast("long")
+    least(lit(1.0), nTok / 100.0) * 0.3 +
+      (nDist / nTok) * 0.4 +
+      (lit(1.0) - nStop / nTok) * 0.3
+  }
+
   /** Quality score in [0,1]: length saturation + lexical diversity +
     * stopword penalty (the classic cheap pretraining-quality features).
     */
-  def quality(s: SparkSession, dir: String): DataFrame = {
-    val stopPred = "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
-    val d = Tables.documents(s, dir).select(
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
       col("doc_id"),
       size(words).cast("long").as("n_tokens"),
-      size(array_distinct(words)).cast("long").as("n_distinct"),
-      expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $stopPred))")
-        .cast("long").as("n_stop"))
-    d.select(
-      col("doc_id"), col("n_tokens"),
-      (least(lit(1.0), col("n_tokens") / 100.0) * 0.3
-        + (col("n_distinct") / col("n_tokens")) * 0.4
-        + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.3).as("score"))
+      scoreCol.as("score"))
       .withColumn("quality_band",
         when(col("score") >= 0.8, "high")
           .when(col("score") >= 0.5, "medium")
           .otherwise("low"))
-  }
 
   /** Stopword-vote language ID (n-gram-heuristic stand-in): votes per
     * language from tiny marker-word sets; argmax with deterministic

@@ -30,19 +30,89 @@ object StreamAgg {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
-  /** Gap-based sessionization via flatMapGroupsWithState: consecutive
-    * events of a user belong to one session while gaps stay under
-    * `gapUs`; a larger gap closes the session and starts the next. Emits
-    * one row per closed-or-final session. State per user is the open
-    * session only — O(1), the shape that survives unbounded streams.
-    * (AvailableNow processes the backlog as one batch, so within-batch
-    * events are sorted per group before splitting — deterministic.)
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while gaps stay under `gapUs`; a larger gap closes the
+    * session and starts the next. State per user is the open session
+    * only — O(1), the shape that survives unbounded streams.
     */
   case class Session(user_id: Long, session_start_us: Long,
                      session_end_us: Long, n_events: Long)
 
+  /** Shared per-batch session fold: absorb this batch's (sorted) event
+    * times into the open session, returning (closed sessions, open).
+    */
+  private def foldSessions(uid: Long, times: Array[Long], prior: Option[Session],
+                           gapUs: Long): (Seq[Session], Option[Session]) = {
+    var open = prior
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    times.foreach { us =>
+      open match {
+        case Some(sess) if us - sess.session_end_us <= gapUs =>
+          open = Some(sess.copy(session_end_us = us,
+            n_events = sess.n_events + 1))
+        case Some(sess) =>
+          out += sess // gap exceeded: close it
+          open = Some(Session(uid, us, us, 1))
+        case None =>
+          open = Some(Session(uid, us, us, 1))
+      }
+    }
+    (out.toSeq, open)
+  }
+
+  /** Live-stream sessionize (Append-correct): emits a session exactly
+    * once, when it CLOSES — either a bigger-than-gap gap arrives, or the
+    * event-time watermark passes session_end + gap and the state times
+    * out (the flush for users who simply stop sending). Open sessions
+    * are held in state, never emitted early, so a multi-batch stream
+    * produces no duplicate rows — the property Append mode promises
+    * downstream consumers.
+    */
   def sessionize(s: SparkSession, inDir: String,
-                 gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
+                 gapUs: Long = 30L * 60 * 1000000,
+                 watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Session, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap: flush it
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val times = rows.map(_._2).toArray.sorted
+            val (closed, open) = foldSessions(uid, times, state.getOption, gapUs)
+            open.foreach { sess =>
+              state.update(sess)
+              // fire once no on-time event can extend the session;
+              // clamp above the current watermark (Spark requires it)
+              state.setTimeoutTimestamp(math.max(
+                sess.session_end_us / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Backlog sessionize (AvailableNow-ONLY): same session fold, but the
+    * final open session is emitted at the end of the batch instead of
+    * held for a timeout — correct only when the run is known to see the
+    * whole backlog (one-shot batch-over-files), NOT on a live stream,
+    * where re-emitting open sessions every batch duplicates Append rows;
+    * use [[sessionize]] there.
+    */
+  def sessionizeBacklog(s: SparkSession, inDir: String,
+                        gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
@@ -54,24 +124,9 @@ object StreamAgg {
         GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
           val times = rows.map(_._2).toArray.sorted
-          var open = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          times.foreach { us =>
-            open match {
-              case Some(sess) if us - sess.session_end_us <= gapUs =>
-                open = Some(sess.copy(session_end_us = us,
-                  n_events = sess.n_events + 1))
-              case Some(sess) =>
-                out += sess // gap exceeded: close it
-                open = Some(Session(uid, us, us, 1))
-              case None =>
-                open = Some(Session(uid, us, us, 1))
-            }
-          }
+          val (closed, open) = foldSessions(uid, times, state.getOption, gapUs)
           open.foreach(state.update)
-          // emit the still-open session too: with AvailableNow this is
-          // the final state (a live stream would hold it for the next batch)
-          (out ++ open).iterator
+          (closed ++ open).iterator
       }
   }
 

@@ -88,4 +88,29 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("id1") >= col("id2")).count() === 0)
     assert(df.filter(col("cosine") < 0.3 || col("cosine") > 1.0 + 1e-9).count() === 0)
   }
+
+  test("keep-best is a single scan: one parquet read, one exchange") {
+    // formatted explain = tree, blank line, node details; count nodes in
+    // the tree section only (details repeat every node name)
+    val tree = SparkFixture.planOf(Dedup.exactKeepBest(spark, sf))
+      .split("\n\n").head
+    val scans = "Scan parquet".r.findAllIn(tree).length
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$tree")
+    val exchanges = "Exchange".r.findAllIn(tree).length
+    assert(exchanges === 1, s"expected one aggregate exchange, got $exchanges:\n$tree")
+  }
+
+  test("LSH banding knobs trade recall: one wide band finds fewer pairs") {
+    // 1 band of 8 rows requires ALL 8 minhashes equal — strictly harder
+    // than any of 4 bands of 2 matching, so candidates can only shrink
+    val strict = Dedup.minhashLsh(spark, sf, numBands = 1, rowsPerBand = 8)
+    val default = Dedup.minhashLsh(spark, sf)
+    assert(strict.count() <= default.count())
+    // a strict pair always has its (m0..m7)-concat band matched in the
+    // default banding too (each 2-slice band is a substring match)
+    assert(strict.exceptAll(default.select("id1", "id2")).count() === 0)
+    // looser threshold knob on embeddings can only add pairs
+    val loose = Dedup.embeddingNearDup(spark, sf, threshold = 0.2)
+    assert(loose.count() >= Dedup.embeddingNearDup(spark, sf).count())
+  }
 }

@@ -58,4 +58,17 @@ class SimilaritySpec extends AnyFunSuite {
     val both = Similarity.lsh(spark, sf).join(bf, Seq("qid", "vec_id"))
     assert(both.filter(abs(col("cosine") - col("c_bf")) > 1e-12).count() === 0)
   }
+
+  test("scale knobs: fewer planes widen buckets, cells follow sqrt(N)") {
+    // 2^4 = 16 buckets ⊇ candidates of 2^8 = 256 buckets (prefix planes),
+    // so shrinking planes can only grow each query's candidate set
+    val wide = Similarity.lsh(spark, sf, numPlanes = 4, k = 1000).count()
+    val narrow = Similarity.lsh(spark, sf, numPlanes = 8, k = 1000).count()
+    assert(wide >= narrow)
+    // knobbed IVF still returns ranked results
+    assert(Similarity.ivf(spark, sf, numCells = 4, k = 3)
+      .groupBy("qid").count().filter(col("count") > 3).count() === 0)
+    assert(Similarity.suggestedCells(1000000L) === 1000)
+    assert(Similarity.suggestedCells(0L) === 1)
+  }
 }

@@ -42,7 +42,7 @@ class StreamAggSpec extends AnyFunSuite {
     val in = stageInput("sess")
     import SparkFixture.spark.implicits._
     val gapUs = 30L * 60 * 1000000
-    val q = StreamAgg.sessionize(spark, in, gapUs).writeStream
+    val q = StreamAgg.sessionizeBacklog(spark, in, gapUs).writeStream
       .format("memory").queryName("sess_stream")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -65,6 +65,61 @@ class StreamAggSpec extends AnyFunSuite {
       .drop("sess")
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("live sessionize emits each session exactly once across batches") {
+    import SparkFixture.spark.implicits._
+    val base = "/root/repo/target/tmp/streamagg_live"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"
+    Files.createDirectories(Paths.get(in))
+    val t0 = 1704067200000000L // µs
+    def writeBatch(file: String, rows: Seq[(Long, Long)]): Unit = {
+      // the file source does not recurse into non-partition subdirs, so
+      // stage the Spark output elsewhere and move its part file into `in`
+      val stage = s"$base/stage_$file"
+      rows.zipWithIndex
+        .map { case ((uid, us), i) =>
+          (i.toLong, us * 1000L, uid, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$file.parquet"))
+    }
+    val out = s"$base/out"
+    def runOnce(): Unit = {
+      // parquet sink: checkpoint-recoverable (memory sink is not), and
+      // accumulates across runs so any Append-mode duplicate would land
+      // as a duplicate row in the output files
+      val q = StreamAgg.sessionize(spark, in, gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: user 1 has a 2-event session, then (after a >gap break)
+    // a 1-event session still open at batch end
+    writeBatch("b1", Seq(
+      (1L, t0), (1L, t0 + 10L * 60 * 1000000), // session A: 2 events
+      (1L, t0 + 2L * 3600 * 1000000)))         // session B opens
+    runOnce()
+    // batch 2: an event far in the future pushes the watermark past
+    // session B's end + gap, so the timeout must flush it — exactly once
+    writeBatch("b2", Seq((2L, t0 + 30L * 3600 * 1000000)))
+    runOnce()
+    val all = spark.read.parquet(out).filter(col("user_id") === 1L)
+    val rows = all.collect().map(r =>
+      (r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events"))).sortBy(_._1)
+    // both sessions present, each exactly once, no open-session re-emits
+    assert(rows.toSeq === Seq(
+      (t0, t0 + 10L * 60 * 1000000, 2L),
+      (t0 + 2L * 3600 * 1000000, t0 + 2L * 3600 * 1000000, 1L)),
+      s"got: ${rows.toSeq}")
   }
 
   test("mapGroupsWithState running stats equal the batch group stats") {
