@@ -84,6 +84,8 @@ object SparkEntry {
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf"        -> ((s, d) => Similarity.ivf(s, d)),
     "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),
+    // rows-only: k-means training is not SQL-expressible in the oracle
+    "ann_ivf_trained" -> ((s, d) => Similarity.ivfTrained(s, d)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_quality"     -> (TextAnalysis.quality _),

@@ -111,24 +111,94 @@ object Similarity {
     topkPerQuery(pairs, k)
   }
 
-  /** IVF cell assignment: nearest centroid by exact L2, ties → lower k. */
-  private def cells(s: SparkSession, dir: String,
-                    numCells: Int = NumCells): DataFrame = {
-    val emb = withNorm(s, dir)
-    val dists = (0 until numCells).map { k =>
-      graft.functions.VectorOps.sqDist(col("embedding"),
-        litVector(IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i))))
+  /** Formula centroids (the untrained default). */
+  private def formulaCentroids(numCells: Int): IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(numCells)(k =>
+      IndexedSeq.tabulate(Dim)(i => centroidComponent(k, i)))
+
+  /** Assign each row to its nearest centroid by exact (quantized) L2;
+    * ties → lower cell index. Works for any centroid table.
+    */
+  private def assignTo(emb: DataFrame,
+                       cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val dists = cents.indices.map { k =>
+      graft.functions.VectorOps.sqDist(col("embedding"), litVector(cents(k)))
         .as(s"d$k")
     }
     val withD = emb.select(col("vec_id") +: col("embedding") +: col("norm") +: dists: _*)
     // argmin over the K distance columns: least() for the value, then a
     // deterministic first-match CASE for the index (ties → lowest k).
-    val minD = least((0 until numCells).map(k => col(s"d$k")): _*)
-    val cell = (0 until numCells).foldRight(lit(-1)) { (k, rest) =>
+    val minD = least(cents.indices.map(k => col(s"d$k")): _*)
+    val cell = cents.indices.foldRight(lit(-1)) { (k, rest) =>
       when(col(s"d$k") === minD, lit(k)).otherwise(rest)
     }
     // foldRight gives CASE k=0 first → lowest k wins ties.
     withD.select(col("vec_id"), col("embedding"), col("norm"), cell.as("cell"))
+  }
+
+  /** IVF cell assignment: nearest centroid by exact L2, ties → lower k. */
+  private def cells(s: SparkSession, dir: String,
+                    numCells: Int = NumCells): DataFrame =
+    assignTo(withNorm(s, dir), formulaCentroids(numCells))
+
+  /** Distributed Lloyd's k-means over the embedding column — the trained
+    * coarse quantizer a real IVF index needs (the formula centroids are
+    * only the oracle-deterministic stand-in). Deterministic end to end:
+    * init = the k lowest-vec_id vectors, assignment ties → lower cell,
+    * per-dim means from DECIMAL sums (order-independent), fixed
+    * iteration count. Each iteration is one assign (map-only against
+    * broadcast centroid literals) + one posexplode/groupBy shuffle of
+    * N·dim rows; the driver only ever holds k·dim centroid doubles —
+    * the part that must stay small on a 1000-executor cluster.
+    */
+  def trainCentroids(s: SparkSession, dir: String,
+                     k: Int = NumCells, iters: Int = 3): IndexedSeq[IndexedSeq[Double]] = {
+    val emb = withNorm(s, dir)
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      Tables.embeddings(s, dir).orderBy("vec_id").limit(k).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toIndexedSeq).toIndexedSeq
+    require(cents.length == k, s"need >= $k vectors to seed $k cells")
+    (1 to iters).foreach { _ =>
+      val sums = assignTo(emb, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("decimal(30,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect() // k x dim rows — centroid-table-sized, not data-sized
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cents = IndexedSeq.tabulate(k) { c =>
+        byCell.get(c) match {
+          case Some(rs) =>
+            val arr = Array.fill(Dim)(0.0)
+            rs.foreach { r =>
+              arr(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n")
+            }
+            arr.toIndexedSeq
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF over TRAINED centroids: k-means quantizer, then the standard
+    * probe-own-cell search. Declared rows-only for the driver oracle
+    * (k-means is not reasonably SQL-expressible); determinism and recall
+    * are ScalaTest-asserted instead.
+    */
+  def ivfTrained(s: SparkSession, dir: String,
+                 numCells: Int = NumCells, iters: Int = 3,
+                 k: Int = 5): DataFrame = {
+    val c = assignTo(withNorm(s, dir), trainCentroids(s, dir, numCells, iters))
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("cell").as("qc"))
+    val pairs = broadcast(q)
+      .join(c, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+    topkPerQuery(pairs, k)
   }
 
   /** (vec_id, embedding, norm, cell, dist) — one row per vector per

@@ -71,4 +71,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.suggestedCells(1000000L) === 1000)
     assert(Similarity.suggestedCells(0L) === 1)
   }
+
+  test("k-means training is deterministic and beats formula centroids") {
+    val c1 = Similarity.trainCentroids(spark, sf, k = 8, iters = 2)
+    val c2 = Similarity.trainCentroids(spark, sf, k = 8, iters = 2)
+    assert(c1 === c2, "two training runs must produce identical centroids")
+    assert(c1.length === 8)
+    assert(c1.forall(_.length === Similarity.Dim))
+    // the trained searcher must actually find true neighbors
+    val bf = Similarity.bruteForce(spark, sf)
+      .filter(col("rnk") <= 5).select("qid", "vec_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("qid", "vec_id").join(bf, Seq("qid", "vec_id")).count()
+    val trained = recall(Similarity.ivfTrained(spark, sf))
+    assert(trained > 0, "trained IVF must find true neighbors")
+    // each query emits at most k results, ranked
+    val df = Similarity.ivfTrained(spark, sf)
+    assert(df.groupBy("qid").count().filter(col("count") > 5).count() === 0)
+  }
 }
