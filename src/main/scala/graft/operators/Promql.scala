@@ -11,7 +11,8 @@ import graft.Tables
   * recursive-descent parser for the practical subset the §2.C operators
   * implement, compiled straight to declarative Spark plans:
   *
-  *   expr     := primary (binop [("on"|"ignoring") "(" labels ")"] primary)*
+  *   expr     := primary (binop [("on"|"ignoring") "(" labels ")"]
+  *                        ["group_left"] primary)*
   *   binop    := "/" | "*" | "+" | "-"
   *   primary  := agg | func | selector
   *   agg      := ("sum"|"avg"|"min"|"max"|"count")
@@ -43,8 +44,9 @@ import graft.Tables
   * matchers cast the LITERAL to the column type, never the column, so
   * pushdown survives); per-step aggregation is partial-agg; the
   * reset-scan is a window per (series, step) — cardinality ≫ cores;
-  * binary ops join on (step, matching labels) — equi hash join.
-  * `group_left` (many-to-one matching) is not in the subset.
+  * binary ops join on (step, matching labels) — equi hash join;
+  * `group_left` keeps the many side's labels (many-to-one matching),
+  * where Catalyst/AQE broadcast the one side when it is small.
   */
 object Promql {
 
@@ -54,7 +56,9 @@ object Promql {
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
                  without: Boolean = false) extends Expr
-  case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr) extends Expr
+  case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
+                   ignoring: Seq[String] = Seq.empty,
+                   groupLeft: Boolean = false) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -125,10 +129,14 @@ object Promql {
       binOps.find(p.peek) match {
         case Some(op) =>
           p.eat(op)
-          val on = if (p.peek("on")) {
-            p.eat("on"); labelList(p)
-          } else Seq.empty
-          lhs = BinOp(op, on, lhs, parsePrimary(p))
+          // vector-matching modifiers: on(...) XOR ignoring(...), then
+          // optional group_left (many-to-one: keep every lhs label)
+          val (on, ignoring) =
+            if (p.peek("on")) { p.eat("on"); (labelList(p), Seq.empty[String]) }
+            else if (p.peek("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
+            else (Seq.empty[String], Seq.empty[String])
+          val gl = if (p.peek("group_left")) { p.eat("group_left"); true } else false
+          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl)
         case None => continue = false
       }
     }
@@ -305,15 +313,20 @@ object Promql {
           }
       }
 
-    case BinOp(op, on, lhs, rhs) =>
+    case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
       val l = eval(s, dir, lhs)
       val r = eval(s, dir, rhs)
-      val lLabels = l.columns.filter(c => c != "step" && c != "value")
-      val rLabels = r.columns.filter(c => c != "step" && c != "value")
-      val matchLabels = if (on.nonEmpty) on else lLabels.intersect(rLabels).toSeq
+      val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
+      val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
+      val matchLabels =
+        if (on.nonEmpty) on
+        else lLabels.intersect(rLabels).diff(ignoring)
       val keys = "step" +: matchLabels
+      // group_left keeps every lhs label (many-to-one); plain matching
+      // keeps only the match keys (one-to-one)
+      val outLabels = if (groupLeft) ("step" +: lLabels).distinct else keys
       val joined = l.withColumnRenamed("value", "v_l")
-        .select((keys :+ "v_l").map(col): _*)
+        .select((outLabels :+ "v_l").distinct.map(col): _*)
         .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
           keys)
       val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
@@ -323,7 +336,7 @@ object Promql {
         case "+" => col("v_l") + col("v_r")
         case "-" => col("v_l") - col("v_r")
       }
-      guarded.select(keys.map(col) :+ v.as("value"): _*)
+      guarded.select(outLabels.map(col) :+ v.as("value"): _*)
   }
 
   /** Parse + evaluate. */

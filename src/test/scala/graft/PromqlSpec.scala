@@ -106,6 +106,20 @@ class PromqlSpec extends AnyFunSuite {
         .intersect(c.select("step", "user_id"))).count() === 0)
   }
 
+  test("ignoring + group_left: per-user share of the per-step total") {
+    val df = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) / ignoring(user_id) group_left sum(sum_over_time(purchase[1h]))")
+    assert(df.columns.toSeq === Seq("step", "user_id", "value"))
+    // shares are in (0, 1] and sum to ~1 per step (every user matched)
+    assert(df.filter(col("value") <= 0 || col("value") > 1.0 + 1e-9).count() === 0)
+    val sums = df.groupBy("step").agg(sum("value").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-6,
+      s"per-step shares must sum to 1, got ${r.getDouble(1)}"))
+    // one output row per lhs row: many-to-one join preserved cardinality
+    val lhs = Promql.query(spark, sf, "sum_over_time(purchase[1h])")
+    assert(df.count() === lhs.count())
+  }
+
   test("without() groups by the complement label set") {
     // the only label after a range func is user_id, so `without (user_id)`
     // must equal the bare `sum(...)` per-step aggregate
