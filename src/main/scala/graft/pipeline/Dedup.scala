@@ -150,14 +150,23 @@ object Dedup {
 
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs (ngramJaccard ≥ 0.5), labeled by the minimum reachable doc_id.
-    * Distributed min-label propagation: each round every node takes the
-    * min of its own and its neighbors' labels; iterate to fixpoint
-    * (iterations = graph diameter, distributed joins each round — no
-    * driver-side data, only the convergence counter). The keep-one-per-
+    * Distributed min-label propagation WITH pointer jumping: each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label). The label-of-label shortcut halves the distance to
+    * the component minimum each round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — the difference between 4 and
+    * thousands of shuffles on a chain-shaped component at 100 TB. No
+    * driver-side data, only the convergence counter. The keep-one-per-
     * cluster step every real dedup pipeline ends with.
     */
-  def clusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccard(s, dir).select("id1", "id2")
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersFromEdges(ngramJaccard(s, dir).select("id1", "id2"))._1
+
+  /** The propagation core over an arbitrary (id1, id2) edge set; returns
+    * (labels, rounds) — rounds is the shuffle-iteration count the
+    * pointer jumping keeps logarithmic.
+    */
+  def clustersFromEdges(edges: DataFrame): (DataFrame, Int) = {
     // localCheckpoint truncates lineage: without it every iteration
     // replans (and the optimizer re-walks) the whole accumulated chain —
     // measured 5× slower by round 3.
@@ -167,18 +176,25 @@ object Dedup {
     var labels = sym.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = sym
         .join(labels.select(col("id").as("id2"), col("label").as("nlabel")), "id2")
         .groupBy(col("id1").as("id")).agg(min("nlabel").as("nmin"))
+      // pointer jumping: a label is itself a node id, so look up ITS
+      // current label and shortcut to it
+      val labelOf = labels.select(col("id").as("label"), col("label").as("plabel"))
       val next = labels.join(neighborMin, "id")
-        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .join(labelOf, "label")
+        .select(col("id"),
+          least(col("label"), col("nmin"), col("plabel")).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
   /** Embedding-cosine near-dup pairs, bucketed by the shared

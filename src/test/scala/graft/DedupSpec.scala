@@ -100,6 +100,19 @@ class DedupSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected one aggregate exchange, got $exchanges:\n$tree")
   }
 
+  test("pointer jumping converges in O(log diameter) rounds on a chain") {
+    import SparkFixture.spark.implicits._
+    // a 200-node chain: worst case for plain neighbor-min (200 rounds)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.clustersFromEdges(chain)
+    // one component, labeled by its minimum id
+    assert(labels.select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L))
+    assert(labels.count() === 200)
+    // log2(200) ~ 7.6; allow slack for the +1 fixpoint-detection round
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("LSH banding knobs trade recall: one wide band finds fewer pairs") {
     // 1 band of 8 rows requires ALL 8 minhashes equal — strictly harder
     // than any of 4 bands of 2 matching, so candidates can only shrink
