@@ -77,16 +77,15 @@ object Multimodal {
     * The Array[Float] variant above stays the internal API feeding
     * Similarity.
     */
-  def featuresDigest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    features(s, dir)
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val q = v.map(x => math.floor(x.toDouble * (1 << 24)).toLong)
-        (id, v.length, q.mkString(","))
-      }
-      .toDF("doc_id", "dim", "features_digest")
-  }
+  def featuresDigest(s: SparkSession, dir: String): DataFrame =
+    features(s, dir).select(
+      col("doc_id"),
+      size(col("features")).as("dim"),
+      // builtins (transform + concat_ws), not a typed lambda: the digest
+      // projection stays inside whole-stage codegen above the decode
+      concat_ws(",", transform(col("features"),
+        x => floor(x.cast("double") * lit(1 << 24)).cast("long").cast("string")))
+        .as("features_digest"))
 
   /** Frame sampling: one media payload → one row per sampled frame
     * (every k-th "frame" of the stubbed container), the batch-expansion
