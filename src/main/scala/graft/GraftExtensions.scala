@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DecimalDot, DecimalSquaredDistance}
+import graft.functions.{DecimalDot, DecimalSquaredDistance, XorDecode}
 
 /** Spark extension entry point: makes graft's native expressions available
   * to plain SQL users. Activate with
@@ -40,5 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("decimal_sq_dist",
         "decimal_sq_dist(a, b) - order-independent quantized squared L2 distance"),
       binary(DecimalSquaredDistance.apply, "decimal_sq_dist")))
+    ext.injectFunction((
+      FunctionIdentifier("xor_decode"),
+      info("xor_decode",
+        "xor_decode(chunk) - decode Prometheus XOR chunk bytes to array<struct<us, value>>"),
+      {
+        case Seq(c) => XorDecode(c)
+        case other => throw new IllegalArgumentException(
+          s"xor_decode expects exactly 1 argument, got ${other.size}")
+      }))
   }
 }

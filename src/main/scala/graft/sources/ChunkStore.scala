@@ -38,8 +38,6 @@ object ChunkStore {
   case class Chunk(user_id: Long, event_type: String, mint: Long, maxt: Long,
                    n_samples: Int, chunk: Array[Byte])
 
-  case class Sample(user_id: Long, event_type: String, us: Long, value: Double)
-
   /** Output partition count sized from input bytes (~one shuffle
     * partition per `bytesPerPartition` of source data), clamped to
     * [1, 4096] — replaces a hardcoded count that would mean 4 giant
@@ -53,16 +51,19 @@ object ChunkStore {
     math.max(1, math.min(4096, math.ceil(bytes.toDouble / bytesPerPartition).toInt))
   }
 
-  /** Build chunks per (series, hour) from the raw events, encoded as
-    * Prometheus XOR chunk bytes. A group overflowing the uint16 sample
-    * header (never at test sf, routine at 100 TB) splits into multiple
-    * chunks, exactly as Prometheus cuts chunks at a sample budget.
+  /** Build chunks per (series, hour) from any events frame with columns
+    * (user_id, event_type, us, value, event_id), encoded as Prometheus
+    * XOR chunk bytes. A group overflowing the uint16 sample header
+    * (never at test sf, routine at 100 TB) splits into multiple chunks,
+    * exactly as Prometheus cuts chunks at a sample budget. Used both by
+    * the batch store below and by the streaming convert path
+    * (graft.streaming.Ingest.chunkConvert), whose micro-batches each
+    * flush as one PartWriter part.
     */
-  def buildChunks(s: SparkSession, dir: String): Dataset[Chunk] = {
-    import s.implicits._
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+  def chunksFrom(events: DataFrame): Dataset[Chunk] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("us"), col("value"), col("event_id"))
       .as[(Long, String, Long, Double, Long)]
       .groupByKey(r => (r._1, r._2, r._3 / UsPerHour))
       .flatMapGroups { (key: (Long, String, Long), rows: Iterator[(Long, String, Long, Double, Long)]) =>
@@ -75,6 +76,11 @@ object ChunkStore {
         }
       }
   }
+
+  /** Chunks of the full events table at `dir`. */
+  def buildChunks(s: SparkSession, dir: String): Dataset[Chunk] =
+    chunksFrom(Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts"))))
 
   /** Write the chunk table in the reference's sort order
     * (mint, maxt, labels) — reference: db/writer.go:44-53.
@@ -112,18 +118,18 @@ object ChunkStore {
   }
 
   /** Decode every chunk back to samples — round-trip must equal the
-    * source table exactly (bit-exact values: XOR is lossless).
+    * source table exactly (bit-exact values: XOR is lossless). Decode is
+    * the codegen'd `xor_decode` expression + explode, so the whole read
+    * path stays inside whole-stage codegen (a typed flatMap would force
+    * object deserialization per chunk).
     */
   def roundtrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val out = ensureWritten(s, dir)
     s.read.parquet(out)
-      .select(col("user_id"), col("event_type"), col("chunk"))
-      .as[(Long, String, Array[Byte])]
-      .flatMap { case (uid, et, bytes) =>
-        XorChunk.decode(bytes).iterator.map { case (us, v) => Sample(uid, et, us, v) }
-      }
-      .toDF()
+      .select(col("user_id"), col("event_type"),
+        explode(graft.functions.ChunkOps.xorDecode(col("chunk"))).as("s"))
+      .select(col("user_id"), col("event_type"),
+        col("s.us").as("us"), col("s.value").as("value"))
   }
 
   /** Time-range chunk selection — the reference's `Querier.Select`
@@ -132,16 +138,13 @@ object ChunkStore {
     * over the sorted layout, then decoded and re-filtered per sample.
     */
   def rangeQuery(s: SparkSession, dir: String, loUs: Long, hiUs: Long): DataFrame = {
-    import s.implicits._
     val out = ensureWritten(s, dir)
     s.read.parquet(out)
       .filter(col("mint") <= hiUs && col("maxt") >= loUs)
-      .select(col("user_id"), col("event_type"), col("chunk"))
-      .as[(Long, String, Array[Byte])]
-      .flatMap { case (uid, et, bytes) =>
-        XorChunk.decode(bytes).iterator.map { case (us, v) => Sample(uid, et, us, v) }
-      }
-      .filter(r => r.us >= loUs && r.us <= hiUs)
-      .toDF()
+      .select(col("user_id"), col("event_type"),
+        explode(graft.functions.ChunkOps.xorDecode(col("chunk"))).as("s"))
+      .select(col("user_id"), col("event_type"),
+        col("s.us").as("us"), col("s.value").as("value"))
+      .filter(col("us") >= loUs && col("us") <= hiUs)
   }
 }

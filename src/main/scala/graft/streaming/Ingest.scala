@@ -48,4 +48,35 @@ object Ingest {
 
   def readBack(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)
+
+  /** Streaming convert — the reference's TSDB→parquet conversion
+    * (reference: cmd/convert/main.go + db/writer.go) as a live pipeline:
+    * each micro-batch's events are grouped per (series, hour), encoded
+    * as Prometheus XOR chunks, and flushed as the next `part.N.parquet`
+    * (+ metadata sidecar) via [[graft.sources.PartWriter]] — the
+    * reference writer's buffered-flush lifecycle, driven by the stream.
+    * Parts accumulate per batch; `PartWriter.compact` merges them into
+    * one globally-sorted table, exactly the reference's Compact().
+    */
+  def chunkConvert(s: SparkSession, inDir: String, outDir: String,
+                   checkpoint: String): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new java.io.File(outDir).mkdirs()
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // one flush per arriving file
+      .parquet(inDir)
+      .withColumn("us", expr("ts div 1000"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.PartWriter.writePart(
+            graft.sources.ChunkStore.chunksFrom(batch).toDF(), outDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

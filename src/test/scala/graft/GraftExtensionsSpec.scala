@@ -33,4 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT decimal_dot(array(CAST(1.0 AS DOUBLE)))").collect())
     assert(err.getMessage.contains("2 arguments"))
   }
+
+  test("xor_decode is callable from SQL and round-trips encoded samples") {
+    import spark.implicits._
+    val samples = Array((1000L, 1.5), (2000L, 2.5), (4000L, -3.25))
+    val bytes = graft.sources.XorChunk.encode(samples)
+    Seq(Tuple1(bytes)).toDF("chunk").createOrReplaceTempView("one_chunk")
+    val rows = spark.sql(
+      "SELECT s.us, s.value FROM one_chunk LATERAL VIEW explode(xor_decode(chunk)) t AS s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === samples.toSeq)
+    // non-binary input fails analysis, not execution
+    val err = intercept[Exception](
+      spark.sql("SELECT xor_decode(1)").collect())
+    assert(err.getMessage.toLowerCase.contains("binary"))
+  }
 }

@@ -44,6 +44,41 @@ class IngestSpec extends AnyFunSuite {
       Tables.events(spark, sf).filter(to_date(col("ts")) === "2024-01-02").count())
   }
 
+  test("streaming chunk convert: one part per batch, compaction = source") {
+    val (in, out, cp) = freshDirs("chunkconv")
+    // two disjoint halves of the events table arrive as two files → with
+    // maxFilesPerTrigger=1, two micro-batches → two part flushes
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"/root/repo/target/tmp/ingest_chunkconv/stage_$name"
+      half.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$name.parquet"))
+    }
+    stage(ev.filter(col("event_id") % 2 === 0), "even")
+    stage(ev.filter(col("event_id") % 2 === 1), "odd")
+    Ingest.chunkConvert(spark, in, out, cp)
+    import graft.sources.PartWriter
+    val parts = PartWriter.listParts(out)
+    assert(parts.map(_._1) === Seq(0, 1), s"expected part.0 + part.1, got $parts")
+    assert(new java.io.File(s"$out/part.0.metadata").isFile)
+    // compact and decode: every source sample survives, bit-exact
+    PartWriter.compact(spark, out)
+    val back = spark.read.parquet(s"$out/compact.parquet")
+      .select(col("user_id"), col("event_type"),
+        explode(graft.functions.ChunkOps.xorDecode(col("chunk"))).as("s"))
+      .select(col("user_id"), col("event_type"),
+        col("s.us").as("us"), col("s.value").as("value"))
+    val src = Tables.events(spark, sf).select(
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
   test("duplicate delivery is deduped by event_id within the watermark") {
     val (in, out, cp) = freshDirs("dup")
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events1.parquet"),
