@@ -14,7 +14,8 @@ import graft.Tables
   *   expr     := primary (binop [("on"|"ignoring") "(" labels ")"]
   *                        ["group_left"] primary)*
   *   binop    := "/" | "*" | "+" | "-"
-  *   primary  := agg | func | selector
+  *   primary  := agg | func | selector | number   (vector-scalar
+  *               arithmetic compiles to a projection, no join)
   *   agg      := ("sum"|"avg"|"min"|"max"|"count")
   *                 [("by"|"without") "(" labels ")"] "(" expr ")"
   *             | "topk" "(" int "," expr ")"
@@ -59,6 +60,7 @@ object Promql {
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false) extends Expr
+  case class Scalar(value: Double) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -102,6 +104,18 @@ object Promql {
         case "h" => n * 3600L
         case u => fail(s"unknown duration unit '$u'")
       }
+    }
+    /** Numeric literal (scalar), if next: digits with optional fraction. */
+    def number(): Option[Double] = {
+      ws()
+      val start = i
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == start) return None
+      if (i < s.length && s(i) == '.') {
+        i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+      }
+      Some(s.substring(start, i).toDouble)
     }
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"PromQL parse error at ${i}: $msg in '$s'")
@@ -155,6 +169,7 @@ object Promql {
     if (p.peek("(")) {
       p.eat("("); val e = parseExpr(p); p.eat(")"); return e
     }
+    p.number().foreach(v => return Scalar(v))
     val name = p.ident()
     if (name == "topk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
@@ -313,6 +328,16 @@ object Promql {
           }
       }
 
+    case Scalar(_) =>
+      throw new IllegalArgumentException(
+        "a bare scalar is not a range query; combine it with a vector")
+
+    // vector-scalar arithmetic: no join, just a projected expression
+    case BinOp(op, _, lhs, Scalar(v), _, _) =>
+      scalarArith(eval(s, dir, lhs), op, lit(v), scalarRight = true)
+    case BinOp(op, _, Scalar(v), rhs, _, _) =>
+      scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
+
     case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
       val l = eval(s, dir, lhs)
       val r = eval(s, dir, rhs)
@@ -337,6 +362,23 @@ object Promql {
         case "-" => col("v_l") - col("v_r")
       }
       guarded.select(outLabels.map(col) :+ v.as("value"): _*)
+  }
+
+  /** Apply `vector op scalar` (or `scalar op vector` when
+    * scalarRight=false) to the value column — a pure projection.
+    */
+  private def scalarArith(df: DataFrame, op: String, v: Column,
+                          scalarRight: Boolean): DataFrame = {
+    val x = col("value")
+    val out = (op, scalarRight) match {
+      case ("/", true)  => x / v
+      case ("/", false) => v / x
+      case ("*", _)     => x * v
+      case ("+", _)     => x + v
+      case ("-", true)  => x - v
+      case ("-", false) => v - x
+    }
+    df.withColumn("value", out)
   }
 
   /** Parse + evaluate. */

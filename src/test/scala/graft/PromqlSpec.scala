@@ -130,6 +130,25 @@ class PromqlSpec extends AnyFunSuite {
     assert(bare.exceptAll(withou).count() === 0)
   }
 
+  test("vector-scalar arithmetic projects without a join") {
+    val perMin = Promql.query(spark, sf, "rate(click[5m]) * 60")
+    val perSec = Promql.query(spark, sf, "rate(click[5m])")
+    val joined = perMin.withColumnRenamed("value", "m")
+      .join(perSec, Seq("step", "user_id"))
+    assert(joined.filter(abs(col("m") - col("value") * 60) > 1e-12).count() === 0)
+    assert(perMin.count() === perSec.count())
+    // scalar-left division
+    val inv = Promql.query(spark, sf, "1 / sum_over_time(purchase[1h])")
+    assert(inv.count() > 0)
+    // no join in the plan: scalar arithmetic is a projection
+    val tree = SparkFixture.planOf(perMin).split("\n\n").head
+    assert(!tree.contains("Join"), s"scalar arithmetic must not join:\n$tree")
+    // bare scalars are rejected with a clear message
+    val e = intercept[IllegalArgumentException](
+      Promql.query(spark, sf, "42").collect())
+    assert(e.getMessage.contains("scalar"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
