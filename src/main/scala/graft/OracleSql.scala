@@ -306,6 +306,13 @@ object OracleSql {
         |           FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, value, type_avg, value - type_avg AS value_vs_avg
         |FROM events e JOIN t ON e.event_type = t.event_type""".stripMargin,
+    "q_bucketed_join" ->
+      """WITH ua AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS user_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.user_id, value, user_avg, value - user_avg AS dev
+        |FROM events e JOIN ua ON e.user_id = ua.user_id""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, 'no_pending' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -64,6 +64,7 @@ object SparkEntry {
     "q_orders_enrich" -> (Relational.ordersEnrich _),
     "q_semi_anti"    -> (Relational.semiAnti _),
     "q_salted_join"  -> (Relational.saltedJoin _),
+    "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),

@@ -109,6 +109,25 @@ class SortedWriterSpec extends AnyFunSuite {
     assert(PartWriter.readParts(spark, dir).count() === chunks.count())
   }
 
+  test("bucketed layout: per-key agg + join run with ZERO exchanges") {
+    import graft.sources.BucketedStore
+    val df = BucketedStore.bucketedJoin(spark, sf)
+    // correctness: deviation sums to ~0 per user
+    val sums = df.groupBy("user_id")
+      .agg(sum("dev").as("s"), count(lit(1)).as("n")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-6 * r.getLong(2),
+      s"per-user deviations must sum to 0"))
+    // the whole plan — scan, aggregate, join — needs no SHUFFLE: the
+    // bucketed scan IS the required hash distribution, so the aggregate
+    // is partial+final with no Exchange between, and the join-back
+    // broadcasts the (tiny) aggregate output. BroadcastExchange is fine;
+    // a hashpartitioning Exchange would mean the bucketing was ignored.
+    val tree = SparkFixture.planOf(df).split("\n\n").head
+    assert(!tree.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$tree")
+    assert(tree.contains("Join"), tree)
+  }
+
   test("compaction reduces to one file per date partition, content intact") {
     val df = SortedWriter.compactionQuery(spark, sf)
     assert(df.count() === Tables.events(spark, sf).count())
