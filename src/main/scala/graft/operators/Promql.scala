@@ -18,7 +18,7 @@ import graft.Tables
   *               arithmetic compiles to a projection, no join)
   *   agg      := ("sum"|"avg"|"min"|"max"|"count")
   *                 [("by"|"without") "(" labels ")"] "(" expr ")"
-  *             | "topk" "(" int "," expr ")"
+  *             | ("topk"|"bottomk") "(" int "," expr ")"
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time")
   *               "(" selector range ")"
@@ -171,9 +171,9 @@ object Promql {
     }
     p.number().foreach(v => return Scalar(v))
     val name = p.ident()
-    if (name == "topk") {
+    if (name == "topk" || name == "bottomk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
-      Agg("topk", Seq.empty, child, k)
+      Agg(name, Seq.empty, child, k)
     } else if (aggOps(name)) {
       val (by, without) =
         if (p.peek("by")) { p.eat("by"); (labelList(p), false) }
@@ -309,10 +309,11 @@ object Promql {
       val in = eval(s, dir, child)
       val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
       op match {
-        case "topk" =>
+        case "topk" | "bottomk" =>
+          val ord = if (op == "topk") col("value").desc else col("value").asc
           val w = Window
             .partitionBy("step")
-            .orderBy(col("value").desc +: labelCols.map(col): _*)
+            .orderBy(ord +: labelCols.map(col): _*)
           in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
             .drop("rn")
         case _ =>

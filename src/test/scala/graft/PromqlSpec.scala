@@ -130,6 +130,20 @@ class PromqlSpec extends AnyFunSuite {
     assert(bare.exceptAll(withou).count() === 0)
   }
 
+  test("bottomk mirrors topk with ascending rank") {
+    val bot = Promql.query(spark, sf, "bottomk(2, max_over_time(error[1h]))")
+    val top = Promql.query(spark, sf, "topk(2, max_over_time(error[1h]))")
+    assert(bot.groupBy("step").count().filter(col("count") > 2).count() === 0)
+    // k smallest vs k largest: per step, bottomk's extremes are <= topk's
+    // (sets may overlap entirely when a step has <= k series)
+    val pairs = bot.groupBy("step")
+      .agg(min("value").as("bmin"), max("value").as("bmax"))
+      .join(top.groupBy("step")
+        .agg(min("value").as("tmin"), max("value").as("tmax")), "step")
+    assert(pairs.filter(col("bmin") > col("tmin") || col("bmax") > col("tmax"))
+      .count() === 0)
+  }
+
   test("vector-scalar arithmetic projects without a join") {
     val perMin = Promql.query(spark, sf, "rate(click[5m]) * 60")
     val perSec = Promql.query(spark, sf, "rate(click[5m])")
