@@ -227,27 +227,20 @@ object Promql {
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
-  /** Samples matching a selector. Equality matchers cast the literal to
-    * the label column's type — the column itself stays bare, so the
-    * predicate reaches the parquet scan (a `cast(user_id as string) = v`
-    * form would read every row group). `offset` shifts samples forward
-    * so step t reports data from t − offset (PromQL offset modifier).
+  /** Samples matching a selector, via the shared matcher path
+    * (Scan.applyMatchers): equality/negation cast the literal so the
+    * predicate reaches the parquet scan; regex resolves over the
+    * distinct label set and broadcast-semi-joins (dictionary pushdown).
+    * `offset` shifts samples forward so step t reports data from
+    * t − offset (PromQL offset modifier).
     */
   private def select(s: SparkSession, dir: String, sel: Selector): DataFrame = {
-    val base0 = Tables.events(s, dir).filter(col("event_type") === sel.metric)
-    val base =
-      if (sel.offsetSec == 0L) base0
-      else base0.withColumn("ts",
+    val base = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+    val shifted =
+      if (sel.offsetSec == 0L) base
+      else base.withColumn("ts",
         timestamp_micros(unix_micros(col("ts")) + lit(sel.offsetSec * 1000000L)))
-    val schema = base0.schema
-    sel.matchers.foldLeft(base) { case (df, (label, op, v)) =>
-      val dt = schema(label).dataType
-      op match {
-        case "="  => df.filter(col(label) === lit(v).cast(dt))
-        case "!=" => df.filter(col(label) =!= lit(v).cast(dt))
-        case "=~" => df.filter(col(label).cast("string").rlike(v))
-      }
-    }
+    Scan.applyMatchers(shifted, sel.matchers)
   }
 
   /** Per-window counter growth with Prometheus reset handling: between

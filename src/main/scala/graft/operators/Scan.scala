@@ -120,12 +120,16 @@ object Scan {
       .select("user_id", "event_type")
       .distinct()
 
-  /** Matcher application shared by the label APIs: (label, op, value)
-    * triples with op in =, !=, =~ — the reference's labels.Matcher set
-    * (reference: prometheus/querier.go:93-100). Equality/negation cast
-    * the LITERAL to the column type (the column stays bare, so the
-    * predicate pushes to the parquet scan); only regex needs the string
-    * view of the column.
+  /** Matcher application shared by the label APIs and the PromQL
+    * front-end: (label, op, value) triples with op in =, !=, =~ — the
+    * reference's labels.Matcher set (reference:
+    * prometheus/querier.go:93-100). Equality/negation cast the LITERAL
+    * to the column type (the column stays bare, so the predicate pushes
+    * to the parquet scan). Regex resolves against the DISTINCT label
+    * set first and broadcast-semi-joins — the reference's
+    * dictionary-filter pushdown (dataset/predicate.go
+    * NewDictionaryFilter): the regex runs over dictionary-sized data,
+    * never the full scan.
     */
   def applyMatchers(df: DataFrame,
                     matchers: Seq[(String, String, String)]): DataFrame =
@@ -134,7 +138,10 @@ object Scan {
       op match {
         case "="  => d.filter(col(label) === lit(v).cast(dt))
         case "!=" => d.filter(col(label) =!= lit(v).cast(dt))
-        case "=~" => d.filter(col(label).cast("string").rlike(v))
+        case "=~" =>
+          val matching = d.select(col(label)).distinct()
+            .filter(col(label).cast("string").rlike(v))
+          d.join(broadcast(matching), Seq(label), "left_semi")
         case o => throw new IllegalArgumentException(s"unknown matcher op '$o'")
       }
     }
