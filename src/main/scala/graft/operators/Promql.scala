@@ -299,28 +299,7 @@ object Promql {
       }
 
     case Agg(op, by, child, k, without) =>
-      val in = eval(s, dir, child)
-      val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
-      op match {
-        case "topk" | "bottomk" =>
-          val ord = if (op == "topk") col("value").desc else col("value").asc
-          val w = Window
-            .partitionBy("step")
-            .orderBy(ord +: labelCols.map(col): _*)
-          in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-            .drop("rn")
-        case _ =>
-          val groupLabels = if (without) labelCols.diff(by) else by
-          val keys = col("step") +: groupLabels.map(col)
-          val g = in.groupBy(keys: _*)
-          op match {
-            case "sum"   => g.agg(exactSum(col("value")).as("value"))
-            case "avg"   => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
-            case "min"   => g.agg(min("value").as("value"))
-            case "max"   => g.agg(max("value").as("value"))
-            case "count" => g.agg(count(lit(1)).cast("double").as("value"))
-          }
-      }
+      aggOver(eval(s, dir, child), op, by, k, without)
 
     case Scalar(_) =>
       throw new IllegalArgumentException(
@@ -333,30 +312,164 @@ object Promql {
       scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
 
     case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
-      val l = eval(s, dir, lhs)
-      val r = eval(s, dir, rhs)
-      val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
-      val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
-      val matchLabels =
-        if (on.nonEmpty) on
-        else lLabels.intersect(rLabels).diff(ignoring)
-      val keys = "step" +: matchLabels
-      // group_left keeps every lhs label (many-to-one); plain matching
-      // keeps only the match keys (one-to-one)
-      val outLabels = if (groupLeft) ("step" +: lLabels).distinct else keys
-      val joined = l.withColumnRenamed("value", "v_l")
-        .select((outLabels :+ "v_l").distinct.map(col): _*)
-        .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
-          keys)
-      val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
-      val v = op match {
-        case "/" => col("v_l") / col("v_r")
-        case "*" => col("v_l") * col("v_r")
-        case "+" => col("v_l") + col("v_r")
-        case "-" => col("v_l") - col("v_r")
-      }
-      guarded.select(outLabels.map(col) :+ v.as("value"): _*)
+      binOver(eval(s, dir, lhs), eval(s, dir, rhs), op, on, ignoring, groupLeft)
   }
+
+  /** Cross-series aggregation over an evaluated (step, labels..., value)
+    * frame — shared by the tumbling and stepped evaluators.
+    */
+  private def aggOver(in: DataFrame, op: String, by: Seq[String], k: Int,
+                      without: Boolean): DataFrame = {
+    val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
+    op match {
+      case "topk" | "bottomk" =>
+        val ord = if (op == "topk") col("value").desc else col("value").asc
+        val w = Window
+          .partitionBy("step")
+          .orderBy(ord +: labelCols.map(col): _*)
+        in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .drop("rn")
+      case _ =>
+        val groupLabels = if (without) labelCols.diff(by) else by
+        val keys = col("step") +: groupLabels.map(col)
+        val g = in.groupBy(keys: _*)
+        op match {
+          case "sum"   => g.agg(exactSum(col("value")).as("value"))
+          case "avg"   => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
+          case "min"   => g.agg(min("value").as("value"))
+          case "max"   => g.agg(max("value").as("value"))
+          case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+        }
+    }
+  }
+
+  /** Vector-vector binary op between two evaluated frames — shared by
+    * the tumbling and stepped evaluators.
+    */
+  private def binOver(l: DataFrame, r: DataFrame, op: String, on: Seq[String],
+                      ignoring: Seq[String], groupLeft: Boolean): DataFrame = {
+    val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
+    val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
+    val matchLabels =
+      if (on.nonEmpty) on
+      else lLabels.intersect(rLabels).diff(ignoring)
+    val keys = "step" +: matchLabels
+    // group_left keeps every lhs label (many-to-one); plain matching
+    // keeps only the match keys (one-to-one)
+    val outLabels = if (groupLeft) ("step" +: lLabels).distinct else keys
+    val joined = l.withColumnRenamed("value", "v_l")
+      .select((outLabels :+ "v_l").distinct.map(col): _*)
+      .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
+        keys)
+    val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
+    val v = op match {
+      case "/" => col("v_l") / col("v_r")
+      case "*" => col("v_l") * col("v_r")
+      case "+" => col("v_l") + col("v_r")
+      case "-" => col("v_l") - col("v_r")
+    }
+    guarded.select(outLabels.map(col) :+ v.as("value"): _*)
+  }
+
+  // ---- stepped range-query evaluator ----------------------------------
+
+  /** A Prometheus range query's evaluation frame: aligned steps
+    * `start, start+step, …, end` (epoch seconds), instant selectors
+    * looking back `lookbackSec` (the 5m default) — the API the
+    * reference exercises through thanos promql-engine
+    * (prometheus/promql_test.go: NewRangeQuery(start, end, step)).
+    */
+  case class EvalSpec(startSec: Long, endSec: Long, stepSec: Long,
+                      lookbackSec: Long = 300L) {
+    require(stepSec > 0 && endSec >= startSec, "empty evaluation range")
+    def maxK: Long = (endSec - startSec) / stepSec
+  }
+
+  /** Explode each sample to the aligned steps whose window
+    * `(t − windowSec, t]` contains it. The explode factor is bounded by
+    * `windowSec / stepSec` (overlapping windows are inherently
+    * duplicating); each output row carries its serving `step`. Deltas
+    * stay < 2⁵³ so the double division is exact enough for the integer
+    * bounds.
+    */
+  private def coveringSteps(samples: DataFrame, spec: EvalSpec,
+                            windowSec: Long): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val aUs = lit(spec.startSec * 1000000L)
+    val sUs = spec.stepSec * 1000000L
+    val wUs = windowSec * 1000000L
+    val delta = (us - aUs).cast("double")
+    // t = A + k*S serves u iff t >= u and t - W < u:
+    //   kMin = ceil((u - A) / S), kMax = ceil((u - A + W) / S) - 1
+    val kMin = greatest(lit(0L), ceil(delta / sUs).cast("long"))
+    val kMax = least(lit(spec.maxK),
+      (ceil((delta + wUs) / sUs) - 1).cast("long"))
+    samples
+      .withColumn("k_min", kMin).withColumn("k_max", kMax)
+      .filter(col("k_min") <= col("k_max"))
+      .withColumn("k", explode(sequence(col("k_min"), col("k_max"))))
+      .withColumn("step", col("k") * spec.stepSec + spec.startSec)
+      .drop("k_min", "k_max", "k")
+  }
+
+  /** Evaluate at the spec's aligned steps — true PromQL range-query
+    * semantics (per-step lookback / overlapping range windows) instead
+    * of the default tumbling evaluation.
+    */
+  def evalAt(s: SparkSession, dir: String, expr: Expr, spec: EvalSpec): DataFrame =
+    expr match {
+      case sel: Selector =>
+        // instant vector at step t: most recent sample in (t−lookback, t]
+        coveringSteps(select(s, dir, sel), spec, spec.lookbackSec)
+          .groupBy(col("step"), col("user_id"))
+          .agg(max_by(col("value"),
+            struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+
+      case RangeFunc(fn, sel, rangeSec) =>
+        val covered = coveringSteps(select(s, dir, sel), spec, rangeSec)
+        fn match {
+          case "rate" | "increase" =>
+            val w = Window.partitionBy("user_id", "step")
+              .orderBy(col("ts"), col("event_id"))
+            val inc = covered
+              .withColumn("prev", lag("value", 1).over(w))
+              .withColumn("growth",
+                when(col("prev").isNull, lit(0.0))
+                  .when(col("value") >= col("prev"), col("value") - col("prev"))
+                  .otherwise(col("value")))
+              .groupBy(col("step"), col("user_id"))
+              .agg(exactSum(col("growth")).as("increase"))
+            if (fn == "increase")
+              inc.select(col("step"), col("user_id"), col("increase").as("value"))
+            else
+              inc.select(col("step"), col("user_id"),
+                (col("increase") / lit(rangeSec.toDouble)).as("value"))
+          case _ =>
+            val g = covered.groupBy(col("step"), col("user_id"))
+            fn match {
+              case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
+              case "sum_over_time" => g.agg(exactSum(col("value")).as("value"))
+              case "avg_over_time" => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
+              case "min_over_time" => g.agg(min("value").as("value"))
+              case "max_over_time" => g.agg(max("value").as("value"))
+            }
+        }
+
+      case Agg(op, by, child, k, without) =>
+        aggOver(evalAt(s, dir, child, spec), op, by, k, without)
+
+      case Scalar(_) =>
+        throw new IllegalArgumentException(
+          "a bare scalar is not a range query; combine it with a vector")
+
+      case BinOp(op, _, lhs, Scalar(v), _, _) =>
+        scalarArith(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true)
+      case BinOp(op, _, Scalar(v), rhs, _, _) =>
+        scalarArith(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false)
+      case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
+        binOver(evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec),
+          op, on, ignoring, groupLeft)
+    }
 
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.
@@ -375,7 +488,11 @@ object Promql {
     df.withColumn("value", out)
   }
 
-  /** Parse + evaluate. */
+  /** Parse + evaluate with the default tumbling steps. */
   def query(s: SparkSession, dir: String, q: String): DataFrame =
     eval(s, dir, parse(q))
+
+  /** Parse + evaluate as a true range query at the spec's steps. */
+  def queryAt(s: SparkSession, dir: String, q: String, spec: EvalSpec): DataFrame =
+    evalAt(s, dir, parse(q), spec)
 }

@@ -163,6 +163,46 @@ class PromqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("scalar"))
   }
 
+  test("stepped range query: lookback instant vectors, the reference's test shape") {
+    // mirrors prometheus/promql_test.go: 3 series, sum(metric) evaluated
+    // start..end by step with the 5m lookback
+    import spark.implicits._
+    val t0 = 1704067200L // epoch sec
+    val rows = Seq(
+      // one sample per series at t0, value 1.0 each
+      (1L, t0 * 1000000L, 1.0, 1L), (2L, t0 * 1000000L, 1.0, 2L), (3L, t0 * 1000000L, 1.0, 3L),
+      // series 1 emits 5.0 at t0+120: steps >= 120s see the newer sample
+      (1L, (t0 + 120L) * 1000000L, 5.0, 4L))
+      .toDF("user_id", "us", "value", "event_id")
+    val tmp = "/root/repo/target/tmp/promql_stepped_events"
+    rows.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+      lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val spec = Promql.EvalSpec(t0, t0 + 300L, 60L, lookbackSec = 300L)
+    val got = Promql.queryAt(spark, tmp, "sum(click)", spec)
+      .collect().map(r => (r.getLong(0) - t0, r.getDouble(1))).sortBy(_._1)
+    // steps 0..240: all 3 series in lookback; from 120 series 1 reads 5.0
+    // (last sample wins); step 300 is outside the t0 samples' lookback
+    // window (exclusive start), so only series 1's t0+120 sample serves
+    assert(got.toSeq === Seq(
+      (0L, 3.0), (60L, 3.0), (120L, 7.0), (180L, 7.0), (240L, 7.0), (300L, 5.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("stepped range funcs use overlapping windows") {
+    // count_over_time(click[2m]) at 60s steps over the same synthetic
+    // table: window (t-120s, t] — overlapping, unlike tumbling buckets
+    val t0 = 1704067200L
+    val tmp = "/root/repo/target/tmp/promql_stepped_events"
+    val spec = Promql.EvalSpec(t0, t0 + 300L, 60L)
+    val got = Promql.queryAt(spark, tmp, "count_over_time(click[2m])", spec)
+      .groupBy("step").agg(sum("value").as("n"))
+      .collect().map(r => (r.getLong(0) - t0, r.getDouble(1))).sortBy(_._1)
+    // t0 samples (3) serve steps 0,60; the t0+120 sample serves 120,180
+    assert(got.toSeq === Seq((0L, 3.0), (60L, 3.0), (120L, 1.0), (180L, 1.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
