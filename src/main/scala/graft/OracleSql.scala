@@ -198,6 +198,19 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY step ORDER BY value DESC, user_id) AS rn
         |  FROM per)
         |WHERE rn <= 3""".stripMargin,
+    "q_promql_stepped" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value,
+        |         row_number() OVER (PARTITION BY st.step, e.user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click')
+        |SELECT step, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM cov WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

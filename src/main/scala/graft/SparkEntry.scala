@@ -55,6 +55,10 @@ object SparkEntry {
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     "q_promql_ratio" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])""")),
+    // true range-query evaluation: aligned steps + per-step lookback
+    "q_promql_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "sum(click)",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -268,13 +268,12 @@ object Promql {
     */
   def eval(s: SparkSession, dir: String, expr: Expr): DataFrame = expr match {
     case sel: Selector =>
-      // instant-vector per step: last sample per series per step
-      val samples = select(s, dir, sel)
-      val w = Window
-        .partitionBy(col("user_id"), stepHour(col("ts")))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      samples.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(stepHour(col("ts")), col("user_id"), col("value"))
+      // instant-vector per step: last sample per series per step — a
+      // max_by aggregation (map-side combinable), not a window sort
+      select(s, dir, sel)
+        .groupBy(stepHour(col("ts")), col("user_id"))
+        .agg(max_by(col("value"),
+          struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
     case RangeFunc(fn, sel, rangeSec) =>
       val samples = select(s, dir, sel)
