@@ -31,7 +31,9 @@ object Bench {
     line match {
       case None => Map.empty
       case Some(l) =>
-        val entry = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+        // value pattern must cover Double.toString's scientific notation
+        // (9.0E-4) — a plain [0-9.]+ would silently truncate at 'E'
+        val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
         val inner = l.substring(l.indexOf('{', 1), l.indexOf('}') + 1)
         entry.findAllMatchIn(inner).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }

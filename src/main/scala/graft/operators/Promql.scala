@@ -69,6 +69,17 @@ object Promql {
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     def eof: Boolean = { ws(); i >= s.length }
     def peek(tok: String): Boolean = { ws(); s.startsWith(tok, i) }
+    /** Word-keyword lookahead: like peek, but the keyword must end at an
+      * identifier boundary — `on(` matches, a metric named `online` must
+      * not be eaten as `on` + `line`.
+      */
+    def peekKeyword(kw: String): Boolean = {
+      ws()
+      s.startsWith(kw, i) && {
+        val j = i + kw.length
+        j >= s.length || !(s(j).isLetterOrDigit || s(j) == '_')
+      }
+    }
     def eat(tok: String): Unit = {
       ws()
       if (!s.startsWith(tok, i)) fail(s"expected '$tok'")
@@ -146,10 +157,10 @@ object Promql {
           // vector-matching modifiers: on(...) XOR ignoring(...), then
           // optional group_left (many-to-one: keep every lhs label)
           val (on, ignoring) =
-            if (p.peek("on")) { p.eat("on"); (labelList(p), Seq.empty[String]) }
-            else if (p.peek("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
+            if (p.peekKeyword("on")) { p.eat("on"); (labelList(p), Seq.empty[String]) }
+            else if (p.peekKeyword("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
             else (Seq.empty[String], Seq.empty[String])
-          val gl = if (p.peek("group_left")) { p.eat("group_left"); true } else false
+          val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
           lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl)
         case None => continue = false
       }
@@ -176,8 +187,8 @@ object Promql {
       Agg(name, Seq.empty, child, k)
     } else if (aggOps(name)) {
       val (by, without) =
-        if (p.peek("by")) { p.eat("by"); (labelList(p), false) }
-        else if (p.peek("without")) { p.eat("without"); (labelList(p), true) }
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
         else (Seq.empty[String], false)
       p.eat("("); val child = parseExpr(p); p.eat(")")
       Agg(name, by, child, without = without)
@@ -189,7 +200,7 @@ object Promql {
       p.eat("]")
       // PromQL places a range selector's offset after the brackets:
       // `rate(click[5m] offset 1h)`
-      val off = if (p.peek("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+      val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
       p.eat(")")
       RangeFunc(name, sel.copy(offsetSec = off), secs)
     } else parseSelectorTail(p, name)
@@ -211,7 +222,7 @@ object Promql {
       }
       p.eat("}")
     }
-    val off = if (p.peek("offset")) { p.eat("offset"); p.duration() } else 0L
+    val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else 0L
     Selector(metric, ms.toSeq, off)
   }
 
@@ -311,7 +322,27 @@ object Promql {
       scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
 
     case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
+      // tumbling evaluation derives each side's step from its own range
+      // window; joining 1h steps against 30m steps would silently drop
+      // and misalign steps. PromQL evaluates both sides at the SAME
+      // timestamps — that is queryAt/EvalSpec; here it's an error.
+      val grains = stepGrains(lhs) ++ stepGrains(rhs)
+      require(grains.size <= 1,
+        s"mixed range windows ${grains.toSeq.sorted.mkString("/")}s in one " +
+          "binary op: tumbling steps would misalign — evaluate with " +
+          "queryAt(..., EvalSpec(...)) instead")
       binOver(eval(s, dir, lhs), eval(s, dir, rhs), op, on, ignoring, groupLeft)
+  }
+
+  /** Step granularities (sec) a tumbling evaluation of `e` produces:
+    * each range window is its own step; instant selectors step hourly.
+    */
+  private def stepGrains(e: Expr): Set[Long] = e match {
+    case _: Selector => Set(3600L)
+    case RangeFunc(_, _, rangeSec) => Set(rangeSec)
+    case Agg(_, _, child, _, _) => stepGrains(child)
+    case BinOp(_, _, l, r, _, _) => stepGrains(l) ++ stepGrains(r)
+    case Scalar(_) => Set.empty
   }
 
   /** Cross-series aggregation over an evaluated (step, labels..., value)
@@ -476,6 +507,11 @@ object Promql {
   private def scalarArith(df: DataFrame, op: String, v: Column,
                           scalarRight: Boolean): DataFrame = {
     val x = col("value")
+    // scalar / vector: drop zero denominators, matching binOver's
+    // division guard (Spark's non-ANSI x/0 is null, not PromQL's +Inf —
+    // a null value row silently vanishes from downstream aggregates)
+    val guarded =
+      if (op == "/" && !scalarRight) df.filter(x =!= 0.0) else df
     val out = (op, scalarRight) match {
       case ("/", true)  => x / v
       case ("/", false) => v / x
@@ -484,7 +520,7 @@ object Promql {
       case ("-", true)  => x - v
       case ("-", false) => v - x
     }
-    df.withColumn("value", out)
+    guarded.withColumn("value", out)
   }
 
   /** Parse + evaluate with the default tumbling steps. */

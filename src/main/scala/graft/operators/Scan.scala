@@ -131,13 +131,36 @@ object Scan {
     * NewDictionaryFilter): the regex runs over dictionary-sized data,
     * never the full scan.
     */
+  /** Does the matcher value denote exactly one value of `dt` whose
+    * canonical string form is the value itself? Only then is comparing
+    * against the cast literal equivalent to PromQL's string-label
+    * equality ("0123" must NOT match user_id 123, and "abc" must match
+    * nothing — not poison the filter with a null literal).
+    */
+  private def castRoundTrips(v: String, dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        v.toLongOption.exists(_.toString == v)
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        v.toDoubleOption.exists(_.toString == v)
+      case _ => false
+    }
+
   def applyMatchers(df: DataFrame,
                     matchers: Seq[(String, String, String)]): DataFrame =
     matchers.foldLeft(df) { case (d, (label, op, v)) =>
       val dt = df.schema(label).dataType
       op match {
-        case "="  => d.filter(col(label) === lit(v).cast(dt))
-        case "!=" => d.filter(col(label) =!= lit(v).cast(dt))
+        case "=" =>
+          if (castRoundTrips(v, dt)) d.filter(col(label) === lit(v).cast(dt))
+          // value can't be any value of this column: nothing matches
+          else d.filter(lit(false))
+        case "!=" =>
+          if (castRoundTrips(v, dt)) d.filter(col(label) =!= lit(v).cast(dt))
+          // value can't equal any value of this column: everything
+          // matches (a null-poisoned `=!= cast(v)` would drop ALL rows)
+          else d
         case "=~" =>
           val matching = d.select(col(label)).distinct()
             .filter(col(label).cast("string").rlike(v))

@@ -47,16 +47,35 @@ object PartWriter {
 
   /** Flush one buffer of rows as the next `part.N.parquet` +
     * `part.N.metadata`. Returns the part id.
+    *
+    * `partitions = 0` uses the session shuffle-partition default; pass
+    * an explicit count for small buffers (a streaming micro-batch
+    * shuffled into 200 range partitions is 200 near-empty files).
     */
   def writePart(df: DataFrame, dir: String,
-                sortCols: Seq[String] = defaultSortCols): Int = {
+                sortCols: Seq[String] = defaultSortCols,
+                partitions: Int = 0): Int = {
     val id = nextPartId(dir)
-    val path = s"$dir/part.$id.parquet"
-    df.repartitionByRange(sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(path)
-    writeMetadata(df.sparkSession, s"$dir/part.$id.metadata", path, sortCols)
+    writePartAs(df, dir, id, sortCols, partitions, SaveMode.ErrorIfExists)
     id
+  }
+
+  /** Idempotent flush under a CALLER-OWNED id — the streaming
+    * foreachBatch path (at-least-once delivery: a replayed batch must
+    * overwrite its own part, never append a duplicate one).
+    */
+  def writePartAs(df: DataFrame, dir: String, id: Int,
+                  sortCols: Seq[String] = defaultSortCols,
+                  partitions: Int = 0,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val path = s"$dir/part.$id.parquet"
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, sortCols.map(col): _*)
+      else df.repartitionByRange(sortCols.map(col): _*)
+    ranged
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+    writeMetadata(df.sparkSession, s"$dir/part.$id.metadata", path, sortCols)
   }
 
   /** All live parts as one DataFrame (reader side). */

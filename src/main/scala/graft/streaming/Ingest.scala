@@ -67,10 +67,15 @@ object Ingest {
       .parquet(inDir)
       .withColumn("us", expr("ts div 1000"))
     val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.PartWriter.writePart(
-            graft.sources.ChunkStore.chunksFrom(batch).toDF(), outDir)
+          // part id = batchId, overwrite mode: foreachBatch is
+          // at-least-once, so a replayed batch rewrites ITS part
+          // instead of appending a duplicate under a fresh id
+          graft.sources.PartWriter.writePartAs(
+            graft.sources.ChunkStore.chunksFrom(batch).toDF(), outDir,
+            id = batchId.toInt,
+            partitions = math.max(1, batch.rdd.getNumPartitions))
         }
         ()
       }

@@ -48,7 +48,13 @@ object StreamAgg {
     times.foreach { us =>
       open match {
         case Some(sess) if us - sess.session_end_us <= gapUs =>
-          open = Some(sess.copy(session_end_us = us,
+          // min/max, not assignment: a delayed (above-watermark)
+          // out-of-order event from a later batch must never move the
+          // session end backwards — that would corrupt the next gap
+          // computation and could emit end < start
+          open = Some(sess.copy(
+            session_start_us = math.min(sess.session_start_us, us),
+            session_end_us = math.max(sess.session_end_us, us),
             n_events = sess.n_events + 1))
         case Some(sess) =>
           out += sess // gap exceeded: close it

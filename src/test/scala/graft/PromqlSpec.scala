@@ -203,6 +203,31 @@ class PromqlSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("review regressions: keyword prefixes, uncastable matchers, mixed windows") {
+    // a metric whose name starts with a modifier keyword must parse
+    assert(Promql.parse("sum_over_time(purchase[1h]) / online_clicks") ===
+      Promql.BinOp("/", Seq.empty,
+        Promql.RangeFunc("sum_over_time", Promql.Selector("purchase", Seq.empty), 3600),
+        Promql.Selector("online_clicks", Seq.empty)))
+    // a != matcher whose value can't be a long keeps ALL rows (PromQL:
+    // no label equals "abc"), never poisons the filter to empty
+    val all = Promql.query(spark, sf, """count_over_time(click[1h])""")
+    val neg = Promql.query(spark, sf, """count_over_time(click{user_id!="abc"}[1h])""")
+    assert(neg.count() === all.count())
+    // an = matcher that can't cast (or isn't canonical) matches nothing
+    assert(Promql.query(spark, sf,
+      """count_over_time(click{user_id="abc"}[1h])""").count() === 0)
+    assert(Promql.query(spark, sf,
+      """count_over_time(click{user_id="05"}[1h])""").count() === 0)
+    // mixed range windows in one tumbling binary op are rejected
+    val e = intercept[IllegalArgumentException](Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) / sum_over_time(click[30m])"))
+    assert(e.getMessage.contains("queryAt"))
+    // scalar-over-vector division drops zero denominators, no null rows
+    val inv = Promql.query(spark, sf, "1 / sum_over_time(purchase[1h])")
+    assert(inv.filter(col("value").isNull).count() === 0)
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")

@@ -122,6 +122,47 @@ class StreamAggSpec extends AnyFunSuite {
       s"got: ${rows.toSeq}")
   }
 
+  test("delayed out-of-order event cannot move a session end backwards") {
+    import SparkFixture.spark.implicits._
+    val base = "/root/repo/target/tmp/streamagg_ooo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    val t0 = 1704067200000000L
+    def writeBatch(file: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$base/stage_$file"
+      rows.zipWithIndex
+        .map { case ((uid, us), i) => (i.toLong, us * 1000L, uid, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$file.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = StreamAgg.sessionize(spark, in, gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: session open with end at t0+10m (watermark well behind)
+    writeBatch("b1", Seq((1L, t0), (1L, t0 + 10L * 60 * 1000000)))
+    runOnce()
+    // batch 2: a DELAYED event at t0+5m (above watermark) — must not
+    // rewind the end — then t0+38m, within gap of the true end t0+10m,
+    // so the session keeps growing instead of wrongly splitting
+    writeBatch("b2", Seq((1L, t0 + 5L * 60 * 1000000), (1L, t0 + 38L * 60 * 1000000)))
+    // batch 3: far-future event flushes user 1's session via timeout
+    writeBatch("b3", Seq((2L, t0 + 30L * 3600 * 1000000)))
+    runOnce(); runOnce()
+    val rows = spark.read.parquet(out).filter(col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events")))
+    assert(rows.toSeq === Seq((t0, t0 + 38L * 60 * 1000000, 4L)),
+      s"expected ONE session absorbing the delayed event, got ${rows.toSeq}")
+  }
+
   test("mapGroupsWithState running stats equal the batch group stats") {
     val in = stageInput("state")
     import SparkFixture.spark.implicits._
