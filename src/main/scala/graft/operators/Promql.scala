@@ -317,9 +317,9 @@ object Promql {
 
     // vector-scalar arithmetic: no join, just a projected expression
     case BinOp(op, _, lhs, Scalar(v), _, _) =>
-      scalarArith(eval(s, dir, lhs), op, lit(v), scalarRight = true)
+      scalarArith(eval(s, dir, lhs), op, v, scalarRight = true)
     case BinOp(op, _, Scalar(v), rhs, _, _) =>
-      scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
+      scalarArith(eval(s, dir, rhs), op, v, scalarRight = false)
 
     case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
       // tumbling evaluation derives each side's step from its own range
@@ -493,9 +493,9 @@ object Promql {
           "a bare scalar is not a range query; combine it with a vector")
 
       case BinOp(op, _, lhs, Scalar(v), _, _) =>
-        scalarArith(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true)
+        scalarArith(evalAt(s, dir, lhs, spec), op, v, scalarRight = true)
       case BinOp(op, _, Scalar(v), rhs, _, _) =>
-        scalarArith(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false)
+        scalarArith(evalAt(s, dir, rhs, spec), op, v, scalarRight = false)
       case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
         binOver(evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec),
           op, on, ignoring, groupLeft)
@@ -504,14 +504,18 @@ object Promql {
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.
     */
-  private def scalarArith(df: DataFrame, op: String, v: Column,
+  private def scalarArith(df: DataFrame, op: String, scalar: Double,
                           scalarRight: Boolean): DataFrame = {
     val x = col("value")
-    // scalar / vector: drop zero denominators, matching binOver's
-    // division guard (Spark's non-ANSI x/0 is null, not PromQL's +Inf —
-    // a null value row silently vanishes from downstream aggregates)
+    val v = lit(scalar)
+    // drop zero denominators on EITHER side, matching binOver's guard
+    // (Spark's non-ANSI x/0 is null, not PromQL's +Inf — a null value
+    // row silently vanishes from downstream aggregates). `vector / 0`
+    // therefore yields an empty frame.
     val guarded =
-      if (op == "/" && !scalarRight) df.filter(x =!= 0.0) else df
+      if (op == "/" && !scalarRight) df.filter(x =!= 0.0)
+      else if (op == "/" && scalarRight && scalar == 0.0) df.filter(lit(false))
+      else df
     val out = (op, scalarRight) match {
       case ("/", true)  => x / v
       case ("/", false) => v / x

@@ -140,10 +140,16 @@ object Scan {
   private def castRoundTrips(v: String, dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.StringType => true
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+      case org.apache.spark.sql.types.LongType =>
         v.toLongOption.exists(_.toString == v)
-      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+      case org.apache.spark.sql.types.IntegerType =>
+        // Int parsing, not Long: "3000000000" overflows the int cast to
+        // null, which would poison the filter the cast check exists for
+        v.toIntOption.exists(_.toString == v)
+      case org.apache.spark.sql.types.DoubleType =>
         v.toDoubleOption.exists(_.toString == v)
+      case org.apache.spark.sql.types.FloatType =>
+        v.toFloatOption.exists(_.toString == v)
       case _ => false
     }
 

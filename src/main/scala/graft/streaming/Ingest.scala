@@ -62,6 +62,14 @@ object Ingest {
                    checkpoint: String): Unit = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(outDir).mkdirs()
+    // batchId-keyed overwrite is only safe within ONE checkpoint
+    // lineage: a fresh checkpoint restarts batch ids at 0 and would
+    // silently clobber parts a previous stream wrote to this outDir
+    val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
+    require(!(freshCheckpoint && graft.sources.PartWriter.listParts(outDir).nonEmpty),
+      s"$outDir already holds parts but checkpoint $checkpoint is fresh: " +
+        "batch ids would restart at 0 and overwrite them — use a new " +
+        "outDir, or keep the original checkpoint to resume")
     val stream = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // one flush per arriving file
       .parquet(inDir)

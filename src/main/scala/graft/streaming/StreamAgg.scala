@@ -47,6 +47,15 @@ object StreamAgg {
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
     times.foreach { us =>
       open match {
+        case Some(sess) if us < sess.session_start_us - gapUs =>
+          // delayed event from BEFORE the open session's own reach: it
+          // belonged to an already-closed (already-emitted) region.
+          // O(1) state cannot resurrect closed sessions, so this is
+          // dropped late data — the bounded-state tradeoff every
+          // watermarked sessionizer makes. Absorbing it instead would
+          // stretch the open session across a silence > gapUs and
+          // overlap the emitted history.
+          ()
         case Some(sess) if us - sess.session_end_us <= gapUs =>
           // min/max, not assignment: a delayed (above-watermark)
           // out-of-order event from a later batch must never move the

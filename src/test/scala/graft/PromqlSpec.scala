@@ -223,9 +223,15 @@ class PromqlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Promql.query(spark, sf,
       "sum_over_time(purchase[1h]) / sum_over_time(click[30m])"))
     assert(e.getMessage.contains("queryAt"))
-    // scalar-over-vector division drops zero denominators, no null rows
-    val inv = Promql.query(spark, sf, "1 / sum_over_time(purchase[1h])")
-    assert(inv.filter(col("value").isNull).count() === 0)
+    // division guards must actually face a zero denominator to count:
+    // 0 * vector manufactures all-zero values; dividing by them must
+    // yield an EMPTY frame (not null-valued rows), either side
+    val zeros = Promql.query(spark, sf, "0 * sum_over_time(purchase[1h])")
+    assert(zeros.count() > 0 && zeros.filter(col("value") =!= 0.0).count() === 0)
+    val inv = Promql.query(spark, sf, "1 / (0 * sum_over_time(purchase[1h]))")
+    assert(inv.count() === 0, "scalar / zero-vector must drop, not null")
+    val div0 = Promql.query(spark, sf, "sum_over_time(purchase[1h]) / 0")
+    assert(div0.count() === 0, "vector / 0 must drop, not null")
   }
 
   test("offset shifts the evaluation window") {

@@ -163,6 +163,49 @@ class StreamAggSpec extends AnyFunSuite {
       s"expected ONE session absorbing the delayed event, got ${rows.toSeq}")
   }
 
+  test("delayed event older than the open session's reach is dropped, not merged") {
+    import SparkFixture.spark.implicits._
+    val base = "/root/repo/target/tmp/streamagg_late"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    val t0 = 1704067200000000L
+    val min = 60L * 1000000L
+    def writeBatch(file: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$base/stage_$file"
+      rows.zipWithIndex
+        .map { case ((uid, us), i) => (i.toLong, us * 1000L, uid, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$file.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = StreamAgg.sessionize(spark, in, gapUs = 30L * 60 * 1000000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: session A=[t0, t0+10m] closes when B opens at t0+50m
+    writeBatch("b1", Seq((1L, t0), (1L, t0 + 10 * min), (1L, t0 + 50 * min)))
+    runOnce()
+    // batch 2: delayed t0+11m — above watermark (t0-10m) but BEFORE
+    // B.start - gap (t0+20m): belongs to emitted history; merging it
+    // into B would make B overlap A's region and span a 39m silence
+    writeBatch("b2", Seq((1L, t0 + 11 * min)))
+    // batch 3: far-future event flushes B via the event-time timeout
+    writeBatch("b3", Seq((2L, t0 + 30L * 3600 * 1000000)))
+    runOnce(); runOnce()
+    val rows = spark.read.parquet(out).filter(col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (t0, t0 + 10 * min, 2L), (t0 + 50 * min, t0 + 50 * min, 1L)),
+      s"late event must be dropped, got ${rows.toSeq}")
+  }
+
   test("mapGroupsWithState running stats equal the batch group stats") {
     val in = stageInput("state")
     import SparkFixture.spark.implicits._
