@@ -19,6 +19,8 @@ import graft.Tables
   *   agg      := ("sum"|"avg"|"min"|"max"|"count")
   *                 [("by"|"without") "(" labels ")"] "(" expr ")"
   *             | ("topk"|"bottomk") "(" int "," expr ")"
+  *             | ("abs"|"round") "(" expr ["," number] ")"
+  *             | ("clamp_min"|"clamp_max") "(" expr "," number ")"
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time")
   *               "(" selector range ")"
@@ -61,6 +63,7 @@ object Promql {
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false) extends Expr
   case class Scalar(value: Double) extends Expr
+  case class MathFn(fn: String, child: Expr, arg: Double = 0.0) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -133,6 +136,7 @@ object Promql {
   }
 
   private val aggOps = Set("sum", "avg", "min", "max", "count")
+  private val mathFns = Set("abs", "clamp_min", "clamp_max", "round")
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time")
   private val binOps = Seq("/", "*", "+", "-")
@@ -182,7 +186,17 @@ object Promql {
     }
     p.number().foreach(v => return Scalar(v))
     val name = p.ident()
-    if (name == "topk" || name == "bottomk") {
+    if (mathFns(name)) {
+      p.eat("(")
+      val child = parseExpr(p)
+      val arg =
+        if (p.peek(",")) { p.eat(","); p.number().getOrElse(p.fail("expected number")) }
+        else if (name == "round") 1.0
+        else if (name == "clamp_min" || name == "clamp_max") p.fail(s"$name needs a bound")
+        else 0.0
+      p.eat(")")
+      MathFn(name, child, arg)
+    } else if (name == "topk" || name == "bottomk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg(name, Seq.empty, child, k)
     } else if (aggOps(name)) {
@@ -311,6 +325,9 @@ object Promql {
     case Agg(op, by, child, k, without) =>
       aggOver(eval(s, dir, child), op, by, k, without)
 
+    case MathFn(fn, child, arg) =>
+      mathOver(eval(s, dir, child), fn, arg)
+
     case Scalar(_) =>
       throw new IllegalArgumentException(
         "a bare scalar is not a range query; combine it with a vector")
@@ -341,6 +358,7 @@ object Promql {
     case _: Selector => Set(3600L)
     case RangeFunc(_, _, rangeSec) => Set(rangeSec)
     case Agg(_, _, child, _, _) => stepGrains(child)
+    case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
   }
@@ -488,6 +506,9 @@ object Promql {
       case Agg(op, by, child, k, without) =>
         aggOver(evalAt(s, dir, child, spec), op, by, k, without)
 
+      case MathFn(fn, child, arg) =>
+        mathOver(evalAt(s, dir, child, spec), fn, arg)
+
       case Scalar(_) =>
         throw new IllegalArgumentException(
           "a bare scalar is not a range query; combine it with a vector")
@@ -504,6 +525,22 @@ object Promql {
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.
     */
+  /** PromQL scalar math functions over the value column — pure
+    * projections. round follows Prometheus: round to the nearest
+    * multiple of `to_nearest` (floor(v/to + 0.5) * to, half away up) —
+    * identical IEEE steps on any engine.
+    */
+  private def mathOver(df: DataFrame, fn: String, arg: Double): DataFrame = {
+    val x = col("value")
+    val out = fn match {
+      case "abs"       => abs(x)
+      case "clamp_min" => greatest(x, lit(arg))
+      case "clamp_max" => least(x, lit(arg))
+      case "round"     => floor(x / lit(arg) + lit(0.5)) * lit(arg)
+    }
+    df.withColumn("value", out)
+  }
+
   private def scalarArith(df: DataFrame, op: String, scalar: Double,
                           scalarRight: Boolean): DataFrame = {
     val x = col("value")

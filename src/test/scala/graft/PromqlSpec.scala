@@ -234,6 +234,22 @@ class PromqlSpec extends AnyFunSuite {
     assert(div0.count() === 0, "vector / 0 must drop, not null")
   }
 
+  test("math functions are projections: abs, clamp, round") {
+    val base = Promql.query(spark, sf, "avg_over_time(purchase[1h])")
+    val clamped = Promql.query(spark, sf, "clamp_max(avg_over_time(purchase[1h]), 50)")
+    assert(clamped.filter(col("value") > 50.0).count() === 0)
+    assert(clamped.count() === base.count())
+    val rounded = Promql.query(spark, sf, "round(avg_over_time(purchase[1h]), 10)")
+    assert(rounded.filter(col("value") % 10.0 =!= 0.0).count() === 0)
+    // abs of a subtraction: |x - 1000| is strictly positive here
+    val a = Promql.query(spark, sf, "abs(avg_over_time(purchase[1h]) - 1000)")
+    assert(a.filter(col("value") < 0.0).count() === 0)
+    assert(a.count() === base.count())
+    // clamp_min/clamp_max require the bound
+    val e = intercept[IllegalArgumentException](Promql.parse("clamp_min(click)"))
+    assert(e.getMessage.contains("bound"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
