@@ -44,6 +44,26 @@ object Pipelines {
 
   private val words = "list_filter(string_split(text, ' '), w -> w <> '')"
 
+  /** Per-doc 16-bit simhash CTE chain ending in `sim(doc_id, simhash)` —
+    * must match graft.pipeline.Dedup.simhashPerDoc bit for bit.
+    */
+  private lazy val simCtes: String = {
+    val hexVal = (1 to 4).map { k =>
+      val mul = math.pow(16, 4 - k).toLong
+      s"((instr('0123456789abcdef', substring(md5(w), $k, 1)) - 1) * $mul)"
+    }.mkString(" + ")
+    val bitSums = (0 until 16).map(b =>
+      s"  SUM(CASE WHEN ((v >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
+    val simExpr = (0 until 16).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+       |hv AS (SELECT doc_id, ($hexVal) AS v FROM toks),
+       |bits AS (SELECT doc_id,
+       |$bitSums
+       |  FROM hv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
   private val shingleCtes =
     s"""ws AS (SELECT doc_id, $words AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -86,24 +106,18 @@ object Pipelines {
          |  JOIN cnt c1 ON c1.doc_id = inter.id1
          |  JOIN cnt c2 ON c2.doc_id = inter.id2)
          |WHERE jaccard >= 0.5""".stripMargin,
-    "dedup_simhash" -> {
-      val hexVal = (1 to 4).map { k =>
-        val mul = math.pow(16, 4 - k).toLong
-        s"((instr('0123456789abcdef', substring(md5(w), $k, 1)) - 1) * $mul)"
-      }.mkString(" + ")
-      val bitSums = (0 until 16).map(b =>
-        s"  SUM(CASE WHEN ((v >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n")
-      val simExpr = (0 until 16).map(b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
-         |hv AS (SELECT doc_id, ($hexVal) AS v FROM toks),
-         |bits AS (SELECT doc_id,
-         |$bitSums
-         |  FROM hv GROUP BY doc_id),
-         |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+    "dedup_simhash" ->
+      s"""WITH $simCtes
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
-         |FROM sim GROUP BY 1""".stripMargin
-    },
+         |FROM sim GROUP BY 1""".stripMargin,
+    "dedup_simhash_near" ->
+      // the oracle may do the O(N²) pair scan (DuckDB, small sf); the
+      // Spark side must NOT — it block-LSH-buckets the join
+      s"""WITH $simCtes
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "dedup_keep_best" -> {
       // NOTE: must not reference `stop` (declared below in the text
       // section — object vals initialize in order); inline the predicate

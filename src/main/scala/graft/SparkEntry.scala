@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_embedding"     -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"      -> (Dedup.clusters _),
     "dedup_keep_best"     -> (Dedup.exactKeepBest _),

@@ -111,11 +111,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** 16-bit SimHash from per-token md5 bits (tokens with multiplicity),
-    * then cluster stats per simhash value. All-integer arithmetic → exact
-    * across engines.
+  /** (doc_id, simhash): 16-bit SimHash from per-token md5 bits (tokens
+    * with multiplicity). All-integer arithmetic → exact across engines.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir).select(
       col("doc_id"),
       explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
@@ -127,8 +126,44 @@ object Dedup {
     val sim = (0 until 16).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     perDoc.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Cluster stats per exact simhash value. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPerDoc(s, dir)
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+
+  /** SimHash NEAR-dup pairs: hamming(simhash₁, simhash₂) ≤ `maxDist`.
+    * Block-LSH, not all-pairs: the 16 bits split into maxDist+1 blocks —
+    * a pair within the distance budget must agree on at least one whole
+    * block (pigeonhole) — so candidates come from an equi join on
+    * (block, blockBits) and only candidates pay the exact
+    * bit_count(xor) verify. At 100 TB the block join's key cardinality
+    * grows with distinct simhashes, never with pairs.
+    */
+  def simhashNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 7, "16-bit simhash: 1 <= maxDist <= 7")
+    val nBlocks = maxDist + 1
+    val base = 16 / nBlocks
+    val sizes = Seq.tabulate(nBlocks)(i => if (i < 16 % nBlocks) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _).init
+    val blockCols = offsets.zip(sizes).zipWithIndex.map { case ((off, len), i) =>
+      struct(lit(i).as("block"),
+        (shiftright(col("simhash"), off) % (1L << len)).as("bits"))
+    }
+    val sims = simhashPerDoc(s, dir)
+    val exploded = sims
+      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.block").as("block"), col("bk.bits").as("bits"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.block") === col("b.block") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Quality-aware exact dedup: within each content-hash group keep the

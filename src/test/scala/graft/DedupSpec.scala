@@ -100,6 +100,22 @@ class DedupSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected one aggregate exchange, got $exchanges:\n$tree")
   }
 
+  test("simhash near-dup: block-LSH finds EXACTLY the brute-force pair set") {
+    val near = Dedup.simhashNearDup(spark, sf, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: all-pairs over the collected per-doc hashes
+    val perDoc = Dedup.simhashPerDoc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- perDoc.indices; j <- (i + 1) until perDoc.length
+      h = java.lang.Long.bitCount(perDoc(i)._2 ^ perDoc(j)._2)
+      if h <= 2
+    } yield (perDoc(i)._1, perDoc(j)._1, h.toLong)).toSet
+    assert(brute.nonEmpty, "sf0.001 corpus has hamming<=2 simhash pairs")
+    assert(near === brute,
+      s"missing=${(brute -- near).take(5)} extra=${(near -- brute).take(5)}")
+  }
+
   test("pointer jumping converges in O(log diameter) rounds on a chain") {
     import SparkFixture.spark.implicits._
     // a 200-node chain: worst case for plain neighbor-min (200 rounds)
