@@ -119,12 +119,16 @@ object Promql {
         case u => fail(s"unknown duration unit '$u'")
       }
     }
-    /** Numeric literal (scalar), if next: digits with optional fraction. */
+    /** Numeric literal (scalar), if next: optional '-', digits, optional
+      * fraction — clamp bounds and offsets are legitimately negative.
+      */
     def number(): Option[Double] = {
       ws()
       val start = i
+      if (i < s.length && s(i) == '-') i += 1
+      val digitsStart = i
       while (i < s.length && s(i).isDigit) i += 1
-      if (i == start) return None
+      if (i == digitsStart) { i = start; return None }
       if (i < s.length && s(i) == '.') {
         i += 1
         while (i < s.length && s(i).isDigit) i += 1
@@ -189,11 +193,21 @@ object Promql {
     if (mathFns(name)) {
       p.eat("(")
       val child = parseExpr(p)
-      val arg =
-        if (p.peek(",")) { p.eat(","); p.number().getOrElse(p.fail("expected number")) }
-        else if (name == "round") 1.0
-        else if (name == "clamp_min" || name == "clamp_max") p.fail(s"$name needs a bound")
-        else 0.0
+      val arg = name match {
+        case "abs" =>
+          if (p.peek(",")) p.fail("abs takes exactly one argument") else 0.0
+        case "round" =>
+          if (p.peek(",")) {
+            p.eat(",")
+            val a = p.number().getOrElse(p.fail("expected number"))
+            if (a <= 0.0) p.fail("round to_nearest must be > 0")
+            a
+          } else 1.0
+        case _ => // clamp_min / clamp_max
+          if (p.peek(",")) {
+            p.eat(","); p.number().getOrElse(p.fail("expected number"))
+          } else p.fail(s"$name needs a bound")
+      }
       p.eat(")")
       MathFn(name, child, arg)
     } else if (name == "topk" || name == "bottomk") {
@@ -525,22 +539,6 @@ object Promql {
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.
     */
-  /** PromQL scalar math functions over the value column — pure
-    * projections. round follows Prometheus: round to the nearest
-    * multiple of `to_nearest` (floor(v/to + 0.5) * to, half away up) —
-    * identical IEEE steps on any engine.
-    */
-  private def mathOver(df: DataFrame, fn: String, arg: Double): DataFrame = {
-    val x = col("value")
-    val out = fn match {
-      case "abs"       => abs(x)
-      case "clamp_min" => greatest(x, lit(arg))
-      case "clamp_max" => least(x, lit(arg))
-      case "round"     => floor(x / lit(arg) + lit(0.5)) * lit(arg)
-    }
-    df.withColumn("value", out)
-  }
-
   private def scalarArith(df: DataFrame, op: String, scalar: Double,
                           scalarRight: Boolean): DataFrame = {
     val x = col("value")
@@ -562,6 +560,27 @@ object Promql {
       case ("-", false) => v - x
     }
     guarded.withColumn("value", out)
+  }
+
+  /** PromQL scalar math functions over the value column — pure
+    * projections. round uses the exact Prometheus formula
+    * (promql/functions.go funcRound): multiply by the INVERSE of
+    * to_nearest and divide back — `floor(v·(1/to) + 0.5) / (1/to)` —
+    * so results match the reference bit for bit, including the cases
+    * where 1/to is not exactly representable. The parser rejects
+    * to_nearest <= 0, so the inverse is always finite.
+    */
+  private def mathOver(df: DataFrame, fn: String, arg: Double): DataFrame = {
+    val x = col("value")
+    val out = fn match {
+      case "abs"       => abs(x)
+      case "clamp_min" => greatest(x, lit(arg))
+      case "clamp_max" => least(x, lit(arg))
+      case "round" =>
+        val inv = 1.0 / arg
+        floor(x * lit(inv) + lit(0.5)) / lit(inv)
+    }
+    df.withColumn("value", out)
   }
 
   /** Parse + evaluate with the default tumbling steps. */

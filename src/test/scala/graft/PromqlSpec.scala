@@ -239,8 +239,24 @@ class PromqlSpec extends AnyFunSuite {
     val clamped = Promql.query(spark, sf, "clamp_max(avg_over_time(purchase[1h]), 50)")
     assert(clamped.filter(col("value") > 50.0).count() === 0)
     assert(clamped.count() === base.count())
+    // round must reproduce Prometheus's inverse-multiply formula exactly
     val rounded = Promql.query(spark, sf, "round(avg_over_time(purchase[1h]), 10)")
-    assert(rounded.filter(col("value") % 10.0 =!= 0.0).count() === 0)
+      .withColumnRenamed("value", "r")
+      .join(base, Seq("step", "user_id"))
+    val inv = 1.0 / 10.0
+    val mismatches = rounded.collect().count { row =>
+      val expect = math.floor(row.getAs[Double]("value") * inv + 0.5) / inv
+      java.lang.Double.doubleToRawLongBits(row.getAs[Double]("r")) !=
+        java.lang.Double.doubleToRawLongBits(expect)
+    }
+    assert(mismatches === 0)
+    // parser guards: zero to_nearest, negative bounds, abs arity
+    assert(intercept[IllegalArgumentException](
+      Promql.parse("round(click, 0)")).getMessage.contains("to_nearest"))
+    assert(Promql.parse("clamp_min(click, -5.5)") ===
+      Promql.MathFn("clamp_min", Promql.Selector("click", Seq.empty), -5.5))
+    assert(intercept[IllegalArgumentException](
+      Promql.parse("abs(click, 5)")).getMessage.contains("one argument"))
     // abs of a subtraction: |x - 1000| is strictly positive here
     val a = Promql.query(spark, sf, "abs(avg_over_time(purchase[1h]) - 1000)")
     assert(a.filter(col("value") < 0.0).count() === 0)
