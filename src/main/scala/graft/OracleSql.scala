@@ -68,7 +68,7 @@ object OracleSql {
         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
         |SELECT user_id, event_type, event_id,
         |       (value - prev_value) / ((us - prev_us) / 1000000.0) AS rate
-        |FROM x WHERE prev_value IS NOT NULL""".stripMargin,
+        |FROM x WHERE prev_value IS NOT NULL AND us <> prev_us""".stripMargin,
     "q_count_over_time" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       user_id, event_type, COUNT(*) AS n_samples

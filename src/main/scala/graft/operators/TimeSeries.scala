@@ -56,7 +56,10 @@ object TimeSeries {
     Tables.events(s, dir)
       .withColumn("prev_value", lag("value", 1).over(w))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .filter(col("prev_value").isNotNull)
+      .filter(col("prev_value").isNotNull &&
+        // rate over zero elapsed time is undefined — simultaneous
+        // samples (dt = 0) would be an ANSI divide-by-zero at runtime
+        unix_micros(col("ts")) =!= col("prev_us"))
       .select(
         col("user_id"), col("event_type"), col("event_id"),
         ((col("value") - col("prev_value")) /
