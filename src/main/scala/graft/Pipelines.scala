@@ -122,7 +122,7 @@ object Pipelines {
       // NOTE: must not reference `stop` (declared below in the text
       // section — object vals initialize in order); inline the predicate
       val stopInline = "w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' OR w = 'to' OR w = 'in'"
-      val score = "least(1.0, t / 100.0) * 0.3 + (dt / t) * 0.4 + (1.0 - st / t) * 0.3"
+      val score = "least(1.0, t / 100.0) * 0.3 + (dt / greatest(t, 1)) * 0.4 + (1.0 - st / greatest(t, 1)) * 0.3"
       s"""WITH d AS (SELECT doc_id,
          |  CAST(len($words) AS BIGINT) AS t,
          |  CAST(len(list_distinct($words)) AS BIGINT) AS dt,
@@ -255,7 +255,7 @@ object Pipelines {
          |       WHEN score >= 0.5 THEN 'medium'
          |       ELSE 'low' END AS quality_band
          |FROM (SELECT doc_id, t AS n_tokens,
-         |        least(1.0, t / 100.0) * 0.3 + (dt / t) * 0.4 + (1.0 - st / t) * 0.3 AS score
+         |        least(1.0, t / 100.0) * 0.3 + (dt / greatest(t, 1)) * 0.4 + (1.0 - st / greatest(t, 1)) * 0.3 AS score
          |      FROM d)""".stripMargin,
     "text_langid" -> {
       val en = langVotes(Seq("the", "a", "of", "and"))

@@ -40,9 +40,12 @@ object TextAnalysis {
     val nStop =
       expr(s"size(filter(filter(split(text, ' '), w -> w <> ''), w -> $stopPred))")
         .cast("long")
+    // greatest(·,1): an empty/whitespace-only doc must score 0.3, not
+    // throw ANSI DIVIDE_BY_ZERO mid-pipeline (oracle uses the same guard)
+    val denom = greatest(nTok, lit(1L))
     least(lit(1.0), nTok / 100.0) * 0.3 +
-      (nDist / nTok) * 0.4 +
-      (lit(1.0) - nStop / nTok) * 0.3
+      (nDist / denom) * 0.4 +
+      (lit(1.0) - nStop / denom) * 0.3
   }
 
   /** Quality score in [0,1]: length saturation + lexical diversity +
