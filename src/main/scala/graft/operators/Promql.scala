@@ -16,8 +16,10 @@ import graft.Tables
   *   binop    := "/" | "*" | "+" | "-"
   *   primary  := agg | func | selector | number   (vector-scalar
   *               arithmetic compiles to a projection, no join)
-  *   agg      := ("sum"|"avg"|"min"|"max"|"count")
+  *   agg      := ("sum"|"avg"|"min"|"max"|"count"|"stddev"|"stdvar")
   *                 [("by"|"without") "(" labels ")"] "(" expr ")"
+  *             | "quantile" [("by"|"without") "(" labels ")"]
+  *                 "(" number "," expr ")"
   *             | ("topk"|"bottomk") "(" int "," expr ")"
   *             | ("abs"|"round") "(" expr ["," number] ")"
   *             | ("clamp_min"|"clamp_max") "(" expr "," number ")"
@@ -58,7 +60,7 @@ object Promql {
                       offsetSec: Long = 0L) extends Expr
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
-                 without: Boolean = false) extends Expr
+                 without: Boolean = false, q: Double = 0.0) extends Expr
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false) extends Expr
@@ -139,7 +141,7 @@ object Promql {
       throw new IllegalArgumentException(s"PromQL parse error at ${i}: $msg in '$s'")
   }
 
-  private val aggOps = Set("sum", "avg", "min", "max", "count")
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
   private val mathFns = Set("abs", "clamp_min", "clamp_max", "round")
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time")
@@ -213,6 +215,16 @@ object Promql {
     } else if (name == "topk" || name == "bottomk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg(name, Seq.empty, child, k)
+    } else if (name == "quantile") {
+      val (by, without) =
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
+      p.eat("(")
+      val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
+      if (phi < 0.0 || phi > 1.0) p.fail("quantile must be in [0,1]")
+      p.eat(","); val child = parseExpr(p); p.eat(")")
+      Agg("quantile", by, child, without = without, q = phi)
     } else if (aggOps(name)) {
       val (by, without) =
         if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
@@ -336,8 +348,8 @@ object Promql {
           }
       }
 
-    case Agg(op, by, child, k, without) =>
-      aggOver(eval(s, dir, child), op, by, k, without)
+    case Agg(op, by, child, k, without, q) =>
+      aggOver(eval(s, dir, child), op, by, k, without, q)
 
     case MathFn(fn, child, arg) =>
       mathOver(eval(s, dir, child), fn, arg)
@@ -371,7 +383,7 @@ object Promql {
   private def stepGrains(e: Expr): Set[Long] = e match {
     case _: Selector => Set(3600L)
     case RangeFunc(_, _, rangeSec) => Set(rangeSec)
-    case Agg(_, _, child, _, _) => stepGrains(child)
+    case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
@@ -381,7 +393,7 @@ object Promql {
     * frame — shared by the tumbling and stepped evaluators.
     */
   private def aggOver(in: DataFrame, op: String, by: Seq[String], k: Int,
-                      without: Boolean): DataFrame = {
+                      without: Boolean, q: Double = 0.0): DataFrame = {
     val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
     op match {
       case "topk" | "bottomk" =>
@@ -391,6 +403,21 @@ object Promql {
           .orderBy(ord +: labelCols.map(col): _*)
         in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
           .drop("rn")
+      case "quantile" =>
+        // discrete cross-series quantile per (step, group): the stored
+        // value at position ceil(q*n) in (value, labels) order — exact
+        // across engines, consistent with q_histogram_quantile's choice
+        // (no Prometheus-style interpolation drift). The window runs
+        // over per-step SERIES sets (already aggregated), not samples.
+        val groupLabels = if (without) labelCols.diff(by) else by
+        val keys = "step" +: groupLabels
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("value") +: labelCols.diff(groupLabels).map(col): _*)
+        // position ceil(q*n), clamped to >= 1 so quantile(0, v) = min
+        in.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+          .filter(col("rn") === greatest(lit(1L), ceil(col("n") * q).cast("long")))
+          .select(keys.map(col) :+ col("value"): _*)
       case _ =>
         val groupLabels = if (without) labelCols.diff(by) else by
         val keys = col("step") +: groupLabels.map(col)
@@ -401,6 +428,15 @@ object Promql {
           case "min"   => g.agg(min("value").as("value"))
           case "max"   => g.agg(max("value").as("value"))
           case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+          case "stddev" | "stdvar" =>
+            // population variance from exact decimal sums, as the
+            // stddev_over_time verb: order-independent on any cluster
+            val variance =
+              (exactSum(col("value") * col("value"))
+                - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
+                ./(count(lit(1)))
+            val guarded = greatest(lit(0.0), variance)
+            g.agg((if (op == "stddev") sqrt(guarded) else guarded).as("value"))
         }
     }
   }
@@ -517,8 +553,8 @@ object Promql {
             }
         }
 
-      case Agg(op, by, child, k, without) =>
-        aggOver(evalAt(s, dir, child, spec), op, by, k, without)
+      case Agg(op, by, child, k, without, q) =>
+        aggOver(evalAt(s, dir, child, spec), op, by, k, without, q)
 
       case MathFn(fn, child, arg) =>
         mathOver(evalAt(s, dir, child, spec), fn, arg)

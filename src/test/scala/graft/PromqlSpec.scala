@@ -234,6 +234,33 @@ class PromqlSpec extends AnyFunSuite {
     assert(div0.count() === 0, "vector / 0 must drop, not null")
   }
 
+  test("cross-series aggregations: quantile, stddev, stdvar") {
+    val in = Promql.query(spark, sf, "count_over_time(click[1h])")
+    // quantile(0.5): per step, the stored value at ceil(n/2) in sort order
+    val med = Promql.query(spark, sf, "quantile(0.5, count_over_time(click[1h]))")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val perStep = in.collect().groupBy(_.getLong(0))
+    perStep.foreach { case (step, rows) =>
+      val vals = rows.map(_.getDouble(2)).sorted
+      val expect = vals(math.max(1, math.ceil(vals.length * 0.5).toInt) - 1)
+      assert(med(step) === expect, s"step $step")
+    }
+    // quantile(0) = min, quantile(1) = max
+    val q0 = Promql.query(spark, sf, "quantile(0, count_over_time(click[1h]))")
+    val mn = Promql.query(spark, sf, "min(count_over_time(click[1h]))")
+    assert(q0.exceptAll(mn).count() === 0 && mn.exceptAll(q0).count() === 0)
+    val q1 = Promql.query(spark, sf, "quantile(1, count_over_time(click[1h]))")
+    val mx = Promql.query(spark, sf, "max(count_over_time(click[1h]))")
+    assert(q1.exceptAll(mx).count() === 0 && mx.exceptAll(q1).count() === 0)
+    // stddev^2 == stdvar (both population), nonnegative
+    val sd = Promql.query(spark, sf, "stddev(count_over_time(click[1h]))")
+      .withColumnRenamed("value", "sd")
+    val sv = Promql.query(spark, sf, "stdvar(count_over_time(click[1h]))")
+    val both = sd.join(sv, "step")
+    assert(both.filter(abs(col("sd") * col("sd") - col("value")) > 1e-9).count() === 0)
+    assert(sd.filter(col("sd") < 0).count() === 0)
+  }
+
   test("math functions are projections: abs, clamp, round") {
     val base = Promql.query(spark, sf, "avg_over_time(purchase[1h])")
     val clamped = Promql.query(spark, sf, "clamp_max(avg_over_time(purchase[1h]), 50)")
