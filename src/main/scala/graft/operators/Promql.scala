@@ -284,9 +284,25 @@ object Promql {
     * distinct label set and broadcast-semi-joins (dictionary pushdown).
     * `offset` shifts samples forward so step t reports data from
     * t − offset (PromQL offset modifier).
+    *
+    * `boundsSec` is the evaluation's [start − window, end] range on the
+    * SHIFTED time axis (epoch sec). It is expressed on the raw `ts_ns`
+    * column, un-shifted by the selector's offset, so the bound reaches
+    * the parquet scan as a pushed filter and prunes row groups — the
+    * reference never reads outside (mint, maxt) either: its querier is
+    * created with the query's time range (reference:
+    * prometheus/querier.go:30-47). The pushed range is a superset of
+    * the exact per-step windows; `coveringSteps` still does the exact
+    * (t − W, t] assignment.
     */
-  private def select(s: SparkSession, dir: String, sel: Selector): DataFrame = {
-    val base = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+  private def select(s: SparkSession, dir: String, sel: Selector,
+                     boundsSec: Option[(Long, Long)] = None): DataFrame = {
+    val base0 = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+    val base = boundsSec.fold(base0) { case (loSec, hiSec) =>
+      base0
+        .filter(col("ts_ns") >= (loSec - sel.offsetSec) * 1000000000L)
+        .filter(col("ts_ns") <= (hiSec - sel.offsetSec) * 1000000000L)
+    }
     val shifted =
       if (sel.offsetSec == 0L) base
       else base.withColumn("ts",
@@ -514,17 +530,22 @@ object Promql {
     * semantics (per-step lookback / overlapping range windows) instead
     * of the default tumbling evaluation.
     */
-  def evalAt(s: SparkSession, dir: String, expr: Expr, spec: EvalSpec): DataFrame =
+  def evalAt(s: SparkSession, dir: String, expr: Expr, spec: EvalSpec): DataFrame = {
+    // the evaluation can only ever touch shifted timestamps in
+    // [start − window, end] — push that range (per selector, window =
+    // lookback or the range-function window) down to the parquet scan
+    def bounds(windowSec: Long): Option[(Long, Long)] =
+      Some((spec.startSec - windowSec, spec.endSec))
     expr match {
       case sel: Selector =>
         // instant vector at step t: most recent sample in (t−lookback, t]
-        coveringSteps(select(s, dir, sel), spec, spec.lookbackSec)
+        coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
           .groupBy(col("step"), col("user_id"))
           .agg(max_by(col("value"),
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
       case RangeFunc(fn, sel, rangeSec) =>
-        val covered = coveringSteps(select(s, dir, sel), spec, rangeSec)
+        val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
         fn match {
           case "rate" | "increase" =>
             val w = Window.partitionBy("user_id", "step")
@@ -571,6 +592,7 @@ object Promql {
         binOver(evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec),
           op, on, ignoring, groupLeft)
     }
+  }
 
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.

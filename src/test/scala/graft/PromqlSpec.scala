@@ -203,6 +203,33 @@ class PromqlSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("stepped evaluation pushes the query's time range to the parquet scan") {
+    // a one-day queryAt over a multi-year table must not scan the whole
+    // history: both ts_ns bounds reach the scan as PushedFilters
+    val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+    val plan = SparkFixture.planOf(
+      Promql.queryAt(spark, sf, "sum(click)", spec))
+    val loNs = (spec.startSec - spec.lookbackSec) * 1000000000L
+    val hiNs = spec.endSec * 1000000000L
+    assert(plan.contains(s"GreaterThanOrEqual(ts,$loNs)"),
+      s"lower ts_ns bound not pushed:\n$plan")
+    assert(plan.contains(s"LessThanOrEqual(ts,$hiNs)"),
+      s"upper ts_ns bound not pushed:\n$plan")
+    // a range function pushes (start − range) instead of lookback
+    val planR = SparkFixture.planOf(
+      Promql.queryAt(spark, sf, "count_over_time(click[1h])", spec))
+    assert(planR.contains(s"GreaterThanOrEqual(ts,${(spec.startSec - 3600L) * 1000000000L})"),
+      s"range-window lower bound not pushed:\n$planR")
+    // offset un-shifts the pushed bound (step t reads t − offset data)
+    val planO = SparkFixture.planOf(
+      Promql.queryAt(spark, sf, "count_over_time(click[1h] offset 1h)", spec))
+    assert(planO.contains(s"LessThanOrEqual(ts,${(spec.endSec - 3600L) * 1000000000L})"),
+      s"offset upper bound not pushed:\n$planO")
+    // and the bounded evaluation returns the same rows as before
+    val got = Promql.queryAt(spark, sf, "sum(click)", spec)
+    assert(got.count() > 0)
+  }
+
   test("review regressions: keyword prefixes, uncastable matchers, mixed windows") {
     // a metric whose name starts with a modifier keyword must parse
     assert(Promql.parse("sum_over_time(purchase[1h]) / online_clicks") ===
