@@ -105,7 +105,7 @@ object OracleSql {
         |         COUNT(*) OVER (PARTITION BY event_type) AS n
         |  FROM events)
         |SELECT event_type, value AS p95 FROM x
-        |WHERE rn = CAST(ceil(n * 0.95) AS BIGINT)""".stripMargin,
+        |WHERE rn = CAST(ceil(round(n * 0.95, 9)) AS BIGINT)""".stripMargin,
     "q_increase" ->
       """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600) * 21600 AS step,
         |       user_id, event_type, MAX(value) - MIN(value) AS increase
@@ -114,7 +114,8 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
         |       user_id, event_type,
         |       sqrt(greatest(0.0,
-        |         (CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+        |         (CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |                        AS DECIMAL(38,12))) AS DOUBLE)
         |          - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
         |            * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
         |         / COUNT(*))) AS stddev_value,
@@ -232,7 +233,7 @@ object OracleSql {
         |         COUNT(*) OVER (PARTITION BY date_trunc('day', ts), user_id, event_type) AS n
         |  FROM events)
         |SELECT step, user_id, event_type, value AS p50 FROM x
-        |WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)""".stripMargin,
+        |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
     "q_vector_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -278,6 +278,20 @@ object Promql {
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** Exact sum of squares: quantize the value to the contract's 6
+    * decimals FIRST (a cast both engines agree on — the binary noise of
+    * a double sits far from the 0.5e-6 rounding boundary), then square
+    * IN DECIMAL: (18,6)² → scale 12, exact integer arithmetic,
+    * identical on every engine. Squaring the double and casting the
+    * product at scale 12 is NOT cross-engine safe (Spark rounds the
+    * shortest decimal string, DuckDB the binary value), and casting at
+    * scale 6 truncates x² of values below ~1e-3 to 0.
+    */
+  private def exactSumSq(c: Column): Column = {
+    val q = c.cast("decimal(18,6)")
+    sum((q * q).cast("decimal(38,12)")).cast("double")
+  }
+
   /** Samples matching a selector, via the shared matcher path
     * (Scan.applyMatchers): equality/negation cast the literal so the
     * predicate reaches the parquet scan; regex resolves over the
@@ -315,6 +329,12 @@ object Promql {
     * `v` after a reset (counter restarted from zero). The first sample
     * of each window is the baseline (no extrapolation — stored-value
     * exact on every engine).
+    *
+    * Documented divergence: a single-sample window emits increase 0
+    * where Prometheus emits no sample at all (funcRate needs >= 2
+    * points). The stored-value default keeps every observed series
+    * visible; [[extrapolatedIncrease]] (the Prometheus-parity mode)
+    * enforces the >= 2 rule and the edge extrapolation.
     */
   private def counterIncrease(samples: DataFrame, rangeSec: Long): DataFrame = {
     val stepped = samples.withColumn("step", stepOf(col("ts"), rangeSec))
@@ -405,37 +425,56 @@ object Promql {
     case Scalar(_) => Set.empty
   }
 
+  /** Discrete-quantile position ceil(q·n) with a rounding guard: q·n in
+    * double arithmetic can land a hair above an integral product
+    * (0.95·20 = 19.000000000000004) and ceil one position too high —
+    * round to 9 decimals first. Clamped to >= 1 so quantile(0, v) = min.
+    */
+  private def quantilePos(n: Column, q: Double): Column =
+    greatest(lit(1L), ceil(round(n * q, 9)).cast("long"))
+
   /** Cross-series aggregation over an evaluated (step, labels..., value)
     * frame — shared by the tumbling and stepped evaluators.
     */
   private def aggOver(in: DataFrame, op: String, by: Seq[String], k: Int,
                       without: Boolean, q: Double = 0.0): DataFrame = {
     val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
+    val groupLabels = if (without) labelCols.diff(by) else by
     op match {
       case "topk" | "bottomk" =>
+        // ranked through the TopKPerKey operator (plans/TopKPerKey):
+        // per-partition bounded heaps → shuffle of ≤ partitions×steps×k
+        // candidates → final merge, instead of a per-step window that
+        // funnels every series of a step onto one reducer and sorts it.
+        // `topk by(...)` ranks within each (step, group) key.
         val ord = if (op == "topk") col("value").desc else col("value").asc
-        val w = Window
-          .partitionBy("step")
-          .orderBy(ord +: labelCols.map(col): _*)
-        in.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-          .drop("rn")
+        val keys = "step" +: groupLabels
+        graft.plans.TopK.perKey(in, keys.map(col),
+          ord +: labelCols.map(col), k).drop("rnk")
       case "quantile" =>
         // discrete cross-series quantile per (step, group): the stored
-        // value at position ceil(q*n) in (value, labels) order — exact
-        // across engines, consistent with q_histogram_quantile's choice
-        // (no Prometheus-style interpolation drift). The window runs
-        // over per-step SERIES sets (already aggregated), not samples.
-        val groupLabels = if (without) labelCols.diff(by) else by
+        // value at position ceil(q*n) in value order — exact across
+        // engines, consistent with q_histogram_quantile's choice (no
+        // Prometheus-style interpolation drift). Two-phase for scale:
+        // phase 1 is a map-side-combinable (keys, value) histogram, so
+        // the shuffle keys on (step, group, value) — no hot reducers;
+        // phase 2 runs the cumulative pick over the histogram only
+        // (distinct values), never the full series set. The value at
+        // position ceil(q*n) is order-unique, so no label tiebreak is
+        // needed: equal values collapse into one histogram row.
         val keys = "step" +: groupLabels
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("value") +: labelCols.diff(groupLabels).map(col): _*)
-        // position ceil(q*n), clamped to >= 1 so quantile(0, v) = min
-        in.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-          .filter(col("rn") === greatest(lit(1L), ceil(col("n") * q).cast("long")))
+        val hist = in.groupBy((keys :+ "value").map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+        val byKey = Window.partitionBy(keys.map(col): _*)
+        val wCum = byKey.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pos = quantilePos(col("n"), q)
+        hist
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(byKey))
+          .filter(col("cum") >= pos && col("cum") - col("cnt") < pos)
           .select(keys.map(col) :+ col("value"): _*)
       case _ =>
-        val groupLabels = if (without) labelCols.diff(by) else by
         val keys = col("step") +: groupLabels.map(col)
         val g = in.groupBy(keys: _*)
         op match {
@@ -446,9 +485,11 @@ object Promql {
           case "count" => g.agg(count(lit(1)).cast("double").as("value"))
           case "stddev" | "stdvar" =>
             // population variance from exact decimal sums, as the
-            // stddev_over_time verb: order-independent on any cluster
+            // stddev_over_time verb: order-independent on any cluster.
+            // The squared term needs the wider scale: at DECIMAL(30,6)
+            // x² of values below ~1e-3 truncates to 0.
             val variance =
-              (exactSum(col("value") * col("value"))
+              (exactSumSq(col("value"))
                 - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
                 ./(count(lit(1)))
             val guarded = greatest(lit(0.0), variance)

@@ -33,6 +33,23 @@ object TimeSeries {
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
+  /** Exact sum of squares: quantize to the contract's 6 decimals first
+    * (cross-engine-stable cast), then square IN DECIMAL — (18,6)² →
+    * scale 12, exact on every engine. See Promql.exactSumSq for why
+    * squaring the double first is not cross-engine safe.
+    */
+  private def exactSumSq(c: Column): Column = {
+    val q = c.cast("decimal(18,6)")
+    sum((q * q).cast("decimal(38,12)")).cast("double")
+  }
+
+  /** ceil(q·n) with a rounding guard: the double product can land a
+    * hair above an integral value (0.95·20 = 19.000000000000004) and
+    * ceil one position too high — round to 9 decimals first.
+    */
+  private def ceilPos(n: Column, q: Double): Column =
+    ceil(round(n * q, 9)).cast("long")
+
   /** `sum(metric)` per step (reference: prometheus/promql_test.go:36-60). */
   def rangeSum(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -148,8 +165,8 @@ object TimeSeries {
       .withColumn("n", sum("cnt").over(byType))
       // sort positions cum-cnt+1 .. cum all hold `value`; pick the one
       // covering ceil(q*n) — same element the row_number formulation finds
-      .filter(col("cum") >= ceil(col("n") * 0.95).cast("long") &&
-        col("cum") - col("cnt") < ceil(col("n") * 0.95).cast("long"))
+      .filter(col("cum") >= ceilPos(col("n"), 0.95) &&
+        col("cum") - col("cnt") < ceilPos(col("n"), 0.95))
       .select(col("event_type"), col("value").as("p95"))
   }
 
@@ -175,7 +192,7 @@ object TimeSeries {
         col("user_id"), col("event_type"))
       .agg(
         sqrt(greatest(lit(0.0),
-          (exactSum(col("value") * col("value"))
+          (exactSumSq(col("value"))
             - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
             / count(lit(1)))).as("stddev_value"),
         count(lit(1)).as("n_samples"))
@@ -260,7 +277,7 @@ object TimeSeries {
     Tables.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(part: _*)))
-      .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+      .filter(col("rn") === ceilPos(col("n"), 0.5))
       .select(part :+ col("value").as("p50"): _*)
   }
 

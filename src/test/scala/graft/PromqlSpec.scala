@@ -51,6 +51,19 @@ class PromqlSpec extends AnyFunSuite {
     val df = Promql.query(spark, sf, "topk(2, max_over_time(error[1h]))")
     assert(df.groupBy("step").count().filter(col("count") > 2).count() === 0)
     assert(df.count() > 0)
+    // ranked via TopKPerKey (partial heaps + pruned shuffle), not a
+    // per-step window that sorts every series of a step on one reducer
+    val tree = SparkFixture.planOf(df).split("\n\n").head
+    assert(tree.contains("TopKPerKey"), s"topk must plan TopKPerKey:\n$tree")
+    assert(!tree.contains("Window"), s"topk must not plan a window sort:\n$tree")
+    // per step, the kept values are the k largest: max excluded <= min kept
+    val kept = Promql.query(spark, sf, "topk(2, max_over_time(error[1h]))")
+      .groupBy("step").agg(min("value").as("kmin"), count(lit(1)).as("kn"))
+    val all = Promql.query(spark, sf, "max_over_time(error[1h])")
+    val excluded = all.join(df.select(col("step"), col("user_id"), lit(1).as("in_k")),
+      Seq("step", "user_id"), "left_anti")
+    val bad = excluded.join(kept, "step").filter(col("value") > col("kmin"))
+    assert(bad.count() === 0, "an excluded series outranks a kept one")
   }
 
   test("equality matchers reach the parquet scan as pushed filters") {
