@@ -47,6 +47,12 @@ object OracleSql {
     "q_label_values" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS label_value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q_label_values_regex" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS label_value
+        |FROM events
+        |WHERE regexp_full_match(event_type, 'cl.*|vi.*')
+        |  AND regexp_full_match(CAST(user_id AS VARCHAR), '1[0-9]')
+        |  AND user_id <> 15""".stripMargin,
   )
 
   private val timeSeries: Map[String, String] = Map(

@@ -28,6 +28,11 @@ object SparkEntry {
     "q_label_names"     -> (Scan.labelNames _),
     "q_label_values"    -> ((s, d) => Scan.labelValues(
       s, d, "user_id", Seq(("event_type", "=", "click")))),
+    // anchored =~ through the dictionary path (string + numeric) plus !=:
+    // "1[0-9]" must match exactly the two-digit user_ids, never 112
+    "q_label_values_regex" -> ((s, d) => Scan.labelValues(
+      s, d, "user_id", Seq(("event_type", "=~", "cl.*|vi.*"),
+        ("user_id", "=~", "1[0-9]"), ("user_id", "!=", "15")))),
     // C. time-series range aggregation
     "q_range_sum"       -> (TimeSeries.rangeSum _),
     "q_range_sum_by"    -> (TimeSeries.rangeSumBy _),

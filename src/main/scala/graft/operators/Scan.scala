@@ -168,8 +168,10 @@ object Scan {
           // matches (a null-poisoned `=!= cast(v)` would drop ALL rows)
           else d
         case "=~" =>
+          // PromQL regex matchers are FULLY ANCHORED: labels.Matcher
+          // compiles `^(?:expr)$`, so `=~"cl"` must not match "click"
           val matching = d.select(col(label)).distinct()
-            .filter(col(label).cast("string").rlike(v))
+            .filter(col(label).cast("string").rlike(s"^(?:$v)$$"))
           d.join(broadcast(matching), Seq(label), "left_semi")
         case o => throw new IllegalArgumentException(s"unknown matcher op '$o'")
       }

@@ -93,9 +93,18 @@ class ScanSpec extends AnyFunSuite {
       .select(col("user_id").cast("string")).distinct().count()
     assert(users.count() === direct)
     val re = Scan.labelValues(spark, sf, "event_type",
-      Seq(("event_type", "=~", "^(cl|si)")))
+      Seq(("event_type", "=~", "cl.*|si.*")))
       .collect().map(_.getString(0)).toSet
     assert(re === Set("click", "signup"))
+    // PromQL regex matchers are fully anchored: a prefix must not match
+    assert(Scan.labelValues(spark, sf, "event_type",
+      Seq(("event_type", "=~", "cl"))).count() === 0)
+    // anchored regex over a NUMERIC label goes through the same
+    // cast-to-string dictionary path: "1[0-9]" is exactly the 2-digit 1x ids
+    val nums = Scan.labelValues(spark, sf, "user_id",
+      Seq(("user_id", "=~", "1[0-9]")))
+      .collect().map(_.getString(0)).toSet
+    assert(nums.nonEmpty && nums.forall(v => v.length == 2 && v.head == '1'), nums)
   }
 
   test("labelValues equality matchers push to the parquet scan") {
