@@ -218,6 +218,107 @@ object OracleSql {
         |  WHERE e.event_type = 'click')
         |SELECT step, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |FROM cov WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_promql_changes" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
+        |         lag(value) OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'click')
+        |SELECT step, user_id,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> value THEN 1 ELSE 0 END) AS DOUBLE) AS value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_promql_resets" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
+        |         lag(value) OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT step, user_id,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS DOUBLE) AS value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_promql_quantile_ot" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400) AS n
+        |  FROM events WHERE event_type = 'click')
+        |SELECT step, user_id, value FROM x
+        |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
+    "q_promql_last_ot" ->
+      """SELECT step, user_id, value FROM (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rn = 1""".stripMargin,
+    "q_promql_delta" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, value,
+        |         row_number() OVER w_asc  AS rn_a,
+        |         row_number() OVER w_desc AS rn_d
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW
+        |    w_asc  AS (PARTITION BY user_id, (epoch_us(ts)//1000000) // 21600
+        |               ORDER BY ts, event_id),
+        |    w_desc AS (PARTITION BY user_id, (epoch_us(ts)//1000000) // 21600
+        |               ORDER BY ts DESC, event_id DESC))
+        |SELECT step, user_id,
+        |       MAX(CASE WHEN rn_d = 1 THEN value END)
+        |       - MAX(CASE WHEN rn_a = 1 THEN value END) AS value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_promql_stddev_ot" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       sqrt(greatest(0.0,
+        |         (CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |                        AS DECIMAL(38,12))) AS DOUBLE)
+        |          - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |            * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+        |         / COUNT(*))) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin,
+    "q_promql_deriv" ->
+      """WITH g AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 3600) * 3600 AS step, user_id,
+        |         COUNT(*) AS n,
+        |         SUM((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 3600) * 3600) AS sx,
+        |         SUM(((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 3600) * 3600)
+        |             * ((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 3600) * 3600)) AS sxx,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(CAST((epoch_us(ts)//1000000)
+        |                            - ((epoch_us(ts)//1000000) // 3600) * 3600 AS DOUBLE)
+        |                       * value AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, user_id,
+        |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS value
+        |FROM g WHERE n >= 2
+        |  AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0""".stripMargin,
+    "q_promql_histq" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |x AS (
+        |  SELECT step, value,
+        |         row_number() OVER (PARTITION BY step ORDER BY value, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY step) AS n
+        |  FROM per)
+        |SELECT step, value FROM x
+        |WHERE rn = CAST(ceil(round(n * 0.9, 9)) AS BIGINT)""".stripMargin,
+    "q_promql_absent" ->
+      """WITH bounds AS (
+        |  SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+        |         CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+        |  FROM events),
+        |steps AS (SELECT unnest(generate_series(lo, hi, 3600)) AS step FROM bounds),
+        |present AS (
+        |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step
+        |  FROM events WHERE event_type = 'error' AND user_id = 1)
+        |SELECT s.step, CAST(1.0 AS DOUBLE) AS value
+        |FROM steps s
+        |WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.step = s.step)""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

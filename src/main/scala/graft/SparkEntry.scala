@@ -64,6 +64,26 @@ object SparkEntry {
     "q_promql_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "sum(click)",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
+    // parser-reachable verbs (round 4): each compiles to the same plan
+    // shape as its §2.C operator sibling
+    "q_promql_changes" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "changes(click[1d])")),
+    "q_promql_resets" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "resets(purchase[1d])")),
+    "q_promql_quantile_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "quantile_over_time(0.5, click[1d])")),
+    "q_promql_last_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "last_over_time(purchase[1d])")),
+    "q_promql_delta" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "delta(purchase[6h])")),
+    "q_promql_stddev_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "stddev_over_time(click[1d])")),
+    "q_promql_deriv" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "deriv(click[1h])")),
+    "q_promql_histq" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_quantile(0.9, count_over_time(click[1h]))")),
+    "q_promql_absent" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """absent(error{user_id="1"})""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

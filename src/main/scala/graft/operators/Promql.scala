@@ -20,12 +20,19 @@ import graft.Tables
   *                 [("by"|"without") "(" labels ")"] "(" expr ")"
   *             | "quantile" [("by"|"without") "(" labels ")"]
   *                 "(" number "," expr ")"
+  *             | "histogram_quantile" "(" number "," expr ")"
+  *                 (the data model stores value histograms, not le
+  *                  buckets: evaluates as the exact discrete quantile)
   *             | ("topk"|"bottomk") "(" int "," expr ")"
   *             | ("abs"|"round") "(" expr ["," number] ")"
   *             | ("clamp_min"|"clamp_max") "(" expr "," number ")"
+  *             | "absent" "(" selector ")"
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
-  *                "avg_over_time"|"min_over_time"|"max_over_time")
+  *                "avg_over_time"|"min_over_time"|"max_over_time"|
+  *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
+  *                "changes"|"resets"|"delta"|"deriv")
   *               "(" selector range ")"
+  *             | "quantile_over_time" "(" number "," selector range ")"
   *   selector := metric [ "{" matcher ("," matcher)* "}" ] ["offset" dur]
   *               (a range selector's offset goes after the brackets:
   *                `rate(click[5m] offset 1h)`)
@@ -58,7 +65,8 @@ object Promql {
   sealed trait Expr
   case class Selector(metric: String, matchers: Seq[(String, String, String)],
                       offsetSec: Long = 0L) extends Expr
-  case class RangeFunc(fn: String, sel: Selector, rangeSec: Long) extends Expr
+  case class RangeFunc(fn: String, sel: Selector, rangeSec: Long,
+                       q: Double = 0.0) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
                  without: Boolean = false, q: Double = 0.0) extends Expr
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
@@ -66,6 +74,10 @@ object Promql {
                    groupLeft: Boolean = false) extends Expr
   case class Scalar(value: Double) extends Expr
   case class MathFn(fn: String, child: Expr, arg: Double = 0.0) extends Expr
+  /** `absent(selector)`: 1 at every evaluation step where the selector
+    * matches no samples.
+    */
+  case class AbsentFn(sel: Selector) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -118,6 +130,8 @@ object Promql {
         case "s" => n.toLong
         case "m" => n * 60L
         case "h" => n * 3600L
+        case "d" => n * 86400L
+        case "w" => n * 604800L
         case u => fail(s"unknown duration unit '$u'")
       }
     }
@@ -144,7 +158,9 @@ object Promql {
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
   private val mathFns = Set("abs", "clamp_min", "clamp_max", "round")
   private val rangeFns = Set("rate", "increase", "count_over_time",
-    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time")
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "last_over_time", "stddev_over_time", "stdvar_over_time",
+    "changes", "resets", "delta", "deriv")
   private val binOps = Seq("/", "*", "+", "-")
 
   def parse(q: String): Expr = {
@@ -215,6 +231,29 @@ object Promql {
     } else if (name == "topk" || name == "bottomk") {
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg(name, Seq.empty, child, k)
+    } else if (name == "quantile_over_time") {
+      p.eat("(")
+      val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
+      if (phi < 0.0 || phi > 1.0) p.fail("quantile must be in [0,1]")
+      p.eat(",")
+      val sel = parseSelector(p)
+      p.eat("["); val secs = p.duration(); p.eat("]")
+      val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+      p.eat(")")
+      RangeFunc("quantile_over_time", sel.copy(offsetSec = off), secs, phi)
+    } else if (name == "histogram_quantile") {
+      // the data model stores VALUE histograms, not le-bucketed counter
+      // series, so histogram_quantile evaluates as the exact discrete
+      // cross-series quantile (documented divergence: no per-bucket
+      // linear interpolation — there are no buckets to interpolate)
+      p.eat("(")
+      val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
+      if (phi < 0.0 || phi > 1.0) p.fail("quantile must be in [0,1]")
+      p.eat(","); val child = parseExpr(p); p.eat(")")
+      Agg("quantile", Seq.empty, child, q = phi)
+    } else if (name == "absent") {
+      p.eat("("); val sel = parseSelector(p); p.eat(")")
+      AbsentFn(sel)
     } else if (name == "quantile") {
       val (by, without) =
         if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
@@ -362,7 +401,7 @@ object Promql {
         .agg(max_by(col("value"),
           struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
-    case RangeFunc(fn, sel, rangeSec) =>
+    case RangeFunc(fn, sel, rangeSec, q) =>
       val samples = select(s, dir, sel)
       fn match {
         case "rate" =>
@@ -373,16 +412,21 @@ object Promql {
           counterIncrease(samples, rangeSec)
             .select(col("step"), col("user_id"), col("increase").as("value"))
         case _ =>
-          val g = samples
-            .groupBy(stepOf(col("ts"), rangeSec).as("step"), col("user_id"))
-          fn match {
-            case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
-            case "sum_over_time" => g.agg(exactSum(col("value")).as("value"))
-            case "avg_over_time" => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
-            case "min_over_time" => g.agg(min("value").as("value"))
-            case "max_over_time" => g.agg(max("value").as("value"))
-          }
+          rangeOver(samples.withColumn("step", stepOf(col("ts"), rangeSec)), fn, q)
       }
+
+    case AbsentFn(sel) =>
+      // dense hour grid over the table's time span; a step is absent
+      // when the selector matches no samples in it. The grid is tiny
+      // (hours), the presence set is a distinct-aggregated anti-join.
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(
+        unix_timestamp(date_trunc("hour", min("ts"))).as("lo"),
+        unix_timestamp(date_trunc("hour", max("ts"))).as("hi"))
+      val steps = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600))).as("step"))
+      val present = select(s, dir, sel).select(stepHour(col("ts"))).distinct()
+      steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
     case Agg(op, by, child, k, without, q) =>
       aggOver(eval(s, dir, child), op, by, k, without, q)
@@ -418,11 +462,83 @@ object Promql {
     */
   private def stepGrains(e: Expr): Set[Long] = e match {
     case _: Selector => Set(3600L)
-    case RangeFunc(_, _, rangeSec) => Set(rangeSec)
+    case _: AbsentFn => Set(3600L)
+    case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
+  }
+
+  /** Per-(step, series) range-window aggregation shared by the tumbling
+    * and stepped evaluators: `stepped` carries raw samples already
+    * tagged with their serving `step`. Every verb is either a pure
+    * aggregation (map-side combinable) or a window partitioned by
+    * (series, step) — cardinality ≫ cores. quantile_over_time is the
+    * same two-phase histogram shape as the cross-series quantile.
+    */
+  private def rangeOver(stepped: DataFrame, fn: String, q: Double): DataFrame = {
+    val tkey = struct(unix_micros(col("ts")), col("event_id"))
+    def grouped = stepped.groupBy(col("step"), col("user_id"))
+    fn match {
+      case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+      case "sum_over_time"   => grouped.agg(exactSum(col("value")).as("value"))
+      case "avg_over_time"   => grouped.agg((exactSum(col("value")) / count(lit(1))).as("value"))
+      case "min_over_time"   => grouped.agg(min("value").as("value"))
+      case "max_over_time"   => grouped.agg(max("value").as("value"))
+      case "last_over_time"  => grouped.agg(max_by(col("value"), tkey).as("value"))
+      case "delta" =>
+        // newest − oldest stored value in the window (PromQL delta,
+        // sans extrapolation) — max_by/min_by, no window sort
+        grouped.agg((max_by(col("value"), tkey) - min_by(col("value"), tkey)).as("value"))
+      case "stddev_over_time" | "stdvar_over_time" =>
+        val variance =
+          (exactSumSq(col("value"))
+            - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
+            ./(count(lit(1)))
+        val guarded = greatest(lit(0.0), variance)
+        grouped.agg((if (fn == "stddev_over_time") sqrt(guarded) else guarded).as("value"))
+      case "changes" | "resets" =>
+        val w = Window.partitionBy("user_id", "step").orderBy(col("ts"), col("event_id"))
+        val cond =
+          if (fn == "changes") col("prev").isNotNull && col("prev") =!= col("value")
+          else col("prev").isNotNull && col("value") < col("prev")
+        stepped.withColumn("prev", lag("value", 1).over(w))
+          .groupBy(col("step"), col("user_id"))
+          .agg(sum(when(cond, 1L).otherwise(0L)).cast("double").as("value"))
+      case "deriv" =>
+        // least-squares slope (value/sec); x is the offset from the
+        // step — small integers, so Σx and Σx² are exact BIGINTs.
+        // Prometheus requires >= 2 points; zero time spread is undefined.
+        val g = stepped
+          .withColumn("x", unix_timestamp(col("ts")) - col("step"))
+          .groupBy(col("step"), col("user_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            exactSum(col("value")).as("sy"),
+            exactSum(col("x").cast("double") * col("value")).as("sxy"))
+        val n = col("n").cast("double")
+        val den = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+        g.filter(col("n") >= 2 && den =!= 0.0)
+          .select(col("step"), col("user_id"),
+            ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("value"))
+      case "quantile_over_time" =>
+        val keys = Seq("step", "user_id")
+        val hist = stepped.groupBy((keys :+ "value").map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+        val byKey = Window.partitionBy(keys.map(col): _*)
+        val wCum = byKey.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pos = quantilePos(col("n"), q)
+        hist
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(byKey))
+          .filter(col("cum") >= pos && col("cum") - col("cnt") < pos)
+          .select(keys.map(col) :+ col("value"): _*)
+      case other => throw new IllegalArgumentException(s"unknown range function '$other'")
+    }
   }
 
   /** Discrete-quantile position ceil(q·n) with a rounding guard: q·n in
@@ -585,7 +701,7 @@ object Promql {
           .agg(max_by(col("value"),
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
-      case RangeFunc(fn, sel, rangeSec) =>
+      case RangeFunc(fn, sel, rangeSec, q) =>
         val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
         fn match {
           case "rate" | "increase" =>
@@ -605,15 +721,18 @@ object Promql {
               inc.select(col("step"), col("user_id"),
                 (col("increase") / lit(rangeSec.toDouble)).as("value"))
           case _ =>
-            val g = covered.groupBy(col("step"), col("user_id"))
-            fn match {
-              case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
-              case "sum_over_time" => g.agg(exactSum(col("value")).as("value"))
-              case "avg_over_time" => g.agg((exactSum(col("value")) / count(lit(1))).as("value"))
-              case "min_over_time" => g.agg(min("value").as("value"))
-              case "max_over_time" => g.agg(max("value").as("value"))
-            }
+            rangeOver(covered, fn, q)
         }
+
+      case AbsentFn(sel) =>
+        // the spec's step grid minus the steps any lookback sample serves
+        val steps = s.range(0, spec.maxK + 1)
+          .select((col("id") * spec.stepSec + spec.startSec).as("step"))
+        val present =
+          coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)),
+            spec, spec.lookbackSec)
+          .select("step").distinct()
+        steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
       case Agg(op, by, child, k, without, q) =>
         aggOver(evalAt(s, dir, child, spec), op, by, k, without, q)

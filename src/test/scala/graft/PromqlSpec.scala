@@ -333,6 +333,48 @@ class PromqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bound"))
   }
 
+  test("round-4 verbs are parser-reachable and consistent") {
+    assert(Promql.parse("quantile_over_time(0.5, click[1d])") ===
+      Promql.RangeFunc("quantile_over_time", Promql.Selector("click", Seq.empty), 86400L, 0.5))
+    assert(Promql.parse("histogram_quantile(0.9, count_over_time(click[1h]))") ===
+      Promql.Agg("quantile", Seq.empty,
+        Promql.RangeFunc("count_over_time", Promql.Selector("click", Seq.empty), 3600L),
+        q = 0.9))
+    assert(Promql.parse("""absent(error{user_id="1"})""") ===
+      Promql.AbsentFn(Promql.Selector("error", Seq(("user_id", "=", "1")))))
+    // quantile_over_time bounds: q=0 is min, q=1 is max
+    val q0 = Promql.query(spark, sf, "quantile_over_time(0, click[1d])")
+    val mn = Promql.query(spark, sf, "min_over_time(click[1d])")
+    assert(q0.exceptAll(mn).count() === 0 && mn.exceptAll(q0).count() === 0)
+    val q1 = Promql.query(spark, sf, "quantile_over_time(1, click[1d])")
+    val mx = Promql.query(spark, sf, "max_over_time(click[1d])")
+    assert(q1.exceptAll(mx).count() === 0 && mx.exceptAll(q1).count() === 0)
+    // changes bounds resets pointwise, over the same series-windows
+    val ch = Promql.query(spark, sf, "changes(purchase[1d])").withColumnRenamed("value", "c")
+    val rs = Promql.query(spark, sf, "resets(purchase[1d])")
+    val j = ch.join(rs, Seq("step", "user_id"))
+    assert(j.filter(col("value") > col("c")).count() === 0)
+    assert(ch.count() === rs.count())
+    // stddev^2 == stdvar, both population
+    val sd = Promql.query(spark, sf, "stddev_over_time(click[1d])")
+      .withColumnRenamed("value", "sd")
+    val sv = Promql.query(spark, sf, "stdvar_over_time(click[1d])")
+    val b = sd.join(sv, Seq("step", "user_id"))
+    assert(b.filter(abs(col("sd") * col("sd") - col("value")) > 1e-9).count() === 0)
+    // absent: value 1 at exactly the hours with no matching samples
+    val ab = Promql.query(spark, sf, """absent(error{user_id="1"})""")
+    assert(ab.filter(col("value") =!= 1.0).count() === 0)
+    val present = Promql.query(spark, sf, """count_over_time(error{user_id="1"}[1h])""")
+      .select("step").distinct()
+    assert(ab.select("step").intersect(present).count() === 0)
+    // the verbs also evaluate at stepped specs (overlapping windows)
+    val spec = Promql.EvalSpec(1704067200L, 1704110400L, 21600L)
+    assert(Promql.queryAt(spark, sf, "delta(purchase[12h])", spec).count() > 0)
+    assert(Promql.queryAt(spark, sf, "last_over_time(click[6h])", spec).count() > 0)
+    assert(Promql.queryAt(spark, sf, """absent(error{user_id="1"})""", spec)
+      .columns.toSeq === Seq("step", "value"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
