@@ -319,6 +319,47 @@ object OracleSql {
         |SELECT s.step, CAST(1.0 AS DOUBLE) AS value
         |FROM steps s
         |WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.step = s.step)""".stripMargin,
+    "q_promql_filter" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |HAVING CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) > 500.0""".stripMargin,
+    "q_promql_bool" ->
+      """SELECT step, user_id,
+        |       CASE WHEN value >= 50.0 THEN 1.0 ELSE 0.0 END AS value
+        |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_and" ->
+      """WITH p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.step, p.user_id, p.value FROM p
+        |WHERE EXISTS (SELECT 1 FROM c WHERE c.step = p.step AND c.user_id = p.user_id)""".stripMargin,
+    "q_promql_unless" ->
+      """WITH p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.step, p.user_id, p.value FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.step = p.step AND c.user_id = p.user_id)""".stripMargin,
+    "q_promql_bottomk" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT step, user_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY step
+        |                               ORDER BY value ASC, user_id) AS rn
+        |  FROM per)
+        |WHERE rn <= 3""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -84,6 +84,17 @@ object SparkEntry {
       s, d, "histogram_quantile(0.9, count_over_time(click[1h]))")),
     "q_promql_absent" -> ((s, d) => graft.operators.Promql.query(
       s, d, """absent(error{user_id="1"})""")),
+    // comparison / set operators
+    "q_promql_filter" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) > 500")),
+    "q_promql_bool" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "avg_over_time(purchase[1h]) >= bool 50")),
+    "q_promql_and" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(purchase[1h]) and on(user_id) sum_over_time(click[1h])")),
+    "q_promql_unless" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(purchase[1h]) unless on(user_id) sum_over_time(click[1h])")),
+    "q_promql_bottomk" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "bottomk(3, sum_over_time(view[1h]))")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

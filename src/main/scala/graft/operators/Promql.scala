@@ -11,9 +11,12 @@ import graft.Tables
   * recursive-descent parser for the practical subset the §2.C operators
   * implement, compiled straight to declarative Spark plans:
   *
-  *   expr     := primary (binop [("on"|"ignoring") "(" labels ")"]
+  *   expr     := primary (binop ["bool"] [("on"|"ignoring") "(" labels ")"]
   *                        ["group_left"] primary)*
-  *   binop    := "/" | "*" | "+" | "-"
+  *   binop    := "/" | "*" | "+" | "-"                  (arithmetic)
+  *             | "==" | "!=" | ">=" | "<=" | ">" | "<"  (comparison;
+  *                 filter semantics, or 1/0 values with "bool")
+  *             | "and" | "unless" | "or"                (set ops)
   *   primary  := agg | func | selector | number   (vector-scalar
   *               arithmetic compiles to a projection, no join)
   *   agg      := ("sum"|"avg"|"min"|"max"|"count"|"stddev"|"stdvar")
@@ -71,7 +74,8 @@ object Promql {
                  without: Boolean = false, q: Double = 0.0) extends Expr
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
-                   groupLeft: Boolean = false) extends Expr
+                   groupLeft: Boolean = false,
+                   bool: Boolean = false) extends Expr
   case class Scalar(value: Double) extends Expr
   case class MathFn(fn: String, child: Expr, arg: Double = 0.0) extends Expr
   /** `absent(selector)`: 1 at every evaluation step where the selector
@@ -162,6 +166,9 @@ object Promql {
     "last_over_time", "stddev_over_time", "stdvar_over_time",
     "changes", "resets", "delta", "deriv")
   private val binOps = Seq("/", "*", "+", "-")
+  // longest-first so ">=" is not eaten as ">" + "="
+  private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
+  private val setOps = Set("and", "unless", "or")
 
   def parse(q: String): Expr = {
     val p = new P(q)
@@ -170,16 +177,25 @@ object Promql {
     e
   }
 
-  /** Binary operators parse left-associative at equal precedence — the
-    * practical subset; parenthesize for anything fancier.
+  /** Binary operators — arithmetic, comparison (with optional `bool`),
+    * and set ops — parse left-associative at equal precedence: the
+    * practical subset; parenthesize for anything relying on PromQL's
+    * precedence ladder.
     */
   private def parseExpr(p: P): Expr = {
     var lhs = parsePrimary(p)
     var continue = true
     while (continue) {
-      binOps.find(p.peek) match {
+      val next = binOps.find(p.peek)
+        .orElse(cmpOps.find(p.peek))
+        .orElse(Seq("and", "unless", "or").find(p.peekKeyword))
+      next match {
         case Some(op) =>
           p.eat(op)
+          // `bool` turns a comparison's filter semantics into 1/0 values
+          val boolMod = cmpOps.contains(op) && p.peekKeyword("bool") && {
+            p.eat("bool"); true
+          }
           // vector-matching modifiers: on(...) XOR ignoring(...), then
           // optional group_left (many-to-one: keep every lhs label)
           val (on, ignoring) =
@@ -187,7 +203,7 @@ object Promql {
             else if (p.peekKeyword("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
             else (Seq.empty[String], Seq.empty[String])
           val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
-          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl)
+          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl, boolMod)
         case None => continue = false
       }
     }
@@ -229,8 +245,13 @@ object Promql {
       p.eat(")")
       MathFn(name, child, arg)
     } else if (name == "topk" || name == "bottomk") {
+      // `topk by(label)(k, expr)` ranks within each (step, group) key
+      val (by, without) =
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
-      Agg(name, Seq.empty, child, k)
+      Agg(name, by, child, k, without = without)
     } else if (name == "quantile_over_time") {
       p.eat("(")
       val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
@@ -438,13 +459,18 @@ object Promql {
       throw new IllegalArgumentException(
         "a bare scalar is not a range query; combine it with a vector")
 
-    // vector-scalar arithmetic: no join, just a projected expression
-    case BinOp(op, _, lhs, Scalar(v), _, _) =>
-      scalarArith(eval(s, dir, lhs), op, v, scalarRight = true)
-    case BinOp(op, _, Scalar(v), rhs, _, _) =>
-      scalarArith(eval(s, dir, rhs), op, v, scalarRight = false)
+    // vector-scalar: no join, a projected expression (or a filter for
+    // comparisons without `bool`)
+    case BinOp(op, _, lhs, Scalar(v), _, _, b) if !setOps(op) =>
+      if (cmpOps.contains(op))
+        scalarCompare(eval(s, dir, lhs), op, v, scalarRight = true, b)
+      else scalarArith(eval(s, dir, lhs), op, v, scalarRight = true)
+    case BinOp(op, _, Scalar(v), rhs, _, _, b) if !setOps(op) =>
+      if (cmpOps.contains(op))
+        scalarCompare(eval(s, dir, rhs), op, v, scalarRight = false, b)
+      else scalarArith(eval(s, dir, rhs), op, v, scalarRight = false)
 
-    case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
+    case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b) =>
       // tumbling evaluation derives each side's step from its own range
       // window; joining 1h steps against 30m steps would silently drop
       // and misalign steps. PromQL evaluates both sides at the SAME
@@ -454,7 +480,10 @@ object Promql {
         s"mixed range windows ${grains.toSeq.sorted.mkString("/")}s in one " +
           "binary op: tumbling steps would misalign — evaluate with " +
           "queryAt(..., EvalSpec(...)) instead")
-      binOver(eval(s, dir, lhs), eval(s, dir, rhs), op, on, ignoring, groupLeft)
+      val (le, re) = (eval(s, dir, lhs), eval(s, dir, rhs))
+      if (setOps(op)) setOver(le, re, op, on, ignoring)
+      else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
+      else binOver(le, re, op, on, ignoring, groupLeft)
   }
 
   /** Step granularities (sec) a tumbling evaluation of `e` produces:
@@ -466,7 +495,7 @@ object Promql {
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
-    case BinOp(_, _, l, r, _, _) => stepGrains(l) ++ stepGrains(r)
+    case BinOp(_, _, l, r, _, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
   }
 
@@ -614,6 +643,78 @@ object Promql {
     }
   }
 
+  /** The (step, matching-label) join keys for a vector-matching pair. */
+  private def matchKeys(l: DataFrame, r: DataFrame, on: Seq[String],
+                        ignoring: Seq[String]): Seq[String] = {
+    val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
+    val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
+    "step" +: (if (on.nonEmpty) on else lLabels.intersect(rLabels).diff(ignoring))
+  }
+
+  /** Vector-vector comparison. Without `bool` it FILTERS the lhs: the
+    * output keeps every lhs label and the lhs value, exactly the rows
+    * whose matching rhs sample satisfies the comparison (PromQL filter
+    * semantics). With `bool` it behaves like an arithmetic op emitting
+    * 1.0/0.0 over the match keys. Equi hash join on (step, labels).
+    */
+  private def cmpOver(l: DataFrame, r: DataFrame, op: String, on: Seq[String],
+                      ignoring: Seq[String], boolMod: Boolean): DataFrame = {
+    val keys = matchKeys(l, r, on, ignoring)
+    val cond = cmpCond(col("v_l"), col("v_r"), op)
+    val joined = l.withColumnRenamed("value", "v_l")
+      .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
+        keys)
+    if (boolMod)
+      joined.select(keys.map(col) :+ when(cond, 1.0).otherwise(0.0).as("value"): _*)
+    else {
+      val outCols = l.columns.toSeq // full lhs schema, original value
+      joined.filter(cond)
+        .withColumnRenamed("v_l", "value")
+        .select(outCols.map(col): _*)
+    }
+  }
+
+  private def cmpCond(x: Column, y: Column, op: String): Column = op match {
+    case "==" => x === y
+    case "!=" => x =!= y
+    case ">"  => x > y
+    case "<"  => x < y
+    case ">=" => x >= y
+    case "<=" => x <= y
+  }
+
+  /** PromQL set operators between two evaluated frames. `and` keeps lhs
+    * rows whose (step, match labels) exist in rhs (left-semi join, no
+    * row multiplication); `unless` is the anti join; `or` is lhs plus
+    * the rhs rows with no lhs match — rhs must carry the same schema.
+    */
+  private def setOver(l: DataFrame, r: DataFrame, op: String, on: Seq[String],
+                      ignoring: Seq[String]): DataFrame = {
+    val keys = matchKeys(l, r, on, ignoring)
+    op match {
+      case "and" =>
+        l.join(r.select(keys.map(col): _*), keys, "left_semi")
+      case "unless" =>
+        l.join(r.select(keys.map(col): _*), keys, "left_anti")
+      case "or" =>
+        require(l.columns.toSeq == r.columns.toSeq,
+          s"or requires equal schemas, got ${l.columns.toSeq} vs ${r.columns.toSeq}")
+        l.union(r.join(l.select(keys.map(col): _*), keys, "left_anti"))
+    }
+  }
+
+  /** Vector-scalar comparison: a filter on the vector (no join), or 1/0
+    * values with `bool`. scalarRight=false flips the operand order.
+    */
+  private def scalarCompare(df: DataFrame, op: String, scalar: Double,
+                            scalarRight: Boolean, boolMod: Boolean): DataFrame = {
+    val cond =
+      if (scalarRight) cmpCond(col("value"), lit(scalar), op)
+      else cmpCond(lit(scalar), col("value"), op)
+    if (boolMod) df.withColumn("value", when(cond, 1.0).otherwise(0.0))
+    else df.filter(cond)
+  }
+
   /** Vector-vector binary op between two evaluated frames — shared by
     * the tumbling and stepped evaluators.
     */
@@ -744,13 +845,19 @@ object Promql {
         throw new IllegalArgumentException(
           "a bare scalar is not a range query; combine it with a vector")
 
-      case BinOp(op, _, lhs, Scalar(v), _, _) =>
-        scalarArith(evalAt(s, dir, lhs, spec), op, v, scalarRight = true)
-      case BinOp(op, _, Scalar(v), rhs, _, _) =>
-        scalarArith(evalAt(s, dir, rhs, spec), op, v, scalarRight = false)
-      case BinOp(op, on, lhs, rhs, ignoring, groupLeft) =>
-        binOver(evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec),
-          op, on, ignoring, groupLeft)
+      case BinOp(op, _, lhs, Scalar(v), _, _, b) if !setOps(op) =>
+        if (cmpOps.contains(op))
+          scalarCompare(evalAt(s, dir, lhs, spec), op, v, scalarRight = true, b)
+        else scalarArith(evalAt(s, dir, lhs, spec), op, v, scalarRight = true)
+      case BinOp(op, _, Scalar(v), rhs, _, _, b) if !setOps(op) =>
+        if (cmpOps.contains(op))
+          scalarCompare(evalAt(s, dir, rhs, spec), op, v, scalarRight = false, b)
+        else scalarArith(evalAt(s, dir, rhs, spec), op, v, scalarRight = false)
+      case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b) =>
+        val (le, re) = (evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec))
+        if (setOps(op)) setOver(le, re, op, on, ignoring)
+        else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
+        else binOver(le, re, op, on, ignoring, groupLeft)
     }
   }
 

@@ -191,18 +191,23 @@ object Scan {
       .distinct()
 
   /** General LabelNames analogue: per-label cardinality profile over any
-    * label column set. All distinct counts come out of ONE scan (Spark
-    * plans multi-distinct via Expand), then unpivot to (label,
-    * cardinality) rows — at 100 TB the table is read once, not once per
-    * label.
+    * label column set. One scan reduces to the DISTINCT label-tuple set
+    * first (map-side partial distinct: the shuffle carries per-partition
+    * unique tuples, dictionary-sized), and only then runs the
+    * multi-countDistinct — so the Expand that Spark plans for multiple
+    * distinct aggregates doubles the tiny tuple set, not the raw scan
+    * (the old shape Expanded every input row; 2.28× the baseline at
+    * sf0.1, and linearly worse with row count).
     */
   def labelNamesFor(s: SparkSession, dir: String,
                     labels: Seq[String],
                     matchers: Seq[(String, String, String)] = Seq.empty): DataFrame = {
     require(labels.nonEmpty, "need at least one label column")
+    val tuples = applyMatchers(Tables.events(s, dir), matchers)
+      .select(labels.map(col): _*).distinct()
     val aggs = labels.map(l => countDistinct(col(l)).as(s"c_$l"))
     val mapArgs = labels.flatMap(l => Seq(lit(l), col(s"c_$l")))
-    applyMatchers(Tables.events(s, dir), matchers)
+    tuples
       .agg(aggs.head, aggs.tail: _*)
       .select(explode(map(mapArgs: _*)).as(Seq("label", "cardinality")))
   }

@@ -375,6 +375,51 @@ class PromqlSpec extends AnyFunSuite {
       .columns.toSeq === Seq("step", "value"))
   }
 
+  test("comparison and set operators: filter, bool, and/unless/or, topk by") {
+    val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    // vector > scalar filters, keeping original values and schema
+    val gt = Promql.query(spark, sf, "sum_over_time(click[1h]) > 500")
+    assert(gt.columns.toSeq === base.columns.toSeq)
+    assert(gt.filter(col("value") <= 500.0).count() === 0)
+    assert(gt.count() === base.filter(col("value") > 500.0).count())
+    // bool emits 1/0 over the full frame
+    val b = Promql.query(spark, sf, "sum_over_time(click[1h]) > bool 500")
+    assert(b.count() === base.count())
+    assert(b.filter(col("value") =!= 0.0 && col("value") =!= 1.0).count() === 0)
+    assert(b.filter(col("value") === 1.0).count() === gt.count())
+    // scalar-left comparison flips the operand order
+    val lt = Promql.query(spark, sf, "500 < sum_over_time(click[1h])")
+    assert(lt.count() === gt.count())
+    // and == semi, unless == anti; they partition the lhs
+    val both = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) and on(user_id) sum_over_time(click[1h])")
+    val only = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) unless on(user_id) sum_over_time(click[1h])")
+    val lhs = Promql.query(spark, sf, "sum_over_time(purchase[1h])")
+    assert(both.count() + only.count() === lhs.count())
+    assert(both.intersect(only).count() === 0)
+    // or: lhs rows win, unmatched rhs rows are appended
+    val or = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) or sum_over_time(click[1h])")
+    val rhs = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    val rhsOnly = rhs.join(lhs.select("step", "user_id"), Seq("step", "user_id"), "left_anti")
+    assert(or.count() === lhs.count() + rhsOnly.count())
+    assert(or.exceptAll(lhs.union(rhsOnly)).count() === 0)
+    // vector-vector comparison filters the lhs by the matched rhs value
+    val vv = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) > on(user_id) sum_over_time(click[1h])")
+    val joined = lhs.withColumnRenamed("value", "p")
+      .join(rhs.withColumnRenamed("value", "c"), Seq("step", "user_id"))
+    assert(vv.count() === joined.filter(col("p") > col("c")).count())
+    // topk by(...) parses and ranks within each group key
+    assert(Promql.parse("topk by (user_id) (1, sum_over_time(click[1h]))") ===
+      Promql.Agg("topk", Seq("user_id"),
+        Promql.RangeFunc("sum_over_time", Promql.Selector("click", Seq.empty), 3600L), 1))
+    val tb = Promql.query(spark, sf, "topk by (user_id) (1, sum_over_time(click[1h]))")
+    // grouping by the only label makes every series its own group of 1
+    assert(tb.count() === base.count())
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
