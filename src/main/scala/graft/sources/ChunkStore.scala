@@ -91,8 +91,15 @@ object ChunkStore {
       .sortWithinPartitions("mint", "maxt", "event_type", "user_id")
       .write.mode(SaveMode.Overwrite).parquet(out)
 
-  private def chunkPath(dir: String) =
-    s"/root/repo/target/tmp/chunks_${FormatTag}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  /** Store root, from `spark.graft.store.root` (a library must not
+    * hardcode its output location; the default keeps the harness
+    * layout).
+    */
+  private def storeRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
+
+  private def chunkPath(s: SparkSession, dir: String) =
+    s"${storeRoot(s)}/chunks_${FormatTag}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -100,11 +107,11 @@ object ChunkStore {
     * chunk table; every later query reads the existing parquet. The
     * testdata is immutable, so the parquet _SUCCESS marker is a valid
     * freshness proof across JVMs; the format tag in the path invalidates
-    * tables written by an older codec.
+    * tables written by an older codec. The memo keys on the full output
+    * path, so a store-root change is a different store.
     */
   private def ensureWritten(s: SparkSession, dir: String): String =
-    written.computeIfAbsent(dir, { _ =>
-      val out = chunkPath(dir)
+    written.computeIfAbsent(chunkPath(s, dir), { out =>
       val success = new java.io.File(out, "_SUCCESS")
       if (!success.isFile) writeChunks(s, dir, out)
       out

@@ -19,7 +19,12 @@ import graft.Tables
   */
 object SortedWriter {
 
-  private def base = "/root/repo/target/tmp"
+  /** Store root, from `spark.graft.store.root` (a library must not
+    * hardcode its output location; the default keeps the harness
+    * layout).
+    */
+  private def base(s: SparkSession): String =
+    s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
 
   private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
@@ -50,7 +55,7 @@ object SortedWriter {
     * source (oracle: plain SELECT on events).
     */
   def sortedWriteQuery(s: SparkSession, dir: String): DataFrame = {
-    val out = s"$base/sorted_${sfTag(dir)}"
+    val out = s"${base(s)}/sorted_${sfTag(dir)}"
     writeSorted(s, dir, out)
     s.read.parquet(out).select("event_id", "user_id", "event_type", "value")
   }
@@ -59,16 +64,22 @@ object SortedWriter {
     * output), then compact: coalesce per date partition into sorted files.
     */
   def compactionQuery(s: SparkSession, dir: String): DataFrame = {
-    val frag = s"$base/frag_${sfTag(dir)}"
-    val compacted = s"$base/compact_${sfTag(dir)}"
+    val frag = s"${base(s)}/frag_${sfTag(dir)}"
+    val compacted = s"${base(s)}/compact_${sfTag(dir)}"
     val ev = Tables.events(s, dir).drop("ts_ns")
       .withColumn("date", to_date(col("ts")))
     // 1. fragmented state: many tiny files per date partition
     ev.repartition(16)
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(frag)
-    // 2. compaction: one sorted file per date partition
+    // 2. compaction: size-scaled range partitions over (date, type, ts).
+    //    A hash repartition on `date` alone would mean ONE task and one
+    //    giant output file per date — a straggler on every hot date at
+    //    100×. Range partitioning keeps files sorted AND splits a hot
+    //    date across tasks; file count follows input bytes.
     s.read.parquet(frag)
-      .repartition(col("date"))
+      .repartitionByRange(
+        ChunkStore.targetPartitions(s, frag),
+        col("date"), col("event_type"), col("ts"))
       .sortWithinPartitions("date", "event_type", "ts")
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(compacted)
     s.read.parquet(compacted).select("event_id", "user_id", "event_type", "value")

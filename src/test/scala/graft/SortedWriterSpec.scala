@@ -128,7 +128,7 @@ class SortedWriterSpec extends AnyFunSuite {
     assert(tree.contains("Join"), tree)
   }
 
-  test("compaction reduces to one file per date partition, content intact") {
+  test("compaction coalesces fragments; file count scales with input, not dates") {
     val df = SortedWriter.compactionQuery(spark, sf)
     assert(df.count() === Tables.events(spark, sf).count())
     val compacted = s"/root/repo/target/tmp/compact_${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
@@ -138,6 +138,26 @@ class SortedWriterSpec extends AnyFunSuite {
     val nCompact = SortedWriter.partFileCount(compacted)
     assert(SortedWriter.partFileCount(fragged) > nCompact,
       "compaction must reduce file count")
-    assert(nCompact === datePartitions, "exactly one file per date partition")
+    // size-scaled RANGE partitioning over (date, type, ts): each range
+    // task covers contiguous dates, so files ≤ dates + tasks − 1 — and a
+    // hot date may legitimately split across tasks at scale (the old
+    // hash-repartition-by-date shape pinned each date to ONE task)
+    val nTasks = graft.sources.ChunkStore.targetPartitions(spark, fragged)
+    assert(nCompact <= datePartitions + nTasks - 1,
+      s"$nCompact files for $datePartitions dates / $nTasks range tasks")
+  }
+
+  test("store root is configurable via spark.graft.store.root") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    spark.conf.set("spark.graft.store.root", tmp)
+    try {
+      SortedWriter.sortedWriteQuery(spark, sf).count()
+      assert(new java.io.File(
+        s"$tmp/sorted_${sf.replaceAll("[^A-Za-z0-9.]", "_")}").isDirectory,
+        "sorted write must land under the configured root")
+      graft.sources.ChunkStore.chunkMeta(spark, sf).count()
+      assert(new java.io.File(tmp).list().exists(_.startsWith("chunks_")),
+        "the chunk store must follow the configured root")
+    } finally spark.conf.unset("spark.graft.store.root")
   }
 }
