@@ -91,6 +91,38 @@ class XorChunkSpec extends AnyFunSuite {
     assert(vbits === java.lang.Double.doubleToRawLongBits(1.0))
   }
 
+  test("golden bytes: hand-derived multi-sample fixture pins the wire format") {
+    // Derived bit-by-bit from the Gorilla §4.1 / Prometheus xor.go layout
+    // (no code involved), so it pins encode() against both refactors and
+    // spec-misreadings. Coverage: varint first ts, raw first value,
+    // uvarint second delta, dod buckets '0' / '10'+14 / '1110'+20, and
+    // value branches '0' (same), '10' (window reuse), '11' (new window).
+    //
+    //   header         00 05                     5 samples
+    //   s0 t=1000      D0 0F                     varint zigzag(1000)=2000
+    //      v=2.0       40 00 00 00 00 00 00 00   raw IEEE bits
+    //   s1 Δ=60        3C                        uvarint
+    //      v=3.0       '1''1' 01100 000001 1     xor=1<<51: lead 12, 1 sig bit
+    //   s2 dod=0       '0'                       Δ stays 60
+    //      v same      '0'
+    //   s3 dod=10      '10' 00000000001010       Δ=70
+    //      v=2.0       '1''0' 1                  same xor, window reused
+    //   s4 dod=99930   '1110' 00011000011001011010   Δ=100000
+    //      v=1.5       '1''1' 00001 001100 111111111111   lead 1, 12 sig bits
+    //   → packed: D8 0C 80 0A BC 30 CB 58 4C FF F0 (4 pad bits)
+    val samples = Array(
+      (1000L, 2.0), (1060L, 3.0), (1120L, 3.0), (1190L, 2.0), (101190L, 1.5))
+    val expected = Array(
+      0x00, 0x05,
+      0xD0, 0x0F, 0x40, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x3C, 0xD8, 0x0C,
+      0x80, 0x0A, 0xBC, 0x30, 0xCB, 0x58, 0x4C, 0xFF, 0xF0).map(_.toByte)
+    assert(XorChunk.encode(samples).toSeq === expected.toSeq,
+      "encoder must emit the hand-derived byte sequence exactly")
+    assert(XorChunk.decode(expected).toSeq === samples.toSeq,
+      "decoder must read the hand-derived byte sequence exactly")
+  }
+
   test("time-ordered requirement rejects backwards first delta") {
     intercept[IllegalArgumentException] {
       XorChunk.encode(Array((2000L, 1.0), (1000L, 2.0)))
