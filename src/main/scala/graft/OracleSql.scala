@@ -360,6 +360,46 @@ object OracleSql {
         |                               ORDER BY value ASC, user_id) AS rn
         |  FROM per)
         |WHERE rn <= 3""".stripMargin,
+    // the Prometheus funcRate edge-extrapolation formula, mirrored
+    // op-for-op so every IEEE double step is identical across engines
+    "q_promql_rate_extrap" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
+        |         epoch_us(ts) AS us,
+        |         lag(value) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |               ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT step, user_id,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                            WHEN value >= prev THEN value - prev
+        |                            ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS inc,
+        |         MIN(us) AS first_us, MAX(us) AS last_us,
+        |         MAX(CASE WHEN rn = 1 THEN value END) AS first_v
+        |  FROM x GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2 AND MAX(us) > MIN(us)),
+        |f AS (
+        |  SELECT step, user_id, n, inc, first_v,
+        |         (last_us - first_us) / 1000000.0 AS si,
+        |         (last_us - first_us) / 1000000.0 / (n - 1) AS avg_dur,
+        |         first_us / 1000000.0 - step AS dstart_raw,
+        |         (step + 86400) - last_us / 1000000.0 AS dend_raw
+        |  FROM g),
+        |z AS (
+        |  SELECT step, user_id, inc, si, avg_dur, dend_raw,
+        |         CASE WHEN inc > 0.0 AND first_v >= 0.0
+        |              THEN least(dstart_raw, si * (first_v / inc))
+        |              ELSE dstart_raw END AS dstart_z
+        |  FROM f)
+        |SELECT step, user_id,
+        |       inc * ((si
+        |         + CASE WHEN dstart_z >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dstart_z END
+        |         + CASE WHEN dend_raw >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dend_raw END)
+        |         / si) AS value
+        |FROM z""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

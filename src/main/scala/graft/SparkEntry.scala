@@ -95,6 +95,10 @@ object SparkEntry {
       s, d, "sum_over_time(purchase[1h]) unless on(user_id) sum_over_time(click[1h])")),
     "q_promql_bottomk" -> ((s, d) => graft.operators.Promql.query(
       s, d, "bottomk(3, sum_over_time(view[1h]))")),
+    // Prometheus-parity edge extrapolation (opt-in; stored-value rate is
+    // the default)
+    "q_promql_rate_extrap" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "increase_extrapolated(purchase[1d])")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

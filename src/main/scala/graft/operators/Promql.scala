@@ -33,7 +33,8 @@ import graft.Tables
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time"|
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
-  *                "changes"|"resets"|"delta"|"deriv")
+  *                "changes"|"resets"|"delta"|"deriv"|
+  *                "rate_extrapolated"|"increase_extrapolated")
   *               "(" selector range ")"
   *             | "quantile_over_time" "(" number "," selector range ")"
   *   selector := metric [ "{" matcher ("," matcher)* "}" ] ["offset" dur]
@@ -164,7 +165,8 @@ object Promql {
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
-    "changes", "resets", "delta", "deriv")
+    "changes", "resets", "delta", "deriv",
+    "rate_extrapolated", "increase_extrapolated")
   private val binOps = Seq("/", "*", "+", "-")
   // longest-first so ">=" is not eaten as ">" + "="
   private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
@@ -410,6 +412,60 @@ object Promql {
       .agg(exactSum(col("growth")).as("increase"))
   }
 
+  /** Prometheus's funcRate edge extrapolation (promql/functions.go
+    * extrapolatedRate), the opt-in parity mode beside the stored-value
+    * default: per (series, step), the reset-corrected increase over the
+    * sampled interval is extrapolated to the window edges — by the
+    * actual gap when the first/last sample sits within 1.1× the average
+    * sample spacing of the edge, by half the average spacing otherwise,
+    * and never past the counter's zero crossing. Requires >= 2 samples
+    * (single-sample windows emit nothing, as Prometheus). One window
+    * pass for the reset scan + one partial-agg shuffle; the formula is
+    * a pure projection.
+    *
+    * `windowStart`/`windowEnd` are the window bounds in epoch seconds
+    * as expressions over `step` (tumbling: [step, step+W); stepped
+    * lookback: (step−W, step]).
+    */
+  private def extrapolatedIncrease(stepped: DataFrame, rangeSec: Long,
+                                   isRate: Boolean, windowStart: Column,
+                                   windowEnd: Column): DataFrame = {
+    val w = Window.partitionBy("user_id", "step")
+      .orderBy(col("ts"), col("event_id"))
+    val tkey = struct(unix_micros(col("ts")), col("event_id"))
+    val g = stepped
+      .withColumn("prev", lag("value", 1).over(w))
+      .withColumn("growth",
+        when(col("prev").isNull, lit(0.0))
+          .when(col("value") >= col("prev"), col("value") - col("prev"))
+          .otherwise(col("value")))
+      .groupBy(col("step"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("growth")).as("inc"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        min_by(col("value"), tkey).as("first_v"))
+      .filter(col("n") >= 2)
+    val sampledInterval = (col("last_us") - col("first_us")) / 1e6
+    val avgDur = sampledInterval / (col("n") - 1).cast("double")
+    val threshold = avgDur * 1.1
+    val durStartRaw = col("first_us") / 1e6 - windowStart
+    val durEndRaw = windowEnd - col("last_us") / 1e6
+    // a counter cannot extrapolate below zero: cap the start-side gap at
+    // the implied zero crossing (guard keeps the divide off inc == 0)
+    val durStartZ =
+      when(col("inc") > 0.0 && col("first_v") >= 0.0,
+        least(durStartRaw, sampledInterval * (col("first_v") / col("inc"))))
+        .otherwise(durStartRaw)
+    val durStart = when(durStartZ >= threshold, avgDur / 2).otherwise(durStartZ)
+    val durEnd = when(durEndRaw >= threshold, avgDur / 2).otherwise(durEndRaw)
+    val factor0 = (sampledInterval + durStart + durEnd) / sampledInterval
+    val factor = if (isRate) factor0 / lit(rangeSec.toDouble) else factor0
+    g.filter(sampledInterval > 0.0)
+      .select(col("step"), col("user_id"), (col("inc") * factor).as("value"))
+  }
+
   /** Evaluate a parsed expression as an aligned-step range query.
     * Output: (step, [labels...], value).
     */
@@ -432,6 +488,13 @@ object Promql {
         case "increase" =>
           counterIncrease(samples, rangeSec)
             .select(col("step"), col("user_id"), col("increase").as("value"))
+        case "rate_extrapolated" | "increase_extrapolated" =>
+          // tumbling window [step, step + W)
+          extrapolatedIncrease(
+            samples.withColumn("step", stepOf(col("ts"), rangeSec)),
+            rangeSec, isRate = fn == "rate_extrapolated",
+            col("step").cast("double"),
+            (col("step") + rangeSec).cast("double"))
         case _ =>
           rangeOver(samples.withColumn("step", stepOf(col("ts"), rangeSec)), fn, q)
       }
@@ -821,6 +884,12 @@ object Promql {
             else
               inc.select(col("step"), col("user_id"),
                 (col("increase") / lit(rangeSec.toDouble)).as("value"))
+          case "rate_extrapolated" | "increase_extrapolated" =>
+            // lookback window (step − W, step]
+            extrapolatedIncrease(covered, rangeSec,
+              isRate = fn == "rate_extrapolated",
+              (col("step") - rangeSec).cast("double"),
+              col("step").cast("double"))
           case _ =>
             rangeOver(covered, fn, q)
         }

@@ -420,6 +420,52 @@ class PromqlSpec extends AnyFunSuite {
     assert(tb.count() === base.count())
   }
 
+  test("extrapolated rate matches the hand-computed Prometheus formula") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    // series 1: samples at t0+10/70/130, values 10→12→15 (inc 5);
+    // series 2: first value 1 near zero at t0+40/100/160, 1→3→5 (inc 4,
+    //   start-side gap capped at the implied zero crossing);
+    // series 3: ONE sample — Prometheus emits nothing for it
+    val rows = Seq(
+      (1L, t0 + 10L, 10.0, 1L), (1L, t0 + 70L, 12.0, 2L), (1L, t0 + 130L, 15.0, 3L),
+      (2L, t0 + 40L, 1.0, 4L), (2L, t0 + 100L, 3.0, 5L), (2L, t0 + 160L, 5.0, 6L),
+      (3L, t0 + 90L, 7.0, 7L))
+      .toDF("user_id", "sec", "value", "event_id")
+    val tmp = "/root/repo/target/tmp/promql_extrap_events"
+    rows.select(col("event_id"), (col("sec") * 1000000000L).as("ts"), col("user_id"),
+      lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // one evaluation step at t0+180, window (t0, t0+180]
+    val spec = Promql.EvalSpec(t0 + 180L, t0 + 180L, 60L)
+    val got = Promql.queryAt(spark, tmp, "increase_extrapolated(click[3m])", spec)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // series 1: sampledInterval=120, avg=60, thr=66; durStart=10 (<thr,
+    //   zero crossing at 120·(10/5)=240 doesn't bind), durEnd=50 (<thr)
+    //   → factor (120+10+50)/120 = 1.5 → increase 5·1.5 = 7.5
+    assert(math.abs(got(1L) - 7.5) < 1e-12, s"got ${got.get(1L)}")
+    // series 2: durStart raw 40, zero crossing 120·(1/4)=30 binds;
+    //   durEnd=20 → factor (120+30+20)/120 → increase 4·170/120
+    assert(math.abs(got(2L) - 4.0 * 170.0 / 120.0) < 1e-12, s"got ${got.get(2L)}")
+    // series 3: single sample → no output
+    assert(!got.contains(3L))
+    // rate = increase / range, same rows
+    val rate = Promql.queryAt(spark, tmp, "rate_extrapolated(click[3m])", spec)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(rate(1L) - 7.5 / 180.0) < 1e-15)
+    assert(rate.size === 2)
+    // the far-edge branch: last sample far from the window end pads by
+    // avg/2. Window (t0+120, t0+300] catches only series 1's t0+130 and
+    // series 2's t0+160 — one sample each → nothing; tumbling eval over
+    // the same data exercises the [step, step+W) bounds instead
+    val tumb = Promql.query(spark, tmp, "increase_extrapolated(click[1h])")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // series 1 in hour bucket: first 10s from start (<thr 66), last at
+    // 130 → durEnd = 3600−130 = 3470 ≥ thr → avg/2 = 30
+    //   → factor (120+10+30)/120 → 5·160/120
+    assert(math.abs(tumb(1L) - 5.0 * 160.0 / 120.0) < 1e-12, s"got ${tumb.get(1L)}")
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
