@@ -182,15 +182,53 @@ object Similarity {
     cents
   }
 
-  /** IVF over TRAINED centroids: k-means quantizer, then the standard
-    * probe-own-cell search. Declared rows-only for the driver oracle
-    * (k-means is not reasonably SQL-expressible); determinism and recall
-    * are ScalaTest-asserted instead.
+  /** Centroid-table path keyed by (store root, dataset, k, iters) — a
+    * trained index is an artifact of its training inputs.
+    */
+  private def centroidPath(s: SparkSession, dir: String, k: Int, iters: Int): String = {
+    val root = s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
+    s"$root/ivf_centroids_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_k${k}_i$iters"
+  }
+
+  private val trainedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Double]]]()
+
+  private[graft] def clearTrainedMemo(): Unit = trainedMemo.clear()
+
+  /** Write-once trained index (the ChunkStore pattern): the first call
+    * runs k-means and persists the (cell, centroid) table as parquet;
+    * every later call — including a fresh JVM — reads the store and
+    * plans NO training jobs. Parquet stores the doubles bit-exactly, so
+    * a read-back index is identical to the freshly trained one.
+    */
+  def trainedCentroids(s: SparkSession, dir: String,
+                       k: Int = NumCells, iters: Int = 3): IndexedSeq[IndexedSeq[Double]] =
+    trainedMemo.computeIfAbsent(centroidPath(s, dir, k, iters), { path =>
+      val success = new java.io.File(path, "_SUCCESS")
+      if (!success.isFile) {
+        val cents = trainCentroids(s, dir, k, iters)
+        import s.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+          .toDF("cell", "centroid")
+          .coalesce(1) // k·dim doubles — one tiny file
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+      s.read.parquet(path).collect()
+        .sortBy(_.getAs[Int]("cell"))
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq)
+        .toIndexedSeq
+    })
+
+  /** IVF over TRAINED centroids: k-means quantizer (persisted write-once
+    * via [[trainedCentroids]]), then the standard probe-own-cell search.
+    * Declared rows-only for the driver oracle (k-means is not reasonably
+    * SQL-expressible); determinism and recall are ScalaTest-asserted
+    * instead.
     */
   def ivfTrained(s: SparkSession, dir: String,
                  numCells: Int = NumCells, iters: Int = 3,
                  k: Int = 5): DataFrame = {
-    val c = assignTo(withNorm(s, dir), trainCentroids(s, dir, numCells, iters))
+    val c = assignTo(withNorm(s, dir), trainedCentroids(s, dir, numCells, iters))
     val q = c.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("norm").as("qn"), col("cell").as("qc"))

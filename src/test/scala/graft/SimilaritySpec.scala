@@ -89,4 +89,39 @@ class SimilaritySpec extends AnyFunSuite {
     val df = Similarity.ivfTrained(spark, sf)
     assert(df.groupBy("qid").count().filter(col("count") > 5).count() === 0)
   }
+
+  test("trained centroids persist write-once; reuse plans no k-means jobs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    spark.conf.set("spark.graft.store.root", tmp)
+    try {
+      val c1 = Similarity.trainedCentroids(spark, sf, k = 8, iters = 2)
+      val stores = new java.io.File(tmp).list().filter(_.startsWith("ivf_centroids_"))
+      assert(stores.length === 1, "training must persist exactly one centroid table")
+      // same-JVM reuse: the memo returns the SAME index, zero Spark jobs
+      assert(Similarity.trainedCentroids(spark, sf, k = 8, iters = 2) eq c1)
+      // fresh-JVM path: clear the memo, count the jobs a reuse needs —
+      // the parquet read is 1-2 jobs; training would need >= 1 + iters
+      // (seed collect + one aggregate per iteration)
+      Similarity.clearTrainedMemo()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val c3 = Similarity.trainedCentroids(spark, sf, k = 8, iters = 2)
+        Thread.sleep(1000) // let the async listener bus drain
+        assert(c3 === c1, "a read-back index must equal the trained one bit-exactly")
+        assert(jobs.get() <= 2,
+          s"store reuse must not retrain: ${jobs.get()} jobs (training needs >= 3)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // the trained searcher works off the persisted index
+      assert(Similarity.ivfTrained(spark, sf, numCells = 8, iters = 2).count() > 0)
+    } finally {
+      spark.conf.unset("spark.graft.store.root")
+      Similarity.clearTrainedMemo()
+    }
+  }
 }
