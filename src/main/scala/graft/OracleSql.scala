@@ -400,6 +400,31 @@ object OracleSql {
         |         + CASE WHEN dend_raw >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dend_raw END)
         |         / si) AS value
         |FROM z""".stripMargin,
+    "q_promql_group_right" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT step, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS t
+        |  FROM per GROUP BY 1)
+        |SELECT per.step, per.user_id, tot.t / per.v AS value
+        |FROM per JOIN tot ON per.step = tot.step
+        |WHERE per.v <> 0.0""".stripMargin,
+    "q_promql_at" ->
+      """WITH v AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND epoch_us(ts) >  1704092800000000
+        |    AND epoch_us(ts) <= 1704100000000000),
+        |agg AS (
+        |  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM v WHERE rn = 1)
+        |SELECT st.step, agg.value
+        |FROM (SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step) st, agg""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

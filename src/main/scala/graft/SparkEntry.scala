@@ -99,6 +99,11 @@ object SparkEntry {
     // the default)
     "q_promql_rate_extrap" -> ((s, d) => graft.operators.Promql.query(
       s, d, "increase_extrapolated(purchase[1d])")),
+    "q_promql_group_right" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum(sum_over_time(purchase[1h])) / ignoring(user_id) group_right sum_over_time(purchase[1h])")),
+    "q_promql_at" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "sum(click @ 1704100000)",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

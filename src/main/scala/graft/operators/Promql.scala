@@ -12,7 +12,7 @@ import graft.Tables
   * implement, compiled straight to declarative Spark plans:
   *
   *   expr     := primary (binop ["bool"] [("on"|"ignoring") "(" labels ")"]
-  *                        ["group_left"] primary)*
+  *                        ["group_left"|"group_right"] primary)*
   *   binop    := "/" | "*" | "+" | "-"                  (arithmetic)
   *             | "==" | "!=" | ">=" | "<=" | ">" | "<"  (comparison;
   *                 filter semantics, or 1/0 values with "bool")
@@ -37,9 +37,11 @@ import graft.Tables
   *                "rate_extrapolated"|"increase_extrapolated")
   *               "(" selector range ")"
   *             | "quantile_over_time" "(" number "," selector range ")"
-  *   selector := metric [ "{" matcher ("," matcher)* "}" ] ["offset" dur]
-  *               (a range selector's offset goes after the brackets:
-  *                `rate(click[5m] offset 1h)`)
+  *   selector := metric [ "{" matcher ("," matcher)* "}" ]
+  *               ["offset" dur] ["@" epoch-sec]     (either order; a
+  *               range selector's modifiers go after the brackets:
+  *               `rate(click[5m] offset 1h)`. @ pins the evaluation
+  *               time and needs the stepped evaluator)
   *   matcher  := label ("="|"!="|"=~") '"' value '"'
   *   range    := "[" dur "]"        dur := int ("s"|"m"|"h")
   *
@@ -68,7 +70,8 @@ object Promql {
 
   sealed trait Expr
   case class Selector(metric: String, matchers: Seq[(String, String, String)],
-                      offsetSec: Long = 0L) extends Expr
+                      offsetSec: Long = 0L,
+                      atSec: Option[Long] = None) extends Expr
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long,
                        q: Double = 0.0) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
@@ -76,7 +79,8 @@ object Promql {
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false,
-                   bool: Boolean = false) extends Expr
+                   bool: Boolean = false,
+                   groupRight: Boolean = false) extends Expr
   case class Scalar(value: Double) extends Expr
   case class MathFn(fn: String, child: Expr, arg: Double = 0.0) extends Expr
   /** `absent(selector)`: 1 at every evaluation step where the selector
@@ -205,7 +209,8 @@ object Promql {
             else if (p.peekKeyword("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
             else (Seq.empty[String], Seq.empty[String])
           val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
-          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl, boolMod)
+          val gr = !gl && (if (p.peekKeyword("group_right")) { p.eat("group_right"); true } else false)
+          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl, boolMod, gr)
         case None => continue = false
       }
     }
@@ -300,11 +305,20 @@ object Promql {
       p.eat("[")
       val secs = p.duration()
       p.eat("]")
-      // PromQL places a range selector's offset after the brackets:
-      // `rate(click[5m] offset 1h)`
-      val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+      // PromQL places a range selector's offset/@ after the brackets:
+      // `rate(click[5m] offset 1h)`, `rate(click[5m] @ 1704067200)`
+      var off = sel.offsetSec
+      var at = sel.atSec
+      var more = true
+      while (more) {
+        if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+        else if (p.peek("@")) {
+          p.eat("@")
+          at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+        } else more = false
+      }
       p.eat(")")
-      RangeFunc(name, sel.copy(offsetSec = off), secs)
+      RangeFunc(name, sel.copy(offsetSec = off, atSec = at), secs)
     } else parseSelectorTail(p, name)
   }
 
@@ -324,8 +338,18 @@ object Promql {
       }
       p.eat("}")
     }
-    val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else 0L
-    Selector(metric, ms.toSeq, off)
+    // offset and @ accept either order, as PromQL
+    var off = 0L
+    var at: Option[Long] = None
+    var more = true
+    while (more) {
+      if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+      else if (p.peek("@")) {
+        p.eat("@")
+        at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+      } else more = false
+    }
+    Selector(metric, ms.toSeq, off, at)
   }
 
   // ---- evaluator -------------------------------------------------------
@@ -386,31 +410,6 @@ object Promql {
     Scan.applyMatchers(shifted, sel.matchers)
   }
 
-  /** Per-window counter growth with Prometheus reset handling: between
-    * consecutive in-window samples, growth is `v - prev` normally and
-    * `v` after a reset (counter restarted from zero). The first sample
-    * of each window is the baseline (no extrapolation — stored-value
-    * exact on every engine).
-    *
-    * Documented divergence: a single-sample window emits increase 0
-    * where Prometheus emits no sample at all (funcRate needs >= 2
-    * points). The stored-value default keeps every observed series
-    * visible; [[extrapolatedIncrease]] (the Prometheus-parity mode)
-    * enforces the >= 2 rule and the edge extrapolation.
-    */
-  private def counterIncrease(samples: DataFrame, rangeSec: Long): DataFrame = {
-    val stepped = samples.withColumn("step", stepOf(col("ts"), rangeSec))
-    val w = Window.partitionBy("user_id", "step")
-      .orderBy(col("ts"), col("event_id"))
-    stepped
-      .withColumn("prev", lag("value", 1).over(w))
-      .withColumn("growth",
-        when(col("prev").isNull, lit(0.0))
-          .when(col("value") >= col("prev"), col("value") - col("prev"))
-          .otherwise(col("value")))
-      .groupBy(col("step"), col("user_id"))
-      .agg(exactSum(col("growth")).as("increase"))
-  }
 
   /** Prometheus's funcRate edge extrapolation (promql/functions.go
     * extrapolatedRate), the opt-in parity mode beside the stored-value
@@ -466,10 +465,75 @@ object Promql {
       .select(col("step"), col("user_id"), (col("inc") * factor).as("value"))
   }
 
+  /** Apply a range function to a step-tagged sample frame — the shared
+    * tail of the tumbling, stepped, and @-pinned evaluation paths.
+    *
+    * rate/increase use Prometheus reset handling: between consecutive
+    * in-window samples, growth is `v − prev` normally and `v` after a
+    * reset (counter restarted from zero); the first sample of each
+    * window is the baseline (no extrapolation — stored-value exact on
+    * every engine). Documented divergence: a single-sample window emits
+    * increase 0 where Prometheus emits no sample (funcRate needs >= 2
+    * points). The stored-value default keeps every observed series
+    * visible; [[extrapolatedIncrease]] (the Prometheus-parity mode)
+    * enforces the >= 2 rule and the edge extrapolation.
+    */
+  private def rangeApply(stepped: DataFrame, fn: String, rangeSec: Long,
+                         q: Double, winStart: Column, winEnd: Column): DataFrame =
+    fn match {
+      case "rate" | "increase" =>
+        val w = Window.partitionBy("user_id", "step")
+          .orderBy(col("ts"), col("event_id"))
+        val inc = stepped
+          .withColumn("prev", lag("value", 1).over(w))
+          .withColumn("growth",
+            when(col("prev").isNull, lit(0.0))
+              .when(col("value") >= col("prev"), col("value") - col("prev"))
+              .otherwise(col("value")))
+          .groupBy(col("step"), col("user_id"))
+          .agg(exactSum(col("growth")).as("increase"))
+        if (fn == "increase")
+          inc.select(col("step"), col("user_id"), col("increase").as("value"))
+        else
+          inc.select(col("step"), col("user_id"),
+            (col("increase") / lit(rangeSec.toDouble)).as("value"))
+      case "rate_extrapolated" | "increase_extrapolated" =>
+        extrapolatedIncrease(stepped, rangeSec,
+          isRate = fn == "rate_extrapolated", winStart, winEnd)
+      case _ =>
+        rangeOver(stepped, fn, q)
+    }
+
+  /** Cross the spec's step grid with a step-free fixed vector — the @
+    * modifier's "same value at every step" semantics. The fixed side is
+    * one instant vector (series-count rows): broadcast, no shuffle.
+    */
+  private def replicateAt(s: SparkSession, spec: EvalSpec,
+                          fixed: DataFrame): DataFrame = {
+    val steps = s.range(0, spec.maxK + 1)
+      .select((col("id") * spec.stepSec + spec.startSec).as("step"))
+    steps.crossJoin(broadcast(fixed))
+  }
+
+  /** Exact (lo, hi] window filter on the shifted time axis, in seconds. */
+  private def inWindow(loSec: Long, hiSec: Long): Column =
+    unix_micros(col("ts")) > loSec * 1000000L &&
+      unix_micros(col("ts")) <= hiSec * 1000000L
+
   /** Evaluate a parsed expression as an aligned-step range query.
     * Output: (step, [labels...], value).
     */
   def eval(s: SparkSession, dir: String, expr: Expr): DataFrame = expr match {
+    case sel: Selector if sel.atSec.isDefined =>
+      throw new IllegalArgumentException(
+        "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+    case RangeFunc(_, sel, _, _) if sel.atSec.isDefined =>
+      throw new IllegalArgumentException(
+        "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+    case AbsentFn(sel) if sel.atSec.isDefined =>
+      throw new IllegalArgumentException(
+        "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+
     case sel: Selector =>
       // instant-vector per step: last sample per series per step — a
       // max_by aggregation (map-side combinable), not a window sort
@@ -479,25 +543,11 @@ object Promql {
           struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
     case RangeFunc(fn, sel, rangeSec, q) =>
-      val samples = select(s, dir, sel)
-      fn match {
-        case "rate" =>
-          counterIncrease(samples, rangeSec)
-            .select(col("step"), col("user_id"),
-              (col("increase") / lit(rangeSec.toDouble)).as("value"))
-        case "increase" =>
-          counterIncrease(samples, rangeSec)
-            .select(col("step"), col("user_id"), col("increase").as("value"))
-        case "rate_extrapolated" | "increase_extrapolated" =>
-          // tumbling window [step, step + W)
-          extrapolatedIncrease(
-            samples.withColumn("step", stepOf(col("ts"), rangeSec)),
-            rangeSec, isRate = fn == "rate_extrapolated",
-            col("step").cast("double"),
-            (col("step") + rangeSec).cast("double"))
-        case _ =>
-          rangeOver(samples.withColumn("step", stepOf(col("ts"), rangeSec)), fn, q)
-      }
+      // tumbling window [step, step + W)
+      val stepped = select(s, dir, sel)
+        .withColumn("step", stepOf(col("ts"), rangeSec))
+      rangeApply(stepped, fn, rangeSec, q,
+        col("step").cast("double"), (col("step") + rangeSec).cast("double"))
 
     case AbsentFn(sel) =>
       // dense hour grid over the table's time span; a step is absent
@@ -524,16 +574,16 @@ object Promql {
 
     // vector-scalar: no join, a projected expression (or a filter for
     // comparisons without `bool`)
-    case BinOp(op, _, lhs, Scalar(v), _, _, b) if !setOps(op) =>
+    case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, lhs), op, v, scalarRight = true, b)
       else scalarArith(eval(s, dir, lhs), op, v, scalarRight = true)
-    case BinOp(op, _, Scalar(v), rhs, _, _, b) if !setOps(op) =>
+    case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, rhs), op, v, scalarRight = false, b)
       else scalarArith(eval(s, dir, rhs), op, v, scalarRight = false)
 
-    case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b) =>
+    case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
       // tumbling evaluation derives each side's step from its own range
       // window; joining 1h steps against 30m steps would silently drop
       // and misalign steps. PromQL evaluates both sides at the SAME
@@ -546,7 +596,7 @@ object Promql {
       val (le, re) = (eval(s, dir, lhs), eval(s, dir, rhs))
       if (setOps(op)) setOver(le, re, op, on, ignoring)
       else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
-      else binOver(le, re, op, on, ignoring, groupLeft)
+      else binOver(le, re, op, on, ignoring, groupLeft, gr)
   }
 
   /** Step granularities (sec) a tumbling evaluation of `e` produces:
@@ -558,7 +608,7 @@ object Promql {
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
-    case BinOp(_, _, l, r, _, _, _) => stepGrains(l) ++ stepGrains(r)
+    case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
   }
 
@@ -780,21 +830,35 @@ object Promql {
 
   /** Vector-vector binary op between two evaluated frames — shared by
     * the tumbling and stepped evaluators.
+    *
+    * Matching cardinality: plain matching keeps only the match keys
+    * (one-to-one); `group_left`/`group_right` keep every label of the
+    * many side (many-to-one / one-to-many). Prometheus ERRORS on
+    * many-to-one matches without a group modifier; graft instead joins
+    * on the keys — a duplicate-keyed side simply multiplies rows, which
+    * the caller sees in the output cardinality. Checking would cost a
+    * count-per-key pass over both sides on every binary op; documented
+    * divergence instead.
     */
   private def binOver(l: DataFrame, r: DataFrame, op: String, on: Seq[String],
-                      ignoring: Seq[String], groupLeft: Boolean): DataFrame = {
+                      ignoring: Seq[String], groupLeft: Boolean,
+                      groupRight: Boolean = false): DataFrame = {
     val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
     val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
     val matchLabels =
       if (on.nonEmpty) on
       else lLabels.intersect(rLabels).diff(ignoring)
     val keys = "step" +: matchLabels
-    // group_left keeps every lhs label (many-to-one); plain matching
-    // keeps only the match keys (one-to-one)
-    val outLabels = if (groupLeft) ("step" +: lLabels).distinct else keys
+    val outLabels =
+      if (groupLeft) ("step" +: lLabels).distinct
+      else if (groupRight) ("step" +: rLabels).distinct
+      else keys
+    val lKeep = if (groupLeft) outLabels else keys
+    val rKeep = if (groupRight) outLabels else keys
     val joined = l.withColumnRenamed("value", "v_l")
-      .select((outLabels :+ "v_l").distinct.map(col): _*)
-      .join(r.withColumnRenamed("value", "v_r").select((keys :+ "v_r").map(col): _*),
+      .select((lKeep :+ "v_l").distinct.map(col): _*)
+      .join(r.withColumnRenamed("value", "v_r")
+        .select((rKeep :+ "v_r").distinct.map(col): _*),
         keys)
     val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
     val v = op match {
@@ -858,6 +922,26 @@ object Promql {
     def bounds(windowSec: Long): Option[(Long, Long)] =
       Some((spec.startSec - windowSec, spec.endSec))
     expr match {
+      // @ modifier: the selector evaluates at the FIXED time, and the
+      // resulting vector is replicated across the spec's step grid
+      case sel: Selector if sel.atSec.isDefined =>
+        val t = sel.atSec.get
+        val fixed = select(s, dir, sel, Some((t - spec.lookbackSec, t)))
+          .filter(inWindow(t - spec.lookbackSec, t))
+          .groupBy(col("user_id"))
+          .agg(max_by(col("value"),
+            struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+        replicateAt(s, spec, fixed)
+
+      case RangeFunc(fn, sel, rangeSec, q) if sel.atSec.isDefined =>
+        val t = sel.atSec.get
+        val pinned = select(s, dir, sel, Some((t - rangeSec, t)))
+          .filter(inWindow(t - rangeSec, t))
+          .withColumn("step", lit(t))
+        val res = rangeApply(pinned, fn, rangeSec, q,
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
+        replicateAt(s, spec, res.drop("step"))
+
       case sel: Selector =>
         // instant vector at step t: most recent sample in (t−lookback, t]
         coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
@@ -866,33 +950,10 @@ object Promql {
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
       case RangeFunc(fn, sel, rangeSec, q) =>
+        // lookback window (step − W, step]
         val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
-        fn match {
-          case "rate" | "increase" =>
-            val w = Window.partitionBy("user_id", "step")
-              .orderBy(col("ts"), col("event_id"))
-            val inc = covered
-              .withColumn("prev", lag("value", 1).over(w))
-              .withColumn("growth",
-                when(col("prev").isNull, lit(0.0))
-                  .when(col("value") >= col("prev"), col("value") - col("prev"))
-                  .otherwise(col("value")))
-              .groupBy(col("step"), col("user_id"))
-              .agg(exactSum(col("growth")).as("increase"))
-            if (fn == "increase")
-              inc.select(col("step"), col("user_id"), col("increase").as("value"))
-            else
-              inc.select(col("step"), col("user_id"),
-                (col("increase") / lit(rangeSec.toDouble)).as("value"))
-          case "rate_extrapolated" | "increase_extrapolated" =>
-            // lookback window (step − W, step]
-            extrapolatedIncrease(covered, rangeSec,
-              isRate = fn == "rate_extrapolated",
-              (col("step") - rangeSec).cast("double"),
-              col("step").cast("double"))
-          case _ =>
-            rangeOver(covered, fn, q)
-        }
+        rangeApply(covered, fn, rangeSec, q,
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
 
       case AbsentFn(sel) =>
         // the spec's step grid minus the steps any lookback sample serves
@@ -914,19 +975,19 @@ object Promql {
         throw new IllegalArgumentException(
           "a bare scalar is not a range query; combine it with a vector")
 
-      case BinOp(op, _, lhs, Scalar(v), _, _, b) if !setOps(op) =>
+      case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, lhs, spec), op, v, scalarRight = true, b)
         else scalarArith(evalAt(s, dir, lhs, spec), op, v, scalarRight = true)
-      case BinOp(op, _, Scalar(v), rhs, _, _, b) if !setOps(op) =>
+      case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, rhs, spec), op, v, scalarRight = false, b)
         else scalarArith(evalAt(s, dir, rhs, spec), op, v, scalarRight = false)
-      case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b) =>
+      case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
         val (le, re) = (evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec))
         if (setOps(op)) setOver(le, re, op, on, ignoring)
         else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
-        else binOver(le, re, op, on, ignoring, groupLeft)
+        else binOver(le, re, op, on, ignoring, groupLeft, gr)
     }
   }
 

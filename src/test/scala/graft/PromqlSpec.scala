@@ -466,6 +466,43 @@ class PromqlSpec extends AnyFunSuite {
     assert(math.abs(tumb(1L) - 5.0 * 160.0 / 120.0) < 1e-12, s"got ${tumb.get(1L)}")
   }
 
+  test("group_right mirrors group_left with the sides swapped") {
+    val gl = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) / ignoring(user_id) group_left sum(sum_over_time(purchase[1h]))")
+    val gr = Promql.query(spark, sf,
+      "sum(sum_over_time(purchase[1h])) / ignoring(user_id) group_right sum_over_time(purchase[1h])")
+    assert(gr.columns.toSeq === gl.columns.toSeq)
+    // gl is share per user; gr is total/user value — their product is 1
+    val j = gl.withColumnRenamed("value", "a").join(gr, Seq("step", "user_id"))
+    assert(j.filter(abs(col("a") * col("value") - 1.0) > 1e-9).count() === 0)
+    assert(gr.count() === gl.count())
+  }
+
+  test("@ modifier pins evaluation time; value replicated across the grid") {
+    val t0 = 1704067200L
+    val tmp = "/root/repo/target/tmp/promql_stepped_events" // written above
+    val spec = Promql.EvalSpec(t0, t0 + 300L, 60L, lookbackSec = 300L)
+    // instant at t0: the three series' 1.0 samples — sum 3 at EVERY step
+    val at = Promql.queryAt(spark, tmp, "sum(click @ " + t0 + ")", spec)
+      .collect().map(r => (r.getLong(0) - t0, r.getDouble(1))).sortBy(_._1)
+    assert(at.toSeq === (0 to 5).map(i => (i * 60L, 3.0)), s"got ${at.toSeq}")
+    // range function pinned at t0+120: window (t0, t0+120] holds only
+    // series 1's newer sample
+    val cnt = Promql.queryAt(spark, tmp,
+      s"count_over_time(click[2m] @ ${t0 + 120})", spec)
+      .groupBy("step").agg(sum("value").as("n")).collect()
+      .map(r => (r.getLong(0) - t0, r.getDouble(1))).sortBy(_._1)
+    assert(cnt.toSeq === (0 to 5).map(i => (i * 60L, 1.0)), s"got ${cnt.toSeq}")
+    // parses in either modifier order; tumbling eval rejects @
+    assert(Promql.parse(s"click offset 5m @ $t0") ===
+      Promql.Selector("click", Seq.empty, 300L, Some(t0)))
+    assert(Promql.parse(s"click @ $t0 offset 5m") ===
+      Promql.Selector("click", Seq.empty, 300L, Some(t0)))
+    val e = intercept[IllegalArgumentException](
+      Promql.query(spark, tmp, s"sum(click @ $t0)"))
+    assert(e.getMessage.contains("queryAt"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
