@@ -425,6 +425,26 @@ object OracleSql {
         |  FROM v WHERE rn = 1)
         |SELECT st.step, agg.value
         |FROM (SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step) st, agg""".stripMargin,
+    "q_promql_subquery" ->
+      """WITH isteps AS (
+        |  SELECT unnest(generate_series(1704063600, 1704153600, 1800)) AS istep),
+        |cov AS (
+        |  SELECT i.istep, e.user_id, e.value,
+        |         row_number() OVER (PARTITION BY i.istep, e.user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events e JOIN isteps i
+        |    ON epoch_us(e.ts) <= i.istep * 1000000
+        |   AND epoch_us(e.ts) >  (i.istep - 7200) * 1000000
+        |  WHERE e.event_type = 'click'),
+        |inner_v AS (
+        |  SELECT istep, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM cov WHERE rn = 1 GROUP BY 1),
+        |osteps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step)
+        |SELECT o.step, MAX(iv.v) AS value
+        |FROM osteps o JOIN inner_v iv
+        |  ON iv.istep <= o.step AND iv.istep > o.step - 3600
+        |GROUP BY 1""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -104,6 +104,9 @@ object SparkEntry {
     "q_promql_at" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "sum(click @ 1704100000)",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
+    "q_promql_subquery" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "max_over_time(sum(click)[1h:30m])",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -35,8 +35,13 @@ import graft.Tables
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
   *                "changes"|"resets"|"delta"|"deriv"|
   *                "rate_extrapolated"|"increase_extrapolated")
-  *               "(" selector range ")"
-  *             | "quantile_over_time" "(" number "," selector range ")"
+  *               "(" (selector range | expr "[" dur ":" dur "]") ")"
+  *               (the second form is a SUBQUERY: the inner expr
+  *                evaluates on the aligned inner-step grid, the outer
+  *                function ranges over those evaluations; needs the
+  *                stepped evaluator)
+  *             | "quantile_over_time" "(" number ","
+  *                 (selector range | expr "[" dur ":" dur "]") ")"
   *   selector := metric [ "{" matcher ("," matcher)* "}" ]
   *               ["offset" dur] ["@" epoch-sec]     (either order; a
   *               range selector's modifiers go after the brackets:
@@ -87,6 +92,13 @@ object Promql {
     * matches no samples.
     */
   case class AbsentFn(sel: Selector) extends Expr
+  /** `fn(expr[rangeSec:stepSec])` — a PromQL subquery: the inner expr
+    * evaluates as an instant vector on the stepSec-aligned grid, and
+    * the outer range function aggregates the inner evaluations in each
+    * (t − range, t] window.
+    */
+  case class SubqueryFunc(fn: String, child: Expr, rangeSec: Long,
+                          stepSec: Long, q: Double = 0.0) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -264,11 +276,24 @@ object Promql {
       val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
       if (phi < 0.0 || phi > 1.0) p.fail("quantile must be in [0,1]")
       p.eat(",")
-      val sel = parseSelector(p)
-      p.eat("["); val secs = p.duration(); p.eat("]")
-      val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
-      p.eat(")")
-      RangeFunc("quantile_over_time", sel.copy(offsetSec = off), secs, phi)
+      val arg = parseExpr(p)
+      p.eat("["); val secs = p.duration()
+      if (p.peek(":")) {
+        p.eat(":")
+        val innerStep = p.duration()
+        p.eat("]"); p.eat(")")
+        SubqueryFunc("quantile_over_time", arg, secs, innerStep, phi)
+      } else {
+        p.eat("]")
+        val sel = arg match {
+          case s: Selector => s
+          case _ => p.fail("a range selector needs a plain selector; " +
+            "use [range:step] to range over an expression (subquery)")
+        }
+        val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+        p.eat(")")
+        RangeFunc("quantile_over_time", sel.copy(offsetSec = off), secs, phi)
+      }
     } else if (name == "histogram_quantile") {
       // the data model stores VALUE histograms, not le-bucketed counter
       // series, so histogram_quantile evaluates as the exact discrete
@@ -301,24 +326,38 @@ object Promql {
       Agg(name, by, child, without = without)
     } else if (rangeFns(name)) {
       p.eat("(")
-      val sel = parseSelector(p)
+      // the argument is a plain selector (range selector) or any expr
+      // followed by [range:step] (subquery) — parseExpr stops at '['
+      val arg = parseExpr(p)
       p.eat("[")
       val secs = p.duration()
-      p.eat("]")
-      // PromQL places a range selector's offset/@ after the brackets:
-      // `rate(click[5m] offset 1h)`, `rate(click[5m] @ 1704067200)`
-      var off = sel.offsetSec
-      var at = sel.atSec
-      var more = true
-      while (more) {
-        if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
-        else if (p.peek("@")) {
-          p.eat("@")
-          at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
-        } else more = false
+      if (p.peek(":")) {
+        p.eat(":")
+        val innerStep = p.duration()
+        p.eat("]"); p.eat(")")
+        SubqueryFunc(name, arg, secs, innerStep)
+      } else {
+        p.eat("]")
+        val sel = arg match {
+          case s: Selector => s
+          case _ => p.fail("a range selector needs a plain selector; " +
+            "use [range:step] to range over an expression (subquery)")
+        }
+        // PromQL places a range selector's offset/@ after the brackets:
+        // `rate(click[5m] offset 1h)`, `rate(click[5m] @ 1704067200)`
+        var off = sel.offsetSec
+        var at = sel.atSec
+        var more = true
+        while (more) {
+          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+          else if (p.peek("@")) {
+            p.eat("@")
+            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+          } else more = false
+        }
+        p.eat(")")
+        RangeFunc(name, sel.copy(offsetSec = off, atSec = at), secs)
       }
-      p.eat(")")
-      RangeFunc(name, sel.copy(offsetSec = off, atSec = at), secs)
     } else parseSelectorTail(p, name)
   }
 
@@ -533,6 +572,9 @@ object Promql {
     case AbsentFn(sel) if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+    case _: SubqueryFunc =>
+      throw new IllegalArgumentException(
+        "subqueries need an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
 
     case sel: Selector =>
       // instant-vector per step: last sample per series per step — a
@@ -606,6 +648,7 @@ object Promql {
     case _: Selector => Set(3600L)
     case _: AbsentFn => Set(3600L)
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
+    case SubqueryFunc(_, _, rangeSec, _, _) => Set(rangeSec)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
@@ -911,6 +954,24 @@ object Promql {
       .drop("k_min", "k_max", "k")
   }
 
+  /** Like [[coveringSteps]], but for an already-evaluated vector whose
+    * time axis is the whole-second column `tSec` (a subquery's inner
+    * steps): explode each row to the spec steps whose (t − W, t] window
+    * contains it.
+    */
+  private def coveringStepsOf(df: DataFrame, spec: EvalSpec, windowSec: Long,
+                              tSec: Column): DataFrame = {
+    val delta = (tSec - spec.startSec).cast("double")
+    val kMin = greatest(lit(0L), ceil(delta / spec.stepSec).cast("long"))
+    val kMax = least(lit(spec.maxK),
+      (ceil((delta + windowSec) / spec.stepSec) - 1).cast("long"))
+    df.withColumn("k_min", kMin).withColumn("k_max", kMax)
+      .filter(col("k_min") <= col("k_max"))
+      .withColumn("k", explode(sequence(col("k_min"), col("k_max"))))
+      .withColumn("step", col("k") * spec.stepSec + spec.startSec)
+      .drop("k_min", "k_max", "k")
+  }
+
   /** Evaluate at the spec's aligned steps — true PromQL range-query
     * semantics (per-step lookback / overlapping range windows) instead
     * of the default tumbling evaluation.
@@ -954,6 +1015,29 @@ object Promql {
         val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
         rangeApply(covered, fn, rangeSec, q,
           (col("step") - rangeSec).cast("double"), col("step").cast("double"))
+
+      case SubqueryFunc(fn, child, rangeSec, stepSec, q) =>
+        // inner expr evaluates on the ABSOLUTE stepSec-aligned grid
+        // covering [start − range, end] (Prometheus aligns subquery
+        // steps to multiples of the resolution, not to the outer steps)
+        val iStart = Math.ceil((spec.startSec - rangeSec).toDouble / stepSec).toLong * stepSec
+        val iEnd = Math.floorDiv(spec.endSec, stepSec) * stepSec
+        require(iEnd >= iStart,
+          s"subquery [${rangeSec}s:${stepSec}s] has no aligned inner steps in the spec range")
+        val inner = evalAt(s, dir, child, spec.copy(startSec = iStart, endSec = iEnd,
+          stepSec = stepSec)).withColumnRenamed("step", "istep")
+        // the outer range function then runs over inner evaluations as
+        // if they were samples: ts = the inner step, tiebreak = istep
+        // (unique per series per window)
+        val hasSeries = inner.columns.contains("user_id")
+        val prepped0 = coveringStepsOf(inner, spec, rangeSec, col("istep"))
+          .withColumn("ts", timestamp_seconds(col("istep")))
+          .withColumn("event_id", col("istep"))
+          .drop("istep")
+        val prepped = if (hasSeries) prepped0 else prepped0.withColumn("user_id", lit(-1L))
+        val res = rangeApply(prepped, fn, rangeSec, q,
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
+        if (hasSeries) res else res.drop("user_id")
 
       case AbsentFn(sel) =>
         // the spec's step grid minus the steps any lookback sample serves

@@ -503,6 +503,38 @@ class PromqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("queryAt"))
   }
 
+  test("subqueries: outer range functions over inner evaluations") {
+    val t0 = 1704067200L
+    val tmp = "/root/repo/target/tmp/promql_stepped_events" // written above
+    val spec = Promql.EvalSpec(t0 + 240L, t0 + 240L, 60L, lookbackSec = 300L)
+    // inner sum(click) on the 1m grid: 3.0 at t0,+60; 7.0 from +120 on.
+    // outer window (t0, t0+240] sees inner steps +60..+240 → 3,7,7,7
+    def one(q: String): Double = {
+      val rows = Promql.queryAt(spark, tmp, q, spec).collect()
+      assert(rows.length === 1, s"$q: ${rows.toSeq}")
+      rows.head.getDouble(1)
+    }
+    assert(one("max_over_time(sum(click)[4m:1m])") === 7.0)
+    assert(one("min_over_time(sum(click)[4m:1m])") === 3.0)
+    assert(one("sum_over_time(sum(click)[4m:1m])") === 24.0)
+    assert(one("avg_over_time(sum(click)[4m:1m])") === 6.0)
+    assert(one("count_over_time(sum(click)[4m:1m])") === 4.0)
+    assert(one("last_over_time(sum(click)[4m:1m])") === 7.0)
+    // a per-series subquery keeps the series label
+    val per = Promql.queryAt(spark, tmp, "max_over_time(click[4m:1m])", spec)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(per === Map(1L -> 5.0, 2L -> 1.0, 3L -> 1.0), per.toString)
+    // parser: nested function as subquery child
+    assert(Promql.parse("max_over_time(rate(click[5m])[1h:5m])") ===
+      Promql.SubqueryFunc("max_over_time",
+        Promql.RangeFunc("rate", Promql.Selector("click", Seq.empty), 300L),
+        3600L, 300L))
+    // tumbling eval rejects subqueries toward queryAt
+    val e = intercept[IllegalArgumentException](
+      Promql.query(spark, tmp, "max_over_time(sum(click)[1h:5m])"))
+    assert(e.getMessage.contains("queryAt"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
