@@ -28,28 +28,41 @@ object SortedWriter {
 
   private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Sorted write: events laid out by (event_type, user_id, ts), with
-    * parquet bloom filters on the point-lookup columns — the reference
-    * writes one bloom filter per label (reference: db/writer.go).
-    * parquet-mr only materializes a bloom when the column is NOT fully
-    * dictionary-encoded (the dictionary already gives exact membership),
-    * which is exactly the right behavior: at production cardinalities
-    * the label/id columns outgrow the dictionary and the bloom takes
-    * over row-group skipping. event_id (unique) models that case here,
-    * with dictionary encoding off to match its production shape.
+  /** Columns that get a parquet bloom filter by default: the
+    * point-lookup ids. `event_id` additionally turns dictionary
+    * encoding off to model its production shape (unique values never
+    * dictionary-encode at scale).
     */
-  def writeSorted(s: SparkSession, dir: String, out: String): Unit =
-    Tables.events(s, dir)
+  val DefaultBloomCols: Seq[String] = Seq("event_id", "user_id")
+
+  /** Sorted write: events laid out by (event_type, user_id, ts), with
+    * parquet bloom filters per label column — the reference configures
+    * one bloom filter per label (reference: db/writer.go); `bloomCols`
+    * is that per-label knob. parquet-mr only materializes a bloom when
+    * the column is NOT fully dictionary-encoded (the dictionary already
+    * gives exact membership), which is exactly the right behavior: at
+    * production cardinalities the label/id columns outgrow the
+    * dictionary and the bloom takes over row-group skipping. event_id
+    * (unique) models that case here, with dictionary encoding off to
+    * match its production shape.
+    */
+  def writeSorted(s: SparkSession, dir: String, out: String,
+                  bloomCols: Seq[String] = DefaultBloomCols): Unit = {
+    val base = Tables.events(s, dir)
       .drop("ts_ns") // reader-side helper column, not part of the layout
       .repartitionByRange(
         ChunkStore.targetPartitions(s, s"$dir/events.parquet"),
         col("event_type"), col("user_id"))
       .sortWithinPartitions("event_type", "user_id", "ts")
       .write.mode(SaveMode.Overwrite)
-      .option("parquet.bloom.filter.enabled#event_id", "true")
-      .option("parquet.enable.dictionary#event_id", "false")
-      .option("parquet.bloom.filter.enabled#user_id", "true")
-      .parquet(out)
+    val withBlooms = bloomCols.foldLeft(base)(
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    val writer =
+      if (bloomCols.contains("event_id"))
+        withBlooms.option("parquet.enable.dictionary#event_id", "false")
+      else withBlooms
+    writer.parquet(out)
+  }
 
   /** Query wrapper: write sorted, read back — content must equal the
     * source (oracle: plain SELECT on events).

@@ -66,6 +66,21 @@ class SortedWriterSpec extends AnyFunSuite {
       // must not pay for blooms either
       assert(bloomOf("value") <= 0, "unconfigured columns should not pay for blooms")
     } finally reader.close()
+    // the per-label knob: an empty bloomCols writes no blooms at all
+    val outNone = "/root/repo/target/tmp/test_sorted_nobloom"
+    SortedWriter.writeSorted(spark, sf, outNone, bloomCols = Seq.empty)
+    val f2 = new java.io.File(outNone).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val r2 = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f2.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val none = r2.getFooter.getBlocks.get(0).getColumns.asScala
+      assert(none.forall(_.getBloomFilterOffset <= 0),
+        "bloomCols = empty must write no bloom filters")
+    } finally r2.close()
   }
 
   test("part writer lays out part.N.parquet + part.N.metadata; compact merges") {
