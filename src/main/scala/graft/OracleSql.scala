@@ -445,6 +445,30 @@ object OracleSql {
         |FROM osteps o JOIN inner_v iv
         |  ON iv.istep <= o.step AND iv.istep > o.step - 3600
         |GROUP BY 1""".stripMargin,
+    "q_promql_multimetric" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         user_id, event_type,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE regexp_full_match(event_type, 'click|view')
+        |  GROUP BY 1, 2, 3)
+        |SELECT step, event_type,
+        |       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM per GROUP BY 1, 2""".stripMargin,
+    "q_promql_topk_by" ->
+      """WITH per AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step,
+        |         user_id, event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE regexp_full_match(event_type, 'click|purchase')
+        |  GROUP BY 1, 2, 3)
+        |SELECT step, user_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY step, event_type
+        |                               ORDER BY value DESC, user_id, event_type) AS rn
+        |  FROM per)
+        |WHERE rn <= 2""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

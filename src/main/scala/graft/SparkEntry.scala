@@ -107,6 +107,11 @@ object SparkEntry {
     "q_promql_subquery" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "max_over_time(sum(click)[1h:30m])",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
+    // metric-less selectors: event_type stays a series label
+    "q_promql_multimetric" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sum by (event_type)(count_over_time({event_type=~"click|view"}[1h]))""")),
+    "q_promql_topk_by" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """topk by (event_type) (2, sum_over_time({event_type=~"click|purchase"}[1d]))""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -42,7 +42,10 @@ import graft.Tables
   *                stepped evaluator)
   *             | "quantile_over_time" "(" number ","
   *                 (selector range | expr "[" dur ":" dur "]") ")"
-  *   selector := metric [ "{" matcher ("," matcher)* "}" ]
+  *   selector := (metric | "") [ "{" matcher ("," matcher)* "}" ]
+  *               (metric-less form: `{event_type=~"click|view"}` —
+  *                event_type stays a series label; `__name__` matchers
+  *                map to the metric column)
   *               ["offset" dur] ["@" epoch-sec]     (either order; a
   *               range selector's modifiers go after the brackets:
   *               `rate(click[5m] offset 1h)`. @ pins the evaluation
@@ -242,6 +245,9 @@ object Promql {
       p.eat("("); val e = parseExpr(p); p.eat(")"); return e
     }
     p.number().foreach(v => return Scalar(v))
+    // metric-less selector: `{event_type=~"click|view"}` — matchers
+    // only; event_type (the metric-name label) stays a series label
+    if (p.peek("{")) return parseSelectorTail(p, "")
     val name = p.ident()
     if (mathFns(name)) {
       p.eat("(")
@@ -368,7 +374,10 @@ object Promql {
     if (p.peek("{")) {
       p.eat("{")
       while (!p.peek("}")) {
-        val l = p.ident()
+        val l0 = p.ident()
+        // PromQL's reserved metric-name label maps to the data model's
+        // metric column
+        val l = if (l0 == "__name__") "event_type" else l0
         val op = if (p.peek("!=")) { p.eat("!="); "!=" }
           else if (p.peek("=~")) { p.eat("=~"); "=~" }
           else { p.eat("="); "=" }
@@ -434,9 +443,19 @@ object Promql {
     * the exact per-step windows; `coveringSteps` still does the exact
     * (t − W, t] assignment.
     */
+  /** The series-identity label columns an evaluation of `sel` carries:
+    * a named metric fixes event_type (so user_id is the only label); a
+    * metric-less selector keeps event_type as a label, PromQL's
+    * __name__.
+    */
+  private def seriesLabels(sel: Selector): Seq[String] =
+    if (sel.metric.isEmpty) Seq("user_id", "event_type") else Seq("user_id")
+
   private def select(s: SparkSession, dir: String, sel: Selector,
                      boundsSec: Option[(Long, Long)] = None): DataFrame = {
-    val base0 = Tables.events(s, dir).filter(col("event_type") === sel.metric)
+    val base0 =
+      if (sel.metric.isEmpty) Tables.events(s, dir)
+      else Tables.events(s, dir).filter(col("event_type") === sel.metric)
     val base = boundsSec.fold(base0) { case (loSec, hiSec) =>
       base0
         .filter(col("ts_ns") >= (loSec - sel.offsetSec) * 1000000000L)
@@ -467,8 +486,9 @@ object Promql {
     */
   private def extrapolatedIncrease(stepped: DataFrame, rangeSec: Long,
                                    isRate: Boolean, windowStart: Column,
-                                   windowEnd: Column): DataFrame = {
-    val w = Window.partitionBy("user_id", "step")
+                                   windowEnd: Column,
+                                   labels: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((labels :+ "step").map(col): _*)
       .orderBy(col("ts"), col("event_id"))
     val tkey = struct(unix_micros(col("ts")), col("event_id"))
     val g = stepped
@@ -477,7 +497,7 @@ object Promql {
         when(col("prev").isNull, lit(0.0))
           .when(col("value") >= col("prev"), col("value") - col("prev"))
           .otherwise(col("value")))
-      .groupBy(col("step"), col("user_id"))
+      .groupBy(("step" +: labels).map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         exactSum(col("growth")).as("inc"),
@@ -501,7 +521,7 @@ object Promql {
     val factor0 = (sampledInterval + durStart + durEnd) / sampledInterval
     val factor = if (isRate) factor0 / lit(rangeSec.toDouble) else factor0
     g.filter(sampledInterval > 0.0)
-      .select(col("step"), col("user_id"), (col("inc") * factor).as("value"))
+      .select(("step" +: labels).map(col) :+ (col("inc") * factor).as("value"): _*)
   }
 
   /** Apply a range function to a step-tagged sample frame — the shared
@@ -518,10 +538,11 @@ object Promql {
     * enforces the >= 2 rule and the edge extrapolation.
     */
   private def rangeApply(stepped: DataFrame, fn: String, rangeSec: Long,
-                         q: Double, winStart: Column, winEnd: Column): DataFrame =
+                         q: Double, winStart: Column, winEnd: Column,
+                         labels: Seq[String] = Seq("user_id")): DataFrame =
     fn match {
       case "rate" | "increase" =>
-        val w = Window.partitionBy("user_id", "step")
+        val w = Window.partitionBy((labels :+ "step").map(col): _*)
           .orderBy(col("ts"), col("event_id"))
         val inc = stepped
           .withColumn("prev", lag("value", 1).over(w))
@@ -529,18 +550,18 @@ object Promql {
             when(col("prev").isNull, lit(0.0))
               .when(col("value") >= col("prev"), col("value") - col("prev"))
               .otherwise(col("value")))
-          .groupBy(col("step"), col("user_id"))
+          .groupBy(("step" +: labels).map(col): _*)
           .agg(exactSum(col("growth")).as("increase"))
         if (fn == "increase")
-          inc.select(col("step"), col("user_id"), col("increase").as("value"))
+          inc.select(("step" +: labels).map(col) :+ col("increase").as("value"): _*)
         else
-          inc.select(col("step"), col("user_id"),
-            (col("increase") / lit(rangeSec.toDouble)).as("value"))
+          inc.select(("step" +: labels).map(col) :+
+            (col("increase") / lit(rangeSec.toDouble)).as("value"): _*)
       case "rate_extrapolated" | "increase_extrapolated" =>
         extrapolatedIncrease(stepped, rangeSec,
-          isRate = fn == "rate_extrapolated", winStart, winEnd)
+          isRate = fn == "rate_extrapolated", winStart, winEnd, labels)
       case _ =>
-        rangeOver(stepped, fn, q)
+        rangeOver(stepped, fn, q, labels)
     }
 
   /** Cross the spec's step grid with a step-free fixed vector — the @
@@ -580,7 +601,7 @@ object Promql {
       // instant-vector per step: last sample per series per step — a
       // max_by aggregation (map-side combinable), not a window sort
       select(s, dir, sel)
-        .groupBy(stepHour(col("ts")), col("user_id"))
+        .groupBy(stepHour(col("ts")) +: seriesLabels(sel).map(col): _*)
         .agg(max_by(col("value"),
           struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
@@ -589,7 +610,8 @@ object Promql {
       val stepped = select(s, dir, sel)
         .withColumn("step", stepOf(col("ts"), rangeSec))
       rangeApply(stepped, fn, rangeSec, q,
-        col("step").cast("double"), (col("step") + rangeSec).cast("double"))
+        col("step").cast("double"), (col("step") + rangeSec).cast("double"),
+        seriesLabels(sel))
 
     case AbsentFn(sel) =>
       // dense hour grid over the table's time span; a step is absent
@@ -662,9 +684,11 @@ object Promql {
     * (series, step) — cardinality ≫ cores. quantile_over_time is the
     * same two-phase histogram shape as the cross-series quantile.
     */
-  private def rangeOver(stepped: DataFrame, fn: String, q: Double): DataFrame = {
+  private def rangeOver(stepped: DataFrame, fn: String, q: Double,
+                        labels: Seq[String] = Seq("user_id")): DataFrame = {
     val tkey = struct(unix_micros(col("ts")), col("event_id"))
-    def grouped = stepped.groupBy(col("step"), col("user_id"))
+    val keyCols = ("step" +: labels).map(col)
+    def grouped = stepped.groupBy(keyCols: _*)
     fn match {
       case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
       case "sum_over_time"   => grouped.agg(exactSum(col("value")).as("value"))
@@ -684,12 +708,13 @@ object Promql {
         val guarded = greatest(lit(0.0), variance)
         grouped.agg((if (fn == "stddev_over_time") sqrt(guarded) else guarded).as("value"))
       case "changes" | "resets" =>
-        val w = Window.partitionBy("user_id", "step").orderBy(col("ts"), col("event_id"))
+        val w = Window.partitionBy((labels :+ "step").map(col): _*)
+          .orderBy(col("ts"), col("event_id"))
         val cond =
           if (fn == "changes") col("prev").isNotNull && col("prev") =!= col("value")
           else col("prev").isNotNull && col("value") < col("prev")
         stepped.withColumn("prev", lag("value", 1).over(w))
-          .groupBy(col("step"), col("user_id"))
+          .groupBy(keyCols: _*)
           .agg(sum(when(cond, 1L).otherwise(0L)).cast("double").as("value"))
       case "deriv" =>
         // least-squares slope (value/sec); x is the offset from the
@@ -697,7 +722,7 @@ object Promql {
         // Prometheus requires >= 2 points; zero time spread is undefined.
         val g = stepped
           .withColumn("x", unix_timestamp(col("ts")) - col("step"))
-          .groupBy(col("step"), col("user_id"))
+          .groupBy(keyCols: _*)
           .agg(
             count(lit(1)).as("n"),
             sum(col("x")).as("sx"),
@@ -707,10 +732,10 @@ object Promql {
         val n = col("n").cast("double")
         val den = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
         g.filter(col("n") >= 2 && den =!= 0.0)
-          .select(col("step"), col("user_id"),
-            ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("value"))
+          .select(keyCols :+
+            ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("value"): _*)
       case "quantile_over_time" =>
-        val keys = Seq("step", "user_id")
+        val keys = "step" +: labels
         val hist = stepped.groupBy((keys :+ "value").map(col): _*)
           .agg(count(lit(1)).as("cnt"))
         val byKey = Window.partitionBy(keys.map(col): _*)
@@ -989,7 +1014,7 @@ object Promql {
         val t = sel.atSec.get
         val fixed = select(s, dir, sel, Some((t - spec.lookbackSec, t)))
           .filter(inWindow(t - spec.lookbackSec, t))
-          .groupBy(col("user_id"))
+          .groupBy(seriesLabels(sel).map(col): _*)
           .agg(max_by(col("value"),
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
         replicateAt(s, spec, fixed)
@@ -1000,13 +1025,14 @@ object Promql {
           .filter(inWindow(t - rangeSec, t))
           .withColumn("step", lit(t))
         val res = rangeApply(pinned, fn, rangeSec, q,
-          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"),
+          seriesLabels(sel))
         replicateAt(s, spec, res.drop("step"))
 
       case sel: Selector =>
         // instant vector at step t: most recent sample in (t−lookback, t]
         coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
-          .groupBy(col("step"), col("user_id"))
+          .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
           .agg(max_by(col("value"),
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
@@ -1014,7 +1040,8 @@ object Promql {
         // lookback window (step − W, step]
         val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
         rangeApply(covered, fn, rangeSec, q,
-          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"),
+          seriesLabels(sel))
 
       case SubqueryFunc(fn, child, rangeSec, stepSec, q) =>
         // inner expr evaluates on the ABSOLUTE stepSec-aligned grid
@@ -1029,15 +1056,14 @@ object Promql {
         // the outer range function then runs over inner evaluations as
         // if they were samples: ts = the inner step, tiebreak = istep
         // (unique per series per window)
-        val hasSeries = inner.columns.contains("user_id")
-        val prepped0 = coveringStepsOf(inner, spec, rangeSec, col("istep"))
+        val innerLabels = inner.columns.filter(c => c != "istep" && c != "value").toSeq
+        val prepped = coveringStepsOf(inner, spec, rangeSec, col("istep"))
           .withColumn("ts", timestamp_seconds(col("istep")))
           .withColumn("event_id", col("istep"))
           .drop("istep")
-        val prepped = if (hasSeries) prepped0 else prepped0.withColumn("user_id", lit(-1L))
-        val res = rangeApply(prepped, fn, rangeSec, q,
-          (col("step") - rangeSec).cast("double"), col("step").cast("double"))
-        if (hasSeries) res else res.drop("user_id")
+        rangeApply(prepped, fn, rangeSec, q,
+          (col("step") - rangeSec).cast("double"), col("step").cast("double"),
+          innerLabels)
 
       case AbsentFn(sel) =>
         // the spec's step grid minus the steps any lookback sample serves

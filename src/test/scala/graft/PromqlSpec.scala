@@ -535,6 +535,33 @@ class PromqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("queryAt"))
   }
 
+  test("metric-less selectors keep event_type as a series label") {
+    val df = Promql.query(spark, sf, """sum_over_time({event_type=~"click|view"}[1h])""")
+    assert(df.columns.toSeq === Seq("step", "user_id", "event_type", "value"))
+    assert(df.select("event_type").distinct().collect().map(_.getString(0)).toSet
+      === Set("click", "view"))
+    // equals the union of the two per-metric evaluations
+    val c = Promql.query(spark, sf, "sum_over_time(click[1h])")
+      .withColumn("event_type", lit("click"))
+    val v = Promql.query(spark, sf, "sum_over_time(view[1h])")
+      .withColumn("event_type", lit("view"))
+    val u = c.unionByName(v).select("step", "user_id", "event_type", "value")
+    assert(df.exceptAll(u).count() === 0 && u.exceptAll(df).count() === 0)
+    // __name__ maps to the metric column
+    assert(Promql.parse("""{__name__="click"}""") ===
+      Promql.Selector("", Seq(("event_type", "=", "click"))))
+    // by(event_type) aggregation is non-degenerate now
+    val by = Promql.query(spark, sf,
+      """sum by (event_type)(count_over_time({event_type=~"click|view"}[1h]))""")
+    assert(by.columns.toSeq === Seq("step", "event_type", "value"))
+    assert(by.select("event_type").distinct().count() === 2)
+    // topk by(event_type) ranks within each metric group
+    val tk = Promql.query(spark, sf,
+      """topk by (event_type) (2, sum_over_time({event_type=~"click|view"}[1h]))""")
+    assert(tk.groupBy("step", "event_type").count().filter(col("count") > 2).count() === 0)
+    assert(tk.count() > 0)
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
