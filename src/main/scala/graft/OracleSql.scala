@@ -469,6 +469,27 @@ object OracleSql {
         |                               ORDER BY value DESC, user_id, event_type) AS rn
         |  FROM per)
         |WHERE rn <= 2""".stripMargin,
+    "q_promql_math" ->
+      """SELECT step, user_id, CAST(ceil(sqrt(value)) AS DOUBLE) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_scalar" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT step, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS t
+        |  FROM per GROUP BY 1)
+        |SELECT per.step, per.user_id, per.v / tot.t AS value
+        |FROM per JOIN tot ON per.step = tot.step
+        |WHERE tot.t <> 0.0""".stripMargin,
+    "q_promql_time" ->
+      """SELECT step, user_id, value / CAST(step AS DOUBLE) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -112,6 +112,12 @@ object SparkEntry {
       s, d, """sum by (event_type)(count_over_time({event_type=~"click|view"}[1h]))""")),
     "q_promql_topk_by" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk by (event_type) (2, sum_over_time({event_type=~"click|purchase"}[1d]))""")),
+    "q_promql_math" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "ceil(sqrt(sum_over_time(purchase[1h])))")),
+    "q_promql_scalar" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(purchase[1h]) / scalar(sum(sum_over_time(purchase[1h])))")),
+    "q_promql_time" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) / time()")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -27,9 +27,14 @@ import graft.Tables
   *                 (the data model stores value histograms, not le
   *                  buckets: evaluates as the exact discrete quantile)
   *             | ("topk"|"bottomk") "(" int "," expr ")"
-  *             | ("abs"|"round") "(" expr ["," number] ")"
+  *             | ("abs"|"ceil"|"floor"|"sqrt"|"exp"|"ln"|"log2"|
+  *                "log10"|"sgn") "(" expr ")"
+  *             | "round" "(" expr ["," number] ")"
   *             | ("clamp_min"|"clamp_max") "(" expr "," number ")"
   *             | "absent" "(" selector ")"
+  *             | "time" "(" ")"          (the step, as a per-step scalar)
+  *             | "scalar" "(" expr ")"   (single-series value else NaN)
+  *             | "vector" "(" expr ")"   (label-less vector of a scalar)
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time"|
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
@@ -102,6 +107,17 @@ object Promql {
     */
   case class SubqueryFunc(fn: String, child: Expr, rangeSec: Long,
                           stepSec: Long, q: Double = 0.0) extends Expr
+  /** `time()` — the evaluation step as a per-step scalar. */
+  case object TimeFn extends Expr
+  /** `scalar(expr)` — the child vector as a per-step scalar: its value
+    * when the step has exactly one series, NaN otherwise (PromQL
+    * scalar()).
+    */
+  case class ScalarOf(child: Expr) extends Expr
+  /** `vector(scalar)` — a label-less vector carrying the scalar at
+    * every step.
+    */
+  case class VectorOf(child: Expr) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -180,7 +196,9 @@ object Promql {
   }
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
-  private val mathFns = Set("abs", "clamp_min", "clamp_max", "round")
+  private val unaryMathFns = Set("abs", "ceil", "floor", "sqrt", "exp",
+    "ln", "log2", "log10", "sgn")
+  private val mathFns = unaryMathFns ++ Set("clamp_min", "clamp_max", "round")
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
@@ -253,8 +271,8 @@ object Promql {
       p.eat("(")
       val child = parseExpr(p)
       val arg = name match {
-        case "abs" =>
-          if (p.peek(",")) p.fail("abs takes exactly one argument") else 0.0
+        case n if unaryMathFns(n) =>
+          if (p.peek(",")) p.fail(s"$n takes exactly one argument") else 0.0
         case "round" =>
           if (p.peek(",")) {
             p.eat(",")
@@ -269,6 +287,15 @@ object Promql {
       }
       p.eat(")")
       MathFn(name, child, arg)
+    } else if (name == "time") {
+      p.eat("("); p.eat(")")
+      TimeFn
+    } else if (name == "scalar") {
+      p.eat("("); val c = parseExpr(p); p.eat(")")
+      ScalarOf(c)
+    } else if (name == "vector") {
+      p.eat("("); val c = parseExpr(p); p.eat(")")
+      VectorOf(c)
     } else if (name == "topk" || name == "bottomk") {
       // `topk by(label)(k, expr)` ranks within each (step, group) key
       val (by, without) =
@@ -636,16 +663,44 @@ object Promql {
       throw new IllegalArgumentException(
         "a bare scalar is not a range query; combine it with a vector")
 
+    case ScalarOf(ch) =>
+      scalarOf(eval(s, dir, ch))
+    case TimeFn =>
+      throw new IllegalArgumentException(
+        "bare time()/vector() need an explicit evaluation grid — " +
+          "use queryAt(..., EvalSpec(...)) or combine with a vector")
+    case _: VectorOf =>
+      throw new IllegalArgumentException(
+        "bare time()/vector() need an explicit evaluation grid — " +
+          "use queryAt(..., EvalSpec(...)) or combine with a vector")
+
     // vector-scalar: no join, a projected expression (or a filter for
-    // comparisons without `bool`)
+    // comparisons without `bool`). time() is the per-step scalar
+    // col(step), so `v op time()` is also a pure projection.
     case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
       if (cmpOps.contains(op))
-        scalarCompare(eval(s, dir, lhs), op, v, scalarRight = true, b)
-      else scalarArith(eval(s, dir, lhs), op, v, scalarRight = true)
+        scalarCompare(eval(s, dir, lhs), op, lit(v), scalarRight = true, b)
+      else scalarArith(eval(s, dir, lhs), op, lit(v), scalarRight = true)
     case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
       if (cmpOps.contains(op))
-        scalarCompare(eval(s, dir, rhs), op, v, scalarRight = false, b)
-      else scalarArith(eval(s, dir, rhs), op, v, scalarRight = false)
+        scalarCompare(eval(s, dir, rhs), op, lit(v), scalarRight = false, b)
+      else scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
+    case BinOp(op, _, lhs, TimeFn, _, _, b, _) if !setOps(op) =>
+      val t = col("step").cast("double")
+      if (cmpOps.contains(op))
+        scalarCompare(eval(s, dir, lhs), op, t, scalarRight = true, b)
+      else scalarArith(eval(s, dir, lhs), op, t, scalarRight = true)
+    case BinOp(op, _, TimeFn, rhs, _, _, b, _) if !setOps(op) =>
+      val t = col("step").cast("double")
+      if (cmpOps.contains(op))
+        scalarCompare(eval(s, dir, rhs), op, t, scalarRight = false, b)
+      else scalarArith(eval(s, dir, rhs), op, t, scalarRight = false)
+    case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _) if !setOps(op) =>
+      perStepScalarOp(eval(s, dir, lhs), scalarOf(eval(s, dir, ch)), op,
+        scalarRight = true, boolMod = b)
+    case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _) if !setOps(op) =>
+      perStepScalarOp(eval(s, dir, rhs), scalarOf(eval(s, dir, ch)), op,
+        scalarRight = false, boolMod = b)
 
     case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
       // tumbling evaluation derives each side's step from its own range
@@ -671,6 +726,9 @@ object Promql {
     case _: AbsentFn => Set(3600L)
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case SubqueryFunc(_, _, rangeSec, _, _) => Set(rangeSec)
+    case TimeFn => Set.empty
+    case ScalarOf(c) => stepGrains(c)
+    case VectorOf(c) => stepGrains(c)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
@@ -887,13 +945,53 @@ object Promql {
   /** Vector-scalar comparison: a filter on the vector (no join), or 1/0
     * values with `bool`. scalarRight=false flips the operand order.
     */
-  private def scalarCompare(df: DataFrame, op: String, scalar: Double,
+  private def scalarCompare(df: DataFrame, op: String, v: Column,
                             scalarRight: Boolean, boolMod: Boolean): DataFrame = {
     val cond =
-      if (scalarRight) cmpCond(col("value"), lit(scalar), op)
-      else cmpCond(lit(scalar), col("value"), op)
+      if (scalarRight) cmpCond(col("value"), v, op)
+      else cmpCond(v, col("value"), op)
     if (boolMod) df.withColumn("value", when(cond, 1.0).otherwise(0.0))
     else df.filter(cond)
+  }
+
+  /** A vector as a per-step SCALAR (PromQL scalar()): the step's single
+    * series value, NaN when the step has 0 or > 1 series.
+    */
+  private def scalarOf(in: DataFrame): DataFrame =
+    in.groupBy("step").agg(
+      when(count(lit(1)) === 1, max("value"))
+        .otherwise(lit(Double.NaN)).as("value"))
+
+  /** `vector op scalar(expr)`: join the per-step scalar frame on step
+    * (broadcast — one row per step) and project, keeping the vector's
+    * full schema. scalarRight=false flips the operand order.
+    */
+  private def perStepScalarOp(l: DataFrame, sc: DataFrame, op: String,
+                              scalarRight: Boolean, boolMod: Boolean): DataFrame = {
+    val joined = l.join(broadcast(sc.withColumnRenamed("value", "v_s")), "step")
+    val x = col("value")
+    val v = col("v_s")
+    if (cmpOps.contains(op)) {
+      val cond = if (scalarRight) cmpCond(x, v, op) else cmpCond(v, x, op)
+      val out =
+        if (boolMod) joined.withColumn("value", when(cond, 1.0).otherwise(0.0))
+        else joined.filter(cond)
+      out.drop("v_s")
+    } else {
+      val guarded =
+        if (op == "/" && scalarRight) joined.filter(v =!= 0.0)
+        else if (op == "/" && !scalarRight) joined.filter(x =!= 0.0)
+        else joined
+      val res = (op, scalarRight) match {
+        case ("/", true)  => x / v
+        case ("/", false) => v / x
+        case ("*", _)     => x * v
+        case ("+", _)     => x + v
+        case ("-", true)  => x - v
+        case ("-", false) => v - x
+      }
+      guarded.withColumn("value", res).drop("v_s")
+    }
   }
 
   /** Vector-vector binary op between two evaluated frames — shared by
@@ -1085,14 +1183,49 @@ object Promql {
         throw new IllegalArgumentException(
           "a bare scalar is not a range query; combine it with a vector")
 
+      case TimeFn =>
+        // the step grid itself, as a label-less vector of its own time
+        s.range(0, spec.maxK + 1)
+          .select((col("id") * spec.stepSec + spec.startSec).as("step"))
+          .withColumn("value", col("step").cast("double"))
+
+      case ScalarOf(ch) =>
+        scalarOf(evalAt(s, dir, ch, spec))
+
+      case VectorOf(ch) =>
+        // a label-less vector carrying the scalar at every step
+        ch match {
+          case Scalar(v) =>
+            s.range(0, spec.maxK + 1)
+              .select((col("id") * spec.stepSec + spec.startSec).as("step"))
+              .withColumn("value", lit(v))
+          case e => scalarOf(evalAt(s, dir, e, spec))
+        }
+
       case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
         if (cmpOps.contains(op))
-          scalarCompare(evalAt(s, dir, lhs, spec), op, v, scalarRight = true, b)
-        else scalarArith(evalAt(s, dir, lhs, spec), op, v, scalarRight = true)
+          scalarCompare(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true, b)
+        else scalarArith(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true)
       case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
         if (cmpOps.contains(op))
-          scalarCompare(evalAt(s, dir, rhs, spec), op, v, scalarRight = false, b)
-        else scalarArith(evalAt(s, dir, rhs, spec), op, v, scalarRight = false)
+          scalarCompare(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false, b)
+        else scalarArith(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false)
+      case BinOp(op, _, lhs, TimeFn, _, _, b, _) if !setOps(op) =>
+        val t = col("step").cast("double")
+        if (cmpOps.contains(op))
+          scalarCompare(evalAt(s, dir, lhs, spec), op, t, scalarRight = true, b)
+        else scalarArith(evalAt(s, dir, lhs, spec), op, t, scalarRight = true)
+      case BinOp(op, _, TimeFn, rhs, _, _, b, _) if !setOps(op) =>
+        val t = col("step").cast("double")
+        if (cmpOps.contains(op))
+          scalarCompare(evalAt(s, dir, rhs, spec), op, t, scalarRight = false, b)
+        else scalarArith(evalAt(s, dir, rhs, spec), op, t, scalarRight = false)
+      case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _) if !setOps(op) =>
+        perStepScalarOp(evalAt(s, dir, lhs, spec),
+          scalarOf(evalAt(s, dir, ch, spec)), op, scalarRight = true, boolMod = b)
+      case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _) if !setOps(op) =>
+        perStepScalarOp(evalAt(s, dir, rhs, spec),
+          scalarOf(evalAt(s, dir, ch, spec)), op, scalarRight = false, boolMod = b)
       case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
         val (le, re) = (evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec))
         if (setOps(op)) setOver(le, re, op, on, ignoring)
@@ -1104,17 +1237,16 @@ object Promql {
   /** Apply `vector op scalar` (or `scalar op vector` when
     * scalarRight=false) to the value column — a pure projection.
     */
-  private def scalarArith(df: DataFrame, op: String, scalar: Double,
+  private def scalarArith(df: DataFrame, op: String, v: Column,
                           scalarRight: Boolean): DataFrame = {
     val x = col("value")
-    val v = lit(scalar)
     // drop zero denominators on EITHER side, matching binOver's guard
     // (Spark's non-ANSI x/0 is null, not PromQL's +Inf — a null value
     // row silently vanishes from downstream aggregates). `vector / 0`
     // therefore yields an empty frame.
     val guarded =
       if (op == "/" && !scalarRight) df.filter(x =!= 0.0)
-      else if (op == "/" && scalarRight && scalar == 0.0) df.filter(lit(false))
+      else if (op == "/" && scalarRight) df.filter(v =!= 0.0)
       else df
     val out = (op, scalarRight) match {
       case ("/", true)  => x / v
@@ -1139,6 +1271,16 @@ object Promql {
     val x = col("value")
     val out = fn match {
       case "abs"       => abs(x)
+      // Spark's ceil/floor on doubles return LONG: cast back (exact for
+      // |x| < 2^63 — the engine's value domain)
+      case "ceil"      => ceil(x).cast("double")
+      case "floor"     => floor(x).cast("double")
+      case "sqrt"      => sqrt(x)
+      case "exp"       => exp(x)
+      case "ln"        => log(x)
+      case "log2"      => log2(x)
+      case "log10"     => log10(x)
+      case "sgn"       => signum(x)
       case "clamp_min" => greatest(x, lit(arg))
       case "clamp_max" => least(x, lit(arg))
       case "round" =>

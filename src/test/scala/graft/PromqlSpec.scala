@@ -562,6 +562,43 @@ class PromqlSpec extends AnyFunSuite {
     assert(tk.count() > 0)
   }
 
+  test("math functions, time(), scalar(), vector()") {
+    val base = Promql.query(spark, sf, "avg_over_time(purchase[1h])")
+    // unary math projections compose
+    val r = Promql.query(spark, sf, "ceil(sqrt(avg_over_time(purchase[1h])))")
+      .withColumnRenamed("value", "r").join(base, Seq("step", "user_id"))
+    assert(r.filter(col("r") =!= ceil(sqrt(col("value"))).cast("double")).count() === 0)
+    assert(r.count() === base.count())
+    val sg = Promql.query(spark, sf, "sgn(avg_over_time(purchase[1h]) - 50)")
+    assert(sg.filter(!col("value").isin(-1.0, 0.0, 1.0)).count() === 0)
+    // time() as a binop operand: (v*0) + time() == the step, per row
+    val t = Promql.query(spark, sf, "sum_over_time(click[1h]) * 0 + time()")
+    assert(t.filter(col("value") =!= col("step").cast("double")).count() === 0)
+    // scalar() of a one-series-per-step vector: per-user share sums to 1
+    val share = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) / scalar(sum(sum_over_time(purchase[1h])))")
+    share.groupBy("step").agg(sum("value").as("s")).collect()
+      .foreach(row => assert(math.abs(row.getDouble(1) - 1.0) < 1e-6))
+    // scalar() of a MULTI-series step is NaN, single-series steps are not
+    val nan = Promql.query(spark, sf,
+      "sum_over_time(purchase[1h]) * scalar(sum_over_time(purchase[1h]))")
+    val cnt = Promql.query(spark, sf, "sum_over_time(purchase[1h])")
+      .groupBy("step").count()
+    val j = nan.join(cnt, "step")
+    assert(j.filter(col("count") > 1 && !isnan(col("value"))).count() === 0)
+    assert(j.filter(col("count") === 1 && isnan(col("value"))).count() === 0)
+    // stepped grid: vector(2.5) and bare time()
+    val spec = Promql.EvalSpec(1704067200L, 1704088800L, 3600L)
+    val vec = Promql.queryAt(spark, sf, "vector(2.5)", spec)
+    assert(vec.columns.toSeq === Seq("step", "value"))
+    assert(vec.count() === 7 && vec.filter(col("value") =!= 2.5).count() === 0)
+    val tm = Promql.queryAt(spark, sf, "time()", spec)
+    assert(tm.filter(col("value") =!= col("step").cast("double")).count() === 0)
+    // tumbling eval rejects grid-needing bare forms
+    assert(intercept[IllegalArgumentException](
+      Promql.query(spark, sf, "time()")).getMessage.contains("queryAt"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
