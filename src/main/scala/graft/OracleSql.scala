@@ -490,6 +490,13 @@ object OracleSql {
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_label_replace" ->
+      """SELECT step, user_id,
+        |       regexp_replace(CAST(user_id AS VARCHAR), '^(?:(\d)\d*)$', 's\1') AS shard,
+        |       value
+        |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

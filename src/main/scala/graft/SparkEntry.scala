@@ -118,6 +118,8 @@ object SparkEntry {
       s, d, "sum_over_time(purchase[1h]) / scalar(sum(sum_over_time(purchase[1h])))")),
     "q_promql_time" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(click[1h]) / time()")),
+    "q_promql_label_replace" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*")""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

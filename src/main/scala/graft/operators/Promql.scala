@@ -35,6 +35,8 @@ import graft.Tables
   *             | "time" "(" ")"          (the step, as a per-step scalar)
   *             | "scalar" "(" expr ")"   (single-series value else NaN)
   *             | "vector" "(" expr ")"   (label-less vector of a scalar)
+  *             | "label_replace" "(" expr "," dst "," repl "," src "," re ")"
+  *             | "label_join" "(" expr "," dst "," sep ("," src)+ ")"
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time"|
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
@@ -118,6 +120,19 @@ object Promql {
     * every step.
     */
   case class VectorOf(child: Expr) extends Expr
+  /** `label_replace(v, dst, replacement, src, regex)`: when the ANCHORED
+    * regex matches the src label's string form, dst becomes the
+    * replacement with $N group references expanded; otherwise dst is
+    * the empty string (a missing label, in Prometheus terms). A pure
+    * projection.
+    */
+  case class LabelReplace(child: Expr, dst: String, repl: String,
+                          src: String, regex: String) extends Expr
+  /** `label_join(v, dst, sep, src...)`: dst = the src labels' string
+    * forms joined with sep. A pure projection.
+    */
+  case class LabelJoin(child: Expr, dst: String, sep: String,
+                       srcs: Seq[String]) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -296,6 +311,27 @@ object Promql {
     } else if (name == "vector") {
       p.eat("("); val c = parseExpr(p); p.eat(")")
       VectorOf(c)
+    } else if (name == "label_replace") {
+      p.eat("("); val c = parseExpr(p)
+      p.eat(","); val dst = p.quoted()
+      p.eat(","); val repl = p.quoted()
+      p.eat(","); val src = p.quoted()
+      p.eat(","); val re = p.quoted()
+      p.eat(")")
+      LabelReplace(c, dst, repl, if (src == "__name__") "event_type" else src, re)
+    } else if (name == "label_join") {
+      p.eat("("); val c = parseExpr(p)
+      p.eat(","); val dst = p.quoted()
+      p.eat(","); val sep = p.quoted()
+      val srcs = scala.collection.mutable.Buffer.empty[String]
+      while (p.peek(",")) {
+        p.eat(",")
+        val l = p.quoted()
+        srcs += (if (l == "__name__") "event_type" else l)
+      }
+      p.eat(")")
+      if (srcs.isEmpty) p.fail("label_join needs at least one source label")
+      LabelJoin(c, dst, sep, srcs.toSeq)
     } else if (name == "topk" || name == "bottomk") {
       // `topk by(label)(k, expr)` ranks within each (step, group) key
       val (by, without) =
@@ -659,6 +695,9 @@ object Promql {
     case MathFn(fn, child, arg) =>
       mathOver(eval(s, dir, child), fn, arg)
 
+    case lr: LabelReplace => labelOver(eval(s, dir, lr.child), lr)
+    case lj: LabelJoin => labelOver(eval(s, dir, lj.child), lj)
+
     case Scalar(_) =>
       throw new IllegalArgumentException(
         "a bare scalar is not a range query; combine it with a vector")
@@ -729,6 +768,8 @@ object Promql {
     case TimeFn => Set.empty
     case ScalarOf(c) => stepGrains(c)
     case VectorOf(c) => stepGrains(c)
+    case LabelReplace(c, _, _, _, _) => stepGrains(c)
+    case LabelJoin(c, _, _, _) => stepGrains(c)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
     case MathFn(_, child, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
@@ -1179,6 +1220,9 @@ object Promql {
       case MathFn(fn, child, arg) =>
         mathOver(evalAt(s, dir, child, spec), fn, arg)
 
+      case lr: LabelReplace => labelOver(evalAt(s, dir, lr.child, spec), lr)
+      case lj: LabelJoin => labelOver(evalAt(s, dir, lj.child, spec), lj)
+
       case Scalar(_) =>
         throw new IllegalArgumentException(
           "a bare scalar is not a range query; combine it with a vector")
@@ -1288,6 +1332,31 @@ object Promql {
         floor(x * lit(inv) + lit(0.5)) / lit(inv)
     }
     df.withColumn("value", out)
+  }
+
+  /** label_replace / label_join over an evaluated frame — pure
+    * projections on the label columns. A label absent from the frame
+    * reads as the empty string (Prometheus's missing-label value);
+    * label_replace keeps the previous dst value when the anchored
+    * regex does not match (series unchanged). The output keeps the
+    * (step, labels..., value) column order.
+    */
+  private def labelOver(in: DataFrame, e: Expr): DataFrame = {
+    def strOf(c: String): Column =
+      if (in.columns.contains(c)) col(c).cast("string") else lit("")
+    val added = e match {
+      case LabelReplace(_, dst, repl, src, re) =>
+        val anchored = s"^(?:$re)$$"
+        in.withColumn(dst,
+          when(strOf(src).rlike(anchored),
+            regexp_replace(strOf(src), anchored, repl))
+            .otherwise(strOf(dst)))
+      case LabelJoin(_, dst, sep, srcs) =>
+        in.withColumn(dst, concat_ws(sep, srcs.map(strOf): _*))
+      case other => throw new IllegalArgumentException(s"not a label fn: $other")
+    }
+    val labels = added.columns.filter(c => c != "step" && c != "value").toSeq
+    added.select(("step" +: labels :+ "value").map(col): _*)
   }
 
   /** Parse + evaluate with the default tumbling steps. */

@@ -599,6 +599,30 @@ class PromqlSpec extends AnyFunSuite {
       Promql.query(spark, sf, "time()")).getMessage.contains("queryAt"))
   }
 
+  test("label_replace and label_join project new labels") {
+    val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    val lr = Promql.query(spark, sf,
+      """label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*")""")
+    assert(lr.columns.toSeq === Seq("step", "user_id", "shard", "value"))
+    assert(lr.filter(col("shard") =!=
+      concat(lit("s"), substring(col("user_id").cast("string"), 1, 1))).count() === 0)
+    assert(lr.count() === base.count())
+    // the new label is a real grouping key
+    val byShard = Promql.query(spark, sf,
+      """sum by (shard)(label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*"))""")
+    assert(byShard.columns.toSeq === Seq("step", "shard", "value"))
+    assert(byShard.select("shard").distinct().count() <= 10) // s0..s9
+    // an unmatched regex leaves dst at its previous value (empty here)
+    val nomatch = Promql.query(spark, sf,
+      """label_replace(sum_over_time(click[1h]), "shard", "x", "user_id", "xyz")""")
+    assert(nomatch.filter(col("shard") =!= "").count() === 0)
+    // label_join concatenates label string forms (metric-less keeps event_type)
+    val lj = Promql.query(spark, sf,
+      """label_join(sum_over_time({event_type=~"click|view"}[1h]), "series", "-", "event_type", "user_id")""")
+    assert(lj.filter(col("series") =!=
+      concat_ws("-", col("event_type"), col("user_id").cast("string"))).count() === 0)
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
