@@ -389,14 +389,15 @@ object OracleSql {
         |         (step + 86400) - last_us / 1000000.0 AS dend_raw
         |  FROM g),
         |z AS (
-        |  SELECT step, user_id, inc, si, avg_dur, dend_raw,
-        |         CASE WHEN inc > 0.0 AND first_v >= 0.0
-        |              THEN least(dstart_raw, si * (first_v / inc))
-        |              ELSE dstart_raw END AS dstart_z
+        |  SELECT step, user_id, inc, si, avg_dur, dend_raw, first_v,
+        |         CASE WHEN dstart_raw >= avg_dur * 1.1
+        |              THEN avg_dur / 2 ELSE dstart_raw END AS dstart_c
         |  FROM f)
         |SELECT step, user_id,
         |       inc * ((si
-        |         + CASE WHEN dstart_z >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dstart_z END
+        |         + CASE WHEN inc > 0.0 AND first_v >= 0.0
+        |                THEN least(dstart_c, si * (first_v / inc))
+        |                ELSE dstart_c END
         |         + CASE WHEN dend_raw >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dend_raw END)
         |         / si) AS value
         |FROM z""".stripMargin,
@@ -421,8 +422,10 @@ object OracleSql {
         |    AND epoch_us(ts) >  1704092800000000
         |    AND epoch_us(ts) <= 1704100000000000),
         |agg AS (
+        |  -- HAVING keeps the engine's empty-window semantics: zero rows,
+        |  -- not one NULL-valued row replicated across the grid
         |  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
-        |  FROM v WHERE rn = 1)
+        |  FROM v WHERE rn = 1 HAVING COUNT(*) > 0)
         |SELECT st.step, agg.value
         |FROM (SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step) st, agg""".stripMargin,
     "q_promql_subquery" ->

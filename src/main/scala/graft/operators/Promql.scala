@@ -359,9 +359,18 @@ object Promql {
           case _ => p.fail("a range selector needs a plain selector; " +
             "use [range:step] to range over an expression (subquery)")
         }
-        val off = if (p.peekKeyword("offset")) { p.eat("offset"); p.duration() } else sel.offsetSec
+        var off = sel.offsetSec
+        var at = sel.atSec
+        var more = true
+        while (more) {
+          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+          else if (p.peek("@")) {
+            p.eat("@")
+            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+          } else more = false
+        }
         p.eat(")")
-        RangeFunc("quantile_over_time", sel.copy(offsetSec = off), secs, phi)
+        RangeFunc("quantile_over_time", sel.copy(offsetSec = off, atSec = at), secs, phi)
       }
     } else if (name == "histogram_quantile") {
       // the data model stores VALUE histograms, not le-bucketed counter
@@ -472,22 +481,9 @@ object Promql {
   private def stepOf(c: Column, rangeSec: Long): Column =
     (floor(unix_timestamp(c) / rangeSec) * rangeSec).cast("long")
 
-  private def exactSum(c: Column): Column =
-    sum(c.cast("decimal(30,6)")).cast("double")
-
-  /** Exact sum of squares: quantize the value to the contract's 6
-    * decimals FIRST (a cast both engines agree on — the binary noise of
-    * a double sits far from the 0.5e-6 rounding boundary), then square
-    * IN DECIMAL: (18,6)² → scale 12, exact integer arithmetic,
-    * identical on every engine. Squaring the double and casting the
-    * product at scale 12 is NOT cross-engine safe (Spark rounds the
-    * shortest decimal string, DuckDB the binary value), and casting at
-    * scale 6 truncates x² of values below ~1e-3 to 0.
-    */
-  private def exactSumSq(c: Column): Column = {
-    val q = c.cast("decimal(18,6)")
-    sum((q * q).cast("decimal(38,12)")).cast("double")
-  }
+  // the shared determinism-contract kernels (one definition site)
+  private def exactSum(c: Column): Column = graft.functions.ExactNum.exactSum(c)
+  private def exactSumSq(c: Column): Column = graft.functions.ExactNum.exactSumSq(c)
 
   /** Samples matching a selector, via the shared matcher path
     * (Scan.applyMatchers): equality/negation cast the literal so the
@@ -573,13 +569,16 @@ object Promql {
     val threshold = avgDur * 1.1
     val durStartRaw = col("first_us") / 1e6 - windowStart
     val durEndRaw = windowEnd - col("last_us") / 1e6
-    // a counter cannot extrapolate below zero: cap the start-side gap at
-    // the implied zero crossing (guard keeps the divide off inc == 0)
-    val durStartZ =
+    // funcRate's order (current Prometheus): clamp the raw gap by the
+    // threshold FIRST, then cap at the counter's implied zero crossing
+    // (which can only reduce further) — the guard keeps the divide off
+    // inc == 0
+    val durStartClamped =
+      when(durStartRaw >= threshold, avgDur / 2).otherwise(durStartRaw)
+    val durStart =
       when(col("inc") > 0.0 && col("first_v") >= 0.0,
-        least(durStartRaw, sampledInterval * (col("first_v") / col("inc"))))
-        .otherwise(durStartRaw)
-    val durStart = when(durStartZ >= threshold, avgDur / 2).otherwise(durStartZ)
+        least(durStartClamped, sampledInterval * (col("first_v") / col("inc"))))
+        .otherwise(durStartClamped)
     val durEnd = when(durEndRaw >= threshold, avgDur / 2).otherwise(durEndRaw)
     val factor0 = (sampledInterval + durStart + durEnd) / sampledInterval
     val factor = if (isRate) factor0 / lit(rangeSec.toDouble) else factor0
@@ -804,7 +803,8 @@ object Promql {
           (exactSumSq(col("value"))
             - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
             ./(count(lit(1)))
-        val guarded = greatest(lit(0.0), variance)
+        // negatives clamp to 0; null (decimal-sum overflow) propagates
+        val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
         grouped.agg((if (fn == "stddev_over_time") sqrt(guarded) else guarded).as("value"))
       case "changes" | "resets" =>
         val w = Window.partitionBy((labels :+ "step").map(col): _*)
@@ -850,13 +850,8 @@ object Promql {
     }
   }
 
-  /** Discrete-quantile position ceil(q·n) with a rounding guard: q·n in
-    * double arithmetic can land a hair above an integral product
-    * (0.95·20 = 19.000000000000004) and ceil one position too high —
-    * round to 9 decimals first. Clamped to >= 1 so quantile(0, v) = min.
-    */
   private def quantilePos(n: Column, q: Double): Column =
-    greatest(lit(1L), ceil(round(n * q, 9)).cast("long"))
+    graft.functions.ExactNum.quantilePos(n, q)
 
   /** Cross-series aggregation over an evaluated (step, labels..., value)
     * frame — shared by the tumbling and stepped evaluators.
@@ -917,7 +912,9 @@ object Promql {
               (exactSumSq(col("value"))
                 - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
                 ./(count(lit(1)))
-            val guarded = greatest(lit(0.0), variance)
+            // clamp negatives to 0 but PROPAGATE null (a decimal-sum
+            // overflow must not read as stddev 0)
+            val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
             g.agg((if (op == "stddev") sqrt(guarded) else guarded).as("value"))
         }
     }
@@ -1204,6 +1201,20 @@ object Promql {
           (col("step") - rangeSec).cast("double"), col("step").cast("double"),
           innerLabels)
 
+      case AbsentFn(sel) if sel.atSec.isDefined =>
+        // absent of a pinned selector: constant across the grid — every
+        // step is 1 iff the @ window holds no matching sample (anti
+        // join on an always-true condition keeps the grid exactly when
+        // the one-row presence marker is empty)
+        val t = sel.atSec.get
+        val present = select(s, dir, sel, Some((t - spec.lookbackSec, t)))
+          .filter(inWindow(t - spec.lookbackSec, t))
+          .select(lit(1L).as("one")).limit(1)
+        s.range(0, spec.maxK + 1)
+          .select((col("id") * spec.stepSec + spec.startSec).as("step"))
+          .join(broadcast(present), lit(true), "left_anti")
+          .withColumn("value", lit(1.0))
+
       case AbsentFn(sel) =>
         // the spec's step grid minus the steps any lookback sample serves
         val steps = s.range(0, spec.maxK + 1)
@@ -1344,14 +1355,22 @@ object Promql {
   private def labelOver(in: DataFrame, e: Expr): DataFrame = {
     def strOf(c: String): Column =
       if (in.columns.contains(c)) col(c).cast("string") else lit("")
+    def dstOf(d: String): String = {
+      val mapped = if (d == "__name__") "event_type" else d
+      require(mapped != "step" && mapped != "value",
+        s"label name '$d' collides with the frame's reserved columns")
+      mapped
+    }
     val added = e match {
-      case LabelReplace(_, dst, repl, src, re) =>
+      case LabelReplace(_, dst0, repl, src, re) =>
+        val dst = dstOf(dst0)
         val anchored = s"^(?:$re)$$"
         in.withColumn(dst,
           when(strOf(src).rlike(anchored),
             regexp_replace(strOf(src), anchored, repl))
             .otherwise(strOf(dst)))
-      case LabelJoin(_, dst, sep, srcs) =>
+      case LabelJoin(_, dst0, sep, srcs) =>
+        val dst = dstOf(dst0)
         in.withColumn(dst, concat_ws(sep, srcs.map(strOf): _*))
       case other => throw new IllegalArgumentException(s"not a label fn: $other")
     }

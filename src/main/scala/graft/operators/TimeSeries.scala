@@ -30,25 +30,12 @@ object TimeSeries {
   private def stepHour(c: Column): Column =
     unix_timestamp(date_trunc("hour", c)).as("step")
 
-  private def exactSum(c: Column): Column =
-    sum(c.cast("decimal(30,6)")).cast("double")
-
-  /** Exact sum of squares: quantize to the contract's 6 decimals first
-    * (cross-engine-stable cast), then square IN DECIMAL — (18,6)² →
-    * scale 12, exact on every engine. See Promql.exactSumSq for why
-    * squaring the double first is not cross-engine safe.
-    */
-  private def exactSumSq(c: Column): Column = {
-    val q = c.cast("decimal(18,6)")
-    sum((q * q).cast("decimal(38,12)")).cast("double")
-  }
-
-  /** ceil(q·n) with a rounding guard: the double product can land a
-    * hair above an integral value (0.95·20 = 19.000000000000004) and
-    * ceil one position too high — round to 9 decimals first.
-    */
+  // the shared determinism-contract kernels (one definition site:
+  // graft.functions.ExactNum; the oracle SQL mirrors the formulas)
+  private def exactSum(c: Column): Column = graft.functions.ExactNum.exactSum(c)
+  private def exactSumSq(c: Column): Column = graft.functions.ExactNum.exactSumSq(c)
   private def ceilPos(n: Column, q: Double): Column =
-    ceil(round(n * q, 9)).cast("long")
+    graft.functions.ExactNum.ceilPos(n, q)
 
   /** `sum(metric)` per step (reference: prometheus/promql_test.go:36-60). */
   def rangeSum(s: SparkSession, dir: String): DataFrame =
@@ -191,10 +178,14 @@ object TimeSeries {
         unix_timestamp(date_trunc("day", col("ts"))).as("step"),
         col("user_id"), col("event_type"))
       .agg(
-        sqrt(greatest(lit(0.0),
-          (exactSumSq(col("value"))
-            - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
-            / count(lit(1)))).as("stddev_value"),
+        // negatives clamp to 0; null (decimal-sum overflow) propagates
+        sqrt({
+          val variance =
+            (exactSumSq(col("value"))
+              - exactSum(col("value")) * exactSum(col("value")) / count(lit(1)))
+              ./(count(lit(1)))
+          when(variance < 0.0, lit(0.0)).otherwise(variance)
+        }).as("stddev_value"),
         count(lit(1)).as("n_samples"))
 
   /** PromQL `delta(metric[step])`: newest − oldest sample per series per

@@ -186,8 +186,8 @@ object Similarity {
     * trained index is an artifact of its training inputs.
     */
   private def centroidPath(s: SparkSession, dir: String, k: Int, iters: Int): String = {
-    val root = s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
-    s"$root/ivf_centroids_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_k${k}_i$iters"
+    val root = graft.sources.ChunkStore.storeRoot(s)
+    s"$root/ivf_centroids_${graft.sources.ChunkStore.pathTag(dir)}_k${k}_i$iters"
   }
 
   private val trainedMemo =

@@ -93,13 +93,17 @@ object ChunkStore {
 
   /** Store root, from `spark.graft.store.root` (a library must not
     * hardcode its output location; the default keeps the harness
-    * layout).
+    * layout). Shared by every graft store (SortedWriter, the trained
+    * IVF index).
     */
-  private def storeRoot(s: SparkSession): String =
+  def storeRoot(s: SparkSession): String =
     s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
 
+  /** A dataset dir as a filesystem-safe path fragment. */
+  def pathTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private def chunkPath(s: SparkSession, dir: String) =
-    s"${storeRoot(s)}/chunks_${FormatTag}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"${storeRoot(s)}/chunks_${FormatTag}_${pathTag(dir)}"
 
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -19,14 +19,9 @@ import graft.Tables
   */
 object SortedWriter {
 
-  /** Store root, from `spark.graft.store.root` (a library must not
-    * hardcode its output location; the default keeps the harness
-    * layout).
-    */
-  private def base(s: SparkSession): String =
-    s.conf.get("spark.graft.store.root", "/root/repo/target/tmp")
+  private def base(s: SparkSession): String = ChunkStore.storeRoot(s)
 
-  private def sfTag(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def sfTag(dir: String) = ChunkStore.pathTag(dir)
 
   /** Columns that get a parquet bloom filter by default: the
     * point-lookup ids. `event_id` additionally turns dictionary

@@ -430,7 +430,11 @@ class PromqlSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, t0 + 10L, 10.0, 1L), (1L, t0 + 70L, 12.0, 2L), (1L, t0 + 130L, 15.0, 3L),
       (2L, t0 + 40L, 1.0, 4L), (2L, t0 + 100L, 3.0, 5L), (2L, t0 + 160L, 5.0, 6L),
-      (3L, t0 + 90L, 7.0, 7L))
+      (3L, t0 + 90L, 7.0, 7L),
+      // series 4 pins the funcRate ORDER: raw start gap 100 >= threshold
+      // 66 clamps to avg/2 = 30 FIRST; the zero crossing 60·(1.8/2) = 54
+      // then cannot raise it back (pre-clamp min would have given 54)
+      (4L, t0 + 100L, 1.8, 8L), (4L, t0 + 160L, 3.8, 9L))
       .toDF("user_id", "sec", "value", "event_id")
     val tmp = "/root/repo/target/tmp/promql_extrap_events"
     rows.select(col("event_id"), (col("sec") * 1000000000L).as("ts"), col("user_id"),
@@ -449,11 +453,13 @@ class PromqlSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - 4.0 * 170.0 / 120.0) < 1e-12, s"got ${got.get(2L)}")
     // series 3: single sample → no output
     assert(!got.contains(3L))
+    // series 4: clamp-then-zero-cap order → 30, factor (60+30+20)/60
+    assert(math.abs(got(4L) - 2.0 * 110.0 / 60.0) < 1e-12, s"got ${got.get(4L)}")
     // rate = increase / range, same rows
     val rate = Promql.queryAt(spark, tmp, "rate_extrapolated(click[3m])", spec)
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(math.abs(rate(1L) - 7.5 / 180.0) < 1e-15)
-    assert(rate.size === 2)
+    assert(rate.size === 3)
     // the far-edge branch: last sample far from the window end pads by
     // avg/2. Window (t0+120, t0+300] catches only series 1's t0+130 and
     // series 2's t0+160 — one sample each → nothing; tumbling eval over
@@ -621,6 +627,22 @@ class PromqlSpec extends AnyFunSuite {
       """label_join(sum_over_time({event_type=~"click|view"}[1h]), "series", "-", "event_type", "user_id")""")
     assert(lj.filter(col("series") =!=
       concat_ws("-", col("event_type"), col("user_id").cast("string"))).count() === 0)
+    // reserved frame columns are not valid label-manipulation targets
+    val e = intercept[IllegalArgumentException](Promql.query(spark, sf,
+      """label_replace(sum_over_time(click[1h]), "value", "x", "user_id", ".*")"""))
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("@ on absent(): pinned presence decides the whole grid") {
+    val t0 = 1704067200L
+    val tmp = "/root/repo/target/tmp/promql_stepped_events" // written above
+    val spec = Promql.EvalSpec(t0, t0 + 300L, 60L, lookbackSec = 300L)
+    // click has samples in (t0-300, t0] → absent is empty everywhere
+    assert(Promql.queryAt(spark, tmp, s"absent(click @ $t0)", spec).count() === 0)
+    // a metric that never exists at T → 1 at every one of the 6 steps
+    val ab = Promql.queryAt(spark, tmp, s"absent(nosuch @ $t0)", spec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ab.length === 6 && ab.forall(_._2 === 1.0), ab.toSeq.toString)
   }
 
   test("offset shifts the evaluation window") {
