@@ -500,6 +500,52 @@ object OracleSql {
         |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_irate" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 604800) * 604800 AS step, user_id, value,
+        |         epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 604800
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |g AS (
+        |  SELECT step, user_id,
+        |         MAX(CASE WHEN rn = 1 THEN value END) AS v1,
+        |         MAX(CASE WHEN rn = 2 THEN value END) AS v2,
+        |         MAX(CASE WHEN rn = 1 THEN us END) AS t1,
+        |         MAX(CASE WHEN rn = 2 THEN us END) AS t2
+        |  FROM x WHERE rn <= 2 GROUP BY 1, 2)
+        |SELECT step, user_id,
+        |       (CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
+        |       / ((t1 - t2) / 1000000.0) AS value
+        |FROM g WHERE v2 IS NOT NULL AND t1 <> t2""".stripMargin,
+    "q_promql_predict" ->
+      """WITH g AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |         COUNT(*) AS n,
+        |         SUM((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 86400) * 86400) AS sx,
+        |         SUM(((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 86400) * 86400)
+        |             * ((epoch_us(ts)//1000000) - ((epoch_us(ts)//1000000) // 86400) * 86400)) AS sxx,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(CAST((epoch_us(ts)//1000000)
+        |                            - ((epoch_us(ts)//1000000) // 86400) * 86400 AS DOUBLE)
+        |                       * value AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |g2 AS (
+        |  SELECT step, user_id, n, sx, sy,
+        |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+        |         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM g WHERE n >= 2)
+        |SELECT step, user_id,
+        |       (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |       + slope * 90000.0 AS value
+        |FROM g2 WHERE den <> 0.0""".stripMargin,
+    "q_promql_timestamp" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |       CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1000000.0 AS value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -120,6 +120,12 @@ object SparkEntry {
       s, d, "sum_over_time(click[1h]) / time()")),
     "q_promql_label_replace" -> ((s, d) => graft.operators.Promql.query(
       s, d, """label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*")""")),
+    "q_promql_irate" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "irate(click[1w])")),
+    "q_promql_predict" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "predict_linear(click[1d], 3600)")),
+    "q_promql_timestamp" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "timestamp(purchase)")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -102,6 +102,10 @@ object Promql {
     * matches no samples.
     */
   case class AbsentFn(sel: Selector) extends Expr
+  /** `timestamp(selector)`: the chosen sample's timestamp (epoch sec,
+    * as a double) in place of its value.
+    */
+  case class TimestampFn(sel: Selector) extends Expr
   /** `fn(expr[rangeSec:stepSec])` — a PromQL subquery: the inner expr
     * evaluates as an instant vector on the stepSec-aligned grid, and
     * the outer range function aggregates the inner evaluations in each
@@ -217,7 +221,7 @@ object Promql {
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
-    "changes", "resets", "delta", "deriv",
+    "changes", "resets", "delta", "deriv", "irate", "idelta",
     "rate_extrapolated", "increase_extrapolated")
   private val binOps = Seq("/", "*", "+", "-")
   // longest-first so ">=" is not eaten as ">" + "="
@@ -385,6 +389,42 @@ object Promql {
     } else if (name == "absent") {
       p.eat("("); val sel = parseSelector(p); p.eat(")")
       AbsentFn(sel)
+    } else if (name == "timestamp") {
+      p.eat("("); val sel = parseSelector(p); p.eat(")")
+      TimestampFn(sel)
+    } else if (name == "predict_linear") {
+      p.eat("(")
+      val arg = parseExpr(p)
+      p.eat("["); val secs = p.duration()
+      if (p.peek(":")) {
+        p.eat(":")
+        val innerStep = p.duration()
+        p.eat("]"); p.eat(",")
+        val t = p.number().getOrElse(p.fail("expected prediction offset"))
+        p.eat(")")
+        SubqueryFunc("predict_linear", arg, secs, innerStep, t)
+      } else {
+        p.eat("]")
+        val sel = arg match {
+          case sl: Selector => sl
+          case _ => p.fail("a range selector needs a plain selector; " +
+            "use [range:step] to range over an expression (subquery)")
+        }
+        var off = sel.offsetSec
+        var at = sel.atSec
+        var more = true
+        while (more) {
+          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+          else if (p.peek("@")) {
+            p.eat("@")
+            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+          } else more = false
+        }
+        p.eat(",")
+        val t = p.number().getOrElse(p.fail("expected prediction offset"))
+        p.eat(")")
+        RangeFunc("predict_linear", sel.copy(offsetSec = off, atSec = at), secs, t)
+      }
     } else if (name == "quantile") {
       val (by, without) =
         if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
@@ -622,6 +662,28 @@ object Promql {
       case "rate_extrapolated" | "increase_extrapolated" =>
         extrapolatedIncrease(stepped, rangeSec,
           isRate = fn == "rate_extrapolated", winStart, winEnd, labels)
+      case "predict_linear" =>
+        // least-squares line over x = ts − step, evaluated q seconds
+        // past the window end: ŷ = (Σy − slope·Σx)/n + slope·x_pred.
+        // Same exact-sum machinery as deriv; needs >= 2 points and
+        // nonzero time spread.
+        val g = stepped
+          .withColumn("x", unix_timestamp(col("ts")) - col("step"))
+          .groupBy(("step" +: labels).map(col): _*)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            exactSum(col("value")).as("sy"),
+            exactSum(col("x").cast("double") * col("value")).as("sxy"))
+        val n = col("n").cast("double")
+        val sxd = col("sx").cast("double")
+        val den = n * col("sxx").cast("double") - sxd * sxd
+        val slope = (n * col("sxy") - sxd * col("sy")) / den
+        val xp = winEnd - col("step").cast("double") + lit(q)
+        g.filter(col("n") >= 2 && den =!= 0.0)
+          .select(("step" +: labels).map(col) :+
+            ((col("sy") - slope * sxd) / n + slope * xp).as("value"): _*)
       case _ =>
         rangeOver(stepped, fn, q, labels)
     }
@@ -653,6 +715,9 @@ object Promql {
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
     case AbsentFn(sel) if sel.atSec.isDefined =>
+      throw new IllegalArgumentException(
+        "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+    case TimestampFn(sel) if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
     case _: SubqueryFunc =>
@@ -696,6 +761,12 @@ object Promql {
 
     case lr: LabelReplace => labelOver(eval(s, dir, lr.child), lr)
     case lj: LabelJoin => labelOver(eval(s, dir, lj.child), lj)
+
+    case TimestampFn(sel) =>
+      // the instant sample's timestamp as the value (epoch sec, double)
+      select(s, dir, sel)
+        .groupBy(stepHour(col("ts")) +: seriesLabels(sel).map(col): _*)
+        .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value"))
 
     case Scalar(_) =>
       throw new IllegalArgumentException(
@@ -762,6 +833,7 @@ object Promql {
   private def stepGrains(e: Expr): Set[Long] = e match {
     case _: Selector => Set(3600L)
     case _: AbsentFn => Set(3600L)
+    case _: TimestampFn => Set(3600L)
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case SubqueryFunc(_, _, rangeSec, _, _) => Set(rangeSec)
     case TimeFn => Set.empty
@@ -833,6 +905,31 @@ object Promql {
         g.filter(col("n") >= 2 && den =!= 0.0)
           .select(keyCols :+
             ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("value"): _*)
+      case "irate" | "idelta" =>
+        // instantaneous variants: last two samples of the window. The
+        // rank window partitions per (series, step) — cardinality ≫
+        // cores; only ranks 1-2 survive into the pivot aggregation.
+        val w = Window.partitionBy((labels :+ "step").map(col): _*)
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val g = stepped.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(keyCols: _*)
+          .agg(
+            max(when(col("rn") === 1, col("value"))).as("v1"),
+            max(when(col("rn") === 2, col("value"))).as("v2"),
+            max(when(col("rn") === 1, unix_micros(col("ts")))).as("t1"),
+            max(when(col("rn") === 2, unix_micros(col("ts")))).as("t2"))
+          .filter(col("v2").isNotNull)
+        if (fn == "idelta")
+          g.select(keyCols :+ (col("v1") - col("v2")).as("value"): _*)
+        else
+          // counter-reset aware, like rate; simultaneous samples are
+          // undefined (dt = 0 would divide by zero)
+          g.filter(col("t1") =!= col("t2"))
+            .select(keyCols :+
+              (when(col("v1") >= col("v2"), col("v1") - col("v2"))
+                .otherwise(col("v1"))
+                / ((col("t1") - col("t2")) / 1e6)).as("value"): _*)
       case "quantile_over_time" =>
         val keys = "step" +: labels
         val hist = stepped.groupBy((keys :+ "value").map(col): _*)
@@ -1233,6 +1330,14 @@ object Promql {
 
       case lr: LabelReplace => labelOver(evalAt(s, dir, lr.child, spec), lr)
       case lj: LabelJoin => labelOver(evalAt(s, dir, lj.child, spec), lj)
+
+      case TimestampFn(sel) if sel.atSec.isDefined =>
+        throw new IllegalArgumentException(
+          "@ on timestamp() is not supported")
+      case TimestampFn(sel) =>
+        coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
+          .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
+          .agg((max(unix_micros(col("ts"))).cast("double") / 1e6).as("value"))
 
       case Scalar(_) =>
         throw new IllegalArgumentException(

@@ -645,6 +645,37 @@ class PromqlSpec extends AnyFunSuite {
     assert(ab.length === 6 && ab.forall(_._2 === 1.0), ab.toSeq.toString)
   }
 
+  test("irate, idelta, predict_linear, timestamp") {
+    // irate/idelta use the LAST TWO samples of each window
+    val id = Promql.query(spark, sf, "idelta(click[1w])")
+    val ir = Promql.query(spark, sf, "irate(click[1w])")
+    assert(id.count() > 0 && ir.count() > 0)
+    val counts = Promql.query(spark, sf, "count_over_time(click[1w])")
+      .withColumnRenamed("value", "n")
+    assert(id.join(counts, Seq("step", "user_id")).filter(col("n") < 2).count() === 0)
+    // predict_linear is linear in t: equal t-increments move y equally
+    val p0 = Promql.query(spark, sf, "predict_linear(click[1d], 0)")
+      .withColumnRenamed("value", "y0")
+    val p1 = Promql.query(spark, sf, "predict_linear(click[1d], 100)")
+      .withColumnRenamed("value", "y1")
+    val p2 = Promql.query(spark, sf, "predict_linear(click[1d], 200)")
+      .withColumnRenamed("value", "y2")
+    val j = p0.join(p1, Seq("step", "user_id")).join(p2, Seq("step", "user_id"))
+    assert(j.filter(abs((col("y2") - col("y1")) - (col("y1") - col("y0"))) > 1e-6)
+      .count() === 0)
+    assert(p0.count() > 0)
+    // timestamp: the newest sample's epoch seconds, within the hour step
+    val tsv = Promql.query(spark, sf, "timestamp(purchase)")
+    assert(tsv.filter(col("value") < col("step") ||
+      col("value") >= col("step") + 3600).count() === 0)
+    // stepped evaluation works too — evaluate near the END of the data
+    // span so the 1w lookback actually holds >= 2 samples per series
+    val spec = Promql.EvalSpec(1704585600L, 1704672000L, 21600L)
+    assert(Promql.queryAt(spark, sf, "irate(click[1w])", spec).count() > 0)
+    assert(Promql.queryAt(spark, sf, "timestamp(click)", spec).count() > 0)
+    assert(Promql.queryAt(spark, sf, "predict_linear(click[1w], 60)", spec).count() > 0)
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
