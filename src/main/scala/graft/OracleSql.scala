@@ -546,6 +546,37 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |       CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1000000.0 AS value
         |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+    "q_promql_present" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       CAST(1.0 AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+    "q_promql_absent_ot" ->
+      """WITH bounds AS (
+        |  SELECT ((epoch_us(MIN(ts))//1000000) // 86400) * 86400 AS lo,
+        |         ((epoch_us(MAX(ts))//1000000) // 86400) * 86400 AS hi
+        |  FROM events),
+        |steps AS (SELECT unnest(generate_series(lo, hi, 86400)) AS step FROM bounds),
+        |present AS (
+        |  SELECT DISTINCT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step
+        |  FROM events WHERE event_type = 'error' AND user_id = 1)
+        |SELECT s.step, CAST(1.0 AS DOUBLE) AS value
+        |FROM steps s
+        |WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.step = s.step)""".stripMargin,
+    "q_promql_clamp" ->
+      """SELECT step, user_id, least(greatest(value, 30.0), 60.0) AS value
+        |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_hour" ->
+      """SELECT step, user_id,
+        |       CAST((CAST(floor(value) AS BIGINT) % 86400) // 3600 AS DOUBLE) AS value
+        |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |             CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1000000.0 AS value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_group" ->
+      """SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |       CAST(1.0 AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

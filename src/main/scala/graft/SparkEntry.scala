@@ -126,6 +126,16 @@ object SparkEntry {
       s, d, "predict_linear(click[1d], 3600)")),
     "q_promql_timestamp" -> ((s, d) => graft.operators.Promql.query(
       s, d, "timestamp(purchase)")),
+    "q_promql_present" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "present_over_time(purchase[1d])")),
+    "q_promql_absent_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """absent_over_time(error{user_id="1"}[1d])""")),
+    "q_promql_clamp" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "clamp(avg_over_time(purchase[1h]), 30, 60)")),
+    "q_promql_hour" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "hour(timestamp(purchase))")),
+    "q_promql_group" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "group(count_over_time(click[1h]))")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

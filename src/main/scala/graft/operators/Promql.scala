@@ -97,11 +97,12 @@ object Promql {
                    bool: Boolean = false,
                    groupRight: Boolean = false) extends Expr
   case class Scalar(value: Double) extends Expr
-  case class MathFn(fn: String, child: Expr, arg: Double = 0.0) extends Expr
+  case class MathFn(fn: String, child: Expr, arg: Double = 0.0,
+                    arg2: Double = 0.0) extends Expr
   /** `absent(selector)`: 1 at every evaluation step where the selector
     * matches no samples.
     */
-  case class AbsentFn(sel: Selector) extends Expr
+  case class AbsentFn(sel: Selector, rangeSec: Long = 0L) extends Expr
   /** `timestamp(selector)`: the chosen sample's timestamp (epoch sec,
     * as a double) in place of its value.
     */
@@ -214,14 +215,17 @@ object Promql {
       throw new IllegalArgumentException(s"PromQL parse error at ${i}: $msg in '$s'")
   }
 
-  private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
+  private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
+  private val timeComponentFns = Set("hour", "minute", "month", "year",
+    "day_of_month", "day_of_week", "days_in_month")
   private val unaryMathFns = Set("abs", "ceil", "floor", "sqrt", "exp",
-    "ln", "log2", "log10", "sgn")
-  private val mathFns = unaryMathFns ++ Set("clamp_min", "clamp_max", "round")
+    "ln", "log2", "log10", "sgn") ++ timeComponentFns
+  private val mathFns = unaryMathFns ++ Set("clamp_min", "clamp_max", "round", "clamp")
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
     "changes", "resets", "delta", "deriv", "irate", "idelta",
+    "present_over_time",
     "rate_extrapolated", "increase_extrapolated")
   private val binOps = Seq("/", "*", "+", "-")
   // longest-first so ">=" is not eaten as ">" + "="
@@ -288,7 +292,19 @@ object Promql {
     val name = p.ident()
     if (mathFns(name)) {
       p.eat("(")
+      // bare `hour()` etc. default to the evaluation timestamp:
+      // hour(vector(time())), as PromQL
+      if (timeComponentFns(name) && p.peek(")")) {
+        p.eat(")")
+        return MathFn(name, VectorOf(TimeFn))
+      }
       val child = parseExpr(p)
+      if (name == "clamp") {
+        p.eat(","); val lo = p.number().getOrElse(p.fail("expected min"))
+        p.eat(","); val hi = p.number().getOrElse(p.fail("expected max"))
+        p.eat(")")
+        return MathFn("clamp", child, lo, hi)
+      }
       val arg = name match {
         case n if unaryMathFns(n) =>
           if (p.peek(",")) p.fail(s"$n takes exactly one argument") else 0.0
@@ -389,6 +405,10 @@ object Promql {
     } else if (name == "absent") {
       p.eat("("); val sel = parseSelector(p); p.eat(")")
       AbsentFn(sel)
+    } else if (name == "absent_over_time") {
+      p.eat("("); val sel = parseSelector(p)
+      p.eat("["); val secs = p.duration(); p.eat("]"); p.eat(")")
+      AbsentFn(sel, secs)
     } else if (name == "timestamp") {
       p.eat("("); val sel = parseSelector(p); p.eat(")")
       TimestampFn(sel)
@@ -714,7 +734,7 @@ object Promql {
     case RangeFunc(_, sel, _, _) if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
-    case AbsentFn(sel) if sel.atSec.isDefined =>
+    case AbsentFn(sel, _) if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
     case TimestampFn(sel) if sel.atSec.isDefined =>
@@ -740,24 +760,27 @@ object Promql {
         col("step").cast("double"), (col("step") + rangeSec).cast("double"),
         seriesLabels(sel))
 
-    case AbsentFn(sel) =>
-      // dense hour grid over the table's time span; a step is absent
-      // when the selector matches no samples in it. The grid is tiny
-      // (hours), the presence set is a distinct-aggregated anti-join.
+    case AbsentFn(sel, rangeSec0) =>
+      // dense step grid over the table's time span; a step is absent
+      // when the selector matches no samples in its window. The grid is
+      // tiny; the presence set is a distinct-aggregated anti-join.
+      // absent() steps hourly; absent_over_time(sel[d]) uses its window.
+      val w = if (rangeSec0 > 0) rangeSec0 else 3600L
       val ev = Tables.events(s, dir)
       val bounds = ev.agg(
-        unix_timestamp(date_trunc("hour", min("ts"))).as("lo"),
-        unix_timestamp(date_trunc("hour", max("ts"))).as("hi"))
+        (floor(unix_timestamp(min("ts")) / w) * w).cast("long").as("lo"),
+        (floor(unix_timestamp(max("ts")) / w) * w).cast("long").as("hi"))
       val steps = bounds.select(
-        explode(sequence(col("lo"), col("hi"), lit(3600))).as("step"))
-      val present = select(s, dir, sel).select(stepHour(col("ts"))).distinct()
+        explode(sequence(col("lo"), col("hi"), lit(w))).as("step"))
+      val present = select(s, dir, sel)
+        .select(stepOf(col("ts"), w).as("step")).distinct()
       steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
     case Agg(op, by, child, k, without, q) =>
       aggOver(eval(s, dir, child), op, by, k, without, q)
 
-    case MathFn(fn, child, arg) =>
-      mathOver(eval(s, dir, child), fn, arg)
+    case MathFn(fn, child, arg, arg2) =>
+      mathOver(eval(s, dir, child), fn, arg, arg2)
 
     case lr: LabelReplace => labelOver(eval(s, dir, lr.child), lr)
     case lj: LabelJoin => labelOver(eval(s, dir, lj.child), lj)
@@ -832,7 +855,7 @@ object Promql {
     */
   private def stepGrains(e: Expr): Set[Long] = e match {
     case _: Selector => Set(3600L)
-    case _: AbsentFn => Set(3600L)
+    case AbsentFn(_, w) => Set(if (w > 0) w else 3600L)
     case _: TimestampFn => Set(3600L)
     case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
     case SubqueryFunc(_, _, rangeSec, _, _) => Set(rangeSec)
@@ -842,7 +865,7 @@ object Promql {
     case LabelReplace(c, _, _, _, _) => stepGrains(c)
     case LabelJoin(c, _, _, _) => stepGrains(c)
     case Agg(_, _, child, _, _, _) => stepGrains(child)
-    case MathFn(_, child, _) => stepGrains(child)
+    case MathFn(_, child, _, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
   }
@@ -866,6 +889,7 @@ object Promql {
       case "min_over_time"   => grouped.agg(min("value").as("value"))
       case "max_over_time"   => grouped.agg(max("value").as("value"))
       case "last_over_time"  => grouped.agg(max_by(col("value"), tkey).as("value"))
+      case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
       case "delta" =>
         // newest − oldest stored value in the window (PromQL delta,
         // sans extrapolation) — max_by/min_by, no window sort
@@ -1000,6 +1024,7 @@ object Promql {
           case "min"   => g.agg(min("value").as("value"))
           case "max"   => g.agg(max("value").as("value"))
           case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+          case "group" => g.agg(max(lit(1.0)).as("value"))
           case "stddev" | "stdvar" =>
             // population variance from exact decimal sums, as the
             // stddev_over_time verb: order-independent on any cluster.
@@ -1298,35 +1323,37 @@ object Promql {
           (col("step") - rangeSec).cast("double"), col("step").cast("double"),
           innerLabels)
 
-      case AbsentFn(sel) if sel.atSec.isDefined =>
+      case AbsentFn(sel, rangeSec0) if sel.atSec.isDefined =>
         // absent of a pinned selector: constant across the grid — every
         // step is 1 iff the @ window holds no matching sample (anti
         // join on an always-true condition keeps the grid exactly when
         // the one-row presence marker is empty)
         val t = sel.atSec.get
-        val present = select(s, dir, sel, Some((t - spec.lookbackSec, t)))
-          .filter(inWindow(t - spec.lookbackSec, t))
+        val w = if (rangeSec0 > 0) rangeSec0 else spec.lookbackSec
+        val present = select(s, dir, sel, Some((t - w, t)))
+          .filter(inWindow(t - w, t))
           .select(lit(1L).as("one")).limit(1)
         s.range(0, spec.maxK + 1)
           .select((col("id") * spec.stepSec + spec.startSec).as("step"))
           .join(broadcast(present), lit(true), "left_anti")
           .withColumn("value", lit(1.0))
 
-      case AbsentFn(sel) =>
-        // the spec's step grid minus the steps any lookback sample serves
+      case AbsentFn(sel, rangeSec0) =>
+        // the spec's step grid minus the steps any window sample serves
+        // (absent: the lookback window; absent_over_time: its range)
+        val w = if (rangeSec0 > 0) rangeSec0 else spec.lookbackSec
         val steps = s.range(0, spec.maxK + 1)
           .select((col("id") * spec.stepSec + spec.startSec).as("step"))
         val present =
-          coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)),
-            spec, spec.lookbackSec)
+          coveringSteps(select(s, dir, sel, bounds(w)), spec, w)
           .select("step").distinct()
         steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
       case Agg(op, by, child, k, without, q) =>
         aggOver(evalAt(s, dir, child, spec), op, by, k, without, q)
 
-      case MathFn(fn, child, arg) =>
-        mathOver(evalAt(s, dir, child, spec), fn, arg)
+      case MathFn(fn, child, arg, arg2) =>
+        mathOver(evalAt(s, dir, child, spec), fn, arg, arg2)
 
       case lr: LabelReplace => labelOver(evalAt(s, dir, lr.child, spec), lr)
       case lj: LabelJoin => labelOver(evalAt(s, dir, lj.child, spec), lj)
@@ -1427,8 +1454,11 @@ object Promql {
     * where 1/to is not exactly representable. The parser rejects
     * to_nearest <= 0, so the inverse is always finite.
     */
-  private def mathOver(df: DataFrame, fn: String, arg: Double): DataFrame = {
+  private def mathOver(df: DataFrame, fn: String, arg: Double,
+                       arg2: Double = 0.0): DataFrame = {
     val x = col("value")
+    // time-component functions read the VALUE as epoch seconds (UTC)
+    def ts = timestamp_seconds(x)
     val out = fn match {
       case "abs"       => abs(x)
       // Spark's ceil/floor on doubles return LONG: cast back (exact for
@@ -1443,6 +1473,18 @@ object Promql {
       case "sgn"       => signum(x)
       case "clamp_min" => greatest(x, lit(arg))
       case "clamp_max" => least(x, lit(arg))
+      // clamp(v, min, max): NaN when min > max, as Prometheus
+      case "clamp" =>
+        if (arg > arg2) lit(Double.NaN)
+        else least(greatest(x, lit(arg)), lit(arg2))
+      case "hour"          => hour(ts).cast("double")
+      case "minute"        => minute(ts).cast("double")
+      case "month"         => month(ts).cast("double")
+      case "year"          => year(ts).cast("double")
+      case "day_of_month"  => dayofmonth(ts).cast("double")
+      // PromQL day_of_week is 0 = Sunday; Spark's is 1 = Sunday
+      case "day_of_week"   => (dayofweek(ts) - 1).cast("double")
+      case "days_in_month" => dayofmonth(last_day(ts)).cast("double")
       case "round" =>
         val inv = 1.0 / arg
         floor(x * lit(inv) + lit(0.5)) / lit(inv)

@@ -676,6 +676,35 @@ class PromqlSpec extends AnyFunSuite {
     assert(Promql.queryAt(spark, sf, "predict_linear(click[1w], 60)", spec).count() > 0)
   }
 
+  test("present/absent_over_time, clamp, time components, group") {
+    val pres = Promql.query(spark, sf, "present_over_time(purchase[1d])")
+    assert(pres.filter(col("value") =!= 1.0).count() === 0)
+    val cnt = Promql.query(spark, sf, "count_over_time(purchase[1d])")
+    assert(pres.count() === cnt.count())
+    // absent_over_time is disjoint from the windows with samples
+    val ab = Promql.query(spark, sf, """absent_over_time(error{user_id="1"}[1d])""")
+    val presDays = Promql.query(spark, sf,
+      """count_over_time(error{user_id="1"}[1d])""").select("step").distinct()
+    assert(ab.select("step").intersect(presDays).count() === 0)
+    assert(ab.count() + presDays.count() >= 7) // the 7-day grid is covered
+    // clamp bounds both sides; min > max is NaN (Prometheus)
+    val cl = Promql.query(spark, sf, "clamp(avg_over_time(purchase[1h]), 30, 60)")
+    assert(cl.filter(col("value") < 30.0 || col("value") > 60.0).count() === 0)
+    val nan = Promql.query(spark, sf, "clamp(avg_over_time(purchase[1h]), 60, 30)")
+    assert(nan.filter(!isnan(col("value"))).count() === 0)
+    // hour() of a timestamp-valued vector
+    val hr = Promql.query(spark, sf, "hour(timestamp(purchase))")
+    assert(hr.filter(col("value") < 0.0 || col("value") > 23.0).count() === 0)
+    // bare components read the evaluation time: 2024-01-01 is a Monday
+    val spec = Promql.EvalSpec(1704067200L, 1704088800L, 3600L)
+    val dow = Promql.queryAt(spark, sf, "day_of_week()", spec)
+    assert(dow.count() === 7 && dow.filter(col("value") =!= 1.0).count() === 0)
+    // group emits 1 per (step, group)
+    val grp = Promql.query(spark, sf, "group(count_over_time(click[1h]))")
+    assert(grp.columns.toSeq === Seq("step", "value"))
+    assert(grp.filter(col("value") =!= 1.0).count() === 0)
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
