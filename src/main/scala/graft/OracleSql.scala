@@ -577,6 +577,13 @@ object OracleSql {
       """SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(1.0 AS DOUBLE) AS value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q_promql_count_values" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, CAST(v AS VARCHAR) AS cnt, CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM per GROUP BY 1, 2""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

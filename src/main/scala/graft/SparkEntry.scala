@@ -136,6 +136,12 @@ object SparkEntry {
       s, d, "hour(timestamp(purchase))")),
     "q_promql_group" -> ((s, d) => graft.operators.Promql.query(
       s, d, "group(count_over_time(click[1h]))")),
+    "q_promql_count_values" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """count_values("cnt", count_over_time(click[1h]))""")),
+    // rows-only: the sequential smoothing fold is not reasonably
+    // SQL-expressible; a hand-computed ScalaTest fixture pins the math
+    "q_promql_holt" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "holt_winters(purchase[1w], 0.5, 0.3)")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -88,9 +88,10 @@ object Promql {
                       offsetSec: Long = 0L,
                       atSec: Option[Long] = None) extends Expr
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long,
-                       q: Double = 0.0) extends Expr
+                       q: Double = 0.0, q2: Double = 0.0) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
-                 without: Boolean = false, q: Double = 0.0) extends Expr
+                 without: Boolean = false, q: Double = 0.0,
+                 vlabel: String = "") extends Expr
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false,
@@ -445,6 +446,26 @@ object Promql {
         p.eat(")")
         RangeFunc("predict_linear", sel.copy(offsetSec = off, atSec = at), secs, t)
       }
+    } else if (name == "count_values") {
+      val (by, without) =
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
+      p.eat("(")
+      val lbl = p.quoted()
+      p.eat(","); val child = parseExpr(p); p.eat(")")
+      Agg("count_values", by, child, without = without, vlabel = lbl)
+    } else if (name == "holt_winters") {
+      // holt_winters(v[d], sf, tf): double exponential smoothing
+      p.eat("(")
+      val sel = parseSelector(p)
+      p.eat("["); val secs = p.duration(); p.eat("]")
+      p.eat(","); val sf = p.number().getOrElse(p.fail("expected smoothing factor"))
+      p.eat(","); val tf = p.number().getOrElse(p.fail("expected trend factor"))
+      if (sf <= 0.0 || sf >= 1.0 || tf <= 0.0 || tf >= 1.0)
+        p.fail("holt_winters factors must be in (0, 1)")
+      p.eat(")")
+      RangeFunc("holt_winters", sel, secs, sf, tf)
     } else if (name == "quantile") {
       val (by, without) =
         if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
@@ -661,7 +682,8 @@ object Promql {
     */
   private def rangeApply(stepped: DataFrame, fn: String, rangeSec: Long,
                          q: Double, winStart: Column, winEnd: Column,
-                         labels: Seq[String] = Seq("user_id")): DataFrame =
+                         labels: Seq[String] = Seq("user_id"),
+                         q2: Double = 0.0): DataFrame =
     fn match {
       case "rate" | "increase" =>
         val w = Window.partitionBy((labels :+ "step").map(col): _*)
@@ -705,7 +727,7 @@ object Promql {
           .select(("step" +: labels).map(col) :+
             ((col("sy") - slope * sxd) / n + slope * xp).as("value"): _*)
       case _ =>
-        rangeOver(stepped, fn, q, labels)
+        rangeOver(stepped, fn, q, labels, q2)
     }
 
   /** Cross the spec's step grid with a step-free fixed vector — the @
@@ -731,7 +753,7 @@ object Promql {
     case sel: Selector if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
-    case RangeFunc(_, sel, _, _) if sel.atSec.isDefined =>
+    case RangeFunc(_, sel, _, _, _) if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
     case AbsentFn(sel, _) if sel.atSec.isDefined =>
@@ -752,13 +774,13 @@ object Promql {
         .agg(max_by(col("value"),
           struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
-    case RangeFunc(fn, sel, rangeSec, q) =>
+    case RangeFunc(fn, sel, rangeSec, q, q2) =>
       // tumbling window [step, step + W)
       val stepped = select(s, dir, sel)
         .withColumn("step", stepOf(col("ts"), rangeSec))
       rangeApply(stepped, fn, rangeSec, q,
         col("step").cast("double"), (col("step") + rangeSec).cast("double"),
-        seriesLabels(sel))
+        seriesLabels(sel), q2)
 
     case AbsentFn(sel, rangeSec0) =>
       // dense step grid over the table's time span; a step is absent
@@ -776,8 +798,8 @@ object Promql {
         .select(stepOf(col("ts"), w).as("step")).distinct()
       steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
-    case Agg(op, by, child, k, without, q) =>
-      aggOver(eval(s, dir, child), op, by, k, without, q)
+    case Agg(op, by, child, k, without, q, vlabel) =>
+      aggOver(eval(s, dir, child), op, by, k, without, q, vlabel)
 
     case MathFn(fn, child, arg, arg2) =>
       mathOver(eval(s, dir, child), fn, arg, arg2)
@@ -857,14 +879,14 @@ object Promql {
     case _: Selector => Set(3600L)
     case AbsentFn(_, w) => Set(if (w > 0) w else 3600L)
     case _: TimestampFn => Set(3600L)
-    case RangeFunc(_, _, rangeSec, _) => Set(rangeSec)
+    case RangeFunc(_, _, rangeSec, _, _) => Set(rangeSec)
     case SubqueryFunc(_, _, rangeSec, _, _) => Set(rangeSec)
     case TimeFn => Set.empty
     case ScalarOf(c) => stepGrains(c)
     case VectorOf(c) => stepGrains(c)
     case LabelReplace(c, _, _, _, _) => stepGrains(c)
     case LabelJoin(c, _, _, _) => stepGrains(c)
-    case Agg(_, _, child, _, _, _) => stepGrains(child)
+    case Agg(_, _, child, _, _, _, _) => stepGrains(child)
     case MathFn(_, child, _, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
@@ -878,7 +900,8 @@ object Promql {
     * same two-phase histogram shape as the cross-series quantile.
     */
   private def rangeOver(stepped: DataFrame, fn: String, q: Double,
-                        labels: Seq[String] = Seq("user_id")): DataFrame = {
+                        labels: Seq[String] = Seq("user_id"),
+                        q2: Double = 0.0): DataFrame = {
     val tkey = struct(unix_micros(col("ts")), col("event_id"))
     val keyCols = ("step" +: labels).map(col)
     def grouped = stepped.groupBy(keyCols: _*)
@@ -954,6 +977,41 @@ object Promql {
               (when(col("v1") >= col("v2"), col("v1") - col("v2"))
                 .otherwise(col("v1"))
                 / ((col("t1") - col("t2")) / 1e6)).as("value"): _*)
+      case "holt_winters" =>
+        // double exponential smoothing is inherently sequential per
+        // window: collect the (window-bounded) samples, sort, fold with
+        // the aggregate HOF. Interpreted (CodegenFallback), but the
+        // per-group array is window-sized and the fold is the exact
+        // IEEE sequence Prometheus runs (promql/functions.go
+        // funcHoltWinters; sf = q, tf = q2). Needs >= 2 samples.
+        val sf = q; val tf = q2
+        val arr = grouped.agg(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            col("value").as("v")))).as("xs"))
+          .filter(size(col("xs")) >= 2)
+        val xs = col("xs")
+        val init = struct(
+          lit(0.0).as("s0"),
+          element_at(xs, 1).getField("v").as("s1"),
+          (element_at(xs, 2).getField("v") - element_at(xs, 1).getField("v")).as("b"),
+          lit(0).as("i"))
+        val smoothed = aggregate(
+          expr("slice(xs, 2, size(xs) - 1)"),
+          init,
+          (acc, e) => {
+            val bNew = when(acc.getField("i") === 0, acc.getField("b"))
+              .otherwise(lit(tf) * (acc.getField("s1") - acc.getField("s0"))
+                + lit(1.0 - tf) * acc.getField("b"))
+            val y = lit(1.0 - sf) * (acc.getField("s1") + bNew)
+            struct(
+              acc.getField("s1").as("s0"),
+              (lit(sf) * e.getField("v") + y).as("s1"),
+              bNew.as("b"),
+              (acc.getField("i") + 1).as("i"))
+          },
+          acc => acc.getField("s1"))
+        arr.select(keyCols :+ smoothed.as("value"): _*)
       case "quantile_over_time" =>
         val keys = "step" +: labels
         val hist = stepped.groupBy((keys :+ "value").map(col): _*)
@@ -978,10 +1036,20 @@ object Promql {
     * frame — shared by the tumbling and stepped evaluators.
     */
   private def aggOver(in: DataFrame, op: String, by: Seq[String], k: Int,
-                      without: Boolean, q: Double = 0.0): DataFrame = {
+                      without: Boolean, q: Double = 0.0,
+                      vlabel: String = ""): DataFrame = {
     val labelCols = in.columns.filter(c => c != "step" && c != "value").toSeq
     val groupLabels = if (without) labelCols.diff(by) else by
     op match {
+      case "count_values" =>
+        // the sample value becomes a label (its string form); the new
+        // value is how many series carried it — a plain partial-agg
+        // groupBy on (step, group, value)
+        require(vlabel.nonEmpty && vlabel != "step" && vlabel != "value",
+          s"count_values needs a label name distinct from the reserved columns")
+        val keys = (col("step") +: groupLabels.map(col)) :+
+          col("value").cast("string").as(vlabel)
+        in.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("value"))
       case "topk" | "bottomk" =>
         // ranked through the TopKPerKey operator (plans/TopKPerKey):
         // per-partition bounded heaps → shuffle of ≤ partitions×steps×k
@@ -1277,14 +1345,14 @@ object Promql {
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
         replicateAt(s, spec, fixed)
 
-      case RangeFunc(fn, sel, rangeSec, q) if sel.atSec.isDefined =>
+      case RangeFunc(fn, sel, rangeSec, q, q2) if sel.atSec.isDefined =>
         val t = sel.atSec.get
         val pinned = select(s, dir, sel, Some((t - rangeSec, t)))
           .filter(inWindow(t - rangeSec, t))
           .withColumn("step", lit(t))
         val res = rangeApply(pinned, fn, rangeSec, q,
           (col("step") - rangeSec).cast("double"), col("step").cast("double"),
-          seriesLabels(sel))
+          seriesLabels(sel), q2)
         replicateAt(s, spec, res.drop("step"))
 
       case sel: Selector =>
@@ -1294,12 +1362,12 @@ object Promql {
           .agg(max_by(col("value"),
             struct(unix_micros(col("ts")), col("event_id"))).as("value"))
 
-      case RangeFunc(fn, sel, rangeSec, q) =>
+      case RangeFunc(fn, sel, rangeSec, q, q2) =>
         // lookback window (step − W, step]
         val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
         rangeApply(covered, fn, rangeSec, q,
           (col("step") - rangeSec).cast("double"), col("step").cast("double"),
-          seriesLabels(sel))
+          seriesLabels(sel), q2)
 
       case SubqueryFunc(fn, child, rangeSec, stepSec, q) =>
         // inner expr evaluates on the ABSOLUTE stepSec-aligned grid
@@ -1349,8 +1417,8 @@ object Promql {
           .select("step").distinct()
         steps.join(present, Seq("step"), "left_anti").withColumn("value", lit(1.0))
 
-      case Agg(op, by, child, k, without, q) =>
-        aggOver(evalAt(s, dir, child, spec), op, by, k, without, q)
+      case Agg(op, by, child, k, without, q, vlabel) =>
+        aggOver(evalAt(s, dir, child, spec), op, by, k, without, q, vlabel)
 
       case MathFn(fn, child, arg, arg2) =>
         mathOver(evalAt(s, dir, child, spec), fn, arg, arg2)

@@ -705,6 +705,39 @@ class PromqlSpec extends AnyFunSuite {
     assert(grp.filter(col("value") =!= 1.0).count() === 0)
   }
 
+  test("holt_winters matches the hand-computed fold; count_values counts") {
+    import spark.implicits._
+    val t0 = 1704067200L
+    // v = 10, 12, 11, 15 with sf = 0.5, tf = 0.3:
+    //   s1=10, b=2; i=1: b=2, s1=0.5·12+0.5·12=12
+    //   i=2: b=0.3·2+0.7·2=2, s1=0.5·11+0.5·14=12.5
+    //   i=3: b=0.3·0.5+0.7·2=1.55, s1=0.5·15+0.5·14.05=14.525
+    val rows = Seq((9L, t0 + 10L, 10.0, 21L), (9L, t0 + 20L, 12.0, 22L),
+      (9L, t0 + 30L, 11.0, 23L), (9L, t0 + 40L, 15.0, 24L))
+      .toDF("user_id", "sec", "value", "event_id")
+    val tmp = "/root/repo/target/tmp/promql_holt_events"
+    rows.select(col("event_id"), (col("sec") * 1000000000L).as("ts"), col("user_id"),
+      lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val hw = Promql.query(spark, tmp, "holt_winters(click[1h], 0.5, 0.3)").collect()
+    assert(hw.length === 1, hw.toSeq.toString)
+    assert(math.abs(hw.head.getDouble(2) - 14.525) < 1e-12, hw.head.toString)
+    // a single-sample window emits nothing
+    val one = Seq((9L, t0 + 10L, 10.0, 21L)).toDF("user_id", "sec", "value", "event_id")
+    one.select(col("event_id"), (col("sec") * 1000000000L).as("ts"), col("user_id"),
+      lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    assert(Promql.query(spark, tmp, "holt_winters(click[1h], 0.5, 0.3)").count() === 0)
+    // count_values: the value histogram as labeled counts
+    val cv = Promql.query(spark, sf, """count_values("cnt", count_over_time(click[1h]))""")
+    assert(cv.columns.toSeq === Seq("step", "cnt", "value"))
+    val total = cv.agg(sum("value")).collect().head.getDouble(0)
+    assert(total === Promql.query(spark, sf, "count_over_time(click[1h])").count().toDouble)
+    // factor bounds are parse errors
+    assert(intercept[IllegalArgumentException](
+      Promql.parse("holt_winters(click[1h], 1.5, 0.3)")).getMessage.contains("(0, 1)"))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
