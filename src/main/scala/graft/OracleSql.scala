@@ -582,7 +582,10 @@ object OracleSql {
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |         CAST(COUNT(*) AS DOUBLE) AS v
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT step, CAST(v AS VARCHAR) AS cnt, CAST(COUNT(*) AS DOUBLE) AS value
+        |SELECT step,
+        |       CASE WHEN v = floor(v) THEN CAST(CAST(v AS BIGINT) AS VARCHAR)
+        |            ELSE CAST(v AS VARCHAR) END AS cnt,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
         |FROM per GROUP BY 1, 2""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (

@@ -380,18 +380,9 @@ object Promql {
           case _ => p.fail("a range selector needs a plain selector; " +
             "use [range:step] to range over an expression (subquery)")
         }
-        var off = sel.offsetSec
-        var at = sel.atSec
-        var more = true
-        while (more) {
-          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
-          else if (p.peek("@")) {
-            p.eat("@")
-            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
-          } else more = false
-        }
+        val modded = parseRangeModifiers(p, sel)
         p.eat(")")
-        RangeFunc("quantile_over_time", sel.copy(offsetSec = off, atSec = at), secs, phi)
+        RangeFunc("quantile_over_time", modded, secs, phi)
       }
     } else if (name == "histogram_quantile") {
       // the data model stores VALUE histograms, not le-bucketed counter
@@ -408,8 +399,10 @@ object Promql {
       AbsentFn(sel)
     } else if (name == "absent_over_time") {
       p.eat("("); val sel = parseSelector(p)
-      p.eat("["); val secs = p.duration(); p.eat("]"); p.eat(")")
-      AbsentFn(sel, secs)
+      p.eat("["); val secs = p.duration(); p.eat("]")
+      val modded = parseRangeModifiers(p, sel)
+      p.eat(")")
+      AbsentFn(modded, secs)
     } else if (name == "timestamp") {
       p.eat("("); val sel = parseSelector(p); p.eat(")")
       TimestampFn(sel)
@@ -431,20 +424,11 @@ object Promql {
           case _ => p.fail("a range selector needs a plain selector; " +
             "use [range:step] to range over an expression (subquery)")
         }
-        var off = sel.offsetSec
-        var at = sel.atSec
-        var more = true
-        while (more) {
-          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
-          else if (p.peek("@")) {
-            p.eat("@")
-            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
-          } else more = false
-        }
+        val modded = parseRangeModifiers(p, sel)
         p.eat(",")
         val t = p.number().getOrElse(p.fail("expected prediction offset"))
         p.eat(")")
-        RangeFunc("predict_linear", sel.copy(offsetSec = off, atSec = at), secs, t)
+        RangeFunc("predict_linear", modded, secs, t)
       }
     } else if (name == "count_values") {
       val (by, without) =
@@ -460,12 +444,14 @@ object Promql {
       p.eat("(")
       val sel = parseSelector(p)
       p.eat("["); val secs = p.duration(); p.eat("]")
+      val modded = parseRangeModifiers(p, sel)
       p.eat(","); val sf = p.number().getOrElse(p.fail("expected smoothing factor"))
       p.eat(","); val tf = p.number().getOrElse(p.fail("expected trend factor"))
-      if (sf <= 0.0 || sf >= 1.0 || tf <= 0.0 || tf >= 1.0)
-        p.fail("holt_winters factors must be in (0, 1)")
+      // Prometheus funcHoltWinters: 0 < sf < 1, 0 < tf <= 1
+      if (sf <= 0.0 || sf >= 1.0) p.fail("smoothing factor must be in (0, 1)")
+      if (tf <= 0.0 || tf > 1.0) p.fail("trend factor must be in (0, 1]")
       p.eat(")")
-      RangeFunc("holt_winters", sel, secs, sf, tf)
+      RangeFunc("holt_winters", modded, secs, sf, tf)
     } else if (name == "quantile") {
       val (by, without) =
         if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
@@ -502,25 +488,32 @@ object Promql {
           case _ => p.fail("a range selector needs a plain selector; " +
             "use [range:step] to range over an expression (subquery)")
         }
-        // PromQL places a range selector's offset/@ after the brackets:
-        // `rate(click[5m] offset 1h)`, `rate(click[5m] @ 1704067200)`
-        var off = sel.offsetSec
-        var at = sel.atSec
-        var more = true
-        while (more) {
-          if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
-          else if (p.peek("@")) {
-            p.eat("@")
-            at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
-          } else more = false
-        }
+        val modded = parseRangeModifiers(p, sel)
         p.eat(")")
-        RangeFunc(name, sel.copy(offsetSec = off, atSec = at), secs)
+        RangeFunc(name, modded, secs)
       }
     } else parseSelectorTail(p, name)
   }
 
   private def parseSelector(p: P): Selector = parseSelectorTail(p, p.ident())
+
+  /** PromQL places a range selector's offset/@ AFTER the brackets
+    * (`rate(click[5m] offset 1h @ 1704067200)`, either order) — shared
+    * by every range-function branch.
+    */
+  private def parseRangeModifiers(p: P, sel: Selector): Selector = {
+    var off = sel.offsetSec
+    var at = sel.atSec
+    var more = true
+    while (more) {
+      if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+      else if (p.peek("@")) {
+        p.eat("@")
+        at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
+      } else more = false
+    }
+    sel.copy(offsetSec = off, atSec = at)
+  }
 
   private def parseSelectorTail(p: P, metric: String): Selector = {
     val ms = scala.collection.mutable.Buffer.empty[(String, String, String)]
@@ -667,6 +660,30 @@ object Promql {
       .select(("step" +: labels).map(col) :+ (col("inc") * factor).as("value"): _*)
   }
 
+  /** The least-squares sums over x = ts − step per (step, labels) —
+    * the shared exact-sum kernel of deriv and predict_linear: x is a
+    * small integer (Σx, Σx² exact BIGINTs), Σy and Σxy exact decimals.
+    */
+  private def lsqSums(stepped: DataFrame, labels: Seq[String]): DataFrame =
+    stepped
+      .withColumn("x", unix_timestamp(col("ts")) - col("step"))
+      .groupBy(("step" +: labels).map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        exactSum(col("value")).as("sy"),
+        exactSum(col("x").cast("double") * col("value")).as("sxy"))
+
+  private def lsqDen: Column = {
+    val n = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    n * col("sxx").cast("double") - sxd * sxd
+  }
+
+  private def lsqSlope: Column =
+    (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) / lsqDen
+
   /** Apply a range function to a step-tagged sample frame — the shared
     * tail of the tumbling, stepped, and @-pinned evaluation paths.
     *
@@ -705,27 +722,16 @@ object Promql {
         extrapolatedIncrease(stepped, rangeSec,
           isRate = fn == "rate_extrapolated", winStart, winEnd, labels)
       case "predict_linear" =>
-        // least-squares line over x = ts − step, evaluated q seconds
-        // past the window end: ŷ = (Σy − slope·Σx)/n + slope·x_pred.
-        // Same exact-sum machinery as deriv; needs >= 2 points and
+        // least-squares line over x = ts − step ([[lsqSums]], shared
+        // with deriv), evaluated q seconds past the window end:
+        // ŷ = (Σy − slope·Σx)/n + slope·x_pred. Needs >= 2 points and
         // nonzero time spread.
-        val g = stepped
-          .withColumn("x", unix_timestamp(col("ts")) - col("step"))
-          .groupBy(("step" +: labels).map(col): _*)
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"),
-            exactSum(col("value")).as("sy"),
-            exactSum(col("x").cast("double") * col("value")).as("sxy"))
-        val n = col("n").cast("double")
-        val sxd = col("sx").cast("double")
-        val den = n * col("sxx").cast("double") - sxd * sxd
-        val slope = (n * col("sxy") - sxd * col("sy")) / den
         val xp = winEnd - col("step").cast("double") + lit(q)
-        g.filter(col("n") >= 2 && den =!= 0.0)
+        lsqSums(stepped, labels)
+          .filter(col("n") >= 2 && lsqDen =!= 0.0)
           .select(("step" +: labels).map(col) :+
-            ((col("sy") - slope * sxd) / n + slope * xp).as("value"): _*)
+            ((col("sy") - lsqSlope * col("sx").cast("double")) / col("n").cast("double")
+              + lsqSlope * xp).as("value"): _*)
       case _ =>
         rangeOver(stepped, fn, q, labels, q2)
     }
@@ -760,8 +766,7 @@ object Promql {
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
     case TimestampFn(sel) if sel.atSec.isDefined =>
-      throw new IllegalArgumentException(
-        "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
+      throw new IllegalArgumentException("@ on timestamp() is not supported")
     case _: SubqueryFunc =>
       throw new IllegalArgumentException(
         "subqueries need an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
@@ -935,23 +940,11 @@ object Promql {
           .groupBy(keyCols: _*)
           .agg(sum(when(cond, 1L).otherwise(0L)).cast("double").as("value"))
       case "deriv" =>
-        // least-squares slope (value/sec); x is the offset from the
-        // step — small integers, so Σx and Σx² are exact BIGINTs.
-        // Prometheus requires >= 2 points; zero time spread is undefined.
-        val g = stepped
-          .withColumn("x", unix_timestamp(col("ts")) - col("step"))
-          .groupBy(keyCols: _*)
-          .agg(
-            count(lit(1)).as("n"),
-            sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"),
-            exactSum(col("value")).as("sy"),
-            exactSum(col("x").cast("double") * col("value")).as("sxy"))
-        val n = col("n").cast("double")
-        val den = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
-        g.filter(col("n") >= 2 && den =!= 0.0)
-          .select(keyCols :+
-            ((n * col("sxy") - col("sx").cast("double") * col("sy")) / den).as("value"): _*)
+        // least-squares slope (value/sec) via [[lsqSums]]; Prometheus
+        // requires >= 2 points, zero time spread is undefined.
+        lsqSums(stepped, labels)
+          .filter(col("n") >= 2 && lsqDen =!= 0.0)
+          .select(keyCols :+ lsqSlope.as("value"): _*)
       case "irate" | "idelta" =>
         // instantaneous variants: last two samples of the window. The
         // rank window partitions per (series, step) — cardinality ≫
@@ -967,16 +960,17 @@ object Promql {
             max(when(col("rn") === 1, unix_micros(col("ts")))).as("t1"),
             max(when(col("rn") === 2, unix_micros(col("ts")))).as("t2"))
           .filter(col("v2").isNotNull)
+        // Prometheus instantValue drops zero-elapsed pairs for BOTH
+        // irate and idelta (sampledInterval == 0 → no output)
+        val paced = g.filter(col("t1") =!= col("t2"))
         if (fn == "idelta")
-          g.select(keyCols :+ (col("v1") - col("v2")).as("value"): _*)
+          paced.select(keyCols :+ (col("v1") - col("v2")).as("value"): _*)
         else
-          // counter-reset aware, like rate; simultaneous samples are
-          // undefined (dt = 0 would divide by zero)
-          g.filter(col("t1") =!= col("t2"))
-            .select(keyCols :+
-              (when(col("v1") >= col("v2"), col("v1") - col("v2"))
-                .otherwise(col("v1"))
-                / ((col("t1") - col("t2")) / 1e6)).as("value"): _*)
+          // counter-reset aware, like rate
+          paced.select(keyCols :+
+            (when(col("v1") >= col("v2"), col("v1") - col("v2"))
+              .otherwise(col("v1"))
+              / ((col("t1") - col("t2")) / 1e6)).as("value"): _*)
       case "holt_winters" =>
         // double exponential smoothing is inherently sequential per
         // window: collect the (window-bounded) samples, sort, fold with
@@ -1045,10 +1039,16 @@ object Promql {
         // the sample value becomes a label (its string form); the new
         // value is how many series carried it — a plain partial-agg
         // groupBy on (step, group, value)
-        require(vlabel.nonEmpty && vlabel != "step" && vlabel != "value",
-          s"count_values needs a label name distinct from the reserved columns")
-        val keys = (col("step") +: groupLabels.map(col)) :+
-          col("value").cast("string").as(vlabel)
+        require(vlabel.nonEmpty && vlabel != "step" && vlabel != "value" &&
+          !groupLabels.contains(vlabel),
+          s"count_values label '$vlabel' collides with a reserved or retained column")
+        // Prometheus formats integral values without the trailing .0
+        val vstr = when(
+          !isnan(col("value")) && col("value") === floor(col("value")) &&
+            abs(col("value")) < 9.0e18,
+          col("value").cast("long").cast("string"))
+          .otherwise(col("value").cast("string"))
+        val keys = (col("step") +: groupLabels.map(col)) :+ vstr.as(vlabel)
         in.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("value"))
       case "topk" | "bottomk" =>
         // ranked through the TopKPerKey operator (plans/TopKPerKey):
@@ -1524,9 +1524,17 @@ object Promql {
     */
   private def mathOver(df: DataFrame, fn: String, arg: Double,
                        arg2: Double = 0.0): DataFrame = {
+    // Prometheus funcClamp returns an EMPTY vector when min > max
+    if (fn == "clamp" && arg > arg2) return df.filter(lit(false))
     val x = col("value")
-    // time-component functions read the VALUE as epoch seconds (UTC)
-    def ts = timestamp_seconds(x)
+    // Time-component functions read the VALUE as epoch seconds in UTC
+    // regardless of spark.sql.session.timeZone: hour/minute are pure
+    // epoch arithmetic, and the date components go through DATE values
+    // (date_add on the epoch day is timezone-free — Spark's hour()/
+    // month() on TIMESTAMP render in the session zone, which would
+    // silently diverge from Prometheus off-UTC).
+    def secs = floor(x).cast("long")
+    def d = date_add(to_date(lit("1970-01-01")), (secs / 86400L).cast("int"))
     val out = fn match {
       case "abs"       => abs(x)
       // Spark's ceil/floor on doubles return LONG: cast back (exact for
@@ -1541,18 +1549,16 @@ object Promql {
       case "sgn"       => signum(x)
       case "clamp_min" => greatest(x, lit(arg))
       case "clamp_max" => least(x, lit(arg))
-      // clamp(v, min, max): NaN when min > max, as Prometheus
-      case "clamp" =>
-        if (arg > arg2) lit(Double.NaN)
-        else least(greatest(x, lit(arg)), lit(arg2))
-      case "hour"          => hour(ts).cast("double")
-      case "minute"        => minute(ts).cast("double")
-      case "month"         => month(ts).cast("double")
-      case "year"          => year(ts).cast("double")
-      case "day_of_month"  => dayofmonth(ts).cast("double")
+      case "clamp" => least(greatest(x, lit(arg)), lit(arg2))
+      // Column `/` is DOUBLE division even on longs — floor it
+      case "hour"          => floor((secs % 86400L) / 3600L).cast("double")
+      case "minute"        => floor((secs % 3600L) / 60L).cast("double")
+      case "month"         => month(d).cast("double")
+      case "year"          => year(d).cast("double")
+      case "day_of_month"  => dayofmonth(d).cast("double")
       // PromQL day_of_week is 0 = Sunday; Spark's is 1 = Sunday
-      case "day_of_week"   => (dayofweek(ts) - 1).cast("double")
-      case "days_in_month" => dayofmonth(last_day(ts)).cast("double")
+      case "day_of_week"   => (dayofweek(d) - 1).cast("double")
+      case "days_in_month" => dayofmonth(last_day(d)).cast("double")
       case "round" =>
         val inv = 1.0 / arg
         floor(x * lit(inv) + lit(0.5)) / lit(inv)

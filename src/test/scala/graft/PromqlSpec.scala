@@ -690,8 +690,9 @@ class PromqlSpec extends AnyFunSuite {
     // clamp bounds both sides; min > max is NaN (Prometheus)
     val cl = Promql.query(spark, sf, "clamp(avg_over_time(purchase[1h]), 30, 60)")
     assert(cl.filter(col("value") < 30.0 || col("value") > 60.0).count() === 0)
-    val nan = Promql.query(spark, sf, "clamp(avg_over_time(purchase[1h]), 60, 30)")
-    assert(nan.filter(!isnan(col("value"))).count() === 0)
+    // min > max returns an EMPTY vector (Prometheus funcClamp)
+    val empty = Promql.query(spark, sf, "clamp(avg_over_time(purchase[1h]), 60, 30)")
+    assert(empty.count() === 0)
     // hour() of a timestamp-valued vector
     val hr = Promql.query(spark, sf, "hour(timestamp(purchase))")
     assert(hr.filter(col("value") < 0.0 || col("value") > 23.0).count() === 0)
@@ -733,9 +734,24 @@ class PromqlSpec extends AnyFunSuite {
     assert(cv.columns.toSeq === Seq("step", "cnt", "value"))
     val total = cv.agg(sum("value")).collect().head.getDouble(0)
     assert(total === Promql.query(spark, sf, "count_over_time(click[1h])").count().toDouble)
-    // factor bounds are parse errors
+    // factor bounds are parse errors; tf = 1 is legal (Prometheus)
     assert(intercept[IllegalArgumentException](
       Promql.parse("holt_winters(click[1h], 1.5, 0.3)")).getMessage.contains("(0, 1)"))
+    assert(Promql.parse("holt_winters(click[1h], 0.5, 1)") ===
+      Promql.RangeFunc("holt_winters", Promql.Selector("click", Seq.empty), 3600L, 0.5, 1.0))
+    // post-bracket modifiers parse on every range-function form
+    assert(Promql.parse("""absent_over_time(error[1d] offset 1d)""") ===
+      Promql.AbsentFn(Promql.Selector("error", Seq.empty, 86400L), 86400L))
+    assert(Promql.parse("holt_winters(click[1w] offset 1d, 0.5, 0.3)") ===
+      Promql.RangeFunc("holt_winters",
+        Promql.Selector("click", Seq.empty, 86400L), 604800L, 0.5, 0.3))
+    // count_values formats integral values without the trailing .0
+    val cv2 = Promql.query(spark, sf, """count_values("cnt", count_over_time(click[1h]))""")
+    assert(cv2.filter(col("cnt").contains(".")).count() === 0)
+    // ...and rejects label names colliding with RETAINED grouping columns
+    val e2 = intercept[IllegalArgumentException](Promql.query(spark, sf,
+      """count_values by (user_id) ("user_id", count_over_time(click[1h]))""").collect())
+    assert(e2.getMessage.contains("collides"))
   }
 
   test("offset shifts the evaluation window") {
