@@ -172,10 +172,25 @@ object Promql {
     }
     def quoted(): String = {
       eat("\"")
-      val start = i
-      while (i < s.length && s(i) != '"') i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          // PromQL string escapes (Go syntax): the common subset;
+          // unknown escapes (e.g. regex \d) pass through verbatim
+          i += 1
+          s(i) match {
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case '\\' => sb += '\\'
+            case '"' => sb += '"'
+            case other => sb += '\\'; sb += other
+          }
+        } else sb += s(i)
+        i += 1
+      }
       if (i >= s.length) fail("unterminated string")
-      val v = s.substring(start, i); i += 1; v
+      i += 1
+      sb.toString
     }
     def int(): Int = {
       ws()
@@ -184,17 +199,40 @@ object Promql {
       if (i == start) fail("expected integer")
       s.substring(start, i).toInt
     }
-    /** duration: int + unit, in seconds */
+    /** Duration in seconds. PromQL compound form supported: `1h30m`.
+      * Units s/m/h/d/w/y (y = 365d); ms is rejected — the engine's
+      * time grid is whole seconds.
+      */
     def duration(): Long = {
-      val n = int()
-      ident() match {
-        case "s" => n.toLong
-        case "m" => n * 60L
-        case "h" => n * 3600L
-        case "d" => n * 86400L
-        case "w" => n * 604800L
-        case u => fail(s"unknown duration unit '$u'")
+      ws()
+      var total = 0L
+      var more = true
+      var first = true
+      // compound components must be ADJACENT (`1h30m`, not `1h 30m`)
+      while (more) {
+        if (i < s.length && s(i).isDigit) {
+          val n = int()
+          val unitStart = i
+          var u = ""
+          while (i < s.length && s(i).isLetter) i += 1
+          u = s.substring(unitStart, i)
+          total += (u match {
+            case "s" => n.toLong
+            case "m" => n * 60L
+            case "h" => n * 3600L
+            case "d" => n * 86400L
+            case "w" => n * 604800L
+            case "y" => n * 31536000L
+            case "ms" => fail("sub-second durations are not supported (whole-second grid)")
+            case other => fail(s"unknown duration unit '$other'")
+          })
+          first = false
+        } else {
+          if (first) fail("expected duration")
+          more = false
+        }
       }
+      total
     }
     /** Numeric literal (scalar), if next: optional '-', digits, optional
       * fraction — clamp bounds and offsets are legitimately negative.
@@ -209,6 +247,15 @@ object Promql {
       if (i < s.length && s(i) == '.') {
         i += 1
         while (i < s.length && s(i).isDigit) i += 1
+      }
+      // optional exponent (2e3, 1.5E-4); backtrack if no digits follow
+      if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+        val expStart = i
+        i += 1
+        if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+        val dStart = i
+        while (i < s.length && s(i).isDigit) i += 1
+        if (i == dStart) i = expStart
       }
       Some(s.substring(start, i).toDouble)
     }

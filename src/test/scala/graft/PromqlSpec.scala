@@ -754,6 +754,36 @@ class PromqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("collides"))
   }
 
+  test("parser fidelity: compound durations, scientific notation, escapes") {
+    // compound durations are adjacent components
+    assert(Promql.parse("rate(click[1h30m])") ===
+      Promql.RangeFunc("rate", Promql.Selector("click", Seq.empty), 5400L))
+    assert(Promql.parse("count_over_time(click[1d12h])") ===
+      Promql.RangeFunc("count_over_time", Promql.Selector("click", Seq.empty), 129600L))
+    assert(Promql.parse("click offset 1h30m") ===
+      Promql.Selector("click", Seq.empty, 5400L))
+    // whitespace does NOT join components
+    val e = intercept[IllegalArgumentException](Promql.parse("rate(click[1h 30m])"))
+    assert(e.getMessage.contains("expected"))
+    // ms is rejected toward the whole-second grid
+    assert(intercept[IllegalArgumentException](
+      Promql.parse("rate(click[500ms])")).getMessage.contains("sub-second"))
+    // scientific-notation scalars
+    assert(Promql.parse("sum(click) * 2e3") ===
+      Promql.BinOp("*", Seq.empty, Promql.Agg("sum", Seq.empty,
+        Promql.Selector("click", Seq.empty)), Promql.Scalar(2000.0)))
+    assert(Promql.parse("sum(click) + 1.5E-2") ===
+      Promql.BinOp("+", Seq.empty, Promql.Agg("sum", Seq.empty,
+        Promql.Selector("click", Seq.empty)), Promql.Scalar(0.015)))
+    // a bare 'e' after digits is not an exponent
+    assert(Promql.parse("2 * errors") ===
+      Promql.BinOp("*", Seq.empty, Promql.Scalar(2.0),
+        Promql.Selector("errors", Seq.empty)))
+    // escaped quotes and backslashes in matcher values
+    assert(Promql.parse("""click{props="a\"b\\c"}""") ===
+      Promql.Selector("click", Seq(("props", "=", "a\"b\\c"))))
+  }
+
   test("offset shifts the evaluation window") {
     val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
     val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset 1h))")
