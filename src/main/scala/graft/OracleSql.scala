@@ -477,6 +477,35 @@ object OracleSql {
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)""".stripMargin,
+    // precedence: click + purchase * 2 — the * applies to purchase only
+    "q_promql_precedence" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.step, c.user_id, c.value + p.value * 2 AS value
+        |FROM c JOIN p ON p.step = c.step AND p.user_id = c.user_id""".stripMargin,
+    "q_promql_mod" ->
+      """SELECT step, user_id, fmod(value, 7) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_pow" ->
+      """SELECT step, user_id, pow(value, 2) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_unary" ->
+      """SELECT step, user_id, 0 - value AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    // q_promql_atan2 is deliberately absent: JVM vs libm atan2 differ in
+    // the last ulp (rows-only declared at the SparkEntry side)
     "q_promql_scalar" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -142,6 +142,21 @@ object SparkEntry {
     // SQL-expressible; a hand-computed ScalaTest fixture pins the math
     "q_promql_holt" -> ((s, d) => graft.operators.Promql.query(
       s, d, "holt_winters(purchase[1w], 0.5, 0.3)")),
+    // precedence ladder: * binds tighter than + (the flat parser would
+    // have computed (click + purchase) * 2)
+    "q_promql_precedence" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) + sum_over_time(purchase[1h]) * 2")),
+    "q_promql_mod" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) % 7")),
+    "q_promql_pow" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) ^ 2")),
+    "q_promql_unary" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "-sum_over_time(click[1h])")),
+    // rows-only: JVM Math.atan2 and DuckDB's libm atan2 differ in the
+    // last ulp (measured maxdiff 2.2e-16 at sf0.01), so no hash oracle;
+    // PromqlSpec pins the semantics against Spark's own atan2
+    "q_promql_atan2" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(click[1h]) atan2 1")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

@@ -13,7 +13,12 @@ import graft.Tables
   *
   *   expr     := primary (binop ["bool"] [("on"|"ignoring") "(" labels ")"]
   *                        ["group_left"|"group_right"] primary)*
-  *   binop    := "/" | "*" | "+" | "-"                  (arithmetic)
+  *               with Prometheus's precedence ladder (decreasing):
+  *               "^" (right-assoc) > unary "+"/"-" > "*" "/" "%" "atan2"
+  *               > "+" "-" > comparisons > "and"/"unless" > "or";
+  *               all levels left-associative except "^";
+  *               unary "-" desugars to (0 - expr)
+  *   binop    := "/" | "*" | "%" | "+" | "-" | "^" | "atan2" (arithmetic)
   *             | "==" | "!=" | ">=" | "<=" | ">" | "<"  (comparison;
   *                 filter semantics, or 1/0 values with "bool")
   *             | "and" | "unless" | "or"                (set ops)
@@ -275,7 +280,6 @@ object Promql {
     "changes", "resets", "delta", "deriv", "irate", "idelta",
     "present_over_time",
     "rate_extrapolated", "increase_extrapolated")
-  private val binOps = Seq("/", "*", "+", "-")
   // longest-first so ">=" is not eaten as ">" + "="
   private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
   private val setOps = Set("and", "unless", "or")
@@ -287,38 +291,103 @@ object Promql {
     e
   }
 
-  /** Binary operators — arithmetic, comparison (with optional `bool`),
-    * and set ops — parse left-associative at equal precedence: the
-    * practical subset; parenthesize for anything relying on PromQL's
-    * precedence ladder.
+  /** Binary operators parse as Prometheus's precedence ladder
+    * (decreasing): `^` (right-assoc) > unary `+`/`-` > `*` `/` `%`
+    * `atan2` > `+` `-` > comparisons (with optional `bool`) >
+    * `and`/`unless` > `or`. Every level is left-associative except `^`.
     */
-  private def parseExpr(p: P): Expr = {
-    var lhs = parsePrimary(p)
-    var continue = true
-    while (continue) {
-      val next = binOps.find(p.peek)
-        .orElse(cmpOps.find(p.peek))
-        .orElse(Seq("and", "unless", "or").find(p.peekKeyword))
-      next match {
+  private def parseExpr(p: P): Expr = parseOr(p)
+
+  /** The `bool` + vector-matching modifiers that may follow any binary
+    * operator: `bool` (comparisons only) turns filter semantics into
+    * 1/0 values; on(...) XOR ignoring(...) picks the match labels; an
+    * optional group_left/group_right keeps the many side's labels.
+    */
+  private def binModifiers(p: P, op: String): (Boolean, Seq[String], Seq[String], Boolean, Boolean) = {
+    val boolMod = cmpOps.contains(op) && p.peekKeyword("bool") && {
+      p.eat("bool"); true
+    }
+    val (on, ignoring) =
+      if (p.peekKeyword("on")) { p.eat("on"); (labelList(p), Seq.empty[String]) }
+      else if (p.peekKeyword("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
+      else (Seq.empty[String], Seq.empty[String])
+    val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
+    val gr = !gl && (if (p.peekKeyword("group_right")) { p.eat("group_right"); true } else false)
+    (boolMod, on, ignoring, gl, gr)
+  }
+
+  /** One left-associative precedence level: `ops` are tried
+    * longest-first; `keyword` ops must end at an identifier boundary
+    * (`and` must not eat a metric named `android`).
+    */
+  private def binLevel(p: P, ops: Seq[String], keyword: Boolean,
+                       next: P => Expr): Expr = {
+    var lhs = next(p)
+    var more = true
+    while (more) {
+      (if (keyword) ops.find(p.peekKeyword) else ops.find(p.peek)) match {
         case Some(op) =>
           p.eat(op)
-          // `bool` turns a comparison's filter semantics into 1/0 values
-          val boolMod = cmpOps.contains(op) && p.peekKeyword("bool") && {
-            p.eat("bool"); true
-          }
-          // vector-matching modifiers: on(...) XOR ignoring(...), then
-          // optional group_left (many-to-one: keep every lhs label)
-          val (on, ignoring) =
-            if (p.peekKeyword("on")) { p.eat("on"); (labelList(p), Seq.empty[String]) }
-            else if (p.peekKeyword("ignoring")) { p.eat("ignoring"); (Seq.empty[String], labelList(p)) }
-            else (Seq.empty[String], Seq.empty[String])
-          val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
-          val gr = !gl && (if (p.peekKeyword("group_right")) { p.eat("group_right"); true } else false)
-          lhs = BinOp(op, on, lhs, parsePrimary(p), ignoring, gl, boolMod, gr)
-        case None => continue = false
+          val (boolMod, on, ignoring, gl, gr) = binModifiers(p, op)
+          lhs = BinOp(op, on, lhs, next(p), ignoring, gl, boolMod, gr)
+        case None => more = false
       }
     }
     lhs
+  }
+
+  private def parseOr(p: P): Expr =
+    binLevel(p, Seq("or"), keyword = true, parseAndUnless)
+  private def parseAndUnless(p: P): Expr =
+    binLevel(p, Seq("and", "unless"), keyword = true, parseCompare)
+  private def parseCompare(p: P): Expr =
+    binLevel(p, cmpOps, keyword = false, parseAddSub)
+  private def parseAddSub(p: P): Expr =
+    binLevel(p, Seq("+", "-"), keyword = false, parseMulDiv)
+
+  /** `*` `/` `%` (symbols) and `atan2` (keyword) share a level. */
+  private def parseMulDiv(p: P): Expr = {
+    var lhs = parseUnary(p)
+    var more = true
+    while (more) {
+      val op = Seq("*", "/", "%").find(p.peek)
+        .orElse(if (p.peekKeyword("atan2")) Some("atan2") else None)
+      op match {
+        case Some(o) =>
+          p.eat(o)
+          val (boolMod, on, ignoring, gl, gr) = binModifiers(p, o)
+          lhs = BinOp(o, on, lhs, parseUnary(p), ignoring, gl, boolMod, gr)
+        case None => more = false
+      }
+    }
+    lhs
+  }
+
+  /** Unary `+`/`-`: binds tighter than `*` but looser than `^`
+    * (`-2^2` is `-(2^2)`, as Prometheus). `-e` desugars to `0 - e` —
+    * Prometheus's own definition — NOT `-1 * e`: `-1 * 0.0` is `-0.0`,
+    * whose string form would diverge from the oracle's `0 - 0.0`.
+    */
+  private def parseUnary(p: P): Expr =
+    if (p.peek("-")) {
+      p.eat("-")
+      parseUnary(p) match {
+        case Scalar(v) => Scalar(-v)
+        case e => BinOp("-", Seq.empty, Scalar(0), e)
+      }
+    } else if (p.peek("+")) { p.eat("+"); parseUnary(p) }
+    else parsePow(p)
+
+  /** `^` — the tightest binary level, right-associative (`2^3^2` is
+    * `2^(3^2)`); the exponent may carry a unary sign (`x^-2`).
+    */
+  private def parsePow(p: P): Expr = {
+    val base = parsePrimary(p)
+    if (p.peek("^")) {
+      p.eat("^")
+      val (boolMod, on, ignoring, gl, gr) = binModifiers(p, "^")
+      BinOp("^", on, base, parseUnary(p), ignoring, gl, boolMod, gr)
+    } else base
   }
 
   private def labelList(p: P): Seq[String] = {
@@ -1253,9 +1322,10 @@ object Promql {
         else joined.filter(cond)
       out.drop("v_s")
     } else {
+      val divLike = op == "/" || op == "%"
       val guarded =
-        if (op == "/" && scalarRight) joined.filter(v =!= 0.0)
-        else if (op == "/" && !scalarRight) joined.filter(x =!= 0.0)
+        if (divLike && scalarRight) joined.filter(v =!= 0.0)
+        else if (divLike && !scalarRight) joined.filter(x =!= 0.0)
         else joined
       val res = (op, scalarRight) match {
         case ("/", true)  => x / v
@@ -1264,6 +1334,13 @@ object Promql {
         case ("+", _)     => x + v
         case ("-", true)  => x - v
         case ("-", false) => v - x
+        case ("%", true)  => x % v
+        case ("%", false) => v % x
+        case ("^", true)  => pow(x, v)
+        case ("^", false) => pow(v, x)
+        case ("atan2", true)  => atan2(x, v)
+        case ("atan2", false) => atan2(v, x)
+        case (o, _) => throw new IllegalArgumentException(s"unknown op '$o'")
       }
       guarded.withColumn("value", res).drop("v_s")
     }
@@ -1301,12 +1378,20 @@ object Promql {
       .join(r.withColumnRenamed("value", "v_r")
         .select((rKeep :+ "v_r").distinct.map(col): _*),
         keys)
-    val guarded = if (op == "/") joined.filter(col("v_r") =!= 0.0) else joined
+    // drop zero divisors for / and % (Spark's non-ANSI x/0 is null —
+    // a null value row silently vanishes from downstream aggregates)
+    val guarded =
+      if (op == "/" || op == "%") joined.filter(col("v_r") =!= 0.0) else joined
     val v = op match {
       case "/" => col("v_l") / col("v_r")
       case "*" => col("v_l") * col("v_r")
       case "+" => col("v_l") + col("v_r")
       case "-" => col("v_l") - col("v_r")
+      // double % follows the dividend's sign in Spark, DuckDB (fmod)
+      // and Go's math.Mod alike — cross-engine exact
+      case "%" => col("v_l") % col("v_r")
+      case "^" => pow(col("v_l"), col("v_r"))
+      case "atan2" => atan2(col("v_l"), col("v_r"))
     }
     guarded.select(outLabels.map(col) :+ v.as("value"): _*)
   }
@@ -1546,9 +1631,10 @@ object Promql {
     // (Spark's non-ANSI x/0 is null, not PromQL's +Inf — a null value
     // row silently vanishes from downstream aggregates). `vector / 0`
     // therefore yields an empty frame.
+    val divLike = op == "/" || op == "%"
     val guarded =
-      if (op == "/" && !scalarRight) df.filter(x =!= 0.0)
-      else if (op == "/" && scalarRight) df.filter(v =!= 0.0)
+      if (divLike && !scalarRight) df.filter(x =!= 0.0)
+      else if (divLike && scalarRight) df.filter(v =!= 0.0)
       else df
     val out = (op, scalarRight) match {
       case ("/", true)  => x / v
@@ -1557,6 +1643,13 @@ object Promql {
       case ("+", _)     => x + v
       case ("-", true)  => x - v
       case ("-", false) => v - x
+      case ("%", true)  => x % v
+      case ("%", false) => v % x
+      case ("^", true)  => pow(x, v)
+      case ("^", false) => pow(v, x)
+      case ("atan2", true)  => atan2(x, v)
+      case ("atan2", false) => atan2(v, x)
+      case (o, _) => throw new IllegalArgumentException(s"unknown op '$o'")
     }
     guarded.withColumn("value", out)
   }

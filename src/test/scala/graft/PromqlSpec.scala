@@ -792,4 +792,73 @@ class PromqlSpec extends AnyFunSuite {
     assert(off.exceptAll(shifted).count() === 0)
     assert(shifted.exceptAll(off).count() === 0)
   }
+
+  test("operator precedence ladder parses as Prometheus") {
+    import Promql._
+    val a = RangeFunc("sum_over_time", Selector("click", Seq.empty), 3600)
+    val b = RangeFunc("sum_over_time", Selector("purchase", Seq.empty), 3600)
+    // * binds tighter than + (the old flat parser computed (a + b) * 2)
+    assert(parse("sum_over_time(click[1h]) + sum_over_time(purchase[1h]) * 2") ===
+      BinOp("+", Seq.empty, a, BinOp("*", Seq.empty, b, Scalar(2))))
+    // comparison binds tighter than `and`: a and (b > 40)
+    assert(parse("sum_over_time(click[1h]) and sum_over_time(purchase[1h]) > 40") ===
+      BinOp("and", Seq.empty, a, BinOp(">", Seq.empty, b, Scalar(40))))
+    // `and` binds tighter than `or`
+    assert(parse("sum_over_time(click[1h]) or sum_over_time(purchase[1h]) and sum_over_time(click[1h])") ===
+      BinOp("or", Seq.empty, a, BinOp("and", Seq.empty, b, a)))
+    // + binds tighter than comparison: (a + 1) > 40
+    assert(parse("sum_over_time(click[1h]) + 1 > 40") ===
+      BinOp(">", Seq.empty, BinOp("+", Seq.empty, a, Scalar(1)), Scalar(40)))
+    // ^ binds tighter than * and is right-associative
+    assert(parse("2 * sum_over_time(click[1h]) ^ 2") ===
+      BinOp("*", Seq.empty, Scalar(2), BinOp("^", Seq.empty, a, Scalar(2))))
+    assert(parse("sum_over_time(click[1h]) ^ 2 ^ 3") ===
+      BinOp("^", Seq.empty, a, BinOp("^", Seq.empty, Scalar(2), Scalar(3))))
+    // % shares the * level
+    assert(parse("sum_over_time(click[1h]) % 7 + 1") ===
+      BinOp("+", Seq.empty, BinOp("%", Seq.empty, a, Scalar(7)), Scalar(1)))
+    // parenthesization still overrides
+    assert(parse("(sum_over_time(click[1h]) + sum_over_time(purchase[1h])) * 2") ===
+      BinOp("*", Seq.empty, BinOp("+", Seq.empty, a, b), Scalar(2)))
+  }
+
+  test("unary minus desugars to 0 - expr and folds scalars") {
+    import Promql._
+    val a = RangeFunc("sum_over_time", Selector("click", Seq.empty), 3600)
+    assert(parse("-sum_over_time(click[1h])") ===
+      BinOp("-", Seq.empty, Scalar(0), a))
+    assert(parse("-5") === Scalar(-5))
+    assert(parse("--5") === Scalar(5))
+    assert(parse("+sum_over_time(click[1h])") === a)
+    // unary binds looser than ^: -2^2 = -(2^2); tighter than *
+    assert(parse("2 * -sum_over_time(click[1h])") ===
+      BinOp("*", Seq.empty, Scalar(2),
+        BinOp("-", Seq.empty, Scalar(0), a)))
+    // x^-1 parses (unary exponent)
+    assert(parse("sum_over_time(click[1h]) ^ -1") ===
+      BinOp("^", Seq.empty, a, Scalar(-1)))
+    // evaluation: -x is exactly 0 - x, labels preserved
+    val neg = Promql.query(spark, sf, "-sum_over_time(click[1h])")
+    val pos = Promql.query(spark, sf, "sum_over_time(click[1h])")
+      .withColumn("value", lit(0.0) - col("value"))
+    assert(neg.exceptAll(pos).count() === 0)
+    assert(pos.exceptAll(neg).count() === 0)
+  }
+
+  test("mod, pow and atan2 evaluate with Prometheus semantics") {
+    val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    // % follows the dividend's sign (fmod); zero modulus drops rows
+    val mod = Promql.query(spark, sf, "sum_over_time(click[1h]) % 7")
+    val expectMod = base.withColumn("value", col("value") % 7.0)
+    assert(mod.exceptAll(expectMod).count() === 0)
+    assert(Promql.query(spark, sf, "sum_over_time(click[1h]) % 0").count() === 0)
+    // ^ is pow
+    val sq = Promql.query(spark, sf, "sum_over_time(click[1h]) ^ 2")
+    val expectSq = base.withColumn("value", pow(col("value"), 2.0))
+    assert(sq.exceptAll(expectSq).count() === 0)
+    // vector atan2 scalar — quadrant-correct signs
+    val at = Promql.query(spark, sf, "sum_over_time(click[1h]) atan2 1")
+    val expectAt = base.withColumn("value", atan2(col("value"), lit(1.0)))
+    assert(at.exceptAll(expectAt).count() === 0)
+  }
 }
