@@ -506,6 +506,21 @@ object OracleSql {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     // q_promql_atan2 is deliberately absent: JVM vs libm atan2 differ in
     // the last ulp (rows-only declared at the SparkEntry side)
+    "q_promql_k_group" ->
+      """WITH per AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |         regexp_extract(props, '"k": (\d+)', 1) AS k,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+        |SELECT step, k, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM per GROUP BY 1, 2""".stripMargin,
+    "q_promql_k_matcher" ->
+      """WITH e AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |         regexp_extract(props, '"k": (\d+)', 1) AS k
+        |  FROM events WHERE event_type = 'click')
+        |SELECT step, user_id, k, CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM e WHERE regexp_full_match(k, '4.*') GROUP BY 1, 2, 3""".stripMargin,
     "q_promql_scalar" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -157,6 +157,12 @@ object SparkEntry {
     // PromqlSpec pins the semantics against Spark's own atan2
     "q_promql_atan2" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(click[1h]) atan2 1")),
+    // derived label k (props JSON): grouped by, and matched on, a label
+    // that exists in the payload rather than as a physical column
+    "q_promql_k_group" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum by (k) (sum_over_time(click[1d]))")),
+    "q_promql_k_matcher" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """count_over_time(click{k=~"4.*"}[1d])""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
     "q3_shipping"    -> (Relational.q3Shipping _),

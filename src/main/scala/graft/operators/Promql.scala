@@ -67,7 +67,10 @@ import graft.Tables
   *
   * Data-model mapping (the events table as TSDB): metric name ⇒
   * `event_type`, labels ⇒ the remaining identity columns (`user_id`),
-  * sample value ⇒ `value`, timestamp ⇒ `ts`.
+  * sample value ⇒ `value`, timestamp ⇒ `ts`. DERIVED labels
+  * ([[derivedLabels]]): `k` ⇒ the props JSON's "k" attribute,
+  * materialized (and carried as a full series label) only by queries
+  * that reference it — `sum by (k)(...)`, `click{k="42"}`, etc.
   *
   * Range windows are HONORED: `rate(click[5m])` evaluates over aligned
   * 300-second windows (evaluation step = window length, i.e. tumbling
@@ -89,9 +92,14 @@ import graft.Tables
 object Promql {
 
   sealed trait Expr
+  /** `extraLabels`: derived labels (see [[derivedLabels]]) the query
+    * references — populated by a post-parse rewrite, so only queries
+    * that mention a derived label pay for materializing it.
+    */
   case class Selector(metric: String, matchers: Seq[(String, String, String)],
                       offsetSec: Long = 0L,
-                      atSec: Option[Long] = None) extends Expr
+                      atSec: Option[Long] = None,
+                      extraLabels: Seq[String] = Seq.empty) extends Expr
   case class RangeFunc(fn: String, sel: Selector, rangeSec: Long,
                        q: Double = 0.0, q2: Double = 0.0) extends Expr
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
@@ -284,11 +292,67 @@ object Promql {
   private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
   private val setOps = Set("and", "unless", "or")
 
+  /** Derived labels of the data model: name → projection over the raw
+    * events schema. `k` is the props JSON's "k" attribute — a label
+    * that exists in the payload, not as a physical column (the
+    * reference's schema treats every label as a column; a derived
+    * label is the Spark-side analogue of a lazily materialized one).
+    * The projection is a codegen'd builtin, and Catalyst prunes
+    * `props` from the scan whenever the query does not reference the
+    * label.
+    */
+  private val derivedLabels: Seq[(String, Column)] = Seq(
+    "k" -> regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+
+  /** Every label name the expression references — matcher keys, agg
+    * by/without lists, vector-matching on/ignoring lists, label-fn
+    * sources.
+    */
+  private def referencedLabels(e: Expr): Set[String] = e match {
+    case s: Selector => s.matchers.map(_._1).toSet
+    case r: RangeFunc => referencedLabels(r.sel)
+    case a: Agg => a.by.toSet ++ referencedLabels(a.child)
+    case b: BinOp =>
+      b.on.toSet ++ b.ignoring.toSet ++
+        referencedLabels(b.lhs) ++ referencedLabels(b.rhs)
+    case m: MathFn => referencedLabels(m.child)
+    case ab: AbsentFn => referencedLabels(ab.sel)
+    case t: TimestampFn => referencedLabels(t.sel)
+    case sq: SubqueryFunc => referencedLabels(sq.child)
+    case so: ScalarOf => referencedLabels(so.child)
+    case vo: VectorOf => referencedLabels(vo.child)
+    case lr: LabelReplace => Set(lr.src) ++ referencedLabels(lr.child)
+    case lj: LabelJoin => lj.srcs.toSet ++ referencedLabels(lj.child)
+    case _ => Set.empty // Scalar, TimeFn
+  }
+
+  private def mapSelectors(e: Expr, f: Selector => Selector): Expr = e match {
+    case s: Selector => f(s)
+    case r: RangeFunc => r.copy(sel = f(r.sel))
+    case a: Agg => a.copy(child = mapSelectors(a.child, f))
+    case b: BinOp =>
+      b.copy(lhs = mapSelectors(b.lhs, f), rhs = mapSelectors(b.rhs, f))
+    case m: MathFn => m.copy(child = mapSelectors(m.child, f))
+    case ab: AbsentFn => ab.copy(sel = f(ab.sel))
+    case t: TimestampFn => t.copy(sel = f(t.sel))
+    case sq: SubqueryFunc => sq.copy(child = mapSelectors(sq.child, f))
+    case so: ScalarOf => so.copy(child = mapSelectors(so.child, f))
+    case vo: VectorOf => vo.copy(child = mapSelectors(vo.child, f))
+    case lr: LabelReplace => lr.copy(child = mapSelectors(lr.child, f))
+    case lj: LabelJoin => lj.copy(child = mapSelectors(lj.child, f))
+    case other => other // Scalar, TimeFn
+  }
+
   def parse(q: String): Expr = {
     val p = new P(q)
     val e = parseExpr(p)
     if (!p.eof) p.fail("trailing input")
-    e
+    // thread any referenced derived label into every selector, so the
+    // whole evaluation (labels, joins, output schema) carries it
+    val refs = referencedLabels(e)
+    val derived = derivedLabels.map(_._1).filter(refs)
+    if (derived.isEmpty) e
+    else mapSelectors(e, s => s.copy(extraLabels = derived))
   }
 
   /** Binary operators parse as Prometheus's precedence ladder
@@ -698,7 +762,8 @@ object Promql {
     * __name__.
     */
   private def seriesLabels(sel: Selector): Seq[String] =
-    if (sel.metric.isEmpty) Seq("user_id", "event_type") else Seq("user_id")
+    (if (sel.metric.isEmpty) Seq("user_id", "event_type") else Seq("user_id")) ++
+      sel.extraLabels
 
   private def select(s: SparkSession, dir: String, sel: Selector,
                      boundsSec: Option[(Long, Long)] = None): DataFrame = {
@@ -710,9 +775,14 @@ object Promql {
         .filter(col("ts_ns") >= (loSec - sel.offsetSec) * 1000000000L)
         .filter(col("ts_ns") <= (hiSec - sel.offsetSec) * 1000000000L)
     }
+    // materialize referenced derived labels before matchers, so a
+    // matcher on one is an ordinary column predicate
+    val withDerived = derivedLabels.foldLeft(base) { case (d, (name, c)) =>
+      if (sel.extraLabels.contains(name)) d.withColumn(name, c) else d
+    }
     val shifted =
-      if (sel.offsetSec == 0L) base
-      else base.withColumn("ts",
+      if (sel.offsetSec == 0L) withDerived
+      else withDerived.withColumn("ts",
         timestamp_micros(unix_micros(col("ts")) + lit(sel.offsetSec * 1000000L)))
     Scan.applyMatchers(shifted, sel.matchers)
   }

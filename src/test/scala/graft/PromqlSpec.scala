@@ -845,6 +845,31 @@ class PromqlSpec extends AnyFunSuite {
     assert(pos.exceptAll(neg).count() === 0)
   }
 
+  test("derived label k threads through selectors, matchers and grouping") {
+    import Promql._
+    // post-parse rewrite: only queries referencing k carry it
+    assert(parse("sum_over_time(click[1h])") ===
+      RangeFunc("sum_over_time", Selector("click", Seq.empty), 3600))
+    assert(parse("sum by (k) (sum_over_time(click[1h]))") ===
+      Agg("sum", Seq("k"), RangeFunc("sum_over_time",
+        Selector("click", Seq.empty, extraLabels = Seq("k")), 3600)))
+    assert(parse("""click{k="42"}""") ===
+      Selector("click", Seq(("k", "=", "42")), extraLabels = Seq("k")))
+    // evaluation carries k as a real series label
+    val grouped = Promql.query(spark, sf, "sum by (k) (count_over_time(click[1d]))")
+    assert(grouped.columns.toSeq === Seq("step", "k", "value"))
+    assert(grouped.select("k").distinct().count() > 1)
+    // equality matcher on k restricts the series set
+    val one = Promql.query(spark, sf, """count_over_time(click{k="42"}[1d])""")
+    assert(one.select("k").distinct().collect().map(_.getString(0)).toSeq === Seq("42"))
+    // a query that does NOT reference k reads neither k nor props
+    val plain = Promql.query(spark, sf, "count_over_time(click[1d])")
+    assert(!plain.columns.contains("k"))
+    val schemaLine = SparkFixture.planOf(plain)
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!schemaLine.contains("props"), s"props must be pruned:\n$schemaLine")
+  }
+
   test("mod, pow and atan2 evaluate with Prometheus semantics") {
     val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
     // % follows the dividend's sign (fmod); zero modulus drops rows
