@@ -28,8 +28,8 @@ object Pipelines {
     s"(CAST(list_sum(list_transform(range(1, 65), i -> " +
       s"CAST(floor(CAST($vec[i] AS DOUBLE) * CAST((($p * 97 + (i - 1) * 31) % 13) - 6 AS DOUBLE) * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
 
-  private def bucket(vec: String): String =
-    (0 until Similarity.NumPlanes)
+  private def bucket(vec: String, planes: Int = Similarity.NumPlanes): String =
+    (0 until planes)
       .map(p => s"(CASE WHEN ${planeDot(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
@@ -166,6 +166,18 @@ object Pipelines {
       s"""WITH emb AS (SELECT vec_id, embedding,
          |  ${dot("embedding", "embedding")} AS norm,
          |  ${bucket("embedding")} AS bucket FROM embeddings)
+         |SELECT id1, id2, cosine FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.3""".stripMargin,
+    // the auto-planes variant: the correctness gate runs at sf0.01
+    // (N = 500 embeddings), where suggestedPlanes(500, 64) = 3 — the
+    // oracle mirrors that plane count; SimilaritySpec pins the formula
+    "dedup_embedding_auto" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding", Similarity.suggestedPlanes(500))} AS bucket FROM embeddings)
          |SELECT id1, id2, cosine FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine

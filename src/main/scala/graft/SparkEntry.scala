@@ -187,6 +187,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_embedding"     -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_auto" -> ((s, d) => Dedup.embeddingNearDupAuto(s, d)),
     "dedup_clusters"      -> (Dedup.clusters _),
     "dedup_keep_best"     -> (Dedup.exactKeepBest _),
     // G. similarity search

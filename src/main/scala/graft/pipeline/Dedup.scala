@@ -239,6 +239,19 @@ object Dedup {
     * production-style 0.9 would select nothing; the operator semantics
     * are threshold-parametric either way.
     */
+  /** [[embeddingNearDup]] with the plane count derived from the corpus
+    * size (Similarity.suggestedPlanes): one count() — a metadata-cheap
+    * scan — picks planes so expected bucket population stays constant
+    * as N grows. At 100 TB the count comes from table stats; the point
+    * is that the knob is a function of N, not a constant that silently
+    * turns the bucket join quadratic at 1000×.
+    */
+  def embeddingNearDupAuto(s: SparkSession, dir: String,
+                           threshold: Double = 0.3): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    embeddingNearDup(s, dir, Similarity.suggestedPlanes(n), threshold)
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String,
                        numPlanes: Int = Similarity.NumPlanes,
                        threshold: Double = 0.3): DataFrame = {

@@ -40,6 +40,18 @@ object Similarity {
   def suggestedCells(n: Long): Int =
     math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
 
+  /** planes = ⌈log₂(N / targetBucket)⌉: keeps the EXPECTED bucket
+    * population near `targetBucket` as N grows, so the bucket-local
+    * all-pairs residual of the LSH near-dup join stays
+    * O(N · targetBucket) total instead of O(N²/2^planes) blowing up
+    * when a fixed plane count meets 1000× the data. (The 10× soak's one
+    * structural outlier was exactly this: fixed planes = 8 made
+    * dedup_embedding's candidate count grow quadratically.)
+    */
+  def suggestedPlanes(n: Long, targetBucket: Int = 64): Int =
+    math.max(1, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt)
+
   /** Deterministic pseudo-random hyperplane component, p-th plane, i-th
     * dim: integer in [-6, 6].
     */

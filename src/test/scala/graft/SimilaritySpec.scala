@@ -70,6 +70,21 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("qid").count().filter(col("count") > 3).count() === 0)
     assert(Similarity.suggestedCells(1000000L) === 1000)
     assert(Similarity.suggestedCells(0L) === 1)
+    // planes track log2(N / targetBucket): constant expected bucket
+    // population as N grows (the 10x-soak outlier's fix)
+    assert(Similarity.suggestedPlanes(500L) === 3)
+    assert(Similarity.suggestedPlanes(64L) === 1)
+    assert(Similarity.suggestedPlanes(0L) === 1)
+    assert(Similarity.suggestedPlanes(1L << 26) === 20) // 64M vecs -> 1M buckets
+    assert(Similarity.suggestedPlanes(10L * (1L << 26)) -
+      Similarity.suggestedPlanes(1L << 26) <= 4) // 10x data ≈ +3-4 planes
+    // the auto variant equals the explicit-planes call at this corpus
+    val n = Tables.embeddings(spark, sf).count()
+    val auto = graft.pipeline.Dedup.embeddingNearDupAuto(spark, sf)
+    val explicit = graft.pipeline.Dedup.embeddingNearDup(
+      spark, sf, Similarity.suggestedPlanes(n))
+    assert(auto.exceptAll(explicit).count() === 0)
+    assert(explicit.exceptAll(auto).count() === 0)
   }
 
   test("k-means training is deterministic and beats formula centroids") {
