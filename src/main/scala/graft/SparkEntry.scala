@@ -204,7 +204,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     // I. multimodal plumbing (rows-only: stubbed decode)
-    "mm_decode"   -> (Multimodal.decode _),
+    "mm_decode"   -> ((s, d) => Multimodal.decode(s, d)),
     "mm_features" -> (Multimodal.featuresDigest _),
     "mm_frames"   -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )

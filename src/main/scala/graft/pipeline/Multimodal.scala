@@ -4,44 +4,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Typed per-media metadata produced by the (stubbed) decoder. */
+/** Typed per-media metadata produced by the decoder. */
 case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
                      frames: Int, phash: String)
 
 /** Multimodal-column plumbing: media as opaque `binary` + typed metadata.
   *
-  * The real decode (image/audio libs) is STUBBED with a deterministic
-  * fake — this container has no codec libraries — but the Spark side is
-  * real: a binary column flows through a typed Dataset, the decode runs
-  * batched per partition (the Scala analogue of mapInPandas: one iterator
-  * per partition, amortized setup), and the output schema is the typed
-  * metadata a downstream pipeline would consume. At scale this is the
-  * shape that matters: decode parallelism == partition count, no
-  * driver-side collect, constant memory per task.
+  * The decode step is PLUGGABLE ([[MediaDecoder]]): operators take a
+  * `() => MediaDecoder` factory, instantiated once per partition on the
+  * executor — the Scala analogue of mapInPandas's per-batch setup. The
+  * default is the deterministic [[StubDecoder]] (this container has no
+  * codec libraries), but the Spark side is real either way: a binary
+  * column flows through a typed Dataset, the decode runs batched per
+  * partition, and the output schema is the typed metadata a downstream
+  * pipeline would consume. At scale this is the shape that matters:
+  * decode parallelism == partition count, no driver-side collect,
+  * constant memory per task, codec setup amortized per partition.
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake metadata derived from the bytes.
-    * Swap body for a real codec (e.g. javax.imageio) when available.
-    */
-  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hash = md.digest(bytes).map("%02x".format(_)).mkString
-    val n = bytes.length
-    (n % 640 + 1, (n * 7) % 480 + 1, n % 24 + 1, hash)
-  }
-
   /** Binary payload → per-partition batched decode → typed metadata. */
-  def decode(s: SparkSession, dir: String): DataFrame = {
+  def decode(s: SparkSession, dir: String,
+             mkDecoder: () => MediaDecoder = MediaDecoder.stub): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // One decoder instance per partition (mapInPandas batch shape).
+        val dec = mkDecoder()
         it.map { case (id, bytes) =>
-          val (w, h, f, ph) = decodeStub(bytes)
-          MediaMeta(id, bytes.length.toLong, w, h, f, ph)
+          val m = dec.meta(bytes)
+          MediaMeta(id, bytes.length.toLong, m.width, m.height, m.frames, m.phash)
         }
       }
       .toDF()
@@ -88,25 +82,21 @@ object Multimodal {
         .as("features_digest"))
 
   /** Frame sampling: one media payload → one row per sampled frame
-    * (every k-th "frame" of the stubbed container), the batch-expansion
-    * shape of video pipelines: flatMap per partition, output cardinality
+    * (every k-th "frame" of the container), the batch-expansion shape
+    * of video pipelines: flatMap per partition, output cardinality
     * = frames/stride, partitioning inherited — no shuffle.
     */
-  def sampleFrames(s: SparkSession, dir: String, stride: Int = 8): DataFrame = {
+  def sampleFrames(s: SparkSession, dir: String, stride: Int = 8,
+                   mkDecoder: () => MediaDecoder = MediaDecoder.stub): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val dec = mkDecoder()
         it.flatMap { case (id, bytes) =>
-          val (_, _, frames, _) = decodeStub(bytes)
-          (0 until frames by stride).map { f =>
-            // stub per-frame payload: the frame's byte slice fingerprint
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val off = f % math.max(1, bytes.length)
-            md.update(bytes, off, math.min(16, bytes.length - off))
-            (id, f, md.digest().map("%02x".format(_)).mkString)
-          }
+          val frames = dec.meta(bytes).frames
+          (0 until frames by stride).map(f => (id, f, dec.frameHash(bytes, f)))
         }
       }
       .toDF("doc_id", "frame_idx", "frame_hash")

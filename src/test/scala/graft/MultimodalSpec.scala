@@ -55,4 +55,27 @@ class MultimodalSpec extends AnyFunSuite {
     // SerializeFromObject/MapPartitions = per-partition batched decode
     assert(df.queryExecution.executedPlan.toString.contains("MapPartitions"))
   }
+
+  test("the decoder is pluggable: a custom codec swaps in via the factory") {
+    // a "real codec" stand-in: fixed dims, payload-length hash — proves
+    // the factory seam carries a different implementation end to end
+    val fake: () => graft.pipeline.MediaDecoder = () =>
+      new graft.pipeline.MediaDecoder {
+        override def meta(bytes: Array[Byte]) =
+          graft.pipeline.MediaDecoder.Meta(1920, 1080, 10, s"len:${bytes.length}")
+        override def frameHash(bytes: Array[Byte], frame: Int) = s"f$frame"
+      }
+    val df = Multimodal.decode(spark, sf, fake)
+    assert(df.select("width").distinct().collect().map(_.getInt(0)).toSeq === Seq(1920))
+    assert(df.filter(col("phash").startsWith("len:")).count() === df.count())
+    // frame sampling honors the plugged decoder's frame count (10/8 -> 2)
+    val frames = Multimodal.sampleFrames(spark, sf, stride = 8, mkDecoder = fake)
+    assert(frames.groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() === 0)
+    assert(frames.select("frame_hash").distinct().collect()
+      .map(_.getString(0)).toSet === Set("f0", "f8"))
+    // and the default stub output is unchanged by the refactor
+    val stub = Multimodal.decode(spark, sf)
+    assert(stub.filter(length(col("phash")) =!= 32).count() === 0)
+  }
 }
