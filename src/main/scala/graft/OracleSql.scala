@@ -506,6 +506,23 @@ object OracleSql {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     // q_promql_atan2 is deliberately absent: JVM vs libm atan2 differ in
     // the last ulp (rows-only declared at the SparkEntry side)
+    "q_promql_carry" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.step, c.user_id,
+        |       regexp_replace(CAST(c.user_id AS VARCHAR), '^(?:(\d)\d*)$', 't\1') AS tier,
+        |       c.value * p.value AS value
+        |FROM c JOIN p ON p.step = c.step AND p.user_id = c.user_id""".stripMargin,
+    "q_promql_neg_offset" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts - INTERVAL 1 HOUR)) AS BIGINT) AS step,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
     "q_promql_k_group" ->
       """WITH per AS (
         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,

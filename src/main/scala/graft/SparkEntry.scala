@@ -157,6 +157,11 @@ object SparkEntry {
     // PromqlSpec pins the semantics against Spark's own atan2
     "q_promql_atan2" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(click[1h]) atan2 1")),
+    // group_left(l1,...) label carrying and negative offset
+    "q_promql_carry" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sum_over_time(click[1h]) * on(user_id) group_left(tier) label_replace(sum_over_time(purchase[1h]), "tier", "t$1", "user_id", "(\d)\d*")""")),
+    "q_promql_neg_offset" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum(count_over_time(click[1h] offset -1h))")),
     // derived label k (props JSON): grouped by, and matched on, a label
     // that exists in the payload rather than as a physical column
     "q_promql_k_group" -> ((s, d) => graft.operators.Promql.query(

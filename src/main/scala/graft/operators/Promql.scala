@@ -105,11 +105,15 @@ object Promql {
   case class Agg(op: String, by: Seq[String], child: Expr, k: Int = 0,
                  without: Boolean = false, q: Double = 0.0,
                  vlabel: String = "") extends Expr
+  /** `carry`: the group_left(l1, ...)/group_right(l1, ...) label list —
+    * labels copied from the ONE side into the result, as PromQL.
+    */
   case class BinOp(op: String, on: Seq[String], lhs: Expr, rhs: Expr,
                    ignoring: Seq[String] = Seq.empty,
                    groupLeft: Boolean = false,
                    bool: Boolean = false,
-                   groupRight: Boolean = false) extends Expr
+                   groupRight: Boolean = false,
+                   carry: Seq[String] = Seq.empty) extends Expr
   case class Scalar(value: Double) extends Expr
   case class MathFn(fn: String, child: Expr, arg: Double = 0.0,
                     arg2: Double = 0.0) extends Expr
@@ -313,7 +317,7 @@ object Promql {
     case r: RangeFunc => referencedLabels(r.sel)
     case a: Agg => a.by.toSet ++ referencedLabels(a.child)
     case b: BinOp =>
-      b.on.toSet ++ b.ignoring.toSet ++
+      b.on.toSet ++ b.ignoring.toSet ++ b.carry.toSet ++
         referencedLabels(b.lhs) ++ referencedLabels(b.rhs)
     case m: MathFn => referencedLabels(m.child)
     case ab: AbsentFn => referencedLabels(ab.sel)
@@ -367,7 +371,7 @@ object Promql {
     * 1/0 values; on(...) XOR ignoring(...) picks the match labels; an
     * optional group_left/group_right keeps the many side's labels.
     */
-  private def binModifiers(p: P, op: String): (Boolean, Seq[String], Seq[String], Boolean, Boolean) = {
+  private def binModifiers(p: P, op: String): (Boolean, Seq[String], Seq[String], Boolean, Boolean, Seq[String]) = {
     val boolMod = cmpOps.contains(op) && p.peekKeyword("bool") && {
       p.eat("bool"); true
     }
@@ -377,7 +381,10 @@ object Promql {
       else (Seq.empty[String], Seq.empty[String])
     val gl = if (p.peekKeyword("group_left")) { p.eat("group_left"); true } else false
     val gr = !gl && (if (p.peekKeyword("group_right")) { p.eat("group_right"); true } else false)
-    (boolMod, on, ignoring, gl, gr)
+    // group_left(l1, ...) / group_right(l1, ...): labels copied from
+    // the one side into the result
+    val carry = if ((gl || gr) && p.peek("(")) labelList(p) else Seq.empty
+    (boolMod, on, ignoring, gl, gr, carry)
   }
 
   /** One left-associative precedence level: `ops` are tried
@@ -392,8 +399,8 @@ object Promql {
       (if (keyword) ops.find(p.peekKeyword) else ops.find(p.peek)) match {
         case Some(op) =>
           p.eat(op)
-          val (boolMod, on, ignoring, gl, gr) = binModifiers(p, op)
-          lhs = BinOp(op, on, lhs, next(p), ignoring, gl, boolMod, gr)
+          val (boolMod, on, ignoring, gl, gr, carry) = binModifiers(p, op)
+          lhs = BinOp(op, on, lhs, next(p), ignoring, gl, boolMod, gr, carry)
         case None => more = false
       }
     }
@@ -419,8 +426,8 @@ object Promql {
       op match {
         case Some(o) =>
           p.eat(o)
-          val (boolMod, on, ignoring, gl, gr) = binModifiers(p, o)
-          lhs = BinOp(o, on, lhs, parseUnary(p), ignoring, gl, boolMod, gr)
+          val (boolMod, on, ignoring, gl, gr, carry) = binModifiers(p, o)
+          lhs = BinOp(o, on, lhs, parseUnary(p), ignoring, gl, boolMod, gr, carry)
         case None => more = false
       }
     }
@@ -449,8 +456,8 @@ object Promql {
     val base = parsePrimary(p)
     if (p.peek("^")) {
       p.eat("^")
-      val (boolMod, on, ignoring, gl, gr) = binModifiers(p, "^")
-      BinOp("^", on, base, parseUnary(p), ignoring, gl, boolMod, gr)
+      val (boolMod, on, ignoring, gl, gr, carry) = binModifiers(p, "^")
+      BinOp("^", on, base, parseUnary(p), ignoring, gl, boolMod, gr, carry)
     } else base
   }
 
@@ -681,12 +688,18 @@ object Promql {
     * (`rate(click[5m] offset 1h @ 1704067200)`, either order) — shared
     * by every range-function branch.
     */
+  /** `offset` accepts a negative duration (`offset -1h` looks forward),
+    * as PromQL.
+    */
+  private def signedDuration(p: P): Long =
+    if (p.peek("-")) { p.eat("-"); -p.duration() } else p.duration()
+
   private def parseRangeModifiers(p: P, sel: Selector): Selector = {
     var off = sel.offsetSec
     var at = sel.atSec
     var more = true
     while (more) {
-      if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+      if (p.peekKeyword("offset")) { p.eat("offset"); off = signedDuration(p) }
       else if (p.peek("@")) {
         p.eat("@")
         at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
@@ -717,7 +730,7 @@ object Promql {
     var at: Option[Long] = None
     var more = true
     while (more) {
-      if (p.peekKeyword("offset")) { p.eat("offset"); off = p.duration() }
+      if (p.peekKeyword("offset")) { p.eat("offset"); off = signedDuration(p) }
       else if (p.peek("@")) {
         p.eat("@")
         at = Some(p.number().getOrElse(p.fail("expected @ timestamp")).toLong)
@@ -1022,32 +1035,32 @@ object Promql {
     // vector-scalar: no join, a projected expression (or a filter for
     // comparisons without `bool`). time() is the per-step scalar
     // col(step), so `v op time()` is also a pure projection.
-    case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, lhs, Scalar(v), _, _, b, _, _) if !setOps(op) =>
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, lhs), op, lit(v), scalarRight = true, b)
       else scalarArith(eval(s, dir, lhs), op, lit(v), scalarRight = true)
-    case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, Scalar(v), rhs, _, _, b, _, _) if !setOps(op) =>
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, rhs), op, lit(v), scalarRight = false, b)
       else scalarArith(eval(s, dir, rhs), op, lit(v), scalarRight = false)
-    case BinOp(op, _, lhs, TimeFn, _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, lhs, TimeFn, _, _, b, _, _) if !setOps(op) =>
       val t = col("step").cast("double")
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, lhs), op, t, scalarRight = true, b)
       else scalarArith(eval(s, dir, lhs), op, t, scalarRight = true)
-    case BinOp(op, _, TimeFn, rhs, _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, TimeFn, rhs, _, _, b, _, _) if !setOps(op) =>
       val t = col("step").cast("double")
       if (cmpOps.contains(op))
         scalarCompare(eval(s, dir, rhs), op, t, scalarRight = false, b)
       else scalarArith(eval(s, dir, rhs), op, t, scalarRight = false)
-    case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _, _) if !setOps(op) =>
       perStepScalarOp(eval(s, dir, lhs), scalarOf(eval(s, dir, ch)), op,
         scalarRight = true, boolMod = b)
-    case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _) if !setOps(op) =>
+    case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _, _) if !setOps(op) =>
       perStepScalarOp(eval(s, dir, rhs), scalarOf(eval(s, dir, ch)), op,
         scalarRight = false, boolMod = b)
 
-    case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
+    case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr, carry) =>
       // tumbling evaluation derives each side's step from its own range
       // window; joining 1h steps against 30m steps would silently drop
       // and misalign steps. PromQL evaluates both sides at the SAME
@@ -1060,7 +1073,7 @@ object Promql {
       val (le, re) = (eval(s, dir, lhs), eval(s, dir, rhs))
       if (setOps(op)) setOver(le, re, op, on, ignoring)
       else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
-      else binOver(le, re, op, on, ignoring, groupLeft, gr)
+      else binOver(le, re, op, on, ignoring, groupLeft, gr, carry)
   }
 
   /** Step granularities (sec) a tumbling evaluation of `e` produces:
@@ -1079,7 +1092,7 @@ object Promql {
     case LabelJoin(c, _, _, _) => stepGrains(c)
     case Agg(_, _, child, _, _, _, _) => stepGrains(child)
     case MathFn(_, child, _, _) => stepGrains(child)
-    case BinOp(_, _, l, r, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
+    case BinOp(_, _, l, r, _, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
     case Scalar(_) => Set.empty
   }
 
@@ -1430,19 +1443,30 @@ object Promql {
     */
   private def binOver(l: DataFrame, r: DataFrame, op: String, on: Seq[String],
                       ignoring: Seq[String], groupLeft: Boolean,
-                      groupRight: Boolean = false): DataFrame = {
+                      groupRight: Boolean = false,
+                      carry: Seq[String] = Seq.empty): DataFrame = {
     val lLabels = l.columns.filter(c => c != "step" && c != "value").toSeq
     val rLabels = r.columns.filter(c => c != "step" && c != "value").toSeq
     val matchLabels =
       if (on.nonEmpty) on
       else lLabels.intersect(rLabels).diff(ignoring)
     val keys = "step" +: matchLabels
+    // group_left(l1,...): labels copied from the ONE side into the
+    // result (they override a same-named label on the many side, as
+    // PromQL); carrying a match key is a no-op
+    val carried = carry.diff(keys)
     val outLabels =
-      if (groupLeft) ("step" +: lLabels).distinct
-      else if (groupRight) ("step" +: rLabels).distinct
+      if (groupLeft) ("step" +: (lLabels.diff(carried) ++ carried)).distinct
+      else if (groupRight) ("step" +: (rLabels.diff(carried) ++ carried)).distinct
       else keys
-    val lKeep = if (groupLeft) outLabels else keys
-    val rKeep = if (groupRight) outLabels else keys
+    val lKeep =
+      if (groupLeft) ("step" +: lLabels.diff(carried)).distinct
+      else if (groupRight) keys ++ carried
+      else keys
+    val rKeep =
+      if (groupRight) ("step" +: rLabels.diff(carried)).distinct
+      else if (groupLeft) keys ++ carried
+      else keys
     val joined = l.withColumnRenamed("value", "v_l")
       .select((lKeep :+ "v_l").distinct.map(col): _*)
       .join(r.withColumnRenamed("value", "v_r")
@@ -1659,35 +1683,35 @@ object Promql {
           case e => scalarOf(evalAt(s, dir, e, spec))
         }
 
-      case BinOp(op, _, lhs, Scalar(v), _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, lhs, Scalar(v), _, _, b, _, _) if !setOps(op) =>
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true, b)
         else scalarArith(evalAt(s, dir, lhs, spec), op, lit(v), scalarRight = true)
-      case BinOp(op, _, Scalar(v), rhs, _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, Scalar(v), rhs, _, _, b, _, _) if !setOps(op) =>
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false, b)
         else scalarArith(evalAt(s, dir, rhs, spec), op, lit(v), scalarRight = false)
-      case BinOp(op, _, lhs, TimeFn, _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, lhs, TimeFn, _, _, b, _, _) if !setOps(op) =>
         val t = col("step").cast("double")
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, lhs, spec), op, t, scalarRight = true, b)
         else scalarArith(evalAt(s, dir, lhs, spec), op, t, scalarRight = true)
-      case BinOp(op, _, TimeFn, rhs, _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, TimeFn, rhs, _, _, b, _, _) if !setOps(op) =>
         val t = col("step").cast("double")
         if (cmpOps.contains(op))
           scalarCompare(evalAt(s, dir, rhs, spec), op, t, scalarRight = false, b)
         else scalarArith(evalAt(s, dir, rhs, spec), op, t, scalarRight = false)
-      case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, lhs, ScalarOf(ch), _, _, b, _, _) if !setOps(op) =>
         perStepScalarOp(evalAt(s, dir, lhs, spec),
           scalarOf(evalAt(s, dir, ch, spec)), op, scalarRight = true, boolMod = b)
-      case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _) if !setOps(op) =>
+      case BinOp(op, _, ScalarOf(ch), rhs, _, _, b, _, _) if !setOps(op) =>
         perStepScalarOp(evalAt(s, dir, rhs, spec),
           scalarOf(evalAt(s, dir, ch, spec)), op, scalarRight = false, boolMod = b)
-      case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr) =>
+      case BinOp(op, on, lhs, rhs, ignoring, groupLeft, b, gr, carry) =>
         val (le, re) = (evalAt(s, dir, lhs, spec), evalAt(s, dir, rhs, spec))
         if (setOps(op)) setOver(le, re, op, on, ignoring)
         else if (cmpOps.contains(op)) cmpOver(le, re, op, on, ignoring, b)
-        else binOver(le, re, op, on, ignoring, groupLeft, gr)
+        else binOver(le, re, op, on, ignoring, groupLeft, gr, carry)
     }
   }
 

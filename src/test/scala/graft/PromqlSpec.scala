@@ -793,6 +793,41 @@ class PromqlSpec extends AnyFunSuite {
     assert(shifted.exceptAll(off).count() === 0)
   }
 
+  test("negative offset looks forward") {
+    import Promql._
+    assert(parse("click offset -1h") ===
+      Selector("click", Seq.empty, offsetSec = -3600L))
+    val plain = Promql.query(spark, sf, "sum(count_over_time(click[1h]))")
+    val off = Promql.query(spark, sf, "sum(count_over_time(click[1h] offset -1h))")
+    // offset -1h reports each hour's data one step earlier
+    val shifted = plain.withColumn("step", col("step") - 3600L)
+    assert(off.exceptAll(shifted).count() === 0)
+    assert(shifted.exceptAll(off).count() === 0)
+  }
+
+  test("group_left(label) carries one-side labels into the result") {
+    import Promql._
+    val q = """sum_over_time(click[1h]) * on(user_id) group_left(tier) label_replace(sum_over_time(purchase[1h]), "tier", "t$1", "user_id", "(\d)\d*")"""
+    parse(q) match {
+      case BinOp("*", Seq("user_id"), _, _: LabelReplace, _, true, false, false, carry) =>
+        assert(carry === Seq("tier"))
+      case other => fail(s"unexpected AST: $other")
+    }
+    val df = Promql.query(spark, sf, q)
+    assert(df.columns.toSeq === Seq("step", "user_id", "tier", "value"))
+    // tier is the one side's label: t<first digit of user_id>
+    assert(df.filter(col("tier") =!= concat(lit("t"),
+      substring(col("user_id").cast("string"), 1, 1))).count() === 0)
+    // values = product of the two sides, labels from the many side
+    val l = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    val r = Promql.query(spark, sf, "sum_over_time(purchase[1h])")
+      .withColumnRenamed("value", "rv")
+    val expect = l.join(r, Seq("step", "user_id"))
+      .select(col("step"), col("user_id"), (col("value") * col("rv")).as("value"))
+    assert(df.drop("tier").exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(df.drop("tier")).count() === 0)
+  }
+
   test("operator precedence ladder parses as Prometheus") {
     import Promql._
     val a = RangeFunc("sum_over_time", Selector("click", Seq.empty), 3600)
