@@ -506,6 +506,9 @@ object OracleSql {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     // q_promql_atan2 is deliberately absent: JVM vs libm atan2 differ in
     // the last ulp (rows-only declared at the SparkEntry side)
+    // q_promql_trig is deliberately absent: measured JVM-vs-libm trig
+    // divergence on real values (sin: 5/1989 off by 1 ulp at sf0.01) —
+    // rows-only declared at the SparkEntry side
     "q_promql_carry" ->
       """WITH c AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

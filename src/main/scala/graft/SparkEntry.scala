@@ -157,6 +157,11 @@ object SparkEntry {
     // PromqlSpec pins the semantics against Spark's own atan2
     "q_promql_atan2" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(click[1h]) atan2 1")),
+    // rows-only: JVM and libm trig differ in the last ulp on a few
+    // per mille of real values (measured: sin 5/1989 at sf0.01), so no
+    // hash oracle; PromqlSpec pins semantics against Spark's own trig
+    "q_promql_trig" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "deg(atan(sin(sum_over_time(click[1h])))) * pi()")),
     // group_left(l1,...) label carrying and negative offset
     "q_promql_carry" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum_over_time(click[1h]) * on(user_id) group_left(tier) label_replace(sum_over_time(purchase[1h]), "tier", "t$1", "user_id", "(\d)\d*")""")),

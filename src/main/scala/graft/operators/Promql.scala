@@ -33,7 +33,10 @@ import graft.Tables
   *                  buckets: evaluates as the exact discrete quantile)
   *             | ("topk"|"bottomk") "(" int "," expr ")"
   *             | ("abs"|"ceil"|"floor"|"sqrt"|"exp"|"ln"|"log2"|
-  *                "log10"|"sgn") "(" expr ")"
+  *                "log10"|"sgn"|"sin"|"cos"|"tan"|"asin"|"acos"|"atan"|
+  *                "sinh"|"cosh"|"tanh"|"asinh"|"acosh"|"atanh"|
+  *                "deg"|"rad") "(" expr ")"
+  *             | "pi" "(" ")"            (the π scalar)
   *             | "round" "(" expr ["," number] ")"
   *             | ("clamp_min"|"clamp_max") "(" expr "," number ")"
   *             | "absent" "(" selector ")"
@@ -284,7 +287,15 @@ object Promql {
   private val timeComponentFns = Set("hour", "minute", "month", "year",
     "day_of_month", "day_of_week", "days_in_month")
   private val unaryMathFns = Set("abs", "ceil", "floor", "sqrt", "exp",
-    "ln", "log2", "log10", "sgn") ++ timeComponentFns
+    "ln", "log2", "log10", "sgn",
+    // the Prometheus trig family. Oracle caution (measured on real
+    // data): JVM and libm trig differ in the last ulp on a few per
+    // mille of values (sin: 5/1989 at sf0.01), and Spark's asinh/
+    // acosh/atanh are log-formula composites — the whole family stays
+    // out of hash-oracled entries (rows-only, like atan2)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad") ++ timeComponentFns
   private val mathFns = unaryMathFns ++ Set("clamp_min", "clamp_max", "round", "clamp")
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
@@ -513,6 +524,9 @@ object Promql {
     } else if (name == "time") {
       p.eat("("); p.eat(")")
       TimeFn
+    } else if (name == "pi") {
+      p.eat("("); p.eat(")")
+      Scalar(math.Pi)
     } else if (name == "scalar") {
       p.eat("("); val c = parseExpr(p); p.eat(")")
       ScalarOf(c)
@@ -1781,6 +1795,20 @@ object Promql {
       case "log2"      => log2(x)
       case "log10"     => log10(x)
       case "sgn"       => signum(x)
+      case "sin"   => sin(x)
+      case "cos"   => cos(x)
+      case "tan"   => tan(x)
+      case "asin"  => asin(x)
+      case "acos"  => acos(x)
+      case "atan"  => atan(x)
+      case "sinh"  => sinh(x)
+      case "cosh"  => cosh(x)
+      case "tanh"  => tanh(x)
+      case "asinh" => asinh(x)
+      case "acosh" => acosh(x)
+      case "atanh" => atanh(x)
+      case "deg"   => degrees(x)
+      case "rad"   => radians(x)
       case "clamp_min" => greatest(x, lit(arg))
       case "clamp_max" => least(x, lit(arg))
       case "clamp" => least(greatest(x, lit(arg)), lit(arg2))

@@ -905,6 +905,24 @@ class PromqlSpec extends AnyFunSuite {
     assert(!schemaLine.contains("props"), s"props must be pruned:\n$schemaLine")
   }
 
+  test("trig family and pi() evaluate") {
+    import Promql._
+    assert(parse("pi()") === Scalar(math.Pi))
+    val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    val got = Promql.query(spark, sf, "cos(sum_over_time(click[1h]))")
+    val expect = base.withColumn("value", cos(col("value")))
+    assert(got.exceptAll(expect).count() === 0)
+    // hyperbolic + inverse members parse and evaluate (rows preserved)
+    Seq("tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+      "asinh", "deg", "rad").foreach { fn =>
+      assert(Promql.query(spark, sf, s"$fn(tanh(sum_over_time(click[1h])))").count()
+        === base.count(), fn)
+    }
+    // atanh of tanh-compressed values round-trips finitely
+    assert(Promql.query(spark, sf,
+      "atanh(tanh(sum_over_time(click[1h])))").filter(col("value").isNull).count() === 0)
+  }
+
   test("mod, pow and atan2 evaluate with Prometheus semantics") {
     val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
     // % follows the dividend's sign (fmod); zero modulus drops rows
