@@ -800,6 +800,12 @@ object OracleSql {
     // to their window formulations, so they share the same oracle
     base ++ Map(
       "q_topk_native" -> base("q_topk"),
-      "q_window_rank_native" -> base("q_window_rank"))
+      "q_window_rank_native" -> base("q_window_rank"),
+      // the chunk-backed PromQL evaluations must reproduce their
+      // row-store siblings exactly (XOR codec is lossless and the
+      // within-chunk sample order preserves the event_id tiebreaks)
+      "q_promql_chunks_sum" -> base("q_promql_sum"),
+      "q_promql_chunks_irate" -> base("q_promql_irate"),
+      "q_promql_chunks_stepped" -> base("q_promql_stepped"))
   }
 }

@@ -64,6 +64,20 @@ object SparkEntry {
     "q_promql_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "sum(click)",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
+    // PromQL over the XOR CHUNK STORE — the reference's actual read
+    // path (parquet chunk rows -> decode -> evaluate; schema/chunk.go,
+    // prometheus/querier.go). Each shares its row-store sibling's
+    // oracle: the chunk encode/decode/evaluate pipeline must reproduce
+    // the row-store hashes bit-for-bit (irate additionally pins the
+    // within-chunk tiebreak ORDER, not just the value set)
+    "q_promql_chunks_sum" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sum(count_over_time(click[1h]))""", graft.operators.ChunkSource)),
+    "q_promql_chunks_irate" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "irate(click[1w])", graft.operators.ChunkSource)),
+    "q_promql_chunks_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "sum(click)",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+      graft.operators.ChunkSource)),
     // parser-reachable verbs (round 4): each compiles to the same plan
     // shape as its §2.C operator sibling
     "q_promql_changes" -> ((s, d) => graft.operators.Promql.query(

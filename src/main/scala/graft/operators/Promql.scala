@@ -793,15 +793,16 @@ object Promql {
       sel.extraLabels
 
   private def select(s: SparkSession, dir: String, sel: Selector,
-                     boundsSec: Option[(Long, Long)] = None): DataFrame = {
-    val base0 =
-      if (sel.metric.isEmpty) Tables.events(s, dir)
-      else Tables.events(s, dir).filter(col("event_type") === sel.metric)
-    val base = boundsSec.fold(base0) { case (loSec, hiSec) =>
-      base0
-        .filter(col("ts_ns") >= (loSec - sel.offsetSec) * 1000000000L)
-        .filter(col("ts_ns") <= (hiSec - sel.offsetSec) * 1000000000L)
+                     boundsSec: Option[(Long, Long)] = None)
+                    (implicit src: SampleSource): DataFrame = {
+    val boundsNs = boundsSec.map { case (loSec, hiSec) =>
+      ((loSec - sel.offsetSec) * 1000000000L,
+        (hiSec - sel.offsetSec) * 1000000000L)
     }
+    val loaded = src.load(s, dir, boundsNs)
+    val base =
+      if (sel.metric.isEmpty) loaded
+      else loaded.filter(col("event_type") === sel.metric)
     // materialize referenced derived labels before matchers, so a
     // matcher on one is an ordinary column predicate
     val withDerived = derivedLabels.foldLeft(base) { case (d, (name, c)) =>
@@ -966,9 +967,12 @@ object Promql {
       unix_micros(col("ts")) <= hiSec * 1000000L
 
   /** Evaluate a parsed expression as an aligned-step range query.
-    * Output: (step, [labels...], value).
+    * Output: (step, [labels...], value). `src` picks the sample layout
+    * (row store by default; [[ChunkSource]] evaluates over the XOR
+    * chunk table) and threads implicitly through the recursion.
     */
-  def eval(s: SparkSession, dir: String, expr: Expr): DataFrame = expr match {
+  def eval(s: SparkSession, dir: String, expr: Expr)
+          (implicit src: SampleSource = EventsSource): DataFrame = expr match {
     case sel: Selector if sel.atSec.isDefined =>
       throw new IllegalArgumentException(
         "@ modifier needs an explicit evaluation grid — use queryAt(..., EvalSpec(...))")
@@ -1006,7 +1010,7 @@ object Promql {
       // tiny; the presence set is a distinct-aggregated anti-join.
       // absent() steps hourly; absent_over_time(sel[d]) uses its window.
       val w = if (rangeSec0 > 0) rangeSec0 else 3600L
-      val ev = Tables.events(s, dir)
+      val ev = src.load(s, dir, None)
       val bounds = ev.agg(
         (floor(unix_timestamp(min("ts")) / w) * w).cast("long").as("lo"),
         (floor(unix_timestamp(max("ts")) / w) * w).cast("long").as("hi"))
@@ -1567,7 +1571,8 @@ object Promql {
     * semantics (per-step lookback / overlapping range windows) instead
     * of the default tumbling evaluation.
     */
-  def evalAt(s: SparkSession, dir: String, expr: Expr, spec: EvalSpec): DataFrame = {
+  def evalAt(s: SparkSession, dir: String, expr: Expr, spec: EvalSpec)
+            (implicit src: SampleSource = EventsSource): DataFrame = {
     // the evaluation can only ever touch shifted timestamps in
     // [start − window, end] — push that range (per selector, window =
     // lookback or the range-function window) down to the parquet scan
@@ -1861,11 +1866,16 @@ object Promql {
     added.select(("step" +: labels :+ "value").map(col): _*)
   }
 
-  /** Parse + evaluate with the default tumbling steps. */
-  def query(s: SparkSession, dir: String, q: String): DataFrame =
-    eval(s, dir, parse(q))
+  /** Parse + evaluate with the default tumbling steps. `src` picks the
+    * sample layout — [[EventsSource]] (row store, default) or
+    * [[ChunkSource]] (the reference's XOR chunk table).
+    */
+  def query(s: SparkSession, dir: String, q: String,
+            src: SampleSource = EventsSource): DataFrame =
+    eval(s, dir, parse(q))(src)
 
   /** Parse + evaluate as a true range query at the spec's steps. */
-  def queryAt(s: SparkSession, dir: String, q: String, spec: EvalSpec): DataFrame =
-    evalAt(s, dir, parse(q), spec)
+  def queryAt(s: SparkSession, dir: String, q: String, spec: EvalSpec,
+              src: SampleSource = EventsSource): DataFrame =
+    evalAt(s, dir, parse(q), spec)(src)
 }

@@ -121,6 +121,13 @@ object ChunkStore {
       out
     })
 
+  /** The full chunk table (written on first access) — the raw
+    * (labels, mint, maxt, n_samples, chunk) frame, for readers that do
+    * their own pruning/decoding (e.g. the PromQL ChunkSource).
+    */
+  def table(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureWritten(s, dir))
+
   /** Chunk-table metadata view — the reference's series/time index. */
   def chunkMeta(s: SparkSession, dir: String): DataFrame = {
     val out = ensureWritten(s, dir)

@@ -905,6 +905,42 @@ class PromqlSpec extends AnyFunSuite {
     assert(!schemaLine.contains("props"), s"props must be pruned:\n$schemaLine")
   }
 
+  test("chunk-backed evaluation equals the row store, including tie order") {
+    import graft.operators.ChunkSource
+    // order-independent agg, order-SENSITIVE verb (irate picks the last
+    // two samples by (ts, event_id)), and a stepped range query: the
+    // XOR chunk pipeline must reproduce the row-store results exactly
+    val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+    val cases: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      (Promql.query(spark, sf, "sum(count_over_time(click[1h]))"),
+        Promql.query(spark, sf, "sum(count_over_time(click[1h]))", ChunkSource)),
+      (Promql.query(spark, sf, "irate(click[1w])"),
+        Promql.query(spark, sf, "irate(click[1w])", ChunkSource)),
+      (Promql.queryAt(spark, sf, "sum(click)", spec),
+        Promql.queryAt(spark, sf, "sum(click)", spec, ChunkSource)))
+    cases.zipWithIndex.foreach { case ((rows, chunks), i) =>
+      assert(rows.exceptAll(chunks).count() === 0, s"case $i: rows-only results")
+      assert(chunks.exceptAll(rows).count() === 0, s"case $i: chunk-only results")
+      assert(rows.count() > 0, s"case $i must be non-empty")
+    }
+  }
+
+  test("chunk-backed stepped evaluation prunes chunks by mint/maxt stats") {
+    import graft.operators.ChunkSource
+    val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+    val plan = SparkFixture.planOf(
+      Promql.queryAt(spark, sf, "sum(click)", spec, ChunkSource))
+    // the reference's overlap test (mint <= hi && maxt >= lo,
+    // prometheus/querier.go:71-74) must reach the chunk table's parquet
+    // scan, where the sorted layout's min/max stats skip row groups
+    val loUs = (spec.startSec - spec.lookbackSec) * 1000000L
+    val hiUs = spec.endSec * 1000000L
+    assert(plan.contains(s"LessThanOrEqual(mint,$hiUs)"),
+      s"mint bound not pushed to the chunk scan:\n$plan")
+    assert(plan.contains(s"GreaterThanOrEqual(maxt,$loUs)"),
+      s"maxt bound not pushed to the chunk scan:\n$plan")
+  }
+
   test("trig family and pi() evaluate") {
     import Promql._
     assert(parse("pi()") === Scalar(math.Pi))
