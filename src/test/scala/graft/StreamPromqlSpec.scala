@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.PromqlStream
+import graft.operators.Promql
+import org.scalatest.funsuite.AnyFunSuite
+import SparkFixture.{sf, spark}
+
+/** The streaming PromQL subset must produce row-for-row the batch
+  * evaluator's results over the same data — the fusion identities and
+  * epoch-aligned windows are exact, not approximations.
+  */
+class StreamPromqlSpec extends AnyFunSuite {
+
+  private def stageInput(tag: String): String = {
+    val in = s"/root/repo/target/tmp/streampromql_$tag/in"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/root/repo/target/tmp/streampromql_$tag"))
+    Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    in
+  }
+
+  private def runComplete(q: String, tag: String): org.apache.spark.sql.DataFrame = {
+    val in = stageInput(tag)
+    val sq = PromqlStream.query(spark, in, q).writeStream
+      .format("memory").queryName(s"pstream_$tag")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(s"pstream_$tag")
+  }
+
+  private def assertEqualsBatch(q: String, tag: String): Unit = {
+    val got = runComplete(q, tag)
+    val want = Promql.query(spark, sf, q)
+    assert(got.columns.sorted === want.columns.sorted, s"$q schema")
+    val w = want.select(got.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(got.exceptAll(w).count() === 0, s"$q stream-only rows")
+    assert(w.exceptAll(got).count() === 0, s"$q batch-only rows")
+    assert(got.count() > 0, s"$q must be non-empty")
+  }
+
+  test("fused sum(count_over_time) equals the batch evaluation") {
+    assertEqualsBatch("sum(count_over_time(click[1h]))", "fsum")
+  }
+
+  test("per-series avg_over_time with a matcher equals batch") {
+    assertEqualsBatch("""avg_over_time(purchase{user_id=~"1.*"}[1d])""", "avg")
+  }
+
+  test("fused sum by(user_id)(sum_over_time) and bare selector equal batch") {
+    assertEqualsBatch("sum by(user_id)(sum_over_time(view[6h]))", "fby")
+    assertEqualsBatch("click", "sel")
+  }
+
+  test("order-dependent verbs and joins are rejected, not approximated") {
+    Seq("rate(click[1h])",
+      "avg(avg_over_time(click[1h]))",
+      "sum_over_time(click[1h] offset 1h)",
+      "sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])")
+      .foreach { q =>
+        val e = intercept[IllegalArgumentException](
+          PromqlStream.query(spark, "/nonexistent", q))
+        assert(e.getMessage.contains("not streamable"), q)
+      }
+  }
+}
