@@ -112,12 +112,29 @@ object Pipelines {
          |FROM sim GROUP BY 1""".stripMargin,
     "dedup_simhash_near" ->
       // the oracle may do the O(N²) pair scan (DuckDB, small sf); the
-      // Spark side must NOT — it block-LSH-buckets the join
+      // Spark side must NOT — it collapses to distinct hashes, block-
+      // LSH-joins those, and expands winners back to doc pairs
       s"""WITH $simCtes
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+    "dedup_simhash_near_hash" ->
+      // the hash-level surface: near-dup pairs of DISTINCT simhash
+      // values + group sizes (h1 < h2, plus the h1 = h2 diagonal for
+      // groups of >= 2) — bounded by the hash space, not the corpus
+      s"""WITH $simCtes,
+         |h AS (SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM sim GROUP BY 1)
+         |SELECT a.simhash AS h1, b.simhash AS h2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+         |       a.n_docs AS n_docs1, b.n_docs AS n_docs2
+         |FROM h a JOIN h b ON a.simhash < b.simhash
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |UNION ALL
+         |SELECT simhash AS h1, simhash AS h2, CAST(0 AS BIGINT) AS hamming,
+         |       n_docs AS n_docs1, n_docs AS n_docs2
+         |FROM h WHERE n_docs >= 2""".stripMargin,
     "dedup_keep_best" -> {
       // NOTE: must not reference `stop` (declared below in the text
       // section — object vals initialize in order); inline the predicate

@@ -134,15 +134,19 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
 
-  /** SimHash NEAR-dup pairs: hamming(simhash₁, simhash₂) ≤ `maxDist`.
-    * Block-LSH, not all-pairs: the 16 bits split into maxDist+1 blocks —
-    * a pair within the distance budget must agree on at least one whole
-    * block (pigeonhole) — so candidates come from an equi join on
-    * (block, blockBits) and only candidates pay the exact
-    * bit_count(xor) verify. At 100 TB the block join's key cardinality
-    * grows with distinct simhashes, never with pairs.
+  /** Near-dup pairs of DISTINCT simhash values:
+    * (h1, h2, hamming ≤ maxDist, n_docs1, n_docs2), h1 < h2 plus the
+    * h1 = h2 diagonal rows for hashes holding ≥ 2 docs. Block-LSH over
+    * the pigeonhole split (a pair within the distance budget must agree
+    * on at least one whole bit block), so candidates come from an equi
+    * join on (block, blockBits) — and the join runs over DISTINCT hash
+    * values, never documents: its input is bounded by the 2¹⁶ hash
+    * space no matter the corpus size. This is the 100 TB surface —
+    * duplicate-heavy corpora make the doc-pair SET itself quadratic in
+    * copy multiplicity, while the hash-level result stays small; expand
+    * to doc pairs only when, and where, a consumer needs them.
     */
-  def simhashNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+  def simhashNearHashes(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1 && maxDist <= 7, "16-bit simhash: 1 <= maxDist <= 7")
     val nBlocks = maxDist + 1
     val base = 16 / nBlocks
@@ -152,18 +156,52 @@ object Dedup {
       struct(lit(i).as("block"),
         (shiftright(col("simhash"), off) % (1L << len)).as("bits"))
     }
-    val sims = simhashPerDoc(s, dir)
-    val exploded = sims
-      .select(col("doc_id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
+    val hashes = simhashPerDoc(s, dir)
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+    val exploded = hashes
+      .select(col("simhash"), col("n_docs"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("simhash"), col("n_docs"),
         col("bk.block").as("block"), col("bk.bits").as("bits"))
-    exploded.as("a").join(exploded.as("b"),
+    val cross = exploded.as("a").join(exploded.as("b"),
         col("a.block") === col("b.block") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("h1"), col("b.simhash").as("h2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"),
+        col("a.n_docs").as("n_docs1"), col("b.n_docs").as("n_docs2"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    val diagonal = hashes.filter(col("n_docs") >= 2)
+      .select(col("simhash").as("h1"), col("simhash").as("h2"),
+        lit(0L).as("hamming"), col("n_docs").as("n_docs1"),
+        col("n_docs").as("n_docs2"))
+    cross.unionAll(diagonal)
+  }
+
+  /** SimHash NEAR-dup DOC pairs: hamming(simhash₁, simhash₂) ≤
+    * `maxDist`. Computed collapse-first: the block-LSH candidate join
+    * runs over [[simhashNearHashes]]'s distinct hash values (input
+    * bounded by the hash space), and only verified hash pairs expand
+    * back to document pairs through two hash-equi joins — so the
+    * internal work is O(distinct hashes) + O(output), never
+    * O((docs per hash)²·blocks) of candidates. The 20× soak motivated
+    * the rewrite: with 20 identical copies per doc, the doc-level
+    * block join squared the copy multiplicity into 3× the (already
+    * quadratic) output before dedup; collapse-first pays the
+    * multiplicity only in the unavoidable output rows. Output is
+    * inherently quadratic in duplicate multiplicity — prefer
+    * [[simhashNearHashes]] at scale.
+    */
+  def simhashNearDup(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val sims = simhashPerDoc(s, dir)
+    val near = simhashNearHashes(s, dir, maxDist)
+    // cross-hash expansion: docs(h1) × docs(h2); same-hash pairs come
+    // from the diagonal rows' own group (a.doc_id < b.doc_id)
+    val a = sims.select(col("simhash").as("h1"), col("doc_id").as("d1"))
+    val b = sims.select(col("simhash").as("h2"), col("doc_id").as("d2"))
+    near.join(a, "h1").join(b, "h2")
+      .filter(col("h1") =!= col("h2") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("id1"),
+        greatest(col("d1"), col("d2")).as("id2"), col("hamming"))
   }
 
   /** Quality-aware exact dedup: within each content-hash group keep the

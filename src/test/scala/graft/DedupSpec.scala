@@ -116,6 +116,22 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(brute -- near).take(5)} extra=${(near -- brute).take(5)}")
   }
 
+  test("simhash hash-level pairs account for every doc pair exactly") {
+    // the scale surface: Σ cross-pair n1·n2 + Σ diagonal n·(n−1)/2 must
+    // equal the doc-pair count — the expansion loses/invents nothing
+    val hashes = Dedup.simhashNearHashes(spark, sf, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expanded = hashes.map { case (h1, h2, _, n1, n2) =>
+      if (h1 == h2) n1 * (n1 - 1) / 2 else n1 * n2
+    }.sum
+    val docPairs = Dedup.simhashNearDup(spark, sf, maxDist = 2).count()
+    assert(expanded === docPairs)
+    assert(hashes.forall { case (h1, h2, ham, _, _) =>
+      ham === java.lang.Long.bitCount(h1 ^ h2).toLong && ham <= 2 })
+    // the diagonal carries only real duplicate groups
+    assert(hashes.filter(t => t._1 == t._2).forall(_._4 >= 2))
+  }
+
   test("pointer jumping converges in O(log diameter) rounds on a chain") {
     import SparkFixture.spark.implicits._
     // a 200-node chain: worst case for plain neighbor-min (200 rounds)

@@ -925,6 +925,18 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-backed offset evaluation equals the row store") {
+    import graft.operators.ChunkSource
+    // offset shifts the pushed bounds before they meet mint/maxt —
+    // the chunk path must shift identically
+    val q = "sum_over_time(click[1h] offset 1h)"
+    val rows = Promql.query(spark, sf, q)
+    val chunks = Promql.query(spark, sf, q, ChunkSource)
+    assert(rows.exceptAll(chunks).count() === 0)
+    assert(chunks.exceptAll(rows).count() === 0)
+    assert(rows.count() > 0)
+  }
+
   test("chunk-backed stepped evaluation prunes chunks by mint/maxt stats") {
     import graft.operators.ChunkSource
     val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)

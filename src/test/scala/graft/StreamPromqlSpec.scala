@@ -57,6 +57,50 @@ class StreamPromqlSpec extends AnyFunSuite {
     assertEqualsBatch("click", "sel")
   }
 
+  test("live append run emits each closed window exactly once across batches") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "/root/repo/target/tmp/streampromql_live"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    val t0 = 1704067200000000L // µs, hour-aligned
+    def writeBatch(file: String, rows: Seq[(Long, Long, Double)]): Unit = {
+      val stage = s"$base/stage_$file"
+      rows.zipWithIndex
+        .map { case ((uid, us, v), i) => (i.toLong, us * 1000L, uid, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$file.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = PromqlStream.query(spark, in, "sum(sum_over_time(click[1h]))")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: two samples in hour 0, one in hour 2
+    writeBatch("b1", Seq((1L, t0, 2.0), (2L, t0 + 60L * 1000000, 3.0),
+      (1L, t0 + 2L * 3600 * 1000000, 7.0)))
+    runOnce()
+    // batch 2: a far-future sample pushes the watermark past hours 0-2,
+    // flushing their windows; any re-emit would duplicate parquet rows
+    writeBatch("b2", Seq((1L, t0 + 30L * 3600 * 1000000, 1.0)))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .filter(col("step") < t0 / 1000000L + 10L * 3600)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[Double]("value")))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (t0 / 1000000L, 5.0),
+      (t0 / 1000000L + 2L * 3600, 7.0)), s"got: ${got.toSeq}")
+  }
+
   test("order-dependent verbs and joins are rejected, not approximated") {
     Seq("rate(click[1h])",
       "avg(avg_over_time(click[1h]))",
