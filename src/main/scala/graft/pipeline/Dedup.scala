@@ -35,19 +35,64 @@ object Dedup {
          |  i -> concat_ws(' ', $wordsCol[i], $wordsCol[i+1], $wordsCol[i+2]))
          |ELSE array() END""".stripMargin)
 
-  /** Distinct (doc_id, shingle) pairs. */
-  private[pipeline] def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-      .select(col("doc_id"), explode(shinglesOf("ws")).as("sh"))
-      .distinct()
-
   /** Exact dedup by content hash: one row per distinct text. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** One row per DISTINCT text: (cid, text, n_docs) where cid is the
+    * group's min doc_id — a stable representative id. The whole shingle
+    * pipeline runs at this level (exact-dedup collapse FIRST, the order
+    * every real near-dup pipeline uses): on duplicate-heavy corpora the
+    * doc-level pair set is quadratic in copy multiplicity, while the
+    * content-level sets are bounded by distinct texts. The 100x soak
+    * measured the difference: the doc-level Jaccard verify ground
+    * through 32.5M candidate pairs (486s) of which only ~3k were
+    * distinct content pairs.
+    */
+  private def contents(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("chash"))
+      .agg(min("doc_id").as("cid"), count(lit(1)).as("n_docs"),
+        min("text").as("text"))
+
+  /** (cid, doc_id) membership — the expansion map back to documents. */
+  private def contentDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(md5(col("text")).as("chash"), col("doc_id"))
+      .join(contents(s, dir).select("chash", "cid"), "chash")
+      .select("cid", "doc_id")
+
+  /** Distinct (cid, shingle) pairs over distinct contents. */
+  private def contentShingles(s: SparkSession, dir: String): DataFrame =
+    contents(s, dir)
+      .select(col("cid"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("cid"), explode(shinglesOf("ws")).as("sh"))
+      .distinct()
+
+  /** Expand content-level pair results back to doc pairs: cross pairs
+    * (c1 ≠ c2) become docs(c1) × docs(c2); `diagonal` contents (the
+    * within-group case) become their own n·(n−1)/2 pairs. `payload`
+    * columns ride along. Output is exactly the doc-level formulation's
+    * pair set — the expansion neither loses nor invents pairs (spec:
+    * block-LSH equals brute force; hash-level accounting).
+    */
+  private def expandPairs(cross: DataFrame, diagonal: DataFrame,
+                          docs: DataFrame, payload: Seq[String]): DataFrame = {
+    val da = docs.select(col("cid").as("c1"), col("doc_id").as("d1"))
+    val db = docs.select(col("cid").as("c2"), col("doc_id").as("d2"))
+    val crossDocs = cross.join(da, "c1").join(db, "c2")
+      .select(least(col("d1"), col("d2")).as("id1") +:
+        greatest(col("d1"), col("d2")).as("id2") +: payload.map(col): _*)
+    val diagDocs = diagonal
+      .join(da.withColumnRenamed("c1", "cid"), "cid")
+      .join(db.withColumnRenamed("c2", "cid"), "cid")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1").as("id1") +: col("d2").as("id2") +: payload.map(col): _*)
+    crossDocs.unionAll(diagDocs)
+  }
 
   /** MinHash signatures: ONE md5 per shingle, sliced into 8 × 4-hex
     * fragments — each slice behaves as an independent 16-bit hash
@@ -62,53 +107,87 @@ object Dedup {
       "one md5 yields 8 x 4-hex slices; salt extra md5s to go beyond 8")
     val aggs = (0 until numHashes).map(i =>
       min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i"))
-    shingleSets(s, dir)
+    contentShingles(s, dir)
       .withColumn("h", md5(col("sh")))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .groupBy("cid").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band, bandval): `numBands` LSH bands of `rowsPerBand`
-    * minhashes each. The (bands, rows) pair is THE recall/precision
-    * scale knob: candidate probability at Jaccard j is
-    * 1 - (1 - j^rows)^bands, and shuffle volume grows with bands.
+  /** (cid, band, bandval): `numBands` LSH bands of `rowsPerBand`
+    * minhashes each, over DISTINCT contents. The (bands, rows) pair is
+    * THE recall/precision scale knob: candidate probability at Jaccard
+    * j is 1 - (1 - j^rows)^bands, and shuffle volume grows with bands.
     */
   private def bands(s: SparkSession, dir: String,
                     numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val bandCols = (0 until numBands).map(b =>
       concat((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*))
     minhashes(s, dir, numBands * rowsPerBand).select(
-      col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bandval")))
+      col("cid"), posexplode(array(bandCols: _*)).as(Seq("band", "bandval")))
   }
 
-  /** LSH candidate pairs: docs sharing any band. */
-  def minhashLsh(s: SparkSession, dir: String,
-                 numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+  /** Content pairs sharing any band (c1 < c2), and the banded-content
+    * id set (contents that produced at least one band — empty-shingle
+    * contents never do, so they never pair, matching the doc-level
+    * formulation).
+    */
+  private def contentCandidates(s: SparkSession, dir: String,
+                                numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val ex = bands(s, dir, numBands, rowsPerBand)
-    ex.as("l").join(ex.as("r"),
+    val pairs = ex.as("l").join(ex.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bandval") === col("r.bandval") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"))
+          col("l.cid") < col("r.cid"))
+      .select(col("l.cid").as("c1"), col("r.cid").as("c2"))
       .distinct()
+    (pairs, ex.select("cid").distinct())
+  }
+
+  /** LSH candidate pairs: docs sharing any band. Collapse-first: the
+    * band self-join runs over distinct contents; identical docs (which
+    * share every band by construction) come from the diagonal
+    * expansion, never from the join.
+    */
+  def minhashLsh(s: SparkSession, dir: String,
+                 numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val (pairs, banded) = contentCandidates(s, dir, numBands, rowsPerBand)
+    val docs = contentDocs(s, dir)
+    val diagonal = contents(s, dir).filter(col("n_docs") >= 2)
+      .join(banded, "cid").select("cid")
+    expandPairs(pairs, diagonal, docs, Seq.empty)
   }
 
   /** Word-3-gram Jaccard over the LSH candidates (verify step of the
-    * near-dup pipeline): |A∩B| / |A∪B| ≥ 0.5.
+    * near-dup pipeline): |A∩B| / |A∪B| ≥ 0.5. The verify join runs at
+    * content level — identical docs have identical shingle sets, so
+    * their pairwise Jaccard is exactly 1.0 (diagonal) and each distinct
+    * content pair is verified ONCE regardless of copy counts.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(s, dir)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = minhashLsh(s, dir)
-      .join(sh.as("a"), col("id1") === col("a.doc_id"))
+    val (crossC, diagC) = verifiedContentPairs(s, dir)
+    expandPairs(crossC, diagC, contentDocs(s, dir), Seq("jaccard"))
+  }
+
+  /** Content-level verified pairs: (c1, c2, jaccard >= 0.5) cross pairs
+    * and (cid, jaccard = 1.0) diagonal contents (>= 2 copies, banded).
+    */
+  private def verifiedContentPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = contentShingles(s, dir)
+    val counts = sh.groupBy("cid").agg(count(lit(1)).as("n"))
+    val (candC, banded) = contentCandidates(s, dir, 4, 2)
+    val inter = candC
+      .join(sh.as("a"), col("c1") === col("a.cid"))
       .join(sh.as("b"),
-        col("id2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.as("c1"), col("id1") === col("c1.doc_id"))
-      .join(counts.as("c2"), col("id2") === col("c2.doc_id"))
-      .select(col("id1"), col("id2"),
-        (col("inter") / (col("c1.n") + col("c2.n") - col("inter"))).as("jaccard"))
+        col("c2") === col("b.cid") && col("a.sh") === col("b.sh"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("inter"))
+    val crossC = inter
+      .join(counts.as("ca"), col("c1") === col("ca.cid"))
+      .join(counts.as("cb"), col("c2") === col("cb.cid"))
+      .select(col("c1"), col("c2"),
+        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    val diagC = contents(s, dir).filter(col("n_docs") >= 2)
+      .join(banded, "cid").select(col("cid"), lit(1.0).as("jaccard"))
+    (crossC, diagC)
   }
 
   /** (doc_id, simhash): 16-bit SimHash from per-token md5 bits (tokens
@@ -232,8 +311,22 @@ object Dedup {
     * driver-side data, only the convergence counter. The keep-one-per-
     * cluster step every real dedup pipeline ends with.
     */
-  def clusters(s: SparkSession, dir: String): DataFrame =
-    clustersFromEdges(ngramJaccard(s, dir).select("id1", "id2"))._1
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    // CC runs on the CONTENT graph (nodes/edges bounded by distinct
+    // texts, not copies — the 100x soak measured 267s for doc-level CC
+    // over 27M quadratic edges vs ~3k content edges), then every doc
+    // inherits its content's cluster label. cid = group min doc_id, so
+    // the min-label semantics match the doc-level formulation exactly;
+    // diagonal-only contents enter as self-edges so lone duplicate
+    // groups still form their cluster.
+    val (crossC, diagC) = verifiedContentPairs(s, dir)
+    val edges = crossC.select(col("c1").as("id1"), col("c2").as("id2"))
+      .unionAll(diagC.select(col("cid").as("id1"), col("cid").as("id2")))
+    val labels = clustersFromEdges(edges)._1
+      .select(col("doc_id").as("cid"), col("cluster_id"))
+    labels.join(contentDocs(s, dir), "cid")
+      .select("doc_id", "cluster_id")
+  }
 
   /** The propagation core over an arbitrary (id1, id2) edge set; returns
     * (labels, rounds) — rounds is the shuffle-iteration count the
