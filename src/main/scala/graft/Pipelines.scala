@@ -83,6 +83,32 @@ object Pipelines {
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Content-level shingle chain (the collapse-first mirror of
+    * shingleCtes): `c(cid, text, n_docs)` per distinct text, then the
+    * same shingle→minhash→band→candidate steps keyed by cid.
+    */
+  private lazy val contentShingleCtes =
+    s"""c AS (SELECT MIN(doc_id) AS cid, MIN(text) AS text,
+       |             CAST(COUNT(*) AS BIGINT) AS n_docs
+       |      FROM documents GROUP BY md5(text)),
+       |ws AS (SELECT cid, $words AS w FROM c),
+       |sh AS (SELECT DISTINCT cid, s FROM (
+       |  SELECT cid, unnest(CASE WHEN len(w) >= 3
+       |    THEN list_transform(range(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS s
+       |  FROM ws)),
+       |mh AS (SELECT cid,
+       |${(0 until 8).map(i => s"  min(substring(md5(s), ${4 * i + 1}, 4)) AS m$i").mkString(",\n")}
+       |  FROM sh GROUP BY cid),
+       |bands AS (
+       |${(0 until 4).map(b => s"  SELECT cid, $b AS band, m${2 * b} || m${2 * b + 1} AS bandval FROM mh")
+           .mkString("\n  UNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT l.cid AS c1, r.cid AS c2
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bandval = r.bandval AND l.cid < r.cid)""".stripMargin
+
   // ---- F. dedup ---------------------------------------------------------
 
   private val dedup: Map[String, String] = Map(
@@ -106,6 +132,29 @@ object Pipelines {
          |  JOIN cnt c1 ON c1.doc_id = inter.id1
          |  JOIN cnt c2 ON c2.doc_id = inter.id2)
          |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_near_contents" ->
+      s"""WITH $contentShingleCtes,
+         |cnt AS (SELECT cid, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c1, c2, COUNT(*) AS i
+         |  FROM cand
+         |  JOIN sh a ON a.cid = c1
+         |  JOIN sh b ON b.cid = c2 AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT inter.c1, inter.c2, i / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter
+         |  JOIN cnt ca ON ca.cid = inter.c1
+         |  JOIN cnt cb ON cb.cid = inter.c2),
+         |banded AS (SELECT DISTINCT cid FROM bands)
+         |SELECT c1 AS cid1, c2 AS cid2, jaccard,
+         |       ca.n_docs AS n_docs1, cb.n_docs AS n_docs2
+         |FROM j JOIN c ca ON ca.cid = j.c1 JOIN c cb ON cb.cid = j.c2
+         |WHERE jaccard >= 0.5
+         |UNION ALL
+         |SELECT cid AS cid1, cid AS cid2, 1.0 AS jaccard,
+         |       n_docs AS n_docs1, n_docs AS n_docs2
+         |FROM c JOIN banded USING (cid) WHERE n_docs >= 2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simCtes
          |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id

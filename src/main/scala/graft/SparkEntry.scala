@@ -211,6 +211,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_simhash_near_hash" -> ((s, d) => Dedup.simhashNearHashes(s, d)),
+    "dedup_near_contents" -> (Dedup.nearDupContents _),
     "dedup_embedding"     -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_auto" -> ((s, d) => Dedup.embeddingNearDupAuto(s, d)),
     "dedup_clusters"      -> (Dedup.clusters _),

@@ -167,6 +167,29 @@ object Dedup {
     expandPairs(crossC, diagC, contentDocs(s, dir), Seq("jaccard"))
   }
 
+  /** The near-dup pipeline's deliverable at scale: verified pairs of
+    * DISTINCT contents with copy counts —
+    * (cid1, cid2, jaccard, n_docs1, n_docs2), cid1 < cid2 cross pairs
+    * plus the cid1 = cid2 diagonal for duplicate groups (jaccard 1.0).
+    * Row count is bounded by distinct texts, not copies; downstream
+    * keep/drop policies weight by n_docs instead of enumerating the
+    * (quadratic) doc pairs. The doc-level [[ngramJaccard]] is this
+    * result passed through [[expandPairs]].
+    */
+  def nearDupContents(s: SparkSession, dir: String): DataFrame = {
+    val (crossC, diagC) = verifiedContentPairs(s, dir)
+    val nd = contents(s, dir).select(col("cid"), col("n_docs"))
+    val cross = crossC
+      .join(nd.as("na"), col("c1") === col("na.cid"))
+      .join(nd.as("nb"), col("c2") === col("nb.cid"))
+      .select(col("c1").as("cid1"), col("c2").as("cid2"), col("jaccard"),
+        col("na.n_docs").as("n_docs1"), col("nb.n_docs").as("n_docs2"))
+    val diag = diagC.join(nd, "cid")
+      .select(col("cid").as("cid1"), col("cid").as("cid2"), col("jaccard"),
+        col("n_docs").as("n_docs1"), col("n_docs").as("n_docs2"))
+    cross.unionAll(diag)
+  }
+
   /** Content-level verified pairs: (c1, c2, jaccard >= 0.5) cross pairs
     * and (cid, jaccard = 1.0) diagonal contents (>= 2 copies, banded).
     */

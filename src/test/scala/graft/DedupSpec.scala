@@ -132,6 +132,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hashes.filter(t => t._1 == t._2).forall(_._4 >= 2))
   }
 
+  test("content-level verified pairs account for every doc pair exactly") {
+    val cps = Dedup.nearDupContents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    val expanded = cps.map { case (c1, c2, _, n1, n2) =>
+      if (c1 == c2) n1 * (n1 - 1) / 2 else n1 * n2
+    }.sum
+    assert(expanded === Dedup.ngramJaccard(spark, sf).count())
+    // diagonal rows are real duplicate groups at jaccard exactly 1.0
+    assert(cps.filter(t => t._1 == t._2).forall(t => t._4 >= 2 && t._3 === 1.0))
+    assert(cps.forall(t => t._3 >= 0.5))
+  }
+
   test("pointer jumping converges in O(log diameter) rounds on a chain") {
     import SparkFixture.spark.implicits._
     // a 200-node chain: worst case for plain neighbor-min (200 rounds)
