@@ -57,17 +57,27 @@ object Dedup {
       .agg(min("doc_id").as("cid"), count(lit(1)).as("n_docs"),
         min("text").as("text"))
 
+  /** [[contents]], MATERIALIZED once per operator call
+    * (localCheckpoint): the collapsed table feeds shingles, bands,
+    * the diagonal, and both expansion legs — without materialization
+    * every branch replans the scan + md5 groupBy (measured: 12 parquet
+    * scans in one minhashLsh plan). A real pipeline writes its
+    * exact-dedup table once and reads it everywhere; this is the
+    * in-query equivalent.
+    */
+  private def collapsed(s: SparkSession, dir: String): DataFrame =
+    contents(s, dir).localCheckpoint(true)
+
   /** (cid, doc_id) membership — the expansion map back to documents. */
-  private def contentDocs(s: SparkSession, dir: String): DataFrame =
+  private def contentDocs(s: SparkSession, dir: String, c: DataFrame): DataFrame =
     Tables.documents(s, dir)
       .select(md5(col("text")).as("chash"), col("doc_id"))
-      .join(contents(s, dir).select("chash", "cid"), "chash")
+      .join(c.select("chash", "cid"), "chash")
       .select("cid", "doc_id")
 
   /** Distinct (cid, shingle) pairs over distinct contents. */
-  private def contentShingles(s: SparkSession, dir: String): DataFrame =
-    contents(s, dir)
-      .select(col("cid"),
+  private def contentShingles(c: DataFrame): DataFrame =
+    c.select(col("cid"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
       .select(col("cid"), explode(shinglesOf("ws")).as("sh"))
       .distinct()
@@ -101,13 +111,12 @@ object Dedup {
     * the hottest column of the pipeline; same cross-engine determinism
     * (md5 lowercase hex + substring agree in Spark and DuckDB).
     */
-  private def minhashes(s: SparkSession, dir: String,
-                        numHashes: Int = 8): DataFrame = {
+  private def minhashes(c: DataFrame, numHashes: Int = 8): DataFrame = {
     require(numHashes >= 1 && numHashes <= 8,
       "one md5 yields 8 x 4-hex slices; salt extra md5s to go beyond 8")
     val aggs = (0 until numHashes).map(i =>
       min(substring(col("h"), 4 * i + 1, 4)).as(s"m$i"))
-    contentShingles(s, dir)
+    contentShingles(c)
       .withColumn("h", md5(col("sh")))
       .groupBy("cid").agg(aggs.head, aggs.tail: _*)
   }
@@ -117,11 +126,11 @@ object Dedup {
     * THE recall/precision scale knob: candidate probability at Jaccard
     * j is 1 - (1 - j^rows)^bands, and shuffle volume grows with bands.
     */
-  private def bands(s: SparkSession, dir: String,
+  private def bands(c: DataFrame,
                     numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val bandCols = (0 until numBands).map(b =>
       concat((0 until rowsPerBand).map(r => col(s"m${rowsPerBand * b + r}")): _*))
-    minhashes(s, dir, numBands * rowsPerBand).select(
+    minhashes(c, numBands * rowsPerBand).select(
       col("cid"), posexplode(array(bandCols: _*)).as(Seq("band", "bandval")))
   }
 
@@ -130,9 +139,9 @@ object Dedup {
     * contents never do, so they never pair, matching the doc-level
     * formulation).
     */
-  private def contentCandidates(s: SparkSession, dir: String,
+  private def contentCandidates(c: DataFrame,
                                 numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val ex = bands(s, dir, numBands, rowsPerBand)
+    val ex = bands(c, numBands, rowsPerBand)
     val pairs = ex.as("l").join(ex.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bandval") === col("r.bandval") &&
@@ -149,11 +158,11 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String,
                  numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val (pairs, banded) = contentCandidates(s, dir, numBands, rowsPerBand)
-    val docs = contentDocs(s, dir)
-    val diagonal = contents(s, dir).filter(col("n_docs") >= 2)
+    val c = collapsed(s, dir)
+    val (pairs, banded) = contentCandidates(c, numBands, rowsPerBand)
+    val diagonal = c.filter(col("n_docs") >= 2)
       .join(banded, "cid").select("cid")
-    expandPairs(pairs, diagonal, docs, Seq.empty)
+    expandPairs(pairs, diagonal, contentDocs(s, dir, c), Seq.empty)
   }
 
   /** Word-3-gram Jaccard over the LSH candidates (verify step of the
@@ -163,8 +172,9 @@ object Dedup {
     * content pair is verified ONCE regardless of copy counts.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val (crossC, diagC) = verifiedContentPairs(s, dir)
-    expandPairs(crossC, diagC, contentDocs(s, dir), Seq("jaccard"))
+    val c = collapsed(s, dir)
+    val (crossC, diagC) = verifiedContentPairs(c)
+    expandPairs(crossC, diagC, contentDocs(s, dir, c), Seq("jaccard"))
   }
 
   /** The near-dup pipeline's deliverable at scale: verified pairs of
@@ -177,8 +187,9 @@ object Dedup {
     * result passed through [[expandPairs]].
     */
   def nearDupContents(s: SparkSession, dir: String): DataFrame = {
-    val (crossC, diagC) = verifiedContentPairs(s, dir)
-    val nd = contents(s, dir).select(col("cid"), col("n_docs"))
+    val c = collapsed(s, dir)
+    val (crossC, diagC) = verifiedContentPairs(c)
+    val nd = c.select(col("cid"), col("n_docs"))
     val cross = crossC
       .join(nd.as("na"), col("c1") === col("na.cid"))
       .join(nd.as("nb"), col("c2") === col("nb.cid"))
@@ -193,10 +204,10 @@ object Dedup {
   /** Content-level verified pairs: (c1, c2, jaccard >= 0.5) cross pairs
     * and (cid, jaccard = 1.0) diagonal contents (>= 2 copies, banded).
     */
-  private def verifiedContentPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sh = contentShingles(s, dir)
+  private def verifiedContentPairs(c: DataFrame): (DataFrame, DataFrame) = {
+    val sh = contentShingles(c)
     val counts = sh.groupBy("cid").agg(count(lit(1)).as("n"))
-    val (candC, banded) = contentCandidates(s, dir, 4, 2)
+    val (candC, banded) = contentCandidates(c, 4, 2)
     val inter = candC
       .join(sh.as("a"), col("c1") === col("a.cid"))
       .join(sh.as("b"),
@@ -208,7 +219,7 @@ object Dedup {
       .select(col("c1"), col("c2"),
         (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    val diagC = contents(s, dir).filter(col("n_docs") >= 2)
+    val diagC = c.filter(col("n_docs") >= 2)
       .join(banded, "cid").select(col("cid"), lit(1.0).as("jaccard"))
     (crossC, diagC)
   }
@@ -342,12 +353,13 @@ object Dedup {
     // the min-label semantics match the doc-level formulation exactly;
     // diagonal-only contents enter as self-edges so lone duplicate
     // groups still form their cluster.
-    val (crossC, diagC) = verifiedContentPairs(s, dir)
+    val c = collapsed(s, dir)
+    val (crossC, diagC) = verifiedContentPairs(c)
     val edges = crossC.select(col("c1").as("id1"), col("c2").as("id2"))
       .unionAll(diagC.select(col("cid").as("id1"), col("cid").as("id2")))
     val labels = clustersFromEdges(edges)._1
       .select(col("doc_id").as("cid"), col("cluster_id"))
-    labels.join(contentDocs(s, dir), "cid")
+    labels.join(contentDocs(s, dir, c), "cid")
       .select("doc_id", "cluster_id")
   }
 
