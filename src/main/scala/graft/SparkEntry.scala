@@ -197,6 +197,9 @@ object SparkEntry {
     "q_semi_anti"    -> (Relational.semiAnti _),
     "q_salted_join"  -> (Relational.saltedJoin _),
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
+    "q_asof_join"      -> (Relational.asofJoin _),
+    "q_asof_tolerance" -> (Relational.asofTolerance _),
+    "q_interval_join"  -> (Relational.intervalJoin _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),

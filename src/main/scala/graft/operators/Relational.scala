@@ -144,6 +144,105 @@ object Relational {
         col("type_avg"), (col("value") - col("type_avg")).as("value_vs_avg"))
   }
 
+  /** As-of join — for each left row, the single latest right row
+    * at-or-before its timestamp within the same key. Spark has no ASOF
+    * verb; the scalable formulation is union-tag + running `last` with
+    * ignoreNulls: ONE shuffle on the key, one partition-local sort, no
+    * pair blowup (a right row is carried forward, never joined N×M).
+    * At 100 TB this is the sort-merge as-of — the window frame
+    * (unboundedPreceding, currentRow) with `last` is evaluated as a
+    * running value, O(n) per partition, so the plan survives any
+    * timeline length per key.
+    *
+    * Ties are deterministic: at equal ts the right side sorts before
+    * the left (at-or-before is inclusive), and among equal right ts
+    * the larger event_id wins.
+    */
+  private val asofPayload = "struct<p_ts:timestamp,p_id:bigint,p_value:double>"
+
+  private def asofMatch(left: DataFrame, right: DataFrame): DataFrame = {
+    // left: (event_id, user_id, ts) • right: (user_id, ts, event_id, value)
+    val tagged = right
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        struct(col("ts").as("p_ts"), col("event_id").as("p_id"),
+          col("value").as("p_value")).as("p"))
+      .unionAll(left.select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(asofPayload).as("p")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m", last("p", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+  }
+
+  /** Each click enriched with the user's latest purchase at-or-before
+    * it (left as-of join; unmatched clicks keep nulls).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    asofMatch(clicks, purchases)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("m.p_ts")).as("purchase_us"),
+        col("m.p_value").as("purchase_value"))
+  }
+
+  /** As-of join with a tolerance: only matches within the last hour
+    * count, and unmatched clicks drop (inner semantics). The tolerance
+    * filters AFTER the running match — the latest purchase is maximal,
+    * so "latest within tolerance" ≡ "latest overall, if within
+    * tolerance" (an earlier purchase can never be in-window when the
+    * latest is not).
+    */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    asofMatch(clicks, purchases)
+      .filter(col("m").isNotNull &&
+        col("m.p_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("m.p_ts")).as("purchase_us"),
+        col("m.p_value").as("purchase_value"))
+  }
+
+  /** Banded interval (range) join: per purchase, the clicks of the same
+    * user in [purchase, purchase + 1h). A naive range join is a
+    * SortMergeJoin on user_id with the range as a post-filter — per-key
+    * quadratic when a user's timeline is long. The banded form bins the
+    * time axis at the interval width: every interval spans ≤ 2 bins, so
+    * the purchase side explodes ×2 and the join becomes a pure equi-join
+    * on (user_id, bin) + exact range filter — candidate pairs are
+    * bounded by bin co-residency, not timeline length². Each (purchase,
+    * click) pair arises exactly once because a click lives in ONE bin.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000L // bin width == interval width (1h)
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withColumn("b0", expr(s"unix_micros(p_ts) div ${binUs}L"))
+      .withColumn("bin", explode(array(col("b0"), col("b0") + 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+      .withColumn("bin", expr(s"unix_micros(c_ts) div ${binUs}L"))
+    purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        exactSum(col("value")).as("click_value_sum"))
+  }
+
   /** Semi/anti-join patterns (EXISTS / NOT EXISTS). */
   def semiAnti(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")

@@ -54,6 +54,68 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("asofJoin matches a brute-force latest-at-or-before computation") {
+    val df = Relational.asofJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("click_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pus"),
+        col("event_id").as("pid"), col("value").as("pv"))
+    // brute force: all pairs, rank by (ts, event_id) desc, keep top-1
+    val pairs = clicks.join(purch,
+      col("cu") === col("pu") && col("pus") <= col("click_us"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("pus").desc, col("pid").desc)
+    val brute = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("cu").as("user_id"), col("click_us"),
+        col("pus").as("purchase_us"), col("pv").as("purchase_value"))
+    assert(df.count() === clicks.count())
+    assert(df.unionAll(brute).distinct().count() === df.count(),
+      "as-of result must equal the brute-force pair ranking")
+    // the scale contract: no pair join in the plan — one shuffle on the
+    // key, a window, never a NestedLoop/Cartesian
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan)
+  }
+
+  test("asofTolerance keeps only matches within the hour, inner") {
+    val df = Relational.asofTolerance(spark, sf)
+    assert(df.filter(col("purchase_us").isNull).count() === 0)
+    assert(df.filter(col("click_us") - col("purchase_us") > 3600L * 1000000L)
+      .count() === 0)
+    assert(df.filter(col("purchase_us") > col("click_us")).count() === 0)
+    // tolerance output is a subset of the untolerated as-of
+    val full = Relational.asofJoin(spark, sf)
+    assert(df.exceptAll(full).count() === 0)
+  }
+
+  test("intervalJoin: banded equi-join equals the naive range join") {
+    val df = Relational.intervalJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("value"))
+    val naive = purch.join(clicks,
+        col("user_id") === col("cu") && col("c_ts") >= col("p_ts") &&
+          col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("click_value_sum"))
+    assert(df.unionAll(naive).distinct().count() === df.count(),
+      "banded join must equal the naive range join")
+    // the band turns the range join into an equi hash/merge join: the
+    // join keys include the bin, so no NestedLoop appears
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("semiAnti: tags are consistent with direct predicates") {
     val df = Relational.semiAnti(spark, sf)
     val pendingCust = Tables.orders(spark, sf)
