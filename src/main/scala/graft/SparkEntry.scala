@@ -198,8 +198,8 @@ object SparkEntry {
     "q_salted_join"  -> (Relational.saltedJoin _),
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     "q_asof_join"      -> (Relational.asofJoin _),
-    "q_asof_tolerance" -> (Relational.asofTolerance _),
-    "q_interval_join"  -> (Relational.intervalJoin _),
+    "q_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
+    "q_interval_join"  -> ((s, d) => Relational.intervalJoin(s, d)),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),

@@ -158,16 +158,19 @@ object Relational {
     * the left (at-or-before is inclusive), and among equal right ts
     * the larger event_id wins.
     */
-  private val asofPayload = "struct<p_ts:timestamp,p_id:bigint,p_value:double>"
-
   private def asofMatch(left: DataFrame, right: DataFrame): DataFrame = {
     // left: (event_id, user_id, ts) • right: (user_id, ts, event_id, value)
-    val tagged = right
+    val taggedRight = right
       .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
         struct(col("ts").as("p_ts"), col("event_id").as("p_id"),
           col("value").as("p_value")).as("p"))
+    // the left leg's null payload takes its type from the right leg's
+    // actual schema, so a generator-side type change surfaces at the
+    // source, not as a union analysis error
+    val payloadType = taggedRight.schema("p").dataType
+    val tagged = taggedRight
       .unionAll(left.select(col("user_id"), col("ts"), lit(1).as("side"),
-        col("event_id"), lit(null).cast(asofPayload).as("p")))
+        col("event_id"), lit(null).cast(payloadType).as("p")))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -192,14 +195,16 @@ object Relational {
         col("m.p_value").as("purchase_value"))
   }
 
-  /** As-of join with a tolerance: only matches within the last hour
-    * count, and unmatched clicks drop (inner semantics). The tolerance
-    * filters AFTER the running match — the latest purchase is maximal,
-    * so "latest within tolerance" ≡ "latest overall, if within
-    * tolerance" (an earlier purchase can never be in-window when the
-    * latest is not).
+  /** As-of join with a tolerance (default one hour): only matches
+    * within the last `toleranceSec` seconds count, and unmatched clicks
+    * drop (inner semantics). The tolerance filters AFTER the running
+    * match — the latest purchase is maximal, so "latest within
+    * tolerance" ≡ "latest overall, if within tolerance" (an earlier
+    * purchase can never be in-window when the latest is not).
     */
-  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+  def asofTolerance(s: SparkSession, dir: String,
+                    toleranceSec: Long = 3600L): DataFrame = {
+    require(toleranceSec > 0, "tolerance must be positive")
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
@@ -207,7 +212,7 @@ object Relational {
       .select("user_id", "ts", "event_id", "value")
     asofMatch(clicks, purchases)
       .filter(col("m").isNotNull &&
-        col("m.p_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        col("m.p_ts") >= col("ts") - expr(s"INTERVAL $toleranceSec SECOND"))
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("click_us"),
         unix_micros(col("m.p_ts")).as("purchase_us"),
@@ -215,29 +220,37 @@ object Relational {
   }
 
   /** Banded interval (range) join: per purchase, the clicks of the same
-    * user in [purchase, purchase + 1h). A naive range join is a
-    * SortMergeJoin on user_id with the range as a post-filter — per-key
-    * quadratic when a user's timeline is long. The banded form bins the
-    * time axis at the interval width: every interval spans ≤ 2 bins, so
-    * the purchase side explodes ×2 and the join becomes a pure equi-join
-    * on (user_id, bin) + exact range filter — candidate pairs are
-    * bounded by bin co-residency, not timeline length². Each (purchase,
-    * click) pair arises exactly once because a click lives in ONE bin.
+    * user in [purchase, purchase + `widthSec`) (default one hour). A
+    * naive range join is a SortMergeJoin on user_id with the range as a
+    * post-filter — per-key quadratic when a user's timeline is long.
+    * The banded form bins the time axis at the interval width: every
+    * interval spans ≤ 2 bins, so the purchase side explodes ×2 and the
+    * join becomes a pure equi-join on (user_id, bin) + exact range
+    * filter — candidate pairs are bounded by bin co-residency, not
+    * timeline length². Each (purchase, click) pair arises exactly once
+    * because a click lives in ONE bin. Bins use true FLOOR division
+    * (pmod-adjusted `div`), so bin width == interval width holds for
+    * pre-1970 timestamps too — `div` alone truncates toward zero and
+    * would make the bin containing epoch 0 double-width.
     */
-  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val binUs = 3600L * 1000000L // bin width == interval width (1h)
+  def intervalJoin(s: SparkSession, dir: String,
+                   widthSec: Long = 3600L): DataFrame = {
+    require(widthSec > 0, "interval width must be positive")
+    val binUs = widthSec * 1000000L // bin width == interval width
+    def bin(tsCol: String): Column =
+      expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${binUs}L)) div ${binUs}L")
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
-      .withColumn("b0", expr(s"unix_micros(p_ts) div ${binUs}L"))
+      .withColumn("b0", bin("p_ts"))
       .withColumn("bin", explode(array(col("b0"), col("b0") + 1)))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("value"))
-      .withColumn("bin", expr(s"unix_micros(c_ts) div ${binUs}L"))
+      .withColumn("bin", bin("c_ts"))
     purchases.join(clicks, Seq("user_id", "bin"))
       .filter(col("c_ts") >= col("p_ts") &&
-        col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+        col("c_ts") < col("p_ts") + expr(s"INTERVAL $widthSec SECOND"))
       .groupBy("purchase_id", "user_id")
       .agg(count(lit(1)).as("n_clicks"),
         exactSum(col("value")).as("click_value_sum"))

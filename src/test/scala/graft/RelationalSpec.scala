@@ -73,8 +73,12 @@ class RelationalSpec extends AnyFunSuite {
       .select(col("event_id"), col("cu").as("user_id"), col("click_us"),
         col("pus").as("purchase_us"), col("pv").as("purchase_value"))
     assert(df.count() === clicks.count())
-    assert(df.unionAll(brute).distinct().count() === df.count(),
-      "as-of result must equal the brute-force pair ranking")
+    // both directions explicitly: equality must not lean on the
+    // one-row-per-click invariant holding forever
+    assert(df.exceptAll(brute).count() === 0,
+      "as-of result has rows the brute-force ranking lacks")
+    assert(brute.exceptAll(df).count() === 0,
+      "brute-force ranking has rows the as-of result lacks")
     // the scale contract: no pair join in the plan — one shuffle on the
     // key, a window, never a NestedLoop/Cartesian
     val plan = planOf(df)
@@ -107,8 +111,10 @@ class RelationalSpec extends AnyFunSuite {
       .groupBy("purchase_id", "user_id")
       .agg(count(lit(1)).as("n_clicks"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("click_value_sum"))
-    assert(df.unionAll(naive).distinct().count() === df.count(),
-      "banded join must equal the naive range join")
+    assert(df.exceptAll(naive).count() === 0,
+      "banded join has rows the naive range join lacks")
+    assert(naive.exceptAll(df).count() === 0,
+      "naive range join has rows the banded join lacks")
     // the band turns the range join into an equi hash/merge join: the
     // join keys include the bin, so no NestedLoop appears
     val plan = planOf(df)
