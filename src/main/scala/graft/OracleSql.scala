@@ -504,11 +504,21 @@ object OracleSql {
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
-    // q_promql_atan2 is deliberately absent: JVM vs libm atan2 differ in
-    // the last ulp (rows-only declared at the SparkEntry side)
-    // q_promql_trig is deliberately absent: measured JVM-vs-libm trig
-    // divergence on real values (sin: 5/1989 off by 1 ulp at sf0.01) —
-    // rows-only declared at the SparkEntry side
+    // atan2/trig: JVM vs libm differ in the last ulp (atan2 maxdiff
+    // 2.2e-16; sin 5/1989 values off by 1 ulp at sf0.01), so BOTH
+    // engines quantize to 9 decimals before hashing — the measured
+    // divergence is ~1e7x below the grid, so the rounded doubles agree
+    "q_promql_atan2" ->
+      """SELECT step, user_id, round(atan2(value, 1), 9) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_trig" ->
+      """SELECT step, user_id,
+        |       round(degrees(atan(sin(value))) * pi(), 9) AS value FROM (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
     "q_promql_carry" ->
       """WITH c AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -385,5 +385,27 @@ object Pipelines {
       "SELECT event_id, user_id, event_type, value FROM events",
   )
 
-  def oracles: Map[String, String] = dedup ++ similarity ++ text ++ writer
+  // ---- I. multimodal ------------------------------------------------------
+  // The decode path is oracle-checkable because the synthesized filmstrip
+  // geometry is arithmetic in doc_id (MediaGen): a hash match proves the
+  // executor-side javax.imageio decode returned exactly the generated
+  // dimensions. Scala's Math.floorMod is mirrored as ((x % m) + m) % m.
+  // phash / frame_hash / n_bytes stay rows-only: pixel hashes and PNG
+  // container size are not SQL-expressible.
+  private val mm: Map[String, String] = Map(
+    "mm_decode_dims" ->
+      """SELECT doc_id,
+        |       CAST(16 + ((doc_id % 17) + 17) % 17 AS BIGINT) AS width,
+        |       CAST(8 * (1 + ((doc_id % 12) + 12) % 12) AS BIGINT) AS height,
+        |       CAST(1 + ((doc_id % 12) + 12) % 12 AS BIGINT) AS frames
+        |FROM documents""".stripMargin,
+    "mm_frames_idx" ->
+      """WITH f AS (SELECT doc_id,
+        |             1 + ((doc_id % 12) + 12) % 12 AS frames FROM documents)
+        |SELECT doc_id,
+        |       CAST(unnest(generate_series(0, frames - 1, 8)) AS BIGINT) AS frame_idx
+        |FROM f""".stripMargin,
+  )
+
+  def oracles: Map[String, String] = dedup ++ similarity ++ text ++ writer ++ mm
 }

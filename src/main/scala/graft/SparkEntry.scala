@@ -166,16 +166,22 @@ object SparkEntry {
       s, d, "sum_over_time(click[1h]) ^ 2")),
     "q_promql_unary" -> ((s, d) => graft.operators.Promql.query(
       s, d, "-sum_over_time(click[1h])")),
-    // rows-only: JVM Math.atan2 and DuckDB's libm atan2 differ in the
-    // last ulp (measured maxdiff 2.2e-16 at sf0.01), so no hash oracle;
-    // PromqlSpec pins the semantics against Spark's own atan2
+    // JVM Math.atan2 and DuckDB's libm atan2 differ in the last ulp
+    // (measured maxdiff 2.2e-16 at sf0.01) — the query surface quantizes
+    // to 9 decimals on BOTH engines (same pattern as the decimal
+    // determinism contract), which kills the divergence and restores the
+    // hash oracle; PromqlSpec still pins the un-quantized semantics
+    // against Spark's own atan2
     "q_promql_atan2" -> ((s, d) => graft.operators.Promql.query(
-      s, d, "sum_over_time(click[1h]) atan2 1")),
-    // rows-only: JVM and libm trig differ in the last ulp on a few
-    // per mille of real values (measured: sin 5/1989 at sf0.01), so no
-    // hash oracle; PromqlSpec pins semantics against Spark's own trig
+      s, d, "sum_over_time(click[1h]) atan2 1")
+      .withColumn("value", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value"), 9))),
+    // same last-ulp story for trig (measured: sin 5/1989 values off by
+    // 1 ulp at sf0.01) — 9-decimal quantization on both engines
     "q_promql_trig" -> ((s, d) => graft.operators.Promql.query(
-      s, d, "deg(atan(sin(sum_over_time(click[1h])))) * pi()")),
+      s, d, "deg(atan(sin(sum_over_time(click[1h])))) * pi()")
+      .withColumn("value", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value"), 9))),
     // group_left(l1,...) label carrying and negative offset
     "q_promql_carry" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum_over_time(click[1h]) * on(user_id) group_left(tier) label_replace(sum_over_time(purchase[1h]), "tier", "t$1", "user_id", "(\d)\d*")""")),
@@ -232,10 +238,16 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
-    // I. multimodal plumbing (rows-only: stubbed decode)
-    "mm_decode"   -> ((s, d) => Multimodal.decode(s, d)),
-    "mm_features" -> (Multimodal.featuresDigest _),
-    "mm_frames"   -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // I. multimodal: REAL javax.imageio decode of executor-synthesized
+    // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
+    // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes
+    // it, so a hash match proves the decode); the full surfaces stay
+    // rows-only because pixel hashes aren't SQL-expressible.
+    "mm_decode"      -> ((s, d) => Multimodal.decode(s, d)),
+    "mm_decode_dims" -> (Multimodal.decodeDims _),
+    "mm_features"    -> (Multimodal.featuresDigest _),
+    "mm_frames"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "mm_frames_idx"  -> (Multimodal.frameIndex _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same result, same column names).

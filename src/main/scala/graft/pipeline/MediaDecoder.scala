@@ -14,9 +14,10 @@ package graft.pipeline
   *  - `meta` returns (width, height, frames, perceptual-hash) for one
   *    payload; `frameHash` fingerprints one sampled frame.
   *
-  * The default [[StubDecoder]] is a deterministic fake (this container
-  * ships no codec libraries): metadata derived from the byte content
-  * only, so results are stable across partitionings and engines.
+  * The default [[ImageIoDecoder]] is a REAL image codec: the JDK ships
+  * PNG/BMP/GIF readers in `javax.imageio`, so decode needs zero external
+  * dependencies. [[StubDecoder]] remains as the no-codec fallback and
+  * the seam's original contract witness.
   */
 trait MediaDecoder {
   def meta(bytes: Array[Byte]): MediaDecoder.Meta
@@ -26,8 +27,104 @@ trait MediaDecoder {
 object MediaDecoder {
   case class Meta(width: Int, height: Int, frames: Int, phash: String)
 
-  /** The default factory: deterministic stub. */
+  /** The default factory: real javax.imageio decode. */
+  val imageio: () => MediaDecoder = () => new ImageIoDecoder
+
+  /** Deterministic no-codec stub (kept for the pluggability contract). */
   val stub: () => MediaDecoder = () => new StubDecoder
+}
+
+/** Real image decoder over the JDK's `javax.imageio` codecs (PNG, BMP,
+  * GIF — no external dependencies). Interprets the image as a filmstrip
+  * of [[MediaGen.FrameH]]-row frames (the flat video-as-image layout).
+  *
+  * Determinism: PNG is lossless, so decoded pixels are bit-identical on
+  * every JVM regardless of encoder layout; the perceptual hash and frame
+  * hashes are integer arithmetic over those exact pixels.
+  *
+  * One decode per payload, not per call: `meta` and the per-frame
+  * `frameHash` calls for the same row arrive sequentially within a
+  * partition, so an identity cache on the payload reference amortizes
+  * the decode across the row's frame expansion.
+  */
+final class ImageIoDecoder extends MediaDecoder {
+  private var lastBytes: Array[Byte] = _
+  private var lastImg: java.awt.image.BufferedImage = _
+  private val md = java.security.MessageDigest.getInstance("MD5")
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (lastImg == null || (bytes ne lastBytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"payload is not a decodable image (${bytes.length} bytes)")
+      lastBytes = bytes
+      lastImg = img
+    }
+    lastImg
+  }
+
+  override def meta(bytes: Array[Byte]): MediaDecoder.Meta = {
+    val img = decode(bytes)
+    val frames = math.max(1, img.getHeight / MediaGen.FrameH)
+    MediaDecoder.Meta(img.getWidth, img.getHeight, frames, averageHash(img))
+  }
+
+  /** 8×8 average-luma perceptual hash: bit b set iff cell b's mean luma
+    * exceeds the image mean. Long-exact sums; the two means are compared
+    * as exact-long ratios lowered to double (deterministic IEEE ops).
+    */
+  private def averageHash(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+        val c = cy * 8 + x * 8 / w
+        sums(c) += luma
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var totalSum = 0L
+    var totalCnt = 0L
+    var i = 0
+    while (i < 64) { totalSum += sums(i); totalCnt += cnts(i); i += 1 }
+    val mean = totalSum.toDouble / totalCnt
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i).toDouble / cnts(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    f"$bits%016x"
+  }
+
+  /** MD5 over the exact ARGB ints of the frame's pixel rows
+    * ([frame·FrameH, (frame+1)·FrameH), clipped to the image).
+    */
+  override def frameHash(bytes: Array[Byte], frame: Int): String = {
+    val img = decode(bytes)
+    val w = img.getWidth
+    val y0 = math.min(math.max(0, frame) * MediaGen.FrameH, img.getHeight)
+    val y1 = math.min(y0 + MediaGen.FrameH, img.getHeight)
+    md.reset()
+    val row = java.nio.ByteBuffer.allocate(4 * w)
+    var y = y0
+    while (y < y1) {
+      row.clear()
+      var x = 0
+      while (x < w) { row.putInt(img.getRGB(x, y)); x += 1 }
+      md.update(row.array(), 0, 4 * w)
+      y += 1
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 }
 
 /** Deterministic fake decoder — byte-content-derived metadata. Swap via

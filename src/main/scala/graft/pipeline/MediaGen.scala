@@ -28,8 +28,14 @@ object MediaGen {
   /** Pixel rows per filmstrip frame. */
   val FrameH = 8
 
-  def widthOf(docId: Long): Int = 16 + (docId % 17).toInt // 16..32
-  def framesOf(docId: Long): Int = 1 + (docId % 12).toInt // 1..12
+  // Global JVM toggle, set ONCE per JVM (object init runs on each
+  // executor at first use) — not inside the per-row hot path.
+  ImageIO.setUseCache(false)
+
+  // floorMod, not %: a negative docId must still yield positive dims
+  // (the DuckDB oracle mirrors this as ((doc_id % m) + m) % m)
+  def widthOf(docId: Long): Int = 16 + Math.floorMod(docId, 17L).toInt // 16..32
+  def framesOf(docId: Long): Int = 1 + Math.floorMod(docId, 12L).toInt // 1..12
   def heightOf(docId: Long): Int = FrameH * framesOf(docId) // 8..96
 
   /** A real PNG with deterministic pixel content seeded by docId. */
@@ -50,7 +56,6 @@ object MediaGen {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.setUseCache(false) // no temp-file cache on executors
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }

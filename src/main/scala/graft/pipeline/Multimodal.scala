@@ -13,22 +13,40 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
   * The decode step is PLUGGABLE ([[MediaDecoder]]): operators take a
   * `() => MediaDecoder` factory, instantiated once per partition on the
   * executor — the Scala analogue of mapInPandas's per-batch setup. The
-  * default is the deterministic [[StubDecoder]] (this container has no
-  * codec libraries), but the Spark side is real either way: a binary
-  * column flows through a typed Dataset, the decode runs batched per
-  * partition, and the output schema is the typed metadata a downstream
-  * pipeline would consume. At scale this is the shape that matters:
-  * decode parallelism == partition count, no driver-side collect,
-  * constant memory per task, codec setup amortized per partition.
+  * default is the REAL [[ImageIoDecoder]] (the JDK ships PNG/BMP/GIF
+  * codecs — zero external dependencies): a binary column flows through a
+  * typed Dataset, the decode runs batched per partition, and the output
+  * schema is the typed metadata a downstream pipeline would consume. At
+  * scale this is the shape that matters: decode parallelism == partition
+  * count, no driver-side collect, constant memory per task, codec setup
+  * amortized per partition.
+  *
+  * The binary column itself is synthesized executor-side from the
+  * documents table ([[MediaGen]]: a real PNG filmstrip whose dimensions
+  * are arithmetic in doc_id) — the testdata carries no media files, and
+  * the arithmetic makes the decode path ORACLE-CHECKABLE: DuckDB
+  * recomputes the expected dimensions from doc_id, so a hash match on
+  * mm_decode_dims proves the ImageIO decode returned exactly them.
   */
 object Multimodal {
 
-  /** Binary payload → per-partition batched decode → typed metadata. */
-  def decode(s: SparkSession, dir: String,
-             mkDecoder: () => MediaDecoder = MediaDecoder.stub): DataFrame = {
+  /** The synthesized media column: (doc_id, payload BINARY) — one real
+    * PNG per document, generated on the executors (never collected).
+    */
+  def payloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(it => it.map(id => (id, MediaGen.pngPayload(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Binary payload → per-partition batched decode → typed metadata. */
+  def decode(s: SparkSession, dir: String,
+             mkDecoder: () => MediaDecoder = MediaDecoder.imageio): DataFrame = {
+    import s.implicits._
+    payloads(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // One decoder instance per partition (mapInPandas batch shape).
@@ -41,22 +59,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** The oracle-checkable projection of [[decode]]: dimensions only,
+    * cast to BIGINT to match the DuckDB arithmetic mirror. A hash match
+    * here proves the executor-side image decode returned exactly the
+    * generated filmstrip geometry.
+    */
+  def decodeDims(s: SparkSession, dir: String): DataFrame =
+    decode(s, dir).select(
+      col("doc_id"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("frames").cast("long").as("frames"))
+
   /** Feature extraction: binary payload → fixed-dim float vector.
-    * STUB features (byte histogram folded to 16 dims, L1-normalized —
-    * deterministic); the Spark shape is the real thing: batched
-    * per-partition extraction emitting an Array[Float] column that
-    * feeds directly into the Similarity operators.
+    * REAL decode-derived features: a 16-bin luma histogram over the
+    * decoded pixels, L1-normalized — deterministic (PNG is lossless, so
+    * pixels are exact). Batched per-partition extraction emitting an
+    * Array[Float] column that feeds directly into the Similarity
+    * operators.
     */
   def features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    payloads(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload is not a decodable image (${bytes.length} bytes)")
           val hist = new Array[Float](16)
-          bytes.foreach(b => hist((b & 0xFF) % 16) += 1f)
-          val n = math.max(1, bytes.length)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              hist(luma >> 4) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth * img.getHeight
           (id, hist.map(_ / n))
         }
       }
@@ -82,15 +125,16 @@ object Multimodal {
         .as("features_digest"))
 
   /** Frame sampling: one media payload → one row per sampled frame
-    * (every k-th "frame" of the container), the batch-expansion shape
-    * of video pipelines: flatMap per partition, output cardinality
-    * = frames/stride, partitioning inherited — no shuffle.
+    * (every k-th filmstrip frame), the batch-expansion shape of video
+    * pipelines: flatMap per partition, output cardinality
+    * = ceil(frames/stride), partitioning inherited — no shuffle. The
+    * decoder's identity cache makes this one decode per payload, not
+    * one per frame.
     */
   def sampleFrames(s: SparkSession, dir: String, stride: Int = 8,
-                   mkDecoder: () => MediaDecoder = MediaDecoder.stub): DataFrame = {
+                   mkDecoder: () => MediaDecoder = MediaDecoder.imageio): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    payloads(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val dec = mkDecoder()
@@ -101,4 +145,13 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame_hash")
   }
+
+  /** The oracle-checkable projection of [[sampleFrames]]: which frames
+    * got sampled — arithmetic in doc_id (frames = 1 + floorMod(id, 12),
+    * stride 8), mirrored by a DuckDB generate_series.
+    */
+  def frameIndex(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, dir).select(
+      col("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"))
 }

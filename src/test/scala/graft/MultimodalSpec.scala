@@ -14,16 +14,37 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("doc_id", "n_bytes", "width", "height", "frames", "phash"))
   }
 
-  test("decode is deterministic and byte-derived") {
+  test("decode is deterministic and reports the real filmstrip geometry") {
     val a = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
     val b = Multimodal.decode(spark, sf).collect().sortBy(_.getLong(0))
     assert(a.sameElements(b))
-    // n_bytes must equal utf-8 length of the source text
-    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    a.take(20).foreach { r =>
-      assert(r.getLong(1) === texts(r.getLong(0)).getBytes("UTF-8").length.toLong)
+    // the decoded dimensions must be the GENERATED ones — this is the
+    // real-codec proof: ImageIO read the PNG and returned its geometry
+    a.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === graft.pipeline.MediaGen.pngPayload(id).length.toLong)
+      assert(r.getInt(2) === graft.pipeline.MediaGen.widthOf(id))
+      assert(r.getInt(3) === graft.pipeline.MediaGen.heightOf(id))
+      assert(r.getInt(4) === graft.pipeline.MediaGen.framesOf(id))
     }
+  }
+
+  test("ImageIoDecoder decodes a generated PNG to its exact dimensions") {
+    val dec = new graft.pipeline.ImageIoDecoder
+    for (id <- Seq(0L, 5L, 16L, 123L, 499L)) {
+      val m = dec.meta(graft.pipeline.MediaGen.pngPayload(id))
+      assert(m.width === graft.pipeline.MediaGen.widthOf(id))
+      assert(m.height === graft.pipeline.MediaGen.heightOf(id))
+      assert(m.frames === graft.pipeline.MediaGen.framesOf(id))
+      assert(m.phash.length === 16) // 64-bit average hash, hex
+    }
+    // frame hashes fingerprint DIFFERENT pixel regions per frame
+    val bytes = graft.pipeline.MediaGen.pngPayload(11L) // 12 frames
+    val hashes = (0 until 12).map(dec.frameHash(bytes, _))
+    assert(hashes.distinct.length === 12)
+    // and are stable across decoder instances (exact pixels, exact hash)
+    val dec2 = new graft.pipeline.ImageIoDecoder
+    assert((0 until 12).map(dec2.frameHash(bytes, _)) === hashes)
   }
 
   test("features are unit-L1 16-dim vectors compatible with Similarity ops") {
@@ -74,8 +95,9 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("count") =!= 2).count() === 0)
     assert(frames.select("frame_hash").distinct().collect()
       .map(_.getString(0)).toSet === Set("f0", "f8"))
-    // and the default stub output is unchanged by the refactor
-    val stub = Multimodal.decode(spark, sf)
-    assert(stub.filter(length(col("phash")) =!= 32).count() === 0)
+    // and the default (real ImageIO) output shape is unchanged by the
+    // pluggability seam: 64-bit average hash as 16 hex chars
+    val real = Multimodal.decode(spark, sf)
+    assert(real.filter(length(col("phash")) =!= 16).count() === 0)
   }
 }
