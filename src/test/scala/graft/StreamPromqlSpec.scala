@@ -101,8 +101,9 @@ class StreamPromqlSpec extends AnyFunSuite {
       (t0 / 1000000L + 2L * 3600, 7.0)), s"got: ${got.toSeq}")
   }
 
-  test("order-dependent verbs and joins are rejected, not approximated") {
-    Seq("rate(click[1h])",
+  test("cross-window verbs and joins are rejected, not approximated") {
+    Seq("quantile_over_time(0.5, click[1h])",
+      "irate(click[1w])",
       "avg(avg_over_time(click[1h]))",
       "sum_over_time(click[1h] offset 1h)",
       "sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])")
@@ -111,5 +112,56 @@ class StreamPromqlSpec extends AnyFunSuite {
           PromqlStream.query(spark, "/nonexistent", q))
         assert(e.getMessage.contains("not streamable"), q)
       }
+  }
+
+  test("streaming rate equals batch rate and emits each window exactly once") {
+    import SparkFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "/root/repo/target/tmp/streampromql_rate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def runOnce(): Unit = {
+      val q = PromqlStream.query(spark, in, "rate(click[1h])")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1 buffers every window. The watermark a batch USES comes from
+    // the data of prior batches, so flushing every real window takes two
+    // more hops: sentinel 1 (run 2) advances the watermark past all real
+    // windows, and sentinel 2 (run 3) runs the batch that applies it —
+    // firing the remaining timeouts (the last real hours of data).
+    runOnce()
+    val sentinelUs = spark.read.parquet(s"$sf/events.parquet")
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0) / 1000L +
+      100L * 3600 * 1000000L
+    def writeSentinel(id: Long, us: Long): Unit =
+      Seq((id, us * 1000L, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    writeSentinel(999999998L, sentinelUs)
+    runOnce()
+    writeSentinel(999999999L, sentinelUs + 10L * 3600 * 1000000L)
+    runOnce()
+    val cutoff = sentinelUs / 1000000L - 3600L
+    val got = spark.read.parquet(out).filter(col("step") < cutoff)
+    val want = graft.operators.Promql.query(spark, sf, "rate(click[1h])")
+      .filter(col("step") < cutoff)
+    // exact equality, value included: the JVM fold replicates the batch
+    // decimal accumulation bit-for-bit
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.count() === want.count(), "window count")
+    assert(got.exceptAll(w).count() === 0, "stream-only rows")
+    assert(w.exceptAll(got).count() === 0, "batch-only rows")
+    assert(got.count() > 0, "must be non-empty")
+    // Append emit-once: no (step, user_id) appears twice in the sink
+    assert(got.groupBy("step", "user_id").count()
+      .filter(col("count") > 1).count() === 0, "duplicate emission")
   }
 }
