@@ -374,6 +374,50 @@ object Pipelines {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // Gopher repetition metrics: DuckDB lists are 1-based, so bigram i
+    // pairs w[i] with w[i+1] for i in range(1, len) (range excludes the
+    // upper bound) — exactly Spark's 0-based sequence(0, size-2)
+    "text_repetition" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |arr AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+         |  CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END AS bg
+         |  FROM ws),
+         |arr2 AS (SELECT doc_id, n_words, n_distinct_words,
+         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+         |  FROM arr),
+         |top AS (SELECT doc_id, MAX(c) AS top_word_count FROM (
+         |  SELECT doc_id, u, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(w) AS u FROM ws) GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT a.doc_id, a.n_words,
+         |  1.0 - CAST(n_distinct_words AS DOUBLE)
+         |        / CAST(greatest(n_words, 1) AS DOUBLE) AS dup_word_frac,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE)
+         |               / CAST(n_bigrams AS DOUBLE)
+         |    ELSE 0.0 END AS dup_bigram_frac,
+         |  CAST(coalesce(top_word_count, 0) AS DOUBLE)
+         |    / CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac
+         |FROM arr2 a LEFT JOIN top t ON t.doc_id = a.doc_id""".stripMargin,
+    // bucket = first 4 hex nibbles of md5(doc_id) mod 100 — the nibble
+    // sum mirrors Spark's conv(substring(md5, 1, 4), 16, 10)
+    "doc_sample" -> {
+      val nibble = (1 to 4).map { k =>
+        val mul = math.pow(16, 4 - k).toLong
+        s"((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, CAST(($nibble) % 100 AS BIGINT) AS bucket
+         |      FROM documents)""".stripMargin
+    },
   )
 
   // ---- E. writer round-trips (content must equal source) ----------------

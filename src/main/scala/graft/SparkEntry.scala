@@ -238,6 +238,8 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
+    "text_repetition"  -> (TextAnalysis.repetition _),
+    "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

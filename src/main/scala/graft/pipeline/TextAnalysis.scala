@@ -115,4 +115,70 @@ object TextAnalysis {
       .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
         .as("fp"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+
+  /** Gopher-style repetition metrics — the published pretraining
+    * quality-filter family (Rae et al. 2021 §A1.1: duplicate-n-gram and
+    * most-common-word fractions flag boilerplate/spam): per doc,
+    * duplicate word fraction, duplicate bigram fraction, and the top
+    * word's share of all words. Word/bigram distinctness stays inline
+    * (array builtins, zero shuffle); the top-word count is the one
+    * genuinely aggregating piece (explode + two partial-agg groupBys on
+    * doc_id — the same shuffle shape as simhash). All fractions are
+    * exact-integer ratios lowered to double, so the oracle matches
+    * bit-for-bit.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val arr = d.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+      expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(0, size(ws) - 2),
+          |  i -> concat(ws[i], ' ', ws[i+1]))
+          |ELSE array() END""".stripMargin).as("bg"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+    val top = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_count"))
+    // greatest(·,1): empty docs yield 0-fractions, not a divide error
+    val denomW = greatest(col("n_words"), lit(1L)).cast("double")
+    arr.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("n_distinct_words").cast("double") / denomW)
+          .as("dup_word_frac"),
+        when(col("n_bigrams") > lit(0L),
+          lit(1.0) - col("n_distinct_bigrams").cast("double")
+            / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        (coalesce(col("top_word_count"), lit(0L)).cast("double") / denomW)
+          .as("top_word_frac"))
+  }
+
+  /** Deterministic hash-based train/val/test split — the stratified
+    * assignment every training pipeline needs: bucket = first 4 hex
+    * nibbles of md5(doc_id) mod 100, stable across engines, runs, and
+    * partitionings (no rand(), no row_number over an implicit order —
+    * both are nondeterministic under re-partitioning at scale).
+    * Sampling N% of the corpus is a filter on the bucket; adding data
+    * never reassigns existing docs.
+    */
+  def sampleSplit(s: SparkSession, dir: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must fit in [0, 100]")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
 }

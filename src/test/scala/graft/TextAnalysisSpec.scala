@@ -68,4 +68,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.agg(sum("n_docs")).collect()(0).getLong(0) ===
       Tables.documents(spark, sf).count())
   }
+
+  test("repetition matches a Scala-side recount on a sample") {
+    val docs = Tables.documents(spark, sf).limit(20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TextAnalysis.repetition(spark, sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*)).collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val ws = docs(r.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topCount = if (ws.isEmpty) 0L
+        else ws.groupBy(identity).values.map(_.length).max.toLong
+      assert(r.getAs[Long]("n_words") === ws.length.toLong)
+      assert(r.getAs[Double]("dup_word_frac") ===
+        1.0 - ws.distinct.length.toDouble / math.max(ws.length, 1))
+      assert(r.getAs[Double]("dup_bigram_frac") ===
+        (if (bg.isEmpty) 0.0 else 1.0 - bg.distinct.length.toDouble / bg.length))
+      assert(r.getAs[Double]("top_word_frac") ===
+        topCount.toDouble / math.max(ws.length, 1))
+    }
+    // the synthetic word-salad corpus is exactly what these filters
+    // flag: heavy duplicate mass must be visible
+    val stats = TextAnalysis.repetition(spark, sf)
+      .agg(avg("dup_word_frac"), avg("top_word_frac")).collect()(0)
+    assert(stats.getDouble(0) > 0.3, "dup_word_frac should flag the salad corpus")
+    assert(stats.getDouble(1) > 0.05)
+  }
+
+  test("hash split is deterministic, complete, and filter-stable") {
+    val a = TextAnalysis.sampleSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val b = TextAnalysis.sampleSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.length === Tables.documents(spark, sf).count())
+    assert(a.forall(t => t._2 >= 0 && t._2 < 100))
+    // buckets follow md5, so all three splits are populated at 500 docs
+    val bySplit = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("test"))
+    // sampling-as-filter: bucket < 10 is a stable 10%-ish subsample
+    val sampled = a.count(_._2 < 10)
+    assert(sampled > 0 && sampled < a.length / 5)
+    // custom percentages relabel without moving buckets
+    val c = TextAnalysis.sampleSplit(spark, sf, trainPct = 50, valPct = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(c.map(_._2).sameElements(a.map(_._2)))
+  }
 }
