@@ -407,18 +407,57 @@ object Pipelines {
     // bucket = first 4 hex nibbles of md5(doc_id) mod 100 — the nibble
     // sum mirrors Spark's conv(substring(md5, 1, 4), 16, 10)
     "doc_sample" -> {
-      val nibble = (1 to 4).map { k =>
-        val mul = math.pow(16, 4 - k).toLong
-        s"((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
-      }.mkString(" + ")
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM (SELECT doc_id, CAST(($nibble) % 100 AS BIGINT) AS bucket
+         |FROM (SELECT doc_id, CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
          |      FROM documents)""".stripMargin
     },
+    // train/eval shingle-overlap decontamination: distinct (doc,
+    // 3-gram-md5) incidence joined across the hash split
+    "doc_contamination" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS s FROM ws)),
+         |bk AS (SELECT doc_id, CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+         |       FROM documents),
+         |tg AS (SELECT sh.doc_id, h,
+         |         CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS side
+         |       FROM sh JOIN bk ON bk.doc_id = sh.doc_id)
+         |SELECT t.doc_id,
+         |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_shingles,
+         |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+         |FROM (SELECT doc_id, h FROM tg WHERE side = 'train') t
+         |JOIN (SELECT doc_id, h FROM tg WHERE side = 'eval') e ON e.h = t.h
+         |GROUP BY 1""".stripMargin,
+    // the SEQUENTIAL packing formulation: Spark's two-level distributed
+    // prefix sum must reproduce this single-window cumsum row-for-row —
+    // the hash equality is the exactness proof of the decomposition
+    "doc_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($words) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM d)
+         |SELECT doc_id, n_tokens,
+         |       CAST(off // 2048 AS BIGINT) AS pack_id,
+         |       CAST(off % 2048 AS BIGINT) AS pack_offset
+         |FROM o""".stripMargin,
   )
+
+  /** md5(doc_id) first-4-nibble value — DuckDB mirror of Spark's
+    * conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10); shared
+    * by doc_sample and doc_contamination so the split cannot drift.
+    */
+  private lazy val bucketNibble: String = (1 to 4).map { k =>
+    val mul = math.pow(16, 4 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
 
   // ---- E. writer round-trips (content must equal source) ----------------
 

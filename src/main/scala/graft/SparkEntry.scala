@@ -240,6 +240,8 @@ object SparkEntry {
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
+    "doc_contamination" -> (graft.pipeline.Curation.contamination _),
+    "doc_pack"          -> ((s, d) => graft.pipeline.Curation.packTokens(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

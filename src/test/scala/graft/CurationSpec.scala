@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Curation
+import SparkFixture.{sf, spark}
+
+class CurationSpec extends AnyFunSuite {
+
+  private def md5bucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 4), 16) % 100
+  }
+
+  private def wordsOf(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+
+  private def shinglesOf(t: String): Set[String] = {
+    val w = wordsOf(t)
+    if (w.length < 3) Set.empty
+    else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+  }
+
+  test("packTokens: the distributed prefix sum equals the sequential packing") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), wordsOf(r.getString(1)).length.toLong))
+      .sortBy(_._1)
+    // sequential truth: running token offset in doc_id order
+    var off = 0L
+    val want = docs.map { case (id, n) =>
+      val row = (id, n, off / 2048L, off % 2048L)
+      off += n
+      row
+    }.toSeq
+    // tiny shards force MANY shards + the broadcast prefix join — the
+    // decomposition must still reproduce the sequential result exactly
+    for (shardSize <- Seq(1L << 17, 64L)) {
+      val got = Curation.packTokens(spark, sf, shardSize = shardSize)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got === want, s"shardSize=$shardSize")
+    }
+  }
+
+  test("packTokens plan broadcasts the shard prefix") {
+    val plan = Curation.packTokens(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "shard prefix must broadcast, not shuffle")
+  }
+
+  test("contamination matches a brute-force shingle-overlap recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shinglesOf(r.getString(1))))
+    val train = docs.filter(d => md5bucket(d._1) < 80)
+    val eval_ = docs.filter(d => md5bucket(d._1) >= 80)
+    val evalShingles = eval_.flatMap(_._2).toSet
+    val want = train.flatMap { case (id, sh) =>
+      val shared = sh.intersect(evalShingles)
+      if (shared.isEmpty) None
+      else Some((id, shared.size.toLong,
+        eval_.count(e => e._2.exists(shared.contains)).toLong))
+    }.sortBy(_._1).toSeq
+    val got = Curation.contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "the salad corpus must show contamination")
+  }
+}
