@@ -20,31 +20,62 @@ object Curation {
     * use). Output per contaminated train doc: how many distinct eval
     * shingles it shares and how many eval docs it touches.
     *
-    * Scale shape: one shuffle on the shingle hash. The join input is
-    * (doc, distinct-shingle) incidence — bounded by corpus shingle
-    * mass, not doc pairs — and the aggregation collapses immediately to
-    * per-train-doc counts (no pair materialization in the output).
-    * Ubiquitous shingles make hot keys; at 100 TB the standard moves
-    * are dropping top-frequency shingles (they carry no contamination
-    * signal) or salting the shingle key — both orthogonal to the
-    * operator's semantics.
+    * COLLAPSE-FIRST, like the whole near-dup family: both counts are
+    * functions of the document's CONTENT, so the shingle join runs over
+    * distinct texts and the result expands back to train docs at the
+    * end. On duplicate-heavy corpora the doc-level join squares copy
+    * multiplicity (measured: 43.9s at the 20x soak, where every text
+    * has 20 copies and the hash split scatters them across both sides);
+    * the content-level pair set is bounded by distinct texts. The
+    * per-content eval-doc counts ride the join, so the output is
+    * row-identical to the doc-level formulation — the DuckDB oracle IS
+    * the doc-level form, and the hash match proves the collapse exact.
+    * Duplicate texts straddling the split show up for what they are:
+    * every train copy of an eval text is flagged with that text's full
+    * shingle set (split leakage via duplication, the classic
+    * decontamination finding).
+    *
+    * Remaining scale lever (orthogonal): dropping top-frequency
+    * shingles — ubiquitous n-grams carry no contamination signal but
+    * make hot join keys.
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val split = TextAnalysis.sampleSplit(s, dir).select("doc_id", "split")
-    val shingles = Tables.documents(s, dir)
-      .select(col("doc_id"),
+    val docs = Tables.documents(s, dir)
+      .select(md5(col("text")).as("chash"), col("doc_id"))
+      .join(split, "doc_id")
+    // per-content membership: train docs carry the output rows, eval
+    // docs weight the n_eval_docs sum
+    val perContent = docs.groupBy("chash").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"))
+    val contents = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("chash")).agg(min("text").as("text"))
+    val shC = contents
+      .select(col("chash"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-      .select(col("doc_id"), explode(Dedup.shinglesOf("ws")).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .select(col("chash"), explode(Dedup.shinglesOf("ws")).as("sh"))
+      .select(col("chash"), md5(col("sh")).as("h"))
       .distinct()
-    val tagged = shingles.join(split, "doc_id")
-    val train = tagged.filter(col("split") === "train").select("doc_id", "h")
-    val eval_ = tagged.filter(col("split") =!= "train").select(
-      col("doc_id").as("eval_doc_id"), col("h"))
-    train.join(eval_, "h")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("h")).as("n_shared_shingles"),
-        countDistinct(col("eval_doc_id")).as("n_eval_docs"))
+    val trainSh = shC.join(
+      perContent.filter(col("n_train") > 0L).select("chash"), "chash")
+    val evalSh = shC.join(
+      perContent.filter(col("n_eval") > 0L)
+        .select(col("chash").as("echash"), col("n_eval")), // ride the count
+      col("chash") === col("echash"))
+      .select(col("echash"), col("n_eval"), col("h"))
+    // content-level pairs (includes chash == echash: the same text on
+    // both sides of the split IS contamination)
+    val pairs = trainSh.join(evalSh, "h")
+    val shared = pairs.groupBy("chash")
+      .agg(countDistinct(col("h")).as("n_shared_shingles"))
+    val evalDocs = pairs.select("chash", "echash", "n_eval").distinct()
+      .groupBy("chash").agg(sum("n_eval").as("n_eval_docs"))
+    // expand once, at the end: every train doc of a contaminated
+    // content gets its content's counts
+    shared.join(evalDocs, "chash")
+      .join(docs.filter(col("split") === "train").select("chash", "doc_id"), "chash")
+      .select("doc_id", "n_shared_shingles", "n_eval_docs")
   }
 
   /** Sequence packing: assign every document a (pack_id, pack_offset)

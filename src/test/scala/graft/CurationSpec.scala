@@ -68,4 +68,37 @@ class CurationSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty, "the salad corpus must show contamination")
   }
+
+  test("contamination collapse equals doc-level brute force on a duplicated corpus") {
+    // 3 shifted copies of every doc: the regime where a doc-level
+    // shingle join squares copy multiplicity and where copies of one
+    // text land on BOTH sides of the hash split (split leakage) — the
+    // content-level collapse must still reproduce the doc-level result
+    // row for row
+    val base = "/root/repo/target/tmp/curation_dup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val docs = Tables.documents(spark, sf)
+    (0 until 3).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val all = Tables.documents(spark, base).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shingleByText = all.map(_._2).distinct
+      .map(t => t -> shinglesOf(t)).toMap
+    val train = all.filter(d => md5bucket(d._1) < 80)
+    val eval_ = all.filter(d => md5bucket(d._1) >= 80)
+    val evalShingles = eval_.flatMap(d => shingleByText(d._2)).toSet
+    val want = train.flatMap { case (id, t) =>
+      val shared = shingleByText(t).intersect(evalShingles)
+      if (shared.isEmpty) None
+      else Some((id, shared.size.toLong,
+        eval_.count(e => shingleByText(e._2).exists(shared.contains)).toLong))
+    }.sortBy(_._1).toSeq
+    val got = Curation.contamination(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    // split leakage is visible: identical texts straddle the split
+    assert(got.nonEmpty)
+  }
 }
