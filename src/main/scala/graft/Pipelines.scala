@@ -261,6 +261,43 @@ object Pipelines {
        |WHERE rnk <= $k""".stripMargin
 
   private val similarity: Map[String, String] = Map(
+    // measured recall@5 of each ANN structure vs the exact brute-force
+    // top-5 — recall is DATA, so it belongs in the oracle-hashed
+    // correctness record, not just a bench note. Each method's result
+    // set is the same SQL the per-method entries hash; subqueries keep
+    // them definitionally identical.
+    "ann_recall" -> {
+      def hits(m: String, alias: String): String =
+        s"""$alias AS (SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM bf b JOIN (${annSql(m)}) a
+           |    ON a.qid = b.qid AND a.vec_id = b.vec_id
+           |  GROUP BY 1)""".stripMargin
+      def leg(m: String, alias: String): String =
+        s"""SELECT '$m' AS method, tr.qid, n_truth,
+           |       coalesce(h.n_hits, 0) AS n_hits
+           |FROM tr LEFT JOIN $alias h ON h.qid = tr.qid""".stripMargin
+      s"""WITH bf AS (SELECT qid, vec_id FROM (${annSql("ann_bruteforce")}) WHERE rnk <= 5),
+         |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
+         |${hits("ann_lsh", "h_lsh")},
+         |${hits("ann_ivf", "h_ivf")},
+         |${hits("ann_ivf_nprobe2", "h_ivf2")}
+         |SELECT method, qid, n_truth, n_hits,
+         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM (${leg("ann_lsh", "h_lsh")}
+         |UNION ALL ${leg("ann_ivf", "h_ivf")}
+         |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")})""".stripMargin
+    },
+    "ann_bruteforce" -> annSql("ann_bruteforce"),
+    "ann_lsh" -> annSql("ann_lsh"),
+    "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
+    "ann_ivf" -> annSql("ann_ivf"),
+  )
+
+  /** The four ANN method SQLs, shared verbatim between the per-method
+    * entries and ann_recall's subqueries (one definition site — the
+    * recall record measures exactly the hashed result sets).
+    */
+  private lazy val annSql: Map[String, String] = Map(
     "ann_bruteforce" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),

@@ -306,4 +306,32 @@ object Similarity {
         cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
     topkPerQuery(pairs, k)
   }
+
+  /** Measured recall@k of each ANN structure against the exact
+    * brute-force top-k — per (method, query): |approx ∩ truth| / k.
+    * Recall is DATA (a deterministic function of the index structure
+    * and the corpus), so it lives in the oracle-hashed correctness
+    * record rather than as a bench side-note; the oracle recomputes
+    * both result sets from the same SQL the per-method entries hash.
+    * Queries an approx method misses entirely still appear (left join,
+    * 0 hits) — silent absence would overstate recall.
+    */
+  def recallAtK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = bruteForce(s, dir).filter(col("rnk") <= k)
+      .select("qid", "vec_id")
+    val tr = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+    def leg(name: String, ap: DataFrame): DataFrame = {
+      val hits = truth
+        .join(ap.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      tr.join(hits, Seq("qid"), "left")
+        .select(lit(name).as("method"), col("qid"), col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }
+    leg("ann_lsh", lsh(s, dir))
+      .unionAll(leg("ann_ivf", ivf(s, dir)))
+      .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+  }
 }

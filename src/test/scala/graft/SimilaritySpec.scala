@@ -139,4 +139,26 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.clearTrainedMemo()
     }
   }
+
+  test("recall@k is complete, bounded, and monotone in probe width") {
+    val r = Similarity.recallAtK(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    // 3 methods x 5 queries, every query present for every method
+    assert(r.length === 15)
+    assert(r.map(_._1).distinct.sorted ===
+      Array("ann_ivf", "ann_ivf_nprobe2", "ann_lsh"))
+    r.foreach { case (_, _, nTruth, nHits, recall) =>
+      assert(nTruth === 5L)
+      assert(nHits >= 0L && nHits <= nTruth)
+      assert(recall === nHits.toDouble / nTruth)
+    }
+    // nprobe2's candidate set contains ivf's own-cell set, and a truth
+    // vector in the candidates always survives the top-k cut (anything
+    // beating it in-candidates beats it globally too) — so per-query
+    // recall is structurally monotone in probe width
+    val ivf1 = r.filter(_._1 == "ann_ivf").map(x => x._2 -> x._4).toMap
+    val ivf2 = r.filter(_._1 == "ann_ivf_nprobe2").map(x => x._2 -> x._4).toMap
+    ivf1.foreach { case (qid, h1) => assert(ivf2(qid) >= h1, s"qid $qid") }
+  }
 }
