@@ -241,7 +241,7 @@ object SparkEntry {
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
-    "doc_contamination" -> (graft.pipeline.Curation.contamination _),
+    "doc_contamination" -> ((s, d) => graft.pipeline.Curation.contamination(s, d)),
     "doc_pack"          -> ((s, d) => graft.pipeline.Curation.packTokens(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed

@@ -35,11 +35,15 @@ object Curation {
     * shingle set (split leakage via duplication, the classic
     * decontamination finding).
     *
-    * Remaining scale lever (orthogonal): dropping top-frequency
-    * shingles — ubiquitous n-grams carry no contamination signal but
-    * make hot join keys.
+    * `maxShingleFreq` is the hot-key lever: shingles present in more
+    * than that many DISTINCT contents are dropped before the join —
+    * ubiquitous n-grams carry no contamination signal (they match
+    * everything) but make the joint key distribution quadratic in
+    * their frequency. 0 (the default, what the oracle pins) keeps
+    * every shingle.
     */
-  def contamination(s: SparkSession, dir: String): DataFrame = {
+  def contamination(s: SparkSession, dir: String,
+                    maxShingleFreq: Long = 0L): DataFrame = {
     val split = TextAnalysis.sampleSplit(s, dir).select("doc_id", "split")
     val docs = Tables.documents(s, dir)
       .select(md5(col("text")).as("chash"), col("doc_id"))
@@ -51,12 +55,21 @@ object Curation {
       sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"))
     val contents = Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("chash")).agg(min("text").as("text"))
-    val shC = contents
+    val shAll = contents
       .select(col("chash"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
       .select(col("chash"), explode(Dedup.shinglesOf("ws")).as("sh"))
       .select(col("chash"), md5(col("sh")).as("h"))
       .distinct()
+    val shC =
+      if (maxShingleFreq <= 0L) shAll
+      else {
+        // per-shingle content frequency in the same pass; the cap is a
+        // broadcast-friendly semi-join on the surviving shingle set
+        val keep = shAll.groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxShingleFreq).select("h")
+        shAll.join(keep, Seq("h"), "left_semi")
+      }
     val trainSh = shC.join(
       perContent.filter(col("n_train") > 0L).select("chash"), "chash")
     val evalSh = shC.join(

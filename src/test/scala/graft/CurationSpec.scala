@@ -101,4 +101,21 @@ class CurationSpec extends AnyFunSuite {
     // split leakage is visible: identical texts straddle the split
     assert(got.nonEmpty)
   }
+
+  test("hot-shingle cap only removes signal, never invents it") {
+    val full = Curation.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cap at 5 distinct contents: ubiquitous salad 3-grams drop out
+    val capped = Curation.contamination(spark, sf, maxShingleFreq = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // capped results are a subset with pointwise-smaller counts...
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.foreach { case (id, (sh, ev)) =>
+      val (fsh, fev) = full(id)
+      assert(sh <= fsh && ev <= fev, s"doc $id grew under the cap")
+    }
+    // ...and the cap must actually bite: total shared-shingle mass drops
+    assert(capped.values.map(_._1).sum < full.values.map(_._1).sum,
+      "the cap removed no shingles on this corpus")
+  }
 }
