@@ -487,6 +487,69 @@ object Pipelines {
          |FROM o""".stripMargin,
   )
 
+  // ---- H². corpus LM scoring + retrieval --------------------------------
+
+  /** BM25 oracle generated from the SAME constants as
+    * [[graft.pipeline.Retrieval.bm25]]. Every floating step mirrors the
+    * Spark expression structure operation-for-operation (casts, literal
+    * adds, association) so both engines execute the identical IEEE
+    * program; idf is quantized at 12 decimals and the score at 9, the
+    * libm (ln) contract.
+    */
+  private lazy val bm25Sql: String = {
+    import graft.pipeline.Retrieval.{B, DefaultK, DefaultTerms, K1}
+    val terms = DefaultTerms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"  CAST(len(list_filter(string_split(text, ' '), w -> w = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n")
+    val dfCols = terms.indices.map(i =>
+      s"  CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n")
+    val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    def leg(i: Int): String =
+      s"round(ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+        s" / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 12)" +
+        s" * (CAST(tf$i AS DOUBLE) * (CAST($K1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))" +
+        s" / (CAST(tf$i AS DOUBLE) + CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)" +
+        s" - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * CAST(dl AS DOUBLE) / $avgdl))"
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len($words) AS BIGINT) AS dl,
+       |$tfCols
+       |FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+       |$dfCols
+       |FROM d)
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT doc_id, dl, round(${terms.indices.map(leg).mkString(" + ")}, 9) AS score
+       |  FROM d, st)
+       |WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $DefaultK""".stripMargin
+  }
+
+  private val lmRetrieval: Map[String, String] = Map(
+    // unigram-LM mean log-prob: per-word ln quantized at 12 decimals in
+    // the vocabulary CTE (once per word, the libm contract), per-doc
+    // sum in decimal (exact, order-independent), one IEEE division
+    "doc_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+         |counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+         |lp AS (SELECT w,
+         |         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 12)
+         |              AS DECIMAL(28,12)) AS lp
+         |       FROM counts, tot),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         SUM(lp) AS slp
+         |       FROM toks JOIN lp USING (w) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(n_tokens, 0) AS n_tokens,
+         |       CASE WHEN n_tokens IS NULL THEN 0.0
+         |            ELSE CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |       END AS mean_logprob
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "doc_bm25" -> bm25Sql,
+  )
+
   /** md5(doc_id) first-4-nibble value — DuckDB mirror of Spark's
     * conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10); shared
     * by doc_sample and doc_contamination so the split cannot drift.
@@ -527,5 +590,6 @@ object Pipelines {
         |FROM f""".stripMargin,
   )
 
-  def oracles: Map[String, String] = dedup ++ similarity ++ text ++ writer ++ mm
+  def oracles: Map[String, String] =
+    dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm
 }

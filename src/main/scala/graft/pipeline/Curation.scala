@@ -91,6 +91,50 @@ object Curation {
       .select("doc_id", "n_shared_shingles", "n_eval_docs")
   }
 
+  /** Unigram-LM quality score — the CCNet/KenLM-style "how typical of
+    * the corpus is this document" filter (Wenzek et al. 2020), with the
+    * corpus itself as the LM: per-word log-probability ln(c(w)/T) from
+    * the global word counts, averaged per document. Low scores flag
+    * out-of-distribution junk; suspiciously high scores flag
+    * boilerplate (every word ubiquitous).
+    *
+    * Scale shape: the vocabulary table (word → count) is
+    * vocabulary-bounded, not corpus-bounded, so it BROADCASTS — the
+    * per-occurrence join never shuffles document data by word (word
+    * frequencies are Zipfian, so a shuffle join on the word would put
+    * the whole corpus' "the" occurrences on one reducer). The only
+    * shuffle is the groupBy(doc_id) re-aggregation.
+    *
+    * Determinism contract: ln() is libm territory (last-ulp divergence,
+    * the q_promql_trig finding), so each word's log-prob is quantized
+    * to 12 decimals ONCE — in the vocabulary table, not per occurrence
+    * — and the per-doc sum runs in decimal (exact, order-independent);
+    * the mean is a single IEEE division both engines perform
+    * identically.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("t"))
+    val lp = counts.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log(col("c").cast("double") / col("t").cast("double")), 12)
+          .cast("decimal(28,12)").as("lp"))
+    val perDoc = toks.join(broadcast(lp), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("slp"))
+    // empty docs have no occurrences: keep them with a defined 0 score
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, lit(0.0))
+          .otherwise(col("slp").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_logprob"))
+  }
+
   /** Sequence packing: assign every document a (pack_id, pack_offset)
     * in a fixed token budget per pack — the packing step that turns a
     * corpus into fixed-length training sequences. Deterministic global
