@@ -267,37 +267,79 @@ object Pipelines {
     // set is the same SQL the per-method entries hash; subqueries keep
     // them definitionally identical.
     "ann_recall" -> {
-      def hits(m: String, alias: String): String =
+      def hits(sql: String, alias: String): String =
         s"""$alias AS (SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
-           |  FROM bf b JOIN (${annSql(m)}) a
+           |  FROM bf b JOIN ($sql) a
            |    ON a.qid = b.qid AND a.vec_id = b.vec_id
            |  GROUP BY 1)""".stripMargin
       def leg(m: String, alias: String): String =
         s"""SELECT '$m' AS method, tr.qid, n_truth,
            |       coalesce(h.n_hits, 0) AS n_hits
            |FROM tr LEFT JOIN $alias h ON h.qid = tr.qid""".stripMargin
+      // pq hashes its top-10; recall@5 measures its first 5 ranks
+      val pq5 = s"SELECT * FROM (${annSql("ann_pq")}) WHERE rnk <= 5"
       s"""WITH bf AS (SELECT qid, vec_id FROM (${annSql("ann_bruteforce")}) WHERE rnk <= 5),
          |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
-         |${hits("ann_lsh", "h_lsh")},
-         |${hits("ann_ivf", "h_ivf")},
-         |${hits("ann_ivf_nprobe2", "h_ivf2")}
+         |${hits(annSql("ann_lsh"), "h_lsh")},
+         |${hits(annSql("ann_ivf"), "h_ivf")},
+         |${hits(annSql("ann_ivf_nprobe2"), "h_ivf2")},
+         |${hits(pq5, "h_pq")}
          |SELECT method, qid, n_truth, n_hits,
          |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
          |FROM (${leg("ann_lsh", "h_lsh")}
          |UNION ALL ${leg("ann_ivf", "h_ivf")}
-         |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")})""".stripMargin
+         |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
+         |UNION ALL ${leg("ann_pq", "h_pq")})""".stripMargin
     },
     "ann_bruteforce" -> annSql("ann_bruteforce"),
+    "ann_pq" -> annSql("ann_pq"),
     "ann_lsh" -> annSql("ann_lsh"),
     "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
     "ann_ivf" -> annSql("ann_ivf"),
   )
 
-  /** The four ANN method SQLs, shared verbatim between the per-method
+  /** PQ mirror fragments — must match Similarity.pq bit for bit: the
+    * same codebook formula (pqComponent), the same quantized
+    * sub-distance kernel, argmin by first-position (DuckDB
+    * list_position = Spark array_position, both first-match 1-based).
+    */
+  private def pqSubDist(m: Int): String = {
+    val diff = s"(CAST(embedding[${m * 8} + j] AS DOUBLE) - " +
+      s"CAST((((${m * 29} + kc * 53 + (j - 1) * 17) % 11) - 5) / 5.0 AS DOUBLE))"
+    s"list_transform(range(0, 16), kc -> " +
+      s"CAST(list_sum(list_transform(range(1, 9), j -> " +
+      s"CAST(floor($diff * $diff * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
+  }
+
+  private lazy val pqSql: String = {
+    val codeCols = (0 until 8).map(m =>
+      s"  CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n")
+    val dlists = (0 until 8).map(m => s"  ${pqSubDist(m)} AS d$m").mkString(",\n")
+    val adist = (0 until 8).map(m => s"dt$m[c$m + 1]").mkString(" + ")
+    s"""WITH dl AS (SELECT vec_id, embedding,
+       |$dlists
+       |FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |$codeCols
+       |FROM dl),
+       |q AS (SELECT vec_id AS qid,
+       |${(0 until 8).map(m => s"  d$m AS dt$m").mkString(",\n")}
+       |FROM dl WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, c.vec_id, ($adist) AS adist
+       |  FROM q JOIN codes c ON c.vec_id <> q.qid)
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
+  /** The ANN method SQLs, shared verbatim between the per-method
     * entries and ann_recall's subqueries (one definition site — the
     * recall record measures exactly the hashed result sets).
     */
   private lazy val annSql: Map[String, String] = Map(
+    "ann_pq" -> pqSql,
     "ann_bruteforce" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),

@@ -232,6 +232,7 @@ object SparkEntry {
     "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),
     // rows-only: k-means training is not SQL-expressible in the oracle
     "ann_ivf_trained" -> ((s, d) => Similarity.ivfTrained(s, d)),
+    "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),

@@ -307,6 +307,70 @@ object Similarity {
     topkPerQuery(pairs, k)
   }
 
+  // ---- product quantization (PQ) ---------------------------------------
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 codes each. A
+    * vector compresses to 8 half-byte codes (4 bytes vs 256 — the
+    * memory story that makes exhaustive scans feasible at 100 TB:
+    * the codes table is ~64× smaller than the embeddings).
+    */
+  val PqSub = 8
+  val PqSubDim: Int = Dim / PqSub
+  val PqCodes = 16
+
+  /** Deterministic PQ codebook component (subspace m, code kc, dim j
+    * within the subspace) in [-1, 1] — the oracle-reproducible stand-in
+    * for a trained codebook, same family as [[centroidComponent]].
+    */
+  def pqComponent(m: Int, kc: Int, j: Int): Double =
+    ((m * 29 + kc * 53 + j * 17) % 11 - 5) / 5.0
+
+  private def pqCodebook(m: Int, kc: Int): Column =
+    litVector(IndexedSeq.tabulate(PqSubDim)(j => pqComponent(m, kc, j)))
+
+  private def subVec(m: Int): Column =
+    slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+
+  /** Per-subspace distances of the m-th sub-vector to all 16 codebook
+    * entries, as one array column (quantized kernel — both the encoder's
+    * argmin and the query's distance table read from this).
+    */
+  private def subDists(m: Int): Column =
+    array((0 until PqCodes).map(kc =>
+      graft.functions.VectorOps.sqDist(subVec(m), pqCodebook(m, kc))): _*)
+
+  /** PQ-ADC search: every vector is ENCODED once (8 argmin codes —
+    * map-only), each query precomputes an 8×16 distance table, and the
+    * scan scores candidates from codes alone — 8 table lookups per
+    * pair instead of a 64-dim kernel (asymmetric distance computation,
+    * Jégou et al. 2011). The approximation: d(q,v) ≈ Σₘ
+    * d(q_sub, codebook[code]). Exhaustive over the CODES table, which
+    * is the PQ posture at scale: the compressed table scans ~64× faster
+    * and never decompresses. Ascending by approximate distance,
+    * ties → vec_id.
+    */
+  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // encode: code_m = argmin over the 16 codebook entries (ties → lower)
+    val codes = emb.select(
+      col("vec_id") +: (0 until PqSub).map { m =>
+        val d = subDists(m)
+        array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
+      }: _*)
+    val q = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid") +:
+        (0 until PqSub).map(m => subDists(m).as(s"dt$m")): _*)
+    val adist = (0 until PqSub)
+      .map(m => element_at(col(s"dt$m"), col(s"c$m") + 1))
+      .reduce(_ + _)
+    val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adist.as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "vec_id", "rnk", "adist")
+  }
+
   /** Measured recall@k of each ANN structure against the exact
     * brute-force top-k — per (method, query): |approx ∩ truth| / k.
     * Recall is DATA (a deterministic function of the index structure
@@ -331,6 +395,7 @@ object Similarity {
     leg("ann_lsh", lsh(s, dir))
       .unionAll(leg("ann_ivf", ivf(s, dir)))
       .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
+      .unionAll(leg("ann_pq", pq(s, dir).filter(col("rnk") <= k)))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }

@@ -140,14 +140,63 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq equals a driver-side encode + ADC reference") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq)
+      .sortBy(_._1)
+    def qSqDist(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var acc = 0L
+      a.indices.foreach { i =>
+        val d = a(i) - b(i)
+        acc += math.floor(d * d * 16777216.0).toLong
+      }
+      acc / 16777216.0
+    }
+    def cb(m: Int, kc: Int): IndexedSeq[Double] =
+      IndexedSeq.tabulate(Similarity.PqSubDim)(j => Similarity.pqComponent(m, kc, j))
+    def sub(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
+      (0 until Similarity.PqSubDim).map(j =>
+        v(m * Similarity.PqSubDim + j).toDouble)
+    def dists(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
+      (0 until Similarity.PqCodes).map(kc => qSqDist(sub(v, m), cb(m, kc)))
+    def encode(v: IndexedSeq[Float]): IndexedSeq[Int] =
+      (0 until Similarity.PqSub).map { m =>
+        val d = dists(v, m); d.indexOf(d.min)
+      }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }.toMap
+    val want = vecs.take(5).flatMap { case (qid, qv) =>
+      val dt = (0 until Similarity.PqSub).map(m => dists(qv, m))
+      vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val adist = (0 until Similarity.PqSub)
+          .map(m => dt(m)(codes(vid)(m))).reduce(_ + _)
+        (qid, vid, adist)
+      }.sortBy { case (_, vid, d) => (d, vid) }
+        .take(10).zipWithIndex
+        .map { case ((q, vid, d), i) => (q, vid, i + 1, d) }
+    }.toSeq.sortBy(x => (x._1, x._3))
+    val got = Similarity.pq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
+  }
+
+  test("pq scan is code-only: one shuffle (final ranking window)") {
+    val plan = planOf(Similarity.pq(spark, sf))
+    // queries broadcast into the candidate scan
+    assert(plan.contains("Broadcast"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"pq should shuffle only for the per-query ranking:\n$plan")
+  }
+
   test("recall@k is complete, bounded, and monotone in probe width") {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 3 methods x 5 queries, every query present for every method
-    assert(r.length === 15)
+    // 4 methods x 5 queries, every query present for every method
+    assert(r.length === 20)
     assert(r.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_nprobe2", "ann_lsh"))
+      Array("ann_ivf", "ann_ivf_nprobe2", "ann_lsh", "ann_pq"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
