@@ -15,7 +15,9 @@ import graft.operators.Promql.{Agg, Expr, RangeFunc, Selector}
   * the grammar, compiled to a SINGLE streaming aggregation:
   *
   *   - `rangefn(metric{matchers}[W])` for rangefn in count/sum/avg/min/
-  *     max/last/present_over_time — per-series tumbling windows;
+  *     max/last/present/stddev/stdvar_over_time — per-series tumbling
+  *     windows (stddev/stdvar are exact Σv/Σv² decimal identities, so
+  *     they fuse like the others);
   *   - `agg [by(labels)] (rangefn(metric{matchers}[W]))` where the
   *     cross-series agg FUSES with the per-series verb into one
   *     aggregation by an exact algebraic identity
@@ -25,14 +27,16 @@ import graft.operators.Promql.{Agg, Expr, RangeFunc, Selector}
   *     hash-identical to the batch two-level form);
   *   - a bare `metric{matchers}` instant vector (last sample per series
   *     per hourly step, a max_by aggregation);
-  *   - `rate(metric[W])` / `increase(metric[W])` — the ORDER-DEPENDENT
-  *     leg, via flatMapGroupsWithState: per-(series, window) state
-  *     buffers the window's samples, and the reset-aware fold runs ONCE
+  *   - the ORDER-DEPENDENT window-local verbs — rate/increase,
+  *     quantile_over_time, delta, irate/idelta, changes/resets, deriv —
+  *     via flatMapGroupsWithState: per-(series, window) state buffers
+  *     the window's samples, and the batch evaluator's fold runs ONCE
   *     per window when the event-time watermark passes the window end
   *     (Append-exact: each window emits exactly once, with the samples
   *     sorted by (ts, event_id) exactly as the batch evaluator sorts
-  *     them, and the same decimal(30,6) HALF_UP accumulation — proven
-  *     row-for-row equal in StreamPromqlSpec).
+  *     them, the same decimal(30,6) HALF_UP accumulation, the same
+  *     quantile position rule, the same <2-sample/zero-spread drops —
+  *     proven row-for-row equal in StreamPromqlSpec).
   *
   * Fusing matters structurally: the naive translation is TWO chained
   * stateful aggregations (per-series window, then cross-series), which
@@ -40,10 +44,10 @@ import graft.operators.Promql.{Agg, Expr, RangeFunc, Selector}
   * stateful operator with partial aggregation before the shuffle —
   * the same state bound as [[StreamAgg.windowedCounts]].
   *
-  * Everything else (quantiles, joins, subqueries, cross-window verbs
-  * like irate/delta-across-windows) is cross-window-dependent or needs
-  * more state than a window's own samples and raises — evaluate those
-  * in batch over the ingested output instead (same files).
+  * Everything else (cross-series quantile/topk aggs, joins, subqueries,
+  * offset/@, holt_winters) is cross-window-dependent or needs more
+  * state than a window's own samples and raises — evaluate those in
+  * batch over the ingested output instead (same files).
   *
   * Matchers compile to filters on the label cast to string (PromQL
   * labels are strings), `=~`/`!~` fully anchored as PromQL requires.
@@ -57,6 +61,13 @@ object PromqlStream {
   private val verbValue: Map[String, Column] = {
     val exactSum = graft.functions.ExactNum.exactSum(col("value"))
     val tkey = struct(unix_micros(col("ts")), col("event_id"))
+    // stddev/stdvar are window-local AND order-independent (exact
+    // Σv/Σv² in decimal) — they stream as plain fused aggregations,
+    // same formula as the batch evaluator's rangeOver case
+    val variance =
+      (graft.functions.ExactNum.exactSumSq(col("value"))
+        - exactSum * exactSum / count(lit(1))) / count(lit(1))
+    val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
     Map(
       "count_over_time" -> count(lit(1)).cast("double"),
       "sum_over_time" -> exactSum,
@@ -64,7 +75,9 @@ object PromqlStream {
       "min_over_time" -> min(col("value")),
       "max_over_time" -> max(col("value")),
       "last_over_time" -> max_by(col("value"), tkey),
-      "present_over_time" -> max(lit(1.0)))
+      "present_over_time" -> max(lit(1.0)),
+      "stddev_over_time" -> sqrt(guarded),
+      "stdvar_over_time" -> guarded)
   }
 
   /** (outer agg, inner verb) → fused single-aggregation value column —
@@ -88,17 +101,23 @@ object PromqlStream {
 
   private def stream(s: SparkSession, inDir: String, delay: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // null-ts rows are dropped BEFORE the watermark (they carry no
+    // event time), so applySel's `ts IS NULL` pin-above disjunct can
+    // never actually admit a row
     s.readStream.schema(Ingest.rawSchema).parquet(inDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", delay)
   }
 
   private def notStreamable(what: String): Nothing =
     throw new IllegalArgumentException(
       s"not streamable: $what — the streaming subset is " +
-        "[sum|min|max by(...)] (count|sum|avg|min|max|last|present" +
-        "_over_time(metric{matchers}[W])) or a bare selector; run " +
-        "order-dependent verbs in batch over the ingested files")
+        "[sum|min|max by(...)] (count|sum|avg|min|max|last|present|" +
+        "stddev|stdvar_over_time(metric{matchers}[W])), the buffered " +
+        "window-local verbs (rate|increase|quantile_over_time|delta|" +
+        "irate|idelta|changes|resets|deriv), or a bare selector; run " +
+        "cross-window queries in batch over the ingested files")
 
   /** Named-metric, unmodified selectors only: offsets/@/derived labels
     * belong to the batch evaluator.
@@ -110,18 +129,35 @@ object PromqlStream {
     if (sel.extraLabels.nonEmpty) notStreamable("derived labels")
   }
 
+  /** Selector filters, kept ABOVE the EventTimeWatermark node.
+    *
+    * The watermark is the stream's GLOBAL event clock: stats are
+    * collected by the EventTimeWatermarkExec operator, and Catalyst's
+    * PushPredicateThroughNonJoin pushes any predicate that doesn't
+    * reference the watermark column below that operator — after which
+    * only the selected metric's rows would advance the clock, and a
+    * quiet metric's last open windows would starve FOREVER while other
+    * events keep flowing (observed: delta(purchase[6h])'s final window
+    * never fired with later click data present). A disjunct on the
+    * watermark column itself (`ts IS NULL`, never true for real rows —
+    * timestamp_micros of a non-null long) pins the filter above the
+    * node, so every ingested event drives the clock, whatever the
+    * query selects — the reference's convert pipeline tracks global
+    * maxt the same way (db/writer.go compaction watermarks).
+    */
   private def applySel(df: DataFrame, sel: Selector): DataFrame = {
-    val base = df.filter(col("event_type") === sel.metric)
-    sel.matchers.foldLeft(base) { case (d, (name, op, v)) =>
+    val base: Column = col("event_type") === sel.metric
+    val pred = sel.matchers.foldLeft(base) { case (p, (name, op, v)) =>
       val c = col(name).cast("string")
-      op match {
-        case "=" => d.filter(c === v)
-        case "!=" => d.filter(c.isNull || c =!= v)
-        case "=~" => d.filter(c.rlike(s"^(?:$v)$$"))
-        case "!~" => d.filter(c.isNull || !c.rlike(s"^(?:$v)$$"))
+      p && (op match {
+        case "=" => c === v
+        case "!=" => c.isNull || c =!= v
+        case "=~" => c.rlike(s"^(?:$v)$$")
+        case "!~" => c.isNull || !c.rlike(s"^(?:$v)$$")
         case other => notStreamable(s"matcher $other")
-      }
+      })
     }
+    df.filter(pred || col("ts").isNull)
   }
 
   private def windowed(df: DataFrame, rangeSec: Long, labels: Seq[String],
@@ -149,37 +185,116 @@ object PromqlStream {
     * divides by the window in double. Same formula, same roundings,
     * same order — StreamPromqlSpec asserts value-identical rows.
     */
-  private def foldRate(uid: Long, step: Long, samples: Seq[RateSample],
-                       isRate: Boolean, rangeSec: Long): RateOut = {
-    val sorted = samples.sortBy(r => (r.us, r.event_id))
+  /** cast(double as decimal(30,6)) → sum → cast(double), replicated on
+    * the JVM: Spark's decimal cast rounds the shortest decimal string
+    * (BigDecimal.valueOf) HALF_UP — the exactSum contract.
+    */
+  private def decimal6Sum(vs: Iterator[Double]): Double = {
     var acc = java.math.BigDecimal.ZERO
+    vs.foreach(v => acc = acc.add(java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)))
+    acc.doubleValue
+  }
+
+  private def foldRate(samples: Seq[RateSample],
+                       isRate: Boolean, rangeSec: Long): Option[Double] = {
+    val sorted = samples.sortBy(r => (r.us, r.event_id))
     var prev = 0.0
     var first = true
-    sorted.foreach { r =>
+    val inc = decimal6Sum(sorted.iterator.map { r =>
       val growth =
         if (first) 0.0
         else if (r.value >= prev) r.value - prev
         else r.value
       first = false
       prev = r.value
-      acc = acc.add(java.math.BigDecimal.valueOf(growth)
-        .setScale(6, java.math.RoundingMode.HALF_UP))
-    }
-    val inc = acc.doubleValue
-    RateOut(step, uid, if (isRate) inc / rangeSec.toDouble else inc)
+      growth
+    })
+    Some(if (isRate) inc / rangeSec.toDouble else inc)
   }
 
-  /** `rate`/`increase` over the stream: per-(series, window) buffered
-    * state + event-time timeout. State holds exactly one window's
-    * samples per open window per series (the minimum any exact
-    * order-dependent verb needs) and is dropped at emission; windows
-    * emit exactly once, when the watermark proves them complete —
-    * Append semantics with no approximation. Late-beyond-watermark
-    * samples are dropped by the engine before the state op, the same
-    * contract as every watermarked aggregation here.
+  /** The batch evaluator's discrete stored-value quantile
+    * (ExactNum.quantilePos): k-th smallest with
+    * k = max(1, ceil(round(n·φ, 9))).
     */
-  private def rateStream(in: DataFrame, sel: Selector, isRate: Boolean,
-                         rangeSec: Long): DataFrame = {
+  private def foldQuantile(samples: Seq[RateSample], q: Double): Option[Double] = {
+    val sorted = samples.map(_.value).sorted
+    val pos = math.max(1L, math.ceil(
+      java.math.BigDecimal.valueOf(sorted.length * q)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue).toLong)
+    Some(sorted((pos - 1).toInt))
+  }
+
+  /** newest − oldest by (ts, event_id) — batch delta's max_by/min_by. */
+  private def foldDelta(samples: Seq[RateSample]): Option[Double] = {
+    val newest = samples.maxBy(r => (r.us, r.event_id))
+    val oldest = samples.minBy(r => (r.us, r.event_id))
+    Some(newest.value - oldest.value)
+  }
+
+  /** Last two samples of the window (batch irate/idelta): Prometheus
+    * instantValue — needs two samples, drops zero-elapsed pairs, irate
+    * is counter-reset aware.
+    */
+  private def foldInstant(samples: Seq[RateSample], isRate: Boolean): Option[Double] = {
+    if (samples.size < 2) return None
+    val d = samples.sortBy(r => (-r.us, -r.event_id))
+    val (s1, s2) = (d(0), d(1)) // newest, second-newest
+    if (s1.us == s2.us) None
+    else if (!isRate) Some(s1.value - s2.value)
+    else {
+      val growth = if (s1.value >= s2.value) s1.value - s2.value else s1.value
+      Some(growth / ((s1.us - s2.us) / 1e6))
+    }
+  }
+
+  /** changes()/resets(): lag comparisons in (ts, event_id) order. */
+  private def foldChanges(samples: Seq[RateSample], resets: Boolean): Option[Double] = {
+    val sorted = samples.sortBy(r => (r.us, r.event_id))
+    var prev = Double.NaN
+    var first = true
+    var n = 0L
+    sorted.foreach { r =>
+      if (!first && (if (resets) r.value < prev else r.value != prev)) n += 1
+      first = false
+      prev = r.value
+    }
+    Some(n.toDouble)
+  }
+
+  /** deriv: the batch lsqSums least-squares slope — x = epoch-second −
+    * step (integer), Σx/Σx² in longs, Σy/Σxy through the decimal-6
+    * contract; needs >= 2 points and nonzero time spread.
+    */
+  private def foldDeriv(samples: Seq[RateSample], step: Long): Option[Double] = {
+    if (samples.size < 2) return None
+    val xs = samples.map(r => Math.floorDiv(r.us, 1000000L) - step)
+    val n = samples.size.toDouble
+    val sx = xs.sum
+    val sxx = xs.map(x => x * x).sum
+    val den = n * sxx.toDouble - sx.toDouble * sx.toDouble
+    if (den == 0.0) return None
+    val sy = decimal6Sum(samples.iterator.map(_.value))
+    val sxy = decimal6Sum(samples.iterator.zip(xs.iterator)
+      .map { case (r, x) => x.toDouble * r.value })
+    Some((n * sxy - sx.toDouble * sy) / den)
+  }
+
+  /** Order-dependent verbs over the stream: per-(series, window)
+    * buffered state + event-time timeout. State holds exactly one
+    * window's samples per open window per series (the minimum any
+    * exact order-dependent verb needs) and is dropped at emission;
+    * windows emit exactly once, when the watermark proves them
+    * complete — Append semantics with no approximation. The fold runs
+    * the batch evaluator's formula bit-for-bit on the JVM (same sort
+    * keys, same decimal-6 accumulation); folds returning None (irate
+    * with < 2 samples, deriv with zero spread) emit nothing, exactly
+    * like their batch filters. Late-beyond-watermark samples are
+    * dropped by the engine before the state op, the same contract as
+    * every watermarked aggregation here.
+    */
+  private def bufferedStream(in: DataFrame, sel: Selector, rangeSec: Long)
+                            (fold: (Long, Seq[RateSample]) => Option[Double]): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     val samples = applySel(in, sel)
@@ -198,7 +313,8 @@ object PromqlStream {
           if (state.hasTimedOut) {
             // watermark passed the window end: the window is complete
             val out = state.getOption
-              .map(w => foldRate(uid, step, w.samples, isRate, rangeSec))
+              .flatMap(w => fold(step, w.samples))
+              .map(v => RateOut(step, uid, v))
             state.remove()
             out.iterator
           } else {
@@ -226,7 +342,30 @@ object PromqlStream {
 
     case RangeFunc(fn @ ("rate" | "increase"), sel, rangeSec, _, _) =>
       checkSel(sel)
-      rateStream(in, sel, isRate = fn == "rate", rangeSec)
+      bufferedStream(in, sel, rangeSec)(
+        (_, ss) => foldRate(ss, isRate = fn == "rate", rangeSec))
+
+    case RangeFunc("quantile_over_time", sel, rangeSec, q, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)((_, ss) => foldQuantile(ss, q))
+
+    case RangeFunc("delta", sel, rangeSec, _, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)((_, ss) => foldDelta(ss))
+
+    case RangeFunc(fn @ ("irate" | "idelta"), sel, rangeSec, _, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)(
+        (_, ss) => foldInstant(ss, isRate = fn == "irate"))
+
+    case RangeFunc(fn @ ("changes" | "resets"), sel, rangeSec, _, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)(
+        (_, ss) => foldChanges(ss, resets = fn == "resets"))
+
+    case RangeFunc("deriv", sel, rangeSec, _, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)((step, ss) => foldDeriv(ss, step))
 
     case RangeFunc(fn, sel, rangeSec, _, _) if verbValue.contains(fn) =>
       checkSel(sel)

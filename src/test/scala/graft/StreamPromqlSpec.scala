@@ -101,10 +101,10 @@ class StreamPromqlSpec extends AnyFunSuite {
       (t0 / 1000000L + 2L * 3600, 7.0)), s"got: ${got.toSeq}")
   }
 
-  test("cross-window verbs and joins are rejected, not approximated") {
-    Seq("quantile_over_time(0.5, click[1h])",
-      "irate(click[1w])",
-      "avg(avg_over_time(click[1h]))",
+  test("cross-window/cross-series constructs are rejected, not approximated") {
+    Seq("avg(avg_over_time(click[1h]))",
+      "holt_winters(click[1h], 0.5, 0.3)",
+      "topk(3, sum_over_time(click[1h]))",
       "sum_over_time(click[1h] offset 1h)",
       "sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])")
       .foreach { q =>
@@ -114,33 +114,43 @@ class StreamPromqlSpec extends AnyFunSuite {
       }
   }
 
-  test("streaming rate equals batch rate and emits each window exactly once") {
+  test("fused stddev_over_time equals the batch evaluation") {
+    assertEqualsBatch("stddev_over_time(click[1d])", "sdot")
+  }
+
+  /** The buffered-state (flatMapGroupsWithState) harness: run the query
+    * over the real events file, then flush every open window. The
+    * watermark a batch USES comes from the data of prior batches, so
+    * flushing takes two extra hops: sentinel 1 advances the watermark
+    * past all real windows, and sentinel 2 runs the batch that applies
+    * it — firing the remaining timeouts. Asserts exact (value-included)
+    * equality with the batch evaluator below the sentinel cutoff, plus
+    * Append emit-once.
+    */
+  private def assertBufferedEqualsBatch(q: String, tag: String,
+                                        rangeSec: Long): Unit = {
     import SparkFixture.spark.implicits._
     import org.apache.spark.sql.functions.col
-    val base = "/root/repo/target/tmp/streampromql_rate"
+    val base = s"/root/repo/target/tmp/streampromql_$tag"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
     Files.createDirectories(Paths.get(in))
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$in/events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     def runOnce(): Unit = {
-      val q = PromqlStream.query(spark, in, "rate(click[1h])")
-        .writeStream.format("parquet")
+      val sq = PromqlStream.query(spark, in, q).writeStream
+        .format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      sq.awaitTermination()
     }
-    // run 1 buffers every window. The watermark a batch USES comes from
-    // the data of prior batches, so flushing every real window takes two
-    // more hops: sentinel 1 (run 2) advances the watermark past all real
-    // windows, and sentinel 2 (run 3) runs the batch that applies it —
-    // firing the remaining timeouts (the last real hours of data).
     runOnce()
+    // past the last possible real window end, whatever the range
     val sentinelUs = spark.read.parquet(s"$sf/events.parquet")
       .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0) / 1000L +
-      100L * 3600 * 1000000L
+      (2L * rangeSec + 7200L) * 1000000L
     def writeSentinel(id: Long, us: Long): Unit =
       Seq((id, us * 1000L, 1L, "click", 1.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -149,19 +159,37 @@ class StreamPromqlSpec extends AnyFunSuite {
     runOnce()
     writeSentinel(999999999L, sentinelUs + 10L * 3600 * 1000000L)
     runOnce()
-    val cutoff = sentinelUs / 1000000L - 3600L
+    val cutoff = sentinelUs / 1000000L - rangeSec
     val got = spark.read.parquet(out).filter(col("step") < cutoff)
-    val want = graft.operators.Promql.query(spark, sf, "rate(click[1h])")
+    val want = graft.operators.Promql.query(spark, sf, q)
       .filter(col("step") < cutoff)
     // exact equality, value included: the JVM fold replicates the batch
-    // decimal accumulation bit-for-bit
+    // formula (sort keys, decimal accumulation, drop rules) bit-for-bit
     val w = want.select(got.columns.map(col): _*)
-    assert(got.count() === want.count(), "window count")
-    assert(got.exceptAll(w).count() === 0, "stream-only rows")
-    assert(w.exceptAll(got).count() === 0, "batch-only rows")
-    assert(got.count() > 0, "must be non-empty")
+    assert(got.count() === want.count(), s"$q window count")
+    assert(got.exceptAll(w).count() === 0, s"$q stream-only rows")
+    assert(w.exceptAll(got).count() === 0, s"$q batch-only rows")
+    assert(got.count() > 0, s"$q must be non-empty")
     // Append emit-once: no (step, user_id) appears twice in the sink
     assert(got.groupBy("step", "user_id").count()
-      .filter(col("count") > 1).count() === 0, "duplicate emission")
+      .filter(col("count") > 1).count() === 0, s"$q duplicate emission")
+  }
+
+  test("streaming rate equals batch rate and emits each window exactly once") {
+    assertBufferedEqualsBatch("rate(click[1h])", "rate", 3600L)
+  }
+
+  test("streaming quantile_over_time equals batch (buffered multiset)") {
+    assertBufferedEqualsBatch("quantile_over_time(0.5, click[1d])", "qot", 86400L)
+  }
+
+  test("streaming delta and deriv equal batch") {
+    assertBufferedEqualsBatch("delta(purchase[6h])", "delta", 21600L)
+    assertBufferedEqualsBatch("deriv(click[1d])", "deriv", 86400L)
+  }
+
+  test("streaming irate and changes equal batch (instant + lag folds)") {
+    assertBufferedEqualsBatch("irate(click[1d])", "irate", 86400L)
+    assertBufferedEqualsBatch("changes(click[1d])", "changes", 86400L)
   }
 }
