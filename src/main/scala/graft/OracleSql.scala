@@ -837,6 +837,15 @@ object OracleSql {
     "q_chunk_range" ->
       """SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events
         |WHERE epoch_us(ts) >= 1704153600000000 AND epoch_us(ts) <= 1704240000000000""".stripMargin,
+    // the z-ordered store must round-trip content exactly; the layout
+    // (file clustering) is asserted by ZOrderSpec, the oracle checks
+    // the 2-D scan's result set
+    "q_zorder_scan" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |FROM events
+        |WHERE user_id >= 10 AND user_id <= 19
+        |  AND epoch_us(ts) >= 1704153600000000
+        |  AND epoch_us(ts) <= 1704240000000000""".stripMargin,
   )
 
   def all: Map[String, String] = {

@@ -213,6 +213,11 @@ object SparkEntry {
     "q_chunk_roundtrip" -> (graft.sources.ChunkStore.roundtrip _),
     "q_chunk_range"     -> ((s, d) => graft.sources.ChunkStore.rangeQuery(
       s, d, 1704153600000000L, 1704240000000000L)),
+    // z-ordered layout: the 2-D predicate prunes files on BOTH
+    // dimensions (ZOrderSpec asserts the footer-stats boxes); content
+    // equality vs the source table is the oracle
+    "q_zorder_scan"     -> ((s, d) => graft.sources.ZOrderStore.scan(
+      s, d, 10L, 19L, 1704153600000000L, 1704240000000000L)),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
