@@ -28,7 +28,8 @@ import graft.operators.Promql.{Agg, Expr, RangeFunc, Selector}
   *   - a bare `metric{matchers}` instant vector (last sample per series
   *     per hourly step, a max_by aggregation);
   *   - the ORDER-DEPENDENT window-local verbs — rate/increase,
-  *     quantile_over_time, delta, irate/idelta, changes/resets, deriv —
+  *     quantile_over_time, delta, irate/idelta, changes/resets, deriv,
+  *     predict_linear, holt_winters —
   *     via flatMapGroupsWithState: per-(series, window) state buffers
   *     the window's samples, and the batch evaluator's fold runs ONCE
   *     per window when the event-time watermark passes the window end
@@ -45,9 +46,9 @@ import graft.operators.Promql.{Agg, Expr, RangeFunc, Selector}
   * the same state bound as [[StreamAgg.windowedCounts]].
   *
   * Everything else (cross-series quantile/topk aggs, joins, subqueries,
-  * offset/@, holt_winters) is cross-window-dependent or needs more
-  * state than a window's own samples and raises — evaluate those in
-  * batch over the ingested output instead (same files).
+  * offset/@) is cross-window-dependent or needs more state than a
+  * window's own samples and raises — evaluate those in batch over the
+  * ingested output instead (same files).
   *
   * Matchers compile to filters on the label cast to string (PromQL
   * labels are strings), `=~`/`!~` fully anchored as PromQL requires.
@@ -262,11 +263,14 @@ object PromqlStream {
     Some(n.toDouble)
   }
 
-  /** deriv: the batch lsqSums least-squares slope — x = epoch-second −
-    * step (integer), Σx/Σx² in longs, Σy/Σxy through the decimal-6
-    * contract; needs >= 2 points and nonzero time spread.
+  /** deriv / predict_linear: the batch lsqSums least-squares line —
+    * x = epoch-second − step (integer), Σx/Σx² in longs, Σy/Σxy through
+    * the decimal-6 contract; needs >= 2 points and nonzero time spread.
+    * `predictAt` = None → the slope (deriv); Some(xp) → the line
+    * evaluated at xp = window + horizon (predict_linear).
     */
-  private def foldDeriv(samples: Seq[RateSample], step: Long): Option[Double] = {
+  private def foldLsq(samples: Seq[RateSample], step: Long,
+                      predictAt: Option[Double]): Option[Double] = {
     if (samples.size < 2) return None
     val xs = samples.map(r => Math.floorDiv(r.us, 1000000L) - step)
     val n = samples.size.toDouble
@@ -277,7 +281,34 @@ object PromqlStream {
     val sy = decimal6Sum(samples.iterator.map(_.value))
     val sxy = decimal6Sum(samples.iterator.zip(xs.iterator)
       .map { case (r, x) => x.toDouble * r.value })
-    Some((n * sxy - sx.toDouble * sy) / den)
+    val slope = (n * sxy - sx.toDouble * sy) / den
+    Some(predictAt match {
+      case None => slope
+      case Some(xp) => (sy - slope * sx.toDouble) / n + slope * xp
+    })
+  }
+
+  /** holt_winters: the batch double-exponential fold (Prometheus
+    * funcHoltWinters) replayed in the same IEEE sequence — samples in
+    * (ts, event_id) order, s1 seeded from the first value, trend from
+    * the first difference; needs >= 2 samples.
+    */
+  private def foldHolt(samples: Seq[RateSample], sf: Double, tf: Double): Option[Double] = {
+    if (samples.size < 2) return None
+    val xs = samples.sortBy(r => (r.us, r.event_id)).map(_.value)
+    var s0 = 0.0
+    var s1 = xs(0)
+    var b = xs(1) - xs(0)
+    var i = 0
+    xs.drop(1).foreach { v =>
+      val bNew = if (i == 0) b else tf * (s1 - s0) + (1.0 - tf) * b
+      val y = (1.0 - sf) * (s1 + bNew)
+      s0 = s1
+      s1 = sf * v + y
+      b = bNew
+      i += 1
+    }
+    Some(s1)
   }
 
   /** Order-dependent verbs over the stream: per-(series, window)
@@ -365,7 +396,17 @@ object PromqlStream {
 
     case RangeFunc("deriv", sel, rangeSec, _, _) =>
       checkSel(sel)
-      bufferedStream(in, sel, rangeSec)((step, ss) => foldDeriv(ss, step))
+      bufferedStream(in, sel, rangeSec)((step, ss) => foldLsq(ss, step, None))
+
+    case RangeFunc("predict_linear", sel, rangeSec, q, _) =>
+      checkSel(sel)
+      // tumbling xp = (step + W) − step + horizon, exact in doubles
+      bufferedStream(in, sel, rangeSec)(
+        (step, ss) => foldLsq(ss, step, Some(rangeSec.toDouble + q)))
+
+    case RangeFunc("holt_winters", sel, rangeSec, sf, tf) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)((_, ss) => foldHolt(ss, sf, tf))
 
     case RangeFunc(fn, sel, rangeSec, _, _) if verbValue.contains(fn) =>
       checkSel(sel)

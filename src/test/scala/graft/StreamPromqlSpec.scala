@@ -103,7 +103,6 @@ class StreamPromqlSpec extends AnyFunSuite {
 
   test("cross-window/cross-series constructs are rejected, not approximated") {
     Seq("avg(avg_over_time(click[1h]))",
-      "holt_winters(click[1h], 0.5, 0.3)",
       "topk(3, sum_over_time(click[1h]))",
       "sum_over_time(click[1h] offset 1h)",
       "sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])")
@@ -191,5 +190,10 @@ class StreamPromqlSpec extends AnyFunSuite {
   test("streaming irate and changes equal batch (instant + lag folds)") {
     assertBufferedEqualsBatch("irate(click[1d])", "irate", 86400L)
     assertBufferedEqualsBatch("changes(click[1d])", "changes", 86400L)
+  }
+
+  test("streaming holt_winters and predict_linear equal batch (sequential folds)") {
+    assertBufferedEqualsBatch("holt_winters(purchase[1d], 0.5, 0.3)", "holt", 86400L)
+    assertBufferedEqualsBatch("predict_linear(click[1d], 3600)", "predict", 86400L)
   }
 }
