@@ -590,7 +590,29 @@ object Pipelines {
          |       END AS mean_logprob
          |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "doc_bm25" -> bm25Sql,
+    // stratified mix sampling: same nibble hash as doc_sample but
+    // salted with 'mix:', CASE rates generated from the same weight
+    // map the Spark side folds over
+    "doc_stratified" -> {
+      import graft.pipeline.Curation.{DefaultMixOther, DefaultMixWeights}
+      val cases = DefaultMixWeights.toSeq.sortBy(_._1)
+        .map { case (src, pct) => s"WHEN source = '$src' THEN ${pct}" }
+        .mkString(" ")
+      s"""SELECT doc_id, source, bucket, rate, (bucket < rate) AS sampled
+         |FROM (SELECT doc_id, source,
+         |        CAST(($saltedNibble) % 100 AS BIGINT) AS bucket,
+         |        CAST(CASE $cases ELSE $DefaultMixOther END AS BIGINT) AS rate
+         |      FROM documents)""".stripMargin
+    },
   )
+
+  /** md5('mix:' || doc_id) first-4-nibble value — the salted sibling of
+    * [[bucketNibble]] (mix membership independent of the split).
+    */
+  private lazy val saltedNibble: String = (1 to 4).map { k =>
+    val mul = math.pow(16, 4 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
 
   /** md5(doc_id) first-4-nibble value — DuckDB mirror of Spark's
     * conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10); shared

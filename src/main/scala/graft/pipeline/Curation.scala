@@ -91,6 +91,41 @@ object Curation {
       .select("doc_id", "n_shared_shingles", "n_eval_docs")
   }
 
+  /** Corpus-mixing weights for [[stratifiedSample]]: per-source keep
+    * percentages, with a default for unlisted sources — the "web 25%,
+    * curated 100%" dial every pretraining mix needs.
+    */
+  val DefaultMixWeights: Map[String, Int] =
+    Map("src0" -> 100, "src1" -> 80, "src2" -> 50)
+  val DefaultMixOther = 25
+
+  /** Stratified (per-source) deterministic sampling: each document's
+    * keep/drop is a pure function of (doc_id, its source's rate) — the
+    * hash bucket is SALTED ('mix:' prefix) so mix membership is
+    * independent of the train/val/test split buckets
+    * ([[TextAnalysis.sampleSplit]] — same doc_id hashed unsalted).
+    * Sampling-as-filter: `sampled` is a column, no rand(), no
+    * row_number over implicit order (both nondeterministic under
+    * repartitioning); growing a source never reshuffles which existing
+    * docs are kept. Pure projection — zero shuffle at any corpus size.
+    */
+  def stratifiedSample(s: SparkSession, dir: String,
+                       weights: Map[String, Int] = DefaultMixWeights,
+                       otherPct: Int = DefaultMixOther): DataFrame = {
+    require((weights.values ++ Seq(otherPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be in [0, 100]")
+    val bucket =
+      (conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100L).as("bucket")
+    val rate = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(otherPct.toLong)) { case ((src, pct), rest) =>
+        when(col("source") === src, lit(pct.toLong)).otherwise(rest)
+      }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), bucket, rate.as("rate"))
+      .withColumn("sampled", col("bucket") < col("rate"))
+  }
+
   /** Unigram-LM quality score — the CCNet/KenLM-style "how typical of
     * the corpus is this document" filter (Wenzek et al. 2020), with the
     * corpus itself as the LM: per-word log-probability ln(c(w)/T) from

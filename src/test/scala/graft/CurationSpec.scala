@@ -22,6 +22,33 @@ class CurationSpec extends AnyFunSuite {
     else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
   }
 
+  private def md5saltBucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mix:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 4), 16) % 100
+  }
+
+  test("stratifiedSample: salted deterministic buckets, per-source rates, no shuffle") {
+    val rows = Curation.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, src, bucket, rate, sampled) =>
+      assert(bucket === md5saltBucket(id), s"doc $id")
+      assert(rate ===
+        Curation.DefaultMixWeights.getOrElse(src, Curation.DefaultMixOther).toLong)
+      assert(sampled === (bucket < rate))
+    }
+    // salting decorrelates the mix bucket from the split bucket: if they
+    // were the same hash, every pair would be equal
+    val differing = rows.count { case (id, _, bucket, _, _) => bucket != md5bucket(id) }
+    assert(differing > rows.length / 2, "mix bucket must not reuse the split hash")
+    // pure projection: no exchange of any kind
+    val plan = SparkFixture.planOf(Curation.stratifiedSample(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("packTokens: the distributed prefix sum equals the sequential packing") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), wordsOf(r.getString(1)).length.toLong))
