@@ -350,6 +350,20 @@ object OracleSql {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.step, p.user_id, p.value FROM p
         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.step = p.step AND c.user_id = p.user_id)""".stripMargin,
+    // or = lhs plus the rhs rows with no lhs match on the vector keys
+    "q_promql_or" ->
+      """WITH p AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, user_id, value FROM p
+        |UNION ALL
+        |SELECT c.step, c.user_id, c.value FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.step = c.step AND p.user_id = c.user_id)""".stripMargin,
     "q_promql_bottomk" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -107,6 +107,8 @@ object SparkEntry {
       s, d, "sum_over_time(purchase[1h]) and on(user_id) sum_over_time(click[1h])")),
     "q_promql_unless" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(purchase[1h]) unless on(user_id) sum_over_time(click[1h])")),
+    "q_promql_or" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sum_over_time(purchase[1h]) or on(user_id) sum_over_time(click[1h])")),
     "q_promql_bottomk" -> ((s, d) => graft.operators.Promql.query(
       s, d, "bottomk(3, sum_over_time(view[1h]))")),
     // Prometheus-parity edge extrapolation (opt-in; stored-value rate is
@@ -262,6 +264,8 @@ object SparkEntry {
     "mm_features"    -> (Multimodal.featuresDigest _),
     "mm_frames"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "mm_frames_idx"  -> (Multimodal.frameIndex _),
+    // rows-only: cosine over decoded-pixel histograms (not SQL-expressible)
+    "mm_ann"         -> ((s, d) => Multimodal.annByFeatures(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same result, same column names).

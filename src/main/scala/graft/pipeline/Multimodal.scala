@@ -166,4 +166,30 @@ object Multimodal {
     sampleFrames(s, dir).select(
       col("doc_id"),
       col("frame_idx").cast("long").as("frame_idx"))
+
+  /** Cross-modal integration: cosine top-k over the DECODED-PIXEL
+    * feature vectors ([[features]] — 16-bin luma histograms), the
+    * "find visually similar media" leg. Same structure and numeric
+    * contract as the §2.G ANN operators (quantized decimal_dot kernel,
+    * broadcast query side, ties → doc_id); a production pipeline would
+    * persist the feature column and hand it to the LSH/IVF/PQ paths —
+    * this entry proves the decoded features ARE that column.
+    * (rows-only: pixel-derived values aren't SQL-expressible; the spec
+    * pins determinism and ranking invariants.)
+    */
+  def annByFeatures(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val f = features(s, dir).select(
+      col("doc_id"), col("features"),
+      graft.functions.VectorOps.dot(col("features"), col("features")).as("norm"))
+    val q = f.filter(col("doc_id") < 5).select(
+      col("doc_id").as("qid"), col("features").as("qf"), col("norm").as("qn"))
+    val pairs = broadcast(q).join(f, col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        (graft.functions.VectorOps.dot(col("qf"), col("features"))
+          / (sqrt(col("qn")) * sqrt(col("norm")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("doc_id").asc)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "doc_id", "rnk", "cosine")
+  }
 }

@@ -100,4 +100,31 @@ class MultimodalSpec extends AnyFunSuite {
     val real = Multimodal.decode(spark, sf)
     assert(real.filter(length(col("phash")) =!= 16).count() === 0)
   }
+
+  test("feature-space ANN: full deterministic ranking over decoded pixels") {
+    val df = Multimodal.annByFeatures(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // 5 queries x top-5, every rank present, cosine within bounds
+    val perQ = rows.groupBy(_._1)
+    assert(perQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    perQ.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      // luma histograms are non-negative vectors: cosine in [0, 1] + eps
+      assert(g.forall(x => x._4 >= 0.0 && x._4 <= 1.0 + 1e-9))
+      // ranks follow cosine desc with doc_id tiebreak
+      val sorted = g.sortBy(_._3).map(x => (-x._4, x._2))
+      assert(sorted.toSeq === sorted.sorted.toSeq)
+      // a query never returns itself
+      assert(g.forall(x => x._2 != x._1))
+    }
+    // deterministic: a second evaluation is identical
+    val again = Multimodal.annByFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.sortBy(x => (x._1, x._3)).toSeq ===
+      again.sortBy(x => (x._1, x._3)).toSeq)
+    // query side broadcasts, like every ANN leg
+    assert(SparkFixture.planOf(Multimodal.annByFeatures(spark, sf))
+      .contains("Broadcast"))
+  }
 }
