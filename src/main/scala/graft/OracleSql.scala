@@ -350,6 +350,43 @@ object OracleSql {
         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.step, p.user_id, p.value FROM p
         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.step = p.step AND c.user_id = p.user_id)""".stripMargin,
+    // cross-series aggregators over per-series hourly sums: avg =
+    // exact decimal sum / count; stddev = population sqrt via exact
+    // Σv/Σv² (the determinism contract's kernels); quantile = the
+    // discrete stored value at position max(1, ceil(round(n·φ, 9)))
+    "q_promql_avg_agg" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |FROM per GROUP BY 1""".stripMargin,
+    "q_promql_stddev_agg" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step,
+        |  sqrt(greatest(0.0,
+        |    (CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS DOUBLE)
+        |     - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |       * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+        |    / COUNT(*))) AS value
+        |FROM per GROUP BY 1""".stripMargin,
+    "q_promql_quantile_agg" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |x AS (
+        |  SELECT step, value,
+        |         row_number() OVER (PARTITION BY step ORDER BY value, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY step) AS n
+        |  FROM per)
+        |SELECT step, value FROM x
+        |WHERE rn = greatest(1, CAST(ceil(round(n * 0.9, 9)) AS BIGINT))""".stripMargin,
     // or = lhs plus the rhs rows with no lhs match on the vector keys
     "q_promql_or" ->
       """WITH p AS (

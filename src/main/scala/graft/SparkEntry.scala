@@ -109,6 +109,15 @@ object SparkEntry {
       s, d, "sum_over_time(purchase[1h]) unless on(user_id) sum_over_time(click[1h])")),
     "q_promql_or" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sum_over_time(purchase[1h]) or on(user_id) sum_over_time(click[1h])")),
+    // the remaining aggregator code paths: avg (exactSum/count), stddev
+    // (exact Σv/Σv² across series), and the two-phase cross-series
+    // quantile — each collapsing the series dimension per step
+    "q_promql_avg_agg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "avg(sum_over_time(purchase[1h]))")),
+    "q_promql_stddev_agg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "stddev(sum_over_time(purchase[1h]))")),
+    "q_promql_quantile_agg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "quantile(0.9, sum_over_time(click[1h]))")),
     "q_promql_bottomk" -> ((s, d) => graft.operators.Promql.query(
       s, d, "bottomk(3, sum_over_time(view[1h]))")),
     // Prometheus-parity edge extrapolation (opt-in; stored-value rate is
