@@ -495,24 +495,11 @@ object Pipelines {
     },
     // train/eval shingle-overlap decontamination: distinct (doc,
     // 3-gram-md5) incidence joined across the hash split
-    "doc_contamination" ->
-      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM (
-         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-         |    THEN list_transform(range(1, len(w) - 1),
-         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |    ELSE [] END) AS s FROM ws)),
-         |bk AS (SELECT doc_id, CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
-         |       FROM documents),
-         |tg AS (SELECT sh.doc_id, h,
-         |         CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS side
-         |       FROM sh JOIN bk ON bk.doc_id = sh.doc_id)
-         |SELECT t.doc_id,
-         |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_shingles,
-         |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
-         |FROM (SELECT doc_id, h FROM tg WHERE side = 'train') t
-         |JOIN (SELECT doc_id, h FROM tg WHERE side = 'eval') e ON e.h = t.h
-         |GROUP BY 1""".stripMargin,
+    "doc_contamination" -> contaminationSql(0L),
+    // the hot-shingle cap, proven: the oracle drops shingles present
+    // in > 3 DISTINCT CONTENTS (the Spark side's collapse-first
+    // frequency) before the doc-level join
+    "doc_contamination_capped" -> contaminationSql(3L),
     // the SEQUENTIAL packing formulation: Spark's two-level distributed
     // prefix sum must reproduce this single-window cumsum row-for-row —
     // the hash equality is the exactness proof of the decomposition
@@ -605,6 +592,44 @@ object Pipelines {
          |      FROM documents)""".stripMargin
     },
   )
+
+  /** The doc-level contamination mirror, optionally hot-shingle-capped:
+    * Spark computes shingle frequency over DISTINCT CONTENTS
+    * (collapse-first), so the oracle's cap counts distinct md5(text)
+    * per shingle — the doc-level join then runs over the surviving
+    * shingle set only. cap <= 0 keeps every shingle (the uncapped
+    * entry's SQL is byte-identical to before the refactor).
+    */
+  private def contaminationSql(cap: Long): String = {
+    val shinglesCte =
+      s"""ws AS (SELECT doc_id, $words AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, md5(s) AS h FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS s FROM ws))""".stripMargin
+    val capCtes =
+      if (cap <= 0L) "sh AS (SELECT doc_id, h FROM sh0)"
+      else
+        s"""dc AS (SELECT doc_id, md5(text) AS ch FROM documents),
+           |keep AS (SELECT h FROM (SELECT DISTINCT ch, h FROM sh0
+           |                        JOIN dc USING (doc_id))
+           |         GROUP BY h HAVING COUNT(*) <= $cap),
+           |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h))""".stripMargin
+    s"""WITH $shinglesCte,
+       |$capCtes,
+       |bk AS (SELECT doc_id, CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+       |       FROM documents),
+       |tg AS (SELECT sh.doc_id, h,
+       |         CASE WHEN bucket < 80 THEN 'train' ELSE 'eval' END AS side
+       |       FROM sh JOIN bk ON bk.doc_id = sh.doc_id)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_shingles,
+       |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+       |FROM (SELECT doc_id, h FROM tg WHERE side = 'train') t
+       |JOIN (SELECT doc_id, h FROM tg WHERE side = 'eval') e ON e.h = t.h
+       |GROUP BY 1""".stripMargin
+  }
 
   /** md5('mix:' || doc_id) first-4-nibble value — the salted sibling of
     * [[bucketNibble]] (mix membership independent of the split).

@@ -259,6 +259,10 @@ object SparkEntry {
     "text_repetition"  -> (TextAnalysis.repetition _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
     "doc_contamination" -> ((s, d) => graft.pipeline.Curation.contamination(s, d)),
+    // the hot-shingle frequency cap, oracle-proven: shingles in > 3
+    // distinct contents are dropped before the join on BOTH engines
+    "doc_contamination_capped" -> ((s, d) =>
+      graft.pipeline.Curation.contamination(s, d, maxShingleFreq = 3L)),
     "doc_pack"          -> ((s, d) => graft.pipeline.Curation.packTokens(s, d)),
     "doc_lm_score"      -> (graft.pipeline.Curation.lmScore _),
     "doc_stratified"    -> ((s, d) => graft.pipeline.Curation.stratifiedSample(s, d)),
