@@ -625,6 +625,14 @@ object OracleSql {
         |FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
         |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)""".stripMargin,
+    "q_promql_label_join" ->
+      """SELECT step, user_id, shard, shard || '-' || CAST(user_id AS VARCHAR) AS sid, value
+        |FROM (SELECT step, user_id,
+        |        regexp_replace(CAST(user_id AS VARCHAR), '^(?:(\d)\d*)$', 's\1') AS shard,
+        |        value
+        |      FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |                   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |            FROM events WHERE event_type = 'click' GROUP BY 1, 2))""".stripMargin,
     "q_promql_irate" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 604800) * 604800 AS step, user_id, value,

@@ -598,7 +598,8 @@ object Pipelines {
     * (collapse-first), so the oracle's cap counts distinct md5(text)
     * per shingle — the doc-level join then runs over the surviving
     * shingle set only. cap <= 0 keeps every shingle (the uncapped
-    * entry's SQL is byte-identical to before the refactor).
+    * entry's result is unchanged by the refactor; the gate re-proved
+    * the hash).
     */
   private def contaminationSql(cap: Long): String = {
     val shinglesCte =

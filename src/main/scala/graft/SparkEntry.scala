@@ -145,6 +145,11 @@ object SparkEntry {
       s, d, "sum_over_time(click[1h]) / time()")),
     "q_promql_label_replace" -> ((s, d) => graft.operators.Promql.query(
       s, d, """label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*")""")),
+    // label_join composing with label_replace: produced labels are
+    // first-class (the joined label concatenates a produced + a
+    // physical label)
+    "q_promql_label_join" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """label_join(label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*"), "sid", "-", "shard", "user_id")""")),
     "q_promql_irate" -> ((s, d) => graft.operators.Promql.query(
       s, d, "irate(click[1w])")),
     "q_promql_predict" -> ((s, d) => graft.operators.Promql.query(
