@@ -555,28 +555,55 @@ object Pipelines {
        |ORDER BY score DESC, doc_id LIMIT $DefaultK""".stripMargin
   }
 
+  /** Unigram-LM mean log-prob: per-word ln quantized at 12 decimals in
+    * the vocabulary CTE (once per word, the libm contract), per-doc
+    * sum in decimal (exact, order-independent), one IEEE division.
+    * Shared by the doc_lm_score entry and doc_filter's composition.
+    */
+  private lazy val lmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+       |counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+       |lp AS (SELECT w,
+       |         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 12)
+       |              AS DECIMAL(28,12)) AS lp
+       |       FROM counts, tot),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         SUM(lp) AS slp
+       |       FROM toks JOIN lp USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(n_tokens, 0) AS n_tokens,
+       |       CASE WHEN n_tokens IS NULL THEN 0.0
+       |            ELSE CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |       END AS mean_logprob
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   private val lmRetrieval: Map[String, String] = Map(
-    // unigram-LM mean log-prob: per-word ln quantized at 12 decimals in
-    // the vocabulary CTE (once per word, the libm contract), per-doc
-    // sum in decimal (exact, order-independent), one IEEE division
-    "doc_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
-         |counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
-         |lp AS (SELECT w,
-         |         CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 12)
-         |              AS DECIMAL(28,12)) AS lp
-         |       FROM counts, tot),
-         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |         SUM(lp) AS slp
-         |       FROM toks JOIN lp USING (w) GROUP BY 1)
-         |SELECT d.doc_id,
-         |       coalesce(n_tokens, 0) AS n_tokens,
-         |       CASE WHEN n_tokens IS NULL THEN 0.0
-         |            ELSE CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-         |       END AS mean_logprob
-         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "doc_lm_score" -> lmScoreSql,
     "doc_bm25" -> bm25Sql,
+    // the curation verdict: the per-signal entries' own SQL composed by
+    // doc_id equi-joins, thresholds from the same Curation constants
+    // the Spark side defaults to (CAST AS DOUBLE: a bare 0.3 is a
+    // DuckDB DECIMAL literal, and decimal-vs-double comparison must
+    // not truncate the double side)
+    "doc_filter" -> {
+      import graft.pipeline.Curation._
+      def thr(v: Double) = s"CAST($v AS DOUBLE)"
+      val rules = Seq(
+        s"(score >= ${thr(DefaultMinQuality)})",
+        s"(dup_word_frac <= ${thr(DefaultMaxDupWordFrac)})",
+        s"(top_word_frac <= ${thr(DefaultMaxTopWordFrac)})",
+        s"(mean_logprob >= ${thr(DefaultMinMeanLogprob)})")
+      s"""SELECT doc_id, score, dup_word_frac, top_word_frac, mean_logprob,
+         |       ${rules(0)} AS pass_quality,
+         |       ${rules(1)} AS pass_dup,
+         |       ${rules(2)} AS pass_top,
+         |       ${rules(3)} AS pass_lm,
+         |       (${rules.mkString(" AND ")}) AS keep
+         |FROM (${text("text_quality")}) q
+         |JOIN (${text("text_repetition")}) r USING (doc_id)
+         |JOIN ($lmScoreSql) l USING (doc_id)""".stripMargin
+    },
     // stratified mix sampling: same nibble hash as doc_sample but
     // salted with 'mix:', CASE rates generated from the same weight
     // map the Spark side folds over

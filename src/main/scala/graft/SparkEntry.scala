@@ -271,6 +271,7 @@ object SparkEntry {
     "doc_pack"          -> ((s, d) => graft.pipeline.Curation.packTokens(s, d)),
     "doc_lm_score"      -> (graft.pipeline.Curation.lmScore _),
     "doc_stratified"    -> ((s, d) => graft.pipeline.Curation.stratifiedSample(s, d)),
+    "doc_filter"        -> ((s, d) => graft.pipeline.Curation.filterVerdict(s, d)),
     "doc_bm25"          -> ((s, d) => graft.pipeline.Retrieval.bm25(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed

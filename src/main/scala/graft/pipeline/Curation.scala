@@ -170,6 +170,41 @@ object Curation {
           .as("mean_logprob"))
   }
 
+  /** The end-to-end curation VERDICT — what a production pipeline
+    * actually materializes before training: every quality signal
+    * joined per document and lowered to one keep/drop decision with
+    * the failing rule visible. Rules (all deterministic, thresholds as
+    * parameters): Gopher repetition caps (duplicate-word and top-word
+    * fractions), the composite quality score floor, and the unigram-LM
+    * corpus-typicality floor. Each input is a per-doc frame keyed by
+    * doc_id, so the joins are plain equi-joins on the primary key —
+    * one shuffle key end to end, no skew.
+    */
+  val DefaultMinQuality = 0.5
+  val DefaultMaxDupWordFrac = 0.3
+  val DefaultMaxTopWordFrac = 0.2
+  val DefaultMinMeanLogprob = -4.0
+
+  def filterVerdict(s: SparkSession, dir: String,
+                    minQuality: Double = DefaultMinQuality,
+                    maxDupWordFrac: Double = DefaultMaxDupWordFrac,
+                    maxTopWordFrac: Double = DefaultMaxTopWordFrac,
+                    minMeanLogprob: Double = DefaultMinMeanLogprob): DataFrame = {
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("score"))
+    val r = TextAnalysis.repetition(s, dir)
+      .select(col("doc_id"), col("dup_word_frac"), col("top_word_frac"))
+    val l = lmScore(s, dir).select(col("doc_id"), col("mean_logprob"))
+    q.join(r, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("score"), col("dup_word_frac"),
+        col("top_word_frac"), col("mean_logprob"),
+        (col("score") >= minQuality).as("pass_quality"),
+        (col("dup_word_frac") <= maxDupWordFrac).as("pass_dup"),
+        (col("top_word_frac") <= maxTopWordFrac).as("pass_top"),
+        (col("mean_logprob") >= minMeanLogprob).as("pass_lm"))
+      .withColumn("keep",
+        col("pass_quality") && col("pass_dup") && col("pass_top") && col("pass_lm"))
+  }
+
   /** Sequence packing: assign every document a (pack_id, pack_offset)
     * in a fixed token budget per pack — the packing step that turns a
     * corpus into fixed-length training sequences. Deterministic global

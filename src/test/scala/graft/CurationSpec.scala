@@ -49,6 +49,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("filterVerdict: keep is the conjunction of its own pass columns and actually splits") {
+    val rows = Curation.filterVerdict(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      assert(keep === (r.getAs[Boolean]("pass_quality") &&
+        r.getAs[Boolean]("pass_dup") && r.getAs[Boolean]("pass_top") &&
+        r.getAs[Boolean]("pass_lm")))
+    }
+    // default thresholds must produce a real verdict, not a constant
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"thresholds should split the corpus: kept $kept of ${rows.length}")
+    // tightening any threshold can only shrink the kept set
+    val strict = Curation.filterVerdict(spark, sf, minQuality = 0.9).collect()
+      .count(_.getAs[Boolean]("keep"))
+    assert(strict <= kept)
+  }
+
   test("packTokens: the distributed prefix sum equals the sequential packing") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), wordsOf(r.getString(1)).length.toLong))
