@@ -283,16 +283,19 @@ object Pipelines {
          |${hits(annSql("ann_lsh"), "h_lsh")},
          |${hits(annSql("ann_ivf"), "h_ivf")},
          |${hits(annSql("ann_ivf_nprobe2"), "h_ivf2")},
-         |${hits(pq5, "h_pq")}
+         |${hits(pq5, "h_pq")},
+         |${hits(annSql("ann_ivfpq"), "h_ivfpq")}
          |SELECT method, qid, n_truth, n_hits,
          |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
          |FROM (${leg("ann_lsh", "h_lsh")}
          |UNION ALL ${leg("ann_ivf", "h_ivf")}
          |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
-         |UNION ALL ${leg("ann_pq", "h_pq")})""".stripMargin
+         |UNION ALL ${leg("ann_pq", "h_pq")}
+         |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")})""".stripMargin
     },
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_pq" -> annSql("ann_pq"),
+    "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_lsh" -> annSql("ann_lsh"),
     "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
     "ann_ivf" -> annSql("ann_ivf"),
@@ -334,12 +337,52 @@ object Pipelines {
        |WHERE rnk <= 10""".stripMargin
   }
 
+  /** IVF + PQ composed: the IVF cell chain (centDist argmin) prunes
+    * candidates, the PQ chain (pqSubDist lists) scores them — the
+    * mirror of Similarity.ivfPq.
+    */
+  private lazy val ivfPqSql: String = {
+    val codeCols = (0 until 8).map(m =>
+      s"  CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n")
+    val dlists = (0 until 8).map(m => s"  ${pqSubDist(m)} AS d$m").mkString(",\n")
+    val adist = (0 until 8).map(m => s"dt$m[c$m + 1]").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |cells AS (
+       |  SELECT vec_id, k AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |dl AS (SELECT vec_id,
+       |$dlists
+       |FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |$codeCols
+       |FROM dl),
+       |data AS (SELECT c.vec_id, c.cell,
+       |${(0 until 8).map(m => s"  codes.c$m").mkString(",\n")}
+       |FROM cells c JOIN codes USING (vec_id)),
+       |q AS (SELECT c.vec_id AS qid, c.cell AS qc,
+       |${(0 until 8).map(m => s"  dl.d$m AS dt$m").mkString(",\n")}
+       |FROM cells c JOIN dl USING (vec_id) WHERE c.vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id, ($adist) AS adist
+       |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   /** The ANN method SQLs, shared verbatim between the per-method
     * entries and ann_recall's subqueries (one definition site — the
     * recall record measures exactly the hashed result sets).
     */
   private lazy val annSql: Map[String, String] = Map(
     "ann_pq" -> pqSql,
+    "ann_ivfpq" -> ivfPqSql,
     "ann_bruteforce" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),

@@ -349,26 +349,60 @@ object Similarity {
     * and never decompresses. Ascending by approximate distance,
     * ties → vec_id.
     */
-  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    // encode: code_m = argmin over the 16 codebook entries (ties → lower)
-    val codes = emb.select(
-      col("vec_id") +: (0 until PqSub).map { m =>
-        val d = subDists(m)
-        array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
-      }: _*)
-    val q = emb.filter(col("vec_id") < 5).select(
-      col("vec_id").as("qid") +:
-        (0 until PqSub).map(m => subDists(m).as(s"dt$m")): _*)
-    val adist = (0 until PqSub)
+  /** encode: code_m = argmin over the 16 codebook entries (ties → lower) */
+  private def pqCodeCols: Seq[Column] =
+    (0 until PqSub).map { m =>
+      val d = subDists(m)
+      array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
+    }
+
+  /** query-side distance tables, one 16-entry array per subspace */
+  private def pqTableCols: Seq[Column] =
+    (0 until PqSub).map(m => subDists(m).as(s"dt$m"))
+
+  /** ADC: Σₘ dtable_m[code_m] — 8 lookups per candidate pair */
+  private def pqAdc: Column =
+    (0 until PqSub)
       .map(m => element_at(col(s"dt$m"), col(s"c$m") + 1))
       .reduce(_ + _)
-    val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adist.as("adist"))
+
+  private def pqRank(pairs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
     pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("qid", "vec_id", "rnk", "adist")
+  }
+
+  def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = emb.select(col("vec_id") +: pqCodeCols: _*)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: pqTableCols: _*)
+    val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
+  /** IVF + PQ — the standard large-scale ANN index shape (FAISS
+    * IVFPQ): the coarse quantizer prunes candidates to the query's
+    * cell, and the scan inside the cell runs on PQ codes via ADC — so
+    * BOTH the candidate count (N/cells) and the per-candidate cost
+    * (8 lookups vs a 64-dim kernel) shrink. One projection computes
+    * cell + codes together (a single scan of the embeddings); the
+    * oracle composes the IVF cell chain with the PQ code chain and
+    * must match hash-for-hash.
+    */
+  def ivfPq(s: SparkSession, dir: String,
+            numCells: Int = NumCells, k: Int = 5): DataFrame = {
+    val data = assignTo(withNorm(s, dir), formulaCentroids(numCells))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols: _*)
+    val q = assignTo(withNorm(s, dir), formulaCentroids(numCells))
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols: _*)
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
   }
 
   /** Measured recall@k of each ANN structure against the exact
@@ -396,6 +430,7 @@ object Similarity {
       .unionAll(leg("ann_ivf", ivf(s, dir)))
       .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
       .unionAll(leg("ann_pq", pq(s, dir).filter(col("rnk") <= k)))
+      .unionAll(leg("ann_ivfpq", ivfPq(s, dir)))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }

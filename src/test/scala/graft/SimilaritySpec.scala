@@ -140,45 +140,73 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("pq equals a driver-side encode + ADC reference") {
-    val vecs = Tables.embeddings(spark, sf).collect()
+  // ---- driver-side PQ/IVF reference (mirrors the quantized kernels) ----
+  private def loadVecs: Seq[(Long, IndexedSeq[Float])] =
+    Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq)
-      .sortBy(_._1)
-    def qSqDist(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-      var acc = 0L
-      a.indices.foreach { i =>
-        val d = a(i) - b(i)
-        acc += math.floor(d * d * 16777216.0).toLong
-      }
-      acc / 16777216.0
+      .sortBy(_._1).toSeq
+  private def qSqDist(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var acc = 0L
+    a.indices.foreach { i =>
+      val d = a(i) - b(i)
+      acc += math.floor(d * d * 16777216.0).toLong
     }
-    def cb(m: Int, kc: Int): IndexedSeq[Double] =
-      IndexedSeq.tabulate(Similarity.PqSubDim)(j => Similarity.pqComponent(m, kc, j))
-    def sub(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
-      (0 until Similarity.PqSubDim).map(j =>
-        v(m * Similarity.PqSubDim + j).toDouble)
-    def dists(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
-      (0 until Similarity.PqCodes).map(kc => qSqDist(sub(v, m), cb(m, kc)))
-    def encode(v: IndexedSeq[Float]): IndexedSeq[Int] =
-      (0 until Similarity.PqSub).map { m =>
-        val d = dists(v, m); d.indexOf(d.min)
-      }
-    val codes = vecs.map { case (id, v) => id -> encode(v) }.toMap
-    val want = vecs.take(5).flatMap { case (qid, qv) =>
-      val dt = (0 until Similarity.PqSub).map(m => dists(qv, m))
-      vecs.filter(_._1 != qid).map { case (vid, _) =>
+    acc / 16777216.0
+  }
+  private def pqCb(m: Int, kc: Int): IndexedSeq[Double] =
+    IndexedSeq.tabulate(Similarity.PqSubDim)(j => Similarity.pqComponent(m, kc, j))
+  private def pqSub(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
+    (0 until Similarity.PqSubDim).map(j => v(m * Similarity.PqSubDim + j).toDouble)
+  private def pqDists(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
+    (0 until Similarity.PqCodes).map(kc => qSqDist(pqSub(v, m), pqCb(m, kc)))
+  private def pqEncode(v: IndexedSeq[Float]): IndexedSeq[Int] =
+    (0 until Similarity.PqSub).map { m =>
+      val d = pqDists(v, m); d.indexOf(d.min)
+    }
+  private def cellOf(v: IndexedSeq[Float]): Int = {
+    val ds = (0 until Similarity.NumCells).map { k =>
+      qSqDist(v.map(_.toDouble),
+        IndexedSeq.tabulate(Similarity.Dim)(i => Similarity.centroidComponent(k, i)))
+    }
+    ds.indexOf(ds.min)
+  }
+  /** reference ADC ranking over a candidate filter */
+  private def adcReference(vecs: Seq[(Long, IndexedSeq[Float])], k: Int,
+                           candidates: (Long, Long) => Boolean): Seq[(Long, Long, Int, Double)] = {
+    val codes = vecs.map { case (id, v) => id -> pqEncode(v) }.toMap
+    vecs.take(5).flatMap { case (qid, qv) =>
+      val dt = (0 until Similarity.PqSub).map(m => pqDists(qv, m))
+      vecs.filter(x => x._1 != qid && candidates(qid, x._1)).map { case (vid, _) =>
         val adist = (0 until Similarity.PqSub)
           .map(m => dt(m)(codes(vid)(m))).reduce(_ + _)
         (qid, vid, adist)
       }.sortBy { case (_, vid, d) => (d, vid) }
-        .take(10).zipWithIndex
+        .take(k).zipWithIndex
         .map { case ((q, vid, d), i) => (q, vid, i + 1, d) }
-    }.toSeq.sortBy(x => (x._1, x._3))
+    }
+  }
+
+  test("pq equals a driver-side encode + ADC reference") {
+    val vecs = loadVecs
+    val want = adcReference(vecs, 10, (_, _) => true).sortBy(x => (x._1, x._3))
     val got = Similarity.pq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(x => (x._1, x._3)).toSeq
     assert(got === want)
+  }
+
+  test("ivfPq equals the ADC reference restricted to the query's cell") {
+    val vecs = loadVecs
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val want = adcReference(vecs, 5, (q, v) => cells(q) == cells(v))
+      .sortBy(x => (x._1, x._3))
+    val got = Similarity.ivfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
+    // the cell prune is real: candidates shrink vs the full-corpus scan
+    assert(got.size <= adcReference(vecs, 5, (_, _) => true).size)
   }
 
   test("pq scan is code-only: one shuffle (final ranking window)") {
@@ -193,10 +221,10 @@ class SimilaritySpec extends AnyFunSuite {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 4 methods x 5 queries, every query present for every method
-    assert(r.length === 20)
+    // 5 methods x 5 queries, every query present for every method
+    assert(r.length === 25)
     assert(r.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_nprobe2", "ann_lsh", "ann_pq"))
+      Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivfpq", "ann_lsh", "ann_pq"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
