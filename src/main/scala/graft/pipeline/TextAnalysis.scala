@@ -34,7 +34,7 @@ object TextAnalysis {
     * the keep-best dedup policy so keep-best can score inline in its own
     * scan instead of joining against a second pass over the table.
     */
-  private[pipeline] def scoreCol: Column = {
+  private[graft] def scoreCol: Column = {
     val nTok = size(words).cast("long")
     val nDist = size(array_distinct(words)).cast("long")
     val nStop =

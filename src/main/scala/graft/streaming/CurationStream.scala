@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The LLM-curation pipeline's ONLINE leg: a documents file-stream
+  * deduplicated by content hash and quality-filtered inline, writing
+  * the kept set as it arrives — "clean as you ingest" instead of
+  * batch-cleaning afterwards.
+  *
+  * What streams and what doesn't, honestly:
+  *  - EXACT dedup streams: `dropDuplicates(content_hash)` keeps the
+  *    first-arriving copy of each distinct text. The state store holds
+  *    one row per DISTINCT CONTENT — the same collapse-first bound the
+  *    batch dedup family exploits (state grows with unique texts, not
+  *    with stream length; duplicate-heavy streams are exactly where it
+  *    stays small relative to input).
+  *  - The per-document quality rules stream: the composite score and
+  *    the Gopher repetition fractions are pure projections over the
+  *    document's own words (array builtins, zero state).
+  *  - The corpus-global signals (unigram-LM typicality, near-dup,
+  *    contamination) do NOT stream — they need corpus-wide state; run
+  *    them in batch over this sink's output (same files), the same
+  *    batch-over-ingested contract as the rejected PromQL verbs.
+  */
+object CurationStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The streamable verdict columns — shared formulas with the batch
+    * operators (TextAnalysis.scoreCol / repetition's array builtins).
+    */
+  private def verdictCols(df: DataFrame,
+                          minQuality: Double,
+                          maxDupWordFrac: Double): DataFrame = {
+    val words = expr("filter(split(text, ' '), w -> w <> '')")
+    val nWords = size(words).cast("long")
+    val dupFrac = lit(1.0) -
+      size(array_distinct(words)).cast("double") /
+        greatest(nWords, lit(1L)).cast("double")
+    df.withColumn("content_hash", md5(col("text")))
+      .withColumn("score", graft.pipeline.TextAnalysis.scoreCol)
+      .withColumn("dup_word_frac", dupFrac)
+      .withColumn("keep",
+        col("score") >= minQuality && col("dup_word_frac") <= maxDupWordFrac)
+  }
+
+  /** One AvailableNow pass: inDir (documents parquet files) → outDir,
+    * first-arrival exact dedup + inline quality filter. Kept rows only.
+    */
+  def runOnce(s: SparkSession, inDir: String, outDir: String,
+              checkpoint: String,
+              minQuality: Double = graft.pipeline.Curation.DefaultMinQuality,
+              maxDupWordFrac: Double = graft.pipeline.Curation.DefaultMaxDupWordFrac): Unit = {
+    val stream = verdictCols(
+      s.readStream.schema(docSchema).parquet(inDir),
+      minQuality, maxDupWordFrac)
+      .dropDuplicates("content_hash")
+      .filter(col("keep"))
+      .select("doc_id", "content_hash", "source", "score", "dup_word_frac")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CurationStream
+import SparkFixture.{sf, spark}
+
+class CurationStreamSpec extends AnyFunSuite {
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val base = s"/root/repo/target/tmp/curstream_$tag"
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Files.createDirectories(Paths.get(in))
+    (in, out, cp)
+  }
+
+  test("streaming curation equals batch at the content level") {
+    val (in, out, cp) = freshDirs("backlog")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    CurationStream.runOnce(spark, in, out, cp)
+    val got = spark.read.parquet(out)
+    // exactly one row per kept DISTINCT content
+    assert(got.groupBy("content_hash").count()
+      .filter(col("count") > 1).count() === 0)
+    // the kept content set equals the batch verdict joined to the batch
+    // exact-dedup content set (keep rules restricted to the streamable
+    // subset: quality floor + duplicate-word cap)
+    val batch = graft.pipeline.Curation.filterVerdict(spark, sf)
+      .filter(col("pass_quality") && col("pass_dup"))
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val gotSet = got.select("content_hash").distinct()
+    assert(gotSet.exceptAll(batch).count() === 0, "stream kept a content batch drops")
+    assert(batch.exceptAll(gotSet).count() === 0, "stream dropped a content batch keeps")
+    // every written row carries a passing verdict
+    assert(got.filter(col("score") <
+      graft.pipeline.Curation.DefaultMinQuality).count() === 0)
+    assert(got.filter(col("dup_word_frac") >
+      graft.pipeline.Curation.DefaultMaxDupWordFrac).count() === 0)
+  }
+
+  test("a second batch of duplicate contents adds nothing") {
+    val (in, out, cp) = freshDirs("live")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    CurationStream.runOnce(spark, in, out, cp)
+    val n1 = spark.read.parquet(out).count()
+    // batch 2: the same documents with shifted ids — all duplicate text
+    import spark.implicits._
+    val stage = s"${in}_stage"
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(s"$in/b2.parquet"))
+    CurationStream.runOnce(spark, in, out, cp)
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 === n1, s"duplicate-content batch must add nothing: $n1 -> $n2")
+  }
+}
