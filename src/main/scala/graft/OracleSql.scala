@@ -375,6 +375,25 @@ object OracleSql {
         |       * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
         |    / COUNT(*))) AS value
         |FROM per GROUP BY 1""".stripMargin,
+    "q_promql_count_agg" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM per GROUP BY 1""".stripMargin,
+    "q_promql_stdvar_agg" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step,
+        |  greatest(0.0,
+        |    (CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS DOUBLE)
+        |     - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |       * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+        |    / COUNT(*)) AS value
+        |FROM per GROUP BY 1""".stripMargin,
     "q_promql_quantile_agg" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

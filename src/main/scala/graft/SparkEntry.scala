@@ -118,6 +118,10 @@ object SparkEntry {
       s, d, "stddev(sum_over_time(purchase[1h]))")),
     "q_promql_quantile_agg" -> ((s, d) => graft.operators.Promql.query(
       s, d, "quantile(0.9, sum_over_time(click[1h]))")),
+    "q_promql_count_agg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "count(sum_over_time(click[1h]))")),
+    "q_promql_stdvar_agg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "stdvar(sum_over_time(purchase[1h]))")),
     "q_promql_bottomk" -> ((s, d) => graft.operators.Promql.query(
       s, d, "bottomk(3, sum_over_time(view[1h]))")),
     // Prometheus-parity edge extrapolation (opt-in; stored-value rate is
