@@ -302,34 +302,43 @@ object Pipelines {
   )
 
   /** PQ mirror fragments — must match Similarity.pq bit for bit: the
-    * same codebook formula (pqComponent), the same quantized
-    * sub-distance kernel, argmin by first-position (DuckDB
-    * list_position = Spark array_position, both first-match 1-based).
+    * same codebook formula (pqComponent — multipliers interpolated
+    * from the Similarity constants, geometry from PqSub/PqSubDim/
+    * PqCodes so a knob change cannot silently desynchronize the
+    * oracle), the same quantized sub-distance kernel, argmin by
+    * first-position (DuckDB list_position = Spark array_position,
+    * both first-match 1-based).
     */
   private def pqSubDist(m: Int): String = {
-    val diff = s"(CAST(embedding[${m * 8} + j] AS DOUBLE) - " +
-      s"CAST((((${m * 29} + kc * 53 + (j - 1) * 17) % 11) - 5) / 5.0 AS DOUBLE))"
-    s"list_transform(range(0, 16), kc -> " +
-      s"CAST(list_sum(list_transform(range(1, 9), j -> " +
+    import Similarity.{PqCodes, PqMulJ, PqMulK, PqMulM, PqSubDim}
+    val diff = s"(CAST(embedding[${m * PqSubDim} + j] AS DOUBLE) - " +
+      s"CAST((((${m * PqMulM} + kc * $PqMulK + (j - 1) * $PqMulJ) % 11) - 5) / 5.0 AS DOUBLE))"
+    s"list_transform(range(0, $PqCodes), kc -> " +
+      s"CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> " +
       s"CAST(floor($diff * $diff * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
   }
 
-  private lazy val pqSql: String = {
-    val codeCols = (0 until 8).map(m =>
+  // shared PQ SQL fragments (pqSql + ivfPqSql must stay in lockstep)
+  private lazy val pqCodeColsSql: String =
+    (0 until Similarity.PqSub).map(m =>
       s"  CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n")
-    val dlists = (0 until 8).map(m => s"  ${pqSubDist(m)} AS d$m").mkString(",\n")
-    val adist = (0 until 8).map(m => s"dt$m[c$m + 1]").mkString(" + ")
+  private lazy val pqDlistsSql: String =
+    (0 until Similarity.PqSub).map(m => s"  ${pqSubDist(m)} AS d$m").mkString(",\n")
+  private lazy val pqAdcSql: String =
+    (0 until Similarity.PqSub).map(m => s"dt$m[c$m + 1]").mkString(" + ")
+
+  private lazy val pqSql: String = {
     s"""WITH dl AS (SELECT vec_id, embedding,
-       |$dlists
+       |$pqDlistsSql
        |FROM embeddings),
        |codes AS (SELECT vec_id,
-       |$codeCols
+       |$pqCodeColsSql
        |FROM dl),
        |q AS (SELECT vec_id AS qid,
-       |${(0 until 8).map(m => s"  d$m AS dt$m").mkString(",\n")}
+       |${(0 until Similarity.PqSub).map(m => s"  d$m AS dt$m").mkString(",\n")}
        |FROM dl WHERE vec_id < 5),
        |pairs AS (
-       |  SELECT q.qid, c.vec_id, ($adist) AS adist
+       |  SELECT q.qid, c.vec_id, ($pqAdcSql) AS adist
        |  FROM q JOIN codes c ON c.vec_id <> q.qid)
        |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
@@ -342,10 +351,6 @@ object Pipelines {
     * mirror of Similarity.ivfPq.
     */
   private lazy val ivfPqSql: String = {
-    val codeCols = (0 until 8).map(m =>
-      s"  CAST(list_position(d$m, list_min(d$m)) - 1 AS INTEGER) AS c$m").mkString(",\n")
-    val dlists = (0 until 8).map(m => s"  ${pqSubDist(m)} AS d$m").mkString(",\n")
-    val adist = (0 until 8).map(m => s"dt$m[c$m + 1]").mkString(" + ")
     s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
        |dists AS (
        |  SELECT vec_id, embedding, norm, k, $centDist AS dist
@@ -356,19 +361,19 @@ object Pipelines {
        |    FROM dists)
        |  WHERE rn = 1),
        |dl AS (SELECT vec_id,
-       |$dlists
+       |$pqDlistsSql
        |FROM embeddings),
        |codes AS (SELECT vec_id,
-       |$codeCols
+       |$pqCodeColsSql
        |FROM dl),
        |data AS (SELECT c.vec_id, c.cell,
-       |${(0 until 8).map(m => s"  codes.c$m").mkString(",\n")}
+       |${(0 until Similarity.PqSub).map(m => s"  codes.c$m").mkString(",\n")}
        |FROM cells c JOIN codes USING (vec_id)),
        |q AS (SELECT c.vec_id AS qid, c.cell AS qc,
-       |${(0 until 8).map(m => s"  dl.d$m AS dt$m").mkString(",\n")}
+       |${(0 until Similarity.PqSub).map(m => s"  dl.d$m AS dt$m").mkString(",\n")}
        |FROM cells c JOIN dl USING (vec_id) WHERE c.vec_id < 5),
        |pairs AS (
-       |  SELECT q.qid, d.vec_id, ($adist) AS adist
+       |  SELECT q.qid, d.vec_id, ($pqAdcSql) AS adist
        |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
        |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk

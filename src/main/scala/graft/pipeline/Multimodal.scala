@@ -90,9 +90,17 @@ object Multimodal {
     * Array[Float] column that feeds directly into the Similarity
     * operators.
     */
-  def features(s: SparkSession, dir: String): DataFrame = {
+  def features(s: SparkSession, dir: String): DataFrame =
+    featuresOf(s, payloads(s, dir))
+
+  /** [[features]] over any (doc_id, payload) frame — lets callers
+    * filter payloads BEFORE the decode barrier (a filter above the
+    * typed mapPartitions cannot push through it, so filtering the
+    * decoded frame still decodes the full corpus).
+    */
+  private def featuresOf(s: SparkSession, payloadFrame: DataFrame): DataFrame = {
     import s.implicits._
-    payloads(s, dir)
+    payloadFrame
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -181,8 +189,13 @@ object Multimodal {
     val f = features(s, dir).select(
       col("doc_id"), col("features"),
       graft.functions.VectorOps.dot(col("features"), col("features")).as("norm"))
-    val q = f.filter(col("doc_id") < 5).select(
-      col("doc_id").as("qid"), col("features").as("qf"), col("norm").as("qn"))
+    // query side decodes ONLY its own payloads: the filter applies to
+    // the (checkpointed) payload frame below the decode barrier —
+    // filtering `f` instead would re-decode the whole corpus to keep
+    // 5 rows
+    val q = featuresOf(s, payloads(s, dir).filter(col("doc_id") < 5)).select(
+      col("doc_id").as("qid"), col("features").as("qf"),
+      graft.functions.VectorOps.dot(col("features"), col("features")).as("qn"))
     val pairs = broadcast(q).join(f, col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id"),
         (graft.functions.VectorOps.dot(col("qf"), col("features"))

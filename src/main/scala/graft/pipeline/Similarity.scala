@@ -318,12 +318,20 @@ object Similarity {
   val PqSubDim: Int = Dim / PqSub
   val PqCodes = 16
 
+  /** PQ codebook formula multipliers — named so the DuckDB mirror
+    * (Pipelines.pqSubDist) interpolates the SAME constants instead of
+    * baking in literals that could drift from [[pqComponent]].
+    */
+  val PqMulM = 29
+  val PqMulK = 53
+  val PqMulJ = 17
+
   /** Deterministic PQ codebook component (subspace m, code kc, dim j
     * within the subspace) in [-1, 1] — the oracle-reproducible stand-in
     * for a trained codebook, same family as [[centroidComponent]].
     */
   def pqComponent(m: Int, kc: Int, j: Int): Double =
-    ((m * 29 + kc * 53 + j * 17) % 11 - 5) / 5.0
+    ((m * PqMulM + kc * PqMulK + j * PqMulJ) % 11 - 5) / 5.0
 
   private def pqCodebook(m: Int, kc: Int): Column =
     litVector(IndexedSeq.tabulate(PqSubDim)(j => pqComponent(m, kc, j)))

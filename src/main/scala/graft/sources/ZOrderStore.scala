@@ -37,13 +37,23 @@ object ZOrderStore {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  /** Linear map of column `name` ∈ [lo, hi] onto the 16-bit grid.
-    * Integer-exact (`div`, not `/` — long division through double
-    * loses bits past 2⁵³): (v − lo)·65535 stays far under 2⁶³ for any
-    * realistic span (a month of microseconds × 65535 ≈ 2e17).
+  /** Map of column `name` ∈ [lo, hi] onto the 16-bit grid by chunked
+    * floor division: chunk = ⌈span/2¹⁶⌉, coord = (v − lo) div chunk ∈
+    * [0, 65535]. Overflow-free for ANY span (the multiply-first form
+    * (v−lo)·65535 wraps Long once the span passes ~4.4 years of
+    * microseconds — e.g. one corrupt epoch-0 timestamp next to real
+    * data would silently scramble the whole layout); integer-exact
+    * (`div`, not `/` — long division through double loses bits past
+    * 2⁵³).
     */
-  def gridCoord(name: String, lo: Long, hi: Long): Column =
-    expr(s"(($name - ${lo}L) * 65535L) div ${math.max(1L, hi - lo)}L")
+  def gridCoord(name: String, lo: Long, hi: Long): Column = {
+    val span = math.max(1L, hi - lo)
+    // +1 unconditionally: span div (span/2¹⁶ + 1) <= 65535 for every
+    // span (an exact-multiple span would otherwise map its maximum to
+    // 65536, whose bit 16 the 16-bit interleave silently drops)
+    val chunk = span / 65536L + 1L
+    expr(s"($name - ${lo}L) div ${chunk}L")
+  }
 
   private def zPath(s: SparkSession, dir: String) =
     s"${ChunkStore.storeRoot(s)}/zorder_${ChunkStore.pathTag(dir)}"

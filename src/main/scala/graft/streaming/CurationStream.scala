@@ -59,12 +59,16 @@ object CurationStream {
               checkpoint: String,
               minQuality: Double = graft.pipeline.Curation.DefaultMinQuality,
               maxDupWordFrac: Double = graft.pipeline.Curation.DefaultMaxDupWordFrac): Unit = {
+    // text stays in the sink: the documented contract is that the
+    // corpus-global batch passes (LM score, near-dup, contamination)
+    // run over these files — they all read the text column
     val stream = verdictCols(
       s.readStream.schema(docSchema).parquet(inDir),
       minQuality, maxDupWordFrac)
       .dropDuplicates("content_hash")
       .filter(col("keep"))
-      .select("doc_id", "content_hash", "source", "score", "dup_word_frac")
+      .select("doc_id", "text", "lang", "source",
+        "content_hash", "score", "dup_word_frac")
     val q = stream.writeStream
       .format("parquet")
       .option("path", outDir)

@@ -117,8 +117,9 @@ object PromqlStream {
         "[sum|min|max by(...)] (count|sum|avg|min|max|last|present|" +
         "stddev|stdvar_over_time(metric{matchers}[W])), the buffered " +
         "window-local verbs (rate|increase|quantile_over_time|delta|" +
-        "irate|idelta|changes|resets|deriv), or a bare selector; run " +
-        "cross-window queries in batch over the ingested files")
+        "irate|idelta|changes|resets|deriv|predict_linear|" +
+        "holt_winters), or a bare selector; run cross-window queries " +
+        "in batch over the ingested files")
 
   /** Named-metric, unmodified selectors only: offsets/@/derived labels
     * belong to the batch evaluator.
@@ -186,6 +187,17 @@ object PromqlStream {
     * divides by the window in double. Same formula, same roundings,
     * same order — StreamPromqlSpec asserts value-identical rows.
     */
+  /** Spark SQL's double comparison semantics on the JVM: NaN equals
+    * NaN and sorts greater than everything; -0.0 equals 0.0. Primitive
+    * Java comparisons disagree on both (NaN != NaN is true, NaN >= x
+    * is false), which would break the folds' row-for-row equality with
+    * the batch evaluator on NaN samples.
+    */
+  private def sqlCmp(a: Double, b: Double): Int = {
+    def norm(v: Double) = if (v == 0.0) 0.0 else v
+    java.lang.Double.compare(norm(a), norm(b))
+  }
+
   /** cast(double as decimal(30,6)) → sum → cast(double), replicated on
     * the JVM: Spark's decimal cast rounds the shortest decimal string
     * (BigDecimal.valueOf) HALF_UP — the exactSum contract.
@@ -205,7 +217,7 @@ object PromqlStream {
     val inc = decimal6Sum(sorted.iterator.map { r =>
       val growth =
         if (first) 0.0
-        else if (r.value >= prev) r.value - prev
+        else if (sqlCmp(r.value, prev) >= 0) r.value - prev
         else r.value
       first = false
       prev = r.value
@@ -244,7 +256,8 @@ object PromqlStream {
     if (s1.us == s2.us) None
     else if (!isRate) Some(s1.value - s2.value)
     else {
-      val growth = if (s1.value >= s2.value) s1.value - s2.value else s1.value
+      val growth =
+        if (sqlCmp(s1.value, s2.value) >= 0) s1.value - s2.value else s1.value
       Some(growth / ((s1.us - s2.us) / 1e6))
     }
   }
@@ -256,7 +269,9 @@ object PromqlStream {
     var first = true
     var n = 0L
     sorted.foreach { r =>
-      if (!first && (if (resets) r.value < prev else r.value != prev)) n += 1
+      if (!first &&
+        (if (resets) sqlCmp(r.value, prev) < 0 else sqlCmp(r.value, prev) != 0))
+        n += 1
       first = false
       prev = r.value
     }
