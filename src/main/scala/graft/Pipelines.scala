@@ -296,6 +296,7 @@ object Pipelines {
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_pq" -> annSql("ann_pq"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
+    "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
     "ann_lsh" -> annSql("ann_lsh"),
     "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
     "ann_ivf" -> annSql("ann_ivf"),
@@ -316,6 +317,50 @@ object Pipelines {
     s"list_transform(range(0, $PqCodes), kc -> " +
       s"CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> " +
       s"CAST(floor($diff * $diff * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
+  }
+
+  /** Residual-encoded sub-distance lists: the diff is
+    * ((embedding − centroid[cell]) − codebook) — `cell` is a correlated
+    * column of the surrounding CTE. Centroid formula mirrors
+    * Similarity.centroidComponent at global dim i = m·subdim + (j−1).
+    */
+  private def pqSubDistRes(m: Int): String = {
+    import Similarity.{PqCodes, PqMulJ, PqMulK, PqMulM, PqSubDim}
+    val cent =
+      s"CAST((((cell * 53 + (${m * PqSubDim} + j - 1) * 17) % 11) - 5) / 5.0 AS DOUBLE)"
+    val diff = s"((CAST(embedding[${m * PqSubDim} + j] AS DOUBLE) - $cent) - " +
+      s"CAST((((${m * PqMulM} + kc * $PqMulK + (j - 1) * $PqMulJ) % 11) - 5) / 5.0 AS DOUBLE))"
+    s"list_transform(range(0, $PqCodes), kc -> " +
+      s"CAST(list_sum(list_transform(range(1, ${PqSubDim + 1}), j -> " +
+      s"CAST(floor($diff * $diff * 16777216.0) AS BIGINT))) AS DOUBLE) / 16777216.0)"
+  }
+
+  private lazy val ivfPqResSql: String = {
+    s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |cells AS (
+       |  SELECT vec_id, embedding, k AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |dl AS (SELECT vec_id, cell,
+       |${(0 until Similarity.PqSub).map(m => s"  ${pqSubDistRes(m)} AS d$m").mkString(",\n")}
+       |FROM cells),
+       |data AS (SELECT vec_id, cell,
+       |$pqCodeColsSql
+       |FROM dl),
+       |q AS (SELECT vec_id AS qid, cell AS qc,
+       |${(0 until Similarity.PqSub).map(m => s"  d$m AS dt$m").mkString(",\n")}
+       |FROM dl WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id, ($pqAdcSql) AS adist
+       |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
   }
 
   // shared PQ SQL fragments (pqSql + ivfPqSql must stay in lockstep)
@@ -388,6 +433,7 @@ object Pipelines {
   private lazy val annSql: Map[String, String] = Map(
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,
+    "ann_ivfpq_res" -> ivfPqResSql,
     "ann_bruteforce" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),

@@ -259,6 +259,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, d) => Similarity.ivfTrained(s, d)),
     "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
     "ann_ivfpq"       -> ((s, d) => Similarity.ivfPq(s, d)),
+    "ann_ivfpq_res"   -> ((s, d) => Similarity.ivfPqResidual(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),

@@ -336,16 +336,17 @@ object Similarity {
   private def pqCodebook(m: Int, kc: Int): Column =
     litVector(IndexedSeq.tabulate(PqSubDim)(j => pqComponent(m, kc, j)))
 
-  private def subVec(m: Int): Column =
-    slice(col("embedding"), m * PqSubDim + 1, PqSubDim)
+  private def subVec(vec: Column, m: Int): Column =
+    slice(vec, m * PqSubDim + 1, PqSubDim)
 
   /** Per-subspace distances of the m-th sub-vector to all 16 codebook
     * entries, as one array column (quantized kernel — both the encoder's
-    * argmin and the query's distance table read from this).
+    * argmin and the query's distance table read from this). `vec` is
+    * the raw embedding for plain PQ, the residual for IVFPQ-residual.
     */
-  private def subDists(m: Int): Column =
+  private def subDists(m: Int, vec: Column = col("embedding")): Column =
     array((0 until PqCodes).map(kc =>
-      graft.functions.VectorOps.sqDist(subVec(m), pqCodebook(m, kc))): _*)
+      graft.functions.VectorOps.sqDist(subVec(vec, m), pqCodebook(m, kc))): _*)
 
   /** PQ-ADC search: every vector is ENCODED once (8 argmin codes —
     * map-only), each query precomputes an 8×16 distance table, and the
@@ -358,15 +359,15 @@ object Similarity {
     * ties → vec_id.
     */
   /** encode: code_m = argmin over the 16 codebook entries (ties → lower) */
-  private def pqCodeCols: Seq[Column] =
+  private def pqCodeCols(vec: Column = col("embedding")): Seq[Column] =
     (0 until PqSub).map { m =>
-      val d = subDists(m)
+      val d = subDists(m, vec)
       array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
     }
 
   /** query-side distance tables, one 16-entry array per subspace */
-  private def pqTableCols: Seq[Column] =
-    (0 until PqSub).map(m => subDists(m).as(s"dt$m"))
+  private def pqTableCols(vec: Column = col("embedding")): Seq[Column] =
+    (0 until PqSub).map(m => subDists(m, vec).as(s"dt$m"))
 
   /** ADC: Σₘ dtable_m[code_m] — 8 lookups per candidate pair */
   private def pqAdc: Column =
@@ -383,9 +384,9 @@ object Similarity {
 
   def pq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val codes = emb.select(col("vec_id") +: pqCodeCols: _*)
+    val codes = emb.select(col("vec_id") +: pqCodeCols(): _*)
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid") +: pqTableCols: _*)
+      .select(col("vec_id").as("qid") +: pqTableCols(): _*)
     val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
     pqRank(pairs, k)
@@ -403,10 +404,44 @@ object Similarity {
   def ivfPq(s: SparkSession, dir: String,
             numCells: Int = NumCells, k: Int = 5): DataFrame = {
     val data = assignTo(withNorm(s, dir), formulaCentroids(numCells))
-      .select(col("vec_id") +: col("cell") +: pqCodeCols: _*)
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(): _*)
     val q = assignTo(withNorm(s, dir), formulaCentroids(numCells))
       .filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols: _*)
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols(): _*)
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
+  /** IVFPQ with RESIDUAL encoding — the full FAISS formulation: codes
+    * quantize v − centroid[cell] instead of v, so the codebook only has
+    * to cover the within-cell displacement (the whole point of the
+    * coarse quantizer: residual magnitudes shrink, code precision
+    * concentrates where the data is). The query's distance tables are
+    * built from ITS residual in the probed cell, so ADC approximates
+    * ‖(q − c) − (v − c)‖ = ‖q − v‖ cell-consistently. The 16×64
+    * centroid codebook broadcasts; residuals are one exact IEEE
+    * subtract per component (float→double widening is exact), so the
+    * DuckDB mirror reproduces the whole chain bit-for-bit.
+    */
+  def ivfPqResidual(s: SparkSession, dir: String,
+                    numCells: Int = NumCells, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = formulaCentroids(numCells)
+    val cb = cents.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      .toDF("cb_cell", "centroid")
+    def withResidual(df: DataFrame): DataFrame =
+      df.join(broadcast(cb), col("cell") === col("cb_cell"))
+        .withColumn("residual",
+          expr("zip_with(embedding, centroid, (a, b) -> a - b)"))
+        .drop("cb_cell", "centroid")
+    val assigned = assignTo(withNorm(s, dir), cents)
+    val data = withResidual(assigned)
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(col("residual")): _*)
+    val q = withResidual(assigned.filter(col("vec_id") < 5))
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +:
+        pqTableCols(col("residual")): _*)
     val pairs = broadcast(q)
       .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pqAdc.as("adist"))

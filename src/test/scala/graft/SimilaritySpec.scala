@@ -156,14 +156,6 @@ class SimilaritySpec extends AnyFunSuite {
   }
   private def pqCb(m: Int, kc: Int): IndexedSeq[Double] =
     IndexedSeq.tabulate(Similarity.PqSubDim)(j => Similarity.pqComponent(m, kc, j))
-  private def pqSub(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
-    (0 until Similarity.PqSubDim).map(j => v(m * Similarity.PqSubDim + j).toDouble)
-  private def pqDists(v: IndexedSeq[Float], m: Int): IndexedSeq[Double] =
-    (0 until Similarity.PqCodes).map(kc => qSqDist(pqSub(v, m), pqCb(m, kc)))
-  private def pqEncode(v: IndexedSeq[Float]): IndexedSeq[Int] =
-    (0 until Similarity.PqSub).map { m =>
-      val d = pqDists(v, m); d.indexOf(d.min)
-    }
   private def cellOf(v: IndexedSeq[Float]): Int = {
     val ds = (0 until Similarity.NumCells).map { k =>
       qSqDist(v.map(_.toDouble),
@@ -171,12 +163,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
     ds.indexOf(ds.min)
   }
-  /** reference ADC ranking over a candidate filter */
+  private def pqDistsD(v: IndexedSeq[Double], m: Int): IndexedSeq[Double] =
+    (0 until Similarity.PqCodes).map(kc => qSqDist(
+      (0 until Similarity.PqSubDim).map(j => v(m * Similarity.PqSubDim + j)),
+      pqCb(m, kc)))
+  private def pqEncodeD(v: IndexedSeq[Double]): IndexedSeq[Int] =
+    (0 until Similarity.PqSub).map { m =>
+      val d = pqDistsD(v, m); d.indexOf(d.min)
+    }
+
+  /** reference ADC ranking over a candidate filter; `xform` maps each
+    * vector to the encoded representation (identity for plain PQ,
+    * v − centroid[cell] for residual IVFPQ)
+    */
   private def adcReference(vecs: Seq[(Long, IndexedSeq[Float])], k: Int,
-                           candidates: (Long, Long) => Boolean): Seq[(Long, Long, Int, Double)] = {
-    val codes = vecs.map { case (id, v) => id -> pqEncode(v) }.toMap
-    vecs.take(5).flatMap { case (qid, qv) =>
-      val dt = (0 until Similarity.PqSub).map(m => pqDists(qv, m))
+                           candidates: (Long, Long) => Boolean,
+                           xform: (Long, IndexedSeq[Float]) => IndexedSeq[Double] =
+                             (_, v) => v.map(_.toDouble)): Seq[(Long, Long, Int, Double)] = {
+    val enc = vecs.map { case (id, v) => id -> xform(id, v) }.toMap
+    val codes = enc.map { case (id, v) => id -> pqEncodeD(v) }
+    vecs.take(5).flatMap { case (qid, _) =>
+      val dt = (0 until Similarity.PqSub).map(m => pqDistsD(enc(qid), m))
       vecs.filter(x => x._1 != qid && candidates(qid, x._1)).map { case (vid, _) =>
         val adist = (0 until Similarity.PqSub)
           .map(m => dt(m)(codes(vid)(m))).reduce(_ + _)
@@ -207,6 +214,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === want)
     // the cell prune is real: candidates shrink vs the full-corpus scan
     assert(got.size <= adcReference(vecs, 5, (_, _) => true).size)
+  }
+
+  test("residual IVFPQ equals the reference with v - centroid[cell] encoding") {
+    val vecs = loadVecs
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    def residual(id: Long, v: IndexedSeq[Float]): IndexedSeq[Double] =
+      v.indices.map(i =>
+        v(i).toDouble - Similarity.centroidComponent(cells(id), i))
+    val want = adcReference(vecs, 5, (q, v) => cells(q) == cells(v), residual)
+      .sortBy(x => (x._1, x._3))
+    val got = Similarity.ivfPqResidual(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
   }
 
   test("pq scan is code-only: one shuffle (final ranking window)") {
