@@ -260,6 +260,8 @@ object SparkEntry {
     "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
     "ann_ivfpq"       -> ((s, d) => Similarity.ivfPq(s, d)),
     "ann_ivfpq_res"   -> ((s, d) => Similarity.ivfPqResidual(s, d)),
+    // rows-only: per-subspace k-means is not SQL-expressible
+    "ann_pq_trained"  -> ((s, d) => Similarity.pqTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),

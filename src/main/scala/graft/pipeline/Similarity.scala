@@ -342,11 +342,14 @@ object Similarity {
   /** Per-subspace distances of the m-th sub-vector to all 16 codebook
     * entries, as one array column (quantized kernel — both the encoder's
     * argmin and the query's distance table read from this). `vec` is
-    * the raw embedding for plain PQ, the residual for IVFPQ-residual.
+    * the raw embedding for plain PQ, the residual for IVFPQ-residual;
+    * `cb` supplies the codebook entry (formula by default, trained
+    * literals for the k-means path).
     */
-  private def subDists(m: Int, vec: Column = col("embedding")): Column =
+  private def subDists(m: Int, vec: Column = col("embedding"),
+                       cb: (Int, Int) => Column = pqCodebook): Column =
     array((0 until PqCodes).map(kc =>
-      graft.functions.VectorOps.sqDist(subVec(vec, m), pqCodebook(m, kc))): _*)
+      graft.functions.VectorOps.sqDist(subVec(vec, m), cb(m, kc))): _*)
 
   /** PQ-ADC search: every vector is ENCODED once (8 argmin codes —
     * map-only), each query precomputes an 8×16 distance table, and the
@@ -359,15 +362,17 @@ object Similarity {
     * ties → vec_id.
     */
   /** encode: code_m = argmin over the 16 codebook entries (ties → lower) */
-  private def pqCodeCols(vec: Column = col("embedding")): Seq[Column] =
+  private def pqCodeCols(vec: Column = col("embedding"),
+                         cb: (Int, Int) => Column = pqCodebook): Seq[Column] =
     (0 until PqSub).map { m =>
-      val d = subDists(m, vec)
+      val d = subDists(m, vec, cb)
       array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
     }
 
   /** query-side distance tables, one 16-entry array per subspace */
-  private def pqTableCols(vec: Column = col("embedding")): Seq[Column] =
-    (0 until PqSub).map(m => subDists(m, vec).as(s"dt$m"))
+  private def pqTableCols(vec: Column = col("embedding"),
+                          cb: (Int, Int) => Column = pqCodebook): Seq[Column] =
+    (0 until PqSub).map(m => subDists(m, vec, cb).as(s"dt$m"))
 
   /** ADC: Σₘ dtable_m[code_m] — 8 lookups per candidate pair */
   private def pqAdc: Column =
@@ -410,6 +415,102 @@ object Similarity {
       .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols(): _*)
     val pairs = broadcast(q)
       .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
+  /** Per-subspace k-means PQ codebooks — the trained counterpart of
+    * the formula codebook (the same upgrade [[trainCentroids]] is to
+    * the formula IVF centroids). Deterministic end to end: init for
+    * subspace m = the sub-vectors of the PqCodes lowest vec_ids,
+    * assignment ties → lower code, per-dim means from DECIMAL sums.
+    * ALL subspaces train in the SAME jobs: each iteration is one
+    * union-of-subspaces assignment + one groupBy((m, code, pos))
+    * shuffle of N·dim rows; the driver only ever holds
+    * PqSub·PqCodes·PqSubDim doubles.
+    */
+  def trainPqCodebooks(s: SparkSession, dir: String,
+                       iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val emb = Tables.embeddings(s, dir)
+    val seed = Tables.embeddings(s, dir).orderBy("vec_id").limit(PqCodes).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq)
+    require(seed.length == PqCodes, s"need >= $PqCodes vectors to seed")
+    var cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      IndexedSeq.tabulate(PqSub)(m => seed.toIndexedSeq.map(v =>
+        (0 until PqSubDim).map(j => v(m * PqSubDim + j).toDouble)))
+    (1 to iters).foreach { _ =>
+      val legs = (0 until PqSub).map { m =>
+        val cb: (Int, Int) => Column = (mm, kc) => litVector(cbs(mm)(kc))
+        val d = subDists(m, col("embedding"), cb)
+        emb.select(lit(m).as("m"),
+          array_position(d, array_min(d)).cast("int").minus(1).as("code"),
+          posexplode(subVec(col("embedding"), m)).as(Seq("pos", "v")))
+      }
+      val sums = legs.reduce(_ unionAll _)
+        .groupBy("m", "code", "pos")
+        .agg(sum(col("v").cast("decimal(30,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect() // PqSub·PqCodes·PqSubDim rows — codebook-sized
+      val byKey = sums.map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
+        r.getAs[Int]("pos")) -> (r.getAs[Double]("s"), r.getAs[Long]("n"))).toMap
+      cbs = IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(PqCodes)(kc =>
+        IndexedSeq.tabulate(PqSubDim) { j =>
+          byKey.get((m, kc, j)) match {
+            case Some((sv, n)) => sv / n
+            case None => cbs(m)(kc)(j) // empty code keeps its entry
+          }
+        }))
+    }
+    cbs
+  }
+
+  private def pqCodebookPath(s: SparkSession, dir: String, iters: Int): String = {
+    val root = graft.sources.ChunkStore.storeRoot(s)
+    s"$root/pq_codebooks_${graft.sources.ChunkStore.pathTag(dir)}_k${PqCodes}_i$iters"
+  }
+
+  private val trainedPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+
+  private[graft] def clearTrainedPqMemo(): Unit = trainedPqMemo.clear()
+
+  /** Write-once trained PQ codebooks (the trainedCentroids pattern):
+    * first call trains and persists (m, code, centroid) as parquet;
+    * later calls — fresh JVMs included — read the store and plan no
+    * training jobs.
+    */
+  def trainedPqCodebooks(s: SparkSession, dir: String,
+                         iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    trainedPqMemo.computeIfAbsent(pqCodebookPath(s, dir, iters), { path =>
+      val success = new java.io.File(path, "_SUCCESS")
+      if (!success.isFile) {
+        val cbs = trainPqCodebooks(s, dir, iters)
+        import s.implicits._
+        (for { m <- cbs.indices; kc <- cbs(m).indices }
+          yield (m, kc, cbs(m)(kc).toArray))
+          .toDF("m", "code", "centroid")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+      val rows = s.read.parquet(path).collect()
+        .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+          r.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq).toMap
+      IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(PqCodes)(kc => rows((m, kc))))
+    })
+
+  /** PQ-ADC search over TRAINED codebooks (rows-only — k-means is not
+    * SQL-expressible; the spec asserts determinism, write-once reuse,
+    * and that training lowers quantization error vs the formula book).
+    */
+  def pqTrained(s: SparkSession, dir: String, k: Int = 10,
+                iters: Int = 3): DataFrame = {
+    val cbs = trainedPqCodebooks(s, dir, iters)
+    val cb: (Int, Int) => Column = (m, kc) => litVector(cbs(m)(kc))
+    val emb = Tables.embeddings(s, dir)
+    val codes = emb.select(col("vec_id") +: pqCodeCols(col("embedding"), cb): _*)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: pqTableCols(col("embedding"), cb): _*)
+    val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
     pqRank(pairs, k)
   }

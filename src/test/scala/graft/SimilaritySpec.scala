@@ -216,6 +216,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size <= adcReference(vecs, 5, (_, _) => true).size)
   }
 
+  test("trained PQ codebooks persist write-once and cut quantization error") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    spark.conf.set("spark.graft.store.root", tmp)
+    try {
+      val cb1 = Similarity.trainedPqCodebooks(spark, sf, iters = 2)
+      assert(cb1.length === Similarity.PqSub)
+      assert(cb1.forall(_.length === Similarity.PqCodes))
+      // same-JVM reuse returns the identical object; fresh-JVM path
+      // (memo cleared) reads the store without retraining
+      assert(Similarity.trainedPqCodebooks(spark, sf, iters = 2) eq cb1)
+      Similarity.clearTrainedPqMemo()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val cb2 = Similarity.trainedPqCodebooks(spark, sf, iters = 2)
+        Thread.sleep(1000)
+        assert(cb2 === cb1, "read-back codebooks must equal the trained ones")
+        assert(jobs.get() <= 2,
+          s"store reuse must not retrain: ${jobs.get()} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // trained codebooks fit the data better than the formula book:
+      // mean assignment distance (sum over subspaces of the min code
+      // distance) must drop
+      val vecs = loadVecs
+      def assignErr(cb: (Int, Int) => IndexedSeq[Double]): Double =
+        vecs.map { case (_, v) =>
+          (0 until Similarity.PqSub).map { m =>
+            val sub = (0 until Similarity.PqSubDim)
+              .map(j => v(m * Similarity.PqSubDim + j).toDouble)
+            (0 until Similarity.PqCodes).map(kc => qSqDist(sub, cb(m, kc))).min
+          }.sum
+        }.sum / vecs.size
+      val trainedErr = assignErr((m, kc) => cb1(m)(kc))
+      val formulaErr = assignErr(pqCb)
+      assert(trainedErr < formulaErr,
+        s"trained $trainedErr should beat formula $formulaErr")
+      // the searcher works off the persisted book
+      assert(Similarity.pqTrained(spark, sf, iters = 2).count() > 0)
+    } finally {
+      spark.conf.unset("spark.graft.store.root")
+      Similarity.clearTrainedPqMemo()
+    }
+  }
+
   test("residual IVFPQ equals the reference with v - centroid[cell] encoding") {
     val vecs = loadVecs
     val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
