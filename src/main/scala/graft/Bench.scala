@@ -84,8 +84,8 @@ object Bench {
     // collapsed-contents dedup store otherwise build inside the first
     // timed rep of whichever query touches them.
     Seq("q_chunk_meta", "q_bucketed_join", "ann_ivf_trained",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "mm_decode",
-        "q_zorder_scan").foreach { n =>
+        "ann_pq_trained", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "mm_decode", "q_zorder_scan").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run

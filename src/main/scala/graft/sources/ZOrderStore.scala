@@ -48,11 +48,21 @@ object ZOrderStore {
     */
   def gridCoord(name: String, lo: Long, hi: Long): Column = {
     val span = math.max(1L, hi - lo)
-    // +1 unconditionally: span div (span/2¹⁶ + 1) <= 65535 for every
-    // span (an exact-multiple span would otherwise map its maximum to
-    // 65536, whose bit 16 the 16-bit interleave silently drops)
-    val chunk = span / 65536L + 1L
-    expr(s"($name - ${lo}L) div ${chunk}L")
+    if (span <= 65535L) {
+      // small span: SCALE UP so the coordinate fills the high grid
+      // bits too — (v − lo) alone would leave them constant and the
+      // interleave would cluster on the other dimension only (a
+      // ~200-value user_id column must still split files). factor =
+      // ⌊65535/span⌋ keeps max = span·factor <= 65535, product < 2³².
+      expr(s"($name - ${lo}L) * ${65535L / span}L")
+    } else {
+      // large span: chunked floor division. +1 unconditionally:
+      // span div (span/2¹⁶ + 1) <= 65535 for every span (an
+      // exact-multiple span would otherwise map its maximum to 65536,
+      // whose bit 16 the 16-bit interleave silently drops)
+      val chunk = span / 65536L + 1L
+      expr(s"($name - ${lo}L) div ${chunk}L")
+    }
   }
 
   private def zPath(s: SparkSession, dir: String) =
@@ -67,6 +77,26 @@ object ZOrderStore {
     * cluster scale, file-footer stats); `numFiles <= 0` sizes
     * partitions from input bytes.
     */
+  /** Z-order and write ANY events-shaped frame (columns incl. user_id
+    * and a µs-long `us`): the core the store build and the
+    * ingest-compaction pass share. `parts` <= 0 lets the caller size
+    * partitions from input bytes beforehand.
+    */
+  def writeZOrdered(frame: DataFrame, path: String, parts: Int): Unit = {
+    val b = frame.agg(min("user_id"), max("user_id"), min("us"), max("us"))
+      .head()
+    val (uLo, uHi, tLo, tHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val z = interleave(
+      gridCoord("user_id", uLo, uHi),
+      gridCoord("us", tLo, tHi)).as("zv")
+    frame.withColumn("zv", z)
+      .repartitionByRange(math.max(1, parts), col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def ensureWritten(s: SparkSession, dir: String, numFiles: Int = 0): String =
     written.computeIfAbsent(s"${zPath(s, dir)}#$numFiles", { _ =>
       val path = if (numFiles <= 0) zPath(s, dir) else s"${zPath(s, dir)}_n$numFiles"
@@ -74,24 +104,32 @@ object ZOrderStore {
         val ev = Tables.events(s, dir).select(
           col("event_id"), col("user_id"), col("event_type"), col("value"),
           unix_micros(col("ts")).as("us"))
-        val b = ev.agg(min("user_id"), max("user_id"), min("us"), max("us"))
-          .head()
-        val (uLo, uHi, tLo, tHi) =
-          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-        val z = interleave(
-          gridCoord("user_id", uLo, uHi),
-          gridCoord("us", tLo, tHi)).as("zv")
         val parts =
           if (numFiles > 0) numFiles
           else ChunkStore.targetPartitions(s, s"$dir/events.parquet")
-        ev.withColumn("zv", z)
-          .repartitionByRange(parts, col("zv"))
-          .sortWithinPartitions("zv")
-          .drop("zv")
-          .write.mode(SaveMode.Overwrite).parquet(path)
+        writeZOrdered(ev, path, parts)
       }
       path
     })
+
+  /** Compaction pass over a STREAMING INGEST sink (sources/Ingest's
+    * date-partitioned layout): re-cluster the accumulated small files
+    * into one Morton-ordered store — the lakehouse OPTIMIZE ZORDER
+    * step, run as a batch job behind the live writer exactly like the
+    * reference's part-file compactor runs behind its ingest
+    * (db/writer.go Compact). Returns the store path.
+    */
+  def compactIngested(s: SparkSession, ingestedDir: String, outPath: String,
+                      numFiles: Int = 0): String = {
+    val ev = s.read.parquet(ingestedDir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+    val parts =
+      if (numFiles > 0) numFiles
+      else ChunkStore.targetPartitions(s, ingestedDir)
+    writeZOrdered(ev, outPath, parts)
+    outPath
+  }
 
   /** 2-D point/range scan over the z-ordered store: both predicates
     * reach the parquet scan, and the layout makes BOTH prune files.

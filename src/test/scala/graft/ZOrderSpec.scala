@@ -18,7 +18,12 @@ class ZOrderSpec extends AnyFunSuite {
   }
 
   test("z-ordered files form compact boxes: BOTH dimensions prune") {
+    // force a FRESH build: the write-once store on disk may predate a
+    // gridCoord change, and this test asserts the CURRENT layout
     ZOrderStore.clearMemo()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"${graft.sources.ChunkStore.storeRoot(spark)}/zorder_" +
+        graft.sources.ChunkStore.pathTag(sf) + "_n16"))
     val path = ZOrderStore.ensureWritten(spark, sf, numFiles = 16)
     val boxes = ZOrderStore.fileBoxes(path, "user_id", "us")
     assert(boxes.size >= 8, s"want many files, got ${boxes.size}")
@@ -51,6 +56,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("ingest-sink compaction re-clusters streamed files into 2-D boxes") {
+    val base = "/root/repo/target/tmp/zcompact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$base/in/events.parquet"))
+    // live leg: the streaming ingest writes the date-partitioned sink
+    graft.streaming.Ingest.runOnce(spark, s"$base/in", s"$base/sink", s"$base/cp")
+    // compaction leg: one Morton-ordered store behind the writer
+    val zpath = ZOrderStore.compactIngested(spark, s"$base/sink",
+      s"$base/zstore", numFiles = 16)
+    // nothing lost, nothing invented
+    val got = spark.read.parquet(zpath)
+      .select("event_id", "user_id", "event_type", "value")
+    val want = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // and the compacted layout prunes on both axes, like the store
+    val boxes = ZOrderStore.fileBoxes(zpath, "user_id", "us")
+    assert(boxes.size >= 8)
+    val (usLo, usHi) = (1704153600000000L, 1704240000000000L)
+    val hitUid = boxes.count(b => b._1._1 <= 19L && b._1._2 >= 10L)
+    val hitUs = boxes.count(b => b._2._1 <= usHi && b._2._2 >= usLo)
+    assert(hitUid < boxes.size && hitUs < boxes.size,
+      s"both dims must prune: uid $hitUid / us $hitUs of ${boxes.size}")
   }
 
   test("both scan predicates reach the parquet scan (PushedFilters)") {
