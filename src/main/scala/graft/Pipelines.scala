@@ -284,14 +284,16 @@ object Pipelines {
          |${hits(annSql("ann_ivf"), "h_ivf")},
          |${hits(annSql("ann_ivf_nprobe2"), "h_ivf2")},
          |${hits(pq5, "h_pq")},
-         |${hits(annSql("ann_ivfpq"), "h_ivfpq")}
+         |${hits(annSql("ann_ivfpq"), "h_ivfpq")},
+         |${hits(annSql("ann_ivfpq_res"), "h_ivfpqr")}
          |SELECT method, qid, n_truth, n_hits,
          |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
          |FROM (${leg("ann_lsh", "h_lsh")}
          |UNION ALL ${leg("ann_ivf", "h_ivf")}
          |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
          |UNION ALL ${leg("ann_pq", "h_pq")}
-         |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")})""".stripMargin
+         |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")}
+         |UNION ALL ${leg("ann_ivfpq_res", "h_ivfpqr")})""".stripMargin
     },
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_pq" -> annSql("ann_pq"),

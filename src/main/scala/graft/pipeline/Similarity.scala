@@ -575,6 +575,7 @@ object Similarity {
       .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
       .unionAll(leg("ann_pq", pq(s, dir).filter(col("rnk") <= k)))
       .unionAll(leg("ann_ivfpq", ivfPq(s, dir)))
+      .unionAll(leg("ann_ivfpq_res", ivfPqResidual(s, dir)))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }

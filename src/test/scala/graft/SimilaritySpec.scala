@@ -291,10 +291,11 @@ class SimilaritySpec extends AnyFunSuite {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 5 methods x 5 queries, every query present for every method
-    assert(r.length === 25)
+    // 6 methods x 5 queries, every query present for every method
+    assert(r.length === 30)
     assert(r.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivfpq", "ann_lsh", "ann_pq"))
+      Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivfpq", "ann_ivfpq_res",
+        "ann_lsh", "ann_pq"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
