@@ -299,6 +299,7 @@ object Pipelines {
     "ann_pq" -> annSql("ann_pq"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
+    "ann_ivfpq_probe2" -> annSql("ann_ivfpq_probe2"),
     "ann_lsh" -> annSql("ann_lsh"),
     "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
     "ann_ivf" -> annSql("ann_ivf"),
@@ -356,6 +357,43 @@ object Pipelines {
        |q AS (SELECT vec_id AS qid, cell AS qc,
        |${(0 until Similarity.PqSub).map(m => s"  d$m AS dt$m").mkString(",\n")}
        |FROM dl WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id, ($pqAdcSql) AS adist
+       |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Residual IVFPQ with nprobe=2: the q side carries one residual
+    * distance-table row PER PROBED CELL (rn <= 2), the data side its
+    * own-cell residual codes (rn = 1); both reuse pqSubDistRes, whose
+    * `cell` column is whichever cell the row carries.
+    */
+  private lazy val ivfPqProbeSql: String = {
+    s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |  FROM dists),
+       |dldata AS (SELECT vec_id, k AS cell, embedding FROM ranked WHERE rn = 1),
+       |dldata2 AS (SELECT vec_id, cell,
+       |${(0 until Similarity.PqSub).map(m => s"  ${pqSubDistRes(m)} AS d$m").mkString(",\n")}
+       |FROM dldata),
+       |data AS (SELECT vec_id, cell,
+       |$pqCodeColsSql
+       |FROM dldata2),
+       |dlq AS (SELECT vec_id AS qid, k AS cell, embedding
+       |        FROM ranked WHERE rn <= 2 AND vec_id < 5),
+       |dlq2 AS (SELECT qid, cell,
+       |${(0 until Similarity.PqSub).map(m => s"  ${pqSubDistRes(m)} AS d$m").mkString(",\n")}
+       |FROM dlq),
+       |q AS (SELECT qid, cell AS qc,
+       |${(0 until Similarity.PqSub).map(m => s"  d$m AS dt$m").mkString(",\n")}
+       |FROM dlq2),
        |pairs AS (
        |  SELECT q.qid, d.vec_id, ($pqAdcSql) AS adist
        |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
@@ -436,6 +474,7 @@ object Pipelines {
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_res" -> ivfPqResSql,
+    "ann_ivfpq_probe2" -> ivfPqProbeSql,
     "ann_bruteforce" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5),

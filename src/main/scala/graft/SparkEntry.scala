@@ -260,6 +260,7 @@ object SparkEntry {
     "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
     "ann_ivfpq"       -> ((s, d) => Similarity.ivfPq(s, d)),
     "ann_ivfpq_res"   -> ((s, d) => Similarity.ivfPqResidual(s, d)),
+    "ann_ivfpq_probe2" -> ((s, d) => Similarity.ivfPqProbe(s, d)),
     // rows-only: per-subspace k-means is not SQL-expressible
     "ann_pq_trained"  -> ((s, d) => Similarity.pqTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),

@@ -549,6 +549,45 @@ object Similarity {
     pqRank(pairs, k)
   }
 
+  /** Residual IVFPQ with nprobe > 1 — the recall knob: each query
+    * probes its `nprobe` nearest cells, and builds a SEPARATE residual
+    * distance table per probed cell (ADC stays cell-consistent:
+    * (q − c) − (v − c) = q − v for the shared c, so scores from
+    * different probed cells approximate the same ‖q − v‖ and rank
+    * together). Candidates appear once each (a vector lives in exactly
+    * one cell). Cell selection runs through TopKPerKey, like
+    * [[ivfProbe2]].
+    */
+  def ivfPqProbe(s: SparkSession, dir: String,
+                 numCells: Int = NumCells, nprobe: Int = 2,
+                 k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = formulaCentroids(numCells)
+    val cb = cents.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      .toDF("cb_cell", "centroid")
+    def withResidual(df: DataFrame): DataFrame =
+      df.join(broadcast(cb), col("cell") === col("cb_cell"))
+        .withColumn("residual",
+          expr("zip_with(embedding, centroid, (a, b) -> a - b)"))
+        .drop("cb_cell", "centroid")
+    val cd = cellDists(s, dir, numCells)
+    val data = withResidual(
+      graft.plans.TopK.perKey(cd, Seq(col("vec_id")),
+        Seq(col("dist"), col("cell")), 1)
+        .select("vec_id", "embedding", "cell"))
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(col("residual")): _*)
+    val q = withResidual(
+      graft.plans.TopK.perKey(cd.filter(col("vec_id") < 5), Seq(col("vec_id")),
+        Seq(col("dist"), col("cell")), nprobe)
+        .select("vec_id", "embedding", "cell"))
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +:
+        pqTableCols(col("residual")): _*)
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
   /** Measured recall@k of each ANN structure against the exact
     * brute-force top-k — per (method, query): |approx ∩ truth| / k.
     * Recall is DATA (a deterministic function of the index structure

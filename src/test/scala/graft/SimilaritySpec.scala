@@ -265,6 +265,53 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe=2 residual IVFPQ: per-probed-cell tables equal the reference") {
+    val vecs = loadVecs
+    def cellsRanked(v: IndexedSeq[Float]): IndexedSeq[Int] = {
+      val ds = (0 until Similarity.NumCells).map { k =>
+        qSqDist(v.map(_.toDouble),
+          IndexedSeq.tabulate(Similarity.Dim)(i => Similarity.centroidComponent(k, i)))
+      }
+      (0 until Similarity.NumCells).sortBy(k => (ds(k), k)).toIndexedSeq
+    }
+    def residual(v: IndexedSeq[Float], cell: Int): IndexedSeq[Double] =
+      v.indices.map(i => v(i).toDouble - Similarity.centroidComponent(cell, i))
+    val ownCell = vecs.map { case (id, v) => id -> cellsRanked(v).head }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> pqEncodeD(residual(v, ownCell(id))) }.toMap
+    val want = vecs.take(5).flatMap { case (qid, qv) =>
+      val probed = cellsRanked(qv).take(2).toSet
+      // one distance table per probed cell, from q's residual THERE
+      val dt = probed.map(c => c ->
+        (0 until Similarity.PqSub).map(m => pqDistsD(residual(qv, c), m))).toMap
+      vecs.filter(x => x._1 != qid && probed.contains(ownCell(x._1)))
+        .map { case (vid, _) =>
+          val t = dt(ownCell(vid))
+          val adist = (0 until Similarity.PqSub)
+            .map(m => t(m)(codes(vid)(m))).reduce(_ + _)
+          (qid, vid, adist)
+        }.sortBy { case (_, vid, d) => (d, vid) }
+        .take(5).zipWithIndex
+        .map { case ((q, vid, d), i) => (q, vid, i + 1, d) }
+    }.toSeq.sortBy(x => (x._1, x._3))
+    val got = Similarity.ivfPqProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
+    // widening the probe can only widen the candidate set
+    val got1 = Similarity.ivfPqResidual(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand2 = vecs.take(5).flatMap { case (qid, qv) =>
+      val probed = cellsRanked(qv).take(2).toSet
+      vecs.filter(x => x._1 != qid && probed.contains(ownCell(x._1)))
+        .map(x => (qid, x._1))
+    }.toSet
+    got1.foreach { case (qid, vid) =>
+      // every nprobe=1 RESULT row was an nprobe=2 candidate
+      assert(cand2.contains((qid, vid)), s"($qid, $vid)")
+    }
+  }
+
   test("residual IVFPQ equals the reference with v - centroid[cell] encoding") {
     val vecs = loadVecs
     val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
