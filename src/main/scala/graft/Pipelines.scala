@@ -713,9 +713,50 @@ object Pipelines {
        |       END AS mean_logprob
        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** Batch BM25 mirror: the query table as a generated UNION CTE, tf/df
+    * from the unnested token join, legs quantized to decimal(28,12)
+    * and summed exactly (order-independent — matches the Spark side's
+    * decimal groupBy sum), top-10 per query.
+    */
+  private lazy val bm25BatchSql: String = {
+    import graft.pipeline.Retrieval.{B, DefaultQueryTable, K1}
+    val qtRows = DefaultQueryTable.flatMap { case (qid, ts) =>
+      ts.map(t => s"SELECT CAST($qid AS BIGINT) AS qid, '$t' AS term")
+    }.mkString("\n  UNION ALL ")
+    val avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val idf =
+      s"round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+        s" / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 12)"
+    val leg = s"$idf * (CAST(tf AS DOUBLE) * (CAST($K1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))" +
+      s" / (CAST(tf AS DOUBLE) + CAST($K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)" +
+      s" - CAST($B AS DOUBLE) + CAST($B AS DOUBLE) * CAST(dl AS DOUBLE) / $avgdl))"
+    s"""WITH qt AS (
+       |  $qtRows),
+       |d AS (SELECT doc_id, CAST(len($words) AS BIGINT) AS dl, $words AS w
+       |      FROM documents),
+       |toks AS (SELECT doc_id, dl, unnest(w) AS w FROM d),
+       |tf AS (SELECT qid, term, doc_id, MAX(dl) AS dl,
+       |         CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks JOIN qt ON w = term GROUP BY 1, 2, 3),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+       |       FROM d),
+       |dft AS (SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1, 2),
+       |legs AS (SELECT tf.qid, tf.doc_id,
+       |           CAST($leg AS DECIMAL(28,12)) AS leg
+       |         FROM tf JOIN dft USING (qid, term), st),
+       |sc AS (SELECT qid, doc_id, round(CAST(SUM(leg) AS DOUBLE), 9) AS score
+       |       FROM legs GROUP BY 1, 2)
+       |SELECT qid, doc_id, CAST(rnk AS INTEGER) AS rnk, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
   private val lmRetrieval: Map[String, String] = Map(
     "doc_lm_score" -> lmScoreSql,
     "doc_bm25" -> bm25Sql,
+    "doc_bm25_batch" -> bm25BatchSql,
     // the curation verdict: the per-signal entries' own SQL composed by
     // doc_id equi-joins, thresholds from the same Curation constants
     // the Spark side defaults to (CAST AS DOUBLE: a bare 0.3 is a

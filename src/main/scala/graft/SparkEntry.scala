@@ -282,6 +282,7 @@ object SparkEntry {
     "doc_stratified"    -> ((s, d) => graft.pipeline.Curation.stratifiedSample(s, d)),
     "doc_filter"        -> ((s, d) => graft.pipeline.Curation.filterVerdict(s, d)),
     "doc_bm25"          -> ((s, d) => graft.pipeline.Retrieval.bm25(s, d)),
+    "doc_bm25_batch"    -> ((s, d) => graft.pipeline.Retrieval.bm25Batch(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

@@ -31,6 +31,12 @@ object Retrieval {
   val DefaultTerms: Seq[String] = Seq("dup", "spark", "merge")
   val DefaultK = 20
 
+  /** The batch (multi-query) surface's default query table. */
+  val DefaultQueryTable: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "spark"),
+    1L -> Seq("merge", "customer", "the"),
+    2L -> Seq("vector"))
+
   private def tfCol(term: String): Column =
     expr(s"size(filter(split(text, ' '), w -> w = '$term'))").cast("long")
 
@@ -70,5 +76,54 @@ object Retrieval {
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Batch BM25 — queries as DATA (the retrieval-service shape): a
+    * query table (qid, term) broadcasts into the token stream, so only
+    * matching occurrences survive the first join; tf/df reduce by
+    * partial-agg groupBys keyed (qid, doc, term); the per-document
+    * score sums the term legs IN DECIMAL (a groupBy sum of doubles is
+    * order-sensitive — the fixed-term entry can sum in expression
+    * order, a data-driven term set cannot); top-k per query runs
+    * through the TopKPerKey operator (pruned shuffle, not a global
+    * window sort). Shuffle volume is bounded by matching occurrences —
+    * at 100 TB the non-matching tokens (almost all of them) never
+    * leave the scan stage.
+    */
+  def bm25Batch(s: SparkSession, dir: String,
+                queries: Seq[(Long, Seq[String])] = DefaultQueryTable,
+                k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) &&
+      queries.flatMap(_._2).forall(_.matches("[A-Za-z0-9_]+")),
+      "queries must be non-empty plain-word term lists")
+    import s.implicits._
+    val qt = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+    val toks = d.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+    val tf = toks.join(broadcast(qt), col("w") === col("term"))
+      .groupBy("qid", "term", "doc_id")
+      .agg(max("dl").as("dl"), count(lit(1)).as("tf"))
+    val st = d.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val dft = tf.groupBy("qid", "term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = round(
+      log((col("n").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 12)
+    val tfd = col("tf").cast("double")
+    val leg = idf * (tfd * (lit(K1) + lit(1.0))) /
+      (tfd + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / avgdl))
+    val scores = tf
+      .join(broadcast(dft), Seq("qid", "term"))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("doc_id"), leg.cast("decimal(28,12)").as("leg"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("leg").cast("double"), 9).as("score"))
+    graft.plans.TopK.perKey(scores, Seq(col("qid")),
+      Seq(col("score").desc, col("doc_id")), k)
+      .select("qid", "doc_id", "rnk", "score")
   }
 }

@@ -56,6 +56,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(shuffles === 0, s"expected shuffle-free plan, got:\n$plan")
   }
 
+  test("bm25Batch equals a driver-side reference over the query table") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), wordsOf(r.getString(1))))
+    val n = docs.length.toDouble
+    val sdl = docs.map(_._2.length.toLong).sum.toDouble
+    val avgdl = sdl / n
+    val want = Retrieval.DefaultQueryTable.flatMap { case (qid, terms) =>
+      val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+      docs.flatMap { case (id, ws) =>
+        val legs = terms.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0L) None
+          else {
+            val idf = BigDecimal(math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val leg = idf * (tf.toDouble * (Retrieval.K1 + 1.0)) /
+              (tf.toDouble + Retrieval.K1 *
+                (1.0 - Retrieval.B + Retrieval.B * ws.length / avgdl))
+            Some(BigDecimal(leg).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (legs.isEmpty) None
+        else Some((id, BigDecimal(legs.sum.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.sortBy { case (id, sc) => (-sc, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, sc), i) => (qid, id, i + 1, sc) }
+    }.sortBy(x => (x._1, x._3))
+    val got = Retrieval.bm25Batch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
+  }
+
+  test("bm25Batch plan: broadcast query table, TopKPerKey, no Window sort") {
+    val plan = SparkFixture.planOf(Retrieval.bm25Batch(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "query table must broadcast")
+    assert(plan.contains("TopKPerKey"), "per-query top-k must be the pruned operator")
+    assert(!plan.contains("Window"), s"no global window sort expected:\n$plan")
+  }
+
   test("lmScore equals a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), wordsOf(r.getString(1))))
