@@ -52,23 +52,49 @@ object CurationStream {
         col("score") >= minQuality && col("dup_word_frac") <= maxDupWordFrac)
   }
 
+  /** One emitted (kept) document row. */
+  case class KeptDoc(doc_id: Long, text: String, lang: String, source: String,
+                     content_hash: String, score: Double, dup_word_frac: Double)
+
   /** One AvailableNow pass: inDir (documents parquet files) → outDir,
-    * first-arrival exact dedup + inline quality filter. Kept rows only.
+    * exact dedup + inline quality filter. Kept rows only.
+    *
+    * DETERMINISTIC keep rule — the batch keep-first policy, not
+    * arrival order: per content hash, the lowest doc_id WITHIN the
+    * micro-batch wins and later batches are suppressed by one boolean
+    * of state per distinct content (dropDuplicates would keep an
+    * arbitrary first-seen partition's row). On a backlog run (one
+    * batch) this is exactly dedup_exact's min-doc_id survivor, so the
+    * spec can assert DOC-level equality with the batch pipeline, not
+    * just content-level.
     */
   def runOnce(s: SparkSession, inDir: String, outDir: String,
               checkpoint: String,
               minQuality: Double = graft.pipeline.Curation.DefaultMinQuality,
               maxDupWordFrac: Double = graft.pipeline.Curation.DefaultMaxDupWordFrac): Unit = {
+    import s.implicits._
     // text stays in the sink: the documented contract is that the
     // corpus-global batch passes (LM score, near-dup, contamination)
     // run over these files — they all read the text column
-    val stream = verdictCols(
+    val verdicted = verdictCols(
       s.readStream.schema(docSchema).parquet(inDir),
       minQuality, maxDupWordFrac)
-      .dropDuplicates("content_hash")
       .filter(col("keep"))
       .select("doc_id", "text", "lang", "source",
         "content_hash", "score", "dup_word_frac")
+      .as[KeptDoc]
+    val stream = verdicted
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, KeptDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty // content already kept
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
     val q = stream.writeStream
       .format("parquet")
       .option("path", outDir)

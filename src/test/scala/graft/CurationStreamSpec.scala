@@ -16,7 +16,7 @@ class CurationStreamSpec extends AnyFunSuite {
     (in, out, cp)
   }
 
-  test("streaming curation equals batch at the content level") {
+  test("streaming curation equals the batch pipeline doc-for-doc on a backlog") {
     val (in, out, cp) = freshDirs("backlog")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
       Paths.get(s"$in/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -25,16 +25,21 @@ class CurationStreamSpec extends AnyFunSuite {
     // exactly one row per kept DISTINCT content
     assert(got.groupBy("content_hash").count()
       .filter(col("count") > 1).count() === 0)
-    // the kept content set equals the batch verdict joined to the batch
-    // exact-dedup content set (keep rules restricted to the streamable
-    // subset: quality floor + duplicate-word cap)
+    // DOC-level equality with the batch pipeline: the deterministic
+    // keep rule (min doc_id per content) makes the backlog run equal
+    // the batch exact-dedup survivor set under the same quality rules
+    // (keep rules restricted to the streamable subset: quality floor +
+    // duplicate-word cap)
     val batch = graft.pipeline.Curation.filterVerdict(spark, sf)
       .filter(col("pass_quality") && col("pass_dup"))
       .join(Tables.documents(spark, sf), "doc_id")
-      .select(md5(col("text")).as("content_hash")).distinct()
-    val gotSet = got.select("content_hash").distinct()
-    assert(gotSet.exceptAll(batch).count() === 0, "stream kept a content batch drops")
-    assert(batch.exceptAll(gotSet).count() === 0, "stream dropped a content batch keeps")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+    val gotSet = got.select("content_hash", "doc_id")
+    assert(gotSet.exceptAll(batch.select("content_hash", "doc_id")).count() === 0,
+      "stream kept a (content, doc) the batch pipeline drops")
+    assert(batch.select("content_hash", "doc_id").exceptAll(gotSet).count() === 0,
+      "stream dropped a (content, doc) the batch pipeline keeps")
     // every written row carries a passing verdict
     assert(got.filter(col("score") <
       graft.pipeline.Curation.DefaultMinQuality).count() === 0)
