@@ -878,26 +878,36 @@ object OracleSql {
     // the oracle pins the default-knob configuration BY CONSTRUCTION
     // (a changed default changes both sides together)
     "q_asof_tolerance" ->
-      s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-         |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
-         |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
-         |       m.purchase_us, m.purchase_value
-         |FROM c JOIN LATERAL (
-         |  SELECT epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
-         |  FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
-         |    AND p.ts >= c.ts - INTERVAL ${graft.operators.Relational.DefaultToleranceSec} SECOND
-         |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) m ON TRUE""".stripMargin,
+      asofToleranceSql(graft.operators.Relational.DefaultToleranceSec),
+    // the same operators at a NON-default knob (15 min), so the oracle
+    // exercises the parameter plumbing, not just the default constants
+    "q_asof_tolerance_15m" -> asofToleranceSql(900L),
     "q_interval_join" ->
-      s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         |     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
-         |SELECT p.event_id AS purchase_id, p.user_id,
-         |       COUNT(*) AS n_clicks,
-         |       CAST(SUM(CAST(c.value AS DECIMAL(30,6))) AS DOUBLE) AS click_value_sum
-         |FROM p JOIN c ON c.user_id = p.user_id
-         |             AND c.ts >= p.ts
-         |             AND c.ts < p.ts + INTERVAL ${graft.operators.Relational.DefaultIntervalWidthSec} SECOND
-         |GROUP BY 1, 2""".stripMargin,
+      intervalJoinSql(graft.operators.Relational.DefaultIntervalWidthSec),
+    "q_interval_join_15m" -> intervalJoinSql(900L),
   )
+
+  private def asofToleranceSql(tolSec: Long): String =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       |     p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+       |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+       |       m.purchase_us, m.purchase_value
+       |FROM c JOIN LATERAL (
+       |  SELECT epoch_us(p.ts) AS purchase_us, p.value AS purchase_value
+       |  FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+       |    AND p.ts >= c.ts - INTERVAL $tolSec SECOND
+       |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) m ON TRUE""".stripMargin
+
+  private def intervalJoinSql(widthSec: Long): String =
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+       |SELECT p.event_id AS purchase_id, p.user_id,
+       |       COUNT(*) AS n_clicks,
+       |       CAST(SUM(CAST(c.value AS DECIMAL(30,6))) AS DOUBLE) AS click_value_sum
+       |FROM p JOIN c ON c.user_id = p.user_id
+       |             AND c.ts >= p.ts
+       |             AND c.ts < p.ts + INTERVAL $widthSec SECOND
+       |GROUP BY 1, 2""".stripMargin
 
   /** The chunk store (reference data model: one row per chunk, sorted by
     * mint/maxt/labels). Oracles recompute the metadata and round-trip

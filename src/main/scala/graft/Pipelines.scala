@@ -743,7 +743,7 @@ object Pipelines {
        |dft AS (SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS df
        |        FROM tf GROUP BY 1, 2),
        |legs AS (SELECT tf.qid, tf.doc_id,
-       |           CAST($leg AS DECIMAL(28,12)) AS leg
+       |           CAST(round($leg, 12) AS DECIMAL(28,12)) AS leg
        |         FROM tf JOIN dft USING (qid, term), st),
        |sc AS (SELECT qid, doc_id, round(CAST(SUM(leg) AS DOUBLE), 9) AS score
        |       FROM legs GROUP BY 1, 2)

@@ -225,7 +225,9 @@ object SparkEntry {
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     "q_asof_join"      -> (Relational.asofJoin _),
     "q_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
+    "q_asof_tolerance_15m" -> ((s, d) => Relational.asofTolerance(s, d, toleranceSec = 900L)),
     "q_interval_join"  -> ((s, d) => Relational.intervalJoin(s, d)),
+    "q_interval_join_15m" -> ((s, d) => Relational.intervalJoin(s, d, widthSec = 900L)),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),

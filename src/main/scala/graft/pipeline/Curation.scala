@@ -232,13 +232,18 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = d.withColumn("local_before",
       coalesce(sum("n_tokens").over(wLocal), lit(0L)))
-    val wShard = Window.orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // #shards rows total: the single-partition window is over a
-    // metadata-sized frame, and the result broadcasts
-    val prefix = d.groupBy("shard").agg(sum("n_tokens").as("shard_tokens"))
-      .withColumn("shard_before", coalesce(sum("shard_tokens").over(wShard), lit(0L)))
-      .select("shard", "shard_before")
+    // #shards rows total (corpus/shardSize — metadata-sized), so the
+    // shard prefix is computed on the driver: a collect of the shard
+    // totals + a running sum, instead of a single-partition WindowExec
+    // whose warning would mask a real global-window regression
+    import s.implicits._
+    val totals = d.groupBy("shard").agg(sum("n_tokens").as("shard_tokens"))
+      .collect() // bounded by #shards, never by corpus size
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefix = totals.toSeq
+      .map { case (sh, t) => val before = acc; acc += t; (sh, before) }
+      .toDF("shard", "shard_before")
     local.join(broadcast(prefix), "shard")
       .select(col("doc_id"), col("n_tokens"),
         (col("shard_before") + col("local_before")).as("off"))

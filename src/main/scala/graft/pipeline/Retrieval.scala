@@ -119,7 +119,8 @@ object Retrieval {
     val scores = tf
       .join(broadcast(dft), Seq("qid", "term"))
       .crossJoin(broadcast(st))
-      .select(col("qid"), col("doc_id"), leg.cast("decimal(28,12)").as("leg"))
+      .select(col("qid"), col("doc_id"),
+        round(leg, 12).cast("decimal(28,12)").as("leg"))
       .groupBy("qid", "doc_id")
       .agg(round(sum("leg").cast("double"), 9).as("score"))
     graft.plans.TopK.perKey(scores, Seq(col("qid")),

@@ -85,6 +85,8 @@ object ZOrderStore {
   def writeZOrdered(frame: DataFrame, path: String, parts: Int): Unit = {
     val b = frame.agg(min("user_id"), max("user_id"), min("us"), max("us"))
       .head()
+    require(!b.isNullAt(0),
+      s"writeZOrdered: input frame is empty — nothing to write to $path")
     val (uLo, uHi, tLo, tHi) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val z = interleave(

@@ -230,12 +230,17 @@ object PromqlStream {
     * (ExactNum.quantilePos): k-th smallest with
     * k = max(1, ceil(round(n·φ, 9))).
     */
-  private def foldQuantile(samples: Seq[RateSample], q: Double): Option[Double] = {
-    val sorted = samples.map(_.value).sorted
+  private[graft] def foldQuantile(samples: Seq[RateSample], q: Double): Option[Double] = {
+    // normalize -0.0 to 0.0 BEFORE sorting: Scala's total ordering puts
+    // -0.0 < 0.0, the batch evaluator's SQL comparisons don't — a window
+    // holding both must emit the same representative as batch
+    val sorted = samples.map(r => if (r.value == 0.0) 0.0 else r.value).sorted
     val pos = math.max(1L, math.ceil(
       java.math.BigDecimal.valueOf(sorted.length * q)
         .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue).toLong)
-    Some(sorted((pos - 1).toInt))
+    // φ > 1 puts pos past n; batch simply emits no row — mirror that
+    // instead of letting the index throw and kill the streaming query
+    if (pos > sorted.length) None else Some(sorted((pos - 1).toInt))
   }
 
   /** newest − oldest by (ts, event_id) — batch delta's max_by/min_by. */

@@ -94,6 +94,13 @@ class CurationSpec extends AnyFunSuite {
     val plan = Curation.packTokens(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       "shard prefix must broadcast, not shuffle")
+    // exactly one Window (the shard-partitioned local prefix): the shard
+    // prefix itself is a driver-side running sum over #shards rows, so no
+    // single-partition WindowExec — and no WindowExec warning — remains
+    val windows = "(?<!Running)Window(?!Function)".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected only the shard-local window, plan:\n$plan")
+    assert(!plan.contains("Window.partitionBy()"),
+      "no global (unpartitioned) window allowed in packTokens")
   }
 
   test("contamination matches a brute-force shingle-overlap recount") {

@@ -98,6 +98,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.exceptAll(full).count() === 0)
   }
 
+  test("asofTolerance at a non-default knob (15 min): tighter subset, bound honored") {
+    val df = Relational.asofTolerance(spark, sf, toleranceSec = 900L)
+    assert(df.count() > 0)
+    assert(df.filter(col("click_us") - col("purchase_us") > 900L * 1000000L)
+      .count() === 0)
+    // independent truth: "latest within 15 min" == the full as-of match
+    // kept only when it lands inside the window (latest is maximal)
+    val want = Relational.asofJoin(spark, sf)
+      .filter(col("purchase_us").isNotNull &&
+        col("click_us") - col("purchase_us") <= 900L * 1000000L)
+    assert(df.exceptAll(want).count() === 0)
+    assert(want.exceptAll(df).count() === 0)
+  }
+
+  test("intervalJoin at a non-default knob (15 min) equals the naive range join") {
+    val df = Relational.intervalJoin(spark, sf, widthSec = 900L)
+    val ev = Tables.events(spark, sf)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("value"))
+    val naive = purch.join(clicks,
+        col("user_id") === col("cu") && col("c_ts") >= col("p_ts") &&
+          col("c_ts") < col("p_ts") + expr("INTERVAL 15 MINUTE"))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("click_value_sum"))
+    assert(df.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(df).count() === 0)
+  }
+
   test("intervalJoin: banded equi-join equals the naive range join") {
     val df = Relational.intervalJoin(spark, sf)
     val ev = Tables.events(spark, sf)

@@ -192,6 +192,23 @@ class StreamPromqlSpec extends AnyFunSuite {
     assertBufferedEqualsBatch("changes(click[1d])", "changes", 86400L)
   }
 
+  test("foldQuantile: -0.0 normalizes to 0.0 and φ past the end emits no row") {
+    import PromqlStream.{RateSample, foldQuantile}
+    // -0.0 sorts BELOW 0.0 under Scala's total ordering, but SQL
+    // comparison (the batch evaluator) treats them as equal — the fold
+    // must never emit a -0.0 representative a batch groupBy would not
+    val mixed = Seq(RateSample(1L, 1L, -0.0), RateSample(2L, 2L, 0.0),
+      RateSample(3L, 3L, 1.0))
+    val got = foldQuantile(mixed, 0.5).get
+    assert(got == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(got) === 0L,
+      s"expected +0.0, got bit pattern of ${got}")
+    // φ > 1: position exceeds n; batch emits no row, the stream fold
+    // must return None instead of throwing and killing the query
+    assert(foldQuantile(mixed, 1.5).isEmpty)
+    assert(foldQuantile(mixed, 1.0).contains(1.0))
+  }
+
   test("streaming holt_winters and predict_linear equal batch (sequential folds)") {
     assertBufferedEqualsBatch("holt_winters(purchase[1d], 0.5, 0.3)", "holt", 86400L)
     assertBufferedEqualsBatch("predict_linear(click[1d], 3600)", "predict", 86400L)

@@ -17,6 +17,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got === Seq(0L, 1L, 2L, 3L, (1L << 32) - 1))
   }
 
+  test("writeZOrdered on an empty frame fails descriptively, not with an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "us")
+    val e = intercept[IllegalArgumentException] {
+      ZOrderStore.writeZOrdered(empty, "/root/repo/target/tmp/z_empty", 1)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("z-ordered files form compact boxes: BOTH dimensions prune") {
     // force a FRESH build: the write-once store on disk may predate a
     // gridCoord change, and this test asserts the CURRENT layout
