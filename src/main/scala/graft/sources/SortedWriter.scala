@@ -42,7 +42,8 @@ object SortedWriter {
     * match its production shape.
     */
   def writeSorted(s: SparkSession, dir: String, out: String,
-                  bloomCols: Seq[String] = DefaultBloomCols): Unit = {
+                  bloomCols: Seq[String] = DefaultBloomCols,
+                  writerOptions: Map[String, String] = Map.empty): Unit = {
     val base = Tables.events(s, dir)
       .drop("ts_ns") // reader-side helper column, not part of the layout
       .repartitionByRange(
@@ -50,6 +51,7 @@ object SortedWriter {
         col("event_type"), col("user_id"))
       .sortWithinPartitions("event_type", "user_id", "ts")
       .write.mode(SaveMode.Overwrite)
+      .options(writerOptions)
     val withBlooms = bloomCols.foldLeft(base)(
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     val writer =
@@ -57,6 +59,44 @@ object SortedWriter {
         withBlooms.option("parquet.enable.dictionary#event_id", "false")
       else withBlooms
     writer.parquet(out)
+  }
+
+  /** Row groups surviving parquet-mr's own row-group filters for a long
+    * equality predicate, per filter switch — the read-side counterpart
+    * of the bloom WRITE config above (the reference both writes AND
+    * reads per-label blooms: db/writer.go:69-88 configures them,
+    * dataset/predicate.go:25-60 consumes them to skip pages). Spark's
+    * scan delegates row-group filtering to this exact parquet-mr code
+    * path, so the (surviving, total) pair measured here is what the
+    * vectorized reader will actually read. Diagnostic/test helper.
+    */
+  def survivingRowGroups(path: String, column: String, value: Long,
+                         useStats: Boolean, useBloom: Boolean): (Int, Int) = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pred = FilterApi.eq(FilterApi.longColumn(column),
+      java.lang.Long.valueOf(value))
+    val files = new java.io.File(path).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var surviving = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val all = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try total += all.getRowGroups.size finally all.close()
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(FilterCompat.get(pred))
+        .useStatsFilter(useStats)
+        .useBloomFilter(useBloom)
+        .useDictionaryFilter(false)
+        .useColumnIndexFilter(false)
+        .build()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+      try surviving += r.getRowGroups.size finally r.close()
+    }
+    (surviving, total)
   }
 
   /** Query wrapper: write sorted, read back — content must equal the

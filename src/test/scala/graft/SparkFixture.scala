@@ -30,4 +30,22 @@ object SparkFixture {
   def planOf(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Executes the frame and returns the parquet scan's OUTPUT row count
+    * — rows the reader actually surfaced after row-group / page-level
+    * skipping, before Spark's post-scan Filter. The IO-side metric for
+    * bloom- and column-index-pruning assertions.
+    */
+  def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    executed.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+  }
 }
