@@ -253,6 +253,63 @@ object Pipelines {
 
   // ---- G. similarity ----------------------------------------------------
 
+  /** The clustered corpus as a CTE (DuckDB refuses a CTE that SHADOWS
+    * the `embeddings` table — circular-reference binder error — so the
+    * CTE gets its own name and [[recallSql]] rewrites the legs' table
+    * references). The formula is interpolated from graft.Tables so the
+    * Spark source and this mirror cannot drift.
+    */
+  private lazy val clusteredCte: String =
+    s"""emb_clustered AS (SELECT vec_id,
+       |  list_transform(range(1, 65), j -> ${graft.Tables.clusteredComponentSql("j")}) AS embedding,
+       |  label FROM embeddings)""".stripMargin
+
+  /** Measured recall@5 of each ANN leg vs exact brute force — the one
+    * definition site for both the raw-corpus record (near-orthogonal:
+    * the documented degenerate case) and the clustered record (where
+    * recall is a real retrieval-quality signal).
+    */
+  private def recallSql(clustered: Boolean): String = {
+    // route the legs at the only place they touch the corpus: the table
+    // reference ("FROM embeddings" appears in the leg SQLs solely as
+    // the scan of the raw table)
+    def src(sql: String): String =
+      if (clustered) sql.replace("FROM embeddings", "FROM emb_clustered")
+      else sql
+    def hits(sql: String, alias: String): String =
+      s"""$alias AS (SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM bf b JOIN ($sql) a
+         |    ON a.qid = b.qid AND a.vec_id = b.vec_id
+         |  GROUP BY 1)""".stripMargin
+    def leg(m: String, alias: String): String =
+      s"""SELECT '$m' AS method, tr.qid, n_truth,
+         |       coalesce(h.n_hits, 0) AS n_hits
+         |FROM tr LEFT JOIN $alias h ON h.qid = tr.qid""".stripMargin
+    // pq hashes its top-10; recall@5 measures its first 5 ranks
+    val pq5 = s"SELECT * FROM (${src(annSql("ann_pq"))}) WHERE rnk <= 5"
+    val prefix = if (clustered) s"$clusteredCte,\n" else ""
+    s"""WITH ${prefix}bf AS (SELECT qid, vec_id FROM (${src(annSql("ann_bruteforce"))}) WHERE rnk <= 5),
+       |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
+       |${hits(src(annSql("ann_lsh")), "h_lsh")},
+       |${hits(src(annSql("ann_ivf")), "h_ivf")},
+       |${hits(src(annSql("ann_ivf_nprobe2")), "h_ivf2")},
+       |${hits(src(annSql("ann_ivf_nprobe4")), "h_ivf4")},
+       |${hits(pq5, "h_pq")},
+       |${hits(src(annSql("ann_ivfpq")), "h_ivfpq")},
+       |${hits(src(annSql("ann_ivfpq_res")), "h_ivfpqr")},
+       |${hits(src(annSql("ann_ivfpq_nores4")), "h_ivfpqn4")}
+       |SELECT method, qid, n_truth, n_hits,
+       |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM (${leg("ann_lsh", "h_lsh")}
+       |UNION ALL ${leg("ann_ivf", "h_ivf")}
+       |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
+       |UNION ALL ${leg("ann_ivf_nprobe4", "h_ivf4")}
+       |UNION ALL ${leg("ann_pq", "h_pq")}
+       |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")}
+       |UNION ALL ${leg("ann_ivfpq_res", "h_ivfpqr")}
+       |UNION ALL ${leg("ann_ivfpq_nores4", "h_ivfpqn4")})""".stripMargin
+  }
+
   private def topkSql(pairsCte: String, k: Int): String =
     s"""$pairsCte
        |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, cosine FROM (
@@ -266,35 +323,11 @@ object Pipelines {
     // correctness record, not just a bench note. Each method's result
     // set is the same SQL the per-method entries hash; subqueries keep
     // them definitionally identical.
-    "ann_recall" -> {
-      def hits(sql: String, alias: String): String =
-        s"""$alias AS (SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
-           |  FROM bf b JOIN ($sql) a
-           |    ON a.qid = b.qid AND a.vec_id = b.vec_id
-           |  GROUP BY 1)""".stripMargin
-      def leg(m: String, alias: String): String =
-        s"""SELECT '$m' AS method, tr.qid, n_truth,
-           |       coalesce(h.n_hits, 0) AS n_hits
-           |FROM tr LEFT JOIN $alias h ON h.qid = tr.qid""".stripMargin
-      // pq hashes its top-10; recall@5 measures its first 5 ranks
-      val pq5 = s"SELECT * FROM (${annSql("ann_pq")}) WHERE rnk <= 5"
-      s"""WITH bf AS (SELECT qid, vec_id FROM (${annSql("ann_bruteforce")}) WHERE rnk <= 5),
-         |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
-         |${hits(annSql("ann_lsh"), "h_lsh")},
-         |${hits(annSql("ann_ivf"), "h_ivf")},
-         |${hits(annSql("ann_ivf_nprobe2"), "h_ivf2")},
-         |${hits(pq5, "h_pq")},
-         |${hits(annSql("ann_ivfpq"), "h_ivfpq")},
-         |${hits(annSql("ann_ivfpq_res"), "h_ivfpqr")}
-         |SELECT method, qid, n_truth, n_hits,
-         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
-         |FROM (${leg("ann_lsh", "h_lsh")}
-         |UNION ALL ${leg("ann_ivf", "h_ivf")}
-         |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
-         |UNION ALL ${leg("ann_pq", "h_pq")}
-         |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")}
-         |UNION ALL ${leg("ann_ivfpq_res", "h_ivfpqr")})""".stripMargin
-    },
+    "ann_recall" -> recallSql(clustered = false),
+    // the SAME recall measurement over the clustered derived corpus
+    // (Tables.ClusteredTag): a CTE named `embeddings` shadows the raw
+    // table for every leg, so one definition site serves both corpora
+    "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_pq" -> annSql("ann_pq"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
@@ -302,6 +335,8 @@ object Pipelines {
     "ann_ivfpq_probe2" -> annSql("ann_ivfpq_probe2"),
     "ann_lsh" -> annSql("ann_lsh"),
     "ann_ivf_nprobe2" -> annSql("ann_ivf_nprobe2"),
+    "ann_ivf_nprobe4" -> annSql("ann_ivf_nprobe4"),
+    "ann_ivfpq_nores4" -> annSql("ann_ivfpq_nores4"),
     "ann_ivf" -> annSql("ann_ivf"),
   )
 
@@ -403,6 +438,60 @@ object Pipelines {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** IVF with a parameterized probe count — the Similarity.ivfProbe2
+    * nprobe knob, rn <= nprobe on the ranked-cells CTE.
+    */
+  private def ivfProbeNSql(nprobe: Int): String = topkSql(
+    s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |  FROM dists),
+       |cells AS (SELECT vec_id, embedding, norm, k AS cell FROM ranked WHERE rn = 1),
+       |qcells AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, k AS cell
+       |           FROM ranked WHERE rn <= $nprobe AND vec_id < 5),
+       |pairs AS (
+       |  SELECT qc.qid, c.vec_id,
+       |         ${dot("qe", "c.embedding")} / (sqrt(qc.qn) * sqrt(c.norm)) AS cosine
+       |  FROM qcells qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.qid)""".stripMargin, 5)
+
+  /** IVFPQ with by_residual=false and multi-probe — Similarity
+    * .ivfPqProbeNoRes: raw-vector codes/distance-tables (the pqSql
+    * fragments), IVF cells for pruning only.
+    */
+  private def ivfPqNoResProbeSql(nprobe: Int): String = {
+    s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |  FROM dists),
+       |cells AS (SELECT vec_id, k AS cell FROM ranked WHERE rn = 1),
+       |dl AS (SELECT vec_id,
+       |$pqDlistsSql
+       |FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |$pqCodeColsSql
+       |FROM dl),
+       |data AS (SELECT c.vec_id, c.cell,
+       |${(0 until Similarity.PqSub).map(m => s"  codes.c$m").mkString(",\n")}
+       |FROM cells c JOIN codes USING (vec_id)),
+       |q AS (SELECT r.vec_id AS qid, r.k AS qc,
+       |${(0 until Similarity.PqSub).map(m => s"  dl.d$m AS dt$m").mkString(",\n")}
+       |FROM ranked r JOIN dl ON dl.vec_id = r.vec_id
+       |WHERE r.rn <= $nprobe AND r.vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id, ($pqAdcSql) AS adist
+       |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)
+       |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+       |  FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   // shared PQ SQL fragments (pqSql + ivfPqSql must stay in lockstep)
   private lazy val pqCodeColsSql: String =
     (0 until Similarity.PqSub).map(m =>
@@ -491,21 +580,9 @@ object Pipelines {
          |  SELECT q.qid, e.vec_id,
          |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
          |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.qid)""".stripMargin, 5),
-    "ann_ivf_nprobe2" -> topkSql(
-      s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
-         |dists AS (
-         |  SELECT vec_id, embedding, norm, k, $centDist AS dist
-         |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
-         |  FROM dists),
-         |cells AS (SELECT vec_id, embedding, norm, k AS cell FROM ranked WHERE rn = 1),
-         |qcells AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, k AS cell
-         |           FROM ranked WHERE rn <= 2 AND vec_id < 5),
-         |pairs AS (
-         |  SELECT qc.qid, c.vec_id,
-         |         ${dot("qe", "c.embedding")} / (sqrt(qc.qn) * sqrt(c.norm)) AS cosine
-         |  FROM qcells qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.qid)""".stripMargin, 5),
+    "ann_ivf_nprobe2" -> ivfProbeNSql(2),
+    "ann_ivf_nprobe4" -> ivfProbeNSql(4),
+    "ann_ivfpq_nores4" -> ivfPqNoResProbeSql(4),
     "ann_ivf" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
          |dists AS (

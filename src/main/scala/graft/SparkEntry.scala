@@ -257,6 +257,8 @@ object SparkEntry {
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf"        -> ((s, d) => Similarity.ivf(s, d)),
     "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),
+    "ann_ivf_nprobe4" -> ((s, d) => Similarity.ivfProbe2(s, d, nprobe = 4)),
+    "ann_ivfpq_nores4" -> ((s, d) => Similarity.ivfPqProbeNoRes(s, d)),
     // rows-only: k-means training is not SQL-expressible in the oracle
     "ann_ivf_trained" -> ((s, d) => Similarity.ivfTrained(s, d)),
     "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
@@ -266,6 +268,10 @@ object SparkEntry {
     // rows-only: per-subspace k-means is not SQL-expressible
     "ann_pq_trained"  -> ((s, d) => Similarity.pqTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
+    // the same measurement where recall is a real quality signal: the
+    // clustered derived corpus (Tables.ClusteredTag routes every leg)
+    "ann_recall_clustered" ->
+      ((s, d) => Similarity.recallAtK(s, d + Tables.ClusteredTag)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_quality"     -> (TextAnalysis.quality _),

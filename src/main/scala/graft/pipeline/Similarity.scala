@@ -254,8 +254,8 @@ object Similarity {
   /** (vec_id, embedding, norm, cell, dist) — one row per vector per
     * centroid, for rank-based cell selection.
     */
-  private def cellDists(s: SparkSession, dir: String,
-                        numCells: Int = NumCells): DataFrame = {
+  private[graft] def cellDists(s: SparkSession, dir: String,
+                               numCells: Int = NumCells): DataFrame = {
     val emb = withNorm(s, dir)
     val cd = (0 until numCells).map { k =>
       struct(lit(k).as("cell"),
@@ -412,6 +412,34 @@ object Similarity {
       .select(col("vec_id") +: col("cell") +: pqCodeCols(): _*)
     val q = assignTo(withNorm(s, dir), formulaCentroids(numCells))
       .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols(): _*)
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
+  /** IVFPQ WITHOUT residual encoding, multi-probe (FAISS IndexIVFPQ
+    * with `by_residual=false`): codes quantize the RAW vector — the
+    * same distribution the plain-PQ ADC ranks well — and the probe
+    * knob buys candidate coverage. This is the tuned recall leg for
+    * clustered corpora with UNTRAINED codebooks: residual encoding
+    * shifts the code distribution to (x − centroid[cell]), which a
+    * formula codebook represents poorly (recall 0.6 vs 0.9 here);
+    * training the codebooks on residuals is the proper fix and is
+    * exactly what [[trainPqCodebooks]] models. Same scale shape as
+    * [[ivfPq]]: candidates = nprobe·N/cells, 8 lookups per pair.
+    */
+  def ivfPqProbeNoRes(s: SparkSession, dir: String,
+                      numCells: Int = NumCells, nprobe: Int = 4,
+                      k: Int = 5): DataFrame = {
+    val cd = cellDists(s, dir, numCells)
+    val data = graft.plans.TopK
+      .perKey(cd, Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1)
+      .select(col("vec_id") +: col("cell") +: pqCodeCols(): _*)
+    val q = graft.plans.TopK
+      .perKey(cd.filter(col("vec_id") < 5),
+        Seq(col("vec_id")), Seq(col("dist"), col("cell")), nprobe)
       .select(col("vec_id").as("qid") +: col("cell").as("qc") +: pqTableCols(): _*)
     val pairs = broadcast(q)
       .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
@@ -612,9 +640,11 @@ object Similarity {
     leg("ann_lsh", lsh(s, dir))
       .unionAll(leg("ann_ivf", ivf(s, dir)))
       .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
+      .unionAll(leg("ann_ivf_nprobe4", ivfProbe2(s, dir, nprobe = 4)))
       .unionAll(leg("ann_pq", pq(s, dir).filter(col("rnk") <= k)))
       .unionAll(leg("ann_ivfpq", ivfPq(s, dir)))
       .unionAll(leg("ann_ivfpq_res", ivfPqResidual(s, dir)))
+      .unionAll(leg("ann_ivfpq_nores4", ivfPqProbeNoRes(s, dir)))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }

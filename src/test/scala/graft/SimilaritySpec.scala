@@ -338,11 +338,11 @@ class SimilaritySpec extends AnyFunSuite {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 6 methods x 5 queries, every query present for every method
-    assert(r.length === 30)
+    // 8 methods x 5 queries, every query present for every method
+    assert(r.length === 40)
     assert(r.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivfpq", "ann_ivfpq_res",
-        "ann_lsh", "ann_pq"))
+      Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivf_nprobe4", "ann_ivfpq",
+        "ann_ivfpq_nores4", "ann_ivfpq_res", "ann_lsh", "ann_pq"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
@@ -355,5 +355,59 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf1 = r.filter(_._1 == "ann_ivf").map(x => x._2 -> x._4).toMap
     val ivf2 = r.filter(_._1 == "ann_ivf_nprobe2").map(x => x._2 -> x._4).toMap
     ivf1.foreach { case (qid, h1) => assert(ivf2(qid) >= h1, s"qid $qid") }
+  }
+
+  private def avgRecall(dir: String): Map[String, Double] =
+    Similarity.recallAtK(spark, dir)
+      .groupBy("method").agg(avg("recall").as("recall"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+  test("clustered corpus: tuned legs hit their stated recall targets") {
+    // STATED TARGETS (the quality contract of §2.G on a corpus where
+    // cosine mass concentrates): exact-ranking IVF at nprobe=4 ≥ 0.95,
+    // non-residual multiprobe IVFPQ ≥ 0.8 (FAISS by_residual=false —
+    // untrained formula codebooks rank raw vectors well, residuals
+    // poorly; training fixes residuals and is modeled by the trained
+    // entries), full-scan ADC ≥ 0.85, hyperplane LSH ≥ 0.8. Asserted at
+    // sf0.01 — the exact corpus the driver's ann_recall_clustered
+    // record hashes (5 queries make per-sf variance large, so the spec
+    // pins the record's own scale, like BloomReadSpec).
+    val r = avgRecall("/root/testdata/sf0.01" + Tables.ClusteredTag)
+    assert(r("ann_ivf_nprobe4") >= 0.95, r.toString)
+    assert(r("ann_ivfpq_nores4") >= 0.8, r.toString)
+    assert(r("ann_pq") >= 0.85, r.toString)
+    assert(r("ann_lsh") >= 0.8, r.toString)
+    // and the raw near-orthogonal table stays the documented degenerate
+    // case — if THIS rises, the testdata changed under us
+    val raw = avgRecall("/root/testdata/sf0.01")
+    assert(raw("ann_lsh") <= 0.3 && raw("ann_ivfpq_nores4") <= 0.5,
+      s"raw corpus should stay degenerate: $raw")
+  }
+
+  test("clustered corpus: tuned legs prune candidates, not just recall") {
+    val dir = sf + Tables.ClusteredTag
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val brute = 5L * (n - 1) // the brute-force pair count for 5 queries
+    // ivf nprobe=4: candidates = population of each query's 4 cells
+    val cd = Similarity.cellDists(spark, dir)
+    val sizes = graft.plans.TopK
+      .perKey(cd, Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1)
+      .groupBy("cell").count()
+    val probed = graft.plans.TopK
+      .perKey(cd.filter(col("vec_id") < 5), Seq(col("vec_id")),
+        Seq(col("dist"), col("cell")), 4)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val ivfCand = probed.join(sizes, "cell").agg(sum("count")).head().getLong(0)
+    assert(ivfCand.toDouble <= brute / 2.0,
+      s"nprobe4 must halve candidates at worst: $ivfCand vs $brute")
+    // lsh: candidates = the query-bucket populations
+    val b = emb.select(col("vec_id"),
+      Similarity.planeBucket(col("embedding")).as("bucket"))
+    val lshCand = b.filter(col("vec_id") < 5)
+      .join(b.groupBy("bucket").count(), "bucket")
+      .agg(sum("count")).head().getLong(0)
+    assert(lshCand.toDouble <= brute / 4.0,
+      s"lsh candidates $lshCand vs brute $brute")
   }
 }
