@@ -267,11 +267,20 @@ object SparkEntry {
     "ann_ivfpq_probe2" -> ((s, d) => Similarity.ivfPqProbe(s, d)),
     // rows-only: per-subspace k-means is not SQL-expressible
     "ann_pq_trained"  -> ((s, d) => Similarity.pqTrained(s, d)),
+    // rows-only: the FAISS-default config (residual codes + books
+    // TRAINED on residuals, multi-probe); spec asserts the clustered
+    // recall recovery vs the formula-book residual entries
+    "ann_ivfpq_res_trained" ->
+      ((s, d) => Similarity.ivfPqResidualTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
     // the same measurement where recall is a real quality signal: the
     // clustered derived corpus (Tables.ClusteredTag routes every leg)
     "ann_recall_clustered" ->
       ((s, d) => Similarity.recallAtK(s, d + Tables.ClusteredTag)),
+    // rows-only: recall of the trained index family on the clustered
+    // corpus (training is not SQL-expressible); targets spec-asserted
+    "ann_recall_trained" ->
+      ((s, d) => Similarity.recallTrained(s, d + Tables.ClusteredTag)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_quality"     -> (TextAnalysis.quality _),

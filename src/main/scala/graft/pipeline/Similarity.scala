@@ -318,6 +318,17 @@ object Similarity {
   val PqSubDim: Int = Dim / PqSub
   val PqCodes = 16
 
+  /** Per-subspace code count for TRAINED books (FAISS nbits knob; 64 =
+    * 6-bit — FAISS's own default is 8-bit/256). Deliberately larger
+    * than the 4-bit oracle-demo [[PqCodes]]: k-means codebooks trained
+    * on clustered data at 16 codes collapse onto the cluster structure
+    * (every topic-mate gets the same code → intra-topic ranking is
+    * tie-breaking noise — measured recall@5 0.28 vs the formula book's
+    * 0.64 on the clustered corpus); more code bits restore intra-topic
+    * resolution. Training-only paths have no oracle-size constraint.
+    */
+  val PqCodesTrained = 64
+
   /** PQ codebook formula multipliers — named so the DuckDB mirror
     * (Pipelines.pqSubDist) interpolates the SAME constants instead of
     * baking in literals that could drift from [[pqComponent]].
@@ -347,8 +358,9 @@ object Similarity {
     * literals for the k-means path).
     */
   private def subDists(m: Int, vec: Column = col("embedding"),
-                       cb: (Int, Int) => Column = pqCodebook): Column =
-    array((0 until PqCodes).map(kc =>
+                       cb: (Int, Int) => Column = pqCodebook,
+                       codes: Int = PqCodes): Column =
+    array((0 until codes).map(kc =>
       graft.functions.VectorOps.sqDist(subVec(vec, m), cb(m, kc))): _*)
 
   /** PQ-ADC search: every vector is ENCODED once (8 argmin codes —
@@ -361,18 +373,20 @@ object Similarity {
     * and never decompresses. Ascending by approximate distance,
     * ties → vec_id.
     */
-  /** encode: code_m = argmin over the 16 codebook entries (ties → lower) */
+  /** encode: code_m = argmin over the codebook entries (ties → lower) */
   private def pqCodeCols(vec: Column = col("embedding"),
-                         cb: (Int, Int) => Column = pqCodebook): Seq[Column] =
+                         cb: (Int, Int) => Column = pqCodebook,
+                         codes: Int = PqCodes): Seq[Column] =
     (0 until PqSub).map { m =>
-      val d = subDists(m, vec, cb)
+      val d = subDists(m, vec, cb, codes)
       array_position(d, array_min(d)).cast("int").minus(1).as(s"c$m")
     }
 
-  /** query-side distance tables, one 16-entry array per subspace */
+  /** query-side distance tables, one codes-entry array per subspace */
   private def pqTableCols(vec: Column = col("embedding"),
-                          cb: (Int, Int) => Column = pqCodebook): Seq[Column] =
-    (0 until PqSub).map(m => subDists(m, vec, cb).as(s"dt$m"))
+                          cb: (Int, Int) => Column = pqCodebook,
+                          codes: Int = PqCodes): Seq[Column] =
+    (0 until PqSub).map(m => subDists(m, vec, cb, codes).as(s"dt$m"))
 
   /** ADC: Σₘ dtable_m[code_m] — 8 lookups per candidate pair */
   private def pqAdc: Column =
@@ -458,18 +472,31 @@ object Similarity {
     * PqSub·PqCodes·PqSubDim doubles.
     */
   def trainPqCodebooks(s: SparkSession, dir: String,
-                       iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
-    val emb = Tables.embeddings(s, dir)
-    val seed = Tables.embeddings(s, dir).orderBy("vec_id").limit(PqCodes).collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toIndexedSeq)
-    require(seed.length == PqCodes, s"need >= $PqCodes vectors to seed")
+                       iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    trainPqCodebooksOn(Tables.embeddings(s, dir), iters, PqCodes)
+
+  /** [[trainPqCodebooks]] over an arbitrary (vec_id, embedding) frame —
+    * the embedding column may be float (raw vectors) or double
+    * (residuals); the seed cast to array&lt;double&gt; is exact either way.
+    * `codes` is the per-subspace codebook size (FAISS's nbits knob:
+    * 2^nbits entries) — training-only callers can afford more than the
+    * oracle-expressible [[PqCodes]].
+    */
+  private def trainPqCodebooksOn(vecs: DataFrame, iters: Int,
+                                 codes: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val emb = vecs
+    val seed = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .orderBy("vec_id").limit(codes).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("embedding").toIndexedSeq)
+    require(seed.length == codes, s"need >= $codes vectors to seed")
     var cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
       IndexedSeq.tabulate(PqSub)(m => seed.toIndexedSeq.map(v =>
-        (0 until PqSubDim).map(j => v(m * PqSubDim + j).toDouble)))
+        (0 until PqSubDim).map(j => v(m * PqSubDim + j))))
     (1 to iters).foreach { _ =>
       val legs = (0 until PqSub).map { m =>
         val cb: (Int, Int) => Column = (mm, kc) => litVector(cbs(mm)(kc))
-        val d = subDists(m, col("embedding"), cb)
+        val d = subDists(m, col("embedding"), cb, codes)
         emb.select(lit(m).as("m"),
           array_position(d, array_min(d)).cast("int").minus(1).as("code"),
           posexplode(subVec(col("embedding"), m)).as(Seq("pos", "v")))
@@ -478,10 +505,10 @@ object Similarity {
         .groupBy("m", "code", "pos")
         .agg(sum(col("v").cast("decimal(30,12)")).cast("double").as("s"),
           count(lit(1)).as("n"))
-        .collect() // PqSub·PqCodes·PqSubDim rows — codebook-sized
+        .collect() // PqSub·codes·PqSubDim rows — codebook-sized
       val byKey = sums.map(r => (r.getAs[Int]("m"), r.getAs[Int]("code"),
         r.getAs[Int]("pos")) -> (r.getAs[Double]("s"), r.getAs[Long]("n"))).toMap
-      cbs = IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(PqCodes)(kc =>
+      cbs = IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(codes)(kc =>
         IndexedSeq.tabulate(PqSubDim) { j =>
           byKey.get((m, kc, j)) match {
             case Some((sv, n)) => sv / n
@@ -502,17 +529,17 @@ object Similarity {
 
   private[graft] def clearTrainedPqMemo(): Unit = trainedPqMemo.clear()
 
-  /** Write-once trained PQ codebooks (the trainedCentroids pattern):
-    * first call trains and persists (m, code, centroid) as parquet;
-    * later calls — fresh JVMs included — read the store and plan no
-    * training jobs.
+  /** Write-once codebook store shared by the raw and residual trained
+    * paths: first call runs `train` and persists (m, code, centroid) as
+    * parquet; later calls — fresh JVMs included — read the store and
+    * plan no training jobs.
     */
-  def trainedPqCodebooks(s: SparkSession, dir: String,
-                         iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-    trainedPqMemo.computeIfAbsent(pqCodebookPath(s, dir, iters), { path =>
+  private def pqCodebookStore(s: SparkSession, path: String, codes: Int,
+      train: () => IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    trainedPqMemo.computeIfAbsent(path, { _ =>
       val success = new java.io.File(path, "_SUCCESS")
       if (!success.isFile) {
-        val cbs = trainPqCodebooks(s, dir, iters)
+        val cbs = train()
         import s.implicits._
         (for { m <- cbs.indices; kc <- cbs(m).indices }
           yield (m, kc, cbs(m)(kc).toArray))
@@ -523,7 +550,39 @@ object Similarity {
       val rows = s.read.parquet(path).collect()
         .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
           r.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq).toMap
-      IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(PqCodes)(kc => rows((m, kc))))
+      IndexedSeq.tabulate(PqSub)(m => IndexedSeq.tabulate(codes)(kc => rows((m, kc))))
+    })
+
+  /** Write-once trained PQ codebooks (the trainedCentroids pattern). */
+  def trainedPqCodebooks(s: SparkSession, dir: String,
+                         iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    pqCodebookStore(s, pqCodebookPath(s, dir, iters), PqCodes,
+      () => trainPqCodebooks(s, dir, iters))
+
+  private def resCodebookPath(s: SparkSession, dir: String,
+                              numCells: Int, codes: Int, iters: Int): String = {
+    val root = graft.sources.ChunkStore.storeRoot(s)
+    s"$root/pq_res_codebooks_${graft.sources.ChunkStore.pathTag(dir)}_c${numCells}_k${codes}_i$iters"
+  }
+
+  /** PQ codebooks trained on RESIDUALS (x − coarse centroid of x's own
+    * cell) — what FAISS's IndexIVFPQ trains by default. Write-once like
+    * the raw books; the store is additionally keyed by the coarse cell
+    * count (a residual distribution is an artifact of its quantizer)
+    * and the code count. The code count matters on clustered data:
+    * k-means books at the oracle-demo size ([[PqCodes]] = 16, 4-bit)
+    * COLLAPSE onto cluster structure and lose intra-topic resolution —
+    * see [[ivfPqResidualTrained]].
+    */
+  def trainedResidualPqCodebooks(s: SparkSession, dir: String,
+                                 numCells: Int = NumCells,
+                                 codes: Int = PqCodesTrained,
+                                 iters: Int = 3): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    pqCodebookStore(s, resCodebookPath(s, dir, numCells, codes, iters), codes, { () =>
+      val res = withResidualCol(s,
+        cells(s, dir, numCells).select("vec_id", "embedding", "cell"), numCells)
+        .select(col("vec_id"), col("residual").as("embedding"))
+      trainPqCodebooksOn(res, iters, codes)
     })
 
   /** PQ-ADC search over TRAINED codebooks (rows-only — k-means is not
@@ -541,6 +600,22 @@ object Similarity {
     val pairs = broadcast(q).join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
     pqRank(pairs, k)
+  }
+
+  /** Join a (…, cell, embedding) frame with the broadcast formula
+    * centroid table and add `residual` = embedding − centroid[cell]
+    * (exact IEEE subtract per component; float→double widening exact).
+    */
+  private def withResidualCol(s: SparkSession, df: DataFrame,
+                              numCells: Int): DataFrame = {
+    import s.implicits._
+    val cb = formulaCentroids(numCells).zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cb_cell", "centroid")
+    df.join(broadcast(cb), col("cell") === col("cb_cell"))
+      .withColumn("residual",
+        expr("zip_with(embedding, centroid, (a, b) -> a - b)"))
+      .drop("cb_cell", "centroid")
   }
 
   /** IVFPQ with RESIDUAL encoding — the full FAISS formulation: codes
@@ -616,6 +691,47 @@ object Similarity {
     pqRank(pairs, k)
   }
 
+  /** Residual IVFPQ over TRAINED codebooks + multi-probe — the FAISS
+    * IndexIVFPQ DEFAULT configuration (by_residual=true, books trained
+    * on residuals), with the code count at [[PqCodesTrained]]. The
+    * round-8 finding this entry closes has TWO parts: (1) residual
+    * encoding with an untrained codebook loses recall (0.64 clustered)
+    * because the book never saw the residual distribution; (2) training
+    * alone is NOT the fix — at the 4-bit demo size, k-means books
+    * collapse onto the cluster structure and recall drops FURTHER
+    * (0.28). The code-bit budget is the lever: trained 6-bit books
+    * restore intra-topic resolution (the same reason FAISS defaults to
+    * 8-bit subquantizers). Rows-only (k-means is not SQL-expressible);
+    * the spec asserts the recall recovery and the write-once store.
+    * Scale shape unchanged from [[ivfPqProbe]]: candidates =
+    * nprobe·N/cells, 8 table lookups per pair, driver holds only the
+    * two codebooks.
+    */
+  def ivfPqResidualTrained(s: SparkSession, dir: String,
+                           numCells: Int = NumCells, nprobe: Int = 4,
+                           k: Int = 5, codes: Int = PqCodesTrained,
+                           iters: Int = 3): DataFrame = {
+    val cbs = trainedResidualPqCodebooks(s, dir, numCells, codes, iters)
+    val cb: (Int, Int) => Column = (m, kc) => litVector(cbs(m)(kc))
+    val cd = cellDists(s, dir, numCells)
+    val data = withResidualCol(s,
+      graft.plans.TopK.perKey(cd, Seq(col("vec_id")),
+        Seq(col("dist"), col("cell")), 1)
+        .select("vec_id", "embedding", "cell"), numCells)
+      .select(col("vec_id") +: col("cell") +:
+        pqCodeCols(col("residual"), cb, codes): _*)
+    val q = withResidualCol(s,
+      graft.plans.TopK.perKey(cd.filter(col("vec_id") < 5), Seq(col("vec_id")),
+        Seq(col("dist"), col("cell")), nprobe)
+        .select("vec_id", "embedding", "cell"), numCells)
+      .select(col("vec_id").as("qid") +: col("cell").as("qc") +:
+        pqTableCols(col("residual"), cb, codes): _*)
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdc.as("adist"))
+    pqRank(pairs, k)
+  }
+
   /** Measured recall@k of each ANN structure against the exact
     * brute-force top-k — per (method, query): |approx ∩ truth| / k.
     * Recall is DATA (a deterministic function of the index structure
@@ -625,7 +741,31 @@ object Similarity {
     * Queries an approx method misses entirely still appear (left join,
     * 0 hits) — silent absence would overstate recall.
     */
-  def recallAtK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def recallAtK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallOf(s, dir, k, Seq(
+      "ann_lsh" -> lsh(s, dir),
+      "ann_ivf" -> ivf(s, dir),
+      "ann_ivf_nprobe2" -> ivfProbe2(s, dir),
+      "ann_ivf_nprobe4" -> ivfProbe2(s, dir, nprobe = 4),
+      "ann_pq" -> pq(s, dir).filter(col("rnk") <= k),
+      "ann_ivfpq" -> ivfPq(s, dir),
+      "ann_ivfpq_res" -> ivfPqResidual(s, dir),
+      "ann_ivfpq_nores4" -> ivfPqProbeNoRes(s, dir)))
+
+  /** Recall@k of the TRAINED index family (k-means coarse quantizer,
+    * k-means PQ books, trained-residual IVFPQ) — rows-only (training is
+    * not SQL-expressible), with the clustered-corpus targets asserted
+    * in the spec. This is the record that shows training closing the
+    * recall gap the formula-codebook entries document.
+    */
+  def recallTrained(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallOf(s, dir, k, Seq(
+      "ann_ivf_trained" -> ivfTrained(s, dir),
+      "ann_pq_trained" -> pqTrained(s, dir).filter(col("rnk") <= k),
+      "ann_ivfpq_res_trained" -> ivfPqResidualTrained(s, dir)))
+
+  private def recallOf(s: SparkSession, dir: String, k: Int,
+                       legs: Seq[(String, DataFrame)]): DataFrame = {
     val truth = bruteForce(s, dir).filter(col("rnk") <= k)
       .select("qid", "vec_id")
     val tr = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
@@ -637,14 +777,7 @@ object Similarity {
         .select(lit(name).as("method"), col("qid"), col("n_truth"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     }
-    leg("ann_lsh", lsh(s, dir))
-      .unionAll(leg("ann_ivf", ivf(s, dir)))
-      .unionAll(leg("ann_ivf_nprobe2", ivfProbe2(s, dir)))
-      .unionAll(leg("ann_ivf_nprobe4", ivfProbe2(s, dir, nprobe = 4)))
-      .unionAll(leg("ann_pq", pq(s, dir).filter(col("rnk") <= k)))
-      .unionAll(leg("ann_ivfpq", ivfPq(s, dir)))
-      .unionAll(leg("ann_ivfpq_res", ivfPqResidual(s, dir)))
-      .unionAll(leg("ann_ivfpq_nores4", ivfPqProbeNoRes(s, dir)))
+    legs.map { case (n, d) => leg(n, d) }.reduce(_ unionAll _)
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
   }

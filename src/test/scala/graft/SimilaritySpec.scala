@@ -384,6 +384,70 @@ class SimilaritySpec extends AnyFunSuite {
       s"raw corpus should stay degenerate: $raw")
   }
 
+  test("trained residual codebooks recover the recall residual encoding costs") {
+    // The FAISS-default IVFPQ (residual codes + books TRAINED on the
+    // residual distribution, multi-probe) on the clustered corpus. Two
+    // measured facts anchor this test: (1) an UNTRAINED residual book
+    // stalls at 0.64 (the book never saw the residual distribution);
+    // (2) training at the 4-bit demo size makes it WORSE (0.28 — the
+    // k-means book collapses onto cluster structure, so topic-mates
+    // share codes and intra-topic ranking is tie-break noise). The
+    // trained 6-bit book (PqCodesTrained=64) is the fix: 0.84 here.
+    // The code-bit budget, not training alone, is the recall lever —
+    // the reason FAISS defaults to 8-bit subquantizers.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_respq").toString
+    spark.conf.set("spark.graft.store.root", tmp)
+    try {
+      val dir = "/root/testdata/sf0.01" + Tables.ClusteredTag
+      val trained = Similarity.recallTrained(spark, dir)
+        .groupBy("method").agg(avg("recall").as("recall"))
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      assert(trained.keySet === Set("ann_ivf_trained", "ann_pq_trained",
+        "ann_ivfpq_res_trained"))
+      // the trained coarse quantizer nails the 10 topics outright
+      assert(trained("ann_ivf_trained") >= 0.95, trained.toString)
+      assert(trained("ann_ivfpq_res_trained") >= 0.8, trained.toString)
+      // strictly above the untrained residual leg (same corpus)
+      val untrained = avgRecall(dir)("ann_ivfpq_res")
+      assert(trained("ann_ivfpq_res_trained") > untrained + 0.1,
+        s"6-bit training must recover recall: trained=$trained untrained=$untrained")
+      // the collapse fact itself: a 4-bit trained residual book is
+      // WORSE than the 4-bit untrained one — training concentrates
+      // codes on cluster structure when the bit budget is too small
+      val cb4 = Similarity.trainedResidualPqCodebooks(spark, dir,
+        codes = Similarity.PqCodes)
+      assert(cb4.forall(_.length === Similarity.PqCodes))
+      val r4 = Similarity.ivfPqResidualTrained(spark, dir,
+        codes = Similarity.PqCodes)
+      val bf = Similarity.bruteForce(spark, dir)
+        .filter(col("rnk") <= 5).select("qid", "vec_id")
+      val hits4 = bf.join(r4.select("qid", "vec_id"),
+        Seq("qid", "vec_id"), "left_semi").count()
+      assert(hits4 / 25.0 < untrained,
+        s"4-bit trained (${hits4 / 25.0}) should collapse below untrained ($untrained)")
+      // write-once: a fresh-JVM path (memo cleared) reads the persisted
+      // books without retraining (training needs >= 1 + iters jobs)
+      Similarity.clearTrainedPqMemo()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Similarity.trainedResidualPqCodebooks(spark, dir)
+        Thread.sleep(1000)
+        assert(jobs.get() <= 2,
+          s"store reuse must not retrain: ${jobs.get()} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.unset("spark.graft.store.root")
+      Similarity.clearTrainedPqMemo()
+      Similarity.clearTrainedMemo()
+    }
+  }
+
   test("clustered corpus: tuned legs prune candidates, not just recall") {
     val dir = sf + Tables.ClusteredTag
     val emb = Tables.embeddings(spark, dir)
