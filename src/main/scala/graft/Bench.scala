@@ -107,7 +107,8 @@ object Bench {
     // collapsed-contents dedup store otherwise build inside the first
     // timed rep of whichever query touches them.
     Seq("q_chunk_meta", "q_bucketed_join", "ann_ivf_trained",
-        "ann_pq_trained", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "ann_pq_trained", "ann_ivfpq_res_trained", "ann_recall_trained",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "mm_decode", "q_zorder_scan").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
