@@ -448,17 +448,82 @@ object Dedup {
 
   def embeddingNearDup(s: SparkSession, dir: String,
                        numPlanes: Int = Similarity.NumPlanes,
-                       threshold: Double = 0.3): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
+                       threshold: Double = 0.3): DataFrame =
+    embeddingNearDupTagged(taggedVecs(s, dir), numPlanes, threshold)
+
+  /** (gid, vec_id, embedding) with gid = min vec_id per DISTINCT vector,
+    * materialized once per (session, dir) — the embedding-side analogue
+    * of [[collapsed]]: a real pipeline writes its exact-dedup vector
+    * table once and reads it everywhere. Size bounded by the corpus
+    * (one row per vector), the tag by distinct vectors.
+    */
+  private val vecMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def taggedVecs(s: SparkSession, dir: String): DataFrame =
+    vecMemo.computeIfAbsent(dirKey(s, dir), _ =>
+      tagVecs(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+        .localCheckpoint(true))
+
+  private def tagVecs(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("embedding")
+    raw.withColumn("gid", min("vec_id").over(w))
+  }
+
+  /** Collapse-first form of the LSH-bucketed cosine pair join, same
+    * output pair-for-pair as a direct bucket self-join over the raw
+    * table (DedupSpec proves set equality on a duplicated corpus).
+    *
+    * The pair join runs over DISTINCT vectors only: on a duplicate-heavy
+    * corpus a direct self-join squares the bucket population — the 100x
+    * soak (pure 100x duplication) measured 148.7 s for the direct plan;
+    * every other dedup operator here already collapses first, and this
+    * is the same shape. Group id = min vec_id per distinct vector (one
+    * window shuffle keyed on the vector itself — no hash fingerprint, so
+    * no collision risk in the oracle-exact gate); candidates and the
+    * cosine threshold are evaluated at the group level, and only
+    * SURVIVING pairs expand back to vec_id pairs (the expansion is the
+    * legitimate quadratic output, not wasted compare work). Identical
+    * vectors always share a bucket, so intra-group pairs expand
+    * unconditionally from the (rarely sub-threshold) self-cosine, with
+    * the exact arithmetic of the direct plan: DecimalDot is
+    * order-independent and both legs of an intra pair reuse the rep's
+    * norm, so every emitted cosine is bit-identical to the direct join's.
+    */
+  private[graft] def embeddingNearDupOf(raw: DataFrame, numPlanes: Int,
+                                        threshold: Double): DataFrame =
+    embeddingNearDupTagged(tagVecs(raw), numPlanes, threshold)
+
+  private def embeddingNearDupTagged(tagged: DataFrame, numPlanes: Int,
+                                     threshold: Double): DataFrame = {
+    val members = tagged.select(col("gid"), col("vec_id"))
+    val reps = tagged.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), col("embedding"),
         Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
         Similarity.dot("embedding", "embedding").as("norm"))
-    emb.as("a").join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+    val cross = reps.as("a").join(reps.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("g1"), col("b.gid").as("g2"),
         (Similarity.dot("a.embedding", "b.embedding") /
           (sqrt(col("a.norm")) * sqrt(col("b.norm")))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    val intra = reps
+      .select(col("gid"),
+        (col("norm") / (sqrt(col("norm")) * sqrt(col("norm")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val m1 = members.select(col("gid").as("g1"), col("vec_id").as("ida"))
+    val m2 = members.select(col("gid").as("g2"), col("vec_id").as("idb"))
+    // cross-group member sets are disjoint: least/greatest orients each
+    // unordered pair exactly once. Intra-group needs ida < idb to avoid
+    // emitting both orientations (and the self-pair).
+    val crossPairs = cross.join(m1, "g1").join(m2, "g2")
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("cosine"))
+    val intraPairs = intra
+      .join(m1.withColumnRenamed("g1", "gid"), "gid")
+      .join(m2.withColumnRenamed("g2", "gid"), "gid")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"), col("cosine"))
+    crossPairs.unionAll(intraPairs)
   }
 }

@@ -89,6 +89,35 @@ class DedupSpec extends AnyFunSuite {
     assert(df.filter(col("cosine") < 0.3 || col("cosine") > 1.0 + 1e-9).count() === 0)
   }
 
+  test("collapse-first embedding dedup equals the direct join on a duplicated corpus") {
+    import graft.pipeline.Similarity
+    // 5 exact copies of every vector under fresh vec_ids — the regime
+    // where a direct bucket self-join squares its candidate count
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dup = (0 until 5).map(i =>
+      base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val planes = 4
+    // reference: the pre-collapse direct plan, written out inline
+    val emb = dup.select(col("vec_id"), col("embedding"),
+      Similarity.planeBucket(col("embedding"), planes).as("bucket"),
+      Similarity.dot("embedding", "embedding").as("norm"))
+    val direct = emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (Similarity.dot("a.embedding", "b.embedding") /
+          (sqrt(col("a.norm")) * sqrt(col("b.norm")))).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+    val collapsed = Dedup.embeddingNearDupOf(dup, planes, 0.3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val expected = direct.collect().map(key).toSet
+    val actual = collapsed.collect().map(key).toSet
+    // duplication must actually create intra-group (cosine = self) pairs
+    assert(expected.exists(_._3 > 0.999), "fixture produced no exact-dup pairs")
+    assert(actual === expected)
+  }
+
   test("keep-best is a single scan: one parquet read, one exchange") {
     // formatted explain = tree, blank line, node details; count nodes in
     // the tree section only (details repeat every node name)
