@@ -871,6 +871,39 @@ object Pipelines {
          |        CAST(CASE $cases ELSE $DefaultMixOther END AS BIGINT) AS rate
          |      FROM documents)""".stripMargin
     },
+    // the per-source cap: same quality-score arithmetic as text_quality
+    // (already hash-proven cross-engine), ranked by the window form the
+    // native TopKPerKey operator is equivalent to
+    "doc_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($words) AS BIGINT) AS t,
+         |  CAST(len(list_distinct($words)) AS BIGINT) AS dt,
+         |  CAST(len(list_filter($words, w -> $stop)) AS BIGINT) AS st
+         |FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  least(1.0, t / 100.0) * 0.3 + (dt / greatest(t, 1)) * 0.4 + (1.0 - st / greatest(t, 1)) * 0.3 AS score
+         |FROM d)
+         |SELECT source, doc_id, score, CAST(rn AS INTEGER) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |                               ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc)
+         |WHERE rn <= ${graft.pipeline.Curation.DefaultSourceCap}""".stripMargin,
+    // sliding-window chunking: range() start grid mirrors Spark's
+    // sequence(0, greatest(n-1, 0), stride); list_slice's inclusive
+    // [st+1, st+size] equals Spark's slice(ws, st+1, size)
+    "doc_chunks" -> {
+      val (cs, cstr) =
+        (graft.pipeline.TextAnalysis.ChunkSize, graft.pipeline.TextAnalysis.ChunkStride)
+      s"""WITH d AS (SELECT doc_id, $words AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, greatest(len(ws) - 1, 0) + 1, $cstr)) AS st
+         |      FROM d)
+         |SELECT doc_id, CAST(st // $cstr AS BIGINT) AS chunk_id,
+         |  CAST(st AS BIGINT) AS start_tok,
+         |  array_to_string(list_slice(ws, st + 1, st + $cs), ' ') AS chunk,
+         |  CAST(len(list_slice(ws, st + 1, st + $cs)) AS BIGINT) AS n_chunk_tokens
+         |FROM c""".stripMargin
+    },
   )
 
   /** The doc-level contamination mirror, optionally hot-shingle-capped:

@@ -297,6 +297,8 @@ object SparkEntry {
     "doc_pack"          -> ((s, d) => graft.pipeline.Curation.packTokens(s, d)),
     "doc_lm_score"      -> (graft.pipeline.Curation.lmScore _),
     "doc_stratified"    -> ((s, d) => graft.pipeline.Curation.stratifiedSample(s, d)),
+    "doc_source_cap"    -> ((s, d) => graft.pipeline.Curation.sourceCap(s, d)),
+    "doc_chunks"        -> ((s, d) => TextAnalysis.chunks(s, d)),
     "doc_filter"        -> ((s, d) => graft.pipeline.Curation.filterVerdict(s, d)),
     "doc_bm25"          -> ((s, d) => graft.pipeline.Retrieval.bm25(s, d)),
     "doc_bm25_batch"    -> ((s, d) => graft.pipeline.Retrieval.bm25Batch(s, d)),

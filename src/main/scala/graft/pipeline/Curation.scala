@@ -251,4 +251,30 @@ object Curation {
         expr(s"off div ${seqLen}L").as("pack_id"),
         (col("off") % seqLen).as("pack_offset"))
   }
+
+  val DefaultSourceCap = 10
+
+  /** Per-source document cap — the RefinedWeb/FineWeb-style domain cap:
+    * keep the top `k` documents of each source by quality score
+    * (deterministic tie-break on doc_id), 1-based rank appended. A
+    * dominant crawl domain otherwise swamps the mix; capping per source
+    * is the standard countermeasure, and it composes with
+    * [[stratifiedSample]] (cap first, then mix rates apply to the
+    * survivors).
+    *
+    * Runs on the native TopKPerKey operator: map-side heaps forward at
+    * most k rows per source per partition, so the shuffle carries
+    * O(sources · k · partitions) rows instead of the corpus — the same
+    * reason q_topk_native beats the window form at scale. Score is the
+    * shared [[TextAnalysis.scoreCol]], computed inline in the scan
+    * (no second pass, no join).
+    */
+  def sourceCap(s: SparkSession, dir: String,
+                k: Int = DefaultSourceCap): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextAnalysis.scoreCol.as("score"))
+    graft.plans.TopK.perKey(scored, Seq(col("source")),
+      Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("source"), col("doc_id"), col("score"), col("rnk"))
+  }
 }

@@ -181,4 +181,34 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test").as("split"))
   }
+
+  val ChunkSize = 64
+  val ChunkStride = 32
+
+  /** Sliding-window chunking — the retrieval-indexing side of the
+    * pipeline: each document becomes overlapping word windows of
+    * `chunkSize` tokens at `stride` spacing (stride < size ⇒ overlap,
+    * the standard RAG chunking shape), with start offset and true token
+    * count per chunk. A document always yields ≥ 1 chunk (an empty doc
+    * yields one empty chunk), trailing windows are the natural
+    * remainders — both rules kept deliberately simple so the oracle is
+    * the same arithmetic. Pure projection + explode: no shuffle at any
+    * corpus size, and the explode factor is n_tokens/stride — bounded
+    * per document, never corpus-quadratic.
+    */
+  def chunks(s: SparkSession, dir: String, chunkSize: Int = ChunkSize,
+             stride: Int = ChunkStride): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, greatest(size(ws) - 1, 0), $stride)")).as("st"),
+        col("ws"))
+      .select(col("doc_id"),
+        (col("st") / lit(stride)).cast("long").as("chunk_id"),
+        col("st").cast("long").as("start_tok"),
+        expr(s"concat_ws(' ', slice(ws, st + 1, $chunkSize))").as("chunk"),
+        expr(s"CAST(size(slice(ws, st + 1, $chunkSize)) AS BIGINT)")
+          .as("n_chunk_tokens"))
+  }
 }

@@ -171,4 +171,38 @@ class CurationSpec extends AnyFunSuite {
     assert(capped.values.map(_._1).sum < full.values.map(_._1).sum,
       "the cap removed no shingles on this corpus")
   }
+
+  test("sourceCap equals the window form and actually caps") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val got = Curation.sourceCap(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // reference: row_number window over the same inline score
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.pipeline.TextAnalysis.scoreCol.as("score"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("source", "doc_id", "score", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    // every source with >= k docs contributes exactly k survivors
+    val perSource = got.groupBy(_._1).view.mapValues(_.size)
+    val counts = Tables.documents(spark, sf).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0) === math.min(n, k.toLong).toInt,
+        s"source $src")
+    }
+  }
+
+  test("sourceCap plan has no window exchange beyond the topk shuffle") {
+    // the native operator's point: map-side heaps, a single shuffle on
+    // the group key, no row_number window
+    val tree = SparkFixture.planOf(Curation.sourceCap(spark, sf))
+      .split("\n\n").head
+    assert(!tree.contains("Window"), s"window operator leaked in:\n$tree")
+    assert("TopKPerKey".r.findAllIn(tree).length >= 1, tree)
+  }
 }

@@ -116,4 +116,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(c.map(_._2).sameElements(a.map(_._2)))
   }
+
+  test("chunks reassemble their documents and respect size/stride") {
+    val docs = Tables.documents(spark, sf).limit(30).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byDoc = TextAnalysis.chunks(spark, sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val cs = byDoc(id).sortBy(_._2)
+      // start grid is 0, stride, 2*stride, ... while start < n (or just [0])
+      val expStarts =
+        0L to math.max(ws.length - 1, 0).toLong by TextAnalysis.ChunkStride.toLong
+      assert(cs.map(_._3).toSeq === expStarts.toSeq, s"doc $id starts")
+      cs.foreach { case (_, cid, st, chunk, n) =>
+        val exp = ws.slice(st.toInt, st.toInt + TextAnalysis.ChunkSize)
+        assert(chunk === exp.mkString(" "), s"doc $id chunk $cid")
+        assert(n === exp.length.toLong)
+        assert(cid === st / TextAnalysis.ChunkStride)
+      }
+      // stride-gap concatenation of non-overlapping halves rebuilds the doc:
+      // every token appears in the chunk whose window first covers it
+      val rebuilt = cs.flatMap { case (_, _, st, chunk, _) =>
+        chunk.split(" ").filter(_.nonEmpty).take(TextAnalysis.ChunkStride)
+      }
+      assert(rebuilt.toSeq === ws.toSeq, s"doc $id rebuild")
+    }
+  }
 }
