@@ -885,7 +885,85 @@ object OracleSql {
     "q_interval_join" ->
       intervalJoinSql(graft.operators.Relational.DefaultIntervalWidthSec),
     "q_interval_join_15m" -> intervalJoinSql(900L),
+    // ordered event-stream analytics: the session/funnel/cohort family.
+    // The default-knob session oracle interpolates Behavior's constant;
+    // the 30m sibling exercises the gap parameter end to end.
+    "q_sessionize" ->
+      sessionizeSql(graft.operators.Behavior.DefaultSessionGapSec),
+    "q_sessionize_30m" -> sessionizeSql(1800L),
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |           FROM events WHERE event_type IN ('view','click','purchase')),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+        |         (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_view_before
+        |       FROM e),
+        |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND first_view_before IS NOT NULL
+        |                      THEN ts_us END AS qual_click FROM s1),
+        |s3 AS (SELECT *, MIN(qual_click) OVER
+        |         (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_qual_click_before
+        |       FROM s2),
+        |s4 AS (SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |         MAX(CASE WHEN qual_click IS NOT NULL THEN 1 ELSE 0 END) AS vc,
+        |         MAX(CASE WHEN event_type = 'purchase' AND first_qual_click_before IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS vcp
+        |       FROM s3 GROUP BY user_id)
+        |SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+        |       CAST(SUM(vc) AS BIGINT) AS n_view_click,
+        |       CAST(SUM(vcp) AS BIGINT) AS n_view_click_purchase FROM s4""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM e)
+        |SELECT first_day // 7 AS cohort_week, (day - first_day) // 7 AS week_offset,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    // grouping sets: GROUPING() arithmetic mirrors Spark's grouping_id
+    // bit order (leftmost grouping column = most significant bit)
+    "q_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q_cube" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS decile, value FROM events)
+        |SELECT event_type, decile,
+        |       CAST(GROUPING(event_type) * 2 + GROUPING(decile) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY CUBE (event_type, decile)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
   )
+
+  private def sessionizeSql(gapSec: Long): String = {
+    val gapUs = gapSec * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+       |f AS (SELECT user_id, ts_us, event_id, value,
+       |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+       |                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > $gapUs
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM e),
+       |g AS (SELECT user_id, ts_us, value,
+       |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |      FROM f)
+       |SELECT user_id, session_idx, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+       |FROM g GROUP BY user_id, session_idx""".stripMargin
+  }
 
   private def asofToleranceSql(tolSec: Long): String =
     s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

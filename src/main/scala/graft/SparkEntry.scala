@@ -228,6 +228,15 @@ object SparkEntry {
     "q_asof_tolerance_15m" -> ((s, d) => Relational.asofTolerance(s, d, toleranceSec = 900L)),
     "q_interval_join"  -> ((s, d) => Relational.intervalJoin(s, d)),
     "q_interval_join_15m" -> ((s, d) => Relational.intervalJoin(s, d, widthSec = 900L)),
+    // ordered event-stream analytics (sessionization / funnel / cohort)
+    "q_sessionize"     -> ((s, d) => graft.operators.Behavior.sessionize(s, d)),
+    "q_sessionize_30m" -> ((s, d) => graft.operators.Behavior.sessionize(s, d, gapSec = 1800L)),
+    "q_funnel"         -> (graft.operators.Behavior.funnel _),
+    "q_retention"      -> (graft.operators.Behavior.retention _),
+    // grouping sets + pivot
+    "q_rollup" -> (Relational.rollupRevenue _),
+    "q_cube"   -> (Relational.cubeEvents _),
+    "q_pivot"  -> (Relational.pivotEventCounts _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),

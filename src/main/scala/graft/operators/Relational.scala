@@ -279,4 +279,60 @@ object Relational {
       .select(col("c_custkey"), lit("big_spender").as("tag"))
     noPending.unionAll(bigSpender)
   }
+
+  /** ROLLUP over the region → nation dimension path: one shuffle total.
+    * Both dimension joins broadcast (nation/region are tiny at every
+    * scale — they're bounded enumerations), and Spark evaluates the
+    * rollup as a single Expand + hash aggregate with map-side partials,
+    * so the 3 grouping levels cost one exchange of pre-aggregated
+    * partials, not 3 passes over the fact table. `gid` (grouping_id)
+    * disambiguates a real NULL group value from a rolled-up level —
+    * emitted as long to match the oracle's GROUPING() arithmetic.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, dir).select("r_regionkey", "r_name")
+    Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      // expr(), not "r_name": string refs carry dataset-id tags that the
+      // rollup Expand duplicates, tripping the ambiguous-self-join check
+      .rollup(expr("r_name"), expr("n_name"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** CUBE over (event_type, user decile): all 4 grouping sets in the
+    * same single Expand + partial-agg shuffle as [[rollupRevenue]] —
+    * the decile is derived arithmetic (pmod), so the grouping key
+    * never needs a dimension lookup.
+    */
+  def cubeEvents(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("decile", pmod(col("user_id"), lit(10L)))
+      .cube("event_type", "decile")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("value_sum"))
+  }
+
+  /** PIVOT event counts per user: event_type values are pinned
+    * EXPLICITLY (the 5 known types), which is the scale-honest form —
+    * an unpinned pivot runs a driver-side distinct over the pivot
+    * column first, a full extra job at 100 TB. With pinned values the
+    * pivot is a single conditional aggregation: one shuffle on user_id,
+    * map-side partials, no distinct pre-pass. Missing cells surface as
+    * 0 (na.fill), matching the SQL conditional-count mirror.
+    */
+  def pivotEventCounts(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+  }
 }

@@ -145,6 +145,34 @@ object StreamAgg {
       }
   }
 
+  /** Sessionization via Spark's NATIVE session_window — the built-in
+    * merging-window state operator, completing the family's triangle:
+    * batch (Behavior.sessionize, one-shuffle running frames) ≡ custom
+    * stream state machine (sessionizeBacklog) ≡ this. Gap semantics
+    * align exactly by widening the native gap 1 µs: session_window
+    * merges when diff < gap, the batch rule keeps the session when
+    * diff <= gapUs, and gap = gapUs + 1 makes those the same predicate.
+    * State per key is the set of OPEN windows only (the operator merges
+    * and evicts on watermark advance on a live stream); the output
+    * shape matches the batch operator minus the per-user index.
+    */
+  def sessionWindowNative(s: SparkSession, inDir: String,
+                          gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs + 1} microseconds"))
+      .agg(
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("min_ts")).as("start_us"),
+        unix_micros(col("max_ts")).as("end_us"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** Per-user running stats via explicit state (mapGroupsWithState) —
     * the KeyValueGroupedDataset custom-state path for logic windows
     * can't express. State per key is O(1); partitioning is by user_id

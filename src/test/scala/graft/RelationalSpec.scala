@@ -163,4 +163,51 @@ class RelationalSpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
   }
+
+  test("rollupRevenue: levels are consistent and run as one Expand pass") {
+    // plan shape FIRST: once .cache() registers the logical plan, every
+    // later identical frame resolves to InMemoryRelation and the explain
+    // repeats nodes per AQE stage
+    val plan = planOf(Relational.rollupRevenue(spark, sf))
+    assert("""\(\d+\) Expand""".r.findAllIn(plan).length === 1, plan)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).length === 4, plan)
+    val df = Relational.rollupRevenue(spark, sf).cache()
+    // grand total (gid=3) equals the sum of the leaf level (gid=0)
+    val grand = df.filter(col("gid") === 3).collect()
+    assert(grand.length === 1)
+    val leafOrders = df.filter(col("gid") === 0)
+      .agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(grand(0).getAs[Long]("n_orders") === leafOrders)
+    assert(leafOrders === Tables.orders(spark, sf).count())
+    // per-region level (gid=1) reaggregates its leaves exactly
+    val regionFromLeaves = df.filter(col("gid") === 0)
+      .groupBy("r_name").agg(sum("n_orders").as("n"))
+    val mismatch = df.filter(col("gid") === 1).join(regionFromLeaves, "r_name")
+      .filter(col("n_orders") =!= col("n"))
+    assert(mismatch.count() === 0)
+    df.unpersist()
+  }
+
+  test("cubeEvents covers all 4 grouping sets over the full event count") {
+    val df = Relational.cubeEvents(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    for (gid <- 0 to 3) {
+      val n = df.filter(col("gid") === gid)
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(n === total, s"gid=$gid level must cover every event")
+    }
+    df.unpersist()
+  }
+
+  test("pivotEventCounts: row sums equal per-user event counts, no distinct pre-pass") {
+    val df = Relational.pivotEventCounts(spark, sf)
+    val rowSums = df.select(col("user_id"),
+      (col("click") + col("view") + col("purchase") + col("signup") +
+        col("error")).as("n"))
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+    val mismatch = rowSums.join(perUser, "user_id")
+      .filter(col("n") =!= col("count"))
+    assert(mismatch.count() === 0)
+    assert(rowSums.count() === perUser.count())
+  }
 }

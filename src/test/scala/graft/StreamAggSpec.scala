@@ -67,6 +67,23 @@ class StreamAggSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("native session_window equals the batch sessionize operator") {
+    val in = stageInput("native")
+    val gapSec = graft.operators.Behavior.DefaultSessionGapSec
+    val q = StreamAgg.sessionWindowNative(spark, in, gapUs = gapSec * 1000000L)
+      .writeStream
+      .format("memory").queryName("sw_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sw_stream")
+    val want = graft.operators.Behavior.sessionize(spark, sf, gapSec = gapSec)
+      .select("user_id", "start_us", "end_us", "n_events", "value_sum")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("live sessionize emits each session exactly once across batches") {
     import SparkFixture.spark.implicits._
     val base = "/root/repo/target/tmp/streamagg_live"
