@@ -937,6 +937,20 @@ object OracleSql {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
         |FROM e GROUP BY CUBE (event_type, decile)""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

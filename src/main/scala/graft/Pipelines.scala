@@ -608,6 +608,14 @@ object Pipelines {
     markers.map(m => s"w = '$m'").mkString(" OR ")
 
   private val text: Map[String, String] = Map(
+    "text_bigrams" ->
+      s"""WITH w AS (SELECT lang, $words AS ws FROM documents),
+         |b AS (SELECT lang, unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bigram
+         |      FROM w WHERE len(ws) >= 2),
+         |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rnk FROM c)
+         |SELECT lang, bigram, n, rnk FROM r
+         |WHERE rnk <= ${graft.pipeline.TextAnalysis.BigramTopK}""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($words) AS BIGINT) AS n_tokens,
          |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,

@@ -237,6 +237,9 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupRevenue _),
     "q_cube"   -> (Relational.cubeEvents _),
     "q_pivot"  -> (Relational.pivotEventCounts _),
+    // window frame + distribution-rank families
+    "q_window_range_frame" -> (Relational.windowRangeFrame _),
+    "q_ntile" -> (Relational.windowNtile _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),
@@ -292,6 +295,7 @@ object SparkEntry {
       ((s, d) => Similarity.recallTrained(s, d + Tables.ClusteredTag)),
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
+    "text_bigrams"     -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),

@@ -280,6 +280,46 @@ object Relational {
     noPending.unionAll(bigSpender)
   }
 
+  /** Event-time RANGE frame: per user, the rolling count/sum over the
+    * trailing hour — a VALUE-bounded frame (rangeBetween on epoch-µs),
+    * not a row-bounded one: all rows within the time bound enter the
+    * frame regardless of row position, so equal-timestamp ties cannot
+    * change the result and the frame is deterministic without a
+    * tie-break column. One shuffle on user_id; Spark evaluates the
+    * sliding range frame with a moving window over the sorted
+    * partition, O(n) amortized per partition (each row enters and
+    * leaves the frame once).
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(30,6)")).over(w)
+          .cast("double").as("sum_1h"))
+  }
+
+  /** Distribution-rank window family: ntile quartiles, percent_rank,
+    * cume_dist per event_type, ordered by (value, event_id) — the
+    * event_id tie-break makes the total order unique, which is what
+    * makes ntile deterministic (ntile splits ties arbitrarily under a
+    * non-unique ordering; percent_rank/cume_dist would survive ties,
+    * ntile would not). Both engines then compute identical rank
+    * arithmetic: single IEEE divisions of exact integers.
+    */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** ROLLUP over the region → nation dimension path: one shuffle total.
     * Both dimension joins broadcast (nation/region are tiny at every
     * scale — they're bounded enumerations), and Spark evaluates the

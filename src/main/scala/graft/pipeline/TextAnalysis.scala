@@ -211,4 +211,34 @@ object TextAnalysis {
         expr(s"CAST(size(slice(ws, st + 1, $chunkSize)) AS BIGINT)")
           .as("n_chunk_tokens"))
   }
+
+  /** Default per-language top-k for [[bigrams]]. */
+  val BigramTopK = 20
+
+  /** Corpus bigram statistics: the top-k adjacent word pairs per
+    * language — the n-gram frequency table an LM-data pipeline keeps
+    * for contamination screens, quality priors, and tokenizer prep.
+    * Bigram generation is a pure projection + explode (zero shuffle,
+    * explode factor = tokens−1 per doc, bounded by document length);
+    * the count is one partial-agg shuffle on (lang, bigram); the top-k
+    * leg runs on the native TopKPerKey operator, so the rank shuffle
+    * carries O(langs · k · partitions) pre-pruned rows, not the full
+    * bigram vocabulary. Ties break deterministically on the bigram
+    * string.
+    */
+  def bigrams(s: SparkSession, dir: String,
+              k: Int = BigramTopK): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+        .as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perKey(counts, Seq(col("lang")),
+      Seq(col("n").desc, col("bigram").asc), k)
+      .select(col("lang"), col("bigram"), col("n"), col("rnk"))
+  }
 }

@@ -199,6 +199,39 @@ class RelationalSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("windowRangeFrame equals the brute-force time-band self-join") {
+    val df = Relational.windowRangeFrame(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    val brute = ev.as("a").join(ev.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("b.ts_us") >= col("a.ts_us") - 3600000000L &&
+        col("b.ts_us") <= col("a.ts_us"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"),
+        col("a.ts_us").as("ts_us"))
+      .agg(count(lit(1)).as("n_1h"),
+        sum(col("b.value").cast("decimal(30,6)")).cast("double").as("sum_1h"))
+    assert(df.exceptAll(brute).isEmpty && brute.exceptAll(df).isEmpty)
+  }
+
+  test("windowNtile: quartiles are balanced, ranks bounded") {
+    val df = Relational.windowNtile(spark, sf).cache()
+    // ntile(4) sizes within an event_type differ by at most 1
+    val sizes = df.groupBy("event_type", "quartile").count()
+      .groupBy("event_type")
+      .agg(max("count").as("mx"), min("count").as("mn"),
+        countDistinct("quartile").as("nq"))
+    assert(sizes.filter(col("mx") - col("mn") > 1).count() === 0)
+    assert(sizes.filter(col("nq") =!= 4).count() === 0)
+    // percent_rank/cume_dist live in [0,1], cume_dist hits 1 at the top
+    assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1).count() === 0)
+    val tops = df.groupBy("event_type").agg(max("cume").as("m"))
+    assert(tops.filter(col("m") =!= 1.0).count() === 0)
+    df.unpersist()
+  }
+
   test("pivotEventCounts: row sums equal per-user event counts, no distinct pre-pass") {
     val df = Relational.pivotEventCounts(spark, sf)
     val rowSums = df.select(col("user_id"),

@@ -145,4 +145,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rebuilt.toSeq === ws.toSeq, s"doc $id rebuild")
     }
   }
+
+  test("bigrams: top-k per lang on TopKPerKey, counts conserve the corpus") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.bigrams(spark, sf).cache()
+    // at most k rows per lang, ranks are 1..n without holes
+    val k = TextAnalysis.BigramTopK
+    assert(df.groupBy("lang").count().filter(col("count") > k).count() === 0)
+    val badRank = df.groupBy("lang")
+      .agg(max("rnk").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(badRank.count() === 0)
+    // the count of a reported bigram equals a direct recount
+    val direct = Tables.documents(spark, sf)
+      .select(col("lang"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+        .as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n2"))
+    val mismatch = df.join(direct, Seq("lang", "bigram"))
+      .filter(col("n") =!= col("n2"))
+    assert(mismatch.count() === 0)
+    // rank leg runs on the native operator, not a window sort
+    val plan = SparkFixture.planOf(TextAnalysis.bigrams(spark, sf))
+    assert("""\(\d+\) Window""".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    df.unpersist()
+  }
 }
