@@ -240,6 +240,10 @@ object SparkEntry {
     // window frame + distribution-rank families
     "q_window_range_frame" -> (Relational.windowRangeFrame _),
     "q_ntile" -> (Relational.windowNtile _),
+    // approximate sketches (declared rows-only; accuracy contracts
+    // spec-proven against exact computations in SketchSpec)
+    "q_approx_quantile" -> (graft.operators.Sketches.approxQuantiles _),
+    "q_approx_distinct" -> (graft.operators.Sketches.approxDistinct _),
     // E. writer / compaction (rows-only: side-effecting, no SQL oracle)
     "q_sorted_write" -> (SortedWriter.sortedWriteQuery _),
     "q_compaction"   -> (SortedWriter.compactionQuery _),
