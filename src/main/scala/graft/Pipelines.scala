@@ -912,7 +912,56 @@ object Pipelines {
          |  CAST(len(list_slice(ws, st + 1, st + $cs)) AS BIGINT) AS n_chunk_tokens
          |FROM c""".stripMargin
     },
+    // tf-idf: smoothed idf quantized at 12 in the vocabulary CTE (the
+    // lmScore libm pattern), tf × idf in decimal (exact), the window
+    // form the native TopKPerKey rank is equivalent to
+    "doc_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |vocab AS (SELECT w,
+         |  CAST(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS DECIMAL(28,12)) AS idf
+         |  FROM dfq, n),
+         |sc AS (SELECT doc_id, w, tf,
+         |  CAST(CAST(tf AS DECIMAL(6,0)) * idf AS DECIMAL(28,12)) AS score
+         |  FROM tf JOIN vocab USING (w))
+         |SELECT doc_id, w, tf,
+         |  CAST(round(CAST(score AS DOUBLE), 9) AS DOUBLE) AS score,
+         |  CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, w) AS rn
+         |      FROM sc)
+         |WHERE rn <= ${graft.pipeline.Retrieval.TfidfK}""".stripMargin,
+    // A-ES weighted sample: u from the 12-nibble 'ws:'-salted md5
+    // (mirrors Spark's conv(substring(md5, 1, 12), 16, 10)), the same
+    // quality-score weight arithmetic as doc_source_cap, key quantized
+    // at 12 (the single ln call)
+    "doc_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($words) AS BIGINT) AS t,
+         |  CAST(len(list_distinct($words)) AS BIGINT) AS dt,
+         |  CAST(len(list_filter($words, w -> $stop)) AS BIGINT) AS st
+         |FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  least(1.0, t / 100.0) * 0.3 + (dt / greatest(t, 1)) * 0.4 + (1.0 - st / greatest(t, 1)) * 0.3 AS weight
+         |FROM d),
+         |kb AS (SELECT doc_id, CAST(($wsNibble) AS DOUBLE) AS h FROM documents)
+         |SELECT sc.doc_id AS doc_id, source, weight,
+         |  round(ln((h + 1.0) / 281474976710657.0) / weight, 12) AS skey
+         |FROM sc JOIN kb ON kb.doc_id = sc.doc_id
+         |ORDER BY skey DESC, doc_id
+         |LIMIT ${graft.pipeline.Curation.DefaultWeightedK}""".stripMargin,
   )
+
+  /** md5('ws:' || doc_id) first-12-nibble value (48 bits — exact in a
+    * double): the weighted-sample u, mirror of Spark's
+    * conv(substring(md5(concat('ws:', doc_id)), 1, 12), 16, 10).
+    */
+  private lazy val wsNibble: String = (1 to 12).map { k =>
+    val mul = math.pow(16, 12 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5('ws:' || CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
 
   /** The doc-level contamination mirror, optionally hot-shingle-capped:
     * Spark computes shingle frequency over DISTINCT CONTENTS

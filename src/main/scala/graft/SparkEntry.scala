@@ -318,6 +318,8 @@ object SparkEntry {
     "doc_chunks"        -> ((s, d) => TextAnalysis.chunks(s, d)),
     "doc_filter"        -> ((s, d) => graft.pipeline.Curation.filterVerdict(s, d)),
     "doc_bm25"          -> ((s, d) => graft.pipeline.Retrieval.bm25(s, d)),
+    "doc_tfidf"         -> ((s, d) => graft.pipeline.Retrieval.tfidf(s, d)),
+    "doc_weighted_sample" -> ((s, d) => graft.pipeline.Curation.weightedSample(s, d)),
     "doc_bm25_batch"    -> ((s, d) => graft.pipeline.Retrieval.bm25Batch(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed

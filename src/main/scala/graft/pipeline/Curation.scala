@@ -277,4 +277,44 @@ object Curation {
       Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("source"), col("doc_id"), col("score"), col("rnk"))
   }
+
+  val DefaultWeightedK = 200
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each document draws key = ln(u)/w with u uniform
+    * in (0,1) and w its quality score; the global k LARGEST keys are an
+    * exact weighted sample without replacement — the importance-sampling
+    * step that upweights high-quality documents in a training mix
+    * without a sequential pass.
+    *
+    * Sampling-as-filter discipline ([[stratifiedSample]]): u is a PURE
+    * FUNCTION of doc_id (12 salted md5 nibbles → 48 bits → (0,1)), no
+    * rand(), so the draw is reproducible and growing the corpus never
+    * changes an existing document's key. The global top-k compiles to
+    * TakeOrderedAndProject — per-partition heaps of k, a k-row driver
+    * merge, NO global sort or shuffle at any corpus size.
+    *
+    * Determinism contract: u is exact (48-bit integer / 2⁴⁸+1, both
+    * IEEE-exact); ln(u) is the one libm call, so the key is quantized
+    * to 12 decimals once; ties (impossible under distinct u, but the
+    * contract shouldn't rest on that) break on doc_id.
+    */
+  def weightedSample(s: SparkSession, dir: String,
+                     k: Int = DefaultWeightedK): DataFrame = {
+    require(k > 0, "k must be positive")
+    // 12 nibbles = 48 bits: exact in a double (< 2^53), wide enough
+    // that collisions (birthday at ~2^24 docs) never decide the sample
+    val h = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(281474976710657.0) // 2^48 + 1 → u ∈ (0,1)
+    // scoreCol ≥ 0.3 by construction (empty doc = pure stopword-free
+    // leg), so the division is total
+    val key = round(log(u) / TextAnalysis.scoreCol, 12)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.scoreCol.as("weight"), key.as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -78,6 +78,50 @@ object Retrieval {
       .limit(k)
   }
 
+  val TfidfK = 5
+
+  /** TF-IDF top-k terms per document — the keyword-extraction /
+    * relevance-feature step (smoothed idf = ln((N+1)/(df+1)) + 1, the
+    * sklearn TfidfTransformer formulation): the k highest-scoring terms
+    * of each document with their raw tf and 1-based rank.
+    *
+    * Scale shape: one shuffle total on (doc_id, term) for tf; the
+    * document frequencies reduce the tf frame to a VOCABULARY-bounded
+    * table that broadcasts back (the lmScore argument: Zipfian terms
+    * must never be a shuffle key for corpus-sized data); the per-doc
+    * top-k runs on the native TopKPerKey operator, so the rank stage
+    * shuffles O(docs · k · partitions) pre-pruned rows, not every
+    * (doc, term) pair.
+    *
+    * Determinism contract: idf is ln() (libm) — quantized to 12
+    * decimals ONCE in the vocabulary table; tf × idf then runs in
+    * decimal (integer × quantized — exact), so the TopKPerKey ordering
+    * key is exact and ties (same score) break on the term itself. The
+    * emitted score re-quantizes the exact decimal to 9 via one IEEE
+    * cast both engines share.
+    */
+  def tfidf(s: SparkSession, dir: String, k: Int = TfidfK): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = round(
+      log((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+        + lit(1.0), 12).cast("decimal(28,12)")
+    val vocab = dfreq.crossJoin(broadcast(n)).select(col("w"), idf.as("idf"))
+    // tf fits decimal(6,0) (a doc has < 10^6 tokens); the product's
+    // (35,12) stays inside decimal's 38-digit exactness — no rounding
+    val scored = tf.join(broadcast(vocab), "w")
+      .select(col("doc_id"), col("w"), col("tf"),
+        (col("tf").cast("decimal(6,0)") * col("idf")).cast("decimal(28,12)").as("score"))
+    graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+      Seq(col("score").desc, col("w").asc), k)
+      .select(col("doc_id"), col("w"), col("tf"),
+        round(col("score").cast("double"), 9).as("score"), col("rnk"))
+  }
+
   /** Batch BM25 — queries as DATA (the retrieval-service shape): a
     * query table (qid, term) broadcasts into the token stream, so only
     * matching occurrences survive the first join; tf/df reduce by

@@ -205,4 +205,64 @@ class CurationSpec extends AnyFunSuite {
     assert(!tree.contains("Window"), s"window operator leaked in:\n$tree")
     assert("TopKPerKey".r.findAllIn(tree).length >= 1, tree)
   }
+
+  private val stopSet = Set("the", "a", "of", "and", "to", "in")
+
+  // replicates TextAnalysis.scoreCol's IEEE program step for step
+  private def scoreOf(t: String): Double = {
+    val ws = wordsOf(t)
+    val nTok = ws.length.toLong
+    val nDist = ws.distinct.length.toLong
+    val nStop = ws.count(stopSet).toLong
+    val denom = math.max(nTok, 1L)
+    math.min(1.0, nTok / 100.0) * 0.3 + (nDist.toDouble / denom) * 0.4 +
+      (1.0 - nStop.toDouble / denom) * 0.3
+  }
+
+  test("weightedSample equals a driver-side A-ES reference") {
+    val k = 25
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def key(id: Long, w: Double): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h.substring(0, 12), 16) + 1.0) /
+        281474976710657.0
+      BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = docs
+      .map { case (id, src, t) =>
+        val w = scoreOf(t); (id, src, w, key(id, w))
+      }
+      .sortBy { case (id, _, _, sk) => (-sk, id) }.take(k).toSeq
+    val got = Curation.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === want)
+    // without replacement, keys strictly ordered in the emitted frame
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("weightedSample is without replacement and exhausts at k >= corpus") {
+    val n = Tables.documents(spark, sf).count().toInt
+    val all = Curation.weightedSample(spark, sf, n + 10).collect()
+      .map(_.getLong(0))
+    // every document exactly once — the sample is a permutation prefix,
+    // never a with-replacement draw
+    assert(all.length === n)
+    assert(all.toSet.size === n)
+    // and a smaller k is a strict prefix of the same permutation
+    val prefix = Curation.weightedSample(spark, sf, 40).collect().map(_.getLong(0))
+    assert(prefix.toSeq === all.take(40).toSeq)
+  }
+
+  test("weightedSample plan is a TakeOrderedAndProject — no global sort, no shuffle") {
+    val plan = SparkFixture.planOf(Curation.weightedSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition heaps + driver merge:\n$plan")
+    assert(!plan.contains("Exchange"), s"pure scan-side sample:\n$plan")
+  }
 }

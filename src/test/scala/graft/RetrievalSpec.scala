@@ -124,6 +124,43 @@ class RetrievalSpec extends AnyFunSuite {
       s"vocabulary join must broadcast (Zipf skew on the word key):\n$plan")
   }
 
+  test("tfidf equals a driver-side reference implementation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), wordsOf(r.getString(1))))
+    val n = docs.length
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => ((id, w), g.length.toLong) }
+    }.toMap
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => (w, ks.size) }
+    def idf(w: String): BigDecimal =
+      BigDecimal(math.log((n + 1.0) / (df(w) + 1.0)) + 1.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = tf.toSeq
+      .map { case ((id, w), c) => (id, w, c, BigDecimal(c) * idf(w)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, terms) =>
+        terms.sortBy { case (_, w, _, sc) => (-sc, w) }
+          .take(Retrieval.TfidfK).zipWithIndex
+          .map { case ((id, w, c, sc), i) =>
+            (id, w, c,
+              BigDecimal(sc.toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, i + 1)
+          }
+      }.sortBy(t => (t._1, t._5))
+    val got = Retrieval.tfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    assert(got === want)
+  }
+
+  test("tfidf plan: broadcast vocabulary, TopKPerKey, no Window") {
+    val plan = SparkFixture.planOf(Retrieval.tfidf(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary join must broadcast (Zipf skew on the word key):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+    assert(plan.contains("TopKPerKey"), "per-doc top-k must be the pruned operator")
+    assert(!plan.contains("Window"), s"no global window sort expected:\n$plan")
+  }
+
   test("lmScore: boilerplate of ubiquitous words outscores rare-word text") {
     // every word's prob is c/T; docs made only of the rarest word
     // ('dup') must have lower mean log-prob than the corpus average
