@@ -789,7 +789,47 @@ object OracleSql {
         |                  WHERE p.step = s.step AND p.event_type = t.event_type)""".stripMargin,
   )
 
+  /** Exact-integer PageRank mirror of [[graft.operators.Graph.pagerank]]:
+    * the same fixed iteration count UNROLLED as chained CTEs (recursive
+    * CTEs forbid aggregation over the recursive term), every step
+    * integer arithmetic (`//` floor division on positive values ≡
+    * Spark's `div`), so the hash proves all `Iters` iterations
+    * bit-for-bit. SUM promotes to HUGEINT in DuckDB — the final CAST
+    * lands it back on BIGINT like Spark's 64-bit sum (values stay under
+    * 2⁶³ by the mass bound: Σranks ≤ 10¹²).
+    */
+  private lazy val pagerankSql: String = {
+    import graft.operators.Graph.{DampingNum, Iters, Scale}
+    val head =
+      s"""WITH e0 AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, od.outdeg FROM e0 JOIN od USING (src)),
+         |nn AS (SELECT COUNT(*) AS n FROM nation),
+         |r0 AS (SELECT n_nationkey AS node,
+         |         CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS r
+         |       FROM nation)""".stripMargin
+    val its = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT nat.n_nationkey AS node,
+         |  CAST((15 * $Scale) // (100 * (SELECT n FROM nn)) +
+         |       ($DampingNum * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+         |  FROM nation nat LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // e.outdeg) AS contrib
+         |    FROM e JOIN r${i - 1} p ON p.node = e.src GROUP BY e.dst) c
+         |  ON c.node = nat.n_nationkey)""".stripMargin
+    }
+    (head +: its).mkString(",\n") +
+      s"""
+         |SELECT n.n_name AS nation, r.r AS rank_scaled,
+         |       CAST(r.r AS DOUBLE) / 1e12 AS rank
+         |FROM r$Iters r JOIN nation n ON n.n_nationkey = r.node""".stripMargin
+  }
+
   private val relational: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -221,6 +221,7 @@ object SparkEntry {
     "q_window_rank_native" -> (Relational.windowRankNative _),
     "q_orders_enrich" -> (Relational.ordersEnrich _),
     "q_semi_anti"    -> (Relational.semiAnti _),
+    "q_pagerank"     -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     "q_asof_join"      -> (Relational.asofJoin _),
