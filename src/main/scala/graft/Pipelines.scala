@@ -933,6 +933,14 @@ object Pipelines {
          |                                   ORDER BY score DESC, w) AS rn
          |      FROM sc)
          |WHERE rn <= ${graft.pipeline.Retrieval.TfidfK}""".stripMargin,
+    // heavy hitters: the sketch-fronted two-pass plan must equal plain
+    // GROUP BY + HAVING — the MG layer is invisible in the answer (its
+    // no-miss guarantee is exactly what the hash match proves)
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($words) AS w FROM documents),
+         |n AS (SELECT COUNT(*) AS n FROM toks)
+         |SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+         |HAVING COUNT(*) * ${graft.functions.HeavyHitters.ThreshDen} > (SELECT n FROM n)""".stripMargin,
     // A-ES weighted sample: u from the 12-nibble 'ws:'-salted md5
     // (mirrors Spark's conv(substring(md5, 1, 12), 16, 10)), the same
     // quality-score weight arithmetic as doc_source_cap, key quantized

@@ -320,6 +320,7 @@ object SparkEntry {
     "doc_filter"        -> ((s, d) => graft.pipeline.Curation.filterVerdict(s, d)),
     "doc_bm25"          -> ((s, d) => graft.pipeline.Retrieval.bm25(s, d)),
     "doc_tfidf"         -> ((s, d) => graft.pipeline.Retrieval.tfidf(s, d)),
+    "text_heavy_hitters" -> ((s, d) => graft.functions.HeavyHitters.textHeavyHitters(s, d)),
     "doc_weighted_sample" -> ((s, d) => graft.pipeline.Curation.weightedSample(s, d)),
     "doc_bm25_batch"    -> ((s, d) => graft.pipeline.Retrieval.bm25Batch(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
