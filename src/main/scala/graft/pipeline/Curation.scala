@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -299,21 +299,28 @@ object Curation {
     * to 12 decimals once; ties (impossible under distinct u, but the
     * contract shouldn't rest on that) break on doc_id.
     */
-  def weightedSample(s: SparkSession, dir: String,
-                     k: Int = DefaultWeightedK): DataFrame = {
-    require(k > 0, "k must be positive")
-    // 12 nibbles = 48 bits: exact in a double (< 2^53), wide enough
-    // that collisions (birthday at ~2^24 docs) never decide the sample
+  /** The A-ES key as a column over (doc_id, text) — shared with the
+    * streaming sample so the online and batch draws are the same
+    * function. 12 nibbles = 48 bits: exact in a double (< 2^53), wide
+    * enough that collisions (birthday at ~2^24 docs) never decide the
+    * sample.
+    */
+  private[graft] def sampleKeyCol: Column = {
     val h = conv(substring(
       md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
       .cast("double")
     val u = (h + lit(1.0)) / lit(281474976710657.0) // 2^48 + 1 → u ∈ (0,1)
     // scoreCol ≥ 0.3 by construction (empty doc = pure stopword-free
     // leg), so the division is total
-    val key = round(log(u) / TextAnalysis.scoreCol, 12)
+    round(log(u) / TextAnalysis.scoreCol, 12)
+  }
+
+  def weightedSample(s: SparkSession, dir: String,
+                     k: Int = DefaultWeightedK): DataFrame = {
+    require(k > 0, "k must be positive")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        TextAnalysis.scoreCol.as("weight"), key.as("skey"))
+        TextAnalysis.scoreCol.as("weight"), sampleKeyCol.as("skey"))
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(k)
   }

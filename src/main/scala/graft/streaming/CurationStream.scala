@@ -103,4 +103,64 @@ object CurationStream {
       .start()
     q.awaitTermination()
   }
+
+  /** One row of the online weighted sample. */
+  case class SampledDoc(doc_id: Long, source: String, weight: Double,
+                        skey: Double)
+
+  /** ONLINE weighted sampling — the streaming twin of
+    * [[graft.pipeline.Curation.weightedSample]]: the A-ES top-k is an
+    * ONLINE algorithm by construction (each document's key is a pure
+    * function of itself; the sample is just the running k largest
+    * keys), so a k-row state suffices to maintain the exact batch
+    * sample as documents arrive. Every micro-batch folds its rows into
+    * the state and SNAPSHOTS the current sample over `outDir`
+    * (foreachBatch overwrite — the continuously-refreshed sample
+    * materialization, not an append log: admissions evict, and Append
+    * can't retract an evicted doc).
+    *
+    * State honesty: the single group key routes each micro-batch
+    * through one task — correct because the state is k rows and a
+    * micro-batch is rate-bounded, but a very-high-rate deployment
+    * would pre-reduce each batch to its local top-k (or pre-filter on
+    * the broadcast k-th best key) before the stateful fold; the fold
+    * itself is unavoidably a single reducer, exactly like the batch
+    * form's driver-side merge of per-partition heaps.
+    *
+    * Because state persists in the checkpoint, re-running over a GROWN
+    * input directory continues the same draw — the spec proves the
+    * snapshot equals the batch sample over everything ingested so far,
+    * across separate runs.
+    */
+  def weightedSampleStream(s: SparkSession, inDir: String, outDir: String,
+                           checkpoint: String,
+                           k: Int = graft.pipeline.Curation.DefaultWeightedK): Unit = {
+    import s.implicits._
+    require(k > 0, "k must be positive")
+    val docs = s.readStream.schema(docSchema).parquet(inDir)
+      .select(col("doc_id"), col("source"),
+        graft.pipeline.TextAnalysis.scoreCol.as("weight"),
+        graft.pipeline.Curation.sampleKeyCol.as("skey"))
+      .as[SampledDoc]
+    val sampled = docs
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Seq[SampledDoc], SampledDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .sortBy(d => (-d.skey, d.doc_id)).take(k)
+          state.update(merged)
+          merged.iterator // the full current sample, k-bounded
+      }
+    val q = sampled.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SampledDoc], _: Long) =>
+        // snapshot semantics: the latest batch's emission IS the sample
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -66,4 +66,45 @@ class CurationStreamSpec extends AnyFunSuite {
     val n2 = spark.read.parquet(out).count()
     assert(n2 === n1, s"duplicate-content batch must add nothing: $n1 -> $n2")
   }
+
+  private def sampleRows(path: String): Set[(Long, String, Double, Double)] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("weight"), r.getAs[Double]("skey"))).toSet
+
+  test("online weighted sample snapshot equals the batch draw, across grown input") {
+    val k = 25
+    val (in, out, cp) = freshDirs("wsample")
+    // stage the corpus as two halves so the second run proves state
+    // continuity: the online sample over half ∪ half must equal the
+    // batch sample over the whole
+    val stage1 = s"${in}_h1"; val stage2 = s"${in}_h2"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(stage1)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.parquet(stage2)
+    def moveIn(stage: String, name: String): Unit = {
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$name"))
+    }
+    moveIn(stage1, "h1.parquet")
+    CurationStream.weightedSampleStream(spark, in, out, cp, k)
+    // snapshot 1 = batch A-ES over the even half (restrict the full
+    // permutation driver-side: Spark gives no order guarantee through
+    // a post-limit filter)
+    val batchHalf = graft.pipeline.Curation.weightedSample(spark, sf, 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .filter(_._1 % 2 == 0)
+      .sortBy { case (id, _, _, sk) => (-sk, id) }.take(k).toSet
+    assert(sampleRows(out) === batchHalf, "backlog snapshot != batch sample")
+    // grow the input; same checkpoint → the state continues the draw
+    moveIn(stage2, "h2.parquet")
+    CurationStream.weightedSampleStream(spark, in, out, cp, k)
+    val batchFull = graft.pipeline.Curation.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(sampleRows(out) === batchFull,
+      "grown-input snapshot != batch sample over the union")
+  }
 }
