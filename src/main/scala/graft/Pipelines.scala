@@ -115,6 +115,23 @@ object Pipelines {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // delta-vs-corpus ingest dedup over the shared unsalted hash split:
+    // corpus = bucket < 80 collapsed to its content index, delta joins it
+    "dedup_incremental" ->
+      s"""WITH b AS (SELECT doc_id, md5(text) AS chash,
+         |             CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+         |           FROM documents),
+         |old AS (SELECT chash, MIN(doc_id) AS corpus_id FROM b
+         |        WHERE bucket < 80 GROUP BY chash),
+         |neu AS (SELECT doc_id, chash FROM b WHERE bucket >= 80),
+         |dm AS (SELECT chash, MIN(doc_id) AS delta_min FROM neu GROUP BY chash)
+         |SELECT n.doc_id, n.chash,
+         |  CASE WHEN o.corpus_id IS NOT NULL THEN 'dup_of_corpus'
+         |       WHEN n.doc_id > d.delta_min THEN 'dup_within_delta'
+         |       ELSE 'kept' END AS verdict,
+         |  CASE WHEN o.corpus_id IS NOT NULL THEN o.corpus_id
+         |       WHEN n.doc_id > d.delta_min THEN d.delta_min END AS keep_id
+         |FROM neu n LEFT JOIN old o USING (chash) JOIN dm d USING (chash)""".stripMargin,
     "dedup_minhash_lsh" ->
       s"WITH $shingleCtes\nSELECT id1, id2 FROM cand",
     "dedup_ngram_jaccard" ->

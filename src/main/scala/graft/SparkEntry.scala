@@ -259,6 +259,7 @@ object SparkEntry {
       s, d, 10L, 19L, 1704153600000000L, 1704240000000000L)),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
+    "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_simhash"       -> (Dedup.simhash _),

@@ -362,6 +362,45 @@ object Dedup {
           .as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental (delta-vs-corpus) exact dedup — the shape a PRODUCTION
+    * ingest actually runs: never re-dedup the whole corpus, dedup the
+    * arriving batch against the already-ingested content index plus
+    * itself. The "corpus" and "delta" halves come from the shared
+    * deterministic hash split ([[TextAnalysis.sampleSplit]]'s unsalted
+    * bucket: < 80 = ingested corpus, ≥ 80 = arriving delta). Verdicts:
+    * `dup_of_corpus` (content already ingested; keep_id = the corpus's
+    * min-id copy), `dup_within_delta` (first occurrence inside the
+    * delta wins by doc_id), `kept`.
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT-content
+    * index (chash, min id) — the persistent index an ingest pipeline
+    * maintains incrementally; the delta equi-joins it on the hash key.
+    * Work per ingest is O(delta + matched index rows), never O(corpus):
+    * re-running yesterday's dedup over 100 TB to admit 100 GB is
+    * exactly what this shape avoids (on the index side the join key is
+    * a uniform md5 — no skew by construction).
+    */
+  def incremental(s: SparkSession, dir: String,
+                  corpusPct: Int = 80): DataFrame = {
+    require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
+    val b = Tables.documents(s, dir).select(
+      col("doc_id"), md5(col("text")).as("chash"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L).as("bucket"))
+    val corpusIdx = b.filter(col("bucket") < corpusPct)
+      .groupBy("chash").agg(min("doc_id").as("corpus_id"))
+    val delta = b.filter(col("bucket") >= corpusPct).select("doc_id", "chash")
+    val deltaMin = delta.groupBy("chash").agg(min("doc_id").as("delta_min"))
+    delta.join(corpusIdx, Seq("chash"), "left").join(deltaMin, "chash")
+      .select(col("doc_id"), col("chash"),
+        when(col("corpus_id").isNotNull, "dup_of_corpus")
+          .when(col("doc_id") > col("delta_min"), "dup_within_delta")
+          .otherwise("kept").as("verdict"),
+        coalesce(col("corpus_id"),
+          when(col("doc_id") > col("delta_min"), col("delta_min")))
+          .as("keep_id"))
+  }
+
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs (ngramJaccard ≥ 0.5), labeled by the minimum reachable doc_id.
     * Distributed min-label propagation WITH pointer jumping: each round

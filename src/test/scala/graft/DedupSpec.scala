@@ -199,4 +199,34 @@ class DedupSpec extends AnyFunSuite {
     val loose = Dedup.embeddingNearDup(spark, sf, threshold = 0.2)
     assert(loose.count() >= Dedup.embeddingNearDup(spark, sf).count())
   }
+
+  test("incremental dedup equals a driver-side delta-vs-corpus reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % 100
+    val old = docs.filter { case (id, _) => bucket(id) < 80 }
+    val neu = docs.filter { case (id, _) => bucket(id) >= 80 }
+    assert(old.nonEmpty && neu.nonEmpty, "split must cut both ways")
+    val corpusIdx = old.groupBy(d => md5hex(d._2)).view.mapValues(_.map(_._1).min)
+    val deltaMin = neu.groupBy(d => md5hex(d._2)).view.mapValues(_.map(_._1).min)
+    val want = neu.map { case (id, t) =>
+      val h = md5hex(t)
+      corpusIdx.get(h) match {
+        case Some(cid) => (id, h, "dup_of_corpus", Some(cid))
+        case None if id > deltaMin(h) => (id, h, "dup_within_delta", Some(deltaMin(h)))
+        case None => (id, h, "kept", None)
+      }
+    }.toSet
+    val got = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chash"),
+        r.getAs[String]("verdict"),
+        if (r.isNullAt(3)) None else Some(r.getAs[Long]("keep_id")))).toSet
+    assert(got === want)
+    // work is delta-sized: every output row is a delta doc, exactly once
+    assert(got.size === neu.length)
+  }
 }
