@@ -950,6 +950,22 @@ object Pipelines {
          |                                   ORDER BY score DESC, w) AS rn
          |      FROM sc)
          |WHERE rn <= ${graft.pipeline.Retrieval.TfidfK}""".stripMargin,
+    // entropy: ln only over integers, quantized at 12; c·ln c summed in
+    // exact decimal; final H = ln(n) − clogc/n in shared IEEE
+    "text_entropy" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+         |cf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, SUM(c) AS n_tokens,
+         |         SUM(CAST(CAST(c AS DECIMAL(6,0)) *
+         |             CAST(round(ln(c), 12) AS DECIMAL(28,12)) AS DECIMAL(35,12))) AS clogc
+         |       FROM cf GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN pd.n_tokens IS NULL THEN 0.0
+         |       ELSE round(ln(pd.n_tokens), 12)
+         |            - CAST(pd.clogc AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+         |  END AS entropy
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // heavy hitters: the sketch-fronted two-pass plan must equal plain
     // GROUP BY + HAVING — the MG layer is invisible in the answer (its
     // no-miss guarantee is exactly what the hash match proves)

@@ -307,6 +307,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    "text_entropy"     -> (TextAnalysis.entropy _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
     "doc_contamination" -> ((s, d) => graft.pipeline.Curation.contamination(s, d)),
     // the hot-shingle frequency cap, oracle-proven: shingles in > 3

@@ -127,6 +127,38 @@ object TextAnalysis {
     * exact-integer ratios lowered to double, so the oracle matches
     * bit-for-bit.
     */
+  /** Word-distribution Shannon entropy per document (natural log) — the
+    * classic gibberish/boilerplate signal: low entropy = repetitive
+    * boilerplate, implausibly high = random token soup. Computed as
+    * H = ln(n) − (Σ c·ln c)/n over the per-doc word counts, so the only
+    * libm calls are ln of INTEGERS — each quantized to 12 decimals once
+    * (the lmScore contract), with the Σ c·ln c accumulation in exact
+    * decimal (order-independent) and the final subtraction/division
+    * plain IEEE both engines share. Two partial-agg groupBys on
+    * (doc, word) then doc — no joins, no windows; empty docs keep a
+    * defined 0 entropy.
+    */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("w"))
+    val cf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    // c < 10^6 (a doc's tokens): (6,0) × (28,12) = (35,12), inside
+    // decimal's 38-digit exactness
+    val perDoc = cf.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      sum(col("c").cast("decimal(6,0)") *
+        round(log(col("c").cast("double")), 12).cast("decimal(28,12)"))
+        .as("clogc"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, lit(0.0))
+          .otherwise(round(log(col("n_tokens").cast("double")), 12) -
+            col("clogc").cast("double") / col("n_tokens").cast("double"))
+          .as("entropy"))
+  }
+
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),

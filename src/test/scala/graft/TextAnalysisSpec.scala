@@ -174,4 +174,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan)
     df.unpersist()
   }
+
+  test("entropy equals a driver-side reference and respects the ln(n) bound") {
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val want = docs.map { case (id, ws) =>
+      val n = ws.length.toLong
+      if (n == 0L) (id, 0L, 0.0)
+      else {
+        val clogc = ws.groupBy(identity).values
+          .map(g => BigDecimal(g.length) * BigDecimal(q12(math.log(g.length)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        (id, n, q12(math.log(n.toDouble)) - clogc.toDouble / n.toDouble)
+      }
+    }.toSet
+    val got = TextAnalysis.entropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    // Shannon bounds: 0 <= H <= ln(n) (quantization slack only)
+    got.foreach { case (id, n, h) =>
+      assert(h >= -1e-9, s"doc $id")
+      if (n > 0) assert(h <= math.log(n.toDouble) + 1e-9, s"doc $id")
+    }
+  }
 }
