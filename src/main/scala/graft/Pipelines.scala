@@ -1089,6 +1089,41 @@ object Pipelines {
         |SELECT doc_id,
         |       CAST(unnest(generate_series(0, frames - 1, 8)) AS BIGINT) AS frame_idx
         |FROM f""".stripMargin,
+    // audio: the decoded WAV header/stream vs MediaGen's arithmetic —
+    // rate table and length mirror rateOf/nSamplesOf; duration is
+    // integer floor division in both engines
+    "mm_audio_meta" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 22050 END AS rate,
+        |  256 + 64 * (((doc_id % 8) + 8) % 8) AS n
+        |FROM documents)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST((n * 1000000) // rate AS BIGINT) AS duration_us
+        |FROM a""".stripMargin,
+    // audio features: DuckDB REGENERATES the PCM stream from the
+    // sampleOf formula ((i·k + id·7 mod 4096) − 2048)·16 and recomputes
+    // peak / zero crossings / RMS — a hash match proves the javax.sound
+    // decode returned the exact samples. sqrt is IEEE-correctly-rounded,
+    // so rms needs no quantization.
+    "mm_audio_features" ->
+      """WITH a AS (SELECT doc_id,
+        |  31 + ((doc_id % 13) + 13) % 13 AS k,
+        |  256 + 64 * (((doc_id % 8) + 8) % 8) AS n
+        |FROM documents),
+        |s AS (SELECT doc_id, i,
+        |        ((((i * k + doc_id * 7) % 4096) + 4096) % 4096 - 2048) * 16 AS v
+        |      FROM (SELECT doc_id, k, n, unnest(range(0, n)) AS i FROM a)),
+        |l AS (SELECT doc_id, v,
+        |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |      FROM s)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        |       MAX(abs(v)) AS peak,
+        |       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |       sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+        |FROM l GROUP BY doc_id""".stripMargin,
   )
 
   def oracles: Map[String, String] =

@@ -337,6 +337,8 @@ object SparkEntry {
     "mm_frames_idx"  -> (Multimodal.frameIndex _),
     // rows-only: cosine over decoded-pixel histograms (not SQL-expressible)
     "mm_ann"         -> ((s, d) => Multimodal.annByFeatures(s, d)),
+    "mm_audio_meta"  -> (Multimodal.audioMeta _),
+    "mm_audio_features" -> (Multimodal.audioFeatures _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same result, same column names).

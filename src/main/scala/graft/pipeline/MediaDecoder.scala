@@ -127,6 +127,36 @@ final class ImageIoDecoder extends MediaDecoder {
   }
 }
 
+/** Real audio decoder over the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+  * — no external dependencies): parses the container header into format
+  * metadata and decodes the PCM stream to 16-bit samples. Same executor
+  * contract as [[MediaDecoder]]: construct once per partition via the
+  * `() => WavDecoder` factory; decode is one pass per payload.
+  */
+final class WavDecoder {
+  /** (sample rate Hz, decoded 16-bit samples). */
+  def read(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+        s"expected PCM16LE mono, got $f")
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      (f.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+}
+
+object WavDecoder {
+  val javasound: () => WavDecoder = () => new WavDecoder
+}
+
 /** Deterministic fake decoder — byte-content-derived metadata. Swap via
   * the factory parameter on the Multimodal operators when a real codec
   * is on the classpath.

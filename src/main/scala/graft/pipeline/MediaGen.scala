@@ -59,4 +59,48 @@ object MediaGen {
     ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  // ---- audio: 16-bit PCM mono WAV (javax.sound-decodable) ---------------
+  // Same design as the filmstrip: rate/length/samples are arithmetic in
+  // doc_id, so the DECODED stream is oracle-checkable — DuckDB recomputes
+  // the expected PCM values and a hash match on the decode-derived
+  // features proves the executor-side javax.sound decode returned
+  // exactly the generated waveform.
+
+  val SampleRates: Array[Int] = Array(8000, 16000, 22050)
+
+  def rateOf(docId: Long): Int = SampleRates(Math.floorMod(docId, 3L).toInt)
+
+  /** 256..704 samples — size-bounded like the filmstrip frames. */
+  def nSamplesOf(docId: Long): Int = 256 + 64 * Math.floorMod(docId, 8L).toInt
+
+  /** Sample i: a doc-seeded sawtooth in exact integer arithmetic,
+    * scaled to the full 16-bit range (±2048·16 = ±32768 exactly).
+    */
+  def sampleOf(docId: Long, i: Int): Short = {
+    val k = 31L + Math.floorMod(docId, 13L)
+    ((Math.floorMod(i * k + docId * 7L, 4096L) - 2048L) * 16L).toShort
+  }
+
+  /** A real RIFF/WAVE file (canonical 44-byte header + PCM16LE data). */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val rate = rateOf(docId)
+    val n = nSamplesOf(docId)
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sampleOf(docId, i)); i += 1 }
+    buf.array()
+  }
 }

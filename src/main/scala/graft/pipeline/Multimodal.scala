@@ -185,6 +185,87 @@ object Multimodal {
     * (rows-only: pixel-derived values aren't SQL-expressible; the spec
     * pins determinism and ranking invariants.)
     */
+  // ---- audio: the second modality through the same plumbing ------------
+
+  /** The synthesized AUDIO column: (doc_id, payload BINARY) — one real
+    * RIFF/WAVE file per document ([[MediaGen.wavPayload]]), generated on
+    * the executors, materialized once per (session, dir) like the image
+    * payloads.
+    */
+  private val audioMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def audioPayloads(s: SparkSession, dir: String): DataFrame =
+    audioMemo.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "|" + dir, _ => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"))
+          .as[Long]
+          .mapPartitions(it => it.map(id => (id, MediaGen.wavPayload(id))))
+          .toDF("doc_id", "payload")
+          .localCheckpoint(true)
+      })
+
+  /** Container metadata from the REAL javax.sound decode — the
+    * oracle-checkable audio projection (mm_decode_dims's twin): sample
+    * rate and stream length come from the decoded header/stream, DuckDB
+    * recomputes them from doc_id arithmetic, and the hash match proves
+    * the decode. duration_us is exact integer arithmetic.
+    */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new WavDecoder
+        it.map { case (id, bytes) =>
+          val (rate, samples) = dec.read(bytes)
+          (id, rate.toLong, samples.length.toLong,
+            samples.length.toLong * 1000000L / rate)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_us")
+  }
+
+  /** Signal features over the DECODED PCM stream: peak amplitude, zero
+    * crossings, RMS — all from exact integer sums over the decoded
+    * samples (rms's one sqrt is IEEE-correctly-rounded, so even it is
+    * cross-engine exact). Oracle-checkable BECAUSE the waveform is
+    * arithmetic in doc_id: DuckDB regenerates the PCM values and
+    * recomputes the same features — a hash match proves the executor
+    * decode returned the exact stream, sample for sample.
+    */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val dec = new WavDecoder
+        it.map { case (id, bytes) =>
+          val (_, samples) = dec.read(bytes)
+          var i = 0
+          var peak = 0L
+          var zc = 0L
+          var sumsq = 0L
+          var prevNeg = false
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            sumsq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            val neg = v < 0L
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          (id, samples.length.toLong, peak, zc,
+            math.sqrt(sumsq.toDouble / samples.length))
+        }
+      }
+      .toDF("doc_id", "n_samples", "peak", "zero_crossings", "rms")
+  }
+
   def annByFeatures(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val f = features(s, dir).select(
       col("doc_id"), col("features"),

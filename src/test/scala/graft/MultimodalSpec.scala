@@ -127,4 +127,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(SparkFixture.planOf(Multimodal.annByFeatures(spark, sf))
       .contains("Broadcast"))
   }
+
+  test("WavDecoder round-trips the generated PCM stream sample-for-sample") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 11L, 123L)) {
+      val (rate, samples) = new graft.pipeline.WavDecoder()
+        .read(graft.pipeline.MediaGen.wavPayload(id))
+      assert(rate === graft.pipeline.MediaGen.rateOf(id))
+      assert(samples.length === graft.pipeline.MediaGen.nSamplesOf(id))
+      samples.indices.foreach { i =>
+        assert(samples(i) === graft.pipeline.MediaGen.sampleOf(id, i),
+          s"doc $id sample $i")
+      }
+    }
+  }
+
+  test("audio decode is distributed and deterministic") {
+    val a = Multimodal.audioMeta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Multimodal.audioMeta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+    assert(a.size === Tables.documents(spark, sf).count())
+    val plan = SparkFixture.planOf(Multimodal.audioFeatures(spark, sf))
+    assert(!plan.contains("CollectLimit"), plan)
+    // duration arithmetic holds row-for-row
+    a.foreach { case (id, rate, n, us) =>
+      assert(us === n * 1000000L / rate, s"doc $id")
+    }
+  }
 }
