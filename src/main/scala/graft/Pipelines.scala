@@ -950,6 +950,28 @@ object Pipelines {
          |                                   ORDER BY score DESC, w) AS rn
          |      FROM sc)
          |WHERE rn <= ${graft.pipeline.Retrieval.TfidfK}""".stripMargin,
+    // pii scrub: deterministic injection mirrored by doc_id arithmetic;
+    // RE2 'g' flag matches Spark's replace-all; patterns restricted to
+    // explicit classes so Java regex and RE2 agree
+    "doc_pii_scrub" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      s"""WITH a AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |            || CAST((doc_id // 256) % 256 AS VARCHAR)
+         |       ELSE '' END AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+         |      '$ipRe', '<IP>', 'g')) AS scrubbed_hash
+         |FROM a""".stripMargin
+    },
     // entropy: ln only over integers, quantized at 12; c·ln c summed in
     // exact decimal; final H = ln(n) − clogc/n in shared IEEE
     "text_entropy" ->

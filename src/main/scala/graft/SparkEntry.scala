@@ -308,6 +308,7 @@ object SparkEntry {
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "text_entropy"     -> (TextAnalysis.entropy _),
+    "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
     "doc_contamination" -> ((s, d) => graft.pipeline.Curation.contamination(s, d)),
     // the hot-shingle frequency cap, oracle-proven: shingles in > 3

@@ -159,6 +159,41 @@ object TextAnalysis {
           .as("entropy"))
   }
 
+  /** PII detection + redaction — the privacy scrub every pretraining
+    * pipeline runs before training. The synthetic corpus carries no
+    * natural PII, so the operator DETERMINISTICALLY INJECTS it first
+    * (every 3rd doc an email, every 5th an IPv4 — plain doc_id
+    * arithmetic the oracle mirrors): the detection counts and the
+    * md5 of the redacted text then prove the regex machinery on every
+    * row, not on an all-zero corpus.
+    *
+    * Regex contract (the q_scan_regex rule): explicit character
+    * classes and bounded quantifiers only — no alternation ordering,
+    * no backreferences — so Java regex (Spark) and RE2 (DuckDB) match
+    * identically. Pure projection: zero shuffle at any corpus size.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), expr("(doc_id div 256) % 256").cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("scrubbed_hash"))
+  }
+
   def repetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),

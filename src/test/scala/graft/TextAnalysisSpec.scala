@@ -175,6 +175,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("piiScrub detects the injected PII and redacts to a clean text") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}".r
+    val rows = TextAnalysis.piiScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, emails, ips, _) =>
+      if (id % 3 == 0) assert(emails >= 1, s"doc $id must detect its email")
+      if (id % 5 == 0) assert(ips >= 1, s"doc $id must detect its ip")
+    }
+    // driver-side replay: the scrubbed hash is md5 of a text with no
+    // surviving matches
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.take(50).foreach { case (id, _, _, hash) =>
+      val aug = texts(id) +
+        (if (id % 3 == 0) s" contact user$id@example.com" else "") +
+        (if (id % 5 == 0) s" from 10.0.${id % 256}.${(id / 256) % 256}" else "")
+      val scrubbed = ipRe.replaceAllIn(
+        emailRe.replaceAllIn(aug, "<EMAIL>"), "<IP>")
+      assert(emailRe.findFirstIn(scrubbed).isEmpty &&
+        ipRe.findFirstIn(scrubbed.replace("<IP>", "")).isEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md === hash, s"doc $id scrub mismatch")
+    }
+    // pure projection — no exchange
+    val plan = SparkFixture.planOf(TextAnalysis.piiScrub(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("entropy equals a driver-side reference and respects the ln(n) bound") {
     def q12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
