@@ -1066,6 +1066,34 @@ object OracleSql {
         |WHERE user_id >= 10 AND user_id <= 19
         |  AND epoch_us(ts) >= 1704153600000000
         |  AND epoch_us(ts) <= 1704240000000000""".stripMargin,
+    // downsampling rollup: the 5m store row-for-row from raw events.
+    // first/last use the packed (µs, event_id) arg-key — HUGEINT here,
+    // DECIMAL(38,0) on the Spark side, same formula (the pair is unique,
+    // so the pick never ties)
+    "q_downsample" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
+        |       user_id, event_type,
+        |       COUNT(*) AS n_samples,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id) AS first_value,
+        |       arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id) AS last_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // merge-on-read upsert: the oracle rebuilds the same base ∪ delta
+    // union and resolves latest-per-key with the identical arg-max
+    "q_upsert_latest" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         value, CAST(1 AS BIGINT) AS version
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         value + 1000.0, CAST(2 AS BIGINT) AS version
+        |  FROM events WHERE user_id % 7 = 0)
+        |SELECT event_id, MIN(user_id) AS user_id,
+        |       MIN(event_type) AS event_type, MIN(us) AS us,
+        |       arg_max(value, version) AS value, MAX(version) AS version
+        |FROM u GROUP BY event_id""".stripMargin,
   )
 
   def all: Map[String, String] = {
@@ -1080,6 +1108,11 @@ object OracleSql {
       // within-chunk sample order preserves the event_id tiebreaks)
       "q_promql_chunks_sum" -> base("q_promql_sum"),
       "q_promql_chunks_irate" -> base("q_promql_irate"),
-      "q_promql_chunks_stepped" -> base("q_promql_stepped"))
+      "q_promql_chunks_stepped" -> base("q_promql_stepped"),
+      // the downsampled hourly re-aggregation must reproduce the
+      // raw-events hourly sum bit-for-bit (300 s divides 3600 s and the
+      // store's partial sums stay DECIMAL) — downsampling's correctness
+      // contract, stated as a shared oracle
+      "q_downsample_sum" -> base("q_range_sum_by"))
   }
 }

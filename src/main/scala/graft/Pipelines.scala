@@ -950,6 +950,32 @@ object Pipelines {
          |                                   ORDER BY score DESC, w) AS rn
          |      FROM sc)
          |WHERE rn <= ${graft.pipeline.Retrieval.TfidfK}""".stripMargin,
+    // inverted index vocabulary head: per-term df / total tf / top
+    // posting; the top-posting pick packs (tf, -doc_id) into one BIGINT
+    // key (same formula on the Spark side) so arg_max never ties
+    "doc_inverted" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
+         |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |       arg_max(doc_id, tf * 4294967296 - doc_id) AS top_doc_id,
+         |       MAX(tf) AS top_tf
+         |FROM tf GROUP BY term
+         |ORDER BY df DESC, term ASC
+         |LIMIT ${graft.pipeline.Retrieval.VocabTop}""".stripMargin,
+    // conjunctive term search: docs containing EVERY query term, ranked
+    // by total matched tf — the oracle recomputes the postings inline
+    "doc_term_search" -> {
+      val terms = graft.pipeline.Retrieval.SearchTerms
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest($words) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ($terms) GROUP BY term, doc_id)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf
+         |FROM tf GROUP BY doc_id
+         |HAVING COUNT(*) = ${graft.pipeline.Retrieval.SearchTerms.size}
+         |ORDER BY sum_tf DESC, doc_id ASC
+         |LIMIT ${graft.pipeline.Retrieval.SearchK}""".stripMargin
+    },
     // pii scrub: deterministic injection mirrored by doc_id arithmetic;
     // RE2 'g' flag matches Spark's replace-all; patterns restricted to
     // explicit classes so Java regex and RE2 agree

@@ -257,6 +257,12 @@ object SparkEntry {
     // equality vs the source table is the oracle
     "q_zorder_scan"     -> ((s, d) => graft.sources.ZOrderStore.scan(
       s, d, 10L, 19L, 1704153600000000L, 1704240000000000L)),
+    // downsampling store (5m rollup; the hourly re-aggregation shares
+    // q_range_sum_by's oracle — rollup answers == raw answers)
+    "q_downsample"     -> (graft.sources.DownsampleStore.downsample _),
+    "q_downsample_sum" -> (graft.sources.DownsampleStore.downsampleSum _),
+    // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key
+    "q_upsert_latest"  -> (graft.sources.UpsertStore.upsertLatest _),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
@@ -326,6 +332,9 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => graft.functions.HeavyHitters.textHeavyHitters(s, d)),
     "doc_weighted_sample" -> ((s, d) => graft.pipeline.Curation.weightedSample(s, d)),
     "doc_bm25_batch"    -> ((s, d) => graft.pipeline.Retrieval.bm25Batch(s, d)),
+    // inverted-index store: vocabulary head + conjunctive term search
+    "doc_inverted"      -> ((s, d) => graft.pipeline.Retrieval.invertedVocab(s, d)),
+    "doc_term_search"   -> ((s, d) => graft.pipeline.Retrieval.termSearch(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

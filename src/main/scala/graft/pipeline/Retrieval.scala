@@ -171,4 +171,89 @@ object Retrieval {
       Seq(col("score").desc, col("doc_id")), k)
       .select("qid", "doc_id", "rnk", "score")
   }
+
+  // ---- Inverted index: the materialized-postings complement to the
+  // scan-time BM25 legs above ----
+
+  val SearchTerms: Seq[String] = Seq("spark", "merge", "dup")
+  val SearchK = 25
+  val VocabTop = 100
+
+  /** The posting-list frame: one row per (term, doc_id) with the term
+    * frequency, from the same whitespace tokenization as the BM25
+    * surface.
+    */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  private def indexPath(s: SparkSession, dir: String): String =
+    s"${graft.sources.ChunkStore.storeRoot(s)}/inverted_" +
+      graft.sources.ChunkStore.pathTag(dir)
+
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once inverted-index store, range-partitioned and sorted BY
+    * TERM: a term-equality query prunes to the row groups whose
+    * (min_term, max_term) range covers it — the posting-list seek of a
+    * search engine, expressed as parquet stats pruning. Build cost is
+    * one explode + one partial-aggregable groupBy; at 100 TB the
+    * Zipf-head terms are exactly the rows dictionary encoding
+    * compresses best, and no stage keys a shuffle on the raw token
+    * stream.
+    */
+  private def ensureWritten(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(indexPath(s, dir), { out =>
+      val success = new java.io.File(out, "_SUCCESS")
+      if (!success.isFile) {
+        postings(s, dir)
+          .repartitionByRange(graft.sources.ChunkStore.targetPartitions(
+            s, s"$dir/documents.parquet"), col("term"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      }
+      out
+    })
+
+  def indexTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureWritten(s, dir))
+
+  /** Vocabulary head: per-term document frequency, total tf, and the
+    * top posting (highest tf, ties to the lowest doc_id — packed
+    * ordering key, both engines share the formula; tf < 2^31 bounds the
+    * pack in a BIGINT). Top `VocabTop` terms by (df desc, term asc).
+    */
+  def invertedVocab(s: SparkSession, dir: String): DataFrame =
+    indexTable(s, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("total_tf"),
+        max_by(col("doc_id"), col("tf") * lit(4294967296L) - col("doc_id")).as("top_doc_id"),
+        max("tf").as("top_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(VocabTop)
+
+  /** Conjunctive (AND) term search through the index store: filter the
+    * postings to the query terms (a pushed-down IN over the sorted term
+    * column — the row-group seek), then a doc-keyed partial agg keeps
+    * documents matching EVERY term, ranked by total tf. The document
+    * table itself is never scanned — the 100 TB query cost is the
+    * postings of the query terms, not the corpus.
+    */
+  def termSearch(s: SparkSession, dir: String,
+                 terms: Seq[String] = SearchTerms, k: Int = SearchK): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be non-empty plain words")
+    indexTable(s, dir)
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("sum_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("sum_tf"))
+      .orderBy(col("sum_tf").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

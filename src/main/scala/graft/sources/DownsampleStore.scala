@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Thanos/M3-style downsampling store: a 5-minute-resolution rollup of
+  * the events TSDB, answering long-range aggregate queries from a table
+  * that is orders of magnitude smaller than the raw samples.
+  *
+  * The reference serves every range query from raw chunk samples
+  * (prometheus/querier.go); production TSDBs at 100 TB add downsampled
+  * resolutions precisely because a one-year dashboard query must not
+  * re-scan a year of raw samples. Each rollup row keeps the five
+  * aggregates the resolution can serve losslessly for aligned windows
+  * (count / sum / min / max) plus the deterministic first/last sample
+  * (for gauge semantics), so query-time re-aggregation composes:
+  *  - count, sum: re-aggregable exactly (sums stay DECIMAL in the
+  *    store, so a 1000-way cluster merge is order-independent);
+  *  - min, max: re-aggregable exactly;
+  *  - first/last: arg-min/arg-max over the (µs, event_id) composite —
+  *    deterministic because the pair is unique per sample.
+  *
+  * Single-pass shape: the rollup is one partial-aggregable groupBy —
+  * no windows, no self-joins — so the map side emits one row per
+  * (series × bucket) per partition and the shuffle carries rollup rows,
+  * not samples. The store is range-partitioned on the bucket and sorted
+  * by (bucket, series), so a query over a time slice prunes row groups
+  * on bucket min/max exactly like the raw sorted store.
+  */
+object DownsampleStore {
+
+  /** 5-minute buckets — Thanos's first downsampling resolution. */
+  val ResolutionSec: Long = 300L
+
+  /** Deterministic sample-order key: (µs, event_id) packed into one
+    * numeric so both engines' arg-min/arg-max apply the identical total
+    * order — DECIMAL(38,0) here, HUGEINT in the DuckDB mirror, the same
+    * formula on both sides. The pair is unique per sample, so the
+    * arg-pick never ties.
+    */
+  private def orderKey = col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
+
+  /** The rollup frame: one row per (bucket, series) with re-aggregable
+    * aggregates. `sum_value` stays DECIMAL so downstream re-aggregation
+    * is exact; callers lower to DOUBLE only at output edges.
+    */
+  def rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      // `div`, not `/`: long/long is DOUBLE division in Spark and µs
+      // magnitudes sit near double's exact-integer edge (Tables.scala
+      // documents the same trap for the ns→µs truncation)
+      .withColumn("bucket", expr(s"(us div ${ResolutionSec * 1000000L}) * $ResolutionSec"))
+      .groupBy(col("bucket"), col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_dec"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        min_by(col("value"), orderKey).as("first_value"),
+        max_by(col("value"), orderKey).as("last_value"))
+
+  private def path(s: SparkSession, dir: String): String =
+    s"${ChunkStore.storeRoot(s)}/downsample_${ResolutionSec}s_${ChunkStore.pathTag(dir)}"
+
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once store (same freshness contract as ChunkStore: immutable
+    * inputs, _SUCCESS as the marker). Range-partitioned on bucket,
+    * sorted by (bucket, event_type, user_id) so time-slice queries prune
+    * on row-group bucket stats.
+    */
+  private def ensureWritten(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(path(s, dir), { out =>
+      val success = new java.io.File(out, "_SUCCESS")
+      if (!success.isFile) {
+        rollup(s, dir)
+          .repartitionByRange(
+            ChunkStore.targetPartitions(s, s"$dir/events.parquet"), col("bucket"))
+          .sortWithinPartitions("bucket", "event_type", "user_id")
+          .write.mode(SaveMode.Overwrite).parquet(out)
+      }
+      out
+    })
+
+  /** The stored rollup table (built on first access). */
+  def table(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureWritten(s, dir))
+
+  /** The rollup as a query result: DECIMAL lowered to DOUBLE at the
+    * output edge. Oracle: the same aggregation over raw events.
+    */
+  def downsample(s: SparkSession, dir: String): DataFrame =
+    table(s, dir).select(
+      col("bucket"), col("user_id"), col("event_type"), col("n_samples"),
+      col("sum_dec").cast("double").as("sum_value"),
+      col("min_value"), col("max_value"), col("first_value"), col("last_value"))
+
+  /** Hourly `sum by (event_type)` answered FROM the rollup: buckets
+    * re-aggregate into their enclosing hour (300 s divides 3600 s), the
+    * DECIMAL partial sums merge exactly, and the result must reproduce
+    * the raw-data q_range_sum_by bit-for-bit — the downsampling
+    * correctness contract. At 100 TB this is the win: the hour query
+    * scans rollup rows (≤ series × 12/hour) instead of raw samples.
+    */
+  def downsampleSum(s: SparkSession, dir: String): DataFrame =
+    table(s, dir)
+      .groupBy(expr("(bucket div 3600) * 3600").as("step"), col("event_type"))
+      .agg(sum("sum_dec").cast("double").as("sum_value"))
+}

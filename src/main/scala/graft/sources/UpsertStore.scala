@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Merge-on-read upsert: a base table plus a newer-version delta
+  * resolve to latest-version rows at read time — the LSM/Delta-style
+  * mutation path a parquet store needs once data stops being
+  * append-only (the reference merge-compacts immutable parts,
+  * db/writer.go Compact; upsert is the value-level generalization).
+  *
+  * Shape: union(base@v1, delta@v2) → one partial-aggregable groupBy on
+  * the key picking arg-max-by-version. Single shuffle on event_id; no
+  * window, no join. At 100 TB the base is the sorted store and the
+  * delta is an ingest table, both range-partitioned on the key, and
+  * this same groupBy IS the compaction job — run it incrementally per
+  * key range and rewrite only the partitions a delta touches.
+  *
+  * The delta here is derived deterministically from the base (every
+  * user_id % 7 == 0 row gets value+1000 at version 2) so the oracle
+  * can rebuild the identical merge input.
+  */
+object UpsertStore {
+
+  private def withUs(d: DataFrame): DataFrame =
+    d.withColumn("us", unix_micros(col("ts")))
+
+  /** Base at version 1. */
+  def base(s: SparkSession, dir: String): DataFrame =
+    withUs(Tables.events(s, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("us"), col("value"), lit(1L).as("version"))
+
+  /** The deterministic v2 delta: a stand-in for an ingest batch of
+    * corrections (same keys, new values).
+    */
+  def delta(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .filter(col("user_id") % 7 === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("version", lit(2L))
+
+  /** Latest-version resolution. Version is unique per (key, version)
+    * here (one v1, at most one v2), so arg-max never ties; key columns
+    * the delta never mutates (user_id/event_type/us) ride along via
+    * min — they are version-invariant by construction.
+    */
+  def upsertLatest(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).unionByName(delta(s, dir))
+      .groupBy("event_id")
+      .agg(
+        min("user_id").as("user_id"),
+        min("event_type").as("event_type"),
+        min("us").as("us"),
+        max_by(col("value"), col("version")).as("value"),
+        max("version").as("version"))
+}
