@@ -857,6 +857,32 @@ object Pipelines {
 
   private val lmRetrieval: Map[String, String] = Map(
     "doc_lm_score" -> lmScoreSql,
+    // hashed-feature linear classifier: per-token md5-nibble bucket →
+    // multiplicative-hash integer weight, summed per doc — all-integer,
+    // so the list fold mirrors Spark's aggregate() exactly; empty docs
+    // coalesce to 0 (Spark's fold init)
+    "doc_quality_clf" -> {
+      val nib = (1 to 4).map { k =>
+        val mul = math.pow(16, 4 - k).toLong
+        s"((instr('0123456789abcdef', substring(md5(w), $k, 1)) - 1) * $mul)"
+      }.mkString(" + ")
+      val wgt = s"((($nib) % ${graft.pipeline.Curation.ClfBuckets})" +
+        " * 2654435761) % 2001 - 1000"
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(ws, w -> $wgt)), 0)
+         |       AS BIGINT) AS clf_score,
+         |  CAST(coalesce(list_sum(list_transform(ws, w -> $wgt)), 0)
+         |       AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE)
+         |    AS score_per_tok,
+         |  CASE WHEN CAST(coalesce(list_sum(list_transform(ws, w -> $wgt)), 0)
+         |            AS DOUBLE) / CAST(greatest(len(ws), 1) AS DOUBLE) >= 0.0
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM d""".stripMargin
+    },
     "doc_bm25" -> bm25Sql,
     "doc_bm25_batch" -> bm25BatchSql,
     // the curation verdict: the per-signal entries' own SQL composed by

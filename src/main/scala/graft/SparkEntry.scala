@@ -335,6 +335,8 @@ object SparkEntry {
     // inverted-index store: vocabulary head + conjunctive term search
     "doc_inverted"      -> ((s, d) => graft.pipeline.Retrieval.invertedVocab(s, d)),
     "doc_term_search"   -> ((s, d) => graft.pipeline.Retrieval.termSearch(s, d)),
+    // hashed-feature linear classifier (fastText-shaped serving path)
+    "doc_quality_clf"   -> ((s, d) => graft.pipeline.Curation.qualityClf(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

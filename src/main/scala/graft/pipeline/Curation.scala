@@ -170,6 +170,45 @@ object Curation {
           .as("mean_logprob"))
   }
 
+  /** Hashed-feature linear quality classifier — the fastText-shaped
+    * fast-filter (Joulin et al. 2017: a linear model over hashed
+    * bag-of-words is the standard cheap quality/LID classifier in
+    * pretraining pipelines, cf. CCNet): every token hashes into one of
+    * [[ClfBuckets]] feature buckets, the model is a dense weight per
+    * bucket, and the document score is the mean bucket weight over its
+    * tokens. The weights here are a deterministic integer surrogate
+    * (multiplicative-hash spread over ±1000) standing in for trained
+    * parameters — the SERVING path is what this operator exercises:
+    * at 100 TB the model rides the closure as ~1 KB of constants and
+    * scoring is one inline array fold per document. NO explode, NO
+    * shuffle, no vocabulary table — the classifier never leaves the
+    * scan stage (vs lmScore's corpus-dependent vocabulary broadcast).
+    *
+    * Determinism contract: hash → bucket → weight → sum is all-integer
+    * (md5 nibbles, multiplicative spread mod 2001); the per-token mean
+    * is one exact-integer ratio lowered to double at the output edge.
+    */
+  val ClfBuckets = 256
+
+  def qualityClf(s: SparkSession, dir: String): DataFrame = {
+    // weight(b) = ((b * 2654435761) mod 2001) - 1000 — Knuth's
+    // multiplicative hash spreads the 256 buckets over [-1000, 1000]
+    // conv() returns STRING — cast before the modular arithmetic or
+    // Spark coerces the whole chain to double
+    val wgt = s"(((cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint)" +
+      s" % $ClfBuckets) * 2654435761) % 2001) - 1000"
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"),
+      expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_tokens"),
+      expr(s"aggregate(transform(filter(split(text, ' '), w -> w <> ''), " +
+        s"w -> $wgt), 0L, (acc, x) -> acc + x)").cast("long").as("clf_score"))
+    scored.select(col("doc_id"), col("n_tokens"), col("clf_score"),
+      (col("clf_score").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double")).as("score_per_tok"))
+      .withColumn("verdict",
+        when(col("score_per_tok") >= 0.0, "keep").otherwise("drop"))
+  }
+
   /** The end-to-end curation VERDICT — what a production pipeline
     * actually materializes before training: every quality signal
     * joined per document and lowered to one keep/drop decision with

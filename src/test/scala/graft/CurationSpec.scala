@@ -265,4 +265,25 @@ class CurationSpec extends AnyFunSuite {
       s"global top-k must be per-partition heaps + driver merge:\n$plan")
     assert(!plan.contains("Exchange"), s"pure scan-side sample:\n$plan")
   }
+
+  test("qualityClf inline fold equals the explode-and-sum formulation, with no shuffle") {
+    import org.apache.spark.sql.functions._
+    val got = Curation.qualityClf(spark, sf)
+      .select("doc_id", "clf_score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: explode tokens, weight each, sum per doc — the plan
+    // the inline fold must never need
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      explode_outer(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val wgt = expr("(((cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint)" +
+      s" % ${Curation.ClfBuckets}) * 2654435761) % 2001) - 1000")
+    val expected = toks
+      .groupBy("doc_id")
+      .agg(sum(when(col("w").isNull, 0L).otherwise(wgt)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    val plan = SparkFixture.planOf(Curation.qualityClf(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"the classifier must score inside the scan stage:\n$plan")
+  }
 }
