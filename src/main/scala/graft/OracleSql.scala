@@ -1094,6 +1094,29 @@ object OracleSql {
         |       MIN(event_type) AS event_type, MIN(us) AS us,
         |       arg_max(value, version) AS value, MAX(version) AS version
         |FROM u GROUP BY event_id""".stripMargin,
+    // full merge semantics: update batch at v2, tombstone batch at v3;
+    // latest version wins and a winning tombstone drops the key
+    "q_upsert_tombstone" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         value, CAST(1 AS BIGINT) AS version, false AS deleted
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         value + 1000.0, CAST(2 AS BIGINT) AS version, false AS deleted
+        |  FROM events WHERE user_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         value, CAST(3 AS BIGINT) AS version, true AS deleted
+        |  FROM events WHERE user_id % 13 = 0)
+        |SELECT event_id, user_id, event_type, us, value, version FROM (
+        |  SELECT event_id, MIN(user_id) AS user_id,
+        |         MIN(event_type) AS event_type, MIN(us) AS us,
+        |         arg_max(value, version) AS value,
+        |         arg_max(deleted, version) AS del,
+        |         MAX(version) AS version
+        |  FROM u GROUP BY event_id)
+        |WHERE NOT del""".stripMargin,
   )
 
   def all: Map[String, String] = {

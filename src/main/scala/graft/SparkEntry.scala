@@ -261,8 +261,10 @@ object SparkEntry {
     // q_range_sum_by's oracle — rollup answers == raw answers)
     "q_downsample"     -> (graft.sources.DownsampleStore.downsample _),
     "q_downsample_sum" -> (graft.sources.DownsampleStore.downsampleSum _),
-    // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key
-    "q_upsert_latest"  -> (graft.sources.UpsertStore.upsertLatest _),
+    // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key;
+    // the tombstone form adds v3 deletes (update-then-delete chains)
+    "q_upsert_latest"    -> (graft.sources.UpsertStore.upsertLatest _),
+    "q_upsert_tombstone" -> (graft.sources.UpsertStore.upsertTombstone _),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),

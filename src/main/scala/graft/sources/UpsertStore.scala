@@ -55,4 +55,37 @@ object UpsertStore {
         min("us").as("us"),
         max_by(col("value"), col("version")).as("value"),
         max("version").as("version"))
+
+  /** The deterministic v3 tombstone batch: deletes for every
+    * user_id % 13 == 0 key. Keys divisible by both 7 and 13 see
+    * update-then-delete — the multi-delta chain the resolution must
+    * get right.
+    */
+  def tombstones(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .filter(col("user_id") % 13 === 0)
+      .withColumn("version", lit(3L))
+      .withColumn("deleted", lit(true))
+
+  /** Full merge semantics — insert/update/DELETE: latest version wins
+    * and a winning tombstone drops the key. Same single
+    * partial-aggregable groupBy (deleted rides the same arg-max);
+    * at 100 TB tombstones stay this cheap precisely because they are
+    * data, not file rewrites — the physical reclaim happens whenever
+    * compaction next rewrites the key range.
+    */
+  def upsertTombstone(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).withColumn("deleted", lit(false))
+      .unionByName(delta(s, dir).withColumn("deleted", lit(false)))
+      .unionByName(tombstones(s, dir))
+      .groupBy("event_id")
+      .agg(
+        min("user_id").as("user_id"),
+        min("event_type").as("event_type"),
+        min("us").as("us"),
+        max_by(col("value"), col("version")).as("value"),
+        max_by(col("deleted"), col("version")).as("deleted"),
+        max("version").as("version"))
+      .filter(!col("deleted"))
+      .drop("deleted")
 }

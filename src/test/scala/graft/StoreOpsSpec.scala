@@ -64,6 +64,17 @@ class StoreOpsSpec extends AnyFunSuite {
     merged.unpersist()
   }
 
+  test("upsert with tombstones: winning deletes drop keys, update-then-delete chains resolve to delete") {
+    val base = UpsertStore.base(spark, sf)
+    val merged = UpsertStore.upsertTombstone(spark, sf).cache()
+    val deletedKeys = base.filter(col("user_id") % 13 === 0).count()
+    assert(merged.count() === base.count() - deletedKeys)
+    assert(merged.filter(col("user_id") % 13 === 0).count() === 0L)
+    // keys hit only by the update batch still resolve to v2
+    assert(merged.filter(col("user_id") % 7 === 0 && col("version") =!= 2L).count() === 0L)
+    merged.unpersist()
+  }
+
   test("term search: index-store answer equals the corpus-scan answer") {
     val terms = Retrieval.SearchTerms
     val viaIndex = Retrieval.termSearch(spark, sf)
