@@ -30,6 +30,40 @@ object StreamAgg {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Streaming maintenance of the 5m downsampling rollup
+    * ([[graft.sources.DownsampleStore]]): the same (series × bucket)
+    * aggregates — count, DECIMAL sum, min, max, arg-first/arg-last by
+    * the packed (µs, event_id) key — computed continuously as samples
+    * arrive. The watermark bounds state to open buckets; a production
+    * deployment upserts each emitted bucket row into the rollup store
+    * (the [[graft.sources.UpsertStore]] arg-max-by-version merge), so
+    * the downsample table trails the live stream by the watermark
+    * delay instead of waiting for a nightly batch job.
+    */
+  def downsampleStream(s: SparkSession, inDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val orderKey =
+      col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
+    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("us", unix_micros(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_dec"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        min_by(col("value"), orderKey).as("first_value"),
+        max_by(col("value"), orderKey).as("last_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("user_id"), col("event_type"), col("n_samples"),
+        col("sum_dec").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"),
+        col("first_value"), col("last_value"))
+  }
+
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay under `gapUs`; a larger gap closes the
     * session and starts the next. State per user is the open session

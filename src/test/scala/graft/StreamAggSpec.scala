@@ -38,6 +38,20 @@ class StreamAggSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming downsample maintenance equals the batch rollup row-for-row") {
+    val in = stageInput("ds")
+    val q = StreamAgg.downsampleStream(spark, in).writeStream
+      .format("memory").queryName("ds_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ds_stream")
+    val want = graft.sources.DownsampleStore.downsample(spark, sf)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches a batch lag-window sessionizer") {
     val in = stageInput("sess")
     import SparkFixture.spark.implicits._
