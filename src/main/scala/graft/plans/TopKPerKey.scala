@@ -30,10 +30,12 @@ import org.apache.spark.sql.{Column, DataFrame, GraftInterop}
   * ordering is total (callers pass a unique tiebreak, as all graft
   * queries do).
   *
-  * Memory: each task holds (keys-in-partition × k) rows. For extreme
-  * per-partition key cardinality with large k, prefer the window form;
-  * for the TSDB/top-N shapes here (k ≤ 100, keys ≪ rows) it is strictly
-  * better.
+  * Memory: the partial stage holds min(keys-in-partition, key budget)
+  * × k rows per task — rows for keys beyond
+  * `spark.graft.topk.partialKeyBudget` pass through unpruned (still
+  * correct, just un-prepruned), so partial memory is bounded at any
+  * key cardinality. The final stage holds its shuffle partition's
+  * keys × k, sized by spark.sql.shuffle.partitions as usual.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -50,10 +52,24 @@ case class TopKPerKeyNode(
 
 /** Planner strategy — injected via GraftExtensions. */
 object TopKPerKeyStrategy extends SparkStrategy {
+  /** Cap on the partial stage's per-task heap map (distinct keys). The
+    * map-side prune is an OPTIMIZATION — rows for keys beyond the
+    * budget pass through unpruned and the final exec still ranks them
+    * correctly — so this bounds partial-stage memory at
+    * budget × k rows per task no matter the key cardinality. Default
+    * 2^18 keys ≈ tens of MB at typical row widths; found by the 100x
+    * soak, where 32 concurrent tasks × an unbounded doc-keyed map
+    * OOMed a shared local heap.
+    */
+  val KeyBudgetConf = "spark.graft.topk.partialKeyBudget"
+  val DefaultKeyBudget: Int = 1 << 18
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      val budget = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(KeyBudgetConf, DefaultKeyBudget.toString).toInt
       TopKPerKeyFinalExec(keys, order, k, rankAttr,
-        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+        TopKPerKeyPartialExec(keys, order, k, budget, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -95,6 +111,7 @@ case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    keyBudget: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -103,10 +120,34 @@ case class TopKPerKeyPartialExec(
   override protected def doExecute(): RDD[InternalRow] = {
     // capture ONLY what the task needs — closing over `this` would drag
     // the whole physical (and tag-linked logical) plan into the closure
-    val (ks, ord, kk, schema) = (keys, order, k, child.output)
+    val (ks, ord0, kk, schema, budget) = (keys, order, k, child.output, keyBudget)
     child.execute().mapPartitions({ iter =>
-      val (heaps, _) = TopKHeaps.build(iter, ks, ord, kk, schema)
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+      val keyProj = UnsafeProjection.create(ks, schema)
+      val ord = RowOrdering.create(ord0, schema)
+      val reversed = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      // rows for keys beyond the budget stream through UNPRUNED — the
+      // final exec ranks them the same either way; the budget only
+      // trades shuffle volume for bounded task memory
+      val passThrough = iter.flatMap { row =>
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null && heaps.size() < budget) {
+          q = new java.util.PriorityQueue[InternalRow](kk + 1, reversed)
+          heaps.put(key.copy(), q)
+        }
+        if (q == null) Iterator.single(row) // emitted before next() — no copy needed
+        else {
+          if (q.size < kk) q.offer(row.copy())
+          else if (ord.compare(row, q.peek) < 0) { q.poll(); q.offer(row.copy()) }
+          Iterator.empty
+        }
+      }
+      // `++` is by-name: the heap flush runs only after the input is
+      // fully consumed, so the map is final when it is iterated
+      passThrough ++ heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =

@@ -47,6 +47,23 @@ class TopKSpec extends AnyFunSuite {
     assert(maxRank.filter(col("mx") =!= col("n")).count() === 0)
   }
 
+  test("partial key budget: results are identical when (almost) every key passes through") {
+    // budget 1: each partial task prunes only its first-seen key; every
+    // other row streams through unpruned and the final exec must rank
+    // it identically
+    val keys = Seq(col("o_custkey"))
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey"))
+    val in = Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+    val base = TopK.perKey(in, keys, ord, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    spark.conf.set(graft.plans.TopKPerKeyStrategy.KeyBudgetConf, "1")
+    try {
+      val bounded = TopK.perKey(in, keys, ord, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(bounded === base)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyStrategy.KeyBudgetConf)
+  }
+
   test("k = 1 picks each group's single best row") {
     val df = TopK.perKey(
       Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
