@@ -739,6 +739,22 @@ object OracleSql {
         |            ELSE CAST(v AS VARCHAR) END AS cnt,
         |       CAST(COUNT(*) AS DOUBLE) AS value
         |FROM per GROUP BY 1, 2""".stripMargin,
+    "q_promql_sort" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step, user_id, value,
+        |       CAST(row_number() OVER (PARTITION BY step ORDER BY value ASC, user_id) AS INTEGER) AS rank
+        |FROM per""".stripMargin,
+    "q_promql_sort_desc" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, user_id, value,
+        |       CAST(row_number() OVER (PARTITION BY step ORDER BY value DESC, user_id) AS INTEGER) AS rank
+        |FROM per""".stripMargin,
     "q_promql_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

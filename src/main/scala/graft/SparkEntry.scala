@@ -154,6 +154,12 @@ object SparkEntry {
     // physical label)
     "q_promql_label_join" -> ((s, d) => graft.operators.Promql.query(
       s, d, """label_join(label_replace(sum_over_time(click[1h]), "shard", "s$1", "user_id", "(\d)\d*"), "sid", "-", "shard", "user_id")""")),
+    // sort/sort_desc: the presentation order is materialized as `rank`
+    // (a DataFrame result has no row order for the oracle hash to see)
+    "q_promql_sort" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sort(avg_over_time(purchase[1h]))")),
+    "q_promql_sort_desc" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "sort_desc(sum_over_time(click[1h]))")),
     "q_promql_irate" -> ((s, d) => graft.operators.Promql.query(
       s, d, "irate(click[1w])")),
     "q_promql_predict" -> ((s, d) => graft.operators.Promql.query(

@@ -159,6 +159,15 @@ object Promql {
     */
   case class LabelJoin(child: Expr, dst: String, sep: String,
                        srcs: Seq[String]) extends Expr
+  /** `sort(v)` / `sort_desc(v)` — PromQL's presentation ordering of the
+    * final instant vector. A DataFrame has no row order to carry, so
+    * the order is MATERIALIZED as a `rank` column (row_number per step
+    * in value order, labels as the deterministic tiebreak; Prometheus
+    * itself keeps sort presentation-only and even documents that range
+    * queries ignore it). Per-step ranking is a window over one step's
+    * series — bounded by series cardinality, never by sample count.
+    */
+  case class SortFn(child: Expr, desc: Boolean) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -554,6 +563,9 @@ object Promql {
       p.eat(")")
       if (srcs.isEmpty) p.fail("label_join needs at least one source label")
       LabelJoin(c, dst, sep, srcs.toSeq)
+    } else if (name == "sort" || name == "sort_desc") {
+      p.eat("("); val c = parseExpr(p); p.eat(")")
+      SortFn(c, name == "sort_desc")
     } else if (name == "topk" || name == "bottomk") {
       // `topk by(label)(k, expr)` ranks within each (step, group) key
       val (by, without) =
@@ -1028,6 +1040,7 @@ object Promql {
 
     case lr: LabelReplace => labelOver(eval(s, dir, lr.child), lr)
     case lj: LabelJoin => labelOver(eval(s, dir, lj.child), lj)
+    case SortFn(ch, desc) => sortOver(eval(s, dir, ch), desc)
 
     case TimestampFn(sel) =>
       // the instant sample's timestamp as the value (epoch sec, double)
@@ -1108,6 +1121,7 @@ object Promql {
     case VectorOf(c) => stepGrains(c)
     case LabelReplace(c, _, _, _, _) => stepGrains(c)
     case LabelJoin(c, _, _, _) => stepGrains(c)
+    case SortFn(c, _) => stepGrains(c)
     case Agg(_, _, child, _, _, _, _) => stepGrains(child)
     case MathFn(_, child, _, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
@@ -1670,6 +1684,7 @@ object Promql {
 
       case lr: LabelReplace => labelOver(evalAt(s, dir, lr.child, spec), lr)
       case lj: LabelJoin => labelOver(evalAt(s, dir, lj.child, spec), lj)
+      case SortFn(ch, desc) => sortOver(evalAt(s, dir, ch, spec), desc)
 
       case TimestampFn(sel) if sel.atSec.isDefined =>
         throw new IllegalArgumentException(
@@ -1864,6 +1879,21 @@ object Promql {
     }
     val labels = added.columns.filter(c => c != "step" && c != "value").toSeq
     added.select(("step" +: labels :+ "value").map(col): _*)
+  }
+
+  /** sort()/sort_desc(): rank the step's series by value (NaNs last in
+    * ascending order, as both engines' double ordering puts them), with
+    * the label columns as the deterministic tiebreak. The window
+    * partitions by step — per-reducer work is one step's SERIES set
+    * (the final instant vector), which stays bounded at any data scale;
+    * the unbounded axis (samples) was already aggregated away below.
+    */
+  private def sortOver(in: DataFrame, desc: Boolean): DataFrame = {
+    val labels = in.columns.filter(c => c != "step" && c != "value").toSeq
+    val ord = (if (desc) col("value").desc else col("value").asc) +:
+      labels.map(col(_).asc)
+    in.withColumn("rank",
+      row_number().over(Window.partitionBy("step").orderBy(ord: _*)))
   }
 
   /** Parse + evaluate with the default tumbling steps. `src` picks the

@@ -987,4 +987,33 @@ class PromqlSpec extends AnyFunSuite {
     val expectAt = base.withColumn("value", atan2(col("value"), lit(1.0)))
     assert(at.exceptAll(expectAt).count() === 0)
   }
+
+  test("sort/sort_desc materialize the value order as a rank per step") {
+    assert(Promql.parse("sort_desc(sum_over_time(click[1h]))") ===
+      Promql.SortFn(Promql.RangeFunc("sum_over_time",
+        Promql.Selector("click", Seq.empty), 3600), desc = true))
+    val base = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    val asc = Promql.query(spark, sf, "sort(sum_over_time(click[1h]))")
+    val desc = Promql.query(spark, sf, "sort_desc(sum_over_time(click[1h]))")
+    // sort only ADDS rank: the (step, labels, value) content is the child's
+    assert(asc.drop("rank").exceptAll(base).count() === 0)
+    assert(base.exceptAll(asc.drop("rank")).count() === 0)
+    // ranks are a permutation 1..n within each step
+    val perStep = asc.groupBy("step")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"),
+        countDistinct("rank").as("d"))
+    assert(perStep.filter(col("mx") =!= col("n") || col("mn") =!= 1 ||
+      col("d") =!= col("n")).count() === 0)
+    // ascending rank is monotone in value; sort_desc is its mirror
+    val rows = asc.orderBy("step", "rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val vals = rs.sortBy(_.getInt(rs.head.length - 1)).map(_.getDouble(2))
+      assert(vals.sameElements(vals.sorted), "rank must follow value asc")
+    }
+    val dRows = desc.orderBy("step", "rank").collect()
+    dRows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val vals = rs.sortBy(_.getInt(rs.head.length - 1)).map(_.getDouble(2))
+      assert(vals.sameElements(vals.sorted.reverse), "rank must follow value desc")
+    }
+  }
 }
