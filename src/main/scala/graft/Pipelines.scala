@@ -115,6 +115,33 @@ object Pipelines {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // CCNet-style line dedup over the deterministically injected
+    // boilerplate (mirrors Dedup.lineDedup's augmentation arithmetic);
+    // chr(10) = the \n join separator on the Spark side
+    "dedup_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    list_filter([
+        |      CASE WHEN doc_id % 2 = 0 THEN 'accept cookies to continue' END,
+        |      text,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for updates' END,
+        |      'copyright ' || source], l -> l IS NOT NULL) AS lines
+        |  FROM documents),
+        |ex0 AS (SELECT doc_id, unnest(lines) AS line,
+        |               unnest(generate_series(1, len(lines))) AS pos
+        |        FROM aug),
+        |hot AS (SELECT line
+        |        FROM (SELECT DISTINCT doc_id, line FROM ex0)
+        |        GROUP BY line HAVING COUNT(*) >= 30),
+        |ki AS (SELECT doc_id, line, pos FROM ex0
+        |       WHERE line NOT IN (SELECT line FROM hot)),
+        |rec AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |          string_agg(line, chr(10) ORDER BY pos) AS txt
+        |        FROM ki GROUP BY 1)
+        |SELECT a.doc_id, CAST(len(a.lines) AS BIGINT) AS n_lines,
+        |       coalesce(r.n_kept, 0) AS n_kept,
+        |       md5(coalesce(r.txt, '')) AS clean_hash
+        |FROM aug a LEFT JOIN rec r USING (doc_id)""".stripMargin,
     // delta-vs-corpus ingest dedup over the shared unsalted hash split:
     // corpus = bucket < 80 collapsed to its content index, delta joins it
     "dedup_incremental" ->

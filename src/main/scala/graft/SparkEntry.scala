@@ -284,6 +284,7 @@ object SparkEntry {
     "dedup_embedding_auto" -> ((s, d) => Dedup.embeddingNearDupAuto(s, d)),
     "dedup_clusters"      -> (Dedup.clusters _),
     "dedup_keep_best"     -> (Dedup.exactKeepBest _),
+    "dedup_lines"         -> ((s, d) => Dedup.lineDedup(s, d)),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),

@@ -565,4 +565,63 @@ object Dedup {
       .select(col("ida").as("id1"), col("idb").as("id2"), col("cosine"))
     crossPairs.unionAll(intraPairs)
   }
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * pass): a line appearing in ≥ `minDf` DISTINCT documents is
+    * boilerplate (cookie banners, footers, nav chrome) and is dropped
+    * from every document; each document's remaining lines are rejoined
+    * in their original order.
+    *
+    * The synthetic corpus is single-line, so the operator
+    * DETERMINISTICALLY INJECTS the boilerplate first (the piiScrub
+    * pattern): every even doc gets a cookie line, every 3rd a
+    * newsletter line, every doc a per-source copyright footer — plain
+    * doc_id/source arithmetic the oracle mirrors, giving the line-df
+    * distribution real corpora have (df=1 bodies, site-wide and
+    * per-source boilerplate).
+    *
+    * Scale shape, in two passes like CCNet's shard design:
+    *  1. stats: distinct (doc, line) → groupBy(line) count. Partial
+    *     aggregation collapses repeats map-side; shuffle volume is
+    *     bounded by distinct lines per partition, and the result above
+    *     `minDf` is SMALL BY DEFINITION — at N total lines at most
+    *     N/minDf distinct lines can reach the threshold, and real
+    *     boilerplate is a tiny set of high-df lines.
+    *  2. scrub: the hot set rides into a pure projection
+    *     (filter(lines, ...) on the split array) — ZERO shuffle, no
+    *     explode/regroup of the corpus, codegen end to end. The
+    *     `HotLineCap` require makes the driver-side bound explicit; a
+    *     deployment whose hot set outgrew it would switch this pass to
+    *     an explode → broadcast anti-join → regroup at the cost of a
+    *     doc_id shuffle.
+    */
+  val HotLineCap = 100000
+
+  def lineDedup(s: SparkSession, dir: String, minDf: Long = 30): DataFrame = {
+    val aug = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        """filter(array(
+          |  CASE WHEN doc_id % 2 = 0 THEN 'accept cookies to continue' END,
+          |  text,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for updates' END,
+          |  concat('copyright ', source)), l -> l IS NOT NULL)""".stripMargin)
+        .as("lines"))
+    val hot = aug.select(col("doc_id"), explode(col("lines")).as("line"))
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line")
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(hot.length <= HotLineCap,
+      s"hot-line set ${hot.length} exceeds $HotLineCap — raise minDf or " +
+        "switch the scrub pass to the broadcast anti-join form")
+    val hotArr = typedlit(hot)
+    aug
+      .withColumn("kept", filter(col("lines"),
+        l => !array_contains(hotArr, l)))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("clean_hash"))
+  }
 }

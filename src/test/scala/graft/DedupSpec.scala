@@ -229,4 +229,34 @@ class DedupSpec extends AnyFunSuite {
     // work is delta-sized: every output row is a delta doc, exactly once
     assert(got.size === neu.length)
   }
+
+  test("line dedup drops lines by document frequency, keeps order") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // minDf=30: site-wide lines (cookie df=250, newsletter df≈167) go,
+    // per-source footers (df=25 at the 20-source layout) stay
+    val at30 = Dedup.lineDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text, src) =>
+      val r = at30(id)
+      val nLines = 2 + (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0)
+      assert(r.getLong(1) === nLines)
+      assert(r.getLong(2) === 2L, s"doc $id must keep body + footer")
+      assert(r.getString(3) === md5hex(s"$text\ncopyright $src"))
+    }
+    // minDf=20: the df=25 footers now cross the threshold too
+    val at20 = Dedup.lineDedup(spark, sf, minDf = 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text, _) =>
+      assert(at20(id).getLong(2) === 1L)
+      assert(at20(id).getString(3) === md5hex(text))
+    }
+    // minDf above every df: nothing is boilerplate, nothing is dropped
+    val atInf = Dedup.lineDedup(spark, sf, minDf = 100000).collect()
+    atInf.foreach(r => assert(r.getLong(2) === r.getLong(1)))
+  }
 }
