@@ -115,6 +115,47 @@ object Pipelines {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // SemDeDup over the clustered corpus: IVF-cell clustering, within-
+    // cell cosine >= threshold pairs, recursive-CTE connected
+    // components (the dedup_clusters pattern), keep = farthest from
+    // centroid per group (dist DESC, vec_id tiebreak)
+    "dedup_semantic" -> {
+      val thr = graft.pipeline.Dedup.SemThreshold
+      s"""WITH $clusteredCte,
+         |emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM emb_clustered),
+         |dists AS (
+         |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+         |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+         |cells AS (
+         |  SELECT vec_id, embedding, norm, k AS cell, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) >= $thr),
+         |sym AS (SELECT id1, id2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
+         |r AS (
+         |  WITH RECURSIVE reach(id, m) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT e.id1, reach.m FROM sym e JOIN reach ON reach.id = e.id2)
+         |  SELECT * FROM reach),
+         |comp AS (SELECT id, MIN(m) AS grp FROM r GROUP BY 1),
+         |cgrp AS (SELECT c.vec_id, c.cell, c.dist, coalesce(p.grp, c.vec_id) AS group_id
+         |         FROM cells c LEFT JOIN comp p ON p.id = c.vec_id),
+         |reps AS (SELECT group_id, vec_id AS keep_id FROM (
+         |  SELECT group_id, vec_id,
+         |         row_number() OVER (PARTITION BY group_id ORDER BY dist DESC, vec_id) AS rn
+         |  FROM cgrp) WHERE rn = 1),
+         |cnt AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_group FROM cgrp GROUP BY 1)
+         |SELECT g.vec_id, CAST(g.cell AS INTEGER) AS cell, g.group_id, c.n_group,
+         |       CASE WHEN g.vec_id = r2.keep_id THEN 'kept' ELSE 'dropped' END AS verdict,
+         |       r2.keep_id
+         |FROM cgrp g JOIN reps r2 USING (group_id) JOIN cnt c USING (group_id)""".stripMargin
+    },
     // CCNet-style line dedup over the deterministically injected
     // boilerplate (mirrors Dedup.lineDedup's augmentation arithmetic);
     // chr(10) = the \n join separator on the Spark side

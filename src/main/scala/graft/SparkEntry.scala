@@ -285,6 +285,9 @@ object SparkEntry {
     "dedup_clusters"      -> (Dedup.clusters _),
     "dedup_keep_best"     -> (Dedup.exactKeepBest _),
     "dedup_lines"         -> ((s, d) => Dedup.lineDedup(s, d)),
+    // SemDeDup runs on the clustered derived corpus — semantic
+    // duplicates only exist where cosine structure does
+    "dedup_semantic"      -> ((s, d) => Dedup.semantic(s, d + Tables.ClusteredTag)),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),

@@ -566,6 +566,59 @@ object Dedup {
     crossPairs.unionAll(intraPairs)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    * over an embedding column: cluster the corpus, call vectors in the
+    * SAME cluster with cosine ≥ `threshold` semantic duplicates, and
+    * keep ONE per duplicate group — the member FARTHEST from its cell
+    * centroid (the paper's low-similarity-to-centroid keep rule;
+    * vec_id breaks exact dist ties). Clustering reuses the IVF coarse
+    * cells (Similarity.cellDists, nearest formula centroid), duplicate
+    * groups are connected components over the within-cell ≥-threshold
+    * pairs (the same pointer-jumping CC as [[clustersFromEdges]]).
+    *
+    * Scale shape: the pair join is within-cell only — candidate count
+    * is Σ cellPop², bounded by (N/numCells)·N at even occupancy; real
+    * SemDeDup runs numCells ∝ √N (the paper uses 50k clusters at 100M
+    * docs), which keeps per-cell population — and so per-reducer work —
+    * flat as the corpus grows. Cross-cell near-dups are invisible by
+    * design (the paper's documented approximation). CC rounds are
+    * O(log diameter); every per-group reduction is a partial agg.
+    */
+  /** SemDeDup cosine threshold — interpolated into the DuckDB oracle so
+    * the knob cannot desynchronize the two engines. 0.8 sits above the
+    * clustered corpus's cross-topic ceiling (measured max 0.782), so
+    * every duplicate pair it admits is a true topic-mate.
+    */
+  val SemThreshold = 0.8
+
+  def semantic(s: SparkSession, dir: String,
+               numCells: Int = Similarity.NumCells,
+               threshold: Double = SemThreshold): DataFrame = {
+    val cellsD = graft.plans.TopK.perKey(
+      Similarity.cellDists(s, dir, numCells),
+      Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1).drop("rnk")
+    val pairs = cellsD.as("a").join(cellsD.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (Similarity.dot("a.embedding", "b.embedding") /
+          (sqrt(col("a.norm")) * sqrt(col("b.norm")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val labels = clustersFromEdges(
+      pairs.select(col("id1"), col("id2")))._1
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val grouped = cellsD.join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"))
+    val reps = grouped.groupBy("group_id").agg(
+      max_by(col("vec_id"), struct(col("dist"), -col("vec_id"))).as("keep_id"),
+      count(lit(1)).as("n_group"))
+    grouped.join(reps, "group_id")
+      .select(col("vec_id"), col("cell"), col("group_id"), col("n_group"),
+        when(col("vec_id") === col("keep_id"), "kept")
+          .otherwise("dropped").as("verdict"),
+        col("keep_id"))
+  }
+
   /** Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
     * pass): a line appearing in ≥ `minDf` DISTINCT documents is
     * boilerplate (cookie banners, footers, nav chrome) and is dropped

@@ -259,4 +259,34 @@ class DedupSpec extends AnyFunSuite {
     val atInf = Dedup.lineDedup(spark, sf, minDf = 100000).collect()
     atInf.foreach(r => assert(r.getLong(2) === r.getLong(1)))
   }
+
+  test("semantic dedup groups are topic-pure and keep exactly one member") {
+    val out = Dedup.semantic(spark, sf + Tables.ClusteredTag)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getLong(5)))
+    val n = Tables.embeddings(spark, sf).count()
+    // a verdict for every vector, exactly once
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // group sizes are consistent and exactly one kept per group
+    rows.groupBy(_._2).foreach { case (gid, ms) =>
+      assert(ms.forall(_._3 === ms.length.toLong), s"n_group mismatch in $gid")
+      assert(ms.count(_._4 == "kept") === 1, s"group $gid must keep one")
+      val keep = ms.find(_._4 == "kept").get._1
+      assert(ms.forall(_._5 === keep), s"group $gid keep_id must be the kept member")
+      // min-label CC: the group id is the minimum member id
+      assert(gid === ms.map(_._1).min)
+    }
+    // threshold 0.8 sits above the cross-topic cosine ceiling: every
+    // multi-member group is topic-pure, and duplicates DO exist
+    val labels = Tables.embeddings(spark, sf + Tables.ClusteredTag)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "the clustered corpus must produce duplicate groups")
+    multi.foreach { case (gid, ms) =>
+      assert(ms.map(m => labels(m._1)).distinct.length === 1,
+        s"group $gid mixes topics")
+    }
+  }
 }
