@@ -758,6 +758,36 @@ object Pipelines {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // ExactSubstr-style duplicate-span coverage (gram=4, minCount=2);
+    // DuckDB's 1-based list positions are internally consistent, so
+    // span-start/coverage counting matches Spark's 0-based form
+    "text_dup_spans" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
+         |spans0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+         |    THEN list_transform(range(1, len(w) - 2),
+         |      i -> struct_pack(pos := i,
+         |             s := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |    ELSE [] END) AS sp
+         |  FROM ws),
+         |spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM spans0),
+         |dupsh AS (SELECT s FROM (SELECT s, COUNT(*) c FROM spans GROUP BY 1)
+         |          WHERE c >= 2),
+         |dup AS (SELECT doc_id, pos, s FROM spans JOIN dupsh USING (s)),
+         |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+         |           FROM dup GROUP BY 1),
+         |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(range(pos, pos + 4)) AS p FROM dup))
+         |  GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+         |       coalesce(c.n_covered, 0) AS n_covered,
+         |       CAST(coalesce(c.n_covered, 0) AS DOUBLE)
+         |         / CAST(greatest(b.n_tokens, 1) AS DOUBLE) AS dup_frac
+         |FROM base b
+         |LEFT JOIN perdoc p USING (doc_id)
+         |LEFT JOIN cov c USING (doc_id)""".stripMargin,
     // Gopher repetition metrics: DuckDB lists are 1-based, so bigram i
     // pairs w[i] with w[i+1] for i in range(1, len) (range excludes the
     // upper bound) — exactly Spark's 0-based sequence(0, size-2)

@@ -325,6 +325,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    "text_dup_spans"   -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),
     "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),

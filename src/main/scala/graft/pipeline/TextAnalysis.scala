@@ -107,6 +107,61 @@ object TextAnalysis {
     d.select(col("doc_id"), md5(concat_ws("", col("sketch"))).as("rolling_fp"))
   }
 
+  /** ExactSubstr-style duplicate-span coverage (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a span is duplicated when its `gram`-token
+    * sequence occurs ≥ `minCount` times ANYWHERE in the corpus; per
+    * document, report how many span starts are duplicated and what
+    * fraction of tokens at least one duplicated span covers — the
+    * metric ExactSubstr cuts on (their suffix array finds ≥50-token
+    * repeats; the fixed-gram formulation is the groupBy-able corpus
+    * statistic for the same signal).
+    *
+    * Scale shape: shingle counts are a partial-agg groupBy keyed by the
+    * shingle text (uniform — no hot key can dominate because identical
+    * shingles COLLAPSE map-side); only duplicated span starts (measured
+    * ~11% here) re-expand into covered positions, so the coverage
+    * distinct/count is bounded by gram × dup-spans, never corpus size.
+    */
+  def dupSpans(s: SparkSession, dir: String,
+               gram: Int = 4, minCount: Long = 2): DataFrame = {
+    require(gram >= 2, "a span needs at least 2 tokens")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"))
+    val shingleExpr = {
+      val terms = (0 until gram).map(k => s"ws[i+$k]").mkString(", ")
+      expr(
+        s"""CASE WHEN size(ws) >= $gram
+           |THEN transform(sequence(0, size(ws) - $gram),
+           |  i -> struct(i AS pos, concat_ws(' ', $terms) AS s))
+           |ELSE array() END""".stripMargin)
+    }
+    val spans = base
+      .select(col("doc_id"), explode(shingleExpr).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    val dupShingles = spans.groupBy("s")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("s")
+    val dup = spans.join(dupShingles, "s")
+    val perDoc = dup.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_frac"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
     * plus cluster stats per fingerprint.
     */

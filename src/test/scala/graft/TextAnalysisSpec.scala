@@ -231,4 +231,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       if (n > 0) assert(h <= math.log(n.toDouble) + 1e-9, s"doc $id")
     }
   }
+
+  test("duplicate-span coverage equals the hand fold") {
+    val gram = 4
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val shingles = docs.flatMap { case (id, ws) =>
+      ws.sliding(gram).filter(_.length == gram).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val corpusCount = shingles.groupBy(_._3).view.mapValues(_.length).toMap
+    val want = docs.map { case (id, ws) =>
+      val dup = shingles.filter(sp => sp._1 == id && corpusCount(sp._3) >= 2)
+      val covered = dup.flatMap(sp => sp._2 until sp._2 + gram).distinct.length
+      (id, ws.length.toLong, dup.length.toLong, covered.toLong,
+        covered.toDouble / math.max(ws.length, 1).toDouble)
+    }.toSet
+    val got = TextAnalysis.dupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === want)
+    // the corpus genuinely exercises both sides of the metric
+    assert(got.exists(_._3 > 0), "no duplicate spans found at gram=4")
+    assert(got.forall(t => t._4 <= t._2), "coverage cannot exceed tokens")
+  }
 }
