@@ -109,7 +109,8 @@ object Bench {
     Seq("q_chunk_meta", "q_bucketed_join", "ann_ivf_trained",
         "ann_pq_trained", "ann_ivfpq_res_trained", "ann_recall_trained",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
-        "mm_decode", "q_zorder_scan", "q_downsample", "doc_inverted").foreach { n =>
+        "mm_decode", "q_zorder_scan", "q_downsample", "doc_inverted",
+        "dedup_semantic_trained").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run

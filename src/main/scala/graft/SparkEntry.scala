@@ -288,6 +288,10 @@ object SparkEntry {
     // SemDeDup runs on the clustered derived corpus — semantic
     // duplicates only exist where cosine structure does
     "dedup_semantic"      -> ((s, d) => Dedup.semantic(s, d + Tables.ClusteredTag)),
+    // rows-only: sample-trained k-means cells, k ~ sqrt(N) — SemDeDup's
+    // deployment shape (training is not SQL-expressible)
+    "dedup_semantic_trained" ->
+      ((s, d) => Dedup.semanticTrained(s, d + Tables.ClusteredTag)),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),

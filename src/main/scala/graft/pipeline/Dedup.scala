@@ -593,10 +593,43 @@ object Dedup {
 
   def semantic(s: SparkSession, dir: String,
                numCells: Int = Similarity.NumCells,
-               threshold: Double = SemThreshold): DataFrame = {
-    val cellsD = graft.plans.TopK.perKey(
+               threshold: Double = SemThreshold): DataFrame =
+    semanticFromCells(graft.plans.TopK.perKey(
       Similarity.cellDists(s, dir, numCells),
-      Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1).drop("rnk")
+      Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1).drop("rnk"),
+      threshold)
+
+  /** SemDeDup's DEPLOYMENT form: cells from sample-trained k-means with
+    * k ∝ √N (the paper runs 50k clusters at 100M docs for exactly this
+    * reason) — data-fit centroids actually partition the corpus, so
+    * within-cell pair counts stay ~N·√N-bounded where the 16 formula
+    * cells of [[semantic]] would square on any corpus whose topics
+    * outnumber them. Same pair→CC→keep machinery; rows-only for the
+    * driver oracle (k-means is not SQL-expressible), determinism and
+    * invariants ScalaTest-asserted like the other trained indexes.
+    */
+  def semanticTrained(s: SparkSession, dir: String,
+                      numCells: Int = 0, iters: Int = 3,
+                      threshold: Double = SemThreshold,
+                      samplePct: Int = 20): DataFrame = {
+    val k =
+      if (numCells > 0) numCells
+      else {
+        val n = graft.Tables.embeddings(s, dir).count()
+        math.max(Similarity.NumCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    semanticFromCells(
+      Similarity.trainedCellsWithDist(s, dir, k, iters, samplePct), threshold)
+  }
+
+  /** Shared SemDeDup tail: within-cell ≥-threshold pairs → pointer-
+    * jumping CC → keep the member farthest from its centroid.
+    */
+  private def semanticFromCells(cellsD0: DataFrame,
+                                threshold: Double): DataFrame = {
+    // the cell frame feeds a self-join AND two downstream joins —
+    // don't recompute the assignment three times
+    val cellsD = cellsD0.localCheckpoint()
     val pairs = cellsD.as("a").join(cellsD.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

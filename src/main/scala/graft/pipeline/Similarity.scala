@@ -231,6 +231,100 @@ object Similarity {
         .toIndexedSeq
     })
 
+  /** Trained centroids as a broadcastable (cell, centroid) frame. */
+  private[graft] def centroidFrame(s: SparkSession,
+                                   cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+  }
+
+  /** JOIN-based nearest-centroid assignment: emb × broadcast(centroids)
+    * → top-1 per vector by (dist, cell) through TopKPerKey. The
+    * expression-based [[assignTo]] inlines one distance column per
+    * centroid — fine at 16 cells, but a √N cell count (SemDeDup's
+    * regime) would blow the projection/codegen up; the join form scales
+    * in k: N·k candidate rows, pruned map-side by the per-partition
+    * heaps, driver holds nothing. Output keeps `dist` (distance to the
+    * OWN cell centroid) for farthest-from-centroid keep rules.
+    */
+  private[graft] def assignJoin(emb: DataFrame, centsDf: DataFrame): DataFrame =
+    graft.plans.TopK.perKey(
+      emb.crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+          graft.functions.VectorOps.sqDist(col("embedding"), col("centroid"))
+            .as("dist")),
+      Seq(col("vec_id")), Seq(col("dist"), col("cell")), 1).drop("rnk")
+
+  /** Sample-trained k-means centroids (persisted write-once like
+    * [[trainedCentroids]], path-keyed by every training input): k-means
+    * over the `samplePct`% md5-bucket sample of the corpus — the
+    * FAISS/SemDeDup training posture (quantizers train on a sample; the
+    * full corpus only pays the one assignment pass). The loop uses the
+    * join-based assignment, so k ∝ √N doesn't inflate any projection;
+    * per iteration the driver holds k·dim doubles, nothing data-sized.
+    */
+  def trainedCentroidsSampled(s: SparkSession, dir: String, k: Int,
+                              iters: Int = 3,
+                              samplePct: Int = 20): IndexedSeq[IndexedSeq[Double]] = {
+    val path = centroidPath(s, dir, k, iters) + s"_s$samplePct"
+    trainedMemo.computeIfAbsent(path, { _ =>
+      val success = new java.io.File(path, "_SUCCESS")
+      if (!success.isFile) {
+        val all = withNorm(s, dir)
+        val sampled = all.filter(
+          (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100L) < samplePct)
+        // a sample that cannot seed k cells falls back to the corpus
+        val emb = (if (sampled.limit(k).count() < k) all else sampled)
+          .localCheckpoint() // the sample is re-scanned every iteration
+        var cents: IndexedSeq[IndexedSeq[Double]] =
+          emb.orderBy("vec_id").limit(k).collect()
+            .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+              .map(_.toDouble).toIndexedSeq).toIndexedSeq
+        require(cents.length == k, s"need >= $k vectors to seed $k cells")
+        (1 to iters).foreach { _ =>
+          val sums = assignJoin(emb, centroidFrame(s, cents))
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+            .groupBy("cell", "pos")
+            .agg(sum(col("v").cast("decimal(30,12)")).cast("double").as("s"),
+              count(lit(1)).as("n"))
+            .collect() // k x dim rows — centroid-table-sized, not data-sized
+          val byCell = sums.groupBy(_.getAs[Int]("cell"))
+          cents = IndexedSeq.tabulate(k) { c =>
+            byCell.get(c) match {
+              case Some(rs) =>
+                val arr = Array.fill(Dim)(0.0)
+                rs.foreach { r =>
+                  arr(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n")
+                }
+                arr.toIndexedSeq
+              case None => cents(c) // empty cell keeps its centroid
+            }
+          }
+        }
+        import s.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+          .toDF("cell", "centroid")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
+      s.read.parquet(path).collect()
+        .sortBy(_.getAs[Int]("cell"))
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toIndexedSeq)
+        .toIndexedSeq
+    })
+  }
+
+  /** Nearest-TRAINED-cell assignment of the full corpus, with dist —
+    * the SemDeDup clustering pass.
+    */
+  private[graft] def trainedCellsWithDist(s: SparkSession, dir: String, k: Int,
+                                          iters: Int = 3,
+                                          samplePct: Int = 20): DataFrame =
+    assignJoin(withNorm(s, dir),
+      centroidFrame(s, trainedCentroidsSampled(s, dir, k, iters, samplePct)))
+
   /** IVF over TRAINED centroids: k-means quantizer (persisted write-once
     * via [[trainedCentroids]]), then the standard probe-own-cell search.
     * Declared rows-only for the driver oracle (k-means is not reasonably

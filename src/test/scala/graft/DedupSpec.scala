@@ -289,4 +289,40 @@ class DedupSpec extends AnyFunSuite {
         s"group $gid mixes topics")
     }
   }
+
+  test("trained semantic dedup: deterministic, same invariants, sized cells") {
+    val dir = sf + Tables.ClusteredTag
+    val run1 = Dedup.semanticTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sortBy(_._1)
+    // write-once: a fresh memo must reproduce the run from the
+    // persisted centroid store bit-for-bit
+    graft.pipeline.Similarity.clearTrainedMemo()
+    val run2 = Dedup.semanticTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sortBy(_._1)
+    assert(run1.sameElements(run2), "trained run must be reproducible")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(run1.length.toLong === n)
+    // k ~ sqrt(N) cells are actually used: the corpus spreads over more
+    // cells than the 16 formula centroids could offer
+    assert(run1.map(_._2).distinct.length > graft.pipeline.Similarity.NumCells / 2,
+      "trained cells must partition the corpus")
+    run1.groupBy(_._3).foreach { case (gid, ms) =>
+      assert(ms.forall(_._4 === ms.length.toLong))
+      assert(ms.count(_._5 == "kept") === 1, s"group $gid must keep one")
+      assert(gid === ms.map(_._1).min)
+    }
+    // threshold-purity is cell-independent: 0.8 > the cross-topic
+    // ceiling, so trained groups are topic-pure too
+    val labels = Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val multi = run1.groupBy(_._3).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "trained cells must still surface duplicate groups")
+    multi.foreach { case (gid, ms) =>
+      assert(ms.map(m => labels(m._1)).distinct.length === 1,
+        s"group $gid mixes topics")
+    }
+  }
 }
