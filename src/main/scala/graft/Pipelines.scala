@@ -953,8 +953,63 @@ object Pipelines {
        |WHERE rnk <= 10""".stripMargin
   }
 
+  /** Batch-perceptron training unrolled per epoch (the q_pagerank
+    * pattern applied to model fitting): each epoch is a margin CTE over
+    * the confident-teacher train subset, a misclassified-update CTE,
+    * and the next weight table; the final hash proves every epoch's
+    * integer arithmetic. Formulas mirror Curation.clfTrain bit for bit.
+    */
+  private lazy val clfTrainSql: String = {
+    import graft.pipeline.Curation.{ClfBuckets, ClfEpochs, ClfTrainMargin}
+    val nib = (1 to 4).map { k =>
+      val mul = math.pow(16, 4 - k).toLong
+      s"((instr('0123456789abcdef', substring(md5(w), $k, 1)) - 1) * $mul)"
+    }.mkString(" + ")
+    val bucket = s"(($nib) % $ClfBuckets)"
+    val wgt = s"(($bucket * 2654435761) % 2001) - 1000"
+    val head =
+      s"""WITH d AS (SELECT doc_id, $words AS ws FROM documents),
+         |teach AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(ws, w -> $wgt)), 0) AS BIGINT) AS clf
+         |  FROM d),
+         |ty AS (SELECT doc_id,
+         |  CAST(CASE WHEN clf >= 0 THEN 1 ELSE -1 END AS BIGINT) AS y,
+         |  (abs(clf) >= $ClfTrainMargin * greatest(n_tokens, 1)) AS in_train
+         |  FROM teach),
+         |tk AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |xb AS (SELECT doc_id, CAST($bucket AS BIGINT) AS bucket FROM tk),
+         |x0 AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM xb GROUP BY 1, 2),
+         |x AS (SELECT doc_id, bucket, cnt FROM x0
+         |      UNION ALL
+         |      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM d),
+         |w0 AS (SELECT CAST(unnest(range(-1, $ClfBuckets)) AS BIGINT) AS bucket,
+         |              CAST(0 AS BIGINT) AS wt)""".stripMargin
+    val epochBlocks = (0 until ClfEpochs).map { e =>
+      s"""s$e AS (SELECT x.doc_id, ty.y, SUM(w$e.wt * x.cnt) AS s
+         |  FROM x JOIN ty USING (doc_id) JOIN w$e USING (bucket)
+         |  WHERE ty.in_train GROUP BY 1, 2),
+         |u$e AS (SELECT x.bucket, SUM(m.y * x.cnt) AS dw
+         |  FROM s$e m JOIN x ON x.doc_id = m.doc_id
+         |  WHERE m.y * m.s <= 0 GROUP BY 1),
+         |w${e + 1} AS (SELECT w$e.bucket, w$e.wt + coalesce(u$e.dw, 0) AS wt
+         |  FROM w$e LEFT JOIN u$e USING (bucket))""".stripMargin
+    }
+    val tail =
+      s"""sf AS (SELECT x.doc_id, ty.y, ty.in_train, SUM(w$ClfEpochs.wt * x.cnt) AS s
+         |  FROM x JOIN ty USING (doc_id) JOIN w$ClfEpochs USING (bucket)
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, y, s AS margin,
+         |  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS BIGINT) AS y_pred,
+         |  in_train,
+         |  (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END = y) AS correct
+         |FROM sf""".stripMargin
+    (Seq(head) ++ epochBlocks :+ tail).mkString(",\n")
+  }
+
   private val lmRetrieval: Map[String, String] = Map(
     "doc_lm_score" -> lmScoreSql,
+    "doc_clf_train" -> clfTrainSql,
     // hashed-feature linear classifier: per-token md5-nibble bucket →
     // multiplicative-hash integer weight, summed per doc — all-integer,
     // so the list fold mirrors Spark's aggregate() exactly; empty docs

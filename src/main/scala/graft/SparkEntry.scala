@@ -354,6 +354,9 @@ object SparkEntry {
     "doc_term_search"   -> ((s, d) => graft.pipeline.Retrieval.termSearch(s, d)),
     // hashed-feature linear classifier (fastText-shaped serving path)
     "doc_quality_clf"   -> ((s, d) => graft.pipeline.Curation.qualityClf(s, d)),
+    // in-engine classifier TRAINING: batch perceptron distilling the
+    // fixed-weight teacher, epochs oracle-unrolled (pagerank pattern)
+    "doc_clf_train"     -> ((s, d) => graft.pipeline.Curation.clfTrain(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

@@ -363,4 +363,84 @@ object Curation {
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** IN-ENGINE classifier TRAINING — batch perceptron over the hashed
+    * bag-of-words features, distilling [[qualityClf]]'s fixed-weight
+    * teacher into a learned weight vector. The training loop is the
+    * PageRank pattern applied to model fitting: per epoch, ONE margin
+    * pass (broadcast weights join + doc-keyed partial agg) and ONE
+    * update pass (bucket-keyed partial agg collapsing to ≤ 257 rows
+    * map-side); the driver ever holds the MODEL (257 longs), nothing
+    * data-sized — exactly how a linear fastText-style filter trains on
+    * a 1000-executor corpus. Bias = pseudo-bucket −1 with count 1.
+    *
+    * Everything is INTEGER (counts × integer weights; the update is
+    * Σ y·cnt over misclassified docs, margin ≤ 0 counts as missed), so
+    * E epochs are bit-identical cross-engine and the DuckDB oracle
+    * UNROLLS them as chained CTEs — the hash proves every epoch, like
+    * q_pagerank's iteration unroll. Output: per-doc teacher label,
+    * final margin, sign prediction, agreement flag.
+    */
+  val ClfEpochs = 8
+
+  /** Per-token margin for the training subset: only docs the teacher is
+    * CONFIDENT about (|clf_score| ≥ margin · n_tokens) train the
+    * perceptron. A big separation margin is what makes the fixed
+    * 8-epoch budget converge (measured: train subset 100% fitted within
+    * 8 epochs at every SF; plain batch perceptron over ALL docs needs
+    * 64+ epochs to even reach 96%) — and predicting the ambiguous
+    * remainder from the confident core is exactly how distillation-
+    * style quality filters are trained in practice. Epochs past
+    * convergence are exact no-ops (no misclassified docs → zero
+    * update), so the fixed budget stays deterministic.
+    */
+  val ClfTrainMargin = 100L
+
+  def clfTrain(s: SparkSession, dir: String,
+               epochs: Int = ClfEpochs,
+               trainMargin: Long = ClfTrainMargin): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    val bucketSql = s"(cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint) % $ClfBuckets)"
+    val docs = Tables.documents(s, dir)
+    val feats = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(col("doc_id"), expr(bucketSql).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .unionAll(docs.select(col("doc_id"), lit(-1L).as("bucket"),
+        lit(1L).as("cnt")))
+    val labels = qualityClf(s, dir)
+      .select(col("doc_id"),
+        when(col("clf_score") >= 0L, 1L).otherwise(-1L).as("y"),
+        (abs(col("clf_score")) >=
+          lit(trainMargin) * greatest(col("n_tokens"), lit(1L)))
+          .as("in_train"))
+    // the training set feeds 2 joins per epoch — materialize once
+    val xy = feats.join(labels, "doc_id").localCheckpoint()
+    var w: Map[Long, Long] =
+      ((-1L) until ClfBuckets.toLong).map(_ -> 0L).toMap
+    def margins(frame: DataFrame, wm: Map[Long, Long]): DataFrame = {
+      import s.implicits._
+      val wDf = wm.toSeq.toDF("bucket", "wt")
+      frame.join(broadcast(wDf), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("wt") * col("cnt")).as("s"))
+    }
+    val train = xy.filter(col("in_train"))
+    (1 to epochs).foreach { _ =>
+      val upd = margins(train, w)
+        .filter(col("y") * col("s") <= 0L)
+        .select("doc_id")
+        .join(train.select("doc_id", "bucket", "cnt", "y"), "doc_id")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
+        .collect() // <= 257 rows: the model update, never the data
+      upd.foreach(r => w += (r.getLong(0) -> (w(r.getLong(0)) + r.getLong(1))))
+    }
+    margins(xy, w)
+      .join(labels.select("doc_id", "in_train"), "doc_id")
+      .select(col("doc_id"), col("y"), col("s").as("margin"),
+        when(col("s") > 0L, 1L).when(col("s") < 0L, -1L).otherwise(0L)
+          .as("y_pred"), col("in_train"))
+      .withColumn("correct", col("y_pred") === col("y"))
+  }
 }

@@ -286,4 +286,29 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"the classifier must score inside the scan stage:\n$plan")
   }
+
+  test("perceptron training fits the confident subset and generalizes") {
+    def runOnce() = Curation.clfTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).sortBy(_._1)
+    val rows = runOnce()
+    // integer arithmetic end to end: reruns are bit-identical
+    assert(rows.sameElements(runOnce()), "training must be deterministic")
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // prediction is the sign of the margin, agreement flag consistent
+    rows.foreach { case (id, y, margin, pred, _, correct) =>
+      assert(pred === (if (margin > 0) 1L else if (margin < 0) -1L else 0L), s"doc $id")
+      assert(correct === (pred == y), s"doc $id")
+    }
+    val train = rows.filter(_._5)
+    assert(train.nonEmpty && train.length < rows.length,
+      "the margin threshold must split the corpus")
+    // the 5-epoch budget fully fits the confident training subset...
+    assert(train.forall(_._6), "train subset must be fully fitted")
+    // ...and the learned weights transfer to the ambiguous remainder
+    // (0.69 at the fixture corpus; 0.84-0.85 at sf0.01/sf0.1 — the
+    // fixture's smaller confident core generalizes a bit worse)
+    val acc = rows.count(_._6).toDouble / rows.length
+    assert(acc >= 0.65, s"overall teacher agreement $acc < 0.65")
+  }
 }
