@@ -1064,6 +1064,29 @@ object Pipelines {
     // stratified mix sampling: same nibble hash as doc_sample but
     // salted with 'mix:', CASE rates generated from the same weight
     // map the Spark side folds over
+    // mixture solver: integer rate derivation mirrored term for term
+    // (// on positives = Spark's div); weights from the source index
+    "doc_mixture" -> {
+      val den = graft.pipeline.Curation.DefaultMixBudgetDen
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len($words) AS BIGINT) AS n_tokens,
+         |  CAST(($saltedNibble) % 10000 AS BIGINT) AS bucket
+         |  FROM documents),
+         |b AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail,
+         |        (CAST(substring(source, 4) AS BIGINT) % 3) + 1 AS w
+         |      FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+         |             CAST(SUM(w) AS BIGINT) AS tot_w FROM b),
+         |r AS (SELECT source, avail, w,
+         |        ((tot_avail // $den) * w) // tot_w AS target_tokens
+         |      FROM b, t),
+         |r2 AS (SELECT source, avail, target_tokens,
+         |         least(10000, (10000 * target_tokens) // avail) AS rate_bps
+         |       FROM r)
+         |SELECT d.doc_id, d.source, d.n_tokens, r2.avail, r2.target_tokens,
+         |       r2.rate_bps, (d.bucket < r2.rate_bps) AS sampled
+         |FROM d JOIN r2 USING (source)""".stripMargin
+    },
     "doc_stratified" -> {
       import graft.pipeline.Curation.{DefaultMixOther, DefaultMixWeights}
       val cases = DefaultMixWeights.toSeq.sortBy(_._1)

@@ -126,6 +126,47 @@ object Curation {
       .withColumn("sampled", col("bucket") < col("rate"))
   }
 
+  /** Mixture SOLVER — the planning step [[stratifiedSample]] assumes
+    * has already happened: given per-source mixture weights and a
+    * corpus-wide token budget, DERIVE each source's sampling rate from
+    * the data (target_tokens = budget·w/Σw capped by availability,
+    * rate = target/available in basis points) and select docs at that
+    * rate with the salted sampling-as-filter bucket. This is the data-
+    * mixing arithmetic every pretraining run does before sampling
+    * (weights here a deterministic function of the source index — the
+    * knob a real run replaces with its mixture config).
+    *
+    * ALL-INTEGER: token sums, floor-div targets and bps rates — the
+    * oracle replays the arithmetic exactly. One partial-agg groupBy on
+    * source + two broadcast scalars; the selection is a projection.
+    */
+  val DefaultMixBudgetDen = 4L
+
+  def mixtureSolve(s: SparkSession, dir: String,
+                   budgetDen: Long = DefaultMixBudgetDen): DataFrame = {
+    require(budgetDen >= 1L, "budget denominator must be positive")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+        .as("n_tokens"),
+      (conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 10000L).as("bucket"))
+    val bySrc = docs.groupBy("source").agg(sum("n_tokens").as("avail"))
+      .withColumn("w",
+        (substring(col("source"), 4, 10).cast("long") % 3L) + 1L)
+    val tot = bySrc.agg(sum("avail").as("tot_avail"), sum("w").as("tot_w"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail"), col("w"),
+        expr(s"((tot_avail div $budgetDen) * w) div tot_w").as("target_tokens"))
+      .withColumn("rate_bps",
+        least(lit(10000L), expr("(10000 * target_tokens) div avail")))
+    docs.join(
+        broadcast(rates.select("source", "avail", "target_tokens", "rate_bps")),
+        "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("avail"),
+        col("target_tokens"), col("rate_bps"),
+        (col("bucket") < col("rate_bps")).as("sampled"))
+  }
+
   /** Unigram-LM quality score — the CCNet/KenLM-style "how typical of
     * the corpus is this document" filter (Wenzek et al. 2020), with the
     * corpus itself as the LM: per-word log-probability ln(c(w)/T) from

@@ -287,6 +287,39 @@ class CurationSpec extends AnyFunSuite {
       s"the classifier must score inside the scan stage:\n$plan")
   }
 
+  test("mixture solver derives integer rates that meet the budget") {
+    val rows = Curation.mixtureSolve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length === Tables.documents(spark, sf).count().toInt)
+    // replay the arithmetic driver-side
+    val bySrc = rows.groupBy(_._2)
+    val avail = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val w = avail.keys.map(s => s -> (s.drop(3).toLong % 3L + 1L)).toMap
+    val totAvail = avail.values.sum
+    val totW = w.values.sum
+    val budget = totAvail / 4L
+    bySrc.foreach { case (src, ms) =>
+      val target = budget * w(src) / totW
+      val rate = math.min(10000L, 10000L * target / avail(src))
+      assert(ms.forall(_._4 === avail(src)), src)
+      assert(ms.forall(_._5 === target), src)
+      assert(ms.forall(_._6 === rate), src)
+    }
+    // the budget is genuinely binding: rates differ across weights and
+    // nothing exceeds full sampling
+    assert(rows.map(_._6).distinct.length > 1, "rates must vary by weight")
+    assert(rows.forall(_._6 <= 10000L))
+    // expected sampled token mass per source lands near target (bucket
+    // spread is deterministic, not uniform — allow 25% slack)
+    bySrc.foreach { case (src, ms) =>
+      val got = ms.filter(_._7).map(_._3).sum.toDouble
+      val target = (budget * w(src) / totW).toDouble
+      if (target > 0) assert(math.abs(got - target) <= 0.25 * target + 500.0,
+        s"$src sampled $got vs target $target")
+    }
+  }
+
   test("perceptron training fits the confident subset and generalizes") {
     def runOnce() = Curation.clfTrain(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
