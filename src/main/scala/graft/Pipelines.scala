@@ -1038,6 +1038,24 @@ object Pipelines {
     },
     "doc_bm25" -> bm25Sql,
     "doc_bm25_batch" -> bm25BatchSql,
+    // RRF hybrid: the two legs' own proven SQL composed, integer
+    // floor-div contributions summed per (qid, doc)
+    "doc_hybrid_search" -> {
+      import graft.pipeline.Retrieval.{RrfK, RrfScale}
+      s"""WITH lex AS (SELECT qid, doc_id, $RrfScale // ($RrfK + rnk) AS c
+         |  FROM (${bm25BatchSql})),
+         |den AS (SELECT qid, vec_id AS doc_id, $RrfScale // ($RrfK + rnk) AS c
+         |  FROM (${annSql("ann_bruteforce")})),
+         |u AS (SELECT qid, doc_id, c FROM lex
+         |      UNION ALL SELECT qid, doc_id, c FROM den),
+         |f AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+         |        CAST(COUNT(*) AS BIGINT) AS n_legs
+         |      FROM u GROUP BY 1, 2)
+         |SELECT qid, doc_id, rrf_score, n_legs, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf_score DESC, doc_id) AS rnk FROM f)
+         |WHERE rnk <= 10""".stripMargin
+    },
     // the curation verdict: the per-signal entries' own SQL composed by
     // doc_id equi-joins, thresholds from the same Curation constants
     // the Spark side defaults to (CAST AS DOUBLE: a bare 0.3 is a

@@ -256,4 +256,33 @@ object Retrieval {
       .orderBy(col("sum_tf").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al. 2009,
+    * the standard lexical+dense combiner) of the BM25 service leg and
+    * the dense ANN leg: score(d) = Σ_legs ⌊SCALE/(K + rank_leg(d))⌋.
+    * Fusing RANKS (not scores) needs no cross-leg calibration, and the
+    * floor-div integer contributions make the fusion bit-exact — the
+    * oracle composes the two legs' own proven SQL and replays the
+    * arithmetic. Queries present in only one leg (dense-only qids here)
+    * fuse that leg alone, as RRF defines. Per-leg cost is the leg's
+    * own (both already scale-shaped); the fusion adds one
+    * (qid, doc)-keyed partial agg and a TopKPerKey — no new scan.
+    * vec_id is the document's embedding id (the tables share the id
+    * space by construction).
+    */
+  val RrfK = 60L
+  val RrfScale = 1000000000L
+
+  def hybridSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val contrib = expr(s"$RrfScale div ($RrfK + rnk)")
+    val lex = bm25Batch(s, dir)
+      .select(col("qid"), col("doc_id"), contrib.as("c"))
+    val dense = Similarity.bruteForce(s, dir)
+      .select(col("qid"), col("vec_id").as("doc_id"), contrib.as("c"))
+    val fused = lex.unionAll(dense)
+      .groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf_score"), count(lit(1)).as("n_legs"))
+    graft.plans.TopK.perKey(fused, Seq(col("qid")),
+      Seq(col("rrf_score").desc, col("doc_id")), k)
+  }
 }

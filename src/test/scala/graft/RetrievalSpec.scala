@@ -175,4 +175,31 @@ class RetrievalSpec extends AnyFunSuite {
         "heavy-'dup' docs should sit below the average mean log-prob")
     }
   }
+
+  test("hybrid RRF fusion replays from the two legs' own rankings") {
+    import graft.pipeline.{Retrieval, Similarity}
+    import graft.pipeline.Retrieval.{RrfK, RrfScale}
+    val lex = Retrieval.bm25Batch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val dense = Similarity.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val want = (lex.keySet ++ dense.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        val scored = keys.toSeq.map { k =>
+          val c = lex.get(k).map(r => RrfScale / (RrfK + r)).getOrElse(0L) +
+            dense.get(k).map(r => RrfScale / (RrfK + r)).getOrElse(0L)
+          val legs = Seq(lex.contains(k), dense.contains(k)).count(identity)
+          (k._2, c, legs.toLong)
+        }.sortBy(t => (-t._2, t._1)).take(10).zipWithIndex
+          .map { case ((d, c, l), i) => (qid, d, c, l, i + 1) }
+        scored
+    }.toSet
+    val got = Retrieval.hybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === want)
+    // both-leg docs exist and fusion actually mixes the signals
+    assert(got.exists(_._4 === 2L), "some doc must rank in both legs")
+    assert(got.exists(_._4 === 1L), "single-leg docs must survive fusion")
+  }
 }
