@@ -55,6 +55,14 @@ object OracleSql {
         |  AND user_id <> 15""".stripMargin,
   )
 
+  /** Schema-0 native-histogram bucket index: smallest k in [-6, 9] with
+    * value <= 2^k (mirror of TimeSeries.nhK — the power-of-two literals
+    * are exact in both engines' double parsing).
+    */
+  private lazy val nhKCase: String =
+    (-6 to 9).map(k => s"WHEN value <= ${math.pow(2.0, k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 10 END")
+
   private val timeSeries: Map[String, String] = Map(
     "q_range_sum" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
@@ -187,6 +195,34 @@ object OracleSql {
         |SELECT step, user_id, event_type,
         |       CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+    "q_nhist_build" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |       CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_nhist_stats" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS hist_count,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS hist_sum,
+        |       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 12) AS hist_avg
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_nhist_quantile" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT step, event_type, k, cnt,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type) AS n
+         |  FROM h)
+         |SELECT step, event_type,
+         |       round(pow(2.0, k - 1) + (pow(2.0, k) - pow(2.0, k - 1)) *
+         |             (CAST(rnk - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+         |         AS q_value
+         |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
+         |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
     "q_count_values" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(floor(value / 10) AS BIGINT) AS v_bucket,

@@ -53,6 +53,10 @@ object SparkEntry {
     "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
     "q_count_values"    -> (TimeSeries.countValues _),
     "q_quantile_over_time" -> (TimeSeries.quantileOverTime _),
+    // native histograms (schema 0): buckets, header fields, quantile
+    "q_nhist_build"     -> (TimeSeries.nhistBuild _),
+    "q_nhist_stats"     -> (TimeSeries.nhistStats _),
+    "q_nhist_quantile"  -> ((s, d) => TimeSeries.nhistQuantile(s, d)),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),

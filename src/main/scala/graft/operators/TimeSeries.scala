@@ -315,4 +315,76 @@ object TimeSeries {
     steps.crossJoin(broadcast(types))
       .join(present, Seq("step", "event_type"), "left_anti")
   }
+
+  // ---- native histograms (schema 0) ------------------------------------
+
+  /** Prometheus NATIVE histograms, schema 0: exponential buckets with
+    * bucket k covering (2^(k−1), 2^k]. Power-of-two bounds are EXACT
+    * doubles, which is what makes the whole family oracle-hashable —
+    * the reason this entry fixes schema 0 rather than the upstream
+    * default −4..8 range of schemas (whose 2^(1/2^s) bounds are
+    * transcendental). The [−6, 9] index window spans the table's value
+    * domain; out-of-range values clamp to the edge buckets, mirroring
+    * upstream's span clamping. Bucket COUNT is bounded by the schema,
+    * not the data — every per-histogram window below runs over ≤ 16
+    * rows regardless of corpus size, so the family scales as a plain
+    * partial-agg groupBy. Documented divergence: histogram_quantile
+    * interpolates LINEARLY in value space inside the bucket (upstream
+    * native histograms interpolate on the exponential scale).
+    */
+  val NhKLo: Int = -6
+  val NhKHi: Int = 9
+
+  private def nhK(v: Column): Column =
+    (NhKLo to NhKHi).foldRight(lit(NhKHi + 1)) { (k, rest) =>
+      when(v <= lit(math.pow(2.0, k)), lit(k)).otherwise(rest)
+    }
+
+  /** The ingest shape: one row per (step, metric, bucket) — the long
+    * (relational) form of the native histogram's span/delta encoding.
+    */
+  def nhistBuild(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(stepHour(col("ts")), col("event_type"),
+        nhK(col("value")).as("k"))
+      .groupBy("step", "event_type", "k")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The histogram HEADER fields — histogram_count / histogram_sum /
+    * histogram_avg. The sum rides as an exact decimal like every other
+    * sum in the engine (native histograms carry sum explicitly; it is
+    * not recoverable from buckets).
+    */
+  def nhistStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(stepHour(col("ts")), col("event_type"), col("value"))
+      .groupBy("step", "event_type")
+      .agg(count(lit(1)).as("hist_count"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("hist_sum"))
+      .withColumn("hist_avg",
+        round(col("hist_sum") / col("hist_count").cast("double"), 12))
+
+  /** histogram_quantile(φ) over the native-histogram buckets: rank
+    * ceil(round(φ·n, 9)) (the engine-wide discrete-position rule),
+    * then linear interpolation between the exact bucket bounds. The
+    * cumulative window partitions per histogram — ≤ 16 rows by schema.
+    */
+  def nhistQuantile(s: SparkSession, dir: String,
+                    q: Double = 0.9): DataFrame = {
+    val byH = Window.partitionBy("step", "event_type")
+    val wCum = byH.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lower = pow(lit(2.0), col("k").cast("double") - lit(1.0))
+    val upper = pow(lit(2.0), col("k").cast("double"))
+    nhistBuild(s, dir)
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(byH))
+      .withColumn("rnk", ceilPos(col("n"), q))
+      .filter(col("cum") >= col("rnk") &&
+        col("cum") - col("cnt") < col("rnk"))
+      .select(col("step"), col("event_type"),
+        round(lower + (upper - lower) *
+          ((col("rnk") - col("cum") + col("cnt")).cast("double") /
+            col("cnt").cast("double")), 12).as("q_value"))
+  }
 }

@@ -177,4 +177,45 @@ class TimeSeriesSpec extends AnyFunSuite {
       .distinct()
     assert(ab.join(present, Seq("step", "event_type"), "inner").count() === 0)
   }
+
+  test("native histograms: buckets partition, quantile lands in the right bucket") {
+    def kOf(v: Double): Int =
+      (TimeSeries.NhKLo to TimeSeries.NhKHi)
+        .find(k => v <= math.pow(2.0, k)).getOrElse(TimeSeries.NhKHi + 1)
+    val raw = Tables.events(spark, sf).select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+      col("event_type"), col("value")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2)))
+    val hist = TimeSeries.nhistBuild(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // the buckets partition every histogram: counts replay exactly
+    val want = raw.groupBy { case (key, v) => (key, kOf(v)) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(hist === want)
+    // header count matches, avg = sum/count
+    val stats = TimeSeries.nhistStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    raw.groupBy(_._1).foreach { case (key, vs) =>
+      val (n, hsum, havg) = stats(key)
+      assert(n === vs.length.toLong, key)
+      assert(math.abs(hsum - vs.map(_._2).sum) < 1e-6, key)
+      assert(math.abs(havg - hsum / n) < 1e-9, key)
+    }
+    // the interpolated quantile lies strictly inside the bucket holding
+    // the exact rank statistic (same ceil(round(.9 n, 9)) position rule)
+    val qv = TimeSeries.nhistQuantile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    raw.groupBy(_._1).foreach { case (key, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val rank = math.ceil(
+        BigDecimal(sorted.length * 0.9)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      val kStar = kOf(sorted((rank - 1).toInt))
+      val q = qv(key)
+      assert(q > math.pow(2.0, kStar - 1) && q <= math.pow(2.0, kStar),
+        s"$key: q=$q outside bucket $kStar")
+    }
+  }
 }
