@@ -1009,6 +1009,42 @@ object Pipelines {
 
   private val lmRetrieval: Map[String, String] = Map(
     "doc_lm_score" -> lmScoreSql,
+    "doc_lm_bigram" -> {
+      val pct = graft.pipeline.Curation.LmBackoffTrainPct
+      def qln(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)), 12) AS DECIMAL(28,12))"
+      val qlnHalf = "CAST(round(ln(2.0), 12) AS DECIMAL(28,12))"
+      s"""WITH d AS (SELECT doc_id,
+         |    (CAST(($bucketNibble) % 100 AS BIGINT) < $pct) AS in_train,
+         |    $words AS ws FROM documents),
+         |bg0 AS (SELECT doc_id, in_train, unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))
+         |    ELSE [] END) AS b FROM d),
+         |bg AS (SELECT doc_id, in_train, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+         |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM bg WHERE in_train GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+         |       FROM (SELECT unnest(ws) AS w FROM d WHERE in_train) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM cu),
+         |sc AS (SELECT bg.doc_id, CAST(
+         |    CASE WHEN c12.c12 IS NOT NULL
+         |         THEN ${qln("c12.c12")} - ${qln("c1.c1")}
+         |         WHEN cu.cu IS NOT NULL
+         |         THEN ${qln("cu.cu")} - ${qln("t")} - $qlnHalf
+         |         ELSE (CAST(0 AS DECIMAL(28,12)) - ${qln("t")}) - $qlnHalf
+         |    END AS DECIMAL(28,12)) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN cu ON cu.w = bg.w2, tot),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         SUM(lp) AS slp FROM sc GROUP BY 1)
+         |SELECT d.doc_id, d.in_train, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+         |       ELSE CAST(slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+         |  END AS mean_lp
+         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
+    },
     "doc_clf_train" -> clfTrainSql,
     // hashed-feature linear classifier: per-token md5-nibble bucket →
     // multiplicative-hash integer weight, summed per doc — all-integer,

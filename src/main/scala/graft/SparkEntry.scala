@@ -363,6 +363,7 @@ object SparkEntry {
     "doc_clf_train"     -> ((s, d) => graft.pipeline.Curation.clfTrain(s, d)),
     "doc_mixture"       -> ((s, d) => graft.pipeline.Curation.mixtureSolve(s, d)),
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
+    "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes

@@ -211,6 +211,69 @@ object Curation {
           .as("mean_logprob"))
   }
 
+  /** Bigram LM with STUPID BACKOFF (Brants et al. 2007 — the LM the
+    * big-data era actually ships: no discounting to tune, just
+    * α-scaled unigram fallback) scored on a held-out split: the 80%
+    * md5-bucket side trains the counts, every doc is scored, and the
+    * 20% held-out docs genuinely exercise the backoff path (scoring
+    * the training corpus against itself never backs off — every
+    * observed bigram is in its own counts).
+    *
+    * α = 1/2 deliberately: ln(1/2) = −ln 2 keeps EVERY log in the
+    * integer-ln contract (ln of c12, prefix c1, unigram cu, total T —
+    * all positive integers, each quantized at 12 and combined in exact
+    * decimal), stricter than lmScore's ratio-log. Count tables are
+    * vocabulary-bounded (bigram vocab is Zipf-bounded) and broadcast
+    * like lmScore's; a corpus whose bigram table outgrows broadcast
+    * switches the occurrence joins to shuffle joins keyed by the
+    * (uniformly Zipf-spread) bigram.
+    */
+  val LmBackoffTrainPct = 80L
+
+  def lmBigram(s: SparkSession, dir: String,
+               trainPct: Long = LmBackoffTrainPct): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
+    def qln(c: Column): Column =
+      round(log(c.cast("double")), 12).cast("decimal(28,12)")
+    val lnHalf = round(log(lit(2.0)), 12).cast("decimal(28,12)")
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      ((conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L) < trainPct).as("in_train"),
+      expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val bg = base.select(col("doc_id"), col("in_train"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(0, size(ws) - 2),
+          |  i -> struct(ws[i] AS w1, ws[i+1] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("in_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.filter(col("in_train"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1")) // prefix counts
+    val cu = base.filter(col("in_train"))
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum("cu").as("t"))
+    val lp = when(col("c12").isNotNull, qln(col("c12")) - qln(col("c1")))
+      .when(col("cu").isNotNull, qln(col("cu")) - qln(col("t")) - lnHalf)
+      .otherwise((lit(0L).cast("decimal(28,12)") - qln(col("t"))) - lnHalf)
+      .cast("decimal(28,12)")
+    val perDoc = bg
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(cu.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("slp"))
+    base.select(col("doc_id"), col("in_train"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_train"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_lp"))
+  }
+
   /** Hashed-feature linear quality classifier — the fastText-shaped
     * fast-filter (Joulin et al. 2017: a linear model over hashed
     * bag-of-words is the standard cheap quality/LID classifier in

@@ -287,6 +287,50 @@ class CurationSpec extends AnyFunSuite {
       s"the classifier must score inside the scan stage:\n$plan")
   }
 
+  test("bigram stupid-backoff LM replays driver-side, backoff fires on held-out") {
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    def inTrain(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100 < 80
+    val trainBg = docs.filter(d => inTrain(d._1))
+      .flatMap(_._2.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    val c12 = trainBg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = trainBg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cu = docs.filter(d => inTrain(d._1)).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = cu.values.sum
+    val lnHalf = BigDecimal(q12(math.log(2.0)))
+    def lnQ(c: Long) = BigDecimal(q12(math.log(c.toDouble)))
+    val want = docs.map { case (id, ws) =>
+      val bgs = ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val mean =
+        if (bgs.isEmpty) 0.0
+        else {
+          val s = bgs.map { b =>
+            if (c12.contains(b)) lnQ(c12(b)) - lnQ(c1(b._1))
+            else if (cu.contains(b._2)) lnQ(cu(b._2)) - lnQ(t) - lnHalf
+            else -lnQ(t) - lnHalf
+          }.sum
+          s.toDouble / bgs.length.toDouble
+        }
+      (id, inTrain(id), bgs.length.toLong, mean)
+    }.toSet
+    val got = Curation.lmBigram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+    // the held-out split exists and genuinely exercises the backoff leg
+    assert(docs.exists(d => !inTrain(d._1)), "held-out side must be non-empty")
+    val backoffFired = docs.filter(d => !inTrain(d._1)).exists(_._2
+      .sliding(2).filter(_.length == 2).exists(a => !c12.contains((a(0), a(1)))))
+    assert(backoffFired, "no held-out bigram missed the train counts")
+  }
+
   test("mixture solver derives integer rates that meet the budget") {
     val rows = Curation.mixtureSolve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
