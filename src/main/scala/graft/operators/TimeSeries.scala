@@ -335,7 +335,7 @@ object TimeSeries {
   val NhKLo: Int = -6
   val NhKHi: Int = 9
 
-  private def nhK(v: Column): Column =
+  private[graft] def nhK(v: Column): Column =
     (NhKLo to NhKHi).foldRight(lit(NhKHi + 1)) { (k, rest) =>
       when(v <= lit(math.pow(2.0, k)), lit(k)).otherwise(rest)
     }

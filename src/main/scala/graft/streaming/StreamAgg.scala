@@ -64,6 +64,26 @@ object StreamAgg {
         col("first_value"), col("last_value"))
   }
 
+  /** Streaming maintenance of the native-histogram table — the live
+    * twin of [[graft.operators.TimeSeries.nhistBuild]]: the same
+    * schema-0 bucket index computed inline, counted per (window,
+    * metric, bucket) under the 1h watermark. State is bounded twice
+    * over: open windows by the watermark, and ≤ 16 bucket rows per
+    * open (window, metric) BY SCHEMA — a native-histogram stream's
+    * state cannot grow with traffic shape, only with live series
+    * count. A deployment upserts emitted rows into the histogram
+    * store the same way the downsample stream feeds its rollup.
+    */
+  def nhistStream(s: SparkSession, inDir: String): DataFrame =
+    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        graft.operators.TimeSeries.nhK(col("value")).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("step"),
+        col("event_type"), col("k"), col("cnt"))
+
   /** Gap-based sessionization: consecutive events of a user belong to
     * one session while gaps stay under `gapUs`; a larger gap closes the
     * session and starts the next. State per user is the open session

@@ -52,6 +52,20 @@ class StreamAggSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("streaming native-histogram maintenance equals the batch build") {
+    val in = stageInput("nh")
+    val q = StreamAgg.nhistStream(spark, in).writeStream
+      .format("memory").queryName("nh_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("nh_stream")
+    val want = graft.operators.TimeSeries.nhistBuild(spark, sf)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches a batch lag-window sessionizer") {
     val in = stageInput("sess")
     import SparkFixture.spark.implicits._
