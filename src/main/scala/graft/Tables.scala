@@ -13,25 +13,66 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses. Read it as raw long ns (legacy conf) and truncate to
-    * µs — the same truncation DuckDB applies on read, so both engines see
-    * identical microsecond timestamps.
+  /** Normalized events frame: `ts` (TimestampType, µs instants) plus
+    * `ts_ns` (epoch nanos, the engine's internal time axis — the
+    * reference models time as int64 mint/maxt the same way, reference:
+    * dataset/predicate.go, prometheus/querier.go:71-74).
     *
-    * The raw nanos survive as `ts_ns`: predicates on the rebuilt `ts`
-    * cannot reach the parquet scan (the cast blocks pushdown), but
-    * ns-converted bounds on `ts_ns` push down and prune row groups — the
-    * reference's mint/maxt stats-selector behavior
-    * (reference: dataset/predicate.go, prometheus/querier.go:71-74).
+    * The driver has shipped `events.ts` as BOTH parquet TIMESTAMP(NANOS)
+    * (Spark's vectorized reader refuses it → read as raw long ns via the
+    * legacy conf) and TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ), so
+    * the loader adapts on the physical schema. Whichever the layout,
+    * both engines see identical microsecond instants (DuckDB truncates
+    * ns → µs on read; µs it reads natively).
+    *
+    * Timestamps here are UTC wall-clock instants; the engine's
+    * determinism contract pins the session to UTC (Verify/Bench already
+    * do), which this loader re-asserts so the NTZ → instant
+    * reinterpretation is the identity.
     */
-  private def eventsNorm(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsNorm(spark: SparkSession, dir: String): DataFrame =
+    eventsRanged(spark, dir, None)
+
+  /** [[eventsNorm]] with an optional inclusive `[lo, hi]` epoch-ns range
+    * applied to the RAW parquet column (long ns or NTZ µs, whichever the
+    * layout has) so the bound reaches the scan as a PushedFilter and
+    * prunes row groups — the reference's mint/maxt stats-selector trick.
+    * Filters on the rebuilt `ts`/derived `ts_ns` columns cannot push
+    * down (the rebuild blocks pushdown); callers still re-filter `ts_ns`
+    * exactly, this range exists for pruning. At µs-granular data the µs
+    * conversion (ceil lo / floor hi) is exact, not just a superset.
+    */
+  def eventsRanged(spark: SparkSession, dir: String,
+                   boundsNs: Option[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: long/int is double division in
-    // Spark, and doubles lose µs precision at 1.7e18 ns.
-    t(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw ns
+        val ranged = boundsNs.fold(raw) { case (lo, hi) =>
+          raw.filter(col("ts") >= lo && col("ts") <= hi)
+        }
+        // `ts div 1000`, NOT `ts / 1000`: long/int is double division in
+        // Spark, and doubles lose µs precision at 1.7e18 ns.
+        ranged
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case dt => // TIMESTAMP(MICROS): TIMESTAMP_NTZ (or TIMESTAMP)
+        val isNtz = dt == org.apache.spark.sql.types.TimestampNTZType
+        def tsLit(us: Long) =
+          if (isNtz) lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
+          else lit(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+        val ranged = boundsNs.fold(raw) { case (lo, hi) =>
+          raw.filter(col("ts") >= tsLit(-Math.floorDiv(-lo, 1000L)) &&
+            col("ts") <= tsLit(Math.floorDiv(hi, 1000L)))
+        }
+        ranged
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")

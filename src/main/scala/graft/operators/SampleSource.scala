@@ -23,13 +23,14 @@ trait SampleSource {
 }
 
 /** The row store: the raw events table. Bounds reach the parquet scan
-  * as `ts_ns` predicates (row-group stats pruning — Tables.eventsNorm
-  * documents why the rebuilt `ts` column cannot push down).
+  * on the RAW time column via Tables.eventsRanged (row-group stats
+  * pruning); the `ts_ns` refilter keeps the contract exact regardless
+  * of the layout's time granularity.
   */
 object EventsSource extends SampleSource {
   override def load(s: SparkSession, dir: String,
                     boundsNs: Option[(Long, Long)]): DataFrame = {
-    val base = graft.Tables.events(s, dir)
+    val base = graft.Tables.eventsRanged(s, dir, boundsNs)
     boundsNs.fold(base) { case (lo, hi) =>
       base.filter(col("ts_ns") >= lo && col("ts_ns") <= hi)
     }

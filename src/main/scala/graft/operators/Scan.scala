@@ -47,7 +47,8 @@ object Scan {
     * stats-selector trick.
     */
   def scanRange(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.eventsRanged(s, dir, Some((epochNs("2024-01-02 00:00:00"),
+        epochNs("2024-01-05 00:00:00") - 1L)))
       .filter(col("ts_ns") >= epochNs("2024-01-02 00:00:00"))
       .filter(col("ts_ns") < epochNs("2024-01-05 00:00:00"))
       .filter(col("value") >= 50.0)
@@ -112,7 +113,8 @@ object Scan {
     * prometheus/series_set.go).
     */
   def seriesSelect(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    Tables.eventsRanged(s, dir, Some((epochNs("2024-01-01 12:00:00"),
+        epochNs("2024-01-04 12:00:00") + 999L)))
       // ts <= T on the µs-truncated ts ⟺ ts_ns < T_ns + 1000 (one µs past)
       .filter(col("ts_ns") >= epochNs("2024-01-01 12:00:00"))
       .filter(col("ts_ns") < epochNs("2024-01-04 12:00:00") + 1000L)

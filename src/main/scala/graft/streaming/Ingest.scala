@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object Ingest {
 
   /** Raw on-disk schema of the events stream (ts as long ns, matching the
-    * driver-generated parquet).
+    * TIMESTAMP(NANOS) layout the driver generated through round 8).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -25,14 +25,39 @@ object Ingest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Raw schema of the TIMESTAMP(MICROS) layout (arrives as NTZ). */
+  val rawSchemaUs: StructType = StructType(
+    rawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** Normalized events file-stream over `inDir`: `ts` TimestampType (µs,
+    * UTC instants) whichever raw layout the files have — the streaming
+    * twin of Tables.eventsNorm. A file stream needs its schema up front,
+    * so the layout is probed with a one-off batch read; an empty/missing
+    * dir (stream started before the first file lands) defaults to the
+    * current driver layout (µs).
+    */
+  def eventsStream(s: SparkSession, inDir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsIsLong =
+      try s.read.parquet(inDir).schema("ts").dataType == LongType
+      catch { case _: Exception => false }
+    if (tsIsLong)
+      s.readStream.schema(rawSchema).options(options).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      s.readStream.schema(rawSchemaUs).options(options).parquet(inDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   /** Run one AvailableNow ingest pass: inDir (parquet files) → outDir
     * (date-partitioned parquet), deduped by event_id within the watermark.
     */
   def runOnce(s: SparkSession, inDir: String, outDir: String,
               checkpoint: String): Unit = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(s, inDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .withColumn("date", to_date(col("ts")))
@@ -70,10 +95,9 @@ object Ingest {
       s"$outDir already holds parts but checkpoint $checkpoint is fresh: " +
         "batch ids would restart at 0 and overwrite them — use a new " +
         "outDir, or keep the original checkpoint to resume")
-    val stream = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1") // one flush per arriving file
-      .parquet(inDir)
-      .withColumn("us", expr("ts div 1000"))
+    // one flush per arriving file
+    val stream = eventsStream(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+      .withColumn("us", unix_micros(col("ts")))
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {

@@ -105,8 +105,7 @@ object PromqlStream {
     // null-ts rows are dropped BEFORE the watermark (they carry no
     // event time), so applySel's `ts IS NULL` pin-above disjunct can
     // never actually admit a row
-    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Ingest.eventsStream(s, inDir)
       .filter(col("ts").isNotNull)
       .withWatermark("ts", delay)
   }

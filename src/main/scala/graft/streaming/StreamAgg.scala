@@ -18,8 +18,7 @@ object StreamAgg {
     */
   def windowedCounts(s: SparkSession, inDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Ingest.eventsStream(s, inDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
@@ -44,8 +43,7 @@ object StreamAgg {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val orderKey =
       col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
-    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Ingest.eventsStream(s, inDir)
       .withColumn("us", unix_micros(col("ts")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "5 minutes"), col("user_id"), col("event_type"))
@@ -75,8 +73,7 @@ object StreamAgg {
     * store the same way the downsample stream feeds its rollup.
     */
   def nhistStream(s: SparkSession, inDir: String): DataFrame =
-    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Ingest.eventsStream(s, inDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"),
         graft.operators.TimeSeries.nhK(col("value")).as("k"))
@@ -142,8 +139,7 @@ object StreamAgg {
                  watermarkDelay: String = "1 hour"): Dataset[Session] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = Ingest.eventsStream(s, inDir)
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
@@ -184,8 +180,8 @@ object StreamAgg {
                         gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val events = Ingest.eventsStream(s, inDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .as[(Long, Long)]
     events.groupByKey(_._1)
       .flatMapGroupsWithState[Session, Session](
@@ -213,8 +209,7 @@ object StreamAgg {
   def sessionWindowNative(s: SparkSession, inDir: String,
                           gapUs: Long = 30L * 60 * 1000000): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Ingest.eventsStream(s, inDir)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"${gapUs + 1} microseconds"))
       .agg(
@@ -237,8 +232,8 @@ object StreamAgg {
   def userRunningStats(s: SparkSession, inDir: String): Dataset[UserStats] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val events = Ingest.eventsStream(s, inDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .as[(Long, Long)]
     events.groupByKey(_._1)
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {

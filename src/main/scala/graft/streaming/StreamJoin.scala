@@ -31,8 +31,7 @@ object StreamJoin {
                     widthSec: Long = 3600L): DataFrame = {
     require(widthSec > 0, "interval width must be positive")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def stream = s.readStream.schema(Ingest.rawSchema).parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream = Ingest.eventsStream(s, inDir)
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))

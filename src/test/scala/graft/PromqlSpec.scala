@@ -224,19 +224,19 @@ class PromqlSpec extends AnyFunSuite {
       Promql.queryAt(spark, sf, "sum(click)", spec))
     val loNs = (spec.startSec - spec.lookbackSec) * 1000000000L
     val hiNs = spec.endSec * 1000000000L
-    assert(plan.contains(s"GreaterThanOrEqual(ts,$loNs)"),
-      s"lower ts_ns bound not pushed:\n$plan")
-    assert(plan.contains(s"LessThanOrEqual(ts,$hiNs)"),
-      s"upper ts_ns bound not pushed:\n$plan")
+    assert(SparkFixture.tsLowerPushed(plan, loNs),
+      s"lower ts bound not pushed:\n$plan")
+    assert(SparkFixture.tsUpperPushed(plan, hiNs),
+      s"upper ts bound not pushed:\n$plan")
     // a range function pushes (start − range) instead of lookback
     val planR = SparkFixture.planOf(
       Promql.queryAt(spark, sf, "count_over_time(click[1h])", spec))
-    assert(planR.contains(s"GreaterThanOrEqual(ts,${(spec.startSec - 3600L) * 1000000000L})"),
+    assert(SparkFixture.tsLowerPushed(planR, (spec.startSec - 3600L) * 1000000000L),
       s"range-window lower bound not pushed:\n$planR")
     // offset un-shifts the pushed bound (step t reads t − offset data)
     val planO = SparkFixture.planOf(
       Promql.queryAt(spark, sf, "count_over_time(click[1h] offset 1h)", spec))
-    assert(planO.contains(s"LessThanOrEqual(ts,${(spec.endSec - 3600L) * 1000000000L})"),
+    assert(SparkFixture.tsUpperPushed(planO, (spec.endSec - 3600L) * 1000000000L),
       s"offset upper bound not pushed:\n$planO")
     // and the bounded evaluation returns the same rows as before
     val got = Promql.queryAt(spark, sf, "sum(click)", spec)

@@ -21,12 +21,12 @@ class ScanSpec extends AnyFunSuite {
   test("scanRange pushes both time bounds and the value bound") {
     val plan = planOf(Scan.scanRange(spark, sf))
     assert(plan.contains("GreaterThanOrEqual(value,50.0)"), plan)
-    // time bounds are expressed on the raw ns column so parquet row-group
-    // stats can prune — the reference's mint/maxt selection
-    // (ts_ns aliases the physical `ts` nanos column, so the pushed
-    // filters name `ts` with raw ns bounds)
-    assert(plan.contains("GreaterThanOrEqual(ts,1704153600000000000)"), plan)
-    assert(plan.contains("LessThan(ts,1704412800000000000)"), plan)
+    // time bounds are expressed on the RAW physical time column so
+    // parquet row-group stats can prune — the reference's mint/maxt
+    // selection. Rendering depends on the layout (raw-ns long vs µs
+    // timestamp); eventsRanged pushes the inclusive [lo, hi−1] range.
+    assert(SparkFixture.tsLowerPushed(plan, 1704153600000000000L), plan)
+    assert(SparkFixture.tsUpperPushed(plan, 1704412800000000000L - 1L), plan)
     // and the result matches the timestamp-based formulation
     val viaTs = Tables.events(spark, sf)
       .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))

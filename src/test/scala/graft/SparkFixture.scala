@@ -31,6 +31,26 @@ object SparkFixture {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** True iff `plan` pushes a lower `ts` bound of `loNs` epoch-ns to the
+    * parquet scan, in EITHER layout's rendering: the raw-ns long
+    * (TIMESTAMP(NANOS) read as long) or the µs-timestamp literal
+    * (TIMESTAMP(MICROS), ceil-converted — see Tables.eventsRanged).
+    */
+  def tsLowerPushed(plan: String, loNs: Long): Boolean =
+    plan.contains(s"GreaterThanOrEqual(ts,$loNs)") ||
+      plan.contains(s"GreaterThanOrEqual(ts,${usLdt(-Math.floorDiv(-loNs, 1000L))})")
+
+  /** Upper-bound twin of [[tsLowerPushed]]: inclusive `hiNs` epoch-ns,
+    * floor-converted on the µs layout.
+    */
+  def tsUpperPushed(plan: String, hiNs: Long): Boolean =
+    plan.contains(s"LessThanOrEqual(ts,$hiNs)") ||
+      plan.contains(s"LessThanOrEqual(ts,${usLdt(Math.floorDiv(hiNs, 1000L))})")
+
+  private def usLdt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+
   /** Executes the frame and returns the parquet scan's OUTPUT row count
     * — rows the reader actually surfaced after row-group / page-level
     * skipping, before Spark's post-scan Filter. The IO-side metric for

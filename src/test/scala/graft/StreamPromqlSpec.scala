@@ -147,11 +147,16 @@ class StreamPromqlSpec extends AnyFunSuite {
     }
     runOnce()
     // past the last possible real window end, whatever the range
-    val sentinelUs = spark.read.parquet(s"$sf/events.parquet")
-      .agg(org.apache.spark.sql.functions.max(col("ts"))).head.getLong(0) / 1000L +
+    val sentinelUs = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("ts_ns"))).head.getLong(0) / 1000L +
       (2L * rangeSec + 7200L) * 1000000L
+    // the sentinel file must carry the SAME raw layout as the copied
+    // events.parquet (µs NTZ), or the file stream's fixed schema
+    // misreads it
     def writeSentinel(id: Long, us: Long): Unit =
-      Seq((id, us * 1000L, 1L, "click", 1.0, "{}"))
+      Seq((id, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+          1L, "click", 1.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(in)
     writeSentinel(999999998L, sentinelUs)
