@@ -1430,6 +1430,72 @@ object Pipelines {
         |FROM l GROUP BY doc_id""".stripMargin,
   )
 
+  /** BPE merge training unrolled per round (the q_pagerank / clfTrain
+    * pattern applied to tokenizer learning). Each round r: a pair-count
+    * CTE over the vocabulary's prefix-delimited symbol strings, an
+    * argmax CTE (count DESC, then lexicographic (x, y)), and the next
+    * symbol table via the SAME left-to-right non-overlapping `replace`
+    * Spark executes — which on the prefix-delimited encoding IS
+    * canonical greedy BPE (see graft.pipeline.Bpe). The final hash
+    * proves every round.
+    */
+  private def bpeCtes(merges: Int): String = {
+    val symsInit =
+      "chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31) || chr(30)"
+    val head =
+      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($words) AS w FROM documents) GROUP BY 1),
+         |s0 AS (SELECT w, freq, $symsInit AS syms FROM wf)""".stripMargin
+    val rounds = (0 until merges).map { r =>
+      s"""p$r AS (SELECT p.x AS x, p.y AS y, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(x := sy[i], y := sy[i + 1]))) AS p
+         |    FROM (SELECT freq, list_filter(string_split(syms, chr(31)),
+         |                   t -> t <> '') AS sy FROM s$r))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM p$r
+         |  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         |s${r + 1} AS (SELECT w, freq,
+         |    replace(syms, chr(31) || b.x || chr(31) || b.y,
+         |            chr(31) || b.x || b.y) AS syms
+         |  FROM s$r, b$r b)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n")
+  }
+
+  private lazy val bpe: Map[String, String] = {
+    val m = graft.pipeline.Bpe.Merges
+    val merged = s"s$m"
+    Map(
+      "bpe_train" ->
+        (bpeCtes(m) + "\n" +
+          (0 until m).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS m, x, y, cnt FROM b$r")
+            .mkString("\nUNION ALL ")),
+      // tokenize by re-encoding each document occurrence with the final
+      // round's per-WORD symbols (a broadcast-shaped join on the word)
+      "bpe_tokens" ->
+        (bpeCtes(m) +
+          s""",
+             |tok AS (SELECT t.doc_id, len(list_filter(
+             |    string_split(v.syms, chr(31)), x -> x <> '')) AS n_sym
+             |  FROM (SELECT doc_id, unnest($words) AS w FROM documents) t
+             |  JOIN $merged v USING (w))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+             |FROM tok GROUP BY 1""".stripMargin),
+      "bpe_vocab" ->
+        (bpeCtes(m) +
+          s""",
+             |tk AS (SELECT freq, unnest(list_filter(
+             |    string_split(syms, chr(31)), t -> t <> '')) AS token
+             |  FROM $merged)
+             |SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM tk
+             |GROUP BY 1 ORDER BY cnt DESC, token ASC
+             |LIMIT ${graft.pipeline.Bpe.VocabTopK}""".stripMargin),
+    )
+  }
+
   def oracles: Map[String, String] =
-    dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm
+    dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm ++ bpe
 }

@@ -364,6 +364,11 @@ object SparkEntry {
     "doc_mixture"       -> ((s, d) => graft.pipeline.Curation.mixtureSolve(s, d)),
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
     "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
+    // in-engine BPE tokenizer TRAINING: merge rounds oracle-unrolled
+    // (pagerank pattern); prefix-delimited replace = canonical greedy BPE
+    "bpe_train"  -> ((s, d) => graft.pipeline.Bpe.train(s, d)),
+    "bpe_tokens" -> ((s, d) => graft.pipeline.Bpe.tokenCounts(s, d)),
+    "bpe_vocab"  -> ((s, d) => graft.pipeline.Bpe.vocabTop(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes
