@@ -1496,6 +1496,54 @@ object Pipelines {
     )
   }
 
+  /** TF-IDF doc-to-doc cosine KNN, mirroring Retrieval.tfidfKnn:
+    * integer micro-unit weights (decimal HALF_UP rounding on both
+    * engines), decimal(38,0) dots/norms (exact), one final double
+    * sqrt-division quantized at 9 before ranking.
+    */
+  private lazy val tfidfKnnSql: String = {
+    val t = graft.pipeline.Retrieval.KnnSalientT
+    val k = graft.pipeline.Retrieval.KnnK
+    s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |vocab AS (SELECT w,
+       |  CAST(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS DECIMAL(28,12)) AS idf
+       |  FROM dfq, n),
+       |vec AS (SELECT doc_id, w,
+       |  CAST(round(CAST(tf AS DECIMAL(6,0)) * idf * 1000000, 0) AS BIGINT) AS wq
+       |  FROM tf JOIN vocab USING (w)),
+       |sal AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY wq DESC, w ASC) AS rn FROM vec)
+       |  WHERE rn <= $t),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM sal a JOIN sal b USING (w) WHERE a.doc_id < b.doc_id),
+       |norms AS (SELECT doc_id,
+       |  SUM(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0))) AS nn
+       |  FROM vec GROUP BY 1),
+       |dots AS (SELECT c.a, c.b,
+       |  SUM(CAST(va.wq AS DECIMAL(19,0)) * CAST(vb.wq AS DECIMAL(19,0))) AS dot
+       |  FROM cand c
+       |  JOIN vec va ON va.doc_id = c.a
+       |  JOIN vec vb ON vb.doc_id = c.b AND vb.w = va.w
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT a, b,
+       |  round(CAST(dot AS DOUBLE) /
+       |        (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 9)
+       |    AS cos_sim
+       |  FROM dots JOIN norms na ON na.doc_id = a
+       |  JOIN norms nb ON nb.doc_id = b),
+       |mir AS (SELECT a AS doc_id, b AS nbr_id, cos_sim FROM sc
+       |  UNION ALL SELECT b, a, cos_sim FROM sc)
+       |SELECT doc_id, nbr_id, cos_sim, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cos_sim DESC, nbr_id ASC) AS rn FROM mir)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   def oracles: Map[String, String] =
-    dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm ++ bpe
+    dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm ++ bpe ++
+      Map("doc_tfidf_knn" -> tfidfKnnSql)
 }

@@ -364,6 +364,9 @@ object SparkEntry {
     "doc_mixture"       -> ((s, d) => graft.pipeline.Curation.mixtureSolve(s, d)),
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
     "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
+    // sparse doc-to-doc cosine KNN: inverted-index self-join with
+    // salient-term (prefix-filter) candidate blocking
+    "doc_tfidf_knn" -> ((s, d) => graft.pipeline.Retrieval.tfidfKnn(s, d)),
     // in-engine BPE tokenizer TRAINING: merge rounds oracle-unrolled
     // (pagerank pattern); prefix-delimited replace = canonical greedy BPE
     "bpe_train"  -> ((s, d) => graft.pipeline.Bpe.train(s, d)),

@@ -285,4 +285,85 @@ object Retrieval {
     graft.plans.TopK.perKey(fused, Seq(col("qid")),
       Seq(col("rrf_score").desc, col("doc_id")), k)
   }
+
+  /** Salient terms per doc driving tfidfKnn's candidate generation.
+    * T=1 is dominant-term CANOPY blocking (each doc joins one block —
+    * the sparse analogue of an IVF cell assignment): right for a
+    * small-vocabulary corpus where longer prefixes degenerate to
+    * all-pairs. Larger T is classic prefix filtering (Bayardo et al.
+    * 2007) for Zipfian vocabularies where salient posting lists are
+    * short.
+    */
+  val KnnSalientT = 1
+  /** Neighbors per document tfidfKnn emits. */
+  val KnnK = 5
+
+  /** Document-to-document similarity: top-k nearest neighbors per doc
+    * by TF-IDF cosine — the sparse-vector sibling of the dense ANN
+    * family (dedup candidates, near-dup clustering, related-docs
+    * serving all start here).
+    *
+    * Scale shape — inverted-index candidate generation with
+    * SALIENT-TERM blocking (the classic prefix-filtering idea from
+    * all-pairs similarity search, Bayardo et al. 2007): only each
+    * doc's top-`KnnSalientT` tf-idf terms enter the candidate
+    * self-join, so the pair space is bounded by salient-posting-list
+    * sizes instead of O(N²); full vectors then score only surviving
+    * pairs through doc-keyed hash joins. The all-pairs exact variant
+    * is one knob away (salientT = ∞) but is the
+    * BroadcastNestedLoop-shaped baseline you don't run at 100 TB.
+    *
+    * Determinism: weights are integer MICRO-UNITS (the exact decimal
+    * tf·idf scaled by 10⁶ and rounded — both engines round decimal
+    * HALF_UP), dot products and norms sum in decimal(38,0) (exact),
+    * and the one double step (sqrt · sqrt division) quantizes to 9
+    * before ranking; ties break on the neighbor id.
+    */
+  def tfidfKnn(s: SparkSession, dir: String,
+               salientT: Int = KnnSalientT, k: Int = KnnK): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = round(
+      log((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+        + lit(1.0), 12).cast("decimal(28,12)")
+    val vocab = dfreq.crossJoin(broadcast(n)).select(col("w"), idf.as("idf"))
+    // the sparse index feeds four joins (salient terms, both dot-join
+    // sides, norms) — materialize it once, like any served index
+    val vec = tf.join(broadcast(vocab), "w")
+      .select(col("doc_id"), col("w"),
+        round(col("tf").cast("decimal(6,0)") * col("idf") * lit(1000000L), 0)
+          .cast("bigint").as("wq"))
+      .localCheckpoint()
+    val sal = graft.plans.TopK.perKey(vec, Seq(col("doc_id")),
+      Seq(col("wq").desc, col("w").asc), salientT)
+      .select(col("doc_id"), col("w"))
+    val cand = sal.select(col("doc_id").as("a"), col("w"))
+      .join(sal.select(col("doc_id").as("b"), col("w")), "w")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sq = (col("wq").cast("decimal(19,0)") * col("wq").cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    val norms = vec.groupBy("doc_id").agg(sum(sq).as("nn"))
+    val dots = cand
+      .join(vec.select(col("doc_id").as("a"), col("w"), col("wq").as("qa")), Seq("a"))
+      .join(vec.select(col("doc_id").as("b"), col("w"), col("wq").as("qb")), Seq("b", "w"))
+      .groupBy("a", "b")
+      .agg(sum((col("qa").cast("decimal(19,0)") * col("qb").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 9)
+          .as("cos_sim"))
+    val mirrored = scored.select(col("a").as("doc_id"), col("b").as("nbr_id"), col("cos_sim"))
+      .unionAll(scored.select(col("b").as("doc_id"), col("a").as("nbr_id"), col("cos_sim")))
+    graft.plans.TopK.perKey(mirrored, Seq(col("doc_id")),
+      Seq(col("cos_sim").desc, col("nbr_id").asc), k)
+  }
 }
