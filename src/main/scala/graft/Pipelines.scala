@@ -758,6 +758,47 @@ object Pipelines {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    // Winnowing (Schleimer et al. 2003): per-window lexicographic min
+    // over md5-hex 3-gram hashes — mirrors TextAnalysis.winnow; DuckDB
+    // range(1, k+1) = Spark sequence(1, k), list_slice's inclusive end
+    // = slice's length form
+    "text_winnow" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END AS grams FROM ws),
+         |h AS (SELECT doc_id,
+         |        list_transform(grams, g -> substring(md5(g), 1, 8)) AS h
+         |      FROM g),
+         |f AS (SELECT doc_id, len(h) AS n_grams,
+         |        list_distinct(list_transform(
+         |          range(1, greatest(len(h) - ${graft.pipeline.TextAnalysis.WinnowW} + 1, 1) + 1),
+         |          j -> list_min(list_slice(h, j, j + ${graft.pipeline.TextAnalysis.WinnowW} - 1)))) AS fps
+         |      FROM h)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(len(fps) AS BIGINT) AS n_fp,
+         |       md5(array_to_string(list_sort(fps), '')) AS winnow_fp
+         |FROM f""".stripMargin,
+    "text_winnow_pairs" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END AS grams FROM ws),
+         |h AS (SELECT doc_id,
+         |        list_transform(grams, g -> substring(md5(g), 1, 8)) AS h
+         |      FROM g),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        range(1, greatest(len(h) - ${graft.pipeline.TextAnalysis.WinnowW} + 1, 1) + 1),
+         |        j -> list_min(list_slice(h, j, j + ${graft.pipeline.TextAnalysis.WinnowW} - 1))))) AS fp
+         |      FROM h)
+         |SELECT a, b, n_shared FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM e x JOIN e y USING (fp) WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |ORDER BY n_shared DESC, a ASC, b ASC
+         |LIMIT ${graft.pipeline.TextAnalysis.WinnowPairsK}""".stripMargin,
     // ExactSubstr-style duplicate-span coverage (gram=4, minCount=2);
     // DuckDB's 1-based list positions are internally consistent, so
     // span-start/coverage counting matches Spark's 0-based form
@@ -1007,9 +1048,7 @@ object Pipelines {
     (Seq(head) ++ epochBlocks :+ tail).mkString(",\n")
   }
 
-  private val lmRetrieval: Map[String, String] = Map(
-    "doc_lm_score" -> lmScoreSql,
-    "doc_lm_bigram" -> {
+  private lazy val lmBigramSql: String = {
       val pct = graft.pipeline.Curation.LmBackoffTrainPct
       def qln(x: String) =
         s"CAST(round(ln(CAST($x AS DOUBLE)), 12) AS DECIMAL(28,12))"
@@ -1044,7 +1083,40 @@ object Pipelines {
          |       ELSE CAST(slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
          |  END AS mean_lp
          |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
-    },
+  }
+
+  /** CCNet-style perplexity-band filter over the bigram-LM scores —
+    * mirrors Curation.pplFilter: tercile thresholds are k-th-smallest
+    * RANK statistics (the quantilePos contract), never interpolated
+    * percentiles.
+    */
+  private lazy val pplFilterSql: String =
+    s"""WITH base AS (SELECT * FROM ($lmBigramSql)),
+       |scored AS (SELECT * FROM base WHERE n_bigrams > 0),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+       |ks AS (SELECT greatest(1, CAST(ceil(round(n * (1.0/3), 9)) AS BIGINT)) AS k1,
+       |              greatest(1, CAST(ceil(round(n * (2.0/3), 9)) AS BIGINT)) AS k2
+       |       FROM n),
+       |r AS (SELECT mean_lp, row_number() OVER (ORDER BY mean_lp ASC, doc_id ASC) AS rn
+       |      FROM scored),
+       |t AS (SELECT max(CASE WHEN rn = k1 THEN mean_lp END) AS t1,
+       |             max(CASE WHEN rn = k2 THEN mean_lp END) AS t2
+       |      FROM r, ks)
+       |SELECT doc_id, n_bigrams, mean_lp,
+       |  CASE WHEN n_bigrams = 0 THEN 'unscored'
+       |       WHEN mean_lp > t2 THEN 'head'
+       |       WHEN mean_lp > t1 THEN 'middle'
+       |       ELSE 'tail' END AS band,
+       |  (CASE WHEN n_bigrams = 0 THEN 'unscored'
+       |        WHEN mean_lp > t2 THEN 'head'
+       |        WHEN mean_lp > t1 THEN 'middle'
+       |        ELSE 'tail' END IN ('head', 'middle')) AS keep
+       |FROM base, t""".stripMargin
+
+  private val lmRetrieval: Map[String, String] = Map(
+    "doc_lm_score" -> lmScoreSql,
+    "doc_lm_bigram" -> lmBigramSql,
+    "doc_ppl_filter" -> pplFilterSql,
     "doc_clf_train" -> clfTrainSql,
     // hashed-feature linear classifier: per-token md5-nibble bucket →
     // multiplicative-hash integer weight, summed per doc — all-integer,

@@ -364,6 +364,13 @@ object SparkEntry {
     "doc_mixture"       -> ((s, d) => graft.pipeline.Curation.mixtureSolve(s, d)),
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
     "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
+    // CCNet-style perplexity-band gate over the bigram LM (rank-statistic
+    // terciles, head+middle kept)
+    "doc_ppl_filter"    -> ((s, d) => graft.pipeline.Curation.pplFilter(s, d)),
+    // winnowing fingerprints (MOSS): shuffle-free per-doc sketch +
+    // fingerprint-keyed match pairs
+    "text_winnow"       -> ((s, d) => TextAnalysis.winnow(s, d)),
+    "text_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     // sparse doc-to-doc cosine KNN: inverted-index self-join with
     // salient-term (prefix-filter) candidate blocking
     "doc_tfidf_knn" -> ((s, d) => graft.pipeline.Retrieval.tfidfKnn(s, d)),

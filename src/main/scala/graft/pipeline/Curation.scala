@@ -547,4 +547,42 @@ object Curation {
           .as("y_pred"), col("in_train"))
       .withColumn("correct", col("y_pred") === col("y"))
   }
+
+  /** CCNet-style PERPLEXITY-BAND filtering (Wenzek et al. 2020): score
+    * every document with the in-engine bigram LM ([[lmBigram]]), split
+    * the scored corpus into head / middle / tail terciles by mean
+    * log-prob (high lp = low perplexity = clean), and keep head +
+    * middle — the standard quality gate a pretraining pipeline puts in
+    * front of sampling. Docs the LM cannot score (no bigrams) band as
+    * 'unscored' and are dropped.
+    *
+    * Tercile thresholds are RANK statistics (the ExactNum.quantilePos
+    * k-th-smallest contract, NOT an interpolated percentile — those
+    * diverge across engines): the k-th smallest mean_lp with ties
+    * broken on doc_id, k = ⌈round(n·q, 9)⌉. mean_lp itself is one
+    * IEEE division of an exact decimal sum by an exact count, so both
+    * engines rank identical doubles.
+    */
+  def pplFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = lmBigram(s, dir)
+    val scored = base.filter(col("n_bigrams") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_lp").asc, col("doc_id").asc)
+    val ranked = scored
+      .select(col("mean_lp"), row_number().over(w).as("rn"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val ks = n.select(
+      graft.functions.ExactNum.quantilePos(col("n"), 1.0 / 3).as("k1"),
+      graft.functions.ExactNum.quantilePos(col("n"), 2.0 / 3).as("k2"))
+    val ts = ranked.crossJoin(broadcast(ks))
+      .agg(max(when(col("rn") === col("k1"), col("mean_lp"))).as("t1"),
+        max(when(col("rn") === col("k2"), col("mean_lp"))).as("t2"))
+    base.crossJoin(broadcast(ts))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_lp"),
+        when(col("n_bigrams") === 0L, "unscored")
+          .when(col("mean_lp") > col("t2"), "head")
+          .when(col("mean_lp") > col("t1"), "middle")
+          .otherwise("tail").as("band"))
+      .withColumn("keep", col("band") === "head" || col("band") === "middle")
+  }
 }

@@ -363,4 +363,59 @@ object TextAnalysis {
       Seq(col("n").desc, col("bigram").asc), k)
       .select(col("lang"), col("bigram"), col("n"), col("rnk"))
   }
+
+  /** Winnowing window width (consecutive gram hashes per min-pick). */
+  val WinnowW = 4
+  /** Pairs the winnow-match entry reports. */
+  val WinnowPairsK = 50
+
+  /** WINNOWING document fingerprints (Schleimer et al. 2003, the MOSS
+    * local-fingerprinting algorithm): hash every word 3-gram, slide a
+    * width-`WinnowW` window over the hash sequence, keep each window's
+    * MINIMUM hash — the guarantee rolling/bottom-k sketches lack: any
+    * shared run of ≥ w + 2 words between two documents shares at least
+    * one fingerprint, with density 2/(w+1) instead of whole-document
+    * luck. Hashes are md5-hex prefixes, so "minimum" is lexicographic
+    * — identical in Spark, DuckDB, and the JVM, no numeric conversion.
+    *
+    * Shuffle-free: grams, hashes, window minima, and the fingerprint
+    * set are per-row array transforms inside whole-stage codegen; the
+    * only exchange is the final nothing (one scan, no groupBy).
+    */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
+      .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(h) - $WinnowW + 1, 1)),
+           |  j -> array_min(slice(h, j, $WinnowW))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws("", array_sort(col("fps")))).as("winnow_fp"))
+
+  /** Document pairs sharing winnowing fingerprints — the match surface
+    * MOSS reports: top pairs by shared-fingerprint count. The self-join
+    * keys on the fingerprint hash (posting lists of locally-minimal
+    * grams — short by the winnowing density bound), not on documents.
+    */
+  def winnowPairs(s: SparkSession, dir: String,
+                  k: Int = WinnowPairsK): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
+      .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(h) - $WinnowW + 1, 1)),
+           |  j -> array_min(slice(h, j, $WinnowW))))""".stripMargin)).as("fp"))
+    fp.select(col("doc_id").as("a"), col("fp"))
+      .join(fp.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
 }
