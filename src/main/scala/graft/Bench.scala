@@ -110,7 +110,7 @@ object Bench {
         "ann_pq_trained", "ann_ivfpq_res_trained", "ann_recall_trained",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
         "mm_decode", "q_zorder_scan", "q_downsample", "doc_inverted",
-        "dedup_semantic_trained").foreach { n =>
+        "dedup_semantic_trained", "bpe_train").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run

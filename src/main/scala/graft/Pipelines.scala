@@ -1590,8 +1590,10 @@ object Pipelines {
        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY wq DESC, w ASC) AS rn FROM vec)
        |  WHERE rn <= $t),
-       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM sal a JOIN sal b USING (w) WHERE a.doc_id < b.doc_id),
+       |blk AS (SELECT doc_id, array_to_string(list_sort(list(w)), ' ') AS bk
+       |  FROM sal GROUP BY 1),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM blk x JOIN blk y USING (bk) WHERE x.doc_id < y.doc_id),
        |norms AS (SELECT doc_id,
        |  SUM(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0))) AS nn
        |  FROM vec GROUP BY 1),

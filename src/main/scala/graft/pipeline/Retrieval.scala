@@ -286,15 +286,16 @@ object Retrieval {
       Seq(col("rrf_score").desc, col("doc_id")), k)
   }
 
-  /** Salient terms per doc driving tfidfKnn's candidate generation.
-    * T=1 is dominant-term CANOPY blocking (each doc joins one block —
-    * the sparse analogue of an IVF cell assignment): right for a
-    * small-vocabulary corpus where longer prefixes degenerate to
-    * all-pairs. Larger T is classic prefix filtering (Bayardo et al.
-    * 2007) for Zipfian vocabularies where salient posting lists are
-    * short.
+  /** Salient terms forming tfidfKnn's CANOPY BLOCK KEY: each doc is
+    * assigned to exactly one block keyed by its sorted top-T tf-idf
+    * terms (the sparse analogue of an IVF cell assignment — stricter
+    * than Bayardo prefix filtering, which joins on ANY shared salient
+    * term and degenerates to near-all-pairs on a small vocabulary).
+    * T=2 keys ~|V|²/2 blocks: measured at sf0.1 (5000 docs, 31-word
+    * vocabulary) it cuts candidate pairs 456k → ~25k while still
+    * pairing docs whose dominant topic terms agree.
     */
-  val KnnSalientT = 1
+  val KnnSalientT = 2
   /** Neighbors per document tfidfKnn emits. */
   val KnnK = 5
 
@@ -338,13 +339,15 @@ object Retrieval {
         round(col("tf").cast("decimal(6,0)") * col("idf") * lit(1000000L), 0)
           .cast("bigint").as("wq"))
       .localCheckpoint()
-    val sal = graft.plans.TopK.perKey(vec, Seq(col("doc_id")),
+    val blk = graft.plans.TopK.perKey(vec, Seq(col("doc_id")),
       Seq(col("wq").desc, col("w").asc), salientT)
-      .select(col("doc_id"), col("w"))
-    val cand = sal.select(col("doc_id").as("a"), col("w"))
-      .join(sal.select(col("doc_id").as("b"), col("w")), "w")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(col("w")))).as("bk"))
+    // one block key per doc → pairs are already unique, no distinct
+    val cand = blk.select(col("doc_id").as("a"), col("bk"))
+      .join(blk.select(col("doc_id").as("b"), col("bk")), "bk")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
     val sq = (col("wq").cast("decimal(19,0)") * col("wq").cast("decimal(19,0)"))
       .cast("decimal(38,0)")
     val norms = vec.groupBy("doc_id").agg(sum(sq).as("nn"))

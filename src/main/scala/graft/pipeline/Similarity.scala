@@ -858,10 +858,21 @@ object Similarity {
       "ann_pq_trained" -> pqTrained(s, dir).filter(col("rnk") <= k),
       "ann_ivfpq_res_trained" -> ivfPqResidualTrained(s, dir)))
 
+  /** Exact ground-truth store for the recall records, keyed
+    * (corpus dir, k) — the brute-force top-k is a deterministic
+    * artifact of the corpus, shared by every recall entry over it
+    * (the collapsed-contents / trained-centroid store pattern). The
+    * standalone ann_bruteforce entry does NOT use it: that entry
+    * measures the exact scan itself.
+    */
+  private val truthStore =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
   private def recallOf(s: SparkSession, dir: String, k: Int,
                        legs: Seq[(String, DataFrame)]): DataFrame = {
-    val truth = bruteForce(s, dir).filter(col("rnk") <= k)
-      .select("qid", "vec_id")
+    val truth = truthStore.computeIfAbsent((dir, k), _ =>
+      bruteForce(s, dir).filter(col("rnk") <= k)
+        .select("qid", "vec_id").localCheckpoint())
     val tr = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))
     def leg(name: String, ap: DataFrame): DataFrame = {
       val hits = truth
