@@ -1576,10 +1576,13 @@ object Pipelines {
   private lazy val tfidfKnnSql: String = {
     val t = graft.pipeline.Retrieval.KnnSalientT
     val k = graft.pipeline.Retrieval.KnnK
-    s"""WITH toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+    s"""WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents GROUP BY md5(text)),
+       |toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM c),
        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM c),
        |vocab AS (SELECT w,
        |  CAST(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS DECIMAL(28,12)) AS idf
        |  FROM dfq, n),

@@ -76,7 +76,7 @@ object Dedup {
   private def dirKey(s: SparkSession, dir: String): String =
     System.identityHashCode(s).toHexString + "|" + dir
 
-  private def collapsed(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def collapsed(s: SparkSession, dir: String): DataFrame =
     collapsedMemo.computeIfAbsent(dirKey(s, dir),
       _ => contents(s, dir).localCheckpoint(true))
 

@@ -322,12 +322,21 @@ object Retrieval {
     */
   def tfidfKnn(s: SparkSession, dir: String,
                salientT: Int = KnnSalientT, k: Int = KnnK): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // COLLAPSE-FIRST (the round-8 soak lesson, mandatory for every
+    // pair-generating operator): KNN runs over DISTINCT contents from
+    // the shared exact-dedup store — identity is the representative
+    // doc (min doc_id per content). Duplicated corpora otherwise grow
+    // the canopy pair count quadratically in copy multiplicity, and
+    // similarity over exact copies is wasted compute the dedup family
+    // already resolves.
+    val c = graft.pipeline.Dedup.collapsed(s, dir)
+      .select(col("cid").as("doc_id"), col("text"))
+    val toks = c
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val n = c.agg(count(lit(1)).as("n"))
     val idf = round(
       log((col("n").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
         + lit(1.0), 12).cast("decimal(28,12)")
