@@ -781,7 +781,9 @@ object Pipelines {
          |       md5(array_to_string(list_sort(fps), '')) AS winnow_fp
          |FROM f""".stripMargin,
     "text_winnow_pairs" ->
-      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+      s"""WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+         |  FROM documents GROUP BY md5(text)),
+         |ws AS (SELECT doc_id, $words AS w FROM c),
          |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
          |    THEN list_transform(range(1, len(w) - 1),
          |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])

@@ -397,14 +397,20 @@ object TextAnalysis {
         md5(concat_ws("", array_sort(col("fps")))).as("winnow_fp"))
 
   /** Document pairs sharing winnowing fingerprints — the match surface
-    * MOSS reports: top pairs by shared-fingerprint count. The self-join
-    * keys on the fingerprint hash (posting lists of locally-minimal
-    * grams — short by the winnowing density bound), not on documents.
+    * MOSS reports: top pairs by shared-fingerprint count. COLLAPSE-
+    * FIRST (the round-8 soak law, re-proven here: the doc-level join
+    * ran 534 s at 100× duplication because exact copies share EVERY
+    * fingerprint — posting lists grow with copy count, pairs with its
+    * square): pairs run over DISTINCT contents from the shared
+    * exact-dedup store, keyed by representative doc ids; within-group
+    * duplicate pairs are dedup_exact's domain, not a match signal.
+    * The self-join then keys on fingerprint hashes whose posting lists
+    * the winnowing density bound keeps short.
     */
   def winnowPairs(s: SparkSession, dir: String,
                   k: Int = WinnowPairsK): DataFrame = {
-    val fp = Tables.documents(s, dir)
-      .select(col("doc_id"), words.as("ws"))
+    val fp = graft.pipeline.Dedup.collapsed(s, dir)
+      .select(col("cid").as("doc_id"), words.as("ws"))
       .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
       .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
       .select(col("doc_id"), explode(expr(
