@@ -153,6 +153,16 @@ object Similarity {
                     numCells: Int = NumCells): DataFrame =
     assignTo(withNorm(s, dir), formulaCentroids(numCells))
 
+  /** Formula-centroid cell assignment over ANY (vec_id, embedding)
+    * frame — the stateless kernel the STREAMING index maintainer
+    * (streaming/AnnIngest) shares with the batch IVF path, so a
+    * stream-appended posting and the batch build agree row for row.
+    */
+  private[graft] def assignCells(emb: DataFrame,
+                                 numCells: Int = NumCells): DataFrame =
+    assignTo(emb.select(col("vec_id"), col("embedding"),
+      dot("embedding", "embedding").as("norm")), formulaCentroids(numCells))
+
   /** Distributed Lloyd's k-means over the embedding column — the trained
     * coarse quantizer a real IVF index needs (the formula centroids are
     * only the oracle-deterministic stand-in). Deterministic end to end:
