@@ -124,6 +124,31 @@ object OracleSql {
       """SELECT (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600) * 21600 AS step,
         |       user_id, event_type, MAX(value) - MIN(value) AS increase
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // scrape-interval inference: integer µs gaps, rank-statistic
+    // median/p95 per metric (the quantilePos contract) — mirrors
+    // TimeSeries.scrapeInterval
+    "q_scrape_interval" ->
+      """WITH g0 AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) AS pus
+        |  FROM events),
+        |g AS (SELECT event_type, us - pus AS gap_us FROM g0 WHERE pus IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |        MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+        |      FROM g GROUP BY 1),
+        |r AS (SELECT event_type, gap_us,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn
+        |      FROM g),
+        |p AS (SELECT r.event_type,
+        |        MAX(CASE WHEN rn = greatest(1, CAST(ceil(round(n_gaps * 0.5, 9)) AS BIGINT))
+        |            THEN gap_us END) AS median_gap_us,
+        |        MAX(CASE WHEN rn = greatest(1, CAST(ceil(round(n_gaps * 0.95, 9)) AS BIGINT))
+        |            THEN gap_us END) AS p95_gap_us
+        |      FROM r JOIN n USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_gaps, min_gap_us, median_gap_us, p95_gap_us,
+        |       max_gap_us
+        |FROM n JOIN p USING (event_type)""".stripMargin,
     "q_stddev_over_time" ->
       """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
         |       user_id, event_type,

@@ -44,6 +44,8 @@ object SparkEntry {
     "q_last_over_time"  -> (TimeSeries.lastOverTime _),
     "q_histogram_quantile" -> (TimeSeries.histogramQuantile _),
     "q_increase"        -> (TimeSeries.increase _),
+    // scrape-interval inference: per-metric inter-sample gap statistics
+    "q_scrape_interval" -> (TimeSeries.scrapeInterval _),
     "q_absent"          -> (TimeSeries.absent _),
     "q_stddev_over_time" -> (TimeSeries.stddevOverTime _),
     "q_delta"           -> (TimeSeries.delta _),

@@ -387,4 +387,46 @@ object TimeSeries {
           ((col("rnk") - col("cum") + col("cnt")).cast("double") /
             col("cnt").cast("double")), 12).as("q_value"))
   }
+
+  /** SCRAPE-INTERVAL inference: per metric, the distribution of
+    * inter-sample gaps within each series — what Prometheus derives to
+    * pick staleness windows and what a TSDB compactor uses to size
+    * chunks (the reference's writer buckets chunks by time for the
+    * same reason). Gaps are integer µs (exact); median/p95 are
+    * k-th-smallest RANK statistics (the quantilePos contract) over the
+    * per-metric gap multiset, so every emitted number is an integer
+    * both engines order identically.
+    *
+    * Scale shape: ONE window pass per series (lag over the series key
+    * — cardinality ≫ cores), then a partial-agg groupBy per metric;
+    * the rank pick is a second window over gaps per metric, one row
+    * out per metric.
+    */
+  def scrapeInterval(s: SparkSession, dir: String): DataFrame = {
+    val bySeries = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(bySeries))
+      .filter(col("prev_ns").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_ns - prev_ns) div 1000").as("gap_us"))
+    val byMetric = Window.partitionBy("event_type")
+      .orderBy(col("gap_us").asc)
+    val n = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      min("gap_us").as("min_gap_us"),
+      max("gap_us").as("max_gap_us"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(byMetric))
+      .join(n.select(col("event_type"), col("n_gaps")), "event_type")
+      .withColumn("k50", graft.functions.ExactNum.quantilePos(col("n_gaps"), 0.5))
+      .withColumn("k95", graft.functions.ExactNum.quantilePos(col("n_gaps"), 0.95))
+    val picks = ranked.groupBy("event_type").agg(
+      max(when(col("rn") === col("k50"), col("gap_us"))).as("median_gap_us"),
+      max(when(col("rn") === col("k95"), col("gap_us"))).as("p95_gap_us"))
+    n.join(picks, "event_type")
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("median_gap_us"), col("p95_gap_us"), col("max_gap_us"))
+  }
 }
