@@ -1029,17 +1029,17 @@ object Pipelines {
          |w0 AS (SELECT CAST(unnest(range(-1, $ClfBuckets)) AS BIGINT) AS bucket,
          |              CAST(0 AS BIGINT) AS wt)""".stripMargin
     val epochBlocks = (0 until ClfEpochs).map { e =>
-      s"""s$e AS (SELECT x.doc_id, ty.y, SUM(w$e.wt * x.cnt) AS s
+      s"""s$e AS (SELECT x.doc_id, ty.y, CAST(SUM(w$e.wt * x.cnt) AS BIGINT) AS s
          |  FROM x JOIN ty USING (doc_id) JOIN w$e USING (bucket)
          |  WHERE ty.in_train GROUP BY 1, 2),
-         |u$e AS (SELECT x.bucket, SUM(m.y * x.cnt) AS dw
+         |u$e AS (SELECT x.bucket, CAST(SUM(m.y * x.cnt) AS BIGINT) AS dw
          |  FROM s$e m JOIN x ON x.doc_id = m.doc_id
          |  WHERE m.y * m.s <= 0 GROUP BY 1),
          |w${e + 1} AS (SELECT w$e.bucket, w$e.wt + coalesce(u$e.dw, 0) AS wt
          |  FROM w$e LEFT JOIN u$e USING (bucket))""".stripMargin
     }
     val tail =
-      s"""sf AS (SELECT x.doc_id, ty.y, ty.in_train, SUM(w$ClfEpochs.wt * x.cnt) AS s
+      s"""sf AS (SELECT x.doc_id, ty.y, ty.in_train, CAST(SUM(w$ClfEpochs.wt * x.cnt) AS BIGINT) AS s
          |  FROM x JOIN ty USING (doc_id) JOIN w$ClfEpochs USING (bucket)
          |  GROUP BY 1, 2, 3)
          |SELECT doc_id, y, s AS margin,

@@ -398,33 +398,51 @@ object TimeSeries {
     * both engines order identically.
     *
     * Scale shape: ONE window pass per series (lag over the series key
-    * — cardinality ≫ cores), then a partial-agg groupBy per metric;
-    * the rank pick is a second window over gaps per metric, one row
-    * out per metric.
+    * — cardinality ≫ cores), then the rank pick runs on a VALUE
+    * HISTOGRAM, not raw gaps: scrape intervals repeat, so
+    * groupBy(metric, gap) collapses N samples to |distinct gaps| rows
+    * per metric, and the k-th smallest gap falls out of a cumulative
+    * count over those distinct values (the q_promql_quantile_agg
+    * two-phase pick). A per-metric row_number over raw gaps would park
+    * N/|metrics| rows on one reducer — metric cardinality is tiny —
+    * whereas the histogram window's reducer state is |distinct gaps|
+    * at ANY corpus size.
+    *
+    * Gaps difference the µs-TRUNCATED timestamps ((ts div 1000) pairs,
+    * ordered by truncated µs then event_id) so the arithmetic matches
+    * the oracle's µs axis even on the legacy TIMESTAMP(NANOS) layout
+    * with sub-µs residue.
     */
   def scrapeInterval(s: SparkSession, dir: String): DataFrame = {
     val bySeries = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
     val gaps = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(bySeries))
-      .filter(col("prev_ns").isNotNull)
-      .select(col("event_type"),
-        expr("(ts_ns - prev_ns) div 1000").as("gap_us"))
-    val byMetric = Window.partitionBy("event_type")
-      .orderBy(col("gap_us").asc)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(bySeries))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev_us")).as("gap_us"))
     val n = gaps.groupBy("event_type").agg(
       count(lit(1)).as("n_gaps"),
       min("gap_us").as("min_gap_us"),
       max("gap_us").as("max_gap_us"))
-    val ranked = gaps
-      .withColumn("rn", row_number().over(byMetric))
+    // value histogram: |distinct gaps| rows per metric, never |samples|
+    val hist = gaps.groupBy("event_type", "gap_us")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("gap_us").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picks = hist
+      .withColumn("cum", sum("cnt").over(wCum))
       .join(n.select(col("event_type"), col("n_gaps")), "event_type")
       .withColumn("k50", graft.functions.ExactNum.quantilePos(col("n_gaps"), 0.5))
       .withColumn("k95", graft.functions.ExactNum.quantilePos(col("n_gaps"), 0.95))
-    val picks = ranked.groupBy("event_type").agg(
-      max(when(col("rn") === col("k50"), col("gap_us"))).as("median_gap_us"),
-      max(when(col("rn") === col("k95"), col("gap_us"))).as("p95_gap_us"))
+      .groupBy("event_type").agg(
+        max(when(col("cum") >= col("k50") &&
+          col("cum") - col("cnt") < col("k50"), col("gap_us")))
+          .as("median_gap_us"),
+        max(when(col("cum") >= col("k95") &&
+          col("cum") - col("cnt") < col("k95"), col("gap_us")))
+          .as("p95_gap_us"))
     n.join(picks, "event_type")
       .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
         col("median_gap_us"), col("p95_gap_us"), col("max_gap_us"))

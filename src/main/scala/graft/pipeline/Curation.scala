@@ -562,14 +562,41 @@ object Curation {
     * broken on doc_id, k = ⌈round(n·q, 9)⌉. mean_lp itself is one
     * IEEE division of an exact decimal sum by an exact count, so both
     * engines rank identical doubles.
+    *
+    * Scale shape — a DISTRIBUTED RANK, not a global window: mean_lp is
+    * continuous (distinct values ≈ corpus size), so the histogram trick
+    * doesn't apply; instead the scored docs are range-partitioned on
+    * (mean_lp, doc_id) — partition p holds a contiguous slice of the
+    * global order — local ranks come from a PER-PARTITION window, and
+    * the global rank is local rank + a broadcast prefix of the
+    * per-partition counts (≤ shuffle-partition rows, driver-side — the
+    * [[packTokens]] two-level prefix decomposition applied to ranking).
+    * No operator ever holds more than one range slice; the oracle's
+    * sequential rank agreeing hash-for-hash is the exactness proof.
     */
   def pplFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val base = lmBigram(s, dir)
     val scored = base.filter(col("n_bigrams") > 0L)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("mean_lp").asc, col("doc_id").asc)
-    val ranked = scored
-      .select(col("mean_lp"), row_number().over(w).as("rn"))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val parted = scored.select(col("doc_id"), col("mean_lp"))
+      .repartitionByRange(nPart, col("mean_lp").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid is plan-position-dependent; pin it once
+    // one row per range partition (bounded by nPart, never the corpus):
+    // prefix offsets are a driver-side running sum over those counts
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefix = counts.toSeq
+      .map { case (p, c) => val before = acc; acc += c; (p, before) }
+      .toDF("pid", "before")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("mean_lp").asc, col("doc_id").asc)
+    val ranked = parted
+      .withColumn("lr", row_number().over(wLocal))
+      .join(broadcast(prefix), "pid")
+      .select(col("mean_lp"), (col("before") + col("lr")).as("rn"))
     val n = scored.agg(count(lit(1)).as("n"))
     val ks = n.select(
       graft.functions.ExactNum.quantilePos(col("n"), 1.0 / 3).as("k1"),

@@ -880,7 +880,11 @@ object Similarity {
 
   private def recallOf(s: SparkSession, dir: String, k: Int,
                        legs: Seq[(String, DataFrame)]): DataFrame = {
-    val truth = truthStore.computeIfAbsent((dir, k), _ =>
+    // key includes the session identity (Dedup.dirKey discipline): a
+    // checkpointed frame is bound to its SparkContext, so a restarted
+    // session must rebuild, not be served a dead frame
+    val truth = truthStore.computeIfAbsent(
+      (System.identityHashCode(s).toHexString + "|" + dir, k), _ =>
       bruteForce(s, dir).filter(col("rnk") <= k)
         .select("qid", "vec_id").localCheckpoint())
     val tr = truth.groupBy("qid").agg(count(lit(1)).as("n_truth"))

@@ -387,10 +387,14 @@ object TextAnalysis {
       .select(col("doc_id"), words.as("ws"))
       .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
       .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
+      // filter(… IS NOT NULL): a <3-word doc has NO grams, so the one
+      // window min is null — DuckDB's list_distinct strips nulls, Spark's
+      // array_distinct keeps them; dropping them here keeps n_fp = 0 on
+      // both engines (winnow_fp already agrees: concat_ws skips nulls)
       .withColumn("fps", expr(
-        s"""array_distinct(transform(
+        s"""filter(array_distinct(transform(
            |  sequence(1, greatest(size(h) - $WinnowW + 1, 1)),
-           |  j -> array_min(slice(h, j, $WinnowW))))""".stripMargin))
+           |  j -> array_min(slice(h, j, $WinnowW)))), x -> x IS NOT NULL)""".stripMargin))
       .select(col("doc_id"),
         size(col("h")).cast("long").as("n_grams"),
         size(col("fps")).cast("long").as("n_fp"),
@@ -413,10 +417,13 @@ object TextAnalysis {
       .select(col("cid").as("doc_id"), words.as("ws"))
       .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
       .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
+      // same null-strip as [[winnow]]: a gram-less doc must emit NO
+      // posting rows (DuckDB's unnest of the null-stripped list), not
+      // one null-fp row
       .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(
+        s"""filter(array_distinct(transform(
            |  sequence(1, greatest(size(h) - $WinnowW + 1, 1)),
-           |  j -> array_min(slice(h, j, $WinnowW))))""".stripMargin)).as("fp"))
+           |  j -> array_min(slice(h, j, $WinnowW)))), x -> x IS NOT NULL)""".stripMargin)).as("fp"))
     fp.select(col("doc_id").as("a"), col("fp"))
       .join(fp.select(col("doc_id").as("b"), col("fp")), "fp")
       .filter(col("a") < col("b"))

@@ -35,7 +35,10 @@ object Ingest {
     * twin of Tables.eventsNorm. A file stream needs its schema up front,
     * so the layout is probed with a one-off batch read; an empty/missing
     * dir (stream started before the first file lands) defaults to the
-    * current driver layout (µs).
+    * current driver layout (µs) — LOUDLY (a warning names the assumed
+    * layout), because a fixed file-stream schema cannot re-probe: if
+    * legacy long-ns files later land in that dir they would be misread
+    * as NTZ µs, and the operator must know the assumption was made.
     */
   def eventsStream(s: SparkSession, inDir: String,
                    options: Map[String, String] = Map.empty): DataFrame = {
@@ -43,7 +46,15 @@ object Ingest {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val tsIsLong =
       try s.read.parquet(inDir).schema("ts").dataType == LongType
-      catch { case _: Exception => false }
+      catch {
+        case _: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"eventsStream: no readable parquet at $inDir yet — assuming " +
+              "the µs (TIMESTAMP_NTZ) layout; legacy TIMESTAMP(NANOS) " +
+              "files landing later would be misread (restart the stream " +
+              "after the first file if the layout is legacy-ns)")
+          false
+      }
     if (tsIsLong)
       s.readStream.schema(rawSchema).options(options).parquet(inDir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
