@@ -1194,6 +1194,25 @@ object OracleSql {
         |         MAX(version) AS version
         |  FROM u GROUP BY event_id)
         |WHERE NOT del""".stripMargin,
+    // change-data-feed: per-key mutation history with change types
+    // derived from version order (first = insert, tombstone = delete,
+    // later value = update) — mirrors UpsertStore.changelog
+    "q_upsert_changelog" ->
+      """WITH u AS (
+        |  SELECT event_id, value, CAST(1 AS BIGINT) AS version, false AS deleted
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, value + 1000.0, CAST(2 AS BIGINT), false
+        |  FROM events WHERE user_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id, value, CAST(3 AS BIGINT), true
+        |  FROM events WHERE user_id % 13 = 0)
+        |SELECT event_id, version, value,
+        |  CASE WHEN lag(version) OVER (PARTITION BY event_id ORDER BY version) IS NULL
+        |         THEN 'insert'
+        |       WHEN deleted THEN 'delete'
+        |       ELSE 'update' END AS change_type
+        |FROM u""".stripMargin,
   )
 
   def all: Map[String, String] = {

@@ -414,6 +414,7 @@ object Pipelines {
     // table for every leg, so one definition site serves both corpora
     "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
+    "ann_range" -> annSql("ann_range"),
     "ann_pq" -> annSql("ann_pq"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
@@ -656,6 +657,15 @@ object Pipelines {
          |  SELECT q.qid, e.vec_id,
          |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
          |  FROM q JOIN emb e ON e.vec_id <> q.qid)""".stripMargin, 10),
+    // radius search: same quantized cosine, threshold instead of rank
+    "ann_range" ->
+      s"""WITH emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn FROM emb WHERE vec_id < 5)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
+         |  FROM q JOIN emb e ON e.vec_id <> q.qid)
+         |WHERE cosine >= ${graft.pipeline.Similarity.RangeTau}""".stripMargin,
     "ann_lsh" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding,
          |  ${dot("embedding", "embedding")} AS norm,
@@ -701,6 +711,34 @@ object Pipelines {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INTEGER) AS rnk FROM c)
          |SELECT lang, bigram, n, rnk FROM r
          |WHERE rnk <= ${graft.pipeline.TextAnalysis.BigramTopK}""".stripMargin,
+    // PMI collocations: every ln argument is an integer count
+    // (quantized at 12 — the lm_score ln contract), the five terms sum
+    // exactly in decimal, one shared final cast to double
+    "text_collocations" -> {
+      val minC = graft.pipeline.TextAnalysis.CollocMinCount
+      val k = graft.pipeline.TextAnalysis.CollocK
+      def qln(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)), 12) AS DECIMAL(28,12))"
+      s"""WITH w AS (SELECT $words AS ws FROM documents),
+         |pr AS (SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+         |                     for i in range(1, len(ws))]) AS p
+         |       FROM w WHERE len(ws) >= 2),
+         |big AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_pair
+         |        FROM pr GROUP BY 1, 2),
+         |un AS (SELECT w, COUNT(*) AS n_w FROM (
+         |         SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(n_pair) FROM big) AS b,
+         |               (SELECT SUM(n_w) FROM un) AS u)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+         |  CAST(${qln("n_pair")} + ${qln("u")} + ${qln("u")}
+         |       - ${qln("b")} - ${qln("c1")} - ${qln("c2")} AS DOUBLE) AS pmi
+         |FROM (SELECT big.w1, big.w2, big.n_pair, u1.n_w AS c1, u2.n_w AS c2
+         |      FROM big JOIN un u1 ON u1.w = big.w1
+         |               JOIN un u2 ON u2.w = big.w2
+         |      WHERE big.n_pair >= $minC), tot
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC
+         |LIMIT $k""".stripMargin
+    },
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($words) AS BIGINT) AS n_tokens,
          |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
@@ -780,27 +818,12 @@ object Pipelines {
          |       CAST(len(fps) AS BIGINT) AS n_fp,
          |       md5(array_to_string(list_sort(fps), '')) AS winnow_fp
          |FROM f""".stripMargin,
-    "text_winnow_pairs" ->
-      s"""WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
-         |  FROM documents GROUP BY md5(text)),
-         |ws AS (SELECT doc_id, $words AS w FROM c),
-         |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
-         |    THEN list_transform(range(1, len(w) - 1),
-         |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |    ELSE [] END AS grams FROM ws),
-         |h AS (SELECT doc_id,
-         |        list_transform(grams, g -> substring(md5(g), 1, 8)) AS h
-         |      FROM g),
-         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |        range(1, greatest(len(h) - ${graft.pipeline.TextAnalysis.WinnowW} + 1, 1) + 1),
-         |        j -> list_min(list_slice(h, j, j + ${graft.pipeline.TextAnalysis.WinnowW} - 1))))) AS fp
-         |      FROM h)
-         |SELECT a, b, n_shared FROM (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |  FROM e x JOIN e y USING (fp) WHERE x.doc_id < y.doc_id
-         |  GROUP BY 1, 2)
-         |ORDER BY n_shared DESC, a ASC, b ASC
-         |LIMIT ${graft.pipeline.TextAnalysis.WinnowPairsK}""".stripMargin,
+    "text_winnow_pairs" -> winnowPairsSql(0L),
+    // hot-key capped: the oracle re-derives the dropped fingerprint
+    // set (postings > cap over distinct contents), so the hash proves
+    // the cap semantics — the doc_contamination_capped pattern
+    "text_winnow_pairs_capped" ->
+      winnowPairsSql(graft.pipeline.TextAnalysis.WinnowMaxPostings),
     // ExactSubstr-style duplicate-span coverage (gram=4, minCount=2);
     // DuckDB's 1-based list positions are internally consistent, so
     // span-start/coverage counting matches Spark's 0-based form
@@ -1390,6 +1413,42 @@ object Pipelines {
     * entry's result is unchanged by the refactor; the gate re-proved
     * the hash).
     */
+  /** Winnowing match-pair mirror, optionally posting-list-capped:
+    * cap > 0 drops fingerprints held by more than `cap` distinct
+    * contents before the self-join (posting rows are already distinct
+    * per (doc, fp), so the per-fp count is the posting-list length).
+    * cap <= 0 keeps every fingerprint — the uncapped entry.
+    */
+  private def winnowPairsSql(cap: Long): String = {
+    val w = graft.pipeline.TextAnalysis.WinnowW
+    val capCtes =
+      if (cap <= 0L) "e AS (SELECT doc_id, fp FROM e0)"
+      else
+        s"""keep AS (SELECT fp FROM e0 GROUP BY fp HAVING COUNT(*) <= $cap),
+           |e AS (SELECT e0.doc_id, e0.fp FROM e0 JOIN keep USING (fp))""".stripMargin
+    s"""WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents GROUP BY md5(text)),
+       |ws AS (SELECT doc_id, $words AS w FROM c),
+       |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+       |    THEN list_transform(range(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END AS grams FROM ws),
+       |h AS (SELECT doc_id,
+       |        list_transform(grams, g -> substring(md5(g), 1, 8)) AS h
+       |      FROM g),
+       |e0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(h) - $w + 1, 1) + 1),
+       |        j -> list_min(list_slice(h, j, j + $w - 1))))) AS fp
+       |      FROM h),
+       |$capCtes
+       |SELECT a, b, n_shared FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM e x JOIN e y USING (fp) WHERE x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |ORDER BY n_shared DESC, a ASC, b ASC
+       |LIMIT ${graft.pipeline.TextAnalysis.WinnowPairsK}""".stripMargin
+  }
+
   private def contaminationSql(cap: Long): String = {
     val shinglesCte =
       s"""ws AS (SELECT doc_id, $words AS w FROM documents),
@@ -1575,9 +1634,18 @@ object Pipelines {
     * engines), decimal(38,0) dots/norms (exact), one final double
     * sqrt-division quantized at 9 before ranking.
     */
-  private lazy val tfidfKnnSql: String = {
+  /** Sparse-KNN mirror, optionally block-size-capped: cap > 0 drops
+    * block keys grouping more than `cap` docs before candidate
+    * generation; cap <= 0 keeps every block — the uncapped entry.
+    */
+  private def tfidfKnnSql(cap: Long): String = {
     val t = graft.pipeline.Retrieval.KnnSalientT
     val k = graft.pipeline.Retrieval.KnnK
+    val capCtes =
+      if (cap <= 0L) "blk AS (SELECT doc_id, bk FROM blk0)"
+      else
+        s"""bkeep AS (SELECT bk FROM blk0 GROUP BY bk HAVING COUNT(*) <= $cap),
+           |blk AS (SELECT blk0.doc_id, blk0.bk FROM blk0 JOIN bkeep USING (bk))""".stripMargin
     s"""WITH c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
        |  FROM documents GROUP BY md5(text)),
        |toks AS (SELECT doc_id,
@@ -1595,8 +1663,9 @@ object Pipelines {
        |    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY wq DESC, w ASC) AS rn FROM vec)
        |  WHERE rn <= $t),
-       |blk AS (SELECT doc_id, array_to_string(list_sort(list(w)), ' ') AS bk
+       |blk0 AS (SELECT doc_id, array_to_string(list_sort(list(w)), ' ') AS bk
        |  FROM sal GROUP BY 1),
+       |$capCtes,
        |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM blk x JOIN blk y USING (bk) WHERE x.doc_id < y.doc_id),
        |norms AS (SELECT doc_id,
@@ -1624,5 +1693,8 @@ object Pipelines {
 
   def oracles: Map[String, String] =
     dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm ++ bpe ++
-      Map("doc_tfidf_knn" -> tfidfKnnSql)
+      Map("doc_tfidf_knn" -> tfidfKnnSql(0L),
+          // hot-key capped: the oracle re-derives the dropped block set
+          "doc_tfidf_knn_capped" ->
+            tfidfKnnSql(graft.pipeline.Retrieval.KnnMaxBlock))
 }

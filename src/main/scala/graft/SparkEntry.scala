@@ -277,6 +277,9 @@ object SparkEntry {
     // the tombstone form adds v3 deletes (update-then-delete chains)
     "q_upsert_latest"    -> (graft.sources.UpsertStore.upsertLatest _),
     "q_upsert_tombstone" -> (graft.sources.UpsertStore.upsertTombstone _),
+    // change-data-feed over the versioned store (round 10): per-key
+    // mutation history as typed insert/update/delete rows
+    "q_upsert_changelog" -> (graft.sources.UpsertStore.changelog _),
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
@@ -300,6 +303,9 @@ object SparkEntry {
       ((s, d) => Dedup.semanticTrained(s, d + Tables.ClusteredTag)),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
+    // radius (range) search: everything within cosine >= tau of a
+    // query — zero-shuffle broadcast-filter scan (round 10)
+    "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf"        -> ((s, d) => Similarity.ivf(s, d)),
     "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),
@@ -330,6 +336,9 @@ object SparkEntry {
     // H. text analysis
     "text_tokens"      -> (TextAnalysis.tokens _),
     "text_bigrams"     -> ((s, d) => TextAnalysis.bigrams(s, d)),
+    // PMI collocation mining (round 10): phrase detection over corpus
+    // bigram/unigram counts, quantized-ln exact
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_quality"     -> (TextAnalysis.quality _),
     "text_langid"      -> (TextAnalysis.langId _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -373,9 +382,19 @@ object SparkEntry {
     // fingerprint-keyed match pairs
     "text_winnow"       -> ((s, d) => TextAnalysis.winnow(s, d)),
     "text_winnow_pairs" -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
+    // hot-key capped: fingerprints on more than WinnowMaxPostings
+    // distinct contents dropped before the pair self-join
+    "text_winnow_pairs_capped" -> ((s, d) =>
+      TextAnalysis.winnowPairs(s, d,
+        maxPostings = TextAnalysis.WinnowMaxPostings)),
     // sparse doc-to-doc cosine KNN: inverted-index self-join with
     // salient-term (prefix-filter) candidate blocking
     "doc_tfidf_knn" -> ((s, d) => graft.pipeline.Retrieval.tfidfKnn(s, d)),
+    // hot-key capped: blocks holding more than KnnMaxBlock docs
+    // dropped before candidate generation
+    "doc_tfidf_knn_capped" -> ((s, d) =>
+      graft.pipeline.Retrieval.tfidfKnn(s, d,
+        maxBlock = graft.pipeline.Retrieval.KnnMaxBlock)),
     // in-engine BPE tokenizer TRAINING: merge rounds oracle-unrolled
     // (pagerank pattern); prefix-delimited replace = canonical greedy BPE
     "bpe_train"  -> ((s, d) => graft.pipeline.Bpe.train(s, d)),

@@ -298,6 +298,12 @@ object Retrieval {
   val KnnSalientT = 2
   /** Neighbors per document tfidfKnn emits. */
   val KnnK = 5
+  /** Block-size cap the `_capped` KNN entry pins: blocks holding more
+    * than this many docs are dropped before candidate generation (at
+    * sf0.01 this drops the 8 largest of ~290 blocks — the oracle hash
+    * proves the cap path, not a no-op).
+    */
+  val KnnMaxBlock = 4L
 
   /** Document-to-document similarity: top-k nearest neighbors per doc
     * by TF-IDF cosine — the sparse-vector sibling of the dense ANN
@@ -319,9 +325,22 @@ object Retrieval {
     * HALF_UP), dot products and norms sum in decimal(38,0) (exact),
     * and the one double step (sqrt · sqrt division) quantizes to 9
     * before ranking; ties break on the neighbor id.
+    *
+    * `maxBlock` is the hot-key lever (the doc_contamination_capped
+    * precedent applied to blocking): a block key shared by B docs
+    * yields B²/2 candidate pairs, and nothing bounds B — a corpus
+    * where many documents share the same two dominant terms (template
+    * pages, one-topic crawls) squares that block. Blocks larger than
+    * `maxBlock` docs are dropped before candidate generation: a block
+    * key that groups half the corpus is a stop-topic, not a similarity
+    * signal (its members still appear as NEIGHBORS of docs in
+    * surviving blocks — only pair GENERATION from the hot block is
+    * cut). 0 (the default, what the uncapped oracle pins) keeps every
+    * block.
     */
   def tfidfKnn(s: SparkSession, dir: String,
-               salientT: Int = KnnSalientT, k: Int = KnnK): DataFrame = {
+               salientT: Int = KnnSalientT, k: Int = KnnK,
+               maxBlock: Long = 0L): DataFrame = {
     // COLLAPSE-FIRST (the round-8 soak lesson, mandatory for every
     // pair-generating operator): KNN runs over DISTINCT contents from
     // the shared exact-dedup store — identity is the representative
@@ -348,10 +367,19 @@ object Retrieval {
         round(col("tf").cast("decimal(6,0)") * col("idf") * lit(1000000L), 0)
           .cast("bigint").as("wq"))
       .localCheckpoint()
-    val blk = graft.plans.TopK.perKey(vec, Seq(col("doc_id")),
+    val blkAll = graft.plans.TopK.perKey(vec, Seq(col("doc_id")),
       Seq(col("wq").desc, col("w").asc), salientT)
       .groupBy("doc_id")
       .agg(concat_ws(" ", array_sort(collect_list(col("w")))).as("bk"))
+    val blk =
+      if (maxBlock <= 0L) blkAll
+      else {
+        // per-block doc count in one partial-agg pass; the cap is a
+        // semi-join on the surviving (small) block-key set
+        val keep = blkAll.groupBy("bk").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBlock).select("bk")
+        blkAll.join(keep, Seq("bk"), "left_semi")
+      }
     // one block key per doc → pairs are already unique, no distinct
     val cand = blk.select(col("doc_id").as("a"), col("bk"))
       .join(blk.select(col("doc_id").as("b"), col("bk")), "bk")

@@ -106,6 +106,36 @@ object Similarity {
     topkPerQuery(pairs, 10)
   }
 
+  /** Radius threshold for the range-search entry: ~top-1% of pairs at
+    * sf0.01 — selective but non-empty at every SF.
+    */
+  val RangeTau = 0.25
+
+  /** RANGE (radius) search: every corpus vector within cosine ≥ tau of
+    * a query — the dedup-threshold / recall-set shape (top-k asks "the
+    * nearest k whatever their quality"; range asks "everything this
+    * similar", the semantics near-dup admission and filter-by-
+    * similarity actually want). Exact brute-force form: broadcast the
+    * query set over one embeddings scan, filter — ZERO shuffles, no
+    * window, no rank; the scan parallelizes perfectly at any corpus
+    * size and the output is bounded by the radius, not by k·|queries|.
+    * (The IVF/LSH index legs compose the same way as their top-k
+    * siblings — probe cells, then this same filter — when the corpus
+    * scan itself is too much; the exact form is the oracle anchor.)
+    * The quantized-dot cosine is bit-identical cross-engine, so the
+    * tau comparison is deterministic.
+    */
+  def rangeSearch(s: SparkSession, dir: String,
+                  tau: Double = RangeTau): DataFrame = {
+    val emb = withNorm(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm").as("qn"))
+    broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Hyperplane-LSH ANN: probe only the query's bucket, top-k inside.
     * `numPlanes` is the bucket-granularity knob (buckets = 2^planes).
     */

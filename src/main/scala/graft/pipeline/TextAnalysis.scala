@@ -364,10 +364,71 @@ object TextAnalysis {
       .select(col("lang"), col("bigram"), col("n"), col("rnk"))
   }
 
+  /** Collocation floor: bigrams seen fewer times carry no PMI signal
+    * (and make the estimate unstable — the standard min-count gate).
+    */
+  val CollocMinCount = 5L
+  /** Collocations the PMI entry reports. */
+  val CollocK = 100
+
+  /** PMI collocation mining (Church & Hanks 1990): adjacent word pairs
+    * ranked by pointwise mutual information — the phrase-detection
+    * pass (word2vec's phrase pre-join, tokenizer multi-word-unit prep)
+    * a pretraining pipeline runs over its corpus. PMI = ln P(w1,w2) −
+    * ln P(w1) − ln P(w2) with P from corpus counts: every ln argument
+    * is an INTEGER count (each quantized at 12 — the lm_score ln
+    * contract), the five quantized terms sum exactly in
+    * decimal(28,12), and one final cast to double is shared IEEE —
+    * bit-identical cross-engine.
+    *
+    * Scale shape: bigram explode is a zero-shuffle projection; counts
+    * are two partial-agg groupBys (bigram-keyed and unigram-keyed);
+    * the unigram table is VOCABULARY-sized, so both probability joins
+    * broadcast; corpus totals ride a one-row broadcast cross join. The
+    * final top-K is orderBy+limit = TakeOrdered (per-partition top-K,
+    * driver merges K·partitions rows) — never a global sort. Nothing
+    * after the two partial aggs is corpus-sized.
+    */
+  def collocations(s: SparkSession, dir: String,
+                   minCount: Long = CollocMinCount,
+                   k: Int = CollocK): DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    def qln(c: Column): Column =
+      round(log(c.cast("double")), 12).cast("decimal(28,12)")
+    val pairs = Tables.documents(s, dir)
+      .select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = Tables.documents(s, dir)
+      .select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = big.agg(sum("n_pair").as("b"))
+      .crossJoin(uni.agg(sum("n_w").as("u")))
+    val scored = big.filter(col("n_pair") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (qln(col("n_pair")) + qln(col("u")) + qln(col("u"))
+          - qln(col("b")) - qln(col("c1")) - qln(col("c2")))
+          .cast("double").as("pmi"))
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(k)
+  }
+
   /** Winnowing window width (consecutive gram hashes per min-pick). */
   val WinnowW = 4
   /** Pairs the winnow-match entry reports. */
   val WinnowPairsK = 50
+  /** Posting-list cap the `_capped` winnow-pairs entry pins: drop
+    * fingerprints shared by more than this many distinct contents
+    * (at sf0.01 this drops the 25 hottest of ~7k fingerprints —
+    * enough that the oracle hash proves the cap path, not a no-op).
+    */
+  val WinnowMaxPostings = 4L
 
   /** WINNOWING document fingerprints (Schleimer et al. 2003, the MOSS
     * local-fingerprinting algorithm): hash every word 3-gram, slide a
@@ -409,11 +470,22 @@ object TextAnalysis {
     * exact-dedup store, keyed by representative doc ids; within-group
     * duplicate pairs are dedup_exact's domain, not a match signal.
     * The self-join then keys on fingerprint hashes whose posting lists
-    * the winnowing density bound keeps short.
+    * the winnowing density bound keeps short — for ORGANIC text. The
+    * bound says nothing about a fingerprint's CORPUS frequency: one
+    * boilerplate 3-gram run (a license header, a nav bar) shared by F
+    * distinct contents makes an F-long posting list and F²/2 candidate
+    * pairs from that single key. `maxPostings` is the hot-key lever
+    * (the doc_contamination_capped precedent): fingerprints held by
+    * more than that many distinct contents are dropped before the
+    * self-join — a fingerprint that matches everything identifies
+    * nothing, exactly like a ubiquitous contamination shingle, while
+    * genuinely shared passages keep their other (rarer) fingerprints.
+    * 0 (the default, what the uncapped oracle pins) keeps every key.
     */
   def winnowPairs(s: SparkSession, dir: String,
-                  k: Int = WinnowPairsK): DataFrame = {
-    val fp = graft.pipeline.Dedup.collapsed(s, dir)
+                  k: Int = WinnowPairsK,
+                  maxPostings: Long = 0L): DataFrame = {
+    val fpAll0 = graft.pipeline.Dedup.collapsed(s, dir)
       .select(col("cid").as("doc_id"), words.as("ws"))
       .withColumn("grams", graft.pipeline.Dedup.shinglesOf("ws"))
       .withColumn("h", expr("transform(grams, g -> substring(md5(g), 1, 8))"))
@@ -424,6 +496,21 @@ object TextAnalysis {
         s"""filter(array_distinct(transform(
            |  sequence(1, greatest(size(h) - $WinnowW + 1, 1)),
            |  j -> array_min(slice(h, j, $WinnowW)))), x -> x IS NOT NULL)""".stripMargin)).as("fp"))
+    val fp =
+      if (maxPostings <= 0L) fpAll0
+      else {
+        // the capped path reads the posting list THREE times (the
+        // per-fp count, then both self-join sides) — materialize the
+        // per-doc sketch once instead of re-running collapse + gram
+        // md5 per consumer (the tfidfKnn served-index discipline)
+        val fpAll = fpAll0.localCheckpoint()
+        // posting rows are distinct per (doc, fp) already, so the
+        // per-fp count IS the posting-list length; the cap survives as
+        // a semi-join on the (small) surviving-key set
+        val keep = fpAll.groupBy("fp").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxPostings).select("fp")
+        fpAll.join(keep, Seq("fp"), "left_semi")
+      }
     fp.select(col("doc_id").as("a"), col("fp"))
       .join(fp.select(col("doc_id").as("b"), col("fp")), "fp")
       .filter(col("a") < col("b"))

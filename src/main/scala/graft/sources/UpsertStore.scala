@@ -88,4 +88,54 @@ object UpsertStore {
         max("version").as("version"))
       .filter(!col("deleted"))
       .drop("deleted")
+
+  /** Change-data-feed over the versioned store (Delta CDF / Debezium
+    * shape): every key's full mutation history as typed change rows —
+    * what an incremental consumer (a downstream index, a cache, a
+    * training-data snapshot differ) tails instead of re-reading
+    * snapshots. change_type is derived from per-key version order:
+    * first version = insert, later tombstone = delete, later value
+    * row = update.
+    *
+    * Scale shape: the one window partitions by event_id — key
+    * cardinality ≫ cores and a key's chain is AT MOST the number of
+    * ingest batches (3 here), so per-reducer state is chain-length,
+    * never table-sized. No joins; the union is scan-aligned.
+    */
+  def changelog(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("version").asc)
+    base(s, dir).withColumn("deleted", lit(false))
+      .unionByName(delta(s, dir).withColumn("deleted", lit(false)))
+      .unionByName(tombstones(s, dir))
+      .withColumn("prev_version", lag(col("version"), 1).over(w))
+      .select(col("event_id"), col("version"), col("value"),
+        when(col("prev_version").isNull, lit("insert"))
+          .when(col("deleted"), lit("delete"))
+          .otherwise(lit("update")).as("change_type"))
+  }
+
+  /** Time-travel read: the store as of `version` — resolution over
+    * only the batches with version ≤ asOf (Delta/Iceberg snapshot
+    * semantics; every historical snapshot stays reproducible because
+    * batches are immutable). asOf = 1 is the base, 2 applies the
+    * update batch, 3 also applies the tombstone batch. Same single
+    * partial-aggregable groupBy as the latest-version reads — time
+    * travel costs a filter, not a different plan.
+    */
+  def snapshotAt(s: SparkSession, dir: String, asOf: Long): DataFrame =
+    base(s, dir).withColumn("deleted", lit(false))
+      .unionByName(delta(s, dir).withColumn("deleted", lit(false)))
+      .unionByName(tombstones(s, dir))
+      .filter(col("version") <= asOf)
+      .groupBy("event_id")
+      .agg(
+        min("user_id").as("user_id"),
+        min("event_type").as("event_type"),
+        min("us").as("us"),
+        max_by(col("value"), col("version")).as("value"),
+        max_by(col("deleted"), col("version")).as("deleted"),
+        max("version").as("version"))
+      .filter(!col("deleted"))
+      .drop("deleted")
 }

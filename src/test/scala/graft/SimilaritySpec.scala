@@ -23,6 +23,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(planOf(Similarity.bruteForce(spark, sf)).contains("Broadcast"))
   }
 
+  test("rangeSearch returns exactly the pairs at/above tau, with no shuffle") {
+    val tau = 0.1 // permissive: sf0.001's 50 vectors must yield rows
+    val got = Similarity.rangeSearch(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, v, c) =>
+      assert(q !== v); assert(c >= tau, s"($q,$v) cosine $c < tau")
+    }
+    // completeness + exactness against the brute-force scorer: the
+    // range result IS the threshold cut of the full pair set
+    val all = Similarity.bruteForce(spark, sf) // top-10 of 49 — may clip
+    val fromTopk = all.filter(col("cosine") >= tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every qualifying top-k pair appears with the identical cosine
+    val gotSet = got.toSet
+    fromTopk.foreach(p => assert(gotSet.contains(p), s"missing $p"))
+    // zero-shuffle plan: a broadcast join and no Exchange
+    val plan = planOf(Similarity.rangeSearch(spark, sf, tau))
+    assert(plan.contains("Broadcast"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "range search must not shuffle")
+  }
+
   test("lsh results are a subset of same-bucket exact results") {
     val lsh = Similarity.lsh(spark, sf)
     // every returned neighbor must share the query's bucket

@@ -75,6 +75,42 @@ class StoreOpsSpec extends AnyFunSuite {
     merged.unpersist()
   }
 
+  test("changelog: typed change rows match the batch derivations, and replaying them rebuilds the tombstone snapshot") {
+    val base = UpsertStore.base(spark, sf)
+    val cdc = UpsertStore.changelog(spark, sf).cache()
+    val nKeys = base.count()
+    val nUpd = base.filter(col("user_id") % 7 === 0).count()
+    val nDel = base.filter(col("user_id") % 13 === 0).count()
+    assert(cdc.filter(col("change_type") === "insert").count() === nKeys)
+    assert(cdc.filter(col("change_type") === "update").count() === nUpd)
+    assert(cdc.filter(col("change_type") === "delete").count() === nDel)
+    // an incremental consumer replaying the feed (latest change wins,
+    // delete drops the key) lands exactly on the tombstone snapshot
+    val replayed = cdc.groupBy("event_id").agg(
+      max_by(col("value"), col("version")).as("value"),
+      max_by(col("change_type"), col("version")).as("last_change"))
+      .filter(col("last_change") =!= "delete")
+      .select("event_id", "value")
+    val want = UpsertStore.upsertTombstone(spark, sf)
+      .select("event_id", "value")
+    assert(replayed.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(replayed).count() === 0L)
+    cdc.unpersist()
+  }
+
+  test("time travel: snapshotAt(v) equals the v-batch resolution for every version") {
+    val s1 = UpsertStore.snapshotAt(spark, sf, 1L)
+    val base = UpsertStore.base(spark, sf)
+      .select("event_id", "user_id", "event_type", "us", "value", "version")
+    assert(s1.exceptAll(base).count() === 0L && base.exceptAll(s1).count() === 0L)
+    val s2 = UpsertStore.snapshotAt(spark, sf, 2L)
+    val latest = UpsertStore.upsertLatest(spark, sf)
+    assert(s2.exceptAll(latest).count() === 0L && latest.exceptAll(s2).count() === 0L)
+    val s3 = UpsertStore.snapshotAt(spark, sf, 3L)
+    val tomb = UpsertStore.upsertTombstone(spark, sf)
+    assert(s3.exceptAll(tomb).count() === 0L && tomb.exceptAll(s3).count() === 0L)
+  }
+
   test("term search: index-store answer equals the corpus-scan answer") {
     val terms = Retrieval.SearchTerms
     val viaIndex = Retrieval.termSearch(spark, sf)

@@ -232,6 +232,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations equal a driver-side PMI reference") {
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.filter(_.length >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val u = uni.values.sum
+    val b = big.values.sum
+    val want = big.filter(_._2 >= TextAnalysis.CollocMinCount)
+      .map { case ((w1, w2), n) =>
+        val pmi = (q12(math.log(n.toDouble)) + q12(math.log(u.toDouble)) +
+          q12(math.log(u.toDouble)) - q12(math.log(b.toDouble)) -
+          q12(math.log(uni(w1).toDouble)) - q12(math.log(uni(w2).toDouble))).toDouble
+        (w1, w2, n, pmi)
+      }.toSeq
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(TextAnalysis.CollocK)
+    val got = TextAnalysis.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.toSet === want.toSet)
+    // counts conserve: every reported pair count is the true corpus count
+    got.foreach { case (w1, w2, n, _) => assert(n === big((w1, w2))) }
+  }
+
   test("duplicate-span coverage equals the hand fold") {
     val gram = 4
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()

@@ -41,4 +41,31 @@ class TfidfKnnSpec extends AnyFunSuite {
       assert(rows((a, b)) === rows((b, a)))
     }
   }
+
+  test("block-size cap cuts hot-block pair generation, keeps small blocks") {
+    val dir = "/root/repo/target/tmp/tfidf_cap_fixture"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    import spark.implicits._
+    // 8 template docs whose two dominant (repeated) terms agree — one
+    // hot block of 8 — plus 2 docs sharing a different dominant pair
+    // (block of 2). Filler terms are unique per doc so dominance is
+    // unambiguous and blocks don't merge.
+    val docs = (0L until 8L).map { i =>
+      (i, s"spam spam spam eggs eggs eggs f$i g$i", "en", "a", 1L)
+    } ++ Seq(
+      (20L, "lore lore lore myth myth myth h20 k20", "en", "a", 1L),
+      (21L, "lore lore lore myth myth myth h21 k21", "en", "a", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val uncapped = Retrieval.tfidfKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Retrieval.tfidfKnn(spark, dir, maxBlock = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: hot-block docs have neighbors; the small block pairs up
+    assert(uncapped.exists(_._1 < 8L))
+    assert(uncapped.contains((20L, 21L)) && uncapped.contains((21L, 20L)))
+    // capped: the 8-doc block exceeds the cap — no pairs generated
+    // from it — while the 2-doc block is untouched
+    assert(capped === Set((20L, 21L), (21L, 20L)), s"capped: $capped")
+  }
 }
