@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Round-10 PARTIAL baseline append: add locked rows for the entries
+that did not exist at the round-9 re-lock (q_scrape_interval landed
+after the re-lock; the six round-10 entries are new), WITHOUT touching
+the 207 round-9 numbers — re-locking the whole surface from this
+session's records would raise the bar (the host is in a slower window
+than the round-9 lock box: full-run totals 102.2s / 97.6s vs the 97.5s
+lock), and a baseline that drifts upward with host noise stops being a
+regression gate.
+
+Locked value per new entry = median of its per-run medians across the
+given quiet records (same rule as relock_baseline.py; records with
+contended=true, loadavg_start > 2.5, or failures are refused).
+
+Usage: append_baseline_r10.py DETAIL.json [DETAIL2.json ...]
+"""
+import json
+import re
+import statistics
+import sys
+
+NEW = [
+    "ann_range", "ann_range_lsh", "doc_tfidf_knn_capped",
+    "q_scrape_interval", "q_upsert_changelog", "text_collocations",
+    "text_winnow_pairs_capped",
+]
+
+
+def main() -> None:
+    runs = []
+    for p in sys.argv[1:]:
+        with open(p) as f:
+            d = json.load(f)
+        if d.get("contended") or d.get("loadavg_start", 0.0) > 2.5:
+            sys.exit(f"refusing contended record {p}")
+        if d.get("failed"):
+            sys.exit(f"refusing record with failures {p}: {d['failed']}")
+        runs.append(d)
+    locked = {}
+    for k in NEW:
+        vals = [d["queries"][k] for d in runs
+                if k in d.get("queries", {}) and d["queries"][k] >= 0.0]
+        if len(vals) < 2:
+            sys.exit(f"{k}: need >=2 quiet records, have {len(vals)}")
+        locked[k] = statistics.median(vals)
+
+    with open("BASELINE.md") as f:
+        text = f.read()
+    mline = re.search(r'^\{"baseline_queries":.*$', text, re.M)
+    data = json.loads(mline.group(0))
+    for k, v in locked.items():
+        if k in data["baseline_queries"]:
+            sys.exit(f"{k} already locked — this script only appends")
+        data["baseline_queries"][k] = round(v, 4)
+    data["baseline_queries"] = dict(sorted(data["baseline_queries"].items()))
+    data["baseline_total"] = round(sum(data["baseline_queries"].values()), 4)
+    # table rows: insert each new row in sorted position
+    for k, v in locked.items():
+        row = f"| {k} | {v:.3f} |"
+        rows = re.findall(r"^\| ([a-z0-9_]+) \| [0-9.]+ \|$", text, re.M)
+        after = max((r for r in rows if r < k), default=None)
+        if after is None:
+            sys.exit("no anchor row found")
+        pat = re.compile(rf"^(\| {after} \| [0-9.]+ \|)$", re.M)
+        text = pat.sub(rf"\1\n{row}", text, count=1)
+    text = re.sub(r'^\{"baseline_queries":.*$',
+                  json.dumps(data, separators=(",", ":")), text, flags=re.M)
+    text = re.sub(r"^Total \(sum of locked medians\): [0-9.]+ s$",
+                  f"Total (sum of locked medians): {data['baseline_total']:.2f} s",
+                  text, flags=re.M)
+    with open("BASELINE.md", "w") as f:
+        f.write(text)
+    print("appended:", {k: round(v, 3) for k, v in locked.items()})
+    print("new total:", data["baseline_total"])
+
+
+if __name__ == "__main__":
+    main()

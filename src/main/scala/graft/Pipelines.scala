@@ -415,6 +415,7 @@ object Pipelines {
     "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_range" -> annSql("ann_range"),
+    "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
@@ -665,6 +666,17 @@ object Pipelines {
          |  SELECT q.qid, e.vec_id,
          |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
          |  FROM q JOIN emb e ON e.vec_id <> q.qid)
+         |WHERE cosine >= ${graft.pipeline.Similarity.RangeTau}""".stripMargin,
+    // indexed radius search: same cut over the query's LSH bucket only
+    "ann_range_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, bucket AS qb FROM emb WHERE vec_id < 5)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
+         |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.qid)
          |WHERE cosine >= ${graft.pipeline.Similarity.RangeTau}""".stripMargin,
     "ann_lsh" -> topkSql(
       s"""WITH emb AS (SELECT vec_id, embedding,

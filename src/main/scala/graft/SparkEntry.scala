@@ -306,6 +306,8 @@ object SparkEntry {
     // radius (range) search: everything within cosine >= tau of a
     // query — zero-shuffle broadcast-filter scan (round 10)
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    // indexed radius search: probe the query's LSH bucket, same tau cut
+    "ann_range_lsh" -> ((s, d) => Similarity.rangeSearchLsh(s, d)),
     "ann_lsh"        -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf"        -> ((s, d) => Similarity.ivf(s, d)),
     "ann_ivf_nprobe2" -> ((s, d) => Similarity.ivfProbe2(s, d)),

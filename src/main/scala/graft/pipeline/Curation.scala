@@ -576,7 +576,11 @@ object Curation {
     */
   def pplFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = lmBigram(s, dir)
+    // the LM scorer feeds both the rank pass and the final banding —
+    // materialize its (doc_id, in_train, n_bigrams, mean_lp) output
+    // once (4 narrow columns, doc-count rows) instead of evaluating
+    // the whole count-table pipeline twice
+    val base = lmBigram(s, dir).localCheckpoint()
     val scored = base.filter(col("n_bigrams") > 0L)
     val nPart = s.sessionState.conf.numShufflePartitions
     val parted = scored.select(col("doc_id"), col("mean_lp"))
@@ -588,22 +592,34 @@ object Curation {
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val prefix = counts.toSeq
-      .map { case (p, c) => val before = acc; acc += c; (p, before) }
-      .toDF("pid", "before")
+    val prefix = counts.map { case (p, c) =>
+      val before = acc; acc += c; (p, before, c)
+    }
+    // the per-partition counts already sum to the scored-doc total —
+    // the tercile rank positions are driver arithmetic (same
+    // ceil(round(n·q, 9)) rule as ExactNum.quantilePos), not another
+    // full pass over the scorer
+    val nScored = acc
+    def kOf(q: Double): Long = math.max(1L, math.ceil(
+      BigDecimal(nScored * q)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong)
+    val (k1, k2) = (kOf(1.0 / 3), kOf(2.0 / 3))
+    // the prefix also tells WHICH range slice holds each global rank —
+    // only those (≤2) partitions enter the rank window at all; the
+    // pick frame is (pid, local rank, tag), broadcast as a filter
+    val picks = Seq(k1 -> "t1", k2 -> "t2").map { case (k, tag) =>
+      val (p, before, _) = prefix
+        .find { case (_, before, c) => before < k && k <= before + c }.get
+      (p, k - before, tag)
+    }
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(col("mean_lp").asc, col("doc_id").asc)
-    val ranked = parted
+    val ts = parted
+      .join(broadcast(picks.toDF("pid", "lk", "tag")), "pid")
       .withColumn("lr", row_number().over(wLocal))
-      .join(broadcast(prefix), "pid")
-      .select(col("mean_lp"), (col("before") + col("lr")).as("rn"))
-    val n = scored.agg(count(lit(1)).as("n"))
-    val ks = n.select(
-      graft.functions.ExactNum.quantilePos(col("n"), 1.0 / 3).as("k1"),
-      graft.functions.ExactNum.quantilePos(col("n"), 2.0 / 3).as("k2"))
-    val ts = ranked.crossJoin(broadcast(ks))
-      .agg(max(when(col("rn") === col("k1"), col("mean_lp"))).as("t1"),
-        max(when(col("rn") === col("k2"), col("mean_lp"))).as("t2"))
+      .filter(col("lr") === col("lk"))
+      .agg(max(when(col("tag") === "t1", col("mean_lp"))).as("t1"),
+        max(when(col("tag") === "t2", col("mean_lp"))).as("t2"))
     base.crossJoin(broadcast(ts))
       .select(col("doc_id"), col("n_bigrams"), col("mean_lp"),
         when(col("n_bigrams") === 0L, "unscored")

@@ -136,6 +136,29 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  /** The INDEXED range search: probe only the query's LSH bucket, then
+    * the same exact tau cut — what [[rangeSearch]]'s Scaladoc promises
+    * as the scale path, shipped. The corpus join key is the bucket
+    * (equi hash join, never a corpus broadcast-scan per query); recall
+    * follows the hyperplane collision bound exactly like the top-k
+    * leg, and every emitted pair carries its TRUE quantized cosine, so
+    * results are a sound subset of [[rangeSearch]] (spec-proven).
+    */
+  def rangeSearchLsh(s: SparkSession, dir: String,
+                     tau: Double = RangeTau,
+                     numPlanes: Int = NumPlanes): DataFrame = {
+    val emb = withNorm(s, dir)
+      .withColumn("bucket", planeBucket(col("embedding"), numPlanes))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("bucket").as("qb"))
+    broadcast(q)
+      .join(emb, col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "embedding", col("norm")).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Hyperplane-LSH ANN: probe only the query's bucket, top-k inside.
     * `numPlanes` is the bucket-granularity knob (buckets = 2^planes).
     */

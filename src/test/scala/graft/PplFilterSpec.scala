@@ -30,4 +30,19 @@ class PplFilterSpec extends AnyFunSuite {
       assert(keep === (band == "head" || band == "middle"))
     }
   }
+
+  test("threshold rank is distributed: no unpartitioned window in the plan") {
+    // the round-9 plan ranked the whole scored corpus through a
+    // no-partition row_number (single reducer at scale); the fix
+    // range-partitions and ranks per partition + broadcast prefix —
+    // every surviving WindowExec must carry a partitionSpec
+    val plan = Curation.pplFilter(spark, sf).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-partition local-rank window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window (single-reducer corpus sort): ${w.simpleStringWithNodeId()}"))
+  }
 }

@@ -46,6 +46,27 @@ class SimilaritySpec extends AnyFunSuite {
       "range search must not shuffle")
   }
 
+  test("LSH range search is a sound bucket-restricted subset of exact range") {
+    val tau = 0.1
+    val exact = Similarity.rangeSearch(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.rangeSearchLsh(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // soundness: every indexed hit is an exact hit with the same cosine
+    lsh.foreach(p => assert(exact.contains(p), s"unsound hit $p"))
+    // and the restriction really is the bucket: misses must be
+    // cross-bucket pairs
+    val bucketOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.planeBucket(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lshSet = lsh.toSet
+    exact.foreach { case p @ (q, v, _) =>
+      if (!lshSet.contains(p))
+        assert(bucketOf(q) !== bucketOf(v), s"same-bucket pair $p missing")
+    }
+  }
+
   test("lsh results are a subset of same-bucket exact results") {
     val lsh = Similarity.lsh(spark, sf)
     // every returned neighbor must share the query's bucket

@@ -218,4 +218,53 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"$key: q=$q outside bucket $kStar")
     }
   }
+
+  test("scrapeInterval equals a driver-side gap-statistics reference") {
+    def kth(sorted: Seq[Long], n: Long, q: Double): Long = {
+      val k = math.max(1L, math.ceil(
+        BigDecimal(n * q).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong)
+      sorted((k - 1).toInt)
+    }
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, et), rows) =>
+      val ts = rows.sortBy(e => (e._4, e._3)).map(_._4)
+      ts.zip(ts.tail).map { case (a, b) => et -> (b - a) }
+    }
+    val want = gaps.groupBy(_._1).map { case (et, g) =>
+      val vs = g.map(_._2)
+      val sorted = vs.sorted
+      val n = vs.length.toLong
+      (et, n, vs.min, kth(sorted, n, 0.5), kth(sorted, n, 0.95), vs.max)
+    }.toSet
+    val got = TimeSeries.scrapeInterval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want)
+  }
+
+  test("scrapeInterval plans no unpartitioned window; rank picks run on the gap histogram") {
+    // per-series lag partitions on (user_id, event_type); the rank
+    // pick's cumulative window partitions on event_type but runs over
+    // DISTINCT gap values (reducer state = |distinct gaps|, never
+    // |samples| — the round-9 skew bomb this shape replaced)
+    val plan = TimeSeries.scrapeInterval(spark, sf).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: ${w.simpleStringWithNodeId()}"))
+    // the cumulative pick consumes an aggregate (the histogram), so a
+    // HashAggregate must sit below the event_type-partitioned window
+    val cumW = windows.find(w => w.partitionSpec.length == 1 &&
+      w.partitionSpec.head.sql.contains("event_type"))
+    assert(cumW.isDefined, "missing the histogram cumulative window")
+    val hasAggBelow = cumW.get.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty
+    assert(hasAggBelow, "rank pick must run on the gap-value histogram, not raw gaps")
+  }
 }
