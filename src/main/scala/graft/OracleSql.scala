@@ -248,6 +248,23 @@ object OracleSql {
          |         AS q_value
          |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
          |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
+    "q_nhist_fraction" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |t AS (
+         |  SELECT step, event_type, cnt,
+         |         CAST(round(CAST(cnt AS DOUBLE) * least(1.0,
+         |           greatest(0.0, least(${graft.operators.TimeSeries.NhFracHi}, pow(2.0, k))
+         |                         - greatest(${graft.operators.TimeSeries.NhFracLo}, pow(2.0, k - 1)))
+         |           / (pow(2.0, k) - pow(2.0, k - 1))), 12)
+         |           AS DECIMAL(28,12)) AS term
+         |  FROM h)
+         |SELECT step, event_type,
+         |       round(CAST(SUM(term) AS DOUBLE)
+         |             / CAST(SUM(cnt) AS DOUBLE), 12) AS fraction
+         |FROM t GROUP BY 1, 2""".stripMargin,
     "q_count_values" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(floor(value / 10) AS BIGINT) AS v_bucket,

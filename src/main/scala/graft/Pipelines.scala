@@ -866,6 +866,34 @@ object Pipelines {
          |FROM base b
          |LEFT JOIN perdoc p USING (doc_id)
          |LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    // duplicate-span scrub: DuckDB's 1-based positions shift the
+    // canonical min-key by a per-doc constant vs Spark's 0-based —
+    // same ordering, same canonical pick, and reconstruction is
+    // engine-locally consistent, so the scrubbed text matches
+    "text_dup_scrub" ->
+      s"""WITH ws AS (SELECT doc_id, $words AS w FROM documents),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
+         |spans0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+         |    THEN list_transform(range(1, len(w) - 2),
+         |      i -> struct_pack(pos := i,
+         |             s := w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |    ELSE [] END) AS sp
+         |  FROM ws),
+         |spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM spans0),
+         |dup AS (SELECT s, MIN(doc_id * ${1L << graft.pipeline.TextAnalysis.ScrubPosBits} + pos) AS ck
+         |        FROM spans GROUP BY s HAVING COUNT(*) >= 2),
+         |rem AS (SELECT DISTINCT doc_id, p FROM (
+         |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 4)) AS p
+         |    FROM spans o JOIN dup USING (s)
+         |    WHERE o.doc_id * ${1L << graft.pipeline.TextAnalysis.ScrubPosBits} + o.pos <> dup.ck)),
+         |rp AS (SELECT doc_id, list_sort(list(p)) AS rp FROM rem GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(coalesce(len(rp.rp), 0) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(
+         |    list_transform(list_filter(range(1, CAST(b.n_tokens AS INTEGER) + 1),
+         |      i -> rp.rp IS NULL OR NOT list_contains(rp.rp, i)),
+         |      i -> b.w[i]), ' '), '') AS text_scrubbed
+         |FROM base b LEFT JOIN rp USING (doc_id)""".stripMargin,
     // Gopher repetition metrics: DuckDB lists are 1-based, so bigram i
     // pairs w[i] with w[i+1] for i in range(1, len) (range excludes the
     // upper bound) — exactly Spark's 0-based sequence(0, size-2)
@@ -1406,7 +1434,32 @@ object Pipelines {
          |FROM sc JOIN kb ON kb.doc_id = sc.doc_id
          |ORDER BY skey DESC, doc_id
          |LIMIT ${graft.pipeline.Curation.DefaultWeightedK}""".stripMargin,
+    "doc_dsir" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, lang, n_grams, logw FROM dw""".stripMargin,
+    // Gumbel top-k resample: u from the 'dsir:'-salted 12-nibble md5,
+    // ln(u) clamped away from -0.0 before the outer ln, both lns
+    // quantized at 12, the key at 9 — mirrors Curation.dsirSample
+    "doc_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |kb AS (SELECT doc_id, CAST(($dsirNibble) AS DOUBLE) AS h FROM documents),
+         |gk AS (SELECT dw.doc_id, lang, n_grams, logw,
+         |         round(logw + round(-ln(-least(
+         |           round(ln((h + 1.0) / 281474976710657.0), 12),
+         |           -0.000000000001)), 12), 9) AS gkey
+         |       FROM dw JOIN kb ON kb.doc_id = dw.doc_id)
+         |SELECT doc_id, lang, n_grams, logw, gkey FROM gk
+         |ORDER BY gkey DESC, doc_id
+         |LIMIT ${graft.pipeline.Curation.DsirSampleK}""".stripMargin,
   )
+
+  /** md5('dsir:' || doc_id) first-12-nibble value — the DSIR resample u
+    * (mirror of [[wsNibble]] under the dsir salt).
+    */
+  private lazy val dsirNibble: String = (1 to 12).map { k =>
+    val mul = math.pow(16, 12 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
 
   /** md5('ws:' || doc_id) first-12-nibble value (48 bits — exact in a
     * double): the weighted-sample u, mirror of Spark's
@@ -1416,6 +1469,52 @@ object Pipelines {
     val mul = math.pow(16, 12 - k).toLong
     s"((instr('0123456789abcdef', substring(md5('ws:' || CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
   }.mkString(" + ")
+
+  /** First-4-nibble md5 value of an arbitrary SQL expression — the
+    * hashed-feature bucket mirror (Curation's
+    * conv(substring(md5(x), 1, 4), 16, 10)).
+    */
+  private def nibble4(of: String): String = (1 to 4).map { k =>
+    val mul = math.pow(16, 4 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5($of), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
+
+  /** The DSIR weight pipeline's shared CTE body (doc_dsir and its
+    * resample both hash it): hashed unigram+bigram buckets, add-one
+    * smoothed target/raw distributions, integer-ln quantized per-bucket
+    * weights, decimal per-doc sums. Mirrors Curation.dsirWeights.
+    */
+  private lazy val dsirCtes: String = {
+    import graft.pipeline.Curation.{DsirBuckets, DsirTargetLang}
+    def qln(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)), 12) AS DECIMAL(28,12))"
+    s"""d AS (SELECT doc_id, lang, $words AS ws FROM documents),
+       |g0 AS (SELECT doc_id, lang, unnest(list_concat(ws,
+       |    CASE WHEN len(ws) >= 2
+       |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE [] END)) AS g FROM d),
+       |gb AS (SELECT doc_id, lang,
+       |         CAST((${nibble4("g")}) % $DsirBuckets AS BIGINT) AS bucket
+       |       FROM g0),
+       |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM gb GROUP BY 1),
+       |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+       |        FROM gb WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |tot AS (SELECT (SELECT SUM(rc) FROM raw) AS rt,
+       |               (SELECT coalesce(SUM(tc), 0) FROM tgt) AS tt),
+       |wt AS (SELECT raw.bucket,
+       |         CAST(${qln(s"coalesce(tc, 0) + 1")}
+       |              - ${qln(s"tt + $DsirBuckets")}
+       |              - ${qln(s"rc + 1")}
+       |              + ${qln(s"rt + $DsirBuckets")} AS DECIMAL(28,12)) AS lw
+       |       FROM raw LEFT JOIN tgt USING (bucket), tot),
+       |pd AS (SELECT gb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         SUM(wt.lw) AS slw
+       |       FROM gb JOIN wt USING (bucket) GROUP BY 1),
+       |dw AS (SELECT d.doc_id, d.lang,
+       |         coalesce(pd.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |         coalesce(CAST(pd.slw AS DOUBLE), 0.0) AS logw
+       |       FROM d LEFT JOIN pd USING (doc_id))""".stripMargin
+  }
 
   /** The doc-level contamination mirror, optionally hot-shingle-capped:
     * Spark computes shingle frequency over DISTINCT CONTENTS
@@ -1585,8 +1684,11 @@ object Pipelines {
     * proves every round.
     */
   private def bpeCtes(merges: Int): String = {
+    // double-delimited wrap (every symbol is chr(31)…chr(31); adjacent
+    // symbols share no characters) — mirrors Bpe.symsOf
     val symsInit =
-      "chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31) || chr(30)"
+      "chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31))" +
+        " || chr(31) || chr(31) || chr(30) || chr(31)"
     val head =
       s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest($words) AS w FROM documents) GROUP BY 1),
@@ -1601,8 +1703,8 @@ object Pipelines {
          |b$r AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM p$r
          |  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
          |s${r + 1} AS (SELECT w, freq,
-         |    replace(syms, chr(31) || b.x || chr(31) || b.y,
-         |            chr(31) || b.x || b.y) AS syms
+         |    replace(syms, chr(31) || b.x || chr(31) || chr(31) || b.y || chr(31),
+         |            chr(31) || b.x || b.y || chr(31)) AS syms
          |  FROM s$r, b$r b)""".stripMargin
     }
     (Seq(head) ++ rounds).mkString(",\n")

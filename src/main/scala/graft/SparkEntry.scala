@@ -59,6 +59,7 @@ object SparkEntry {
     "q_nhist_build"     -> (TimeSeries.nhistBuild _),
     "q_nhist_stats"     -> (TimeSeries.nhistStats _),
     "q_nhist_quantile"  -> ((s, d) => TimeSeries.nhistQuantile(s, d)),
+    "q_nhist_fraction"  -> ((s, d) => TimeSeries.nhistFraction(s, d)),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),
@@ -347,6 +348,7 @@ object SparkEntry {
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
     "text_dup_spans"   -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "text_dup_scrub"   -> ((s, d) => TextAnalysis.dupScrub(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),
     "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
@@ -380,6 +382,8 @@ object SparkEntry {
     // CCNet-style perplexity-band gate over the bigram LM (rank-statistic
     // terciles, head+middle kept)
     "doc_ppl_filter"    -> ((s, d) => graft.pipeline.Curation.pplFilter(s, d)),
+    "doc_dsir"          -> ((s, d) => graft.pipeline.Curation.dsirWeights(s, d)),
+    "doc_dsir_sample"   -> ((s, d) => graft.pipeline.Curation.dsirSample(s, d)),
     // winnowing fingerprints (MOSS): shuffle-free per-doc sketch +
     // fingerprint-keyed match pairs
     "text_winnow"       -> ((s, d) => TextAnalysis.winnow(s, d)),

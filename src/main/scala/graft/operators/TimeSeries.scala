@@ -388,6 +388,40 @@ object TimeSeries {
             col("cnt").cast("double")), 12).as("q_value"))
   }
 
+  /** histogram_fraction(lo, hi) over the native-histogram buckets — the
+    * OTHER native-histogram query verb (SLO arithmetic: "what fraction
+    * of requests landed between lo and hi?"). Per bucket, the overlap
+    * of (lo, hi] with the bucket's exact power-of-two span gives an
+    * interpolation weight in [0, 1]; the fraction is Σ cnt·w / n. Same
+    * documented divergence as [[nhistQuantile]]: linear interpolation
+    * in value space inside a bucket.
+    *
+    * Scale shape: NO window at all — the weight is a per-row
+    * projection over the bucket table and the rest is one partial-agg
+    * groupBy per histogram, strictly cheaper than the quantile's
+    * (≤16-row) cumulative window. Determinism: per-bucket terms
+    * quantize to decimal(28,12) before the order-independent decimal
+    * sum; one shared final double division rounded at 12.
+    */
+  val NhFracLo = 0.3
+  val NhFracHi = 3.0
+
+  def nhistFraction(s: SparkSession, dir: String,
+                    lo: Double = NhFracLo, hi: Double = NhFracHi): DataFrame = {
+    val lower = pow(lit(2.0), col("k").cast("double") - lit(1.0))
+    val upper = pow(lit(2.0), col("k").cast("double"))
+    val ov = greatest(lit(0.0), least(lit(hi), upper) - greatest(lit(lo), lower))
+    val w = least(lit(1.0), ov / (upper - lower))
+    nhistBuild(s, dir)
+      .withColumn("term",
+        round(col("cnt").cast("double") * w, 12).cast("decimal(28,12)"))
+      .groupBy("step", "event_type")
+      .agg(sum("cnt").as("n"), sum("term").as("t"))
+      .select(col("step"), col("event_type"),
+        round(col("t").cast("double") / col("n").cast("double"), 12)
+          .as("fraction"))
+  }
+
   /** SCRAPE-INTERVAL inference: per metric, the distribution of
     * inter-sample gaps within each series — what Prometheus derives to
     * pick staleness windows and what a TSDB compactor uses to size

@@ -17,19 +17,27 @@ import graft.Tables
   * merge rounds iterate over that vocabulary — corpus-size-independent
   * state, exactly how production BPE trainers count words first.
   *
-  * Words are encoded as PREFIX-DELIMITED symbol strings
-  * (`<US> s1 <US> s2 …` + an end-of-word symbol `<RS>`): merging
-  * pair (x, y) is then the plain string replace of `<US> x <US> y`
-  * with `<US> xy`. Left-to-right non-overlapping replace — the
-  * semantics BOTH Spark's UTF8String.replace and DuckDB's replace
-  * implement, verified on the aaaa/aaa fixtures in BpeSpec — is
-  * EXACTLY canonical BPE's greedy single-pass merge, because the
-  * prefix delimiter is consumed with its symbol (no shared boundary
-  * between adjacent matches). That makes every round, and therefore
-  * the whole training run, bit-identical cross-engine: the DuckDB
-  * oracle unrolls the rounds as chained CTEs and the hash proves each
-  * one (reference analogue: the reference ships no trainer — this is
-  * part of graft's training-data-pipeline surface).
+  * Words are encoded as DOUBLE-DELIMITED symbol strings
+  * (`<US> s1 <US><US> s2 <US><US> … <US><US> <RS> <US>` — every
+  * symbol wrapped in its own `<US>…<US>`, so adjacent symbols are
+  * separated by TWO delimiters): merging pair (x, y) is then the
+  * plain string replace of `<US>x<US><US>y<US>` with `<US>xy<US>`.
+  * Left-to-right non-overlapping replace — the semantics BOTH Spark's
+  * UTF8String.replace and DuckDB's replace implement — is EXACTLY
+  * canonical BPE's greedy single-pass merge under this encoding:
+  * both x AND y are anchored as COMPLETE symbols (the pattern is
+  * closed by a delimiter on each side), and adjacent matches in an
+  * x==y run are character-disjoint, so runs merge pairwise
+  * left-to-right like real BPE. A single-sided (prefix-only)
+  * delimiter is NOT enough — its pattern can match a following
+  * symbol that merely STARTS with y (e.g. merging (a,b) against
+  * symbols `a · bc` would falsely produce `abc`), which the
+  * deep-depth BpeSpec run exposed at merge round 9 on the live
+  * corpus via reduction > pair-count. That makes every round, and
+  * therefore the whole training run, bit-identical cross-engine: the
+  * DuckDB oracle unrolls the rounds as chained CTEs and the hash
+  * proves each one (reference analogue: the reference ships no
+  * trainer — this is part of graft's training-data-pipeline surface).
   *
   * Tie-break on equal pair counts: lexicographically smallest (x, y)
   * — deterministic in both engines (pure-ASCII symbols, so byte order
@@ -50,8 +58,11 @@ object Bpe {
   /** End-of-word marker symbol (classic </w>). */
   val Eow = "\u001e"
 
+  /** Double delimiter — separates adjacent wrapped symbols. */
+  private[graft] val DD = D + D
+
   private val symsOf: org.apache.spark.sql.Column =
-    concat(lit(D), array_join(split(col("w"), ""), D), lit(D), lit(Eow))
+    concat(lit(D), array_join(split(col("w"), ""), DD), lit(DD), lit(Eow), lit(D))
 
   /** The (word, freq, syms) vocabulary — the only corpus-derived state
     * the merge loop touches.
@@ -96,9 +107,12 @@ object Bpe {
   private[graft] def driverLoop(words: Array[(String, Long)],
                          merges: Int): Seq[Merge] = {
     var syms = words.map { case (w, f) =>
-      (D + w.split("").mkString(D) + D + Eow, f)
+      (D + w.split("").mkString(DD) + DD + Eow + D, f)
     }
-    (0 until merges).map { m =>
+    val learned = Seq.newBuilder[Merge]
+    var m = 0
+    var exhausted = false
+    while (m < merges && !exhausted) {
       val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
       syms.foreach { case (str, f) =>
         val sy = str.split(D).filter(_.nonEmpty)
@@ -108,13 +122,21 @@ object Bpe {
           i += 1
         }
       }
-      require(counts.nonEmpty, s"merge round $m: no pairs left to merge")
-      val ((x, y), cnt) = counts.minBy { case ((px, py), c) => (-c, px, py) }
-      syms = syms.map { case (str, f) =>
-        (str.replace(D + x + D + y, D + x + y), f)
+      // pair exhaustion = every word is a single token: STOP, the
+      // model is complete (real trainers train "to vocab target or
+      // exhaustion" — a 12-round request on a live corpus never hits
+      // this; a deep-depth run returns the full merge table)
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((x, y), cnt) = counts.minBy { case ((px, py), c) => (-c, px, py) }
+        syms = syms.map { case (str, f) =>
+          (str.replace(D + x + DD + y + D, D + x + y + D), f)
+        }
+        learned += Merge(m.toLong, x, y, cnt)
+        m += 1
       }
-      Merge(m.toLong, x, y, cnt)
     }
+    learned.result()
   }
 
   /** Run the merge loop. Two plan-shape invariants keep the per-round
@@ -132,7 +154,9 @@ object Bpe {
     // vocabulary-sized: materialize once, iterate in place
     var v = vocab(s, dir).localCheckpoint()
     val learned = Seq.newBuilder[Merge]
-    (0 until merges).foreach { m =>
+    var m = 0
+    var exhausted = false
+    while (m < merges && !exhausted) {
       val best = v
         .withColumn("sy", expr("filter(split(syms, char(31)), t -> t <> '')"))
         .select(col("freq"), explode(expr(
@@ -143,17 +167,21 @@ object Bpe {
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(1).collect()
-      require(best.nonEmpty, s"merge round $m: no pairs left to merge")
-      val (x, y, cnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      learned += Merge(m.toLong, x, y, cnt)
-      val pair = Seq((x, y)).toDF("mx", "my")
-      v = v.crossJoin(broadcast(pair))
-        .withColumn("syms", replace(col("syms"),
-          concat(lit(D), col("mx"), lit(D), col("my")),
-          concat(lit(D), col("mx"), col("my"))))
-        .drop("mx", "my")
-        .localCheckpoint()
+      // same exhaustion rule as [[driverLoop]]: no pairs → model done
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += Merge(m.toLong, x, y, cnt)
+        val pair = Seq((x, y)).toDF("mx", "my")
+        v = v.crossJoin(broadcast(pair))
+          .withColumn("syms", replace(col("syms"),
+            concat(lit(D), col("mx"), lit(DD), col("my"), lit(D)),
+            concat(lit(D), col("mx"), col("my"), lit(D))))
+          .drop("mx", "my")
+          .localCheckpoint()
+        m += 1
+      }
     }
     learned.result()
   }
@@ -178,7 +206,7 @@ object Bpe {
       .withColumn("syms", symsOf)
     val merged = ms.foldLeft(init) { (d, mg) =>
       d.withColumn("syms",
-        replace(col("syms"), lit(D + mg.x + D + mg.y), lit(D + mg.x + mg.y)))
+        replace(col("syms"), lit(D + mg.x + DD + mg.y + D), lit(D + mg.x + mg.y + D)))
     }
     merged
       .withColumn("n_sym",
@@ -198,7 +226,7 @@ object Bpe {
     val ms = learnedMerges(s, dir, merges)
     val finalVocab = ms.foldLeft(vocab(s, dir)) { (d, mg) =>
       d.withColumn("syms",
-        replace(col("syms"), lit(D + mg.x + D + mg.y), lit(D + mg.x + mg.y)))
+        replace(col("syms"), lit(D + mg.x + DD + mg.y + D), lit(D + mg.x + mg.y + D)))
     }
     finalVocab
       .select(col("freq"),

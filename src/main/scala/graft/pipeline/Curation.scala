@@ -574,6 +574,100 @@ object Curation {
     * No operator ever holds more than one range slice; the oracle's
     * sequential rank agreeing hash-for-hash is the exactness proof.
     */
+  // ---- DSIR: data selection via importance resampling ------------------
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick raw-corpus documents whose hashed-n-gram
+    * distribution resembles a TARGET corpus, by importance weight
+    * log w(x) = Σ_b c_b(x)·(ln p_b − ln q_b), with p fit on the target
+    * and q on the raw corpus over B hashed unigram+bigram buckets
+    * (add-one smoothing). The standard pretraining data-selection step
+    * ("crawl that looks like Wikipedia") sitting between pure
+    * heuristics (doc_filter) and trained classifiers (doc_clf_train).
+    * Target here = the English slice (lang = 'en'), the
+    * oracle-reproducible stand-in for a trusted corpus.
+    *
+    * Scale shape: both distribution fits are B-row partial-agg
+    * groupBys (B = [[DsirBuckets]], a constant); the bucket-weight
+    * table BROADCASTS (never a shuffle join on Zipf-skewed grams —
+    * the lmScore argument); the per-doc weight is ONE doc-keyed
+    * partial agg over the exploded grams. No windows, no self-joins.
+    *
+    * Determinism: every ln argument is an INTEGER (smoothed counts and
+    * totals — lmBigram's strict contract), quantized at 12 once in the
+    * B-row table, summed in exact decimal, cast to double once.
+    */
+  val DsirBuckets = 256
+  val DsirTargetLang = "en"
+
+  private def dsirOcc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """concat(ws, CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(0, size(ws) - 2),
+          |  i -> concat(ws[i], ' ', ws[i+1]))
+          |ELSE array() END)""".stripMargin)).as("g"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(g), 1, 4), 16, 10) as bigint) % $DsirBuckets"))
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column =
+      round(log(c.cast("double")), 12).cast("decimal(28,12)")
+    val occ = dsirOcc(s, dir)
+    val raw = occ.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tgt = occ.filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val totals = raw.agg(sum("rc").as("rt"))
+      .crossJoin(tgt.agg(sum("tc").as("tt")))
+    // every gram of every doc is in the raw counts, so the raw table
+    // indexes the whole weight surface; target-absent buckets smooth
+    val wt = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (qln(coalesce(col("tc"), lit(0L)) + lit(1L))
+          - qln(col("tt") + lit(DsirBuckets.toLong))
+          - qln(col("rc") + lit(1L))
+          + qln(col("rt") + lit(DsirBuckets.toLong)))
+          .cast("decimal(28,12)").as("lw"))
+    val perDoc = occ.join(broadcast(wt), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("lw").as("slw"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("slw").cast("double"), lit(0.0)).as("logw"))
+  }
+
+  /** The resampling step: Gumbel top-k over log w — an exact sample
+    * without replacement from softmax(log w) (the Gumbel-max trick,
+    * DSIR's §2.3), so high-importance docs are FAVORED, not merely
+    * thresholded, and the draw stays reproducible: u is the A-ES
+    * 48-bit md5 uniform under its own salt ([[sampleKeyCol]]
+    * discipline — growing the corpus never changes an existing key).
+    * ln(u) is clamped away from −0.0 (a u within 5e-13 of 1 would
+    * otherwise send the outer ln to −∞). Global top-k compiles to
+    * TakeOrderedAndProject: per-partition heaps, k-row driver merge,
+    * no global sort at any corpus size.
+    */
+  val DsirSampleK = 150
+
+  def dsirSample(s: SparkSession, dir: String,
+                 k: Int = DsirSampleK): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(281474976710657.0)
+    val lnu = least(round(log(u), 12), lit(-1e-12))
+    val g = round(-log(-lnu), 12)
+    dsirWeights(s, dir)
+      .withColumn("gkey", round(col("logw") + g, 9))
+      .orderBy(col("gkey").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def pplFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the LM scorer feeds both the rank pass and the final banding —

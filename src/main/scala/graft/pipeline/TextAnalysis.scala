@@ -162,6 +162,75 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_frac"))
   }
 
+  /** Positions fit in [[ScrubPosBits]] bits for the canonical-occurrence
+    * min-key (doc_id·2^bits + pos) — 2^20 tokens/doc, far above any
+    * real document; the spec asserts the corpus honors it.
+    */
+  val ScrubPosBits = 20
+
+  /** ExactSubstr duplicate-span REMOVAL (Lee et al. 2022 §4 — the
+    * operation [[dupSpans]] only measures): every corpus-duplicated
+    * gram-span keeps its ONE canonical occurrence (globally first by
+    * (doc_id, pos)) and every other occurrence's tokens are cut from
+    * the text. The output is the scrubbed corpus — what actually feeds
+    * training after substring dedup.
+    *
+    * Scale shape: one shingle-keyed partial-agg groupBy fuses the
+    * duplicate filter AND the canonical pick (min over the encoded
+    * (doc_id, pos) key — a plain `min`, never a window over posting
+    * lists); occurrences re-join that 1-row-per-shingle table (AQE
+    * skew-split handles a boilerplate shingle's hot posting list);
+    * removed positions re-aggregate per doc (doc-length-bounded
+    * arrays); reconstruction is a per-row array projection. No
+    * windows, no self-joins, nothing driver-sized.
+    *
+    * Overlaps note (inherent to span scrubbing, same as the paper's
+    * cuts): a canonical occurrence can still lose tokens to ANOTHER
+    * shingle's non-canonical span overlapping it — so the guarantee is
+    * "no duplicated span survives in full outside its canonical site",
+    * not "canonical text is untouched". n_removed therefore never
+    * exceeds dupSpans' n_covered (canonical spans are excluded).
+    */
+  def dupScrub(s: SparkSession, dir: String,
+               gram: Int = 4, minCount: Long = 2): DataFrame = {
+    require(gram >= 2, "a span needs at least 2 tokens")
+    val enc = 1L << ScrubPosBits
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val shingleExpr = {
+      val terms = (0 until gram).map(k => s"ws[i+$k]").mkString(", ")
+      expr(
+        s"""CASE WHEN size(ws) >= $gram
+           |THEN transform(sequence(0, size(ws) - $gram),
+           |  i -> struct(i AS pos, concat_ws(' ', $terms) AS s))
+           |ELSE array() END""".stripMargin)
+    }
+    val occ = base.select(col("doc_id"), explode(shingleExpr).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    val dup = occ.groupBy("s")
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * lit(enc) + col("pos")).as("ck"))
+      .filter(col("c") >= minCount)
+      .select("s", "ck")
+    val removed = occ.join(dup, "s")
+      .filter(col("doc_id") * lit(enc) + col("pos") =!= col("ck"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("rp"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        when(col("rp").isNull, lit(0L))
+          .otherwise(size(col("rp")).cast("long")).as("n_removed"),
+        expr(
+          """CASE WHEN size(ws) = 0 THEN ''
+            |ELSE concat_ws(' ', transform(
+            |  array_except(sequence(0, size(ws) - 1), coalesce(rp, array())),
+            |  i -> ws[i])) END""".stripMargin).as("text_scrubbed"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
     * plus cluster stats per fingerprint.
     */

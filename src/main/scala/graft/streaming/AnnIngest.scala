@@ -51,4 +51,33 @@ object AnnIngest {
   /** The maintained posting store (cell is a partition column). */
   def readPostings(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)
+
+  /** IVF top-k search SERVED FROM the stream-maintained store — the
+    * read path that makes the maintainer an index rather than a copy:
+    * each query probes only its own cell's directory partition (the
+    * `cell === qc` equi-join prunes by partition value before any scan)
+    * and ranks candidates by the exact quantized cosine. Because the
+    * assignment kernel is shared with the batch build, this returns
+    * row-for-row what `Similarity.ivf` returns over the same corpus —
+    * AnnIngestSpec asserts that equality AND that the store's measured
+    * recall@k equals the batch index's recall@k record, so the online
+    * index sits behind the same quality gate as the batch one.
+    */
+  def search(s: SparkSession, outDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = readPostings(s, outDir).select(
+      col("vec_id"), col("embedding"), col("norm"),
+      col("cell").cast("int").as("cell"))
+    val q = store.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("norm").as("qn"), col("cell").as("qc"))
+    val pairs = broadcast(q)
+      .join(store, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (graft.functions.VectorOps.dot(col("qe"), col("embedding")) /
+          (sqrt(col("qn")) * sqrt(col("norm")))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "vec_id", "rnk", "cosine")
+  }
 }

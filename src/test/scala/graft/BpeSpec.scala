@@ -11,7 +11,7 @@ class BpeSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sf = SparkFixture.sf
 
-  test("prefix-delimited replace is canonical greedy BPE on symbol runs") {
+  test("double-delimited replace is canonical greedy BPE on symbol runs") {
     // word 'aaaa': round 0 pairs (a,a)×3 + (a,<eow>) → merge (a,a)
     // must produce [aa, aa, <eow>] (left-to-right NON-overlapping,
     // both pairs merged in one pass), then round 1 ties (aa,aa) with
@@ -57,5 +57,61 @@ class BpeSpec extends AnyFunSuite {
     assert(vt.length <= Bpe.VocabTopK && vt.length >= 20)
     val cnts = vt.map(_.getLong(1))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tokenizer-realistic depth: 300-merge run, vocab trajectory sane") {
+    import org.apache.spark.sql.functions._
+    // the trainer's own one-pass vocabulary reduction, done inline so
+    // the spec can replay the merge table round by round
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val t0 = System.nanoTime()
+    val ms = Bpe.driverLoop(words, 300)
+    val trainMs = (System.nanoTime() - t0) / 1e6
+    info(f"depth-300 driver train: ${ms.length} merges in $trainMs%.0f ms" +
+      f" (${trainMs / math.max(ms.length, 1)}%.2f ms/round)")
+    assert(ms.length <= 300)
+    assert(ms.map(_.m) === (0L until ms.length.toLong))
+    // BPE's classic invariant: the winning pair count never increases
+    // (old pairs only shrink; a pair born of merge c has count <= c)
+    val seq = ms.map(_.cnt)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a >= b },
+      s"pair-count trajectory not non-increasing: $seq")
+    assert(ms.forall(_.cnt > 0L))
+
+    // replay the merge table over the vocabulary: each round adds ONE
+    // new symbol, shrinks the weighted corpus token count by >0 and
+    // <= cnt (greedy non-overlap can merge fewer than cnt pairs)
+    val d = Bpe.D; val dd = Bpe.DD; val eow = Bpe.Eow
+    var syms = words.map { case (w, f) =>
+      (d + w.split("").mkString(dd) + dd + eow + d, f)
+    }
+    def tokenCount(ss: Array[(String, Long)]): Long =
+      ss.map { case (str, f) => str.split(d).count(_.nonEmpty).toLong * f }.sum
+    def vocabSize(ss: Array[(String, Long)]): Int =
+      ss.flatMap(_._1.split(d)).filter(_.nonEmpty).distinct.length
+    val alpha = vocabSize(syms)
+    var prevTokens = tokenCount(syms)
+    ms.zipWithIndex.foreach { case (mg, i) =>
+      syms = syms.map { case (str, f) =>
+        (str.replace(d + mg.x + dd + mg.y + d, d + mg.x + mg.y + d), f)
+      }
+      val t = tokenCount(syms)
+      assert(t < prevTokens && prevTokens - t <= mg.cnt,
+        s"round $i: tokens $prevTokens -> $t vs cnt ${mg.cnt}")
+      prevTokens = t
+      // one fresh symbol per merge; merged-away symbols may retire
+      assert(vocabSize(syms) <= alpha + i + 1)
+    }
+    // if the loop stopped before 300, it stopped for the right reason:
+    // every word is a single token (pair exhaustion)
+    if (ms.length < 300)
+      assert(syms.forall { case (str, _) => str.split(d).count(_.nonEmpty) == 1 },
+        "early stop without pair exhaustion")
+    // the shipped 12-round model is the PREFIX of the deep run — depth
+    // is a training knob, not a semantics change
+    assert(Bpe.learnedMerges(spark, sf).toList === ms.take(Bpe.Merges).toList)
   }
 }

@@ -266,6 +266,52 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"pure scan-side sample:\n$plan")
   }
 
+  test("dsir weights favor the target slice; gram counts conserve") {
+    import org.apache.spark.sql.functions._
+    val w = Curation.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).count()
+    assert(w.length.toLong === docs)
+    assert(w.forall(t => !t._4.isNaN && !t._4.isInfinite))
+    // unigrams + adjacent bigrams: a doc with n >= 1 words has 2n-1 grams
+    val nWords = Tables.documents(spark, sf).select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    w.foreach { case (id, _, ng, _) =>
+      val n = nWords(id)
+      assert(ng === (if (n == 0) 0L else 2L * n - 1L), s"doc $id")
+    }
+    // the point of DSIR: target-slice (en) docs score higher on average
+    // than the rest — the importance weight detects target-likeness
+    val (en, rest) = w.partition(_._2 == Curation.DsirTargetLang)
+    val enMean = en.map(_._4).sum / en.length
+    val restMean = rest.map(_._4).sum / rest.length
+    assert(enMean > restMean,
+      s"target mean $enMean not above non-target mean $restMean")
+  }
+
+  test("dsir Gumbel resample favors target-like docs, plans as TakeOrdered") {
+    val all = Curation.dsirWeights(spark, sf).collect()
+    val k = Curation.DsirSampleK
+    val sample = Curation.dsirSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    assert(sample.length === math.min(k, all.length))
+    // keys strictly descend (distinct u ⇒ distinct keys, ties on doc_id)
+    val keys = sample.map(_._3)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // sampled en-fraction exceeds the corpus base rate: the softmax
+    // over logw upweights target-like docs (the resampling signal)
+    val baseRate = all.count(_.getString(1) == Curation.DsirTargetLang)
+      .toDouble / all.length
+    val sampleRate = sample.count(_._2 == Curation.DsirTargetLang)
+      .toDouble / sample.length
+    assert(sampleRate > baseRate,
+      s"sample en-rate $sampleRate not above base $baseRate")
+    val plan = SparkFixture.planOf(Curation.dsirSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition heaps + driver merge:\n$plan")
+  }
+
   test("qualityClf inline fold equals the explode-and-sum formulation, with no shuffle") {
     import org.apache.spark.sql.functions._
     val got = Curation.qualityClf(spark, sf)

@@ -175,6 +175,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("dupScrub equals a driver-side canonical-span scrub replay") {
+    import org.apache.spark.sql.functions._
+    val gram = 4
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .sortBy(_._1)
+    assert(docs.forall(_._2.length < (1 << TextAnalysis.ScrubPosBits)))
+    // reference: all shingle occurrences, canonical = global (doc,pos)
+    // min per duplicated shingle, every other occurrence's positions cut
+    val occ = docs.flatMap { case (id, ws) =>
+      (0 to ws.length - gram).map(i => (ws.slice(i, i + gram).mkString(" "), id, i))
+    }
+    val canonical = occ.groupBy(_._1).collect {
+      case (s, os) if os.length >= 2 => s -> os.map(o => (o._2, o._3)).min
+    }
+    val removedRef = occ.filter { case (s, id, p) =>
+      canonical.get(s).exists(_ != ((id, p)))
+    }.flatMap { case (_, id, p) => (p until p + gram).map(id -> _) }
+      .toSet
+    val got = TextAnalysis.dupScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    docs.foreach { case (id, ws) =>
+      val rp = removedRef.collect { case (d, p) if d == id => p }
+      val want = ws.zipWithIndex.collect {
+        case (w, i) if !rp(i) => w
+      }.mkString(" ")
+      val (nTok, nRem, scrubbed) = got(id)
+      assert(nTok === ws.length.toLong, s"doc $id")
+      assert(nRem === rp.size.toLong, s"doc $id")
+      assert(scrubbed === want, s"doc $id")
+    }
+    // the scrub is a strict sub-removal of dupSpans' covered positions
+    // (canonical occurrences stay), and something was actually removed
+    val covered = TextAnalysis.dupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (_, nRem, _)) =>
+      assert(nRem <= covered(id), s"doc $id removed beyond covered")
+    }
+    assert(got.values.map(_._2).sum > 0, "corpus has dup spans; scrub removed none")
+  }
+
   test("piiScrub detects the injected PII and redacts to a clean text") {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
     val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}".r

@@ -219,6 +219,45 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("nhistFraction replays driver-side, is bounded, and widens monotonically") {
+    def kOf(v: Double): Int =
+      (TimeSeries.NhKLo to TimeSeries.NhKHi)
+        .find(k => v <= math.pow(2.0, k)).getOrElse(TimeSeries.NhKHi + 1)
+    def refFraction(vs: Seq[Double], lo: Double, hi: Double): Double = {
+      val byK = vs.groupBy(kOf).view.mapValues(_.length.toLong)
+      val t = byK.map { case (k, cnt) =>
+        val (lower, upper) = (math.pow(2.0, k - 1), math.pow(2.0, k))
+        val ov = math.max(0.0, math.min(hi, upper) - math.max(lo, lower))
+        val w = math.min(1.0, ov / (upper - lower))
+        BigDecimal(cnt.toDouble * w)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (t / BigDecimal(vs.length)).toDouble
+    }
+    val raw = Tables.events(spark, sf).select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+      col("event_type"), col("value")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = TimeSeries.nhistFraction(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === raw.keySet)
+    got.foreach { case (key, f) =>
+      assert(f >= 0.0 && f <= 1.0, s"$key: fraction $f out of [0,1]")
+      assert(math.abs(f - refFraction(raw(key), TimeSeries.NhFracLo,
+        TimeSeries.NhFracHi)) < 1e-9, key)
+    }
+    // widening the interval only grows the fraction; the full bucket
+    // span is exactly 1 (every bucket fully covered, no clamping loss)
+    val wide = TimeSeries.nhistFraction(spark, sf, lo = 0.1, hi = 10.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (key, f) => assert(wide(key) >= f - 1e-12, key) }
+    val full = TimeSeries.nhistFraction(spark, sf,
+        lo = math.pow(2.0, TimeSeries.NhKLo - 1),
+        hi = math.pow(2.0, TimeSeries.NhKHi + 1)).collect()
+    full.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
   test("scrapeInterval equals a driver-side gap-statistics reference") {
     def kth(sorted: Seq[Long], n: Long, q: Double): Long = {
       val k = math.max(1L, math.ceil(
