@@ -425,6 +425,29 @@ object Pipelines {
     "ann_ivf_nprobe4" -> annSql("ann_ivf_nprobe4"),
     "ann_ivfpq_nores4" -> annSql("ann_ivfpq_nores4"),
     "ann_ivf" -> annSql("ann_ivf"),
+    // exact corpus covariance (the PCA input): every E[·] is a
+    // floor-quantized integer sum on the 2^-24 grid, divided out in
+    // the same double-op order as Pca.covariance — bit-identical
+    "emb_cov" -> {
+      val scale = "16777216.0"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         |x AS (SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS v
+         |      FROM e, (SELECT unnest(range(0, ${graft.pipeline.Pca.Dim})) AS j)),
+         |sums AS (SELECT a.j AS j, b.j AS k,
+         |           CAST(SUM(CAST(floor(a.v * b.v * $scale) AS BIGINT)) AS BIGINT) AS sq
+         |         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.j <= b.j
+         |         GROUP BY 1, 2),
+         |means AS (SELECT j, CAST(SUM(CAST(floor(v * $scale) AS BIGINT)) AS BIGINT) AS sm
+         |          FROM x GROUP BY 1)
+         |SELECT CAST(s.j AS INTEGER) AS j, CAST(s.k AS INTEGER) AS k,
+         |       round(s.sq / $scale / CAST(n.n AS DOUBLE)
+         |             - (mj.sm / $scale / CAST(n.n AS DOUBLE))
+         |             * (mk.sm / $scale / CAST(n.n AS DOUBLE)), 12) AS cov
+         |FROM sums s
+         |JOIN means mj ON mj.j = s.j
+         |JOIN means mk ON mk.j = s.k, n""".stripMargin
+    },
   )
 
   /** PQ mirror fragments — must match Similarity.pq bit for bit: the

@@ -328,6 +328,9 @@ object SparkEntry {
     "ann_ivfpq_res_trained" ->
       ((s, d) => Similarity.ivfPqResidualTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
+    "emb_cov"         -> ((s, d) => graft.pipeline.Pca.covariance(s, d)),
+    "emb_pca"         -> ((s, d) => graft.pipeline.Pca.pca(s, d)),
+    "emb_pca_project" -> ((s, d) => graft.pipeline.Pca.project(s, d)),
     // the same measurement where recall is a real quality signal: the
     // clustered derived corpus (Tables.ClusteredTag routes every leg)
     "ann_recall_clustered" ->

@@ -611,7 +611,19 @@ object Curation {
       .withColumn("bucket", expr(
         s"cast(conv(substring(md5(g), 1, 4), 16, 10) as bigint) % $DsirBuckets"))
 
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  /** Served-weights store keyed by (session, dir) — the truthStore /
+    * collapsed-contents discipline: doc_dsir and doc_dsir_sample share
+    * ONE scored frame instead of re-running the gram pass per entry.
+    */
+  private val dsirStore =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirStore.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "|" + dir,
+      _ => dsirWeightsUncached(s, dir).localCheckpoint())
+
+  private def dsirWeightsUncached(s: SparkSession, dir: String): DataFrame = {
     def qln(c: Column): Column =
       round(log(c.cast("double")), 12).cast("decimal(28,12)")
     val occ = dsirOcc(s, dir)
