@@ -370,8 +370,9 @@ object Pipelines {
       s"""SELECT '$m' AS method, tr.qid, n_truth,
          |       coalesce(h.n_hits, 0) AS n_hits
          |FROM tr LEFT JOIN $alias h ON h.qid = tr.qid""".stripMargin
-    // pq hashes its top-10; recall@5 measures its first 5 ranks
+    // pq/sq8 hash their top-10; recall@5 measures their first 5 ranks
     val pq5 = s"SELECT * FROM (${src(annSql("ann_pq"))}) WHERE rnk <= 5"
+    val sq5 = s"SELECT * FROM (${src(annSql("ann_sq8"))}) WHERE rnk <= 5"
     val prefix = if (clustered) s"$clusteredCte,\n" else ""
     s"""WITH ${prefix}bf AS (SELECT qid, vec_id FROM (${src(annSql("ann_bruteforce"))}) WHERE rnk <= 5),
        |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
@@ -380,6 +381,7 @@ object Pipelines {
        |${hits(src(annSql("ann_ivf_nprobe2")), "h_ivf2")},
        |${hits(src(annSql("ann_ivf_nprobe4")), "h_ivf4")},
        |${hits(pq5, "h_pq")},
+       |${hits(sq5, "h_sq8")},
        |${hits(src(annSql("ann_ivfpq")), "h_ivfpq")},
        |${hits(src(annSql("ann_ivfpq_res")), "h_ivfpqr")},
        |${hits(src(annSql("ann_ivfpq_nores4")), "h_ivfpqn4")}
@@ -390,6 +392,7 @@ object Pipelines {
        |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
        |UNION ALL ${leg("ann_ivf_nprobe4", "h_ivf4")}
        |UNION ALL ${leg("ann_pq", "h_pq")}
+       |UNION ALL ${leg("ann_sq8", "h_sq8")}
        |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")}
        |UNION ALL ${leg("ann_ivfpq_res", "h_ivfpqr")}
        |UNION ALL ${leg("ann_ivfpq_nores4", "h_ivfpqn4")})""".stripMargin
@@ -417,6 +420,7 @@ object Pipelines {
     "ann_range" -> annSql("ann_range"),
     "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),
+    "ann_sq8" -> annSql("ann_sq8"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
     "ann_ivfpq_probe2" -> annSql("ann_ivfpq_probe2"),
@@ -630,6 +634,37 @@ object Pipelines {
        |WHERE rnk <= 10""".stripMargin
   }
 
+  /** SQ8 mirror — Similarity.sq8 bit for bit: per-dim min/max trained
+    * on the corpus (exact, so cross-engine identical), midpoint
+    * dequantization `mn + (code+0.5)·(mx−mn)/255` in the same
+    * double-op order, asymmetric quantized cosine (query exact, data
+    * side reconstructed). The stats are list-aggregated into sorted
+    * 64-element arrays so the recon lambda indexes them like the Spark
+    * side's literal arrays.
+    */
+  private lazy val sq8Sql: String = topkSql(
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |x AS (SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+       |      FROM e, (SELECT unnest(range(1, 65)) AS j) t(j)),
+       |st AS (SELECT j, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+       |stl AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+       |r AS (SELECT vec_id,
+       |        list_transform(range(1, 65), j ->
+       |          CASE WHEN mxs[j] = mns[j] THEN mns[j]
+       |               ELSE mns[j] + (least(255.0, greatest(0.0,
+       |                      floor((CAST(embedding[j] AS DOUBLE) - mns[j])
+       |                            / (mxs[j] - mns[j]) * 255.0))) + 0.5)
+       |                    * ((mxs[j] - mns[j]) / 255.0) END) AS recon
+       |      FROM e, stl),
+       |sq AS (SELECT vec_id, recon, ${dot("recon", "recon")} AS rnorm FROM r),
+       |q AS (SELECT vec_id AS qid, embedding AS qe,
+       |        ${dot("embedding", "embedding")} AS qn
+       |      FROM e WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id,
+       |         ${dot("qe", "d.recon")} / (sqrt(q.qn) * sqrt(d.rnorm)) AS cosine
+       |  FROM q JOIN sq d ON d.vec_id <> q.qid)""".stripMargin, 10)
+
   /** IVF + PQ composed: the IVF cell chain (centDist argmin) prunes
     * candidates, the PQ chain (pqSubDist lists) scores them — the
     * mirror of Similarity.ivfPq.
@@ -671,6 +706,7 @@ object Pipelines {
     */
   private lazy val annSql: Map[String, String] = Map(
     "ann_pq" -> pqSql,
+    "ann_sq8" -> sq8Sql,
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_res" -> ivfPqResSql,
     "ann_ivfpq_probe2" -> ivfPqProbeSql,

@@ -317,6 +317,9 @@ object SparkEntry {
     // rows-only: k-means training is not SQL-expressible in the oracle
     "ann_ivf_trained" -> ((s, d) => Similarity.ivfTrained(s, d)),
     "ann_pq"          -> ((s, d) => Similarity.pq(s, d)),
+    // scalar quantization (SQ8): 16x-compressed codes, asymmetric
+    // search against midpoint-dequantized vectors (round 10)
+    "ann_sq8"         -> ((s, d) => Similarity.sq8(s, d)),
     "ann_ivfpq"       -> ((s, d) => Similarity.ivfPq(s, d)),
     "ann_ivfpq_res"   -> ((s, d) => Similarity.ivfPqResidual(s, d)),
     "ann_ivfpq_probe2" -> ((s, d) => Similarity.ivfPqProbe(s, d)),

@@ -898,6 +898,101 @@ object Similarity {
     * Queries an approx method misses entirely still appear (left join,
     * 0 hits) — silent absence would overstate recall.
     */
+  // ---- scalar quantization (SQ8) -----------------------------------------
+
+  /** Code count of the 8-bit scalar quantizer: codes 0..255. */
+  val Sq8Levels = 255
+
+  private val sq8Memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (IndexedSeq[Double], IndexedSeq[Double])]()
+
+  private[graft] def clearSq8Memo(): Unit = sq8Memo.clear()
+
+  /** SQ8 training pass: per-dimension [min, max] of the corpus — ONE
+    * embarrassingly parallel scan into a Dim-keyed partial agg (64
+    * groups), then a 64-row collect. min/max are EXACT (no float-sum
+    * order dependence), so the trained stats are deterministic under
+    * any partitioning — the property that lets the DuckDB oracle
+    * reproduce the whole quantizer. Memoized per (session, dir) like
+    * the truth store: at 100 TB the stats are the index's metadata
+    * (128 doubles), trained once and broadcast.
+    */
+  private def sq8Stats(s: SparkSession, dir: String): (IndexedSeq[Double], IndexedSeq[Double]) =
+    sq8Memo.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "|" + dir, _ => {
+        val rows = Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")))
+          .toDF("j", "x")
+          .groupBy("j")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+          .collect()
+        val mn = Array.fill(Dim)(0.0)
+        val mx = Array.fill(Dim)(0.0)
+        rows.foreach { r =>
+          val j = r.getInt(0); mn(j) = r.getDouble(1); mx(j) = r.getDouble(2)
+        }
+        (mn.toIndexedSeq, mx.toIndexedSeq)
+      })
+
+  /** Dequantized SQ8 vector as a column: per dim, code =
+    * clamp(⌊(x−mn)/(mx−mn)·255⌋), recon = mn + (code+0.5)·(mx−mn)/255
+    * (the FAISS ScalarQuantizer QT_8bit shape: uniform grid on the
+    * trained range, reconstruct at the cell midpoint). The stats are
+    * driver constants, so this unrolls to 64 scalar expressions —
+    * constant-folded, whole-stage-codegen'd, no higher-order function
+    * in the hot path. Every step is a correctly-rounded double op in a
+    * fixed order, so the oracle mirrors it bit for bit; the clamp is a
+    * no-op on the training corpus (monotonicity of rounded ops keeps
+    * the ratio in [0,1]) but guards out-of-distribution encode at
+    * serve time.
+    */
+  private def sq8ReconCol(vec: Column,
+                          mn: IndexedSeq[Double],
+                          mx: IndexedSeq[Double]): Column =
+    array((0 until Dim).map { j =>
+      val lo = mn(j); val hi = mx(j)
+      if (hi == lo) lit(lo)
+      else {
+        val x = element_at(vec, j + 1).cast("double")
+        val code = least(lit(255.0), greatest(lit(0.0),
+          floor((x - lit(lo)) / lit(hi - lo) * lit(255.0))))
+        lit(lo) + (code + lit(0.5)) * lit((hi - lo) / 255.0)
+      }
+    }: _*)
+
+  /** SQ8 ANN: asymmetric search — queries stay EXACT, the corpus side
+    * is scored through its dequantized code (what a scan over a stored
+    * SQ8 index computes: 64 bytes/vector, 16× smaller than float32, so
+    * a 100 TB float corpus scans as 6.25 TB of codes with the 64-double
+    * stats broadcast). Same broadcast-queries/one-scan/zero-shuffle
+    * shape as [[bruteForce]]; ranking error vs exact is bounded by the
+    * per-dim half-step (spec-asserted). Reference behavior:
+    * faiss ScalarQuantizer (QT_8bit) — public API semantics only.
+    */
+  /** Test hook: (vec_id, embedding, recon) — the dequantized corpus. */
+  private[graft] def sq8Recon(s: SparkSession, dir: String): DataFrame = {
+    val (mn, mx) = sq8Stats(s, dir)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sq8ReconCol(col("embedding"), mn, mx).as("recon"))
+  }
+
+  def sq8(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (mn, mx) = sq8Stats(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("recon", sq8ReconCol(col("embedding"), mn, mx))
+      .select(col("vec_id"), col("recon"),
+        dot("recon", "recon").as("rnorm"))
+    val q = withNorm(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val pairs = broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "recon", col("rnorm")).as("cosine"))
+    topkPerQuery(pairs, k)
+  }
+
   def recallAtK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallOf(s, dir, k, Seq(
       "ann_lsh" -> lsh(s, dir),
@@ -905,6 +1000,7 @@ object Similarity {
       "ann_ivf_nprobe2" -> ivfProbe2(s, dir),
       "ann_ivf_nprobe4" -> ivfProbe2(s, dir, nprobe = 4),
       "ann_pq" -> pq(s, dir).filter(col("rnk") <= k),
+      "ann_sq8" -> sq8(s, dir).filter(col("rnk") <= k),
       "ann_ivfpq" -> ivfPq(s, dir),
       "ann_ivfpq_res" -> ivfPqResidual(s, dir),
       "ann_ivfpq_nores4" -> ivfPqProbeNoRes(s, dir)))

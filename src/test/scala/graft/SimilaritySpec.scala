@@ -378,15 +378,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shuffles <= 1, s"pq should shuffle only for the per-query ranking:\n$plan")
   }
 
+  test("sq8: half-step reconstruction, deterministic, one-shuffle plan") {
+    // reconstruction error bound: code = floor of a monotone map into
+    // [0, 255], recon = cell midpoint -> |recon - x| <= step/2 (+fp eps)
+    val rec = Similarity.sq8Recon(spark, sf)
+      .collect().map(r => (r.getSeq[Float](1), r.getSeq[Double](2)))
+    val byDim = rec.map(_._1.toIndexedSeq).toIndexedSeq.transpose
+    val mn = byDim.map(_.min.toDouble)
+    val mx = byDim.map(_.max.toDouble)
+    rec.foreach { case (x, rv) =>
+      x.indices.foreach { j =>
+        val step = (mx(j) - mn(j)) / 255.0
+        assert(math.abs(rv(j) - x(j).toDouble) <= 0.5 * step + 1e-9,
+          s"dim $j: x=${x(j)} recon=${rv(j)} step=$step")
+      }
+    }
+    // deterministic across runs
+    val a = Similarity.sq8(spark, sf)
+    val b = Similarity.sq8(spark, sf)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // full ranked top-10 per query, like bruteForce
+    val perQ = a.groupBy("qid").count().collect()
+    assert(perQ.length === 5 && perQ.forall(_.getLong(1) === 10L))
+    // plan: queries broadcast into ONE corpus scan; the only shuffle is
+    // the per-query ranking window
+    val plan = planOf(Similarity.sq8(spark, sf))
+    assert(plan.contains("Broadcast"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"sq8 should shuffle only for ranking:\n$plan")
+  }
+
   test("recall@k is complete, bounded, and monotone in probe width") {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 8 methods x 5 queries, every query present for every method
-    assert(r.length === 40)
+    // 9 methods x 5 queries, every query present for every method
+    assert(r.length === 45)
     assert(r.map(_._1).distinct.sorted ===
       Array("ann_ivf", "ann_ivf_nprobe2", "ann_ivf_nprobe4", "ann_ivfpq",
-        "ann_ivfpq_nores4", "ann_ivfpq_res", "ann_lsh", "ann_pq"))
+        "ann_ivfpq_nores4", "ann_ivfpq_res", "ann_lsh", "ann_pq", "ann_sq8"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
@@ -418,6 +449,8 @@ class SimilaritySpec extends AnyFunSuite {
     // pins the record's own scale, like BloomReadSpec).
     val r = avgRecall("/root/testdata/sf0.01" + Tables.ClusteredTag)
     assert(r("ann_ivf_nprobe4") >= 0.95, r.toString)
+    // SQ8 scans every candidate at 8-bit precision: near-exact ranking
+    assert(r("ann_sq8") >= 0.95, r.toString)
     assert(r("ann_ivfpq_nores4") >= 0.8, r.toString)
     assert(r("ann_pq") >= 0.85, r.toString)
     assert(r("ann_lsh") >= 0.8, r.toString)
