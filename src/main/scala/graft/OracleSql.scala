@@ -748,6 +748,42 @@ object OracleSql {
         |       (CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
         |       / ((t1 - t2) / 1000000.0) AS value
         |FROM g WHERE v2 IS NOT NULL AND t1 <> t2""".stripMargin,
+    // holt_winters: the per-window double-exponential-smoothing fold,
+    // unrolled as a recursive CTE that consumes one sample per
+    // iteration. Every arithmetic step mirrors the Spark aggregate-HOF
+    // fold op-for-op in IEEE doubles (sf=0.5, tf=0.3; the (1.0 - tf)
+    // constants are written as the same subtraction both engines fold),
+    // so the sequential recurrence — previously declared not
+    // SQL-expressible — hashes bit-identically. Chains are
+    // window-bounded (samples per series-week), never corpus-sized.
+    "q_promql_holt" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 604800) * 604800 AS step, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 604800
+        |                            ORDER BY epoch_us(ts), event_id) AS i,
+        |         COUNT(*) OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 604800) AS n
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT * FROM x WHERE n >= 2),
+        |rec AS (
+        |  WITH RECURSIVE r(step, user_id, n, i, s0, s1, b) AS (
+        |    SELECT step, user_id, MAX(n), 1,
+        |           CAST(0.0 AS DOUBLE),
+        |           MAX(CASE WHEN i = 1 THEN value END),
+        |           MAX(CASE WHEN i = 2 THEN value END)
+        |             - MAX(CASE WHEN i = 1 THEN value END)
+        |    FROM s WHERE i <= 2 GROUP BY step, user_id
+        |    UNION ALL
+        |    SELECT r.step, r.user_id, r.n, r.i + 1,
+        |           r.s1,
+        |           0.5 * e.value + (1.0 - 0.5) * (r.s1 +
+        |             CASE WHEN r.i = 1 THEN r.b
+        |                  ELSE 0.3 * (r.s1 - r.s0) + (1.0 - 0.3) * r.b END),
+        |           CASE WHEN r.i = 1 THEN r.b
+        |                ELSE 0.3 * (r.s1 - r.s0) + (1.0 - 0.3) * r.b END
+        |    FROM r JOIN s e ON e.step = r.step AND e.user_id = r.user_id
+        |                   AND e.i = r.i + 1)
+        |  SELECT * FROM r)
+        |SELECT step, user_id, s1 AS value FROM rec WHERE i = n""".stripMargin,
     "q_promql_predict" ->
       """WITH g AS (
         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
