@@ -151,6 +151,25 @@ object HeavyHitters {
     GraftInterop.column(
       MisraGries(GraftInterop.expression(c), k).toAggregateExpression())
 
+  /** The Misra–Gries update step on a String-keyed map — the same
+    * decrement-all semantics as [[MisraGries.update]] (which runs on
+    * UTF8String keys inside the Catalyst aggregate); shared by the
+    * streaming maintainer so the two paths cannot drift.
+    */
+  private[graft] def mgUpdate(buf: mutable.HashMap[String, Long],
+                              w: String, k: Int): Unit =
+    buf.get(w) match {
+      case Some(c) => buf.update(w, c + 1L)
+      case None if buf.size < k => buf.update(w, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { kk =>
+          val c = buf(kk) - 1L
+          if (c == 0L) dead += kk else buf.update(kk, c)
+        }
+        dead.foreach(buf.remove)
+    }
+
   /** Corpus-level heavy-hitter words: every word with count·100 > total
     * tokens (threshold comparison in exact integers — no division).
     */
