@@ -891,6 +891,27 @@ object OracleSql {
         |  FROM events)
         |SELECT step, user_id, event_type, value AS p50 FROM x
         |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
+    "q_mad_over_time" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step,
+        |         user_id, event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY date_trunc('day', ts), user_id, event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY date_trunc('day', ts), user_id, event_type) AS n
+        |  FROM events),
+        |m AS (SELECT step, user_id, event_type, value AS med FROM x
+        |      WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)),
+        |d AS (SELECT x.step, x.user_id, x.event_type, x.event_id,
+        |             abs(x.value - m.med) AS dev
+        |      FROM x JOIN m ON x.step = m.step AND x.user_id = m.user_id
+        |                   AND x.event_type = m.event_type),
+        |r AS (SELECT step, user_id, event_type, dev,
+        |             row_number() OVER (PARTITION BY step, user_id, event_type
+        |                                ORDER BY dev, event_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY step, user_id, event_type) AS n
+        |      FROM d)
+        |SELECT step, user_id, event_type, dev AS mad FROM r
+        |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
     "q_vector_ratio" ->
       """WITH p AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

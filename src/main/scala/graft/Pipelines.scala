@@ -33,6 +33,14 @@ object Pipelines {
       .map(p => s"(CASE WHEN ${planeDot(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Sign bits of one 32-bit half of `vec` packed into a BIGINT — the
+    * mirror of Similarity.signSketch (i is 1-based here; halves stay
+    * below 2³² so no shift touches the sign bit).
+    */
+  private def signSketchSql(vec: String, half: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 32), i -> " +
+      s"CASE WHEN $vec[i + ${32 * half} + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+
   /** Squared L2 distance to centroid k (a column named k; formula must
     * match Similarity.centroidComponent).
     */
@@ -377,6 +385,7 @@ object Pipelines {
     s"""WITH ${prefix}bf AS (SELECT qid, vec_id FROM (${src(annSql("ann_bruteforce"))}) WHERE rnk <= 5),
        |tr AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf GROUP BY 1),
        |${hits(src(annSql("ann_lsh")), "h_lsh")},
+       |${hits(src(annSql("ann_hamming")), "h_ham")},
        |${hits(src(annSql("ann_ivf")), "h_ivf")},
        |${hits(src(annSql("ann_ivf_nprobe2")), "h_ivf2")},
        |${hits(src(annSql("ann_ivf_nprobe4")), "h_ivf4")},
@@ -388,6 +397,7 @@ object Pipelines {
        |SELECT method, qid, n_truth, n_hits,
        |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
        |FROM (${leg("ann_lsh", "h_lsh")}
+       |UNION ALL ${leg("ann_hamming", "h_ham")}
        |UNION ALL ${leg("ann_ivf", "h_ivf")}
        |UNION ALL ${leg("ann_ivf_nprobe2", "h_ivf2")}
        |UNION ALL ${leg("ann_ivf_nprobe4", "h_ivf4")}
@@ -417,6 +427,7 @@ object Pipelines {
     // table for every leg, so one definition site serves both corpora
     "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
+    "ann_hamming" -> annSql("ann_hamming"),
     "ann_range" -> annSql("ann_range"),
     "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),
@@ -746,6 +757,26 @@ object Pipelines {
          |  SELECT q.qid, e.vec_id,
          |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
          |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.qid)""".stripMargin, 5),
+    // binary sign-sketch: Hamming radius prefilter, exact cosine rerank
+    "ann_hamming" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${signSketchSql("embedding", 0)} AS sk0,
+         |  ${signSketchSql("embedding", 1)} AS sk1 FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn,
+         |        sk0 AS qs0, sk1 AS qs1 FROM e WHERE vec_id < 5),
+         |pairs0 AS (
+         |  SELECT q.qid, e.vec_id,
+         |         CAST(bit_count(xor(e.sk0, q.qs0)) AS BIGINT)
+         |           + CAST(bit_count(xor(e.sk1, q.qs1)) AS BIGINT) AS ham,
+         |         ${dot("qe", "e.embedding")} / (sqrt(q.qn) * sqrt(e.norm)) AS cosine
+         |  FROM q JOIN e ON e.vec_id <> q.qid),
+         |pairs AS (SELECT * FROM pairs0
+         |          WHERE ham <= ${Similarity.HammingRadius})
+         |SELECT qid, vec_id, CAST(rnk AS INTEGER) AS rnk, ham, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= 5""".stripMargin,
     "ann_ivf_nprobe2" -> ivfProbeNSql(2),
     "ann_ivf_nprobe4" -> ivfProbeNSql(4),
     "ann_ivfpq_nores4" -> ivfPqNoResProbeSql(4),
@@ -983,6 +1014,41 @@ object Pipelines {
          |  CAST(coalesce(top_word_count, 0) AS DOUBLE)
          |    / CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac
          |FROM arr2 a LEFT JOIN top t ON t.doc_id = a.doc_id""".stripMargin,
+    // Gopher rule family: every rule an integer comparison (fractions
+    // cross-multiplied), so booleans agree exactly cross-engine.
+    // list_intersect/array_intersect both dedup, so n_stop counts
+    // DISTINCT stopwords present on both sides.
+    "doc_gopher_rules" ->
+      s"""WITH ws AS (SELECT doc_id, text, $words AS w FROM documents),
+         |base AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_wlen,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS BIGINT) AS n_alpha,
+         |  CAST(len(list_intersect(w, ['the','a','of','and','to','in']))
+         |    AS BIGINT) AS n_stop,
+         |  CASE WHEN len(w) >= 2
+         |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END AS bg
+         |  FROM ws),
+         |top AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+         |  SELECT doc_id, u, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(bg) AS u FROM base) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |r AS (SELECT b.doc_id, b.n_words, b.sum_wlen, b.n_alpha, b.n_stop,
+         |  CAST(coalesce(t.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt
+         |  FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id)
+         |SELECT doc_id, n_words, sum_wlen, n_alpha, n_stop, top_bigram_cnt,
+         |  r_words, r_wlen, r_alpha, r_stop, r_bigram,
+         |  (r_words AND r_wlen AND r_alpha AND r_stop AND r_bigram) AS keep
+         |FROM (SELECT *,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+         |  (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words) AS r_wlen,
+         |  (5 * n_alpha >= 4 * n_words) AS r_alpha,
+         |  (n_stop >= 2) AS r_stop,
+         |  (n_words < 2 OR 100 * top_bigram_cnt <= 18 * (n_words - 1))
+         |    AS r_bigram
+         |  FROM r)""".stripMargin,
     // bucket = first 4 hex nibbles of md5(doc_id) mod 100 — the nibble
     // sum mirrors Spark's conv(substring(md5, 1, 4), 16, 10)
     "doc_sample" -> {

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_vector_ratio"    -> (TimeSeries.vectorRatio _),
     "q_count_values"    -> (TimeSeries.countValues _),
     "q_quantile_over_time" -> (TimeSeries.quantileOverTime _),
+    "q_mad_over_time"   -> (TimeSeries.madOverTime _),
     // native histograms (schema 0): buckets, header fields, quantile
     "q_nhist_build"     -> (TimeSeries.nhistBuild _),
     "q_nhist_stats"     -> (TimeSeries.nhistStats _),
@@ -304,6 +305,8 @@ object SparkEntry {
       ((s, d) => Dedup.semanticTrained(s, d + Tables.ClusteredTag)),
     // G. similarity search
     "ann_bruteforce" -> (Similarity.bruteForce _),
+    // binary sign-sketch: Hamming-radius prefilter + exact rerank
+    "ann_hamming" -> ((s, d) => Similarity.hammingAnn(s, d)),
     // radius (range) search: everything within cosine >= tau of a
     // query — zero-shuffle broadcast-filter scan (round 10)
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
@@ -353,6 +356,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_rolling_fp"  -> (TextAnalysis.rollingFingerprint _),
     "text_repetition"  -> (TextAnalysis.repetition _),
+    // the remaining Gopher rule family: integer-exact rule verdicts
+    "doc_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_dup_spans"   -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_dup_scrub"   -> ((s, d) => TextAnalysis.dupScrub(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),

@@ -481,4 +481,38 @@ object TimeSeries {
       .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
         col("median_gap_us"), col("p95_gap_us"), col("max_gap_us"))
   }
+
+  /** Prometheus 3.x `mad_over_time(metric[1d])` — per-series median
+    * absolute deviation about the median, the robust dispersion signal
+    * alert rules reach for when outliers poison stddev. Both medians
+    * are DISCRETE rank statistics (stored value at ceil(0.5·n) in sort
+    * order — the [[quantileOverTime]] contract), so every emitted
+    * number is either a stored sample or an IEEE `abs(a - b)` both
+    * engines compute identically; no interpolation drift.
+    *
+    * Scale shape: two rank windows and one equi join, ALL keyed by the
+    * same per-(day, series) partition — key cardinality ≫ cores, so no
+    * reducer ever holds more than one series-day of samples, and the
+    * median join is co-partitioned with the deviation window (one
+    * shuffle lineage, AQE reuses the exchange).
+    */
+  def madOverTime(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("step", "user_id", "event_type")
+    val base = Tables.events(s, dir).select(
+      unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+      col("user_id"), col("event_type"), col("event_id"), col("value"))
+    def pick(src: DataFrame, v: String, out: String): DataFrame = {
+      val part = Window.partitionBy(keys.map(col): _*)
+      val w = part.orderBy(col(v), col("event_id"))
+      src.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(part))
+        .filter(col("rn") === ceilPos(col("n"), 0.5))
+        .select(keys.map(col) :+ col(v).as(out): _*)
+    }
+    val med = pick(base, "value", "med")
+    val dev = base.join(med, keys)
+      .select(keys.map(col) :+ col("event_id") :+
+        abs(col("value") - col("med")).as("dev"): _*)
+    pick(dev, "dev", "mad")
+  }
 }

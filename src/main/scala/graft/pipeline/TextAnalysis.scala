@@ -351,6 +351,68 @@ object TextAnalysis {
           .as("top_word_frac"))
   }
 
+  /** Gopher word-count lower bound (Rae et al. 2021 use 50; the upper
+    * bound is 100k).
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+
+  /** The REMAINING Gopher quality rules (Rae et al. 2021 §A1.1) not
+    * already covered by [[repetition]]/[[quality]]/[[filterVerdict]]:
+    * word-count bounds [50, 100k], mean-word-length bounds [3, 10],
+    * ≥80% of words containing an alphabetic character, the ≥2-stopword
+    * requirement, and top-bigram share ≤ 0.18. Every rule is an
+    * INTEGER-ONLY comparison — fractions are cross-multiplied (mean
+    * word length in [3,10] is `3n ≤ Σ|w| ≤ 10n`; the 0.18 share is
+    * `100·top ≤ 18·(n−1)`) — so the verdict is exact cross-engine with
+    * no float threshold to drift.
+    *
+    * Scale shape: per-row projections (Σ|w| is `translate(text,' ','')`
+    * length — no explode) plus the one genuinely aggregating piece, the
+    * top-bigram count: explode + two partial-agg groupBys keyed by doc
+    * (the [[repetition]] shuffle shape), then a doc-keyed equi join. No
+    * windows, no self-joins — embarrassingly parallel at any corpus
+    * size.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), words.as("ws"))
+    val base = d.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long").as("sum_wlen"),
+      expr("size(filter(ws, w -> w rlike '[A-Za-z]'))")
+        .cast("long").as("n_alpha"),
+      size(array_intersect(col("ws"),
+        array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"),
+          lit("in")))).cast("long").as("n_stop"))
+    val top = d.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(ws) >= 2
+            |THEN transform(sequence(0, size(ws) - 2),
+            |  i -> concat(ws[i], ' ', ws[i+1]))
+            |ELSE array() END""".stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_cnt"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        col("n_alpha"), col("n_stop"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+      .withColumn("r_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("r_wlen",
+        lit(3L) * col("n_words") <= col("sum_wlen") &&
+          col("sum_wlen") <= lit(10L) * col("n_words"))
+      .withColumn("r_alpha", lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2L)
+      .withColumn("r_bigram",
+        col("n_words") < 2L ||
+          lit(100L) * col("top_bigram_cnt") <= lit(18L) * (col("n_words") - 1L))
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_alpha") &&
+          col("r_stop") && col("r_bigram"))
+  }
+
   /** Deterministic hash-based train/val/test split — the stratified
     * assignment every training pipeline needs: bucket = first 4 hex
     * nibbles of md5(doc_id) mod 100, stable across engines, runs, and

@@ -326,4 +326,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "no duplicate spans found at gram=4")
     assert(got.forall(t => t._4 <= t._2), "coverage cannot exceed tokens")
   }
+
+  test("gopherRules equals a driver-side rule recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val n = ws.length.toLong
+      val sumW = ws.map(_.length.toLong).sum
+      val nAlpha = ws.count(_.exists(_.isLetter)).toLong
+      val nStop = ws.toSet.intersect(stop).size.toLong
+      val top2 = if (n >= 2)
+        ws.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      else 0L
+      val rw = n >= 50 && n <= 100000
+      val rl = 3 * n <= sumW && sumW <= 10 * n
+      val ra = 5 * nAlpha >= 4 * n
+      val rs = nStop >= 2
+      val rb = n < 2 || 100 * top2 <= 18 * (n - 1)
+      (id, n, sumW, nAlpha, nStop, top2, rw, rl, ra, rs, rb,
+        rw && rl && ra && rs && rb)
+    }.toSet
+    val got = TextAnalysis.gopherRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+      .toSet
+    assert(got === want)
+  }
+
+  test("gopherRules rules each carry signal on the corpus (not vacuous)") {
+    val rows = TextAnalysis.gopherRules(spark, sf).collect()
+    def split(i: Int): Boolean =
+      rows.exists(_.getBoolean(i)) && rows.exists(!_.getBoolean(i))
+    // word-count bound and the 2-stopword rule must both split the
+    // corpus; the composite keep must be a strict subset
+    assert(split(6), "r_words is vacuous")
+    assert(split(9), "r_stop is vacuous")
+    val nKeep = rows.count(_.getBoolean(11))
+    assert(nKeep > 0 && nKeep < rows.length, "keep must be selective")
+  }
 }

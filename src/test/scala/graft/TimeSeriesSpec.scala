@@ -306,4 +306,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     }.nonEmpty
     assert(hasAggBelow, "rank pick must run on the gap-value histogram, not raw gaps")
   }
+
+  test("madOverTime equals a driver-side double-median reference") {
+    // discrete median (stored value at ceil(0.5·n) in (v, event_id)
+    // order), then the same pick over |v − med| — recomputed from the
+    // raw events in plain Scala
+    val evs = Tables.events(spark, sf)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    def medOf(vs: Seq[(Double, Long)]): Double = {
+      val sorted = vs.sortBy(identity)
+      val k = math.ceil(BigDecimal(sorted.length * 0.5)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+      sorted((k - 1).toInt)._1
+    }
+    val want = evs.groupBy(e => (e._1, e._2, e._3)).map { case (key, rows) =>
+      val med = medOf(rows.toSeq.map(e => (e._5, e._4)))
+      val mad = medOf(rows.toSeq.map(e => (math.abs(e._5 - med), e._4)))
+      (key._1, key._2, key._3, mad)
+    }.toSet
+    val got = TimeSeries.madOverTime(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.length === want.size, "one mad row per series-day")
+    assert(got.toSet === want)
+  }
+
+  test("madOverTime windows are all series-partitioned (no global sort)") {
+    val plan = TimeSeries.madOverTime(spark, sf).queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.length === 3,
+      s"window must partition on (step, user_id, event_type): ${w.simpleStringWithNodeId()}"))
+  }
 }
