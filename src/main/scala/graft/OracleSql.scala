@@ -283,6 +283,31 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY step ORDER BY value DESC, user_id) AS rn
         |  FROM per)
         |WHERE rn <= 3""".stripMargin,
+    // limitk: per step, the 10 series with the smallest salted label
+    // md5 (chr(1) is the label-tuple separator both engines share)
+    "q_promql_limitk" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, user_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY step
+        |    ORDER BY md5('lk:' || chr(1) || CAST(user_id AS VARCHAR)), user_id) AS rn
+        |  FROM per)
+        |WHERE rn <= 10""".stripMargin,
+    // limit_ratio: the 48-bit first-12-nibble md5 uniform under 0.3
+    "q_promql_limit_ratio" -> {
+      val nib = (1 to 12).map { k =>
+        val mul = math.pow(16, 12 - k).toLong
+        s"((instr('0123456789abcdef', substring(md5('lr:' || chr(1) || CAST(user_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+      }.mkString(" + ")
+      s"""WITH per AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+         |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT step, user_id, value FROM per
+         |WHERE CAST(($nib) AS DOUBLE) / 281474976710656.0 < 0.3""".stripMargin
+    },
     "q_promql_stepped" ->
       """WITH steps AS (
         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
@@ -322,6 +347,25 @@ object OracleSql {
         |         COUNT(*) OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400) AS n
         |  FROM events WHERE event_type = 'click')
         |SELECT step, user_id, value FROM x
+        |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
+    "q_promql_mad_ot" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step,
+        |         user_id, value, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT step, user_id, value,
+        |        row_number() OVER (PARTITION BY step, user_id
+        |                           ORDER BY value, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY step, user_id) AS n FROM x),
+        |m AS (SELECT step, user_id, value AS med FROM r
+        |      WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)),
+        |d AS (SELECT x.step, x.user_id, x.event_id, abs(x.value - m.med) AS dev
+        |      FROM x JOIN m ON x.step = m.step AND x.user_id = m.user_id),
+        |r2 AS (SELECT step, user_id, dev,
+        |        row_number() OVER (PARTITION BY step, user_id
+        |                           ORDER BY dev, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY step, user_id) AS n FROM d)
+        |SELECT step, user_id, dev AS value FROM r2
         |WHERE rn = CAST(ceil(round(n * 0.5, 9)) AS BIGINT)""".stripMargin,
     "q_promql_last_ot" ->
       """SELECT step, user_id, value FROM (
@@ -861,6 +905,16 @@ object OracleSql {
         |SELECT step, user_id, value,
         |       CAST(row_number() OVER (PARTITION BY step ORDER BY value ASC, user_id) AS INTEGER) AS rank
         |FROM per""".stripMargin,
+    // label-value sort is lexicographic on the label STRING ("10"<"2")
+    "q_promql_sort_by_label" ->
+      """WITH per AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT step, user_id, value,
+        |       CAST(row_number() OVER (PARTITION BY step
+        |         ORDER BY CAST(user_id AS VARCHAR), value) AS INTEGER) AS rank
+        |FROM per""".stripMargin,
     "q_promql_sort_desc" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
@@ -1128,6 +1182,14 @@ object OracleSql {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
         |FROM e GROUP BY CUBE (event_type, decile)""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS decile, value FROM events)
+        |SELECT event_type, decile,
+        |       CAST(GROUPING(event_type) * 2 + GROUPING(decile) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, decile), (event_type), (decile))""".stripMargin,
     "q_window_range_frame" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |       COUNT(*) OVER w AS n_1h,

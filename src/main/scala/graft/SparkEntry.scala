@@ -66,6 +66,12 @@ object SparkEntry {
       s, d, """sum(count_over_time(click[1h]))""")),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
+    // Prometheus 3.x sampling aggregators, made deterministic (the
+    // kept subset is a pure function of the series labels)
+    "q_promql_limitk" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "limitk(10, avg_over_time(click[1h]))")),
+    "q_promql_limit_ratio" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "limit_ratio(0.3, avg_over_time(click[1h]))")),
     "q_promql_ratio" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])""")),
     // true range-query evaluation: aligned steps + per-step lookback
@@ -96,6 +102,8 @@ object SparkEntry {
       s, d, "quantile_over_time(0.5, click[1d])")),
     "q_promql_last_ot" -> ((s, d) => graft.operators.Promql.query(
       s, d, "last_over_time(purchase[1d])")),
+    "q_promql_mad_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "mad_over_time(click[1d])")),
     "q_promql_delta" -> ((s, d) => graft.operators.Promql.query(
       s, d, "delta(purchase[6h])")),
     "q_promql_stddev_ot" -> ((s, d) => graft.operators.Promql.query(
@@ -168,6 +176,9 @@ object SparkEntry {
       s, d, "sort(avg_over_time(purchase[1h]))")),
     "q_promql_sort_desc" -> ((s, d) => graft.operators.Promql.query(
       s, d, "sort_desc(sum_over_time(click[1h]))")),
+    // Prometheus 3.x: label-value sort is a STRING sort ("10" < "2")
+    "q_promql_sort_by_label" -> ((s, d) => graft.operators.Promql.query(
+      s, d, """sort_by_label(sum_over_time(click[1h]), "user_id")""")),
     "q_promql_irate" -> ((s, d) => graft.operators.Promql.query(
       s, d, "irate(click[1w])")),
     "q_promql_predict" -> ((s, d) => graft.operators.Promql.query(
@@ -251,6 +262,7 @@ object SparkEntry {
     // grouping sets + pivot
     "q_rollup" -> (Relational.rollupRevenue _),
     "q_cube"   -> (Relational.cubeEvents _),
+    "q_grouping_sets" -> (Relational.groupingSetsEvents _),
     "q_pivot"  -> (Relational.pivotEventCounts _),
     // window frame + distribution-rank families
     "q_window_range_frame" -> (Relational.windowRangeFrame _),

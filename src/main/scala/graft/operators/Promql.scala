@@ -31,7 +31,8 @@ import graft.Tables
   *             | "histogram_quantile" "(" number "," expr ")"
   *                 (the data model stores value histograms, not le
   *                  buckets: evaluates as the exact discrete quantile)
-  *             | ("topk"|"bottomk") "(" int "," expr ")"
+  *             | ("topk"|"bottomk"|"limitk") "(" int "," expr ")"
+  *             | "limit_ratio" "(" number "," expr ")"
   *             | ("abs"|"ceil"|"floor"|"sqrt"|"exp"|"ln"|"log2"|
   *                "log10"|"sgn"|"sin"|"cos"|"tan"|"asin"|"acos"|"atan"|
   *                "sinh"|"cosh"|"tanh"|"asinh"|"acosh"|"atanh"|
@@ -48,6 +49,7 @@ import graft.Tables
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time"|
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
+  *                "mad_over_time"|
   *                "changes"|"resets"|"delta"|"deriv"|
   *                "rate_extrapolated"|"increase_extrapolated")
   *               "(" (selector range | expr "[" dur ":" dur "]") ")"
@@ -168,6 +170,8 @@ object Promql {
     * series — bounded by series cardinality, never by sample count.
     */
   case class SortFn(child: Expr, desc: Boolean) extends Expr
+  case class SortByLabel(child: Expr, labels: Seq[String],
+                         desc: Boolean) extends Expr
 
   // ---- parser ----------------------------------------------------------
 
@@ -309,6 +313,7 @@ object Promql {
   private val rangeFns = Set("rate", "increase", "count_over_time",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time",
     "changes", "resets", "delta", "deriv", "irate", "idelta",
     "present_over_time",
     "rate_extrapolated", "increase_extrapolated")
@@ -566,6 +571,19 @@ object Promql {
     } else if (name == "sort" || name == "sort_desc") {
       p.eat("("); val c = parseExpr(p); p.eat(")")
       SortFn(c, name == "sort_desc")
+    } else if (name == "sort_by_label" || name == "sort_by_label_desc") {
+      // Prometheus 3.x experimental: sort the vector by LABEL VALUES
+      // (lexicographic string compare, per Prometheus), not by sample
+      p.eat("("); val c = parseExpr(p)
+      val ls = scala.collection.mutable.Buffer.empty[String]
+      while (p.peek(",")) {
+        p.eat(",")
+        val l = p.quoted()
+        ls += (if (l == "__name__") "event_type" else l)
+      }
+      p.eat(")")
+      if (ls.isEmpty) p.fail("sort_by_label needs at least one label")
+      SortByLabel(c, ls.toSeq, name.endsWith("_desc"))
     } else if (name == "topk" || name == "bottomk") {
       // `topk by(label)(k, expr)` ranks within each (step, group) key
       val (by, without) =
@@ -574,6 +592,32 @@ object Promql {
         else (Seq.empty[String], false)
       p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg(name, by, child, k, without = without)
+    } else if (name == "limitk") {
+      // Prometheus 3.x experimental sampling aggregator. Prometheus
+      // keeps an ARBITRARY k series; this engine keeps a DETERMINISTIC
+      // k — the smallest md5('lk:'‖labels) — so results are stable
+      // across runs/partitionings and the same series survives at
+      // every step it exists in (the hash ignores step and value).
+      val (by, without) =
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
+      p.eat("("); val k = p.int(); p.eat(","); val child = parseExpr(p); p.eat(")")
+      Agg("limitk", by, child, k, without = without)
+    } else if (name == "limit_ratio") {
+      // limit_ratio(r, v): keep series whose 48-bit label-hash uniform
+      // u < r; negative r keeps the COMPLEMENT (u ≥ 1+r), so
+      // limit_ratio(r, v) and limit_ratio(r-1, v) partition the vector
+      // exactly — the Prometheus contract, here fully deterministic.
+      val (by, without) =
+        if (p.peekKeyword("by")) { p.eat("by"); (labelList(p), false) }
+        else if (p.peekKeyword("without")) { p.eat("without"); (labelList(p), true) }
+        else (Seq.empty[String], false)
+      p.eat("(")
+      val r = p.number().getOrElse(p.fail("expected ratio in [-1,1]"))
+      if (r < -1.0 || r > 1.0) p.fail("limit_ratio must be in [-1,1]")
+      p.eat(","); val child = parseExpr(p); p.eat(")")
+      Agg("limit_ratio", by, child, without = without, q = r)
     } else if (name == "quantile_over_time") {
       p.eat("(")
       val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
@@ -1041,6 +1085,8 @@ object Promql {
     case lr: LabelReplace => labelOver(eval(s, dir, lr.child), lr)
     case lj: LabelJoin => labelOver(eval(s, dir, lj.child), lj)
     case SortFn(ch, desc) => sortOver(eval(s, dir, ch), desc)
+    case SortByLabel(ch, ls, desc) =>
+      sortByLabelOver(eval(s, dir, ch), ls, desc)
 
     case TimestampFn(sel) =>
       // the instant sample's timestamp as the value (epoch sec, double)
@@ -1122,6 +1168,7 @@ object Promql {
     case LabelReplace(c, _, _, _, _) => stepGrains(c)
     case LabelJoin(c, _, _, _) => stepGrains(c)
     case SortFn(c, _) => stepGrains(c)
+    case SortByLabel(c, _, _) => stepGrains(c)
     case Agg(_, _, child, _, _, _, _) => stepGrains(child)
     case MathFn(_, child, _, _) => stepGrains(child)
     case BinOp(_, _, l, r, _, _, _, _, _) => stepGrains(l) ++ stepGrains(r)
@@ -1250,6 +1297,32 @@ object Promql {
           .withColumn("n", sum("cnt").over(byKey))
           .filter(col("cum") >= pos && col("cum") - col("cnt") < pos)
           .select(keys.map(col) :+ col("value"): _*)
+      case "mad_over_time" =>
+        // Prometheus 3.x experimental: median absolute deviation about
+        // the median. Both medians are the house DISCRETE quantile
+        // (stored value at ceil(0.5·n) — the quantile_over_time
+        // contract, documented divergence from Prometheus'
+        // interpolation), each computed as a VALUE-HISTOGRAM cumulative
+        // pick (reducer state = |distinct values| per key, never
+        // |samples|), joined back per key for the deviation pass.
+        val keys = "step" +: labels
+        def medianOf(src: DataFrame, v: String, out: String): DataFrame = {
+          val hist = src.groupBy((keys :+ v).map(col): _*)
+            .agg(count(lit(1)).as("cnt"))
+          val byKey = Window.partitionBy(keys.map(col): _*)
+          val wCum = byKey.orderBy(v)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val pos = quantilePos(col("n"), 0.5)
+          hist
+            .withColumn("cum", sum("cnt").over(wCum))
+            .withColumn("n", sum("cnt").over(byKey))
+            .filter(col("cum") >= pos && col("cum") - col("cnt") < pos)
+            .select(keys.map(col) :+ col(v).as(out): _*)
+        }
+        val med = medianOf(stepped, "value", "med")
+        val dev = stepped.join(med, keys)
+          .select(keys.map(col) :+ abs(col("value") - col("med")).as("dev"): _*)
+        medianOf(dev, "dev", "value")
       case other => throw new IllegalArgumentException(s"unknown range function '$other'")
     }
   }
@@ -1291,6 +1364,29 @@ object Promql {
         val keys = "step" +: groupLabels
         graft.plans.TopK.perKey(in, keys.map(col),
           ord +: labelCols.map(col), k).drop("rnk")
+      case "limitk" =>
+        // deterministic sampling aggregator (Prometheus 3.x limitk,
+        // made stable): the k series with the smallest md5 of their
+        // SALTED label tuple, per (step, group) — ranked through the
+        // same TopKPerKey bounded-heap operator as topk (no per-step
+        // global window). The hash ignores step and value, so a kept
+        // series is kept at every step it exists in.
+        val hcol = md5(concat_ws("\u0001",
+          lit("lk:") +: labelCols.map(c => col(c).cast("string")): _*))
+        val keys = "step" +: groupLabels
+        graft.plans.TopK.perKey(in.withColumn("lk_h", hcol), keys.map(col),
+          col("lk_h").asc +: labelCols.map(col), k)
+          .drop("rnk").drop("lk_h")
+      case "limit_ratio" =>
+        // keep series whose 48-bit label-hash uniform u ∈ [0,1) falls
+        // under r (negative r keeps the complement u ≥ 1+r, so r and
+        // r−1 partition the vector exactly). A PURE FILTER — zero
+        // shuffles, zero windows at any scale; u is a 48-bit integer
+        // over 2⁴⁸ (exact in a double, the weighted-sample contract).
+        val u = conv(substring(md5(concat_ws("\u0001",
+          lit("lr:") +: labelCols.map(c => col(c).cast("string")): _*)),
+          1, 12), 16, 10).cast("double") / lit(281474976710656.0)
+        in.filter(if (q >= 0) u < lit(q) else u >= lit(1.0 + q))
       case "quantile" =>
         // discrete cross-series quantile per (step, group): the stored
         // value at position ceil(q*n) in value order — exact across
@@ -1685,6 +1781,8 @@ object Promql {
       case lr: LabelReplace => labelOver(evalAt(s, dir, lr.child, spec), lr)
       case lj: LabelJoin => labelOver(evalAt(s, dir, lj.child, spec), lj)
       case SortFn(ch, desc) => sortOver(evalAt(s, dir, ch, spec), desc)
+      case SortByLabel(ch, ls, desc) =>
+        sortByLabelOver(evalAt(s, dir, ch, spec), ls, desc)
 
       case TimestampFn(sel) if sel.atSec.isDefined =>
         throw new IllegalArgumentException(
@@ -1892,6 +1990,23 @@ object Promql {
     val labels = in.columns.filter(c => c != "step" && c != "value").toSeq
     val ord = (if (desc) col("value").desc else col("value").asc) +:
       labels.map(col(_).asc)
+    in.withColumn("rank",
+      row_number().over(Window.partitionBy("step").orderBy(ord: _*)))
+  }
+
+  /** sort_by_label(_desc): rank by the named labels' STRING values
+    * (Prometheus compares label values lexicographically — "10" < "2"),
+    * remaining labels then the sample as deterministic tiebreaks. Same
+    * rank-materialized per-step window as [[sortOver]].
+    */
+  private def sortByLabelOver(in: DataFrame, by: Seq[String],
+                              desc: Boolean): DataFrame = {
+    val labels = in.columns.filter(c => c != "step" && c != "value").toSeq
+    by.foreach(l => require(labels.contains(l),
+      s"sort_by_label: unknown label '$l' (have ${labels.mkString(",")})"))
+    val keys = by.map(l =>
+      if (desc) col(l).cast("string").desc else col(l).cast("string").asc)
+    val ord = keys ++ labels.diff(by).map(col(_).asc) :+ col("value").asc
     in.withColumn("rank",
       row_number().over(Window.partitionBy("step").orderBy(ord: _*)))
   }

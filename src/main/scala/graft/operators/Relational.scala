@@ -359,6 +359,26 @@ object Relational {
         exactSum(col("value")).as("value_sum"))
   }
 
+  /** GROUPING SETS over (event_type, decile) — the explicit-set form
+    * the rollup/cube pair can't express: exactly ((type, decile),
+    * (type), (decile)), i.e. the cube minus its grand total (the spec
+    * proves that identity against [[cubeEvents]]). Same physical shape
+    * as rollup/cube: ONE Expand (3× row replication, each row tagged
+    * with its set's grouping_id) feeding one partial-agg shuffle — no
+    * per-set re-scan of the input at any scale.
+    */
+  def groupingSetsEvents(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("decile", pmod(col("user_id"), lit(10L)))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("decile")),
+          Seq(col("event_type")), Seq(col("decile"))),
+        col("event_type"), col("decile"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("value_sum"))
+  }
+
   /** PIVOT event counts per user: event_type values are pinned
     * EXPLICITLY (the 5 known types), which is the scale-honest form —
     * an unpinned pivot runs a driver-side distinct over the pivot

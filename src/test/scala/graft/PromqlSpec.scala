@@ -1016,4 +1016,79 @@ class PromqlSpec extends AnyFunSuite {
       assert(vals.sameElements(vals.sorted.reverse), "rank must follow value desc")
     }
   }
+
+  test("mad_over_time agrees with the standalone madOverTime kernel") {
+    // the PromQL verb (histogram-pick medians, user_id labels over the
+    // click selector) must agree with TimeSeries.madOverTime (rank-pick
+    // medians over every (day, user, type) series) on the click slice —
+    // two independent discrete-median implementations, one answer
+    val verb = Promql.query(spark, sf, "mad_over_time(click[1d])")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val kernel = graft.operators.TimeSeries.madOverTime(spark, sf)
+      .filter(col("event_type") === "click")
+      .select("step", "user_id", "mad")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verb.nonEmpty)
+    assert(verb === kernel)
+  }
+
+  test("limitk keeps the hash-first series per step; limit_ratio partitions exactly") {
+    val baseQ = "avg_over_time(click[1h])"
+    val base = Promql.query(spark, sf, baseQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver-side salted hash order (the deterministic-keep contract)
+    def h(uid: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("lk:\u0001" + uid.toString).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val lk = Promql.query(spark, sf, s"limitk(10, $baseQ)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // per step: exactly the 10 present series with the smallest hash
+    base.groupBy(_._1).foreach { case (step, rows) =>
+      val want = rows.sortBy(r => (h(r._2), r._2)).take(10).toSet
+      val got = lk.filter(_._1 == step).toSet
+      assert(got === want, s"step $step")
+    }
+    // limit_ratio: r and r−1 partition the vector exactly
+    val a = Promql.query(spark, sf, s"limit_ratio(0.3, $baseQ)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Promql.query(spark, sf, s"limit_ratio(-0.7, $baseQ)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a.nonEmpty && b.nonEmpty)
+    assert((a & b).isEmpty, "r and r-1 selections must be disjoint")
+    assert((a | b) === base.toSet, "r and r-1 must cover the vector")
+    // a kept series is kept at EVERY step it exists in
+    val keptUsers = a.map(_._2)
+    assert(base.filter(r => keptUsers.contains(r._2)).toSet === a)
+  }
+
+  test("sort_by_label ranks by the label STRING, not numerically") {
+    val df = Promql.query(spark, sf,
+      """sort_by_label(sum_over_time(click[1h]), "user_id")""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (step, rs) =>
+      val inOrder = rs.sortBy(_._3).map(_._2.toString)
+      assert(inOrder.sameElements(inOrder.sorted),
+        s"step $step: label order must be lexicographic")
+    }
+    // the string/numeric distinction is REAL on this corpus: some step
+    // must rank a numerically-larger user before a smaller one
+    val proof = rows.groupBy(_._1).exists { case (_, rs) =>
+      val o = rs.sortBy(_._3).map(_._2)
+      o.zip(o.tail).exists { case (a, b) => a > b }
+    }
+    assert(proof, "corpus must exhibit string-vs-numeric divergence")
+  }
+
+  test("mad_over_time windows all carry a partitionSpec") {
+    val plan = Promql.query(spark, sf, "mad_over_time(click[1d])")
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: ${w.simpleStringWithNodeId()}"))
+  }
 }

@@ -243,4 +243,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(mismatch.count() === 0)
     assert(rowSums.count() === perUser.count())
   }
+
+  test("groupingSets is exactly the cube minus its grand total, one Expand") {
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val gs = Relational.groupingSetsEvents(spark, sf).collect().map(key).toSet
+    val cubeNoTotal = Relational.cubeEvents(spark, sf)
+      .filter(col("gid") =!= 3L).collect().map(key).toSet
+    assert(gs === cubeNoTotal)
+    assert(gs.exists(_._3 == 0L) && gs.exists(_._3 == 1L) &&
+      gs.exists(_._3 == 2L) && !gs.exists(_._3 == 3L))
+    // one Expand feeding one aggregation — never a per-set re-scan
+    val plan = planOf(Relational.groupingSetsEvents(spark, sf))
+    assert("Expand".r.findAllIn(plan).length >= 1)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+      s"grouping sets must aggregate in one shuffle:\n$plan")
+  }
 }
