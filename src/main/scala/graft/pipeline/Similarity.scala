@@ -185,11 +185,17 @@ object Similarity {
   /** Sign bits of one 32-bit HALF of the vector packed into a long.
     * Two halves instead of one 64-bit word keep every packed value
     * below 2³², so no engine ever shifts into a BIGINT sign bit and
-    * the oracle's `list_sum` of powers is plainly exact.
+    * the oracle's `list_sum` of powers is plainly exact. Built as a
+    * FLAT when-sum (the planeBucket shape), not an aggregate() fold:
+    * the flat form whole-stage-codegens and evaluates the embedding
+    * column once — measurably cheaper on the clustered corpus, where
+    * `embedding` is itself a derived formula expression.
     */
   private def signSketch(half: Int): Column =
-    expr(s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-      s"acc + IF(embedding[i + ${32 * half}] > 0, shiftleft(1L, i), 0L))")
+    (0 until 32).map { i =>
+      when(col("embedding").getItem(i + 32 * half) > 0f,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Binary sign-sketch ANN (the FAISS IndexBinaryFlat shape — sign-bit
     * binarization is the classic 1-bit quantizer): 64 sign bits packed
