@@ -231,6 +231,37 @@ object OracleSql {
         |       round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
         |             / CAST(COUNT(*) AS DOUBLE), 12) AS hist_avg
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // bucket-midpoint variance about the exact header mean; term
+    // quantization and op order mirror TimeSeries.nhistStddev exactly
+    "q_nhist_stddev" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |st AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST(COUNT(*) AS BIGINT) AS hist_count,
+         |         round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+         |               / CAST(COUNT(*) AS DOUBLE), 12) AS hist_avg
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  -- DuckDB's decimal downscale cast TRUNCATES where Spark's
+         |  -- rounds HALF_UP; adding half a target-scale ulp before the
+         |  -- truncating cast makes it HALF_UP (sq >= 0 always)
+         |  SELECT h.step, h.event_type, st.hist_count,
+         |         CAST((CAST(3.0 * power(2.0, CAST(k AS DOUBLE) - 2.0) AS DECIMAL(16,12))
+         |               - CAST(hist_avg AS DECIMAL(16,12)))
+         |            * (CAST(3.0 * power(2.0, CAST(k AS DOUBLE) - 2.0) AS DECIMAL(16,12))
+         |               - CAST(hist_avg AS DECIMAL(16,12)))
+         |            + CAST('0.0000000000005' AS DECIMAL(14,13))
+         |           AS DECIMAL(20,12)) * CAST(cnt AS DECIMAL(12,0)) AS term
+         |  FROM h JOIN st ON st.step = h.step AND st.event_type = h.event_type)
+         |SELECT step, event_type, hist_stdvar, sqrt(hist_stdvar) AS hist_stddev
+         |FROM (SELECT step, event_type,
+         |        CAST(CAST(SUM(term) + CAST('0.00005' AS DECIMAL(6,5))
+         |                  AS DECIMAL(30,4)) AS DOUBLE)
+         |          / CAST(MAX(hist_count) AS DOUBLE) AS hist_stdvar
+         |      FROM t GROUP BY 1, 2)""".stripMargin,
     "q_nhist_quantile" ->
       s"""WITH h AS (
          |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,

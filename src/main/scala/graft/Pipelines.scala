@@ -428,6 +428,19 @@ object Pipelines {
     "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_hamming" -> annSql("ann_hamming"),
+    // k-NN graph: every vector's ranked top-3 bucket-mates
+    "emb_knn_graph" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding")} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
+         |  FROM emb a JOIN emb b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+         |SELECT vec_id, nbr_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= ${Similarity.KnnGraphK}""".stripMargin,
     "ann_range" -> annSql("ann_range"),
     "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),

@@ -61,6 +61,7 @@ object SparkEntry {
     "q_nhist_stats"     -> (TimeSeries.nhistStats _),
     "q_nhist_quantile"  -> ((s, d) => TimeSeries.nhistQuantile(s, d)),
     "q_nhist_fraction"  -> ((s, d) => TimeSeries.nhistFraction(s, d)),
+    "q_nhist_stddev"    -> (TimeSeries.nhistStddev _),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),
@@ -346,6 +347,8 @@ object SparkEntry {
     "ann_ivfpq_res_trained" ->
       ((s, d) => Similarity.ivfPqResidualTrained(s, d)),
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
+    // k-NN graph over the LSH buckets (SemDeDup / clustering input)
+    "emb_knn_graph"   -> ((s, d) => Similarity.knnGraph(s, d)),
     "emb_cov"         -> ((s, d) => graft.pipeline.Pca.covariance(s, d)),
     "emb_pca"         -> ((s, d) => graft.pipeline.Pca.pca(s, d)),
     "emb_pca_project" -> ((s, d) => graft.pipeline.Pca.project(s, d)),

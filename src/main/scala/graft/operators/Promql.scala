@@ -696,8 +696,12 @@ object Promql {
       val lbl = p.quoted()
       p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg("count_values", by, child, without = without, vlabel = lbl)
-    } else if (name == "holt_winters") {
-      // holt_winters(v[d], sf, tf): double exponential smoothing
+    } else if (name == "holt_winters" ||
+               name == "double_exponential_smoothing") {
+      // holt_winters(v[d], sf, tf): double exponential smoothing.
+      // Prometheus 3.x renamed the function double_exponential_smoothing
+      // (same semantics, behind --enable-feature=promql-experimental-
+      // functions); both spellings parse to the one evaluator.
       p.eat("(")
       val sel = parseSelector(p)
       p.eat("["); val secs = p.duration(); p.eat("]")

@@ -364,6 +364,59 @@ object TimeSeries {
       .withColumn("hist_avg",
         round(col("hist_sum") / col("hist_count").cast("double"), 12))
 
+  /** histogram_stddev / histogram_stdvar over the schema-0 native
+    * histograms (the Prometheus experimental pair): variance estimated
+    * from the bucket distribution — each bucket's mass sits at its
+    * ARITHMETIC midpoint 3·2^(k−2) (the (lower+upper)/2 of the
+    * (2^(k−1), 2^k] bucket, Prometheus's estimator shape) — about the
+    * EXACT header mean hist_sum/hist_count. Per-bucket terms quantize
+    * to decimal(28,12) before the order-independent decimal sum (the
+    * nhistFraction contract); one shared final division rounded at 12,
+    * then an IEEE sqrt both engines share.
+    *
+    * Scale shape: one partial-agg groupBy over the bucket table joined
+    * to the header stats — both keyed (step, event_type), co-
+    * partitioned; no windows at all.
+    */
+  def nhistStddev(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit(3.0) * pow(lit(2.0), col("k").cast("double") - lit(2.0))
+    val stats = nhistStats(s, dir)
+      .select(col("step"), col("event_type"), col("hist_count"),
+        col("hist_avg"))
+    // The whole term chain runs in EXACT decimal: rounding a double
+    // dev² (magnitude up to ~6e5) at any dp either exceeds double
+    // precision or hits shortest-repr tie divergence cross-engine (2
+    // of 3385 rows flipped in the first cut). Here the only
+    // double→decimal boundary is hist_avg's proven 12-dp quantization
+    // (the entropy/lm round-12 contract); mid is an exact ≤8-dp
+    // decimal, the difference and square are exact decimal ops, the
+    // 12-dp re-scale is a DECIMAL rounding (no binary-double tie
+    // surface), and cnt multiplies exactly. The final step is the one
+    // decimal→double cast, an IEEE division and an IEEE sqrt — no
+    // trailing round() at all: round(double, d) near a d-dp tie is
+    // exactly where Spark's shortest-repr and DuckDB's binary
+    // rounding disagree (measured: 2/3385, then 1/3385 rows flipped
+    // with a trailing round at 6; zero without it).
+    val avgD = col("hist_avg").cast("decimal(16,12)")
+    val midD = mid.cast("decimal(16,12)")
+    val devD = midD - avgD
+    nhistBuild(s, dir).join(stats, Seq("step", "event_type"))
+      .withColumn("term",
+        (devD * devD).cast("decimal(20,12)") * col("cnt").cast("decimal(12,0)"))
+      .groupBy("step", "event_type")
+      // the 12-scale sum re-scales to 4 dp BEFORE the double cast: a
+      // scale-12 decimal → double crosses 2⁵³ in the scaled-integer
+      // representation, where DuckDB's int128→double conversion
+      // double-rounds (measured: 44/3385 rows off by one ulp); at
+      // scale 4 the scaled integer is exact in a double on both sides
+      .agg(sum("term").cast("decimal(30,4)").as("t"),
+        max("hist_count").as("n"))
+      .select(col("step"), col("event_type"),
+        (col("t").cast("double") / col("n").cast("double"))
+          .as("hist_stdvar"))
+      .withColumn("hist_stddev", sqrt(col("hist_stdvar")))
+  }
+
   /** histogram_quantile(φ) over the native-histogram buckets: rank
     * ceil(round(φ·n, 9)) (the engine-wide discrete-position rule),
     * then linear interpolation between the exact bucket bounds. The

@@ -233,6 +233,38 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), col("ham"), col("cosine"))
   }
 
+  /** Neighbor count of the k-NN graph entry. */
+  val KnnGraphK = 3
+
+  /** k-NN GRAPH over the whole corpus — every vector's ranked
+    * nearest-neighbor list, the building block SemDeDup-style graph
+    * clustering and connectivity analyses consume (dedup_embedding
+    * emits the PAIRS above a radius; this emits each vector's top-k
+    * regardless of radius). Candidates come from the hyperplane bucket
+    * (bucket-local all-pairs: O(N·bucket) total work as a plain equi
+    * hash join on the bucket key — never N², and [[suggestedPlanes]]
+    * keeps the bucket population bounded as N grows); ranking runs
+    * through the TopKPerKey bounded-heap operator, so the shuffle
+    * carries ≤ partitions × vectors × k candidates — no per-vector
+    * window sort. A vector with no bucket-mates has no row (degree 0).
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = KnnGraphK,
+               numPlanes: Int = NumPlanes): DataFrame = {
+    val emb = withNorm(s, dir)
+      .withColumn("bucket", planeBucket(col("embedding"), numPlanes))
+    val a = emb.select(col("vec_id"), col("embedding").as("qe"),
+      col("norm").as("qn"), col("bucket"))
+    val b = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("ne"),
+      col("norm").as("nn"), col("bucket").as("nb"))
+    val pairs = a.join(b, col("bucket") === col("nb") &&
+        col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        (graft.functions.VectorOps.dot(col("qe"), col("ne"))
+          / (sqrt(col("qn")) * sqrt(col("nn")))).as("cosine"))
+    graft.plans.TopK.perKey(pairs, Seq(col("vec_id")),
+      Seq(col("cosine").desc, col("nbr_id")), k)
+  }
+
   /** Formula centroids (the untrained default). */
   private def formulaCentroids(numCells: Int): IndexedSeq[IndexedSeq[Double]] =
     IndexedSeq.tabulate(numCells)(k =>

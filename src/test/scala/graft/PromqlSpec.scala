@@ -1063,6 +1063,16 @@ class PromqlSpec extends AnyFunSuite {
     assert(base.filter(r => keptUsers.contains(r._2)).toSet === a)
   }
 
+  test("double_exponential_smoothing is the 3.x spelling of holt_winters") {
+    val a = Promql.query(spark, sf, "holt_winters(purchase[1w], 0.5, 0.3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Promql.query(spark, sf,
+        "double_exponential_smoothing(purchase[1w], 0.5, 0.3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
   test("sort_by_label ranks by the label STRING, not numerically") {
     val df = Promql.query(spark, sf,
       """sort_by_label(sum_over_time(click[1h]), "user_id")""")

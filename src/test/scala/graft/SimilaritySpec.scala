@@ -466,6 +466,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ballSize < all.length, "radius must exclude some pairs")
   }
 
+  test("knnGraph restricted to the query vectors IS the lsh top-k") {
+    // two independent implementations of "top-k among bucket-mates":
+    // the whole-corpus graph (TopKPerKey self-join) sliced to the 5
+    // query vectors must equal the per-query lsh leg at the same k
+    val graph = Similarity.knnGraph(spark, sf)
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2)))
+      .toSet
+    val lsh = Similarity.lsh(spark, sf, k = Similarity.KnnGraphK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(graph === lsh)
+    // degree bound holds corpus-wide
+    val deg = Similarity.knnGraph(spark, sf).groupBy("vec_id").count()
+      .collect()
+    assert(deg.nonEmpty)
+    assert(deg.forall(_.getLong(1) <= Similarity.KnnGraphK))
+  }
+
   test("hammingAnn recall@5 meets the calibrated floor at sf0.01") {
     // radius 28/64 was calibrated to the ivfpq_res_trained recall tier
     // on the RAW corpus (sign bits survive near-orthogonality better

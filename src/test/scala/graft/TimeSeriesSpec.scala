@@ -334,6 +334,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSet === want)
   }
 
+  test("nhistStddev equals a driver-side bucket-midpoint recomputation") {
+    def r12(x: Double): Double = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables.events(spark, sf).select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def kOf(v: Double): Int =
+      (-6 to 9).find(k => v <= math.pow(2.0, k)).getOrElse(10)
+    val want = evs.groupBy(e => (e._1, e._2)).map { case ((step, et), rows) =>
+      val n = rows.length
+      // the decimal(30,6) sum → double → /n → round-12 chain of
+      // nhistStats, replayed exactly
+      val sum = rows.map(e => BigDecimal(e._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val avg = r12(sum.toDouble / n)
+      val terms = rows.groupBy(e => kOf(e._3)).map { case (k, rs) =>
+        val dev = BigDecimal(3.0 * math.pow(2.0, k - 2.0))
+          .setScale(12) - BigDecimal(avg).setScale(12)
+        (dev * dev).setScale(12, BigDecimal.RoundingMode.HALF_UP) * rs.length
+      }
+      val stdvar = terms.sum
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n
+      (step, et, stdvar, math.sqrt(stdvar))
+    }.toSet
+    val got = TimeSeries.nhistStddev(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+  }
+
   test("madOverTime windows are all series-partitioned (no global sort)") {
     val plan = TimeSeries.madOverTime(spark, sf).queryExecution.sparkPlan
     val windows = plan.collect {
