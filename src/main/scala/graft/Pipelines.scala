@@ -428,6 +428,21 @@ object Pipelines {
     "ann_recall_clustered" -> recallSql(clustered = true),
     "ann_bruteforce" -> annSql("ann_bruteforce"),
     "ann_hamming" -> annSql("ann_hamming"),
+    // the corpus-sized-planes form: suggestedPlanes(500) = 3 at the
+    // sf0.01 gate corpus (the dedup_embedding_auto convention — the
+    // oracle pins the plane count the Spark side derives from count())
+    "emb_knn_graph_auto" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding", Similarity.suggestedPlanes(500))} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
+         |  FROM emb a JOIN emb b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+         |SELECT vec_id, nbr_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |  FROM pairs)
+         |WHERE rnk <= ${Similarity.KnnGraphK}""".stripMargin,
     // k-NN graph: every vector's ranked top-3 bucket-mates
     "emb_knn_graph" ->
       s"""WITH emb AS (SELECT vec_id, embedding,

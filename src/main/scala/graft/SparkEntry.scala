@@ -349,6 +349,7 @@ object SparkEntry {
     "ann_recall"      -> ((s, d) => Similarity.recallAtK(s, d)),
     // k-NN graph over the LSH buckets (SemDeDup / clustering input)
     "emb_knn_graph"   -> ((s, d) => Similarity.knnGraph(s, d)),
+    "emb_knn_graph_auto" -> ((s, d) => Similarity.knnGraphAuto(s, d)),
     "emb_cov"         -> ((s, d) => graft.pipeline.Pca.covariance(s, d)),
     "emb_pca"         -> ((s, d) => graft.pipeline.Pca.pca(s, d)),
     "emb_pca_project" -> ((s, d) => graft.pipeline.Pca.project(s, d)),

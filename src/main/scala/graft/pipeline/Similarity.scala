@@ -248,6 +248,20 @@ object Similarity {
     * carries ≤ partitions × vectors × k candidates — no per-vector
     * window sort. A vector with no bucket-mates has no row (degree 0).
     */
+  /** [[knnGraph]] at the CORPUS-SIZED plane count — the scale form:
+    * planes = suggestedPlanes(N) keeps the expected bucket population
+    * near the target as N grows, so the bucket-local all-pairs stays
+    * O(N · targetBucket) instead of quadratically thickening at a
+    * fixed plane count (the dedup_embedding_auto lesson, applied at
+    * birth instead of after a soak finds it). One count() — metadata-
+    * cheap — picks the planes.
+    */
+  def knnGraphAuto(s: SparkSession, dir: String,
+                   k: Int = KnnGraphK): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    knnGraph(s, dir, k, suggestedPlanes(n))
+  }
+
   def knnGraph(s: SparkSession, dir: String, k: Int = KnnGraphK,
                numPlanes: Int = NumPlanes): DataFrame = {
     val emb = withNorm(s, dir)

@@ -485,6 +485,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(deg.forall(_.getLong(1) <= Similarity.KnnGraphK))
   }
 
+  test("knnGraphAuto is knnGraph at the corpus-sized plane count") {
+    val n = Tables.embeddings(spark, sf).count()
+    val planes = Similarity.suggestedPlanes(n)
+    assert(planes !== Similarity.NumPlanes,
+      "test corpus must exercise a non-default plane count")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(rows(Similarity.knnGraphAuto(spark, sf)) ===
+      rows(Similarity.knnGraph(spark, sf, numPlanes = planes)))
+  }
+
   test("hammingAnn recall@5 meets the calibrated floor at sf0.01") {
     // radius 28/64 was calibrated to the ivfpq_res_trained recall tier
     // on the RAW corpus (sign bits survive near-orthogonality better
