@@ -210,6 +210,30 @@ object Pipelines {
          |FROM neu n LEFT JOIN old o USING (chash) JOIN dm d USING (chash)""".stripMargin,
     "dedup_minhash_lsh" ->
       s"WITH $shingleCtes\nSELECT id1, id2 FROM cand",
+    // asymmetric containment over capped shingle posting lists — the
+    // oracle re-derives the dropped hot shingles, so the hash proves
+    // the cap semantics (the contamination_capped convention)
+    "dedup_containment" -> {
+      val cap = graft.pipeline.Dedup.ContainCap
+      val tau = graft.pipeline.Dedup.ContainTau
+      s"""WITH c AS (SELECT md5(text) AS chash, MIN(doc_id) AS cid,
+         |             MIN(text) AS text FROM documents GROUP BY 1),
+         |w AS (SELECT cid, $words AS ws FROM c),
+         |sh AS (SELECT DISTINCT cid, s AS sh FROM (
+         |  SELECT cid, unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS s FROM w)),
+         |n AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $cap),
+         |k AS (SELECT sh.cid, sh.sh FROM sh JOIN keep USING (sh)),
+         |p AS (SELECT a.cid AS cid1, b.cid AS cid2, CAST(COUNT(*) AS BIGINT) AS inter
+         |      FROM k a JOIN k b ON a.sh = b.sh AND a.cid < b.cid GROUP BY 1, 2)
+         |SELECT cid1, cid2, inter, na.n AS n_sh1, nb.n AS n_sh2,
+         |       CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS containment
+         |FROM p JOIN n na ON cid1 = na.cid JOIN n nb ON cid2 = nb.cid
+         |WHERE CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= $tau""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

@@ -300,6 +300,8 @@ object SparkEntry {
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    // asymmetric containment: the near-dup class resemblance misses
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_simhash_near"  -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_simhash_near_hash" -> ((s, d) => Dedup.simhashNearHashes(s, d)),

@@ -197,6 +197,62 @@ object Dedup {
     expandPairs(crossC, diagC, contentDocs(s, dir, c), Seq("jaccard"))
   }
 
+  /** Containment candidate posting-list cap: shingles present in more
+    * than this many DISTINCT contents are dropped before the pair join
+    * (the contamination_capped hot-key law — an ubiquitous shingle
+    * contributes C(P,2) pairs and carries almost no containment
+    * signal; the oracle re-derives the dropped set, so the hash
+    * proves the cap's semantics, not just its speed).
+    */
+  val ContainCap = 10L
+
+  /** Containment admission threshold (calibrated on the corpus: 29
+    * pairs at sf0.01 including one full 1.0-containment embedding).
+    */
+  val ContainTau = 0.2
+
+  /** ASYMMETRIC containment near-dup (Broder's containment, as
+    * opposed to resemblance): `inter / min(|S(A)|, |S(B)|)` over
+    * distinct 3-gram shingles. This is the duplication class
+    * resemblance-based dedup structurally MISSES: a document embedded
+    * inside a much larger one has jaccard ≈ |A|/|B| (tiny — MinHash
+    * banding, a jaccard estimator, will not band them together) but
+    * containment 1.0. Candidates therefore come from the CAPPED
+    * shingle posting lists (any shared surviving shingle), not from
+    * MinHash bands.
+    *
+    * Scale shape: COLLAPSE-FIRST (everything runs on distinct
+    * contents); posting lists capped at [[ContainCap]] bound the
+    * per-shingle pair fan-out to C(cap, 2); output is content-level
+    * pairs above tau (bounded by verified pairs, never corpus²).
+    */
+  def containment(s: SparkSession, dir: String, cap: Long = ContainCap,
+                  tau: Double = ContainTau): DataFrame = {
+    val c = collapsed(s, dir)
+    val sh = contentShingles(c)
+    val n = sh.groupBy("cid").agg(count(lit(1)).as("n"))
+    // (cid, sh) is distinct, so the per-shingle row count IS its
+    // distinct-content posting size
+    val kept = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("p")).filter(col("p") <= cap)
+        .select("sh"),
+      "sh")
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("cid1"), col("b.cid").as("cid2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(n.as("na"), col("cid1") === col("na.cid"))
+      .join(n.as("nb"), col("cid2") === col("nb.cid"))
+      .select(col("cid1"), col("cid2"), col("inter"),
+        col("na.n").as("n_sh1"), col("nb.n").as("n_sh2"),
+        (col("inter").cast("double")
+          / least(col("na.n"), col("nb.n")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** The near-dup pipeline's deliverable at scale: verified pairs of
     * DISTINCT contents with copy counts —
     * (cid1, cid2, jaccard, n_docs1, n_docs2), cid1 < cid2 cross pairs

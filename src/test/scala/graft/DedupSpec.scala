@@ -325,4 +325,45 @@ class DedupSpec extends AnyFunSuite {
         s"group $gid mixes topics")
     }
   }
+
+  test("containment equals a driver-side recount and is genuinely asymmetric") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // collapse-first, capped posting lists, pairwise intersections —
+    // replayed in plain Scala
+    val contents = docs.groupBy(_._2).map { case (text, ds) =>
+      ds.map(_._1).min -> text
+    }
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = contents.map { case (cid, t) => cid -> shingles(t) }
+    val posting = sh.toSeq.flatMap { case (cid, ss) => ss.map(_ -> cid) }
+      .groupBy(_._1).filter(_._2.size <= Dedup.ContainCap)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    val inter = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    posting.values.foreach { cids =>
+      for (i <- cids.indices; j <- i + 1 until cids.length)
+        inter((cids(i), cids(j))) = inter.getOrElse((cids(i), cids(j)), 0L) + 1
+    }
+    val want = inter.flatMap { case ((c1, c2), in) =>
+      val (n1, n2) = (sh(c1).size.toLong, sh(c2).size.toLong)
+      val cont = in.toDouble / math.min(n1, n2).toDouble
+      if (cont >= Dedup.ContainTau) Some((c1, c2, in, n1, n2, cont)) else None
+    }.toSet
+    val got = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the asymmetry: some admitted pair's jaccard is well below its
+    // containment — the class MinHash banding (a jaccard estimator)
+    // structurally misses
+    val asym = got.exists { case (_, _, in, n1, n2, cont) =>
+      cont >= 2.0 * (in.toDouble / (n1 + n2 - in).toDouble)
+    }
+    assert(asym, s"corpus must exhibit containment >> jaccard: $got")
+  }
 }
