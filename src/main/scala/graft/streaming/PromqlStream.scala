@@ -242,6 +242,24 @@ object PromqlStream {
     if (pos > sorted.length) None else Some(sorted((pos - 1).toInt))
   }
 
+  /** mad_over_time: the double discrete median (value median, then
+    * |v − med| median) — both picks the ceil(0.5·n) rank statistic,
+    * matching the batch evaluator's histogram picks exactly (ties
+    * collapse by value in both; deviations are ≥ 0 so the −0.0 hazard
+    * only touches the value pass, normalized like foldQuantile).
+    */
+  private[graft] def foldMad(samples: Seq[RateSample]): Option[Double] = {
+    def pick(vs: Seq[Double]): Option[Double] = {
+      val sorted = vs.sorted
+      val pos = math.max(1L, math.ceil(
+        java.math.BigDecimal.valueOf(sorted.length * 0.5)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue).toLong)
+      if (pos > sorted.length) None else Some(sorted((pos - 1).toInt))
+    }
+    val vals = samples.map(r => if (r.value == 0.0) 0.0 else r.value)
+    pick(vals).flatMap(m => pick(vals.map(v => math.abs(v - m))))
+  }
+
   /** newest − oldest by (ts, event_id) — batch delta's max_by/min_by. */
   private def foldDelta(samples: Seq[RateSample]): Option[Double] = {
     val newest = samples.maxBy(r => (r.us, r.event_id))
@@ -398,6 +416,10 @@ object PromqlStream {
     case RangeFunc("quantile_over_time", sel, rangeSec, q, _) =>
       checkSel(sel)
       bufferedStream(in, sel, rangeSec)((_, ss) => foldQuantile(ss, q))
+
+    case RangeFunc("mad_over_time", sel, rangeSec, _, _) =>
+      checkSel(sel)
+      bufferedStream(in, sel, rangeSec)((_, ss) => foldMad(ss))
 
     case RangeFunc("delta", sel, rangeSec, _, _) =>
       checkSel(sel)

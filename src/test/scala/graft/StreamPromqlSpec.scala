@@ -187,6 +187,10 @@ class StreamPromqlSpec extends AnyFunSuite {
     assertBufferedEqualsBatch("quantile_over_time(0.5, click[1d])", "qot", 86400L)
   }
 
+  test("streaming mad_over_time equals batch (double discrete median)") {
+    assertBufferedEqualsBatch("mad_over_time(click[1d])", "mad", 86400L)
+  }
+
   test("streaming delta and deriv equal batch") {
     assertBufferedEqualsBatch("delta(purchase[6h])", "delta", 21600L)
     assertBufferedEqualsBatch("deriv(click[1d])", "deriv", 86400L)
