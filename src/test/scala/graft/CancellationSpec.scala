@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import SparkFixture.{sf, spark}
+
+/** The reference's TestConcurrentCancellation contract
+  * (compute/concurrent_test.go): a running concurrent read stops
+  * promptly when its context is cancelled, and the caller observes the
+  * cancellation. Spark's native form of the same contract: a query
+  * running under a job group aborts when the group is cancelled
+  * (interruptOnCancel kills the task threads), the blocked action
+  * throws, and the session stays healthy for subsequent queries.
+  */
+class CancellationSpec extends AnyFunSuite {
+
+  test("a running query cancels promptly via its job group; session survives") {
+    val group = "graft-cancel-test"
+    @volatile var err: Throwable = null
+    @volatile var finished = false
+    val t = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, "cancellable cross join",
+          interruptOnCancel = true)
+        // deliberately unpayable: |events|³ md5s (10⁹ at sf0.001)
+        import org.apache.spark.sql.functions._
+        val ev = Tables.events(spark, sf).select("event_id")
+        ev.crossJoin(ev.select(col("event_id").as("e2")))
+          .crossJoin(ev.select(col("event_id").as("e3")))
+          .select(md5(concat_ws(":", col("event_id"), col("e2"), col("e3")))
+            .as("h"))
+          .filter(col("h").startsWith("ffffffff")).count()
+        finished = true
+      } catch { case e: Throwable => err = e }
+      finally spark.sparkContext.clearJobGroup()
+    })
+    t.start()
+    // wait until a job of the group is actually RUNNING (planning and
+    // codegen of the 3-way cross join take a while; cancelling before
+    // submission is a no-op the DAGScheduler warns about)
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (tracker.getJobIdsForGroup(group).isEmpty &&
+           System.nanoTime() < deadline && t.isAlive)
+      Thread.sleep(100)
+    assert(tracker.getJobIdsForGroup(group).nonEmpty, "job never started")
+    val t0 = System.nanoTime()
+    spark.sparkContext.cancelJobGroup(group)
+    t.join(30000)
+    assert(!t.isAlive, "cancelled query must terminate")
+    assert(!finished, "the O(n²) count must not have completed")
+    assert(err != null, "the caller must observe the cancellation")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 20.0, s"cancellation must be prompt, took $secs s")
+    // the session is not poisoned: a normal query still runs
+    assert(Tables.events(spark, sf).limit(5).count() === 5L)
+  }
+}
