@@ -1064,8 +1064,78 @@ object OracleSql {
          |FROM r$Iters r JOIN nation n ON n.n_nationkey = r.node""".stripMargin
   }
 
+  /** Degree-ordered-orientation triangle count mirror of
+    * [[graft.operators.Graph.triangleCount]]: the same orientation,
+    * wedge, and closing joins as SQL; tuple comparisons `(d, id) <
+    * (d, id)` are the struct comparisons Spark evaluates. COUNT is
+    * BIGINT in DuckDB (only SUM promotes to HUGEINT), so no cast
+    * gymnastics are needed.
+    */
+  private lazy val triangleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN (dx.deg, e.x) < (dy.deg, e.y) THEN e.x ELSE e.y END AS u,
+      |    CASE WHEN (dx.deg, e.x) < (dy.deg, e.y) THEN e.y ELSE e.x END AS v,
+      |    CASE WHEN (dx.deg, e.x) < (dy.deg, e.y) THEN dy.deg ELSE dx.deg END AS dv
+      |  FROM e JOIN deg dx ON dx.node = e.x JOIN deg dy ON dy.node = e.y),
+      |wd AS (SELECT l.u, l.v, r.v AS w
+      |       FROM o l JOIN o r ON l.u = r.u AND (l.dv, l.v) < (r.dv, r.v)),
+      |tri AS (SELECT wd.u, wd.v, wd.w
+      |        FROM wd JOIN o c ON c.u = wd.v AND c.v = wd.w)
+      |SELECT part_id, COUNT(*) AS n_tri FROM (
+      |  SELECT u AS part_id FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri)
+      |GROUP BY 1""".stripMargin
+
+  /** Truncated harmonic centrality mirror of
+    * [[graft.operators.Graph.harmonic]]: the strong-trade quartile cut
+    * via the SAME discrete (w, a, b) rank statistic (total order — the
+    * pair key is unique — so rank-keep ≡ Spark's struct-threshold
+    * keep), then [[graft.operators.Graph.HarmonicRadius]] min-plus BFS
+    * rounds unrolled as chained CTEs, integer `//` harmonic terms.
+    */
+  private lazy val harmonicSql: String = {
+    import graft.operators.Graph.{HarmonicRadius, Scale}
+    val head =
+      s"""WITH e0 AS (SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+         |    greatest(c.c_nationkey, s.s_nationkey) AS b, COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT a, b, row_number() OVER (ORDER BY w, a, b) AS r,
+         |              COUNT(*) OVER () AS n FROM e0),
+         |keep AS (SELECT a, b FROM rk WHERE r > CAST(ceil(0.75 * n) AS BIGINT)),
+         |adj AS (SELECT a AS src, b AS t FROM keep
+         |        UNION ALL SELECT b, a FROM keep),
+         |d0 AS (SELECT n_nationkey AS o, n_nationkey AS nd, 0 AS d FROM nation)""".stripMargin
+    val rounds = (1 to HarmonicRadius).map { i =>
+      s"""d$i AS (SELECT o, nd, MIN(d) AS d FROM (
+         |  SELECT o, nd, d FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT p.o, adj.t AS nd, p.d + 1 AS d
+         |  FROM d${i - 1} p JOIN adj ON p.nd = adj.src) GROUP BY 1, 2)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |, contrib AS (SELECT nd AS node, CAST(SUM($Scale // d) AS BIGINT) AS h
+         |              FROM d$HarmonicRadius WHERE d > 0 GROUP BY 1)
+         |SELECT n.n_name AS nation, COALESCE(c.h, 0) AS harmonic_scaled,
+         |       CAST(COALESCE(c.h, 0) AS DOUBLE) / 1e12 AS harmonic
+         |FROM nation n LEFT JOIN contrib c ON c.node = n.n_nationkey""".stripMargin
+  }
+
   private val relational: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_triangle_count" -> triangleSql,
+    "q_harmonic" -> harmonicSql,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -415,6 +415,7 @@ object Pipelines {
        |${hits(src(annSql("ann_ivf_nprobe4")), "h_ivf4")},
        |${hits(pq5, "h_pq")},
        |${hits(sq5, "h_sq8")},
+       |${hits(src(annSql("ann_ivf_sq8")), "h_ivfsq8")},
        |${hits(src(annSql("ann_ivfpq")), "h_ivfpq")},
        |${hits(src(annSql("ann_ivfpq_res")), "h_ivfpqr")},
        |${hits(src(annSql("ann_ivfpq_nores4")), "h_ivfpqn4")}
@@ -427,6 +428,7 @@ object Pipelines {
        |UNION ALL ${leg("ann_ivf_nprobe4", "h_ivf4")}
        |UNION ALL ${leg("ann_pq", "h_pq")}
        |UNION ALL ${leg("ann_sq8", "h_sq8")}
+       |UNION ALL ${leg("ann_ivf_sq8", "h_ivfsq8")}
        |UNION ALL ${leg("ann_ivfpq", "h_ivfpq")}
        |UNION ALL ${leg("ann_ivfpq_res", "h_ivfpqr")}
        |UNION ALL ${leg("ann_ivfpq_nores4", "h_ivfpqn4")})""".stripMargin
@@ -484,6 +486,7 @@ object Pipelines {
     "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),
     "ann_sq8" -> annSql("ann_sq8"),
+    "ann_ivf_sq8" -> annSql("ann_ivf_sq8"),
     "ann_ivfpq" -> annSql("ann_ivfpq"),
     "ann_ivfpq_res" -> annSql("ann_ivfpq_res"),
     "ann_ivfpq_probe2" -> annSql("ann_ivfpq_probe2"),
@@ -728,6 +731,44 @@ object Pipelines {
        |         ${dot("qe", "d.recon")} / (sqrt(q.qn) * sqrt(d.rnorm)) AS cosine
        |  FROM q JOIN sq d ON d.vec_id <> q.qid)""".stripMargin, 10)
 
+  /** IVF + SQ8 composed — mirror of Similarity.ivfSq8: the IVF cell
+    * chain (centDist argmin) prunes candidates, the SQ8 chain (exact
+    * min/max stats + midpoint dequantization) scores them. Queries stay
+    * exact and probe their own cell.
+    */
+  private lazy val ivfSq8Sql: String = topkSql(
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |emb AS (SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS norm FROM e),
+       |dists AS (
+       |  SELECT vec_id, embedding, norm, k, $centDist AS dist
+       |  FROM emb CROSS JOIN generate_series(0, ${Similarity.NumCells - 1}) t(k)),
+       |cells AS (
+       |  SELECT vec_id, embedding, norm, k AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       |x AS (SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+       |      FROM e, (SELECT unnest(range(1, 65)) AS j) t(j)),
+       |st AS (SELECT j, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+       |stl AS (SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+       |r AS (SELECT vec_id,
+       |        list_transform(range(1, 65), j ->
+       |          CASE WHEN mxs[j] = mns[j] THEN mns[j]
+       |               ELSE mns[j] + (least(255.0, greatest(0.0,
+       |                      floor((CAST(embedding[j] AS DOUBLE) - mns[j])
+       |                            / (mxs[j] - mns[j]) * 255.0))) + 0.5)
+       |                    * ((mxs[j] - mns[j]) / 255.0) END) AS recon
+       |      FROM e, stl),
+       |sq AS (SELECT vec_id, recon, ${dot("recon", "recon")} AS rnorm FROM r),
+       |data AS (SELECT c.vec_id, c.cell, sq.recon, sq.rnorm
+       |         FROM cells c JOIN sq USING (vec_id)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qn, cell AS qc
+       |      FROM cells WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT q.qid, d.vec_id,
+       |         ${dot("qe", "d.recon")} / (sqrt(q.qn) * sqrt(d.rnorm)) AS cosine
+       |  FROM q JOIN data d ON d.cell = q.qc AND d.vec_id <> q.qid)""".stripMargin, 5)
+
   /** IVF + PQ composed: the IVF cell chain (centDist argmin) prunes
     * candidates, the PQ chain (pqSubDist lists) scores them — the
     * mirror of Similarity.ivfPq.
@@ -770,6 +811,7 @@ object Pipelines {
   private lazy val annSql: Map[String, String] = Map(
     "ann_pq" -> pqSql,
     "ann_sq8" -> sq8Sql,
+    "ann_ivf_sq8" -> ivfSq8Sql,
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_res" -> ivfPqResSql,
     "ann_ivfpq_probe2" -> ivfPqProbeSql,

@@ -248,6 +248,8 @@ object SparkEntry {
     "q_orders_enrich" -> (Relational.ordersEnrich _),
     "q_semi_anti"    -> (Relational.semiAnti _),
     "q_pagerank"     -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
+    "q_triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d)),
+    "q_harmonic"     -> ((s, d) => graft.operators.Graph.harmonic(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     "q_asof_join"      -> (Relational.asofJoin _),
@@ -338,6 +340,7 @@ object SparkEntry {
     // scalar quantization (SQ8): 16x-compressed codes, asymmetric
     // search against midpoint-dequantized vectors (round 10)
     "ann_sq8"         -> ((s, d) => Similarity.sq8(s, d)),
+    "ann_ivf_sq8"     -> ((s, d) => Similarity.ivfSq8(s, d)),
     "ann_ivfpq"       -> ((s, d) => Similarity.ivfPq(s, d)),
     "ann_ivfpq_res"   -> ((s, d) => Similarity.ivfPqResidual(s, d)),
     "ann_ivfpq_probe2" -> ((s, d) => Similarity.ivfPqProbe(s, d)),

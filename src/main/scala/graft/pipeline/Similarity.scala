@@ -1096,6 +1096,36 @@ object Similarity {
     topkPerQuery(pairs, k)
   }
 
+  /** IVF + SQ8 composed (the FAISS IndexIVFScalarQuantizer shape — the
+    * coarse quantizer prunes candidates to one cell, the stored codes
+    * are 8-bit scalar-quantized): queries stay EXACT and probe their
+    * own cell; candidates are scored through midpoint dequantization.
+    * At scale this is the workhorse index layout: postings partitioned
+    * by cell (candidates = N/cells per probe) AND each candidate is 64
+    * bytes instead of 256 — the two compression families multiply.
+    * Plan: one cell-assignment pass (TopKPerKey pruned — shared with
+    * ivf), recon unrolls to 64 constant-folded scalar expressions, one
+    * broadcast-queries equi join on the cell key. Same deterministic
+    * cross-engine arithmetic as the two parents, so the composition is
+    * oracle-hashable.
+    */
+  def ivfSq8(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (mn, mx) = sq8Stats(s, dir)
+    val c = cells(s, dir)
+    val data = c
+      .withColumn("recon", sq8ReconCol(col("embedding"), mn, mx))
+      .select(col("vec_id"), col("cell"), col("recon"),
+        dot("recon", "recon").as("rnorm"))
+    val q = c.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("cell").as("qc"))
+    val pairs = broadcast(q)
+      .join(data, col("cell") === col("qc") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine("qe", col("qn"), "recon", col("rnorm")).as("cosine"))
+    topkPerQuery(pairs, k)
+  }
+
   def recallAtK(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     recallOf(s, dir, k, Seq(
       "ann_lsh" -> lsh(s, dir),
@@ -1105,6 +1135,7 @@ object Similarity {
       "ann_ivf_nprobe4" -> ivfProbe2(s, dir, nprobe = 4),
       "ann_pq" -> pq(s, dir).filter(col("rnk") <= k),
       "ann_sq8" -> sq8(s, dir).filter(col("rnk") <= k),
+      "ann_ivf_sq8" -> ivfSq8(s, dir),
       "ann_ivfpq" -> ivfPq(s, dir),
       "ann_ivfpq_res" -> ivfPqResidual(s, dir),
       "ann_ivfpq_nores4" -> ivfPqProbeNoRes(s, dir)))

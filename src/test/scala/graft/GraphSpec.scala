@@ -34,6 +34,82 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount equals a driver-side brute-force recount") {
+    val edges = Graph.basketEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (x, y) => x < y }, "canonical pair order")
+    assert(edges.toSet.size === edges.length, "edge set must be distinct")
+    val es = edges.toSet
+    val nbr = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // brute force: for every edge, common neighbors ABOVE the higher
+    // endpoint close a triangle exactly once
+    val triPerNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0L
+    for ((x, y) <- edges; z <- nbr(x) intersect nbr(y); if z > y) {
+      total += 1
+      triPerNode(x) += 1; triPerNode(y) += 1; triPerNode(z) += 1
+    }
+    val got = Graph.triangleCount(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.sum === 3 * total, "each triangle touches 3 nodes")
+    assert(got === triPerNode.toMap)
+    assert(es.nonEmpty && total > 0, "corpus must exercise the operator")
+  }
+
+  test("harmonic equals a driver-side BFS reference and keeps the quartile cut") {
+    val keep = Graph.strongTradeEdges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(keep.nonEmpty)
+    // the cut keeps strictly less than a third of the undirected edges
+    // (quartile cut ⇒ n - ceil(0.75 n) ≤ n/4)
+    val nAll = {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      import org.apache.spark.sql.functions._
+      li.join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")),
+          greatest(col("c_nationkey"), col("s_nationkey")))
+        .distinct().count()
+    }
+    assert(keep.length <= nAll / 4)
+    // BFS reference over the kept graph
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_nationkey"), r.getAs[String]("n_name")))
+    val adj = (keep ++ keep.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    def bfs(src: Int): Map[Int, Int] = {
+      var dist = Map(src -> 0)
+      var frontier = List(src)
+      for (d <- 1 to Graph.HarmonicRadius) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Int]))
+          .filterNot(n => dist.contains(n)).distinct
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    val want = nations.map { case (v, name) =>
+      val h = nations.flatMap { case (u, _) =>
+        if (u == v) None else bfs(u).get(v)
+      }.map(d => Graph.Scale / d).sum
+      name -> h
+    }.toMap
+    val got = Graph.harmonic(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === nations.length)
+    got.foreach { case (name, scaled, h) =>
+      assert(scaled === want(name), s"nation $name")
+      assert(h === scaled.toDouble / 1.0e12)
+    }
+    // the truncated-radius graph must show distance variety (a complete
+    // graph would make every centrality identical — degenerate fixture)
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("pagerank mass bounds: every rank >= teleport base, total <= Scale") {
     val ranks = Graph.pagerank(spark, sf).collect().map(_.getLong(1))
     val nV = ranks.length.toLong

@@ -409,16 +409,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(shuffles <= 1, s"sq8 should shuffle only for ranking:\n$plan")
   }
 
+  test("ivfSq8 equals the sq8 scoring restricted to the query's cell") {
+    val vecs = loadVecs
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val rec = Similarity.sq8Recon(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toIndexedSeq).toMap
+    def qDot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var acc = 0L
+      a.indices.foreach(i => acc += math.floor(a(i) * b(i) * 16777216.0).toLong)
+      acc / 16777216.0
+    }
+    val want = vecs.take(5).flatMap { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      val qn = qDot(qd, qd)
+      vecs.filter(x => x._1 != qid && cells(x._1) == cells(qid))
+        .map { case (vid, _) =>
+          val rv = rec(vid)
+          val cos = qDot(qd, rv) / (math.sqrt(qn) * math.sqrt(qDot(rv, rv)))
+          (vid, cos)
+        }
+        .sortBy { case (vid, c) => (-c, vid) }.take(5).zipWithIndex
+        .map { case ((vid, c), i) => (qid, vid, i + 1, c) }
+    }.sortBy(x => (x._1, x._3))
+    val got = Similarity.ivfSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want)
+    // the cell prune is real: fewer candidates ranked than a full scan
+    assert(got.nonEmpty && got.size <= 25)
+  }
+
   test("recall@k is complete, bounded, and monotone in probe width") {
     val r = Similarity.recallAtK(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getDouble(4)))
-    // 10 methods x 5 queries, every query present for every method
-    assert(r.length === 50)
+    // 11 methods x 5 queries, every query present for every method
+    assert(r.length === 55)
     assert(r.map(_._1).distinct.sorted ===
       Array("ann_hamming", "ann_ivf", "ann_ivf_nprobe2", "ann_ivf_nprobe4",
-        "ann_ivfpq", "ann_ivfpq_nores4", "ann_ivfpq_res", "ann_lsh",
-        "ann_pq", "ann_sq8"))
+        "ann_ivf_sq8", "ann_ivfpq", "ann_ivfpq_nores4", "ann_ivfpq_res",
+        "ann_lsh", "ann_pq", "ann_sq8"))
     r.foreach { case (_, _, nTruth, nHits, recall) =>
       assert(nTruth === 5L)
       assert(nHits >= 0L && nHits <= nTruth)
@@ -525,6 +555,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r("ann_ivf_nprobe4") >= 0.95, r.toString)
     // SQ8 scans every candidate at 8-bit precision: near-exact ranking
     assert(r("ann_sq8") >= 0.95, r.toString)
+    // IVF+SQ8 recall is bounded by the cell prune (measured: equal to
+    // plain ivf at this corpus — 8-bit codes rank the cell exactly)
+    assert(r("ann_ivf_sq8") >= 0.6, r.toString)
     assert(r("ann_ivfpq_nores4") >= 0.8, r.toString)
     assert(r("ann_pq") >= 0.85, r.toString)
     assert(r("ann_lsh") >= 0.8, r.toString)
