@@ -1369,6 +1369,52 @@ object Pipelines {
          |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 
+  /** Interpolated Kneser-Ney mirror — Curation.lmKneserNey bit for
+    * bit: the exact-rational numerator max(4·c12−3,0)·(Nt+V) +
+    * 3·N1f·(N1b+1) keeps every ln argument a positive integer
+    * (continuation counts N1f/N1b are COUNT(*)s over the c12 type
+    * table), so the lmBigram integer-ln/decimal-sum contract carries
+    * over unchanged.
+    */
+  private lazy val lmKnSql: String = {
+      val pct = graft.pipeline.Curation.LmBackoffTrainPct
+      def qln(x: String) =
+        s"CAST(round(ln(CAST($x AS DOUBLE)), 12) AS DECIMAL(28,12))"
+      s"""WITH d AS (SELECT doc_id,
+         |    (CAST(($bucketNibble) % 100 AS BIGINT) < $pct) AS in_train,
+         |    $words AS ws FROM documents),
+         |bg0 AS (SELECT doc_id, in_train, unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))
+         |    ELSE [] END) AS b FROM d),
+         |bg AS (SELECT doc_id, in_train, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+         |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM bg WHERE in_train GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |              CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+         |n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c12),
+         |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+         |       FROM (SELECT unnest(ws) AS w FROM d WHERE in_train)),
+         |ntv AS (SELECT nt + v + 1 AS ntv FROM nt, vv),
+         |sc AS (SELECT bg.doc_id, CAST(
+         |    CASE WHEN c1.c1 IS NOT NULL
+         |         THEN ${qln("greatest(4 * coalesce(c12.c12, 0) - 3, 0) * ntv" +
+                       " + 3 * c1.n1f * (coalesce(n1b.n1b, 0) + 1)")}
+         |              - ${qln("4 * c1.c1")} - ${qln("ntv")}
+         |         ELSE ${qln("coalesce(n1b.n1b, 0) + 1")} - ${qln("ntv")}
+         |    END AS DECIMAL(28,12)) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN n1b ON n1b.w2 = bg.w2, ntv),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         SUM(lp) AS slp FROM sc GROUP BY 1)
+         |SELECT d.doc_id, d.in_train, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN pd.n_bigrams IS NULL THEN 0.0
+         |       ELSE CAST(slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)
+         |  END AS mean_kn
+         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
   /** CCNet-style perplexity-band filter over the bigram-LM scores —
     * mirrors Curation.pplFilter: tercile thresholds are k-th-smallest
     * RANK statistics (the quantilePos contract), never interpolated
@@ -1400,6 +1446,7 @@ object Pipelines {
   private val lmRetrieval: Map[String, String] = Map(
     "doc_lm_score" -> lmScoreSql,
     "doc_lm_bigram" -> lmBigramSql,
+    "doc_lm_kn" -> lmKnSql,
     "doc_ppl_filter" -> pplFilterSql,
     "doc_clf_train" -> clfTrainSql,
     // hashed-feature linear classifier: per-token md5-nibble bucket →

@@ -411,6 +411,7 @@ object SparkEntry {
     "doc_mixture"       -> ((s, d) => graft.pipeline.Curation.mixtureSolve(s, d)),
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
     "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
+    "doc_lm_kn"         -> ((s, d) => graft.pipeline.Curation.lmKneserNey(s, d)),
     // CCNet-style perplexity-band gate over the bigram LM (rank-statistic
     // terciles, head+middle kept)
     "doc_ppl_filter"    -> ((s, d) => graft.pipeline.Curation.pplFilter(s, d)),

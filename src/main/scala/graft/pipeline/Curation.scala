@@ -274,6 +274,90 @@ object Curation {
           .as("mean_lp"))
   }
 
+  /** Interpolated KNESER-NEY bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the smoothing production
+    * n-gram LMs (KenLM) actually ship, next to [[lmBigram]]'s stupid
+    * backoff: the backoff distribution is the CONTINUATION probability
+    * (how many distinct histories precede w?), not the raw unigram —
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass is tiny.
+    *
+    * EXACT-RATIONAL formulation, the property that makes KN
+    * oracle-hashable: with discount D = 3/4 and an add-one-smoothed
+    * continuation distribution Pc(w2) = (N1b(w2)+1)/(Nt+V),
+    *
+    *   P(w2|w1) = (max(c12 − D, 0) + D·N1f(w1)·Pc(w2)) / c1(w1)
+    *            = [ max(4·c12 − 3, 0)·(Nt+V) + 3·N1f(w1)·(N1b(w2)+1) ]
+    *              / [ 4·c1(w1) · (Nt+V) ]
+    *
+    * — numerator and both denominator factors are positive INTEGERS,
+    * so every log is an integer-ln (the lmBigram strict contract):
+    * lp = qln(num) − qln(4·c1) − qln(Nt+V), quantized at 12, summed in
+    * exact decimal. Unseen history (c1 undefined) scores the smoothed
+    * continuation alone: qln(N1b+1) − qln(Nt+V). The add-one on the
+    * continuation counts is what keeps the numerator positive for
+    * words never seen as a continuation (N1b = 0) — the OOV floor
+    * plain KN lacks at the bigram level.
+    *
+    * Same held-out split and scale shape as [[lmBigram]]: all four
+    * count tables are vocabulary-bounded and broadcast (never a
+    * shuffle join on Zipf-skewed words); type totals are a one-row
+    * broadcast; the only corpus-sized shuffle is the per-doc
+    * re-aggregation. N1f/N1b/Nt are counts over the c12 TABLE (types,
+    * not occurrences) — partial aggs over an already-reduced frame.
+    */
+  def lmKneserNey(s: SparkSession, dir: String,
+                  trainPct: Long = LmBackoffTrainPct): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must split both ways")
+    def qln(c: Column): Column =
+      round(log(c.cast("double")), 12).cast("decimal(28,12)")
+    val base = Tables.documents(s, dir).select(col("doc_id"),
+      ((conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L) < trainPct).as("in_train"),
+      expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val bg = base.select(col("doc_id"), col("in_train"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(0, size(ws) - 2),
+          |  i -> struct(ws[i] AS w1, ws[i+1] AS w2))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("in_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.filter(col("in_train"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // per-history: prefix occurrences AND distinct-continuation count
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    // per-word: distinct-history count (the continuation numerator)
+    val n1b = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    // bigram type total + train vocabulary size (+1 OOV slot)
+    val nt = c12.agg(count(lit(1)).as("nt"))
+    val v = base.filter(col("in_train"))
+      .select(explode(col("ws")).as("w")).agg(countDistinct("w").as("v"))
+    val ntv = nt.crossJoin(v)
+      .select((col("nt") + col("v") + lit(1L)).as("ntv"))
+    val num = greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - lit(3L), lit(0L)) *
+      col("ntv") +
+      lit(3L) * col("n1f") * (coalesce(col("n1b"), lit(0L)) + lit(1L))
+    val lp = when(col("c1").isNotNull,
+        qln(num) - qln(lit(4L) * col("c1")) - qln(col("ntv")))
+      .otherwise(qln(coalesce(col("n1b"), lit(0L)) + lit(1L)) - qln(col("ntv")))
+      .cast("decimal(28,12)")
+    val perDoc = bg
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(n1b), Seq("w2"), "left")
+      .crossJoin(broadcast(ntv))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("slp"))
+    base.select(col("doc_id"), col("in_train"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_train"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_kn"))
+  }
+
   /** Hashed-feature linear quality classifier — the fastText-shaped
     * fast-filter (Joulin et al. 2017: a linear model over hashed
     * bag-of-words is the standard cheap quality/LID classifier in

@@ -28,7 +28,7 @@ object Dedup {
     * the split per element — O(words²) per document, and measured as the
     * dominant cost of every shingle-based operator at sf0.1.
     */
-  private[pipeline] def shinglesOf(wordsCol: String): Column =
+  private[graft] def shinglesOf(wordsCol: String): Column =
     expr(
       s"""CASE WHEN size($wordsCol) >= 3
          |THEN transform(sequence(0, size($wordsCol) - 3),

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** ONLINE contamination guard: training documents stream in and each
+  * is checked against a STATIC eval/benchmark shingle index as it
+  * arrives — the "is this crawl page a test-set leak?" gate a
+  * continuously-ingesting pretraining pipeline runs before admission.
+  *
+  * Why this streams when corpus-global signals don't: the guard's
+  * reference side (the benchmark/eval corpus) is FIXED for the life of
+  * the stream, and a document's verdict depends only on its own
+  * shingles against that index — zero cross-document, zero
+  * cross-batch state. The index is built once (the same eval-split
+  * derivation the batch operator uses, content-collapsed and
+  * localCheckpointed); each micro-batch is a batch-local
+  * explode → equi-join → per-doc aggregation, so the plan inside
+  * foreachBatch is exactly the batch operator's join leg. At scale
+  * the index is benchmark-sized (MBs against a TB/day stream) and
+  * broadcasts; a new benchmark version is a new stream, mirroring how
+  * eval suites are versioned in practice.
+  *
+  * Output rows are doc-for-doc the batch [[graft.pipeline.Curation
+  * .contamination]] rows (uncapped) restricted to the streamed
+  * documents — the spec proves the equality, so this is the
+  * batch-equivalence contract the other streaming legs carry.
+  * Reference semantics: compute/dedup posture of the reference repo
+  * does not cover contamination; the operator family follows Dodge
+  * et al. 2021's n-gram-overlap decontamination.
+  */
+object ContaminationStream {
+
+  /** Static eval-side index (shingle_h, echash, n_eval): the distinct
+    * shingle hashes of every content that has at least one eval-split
+    * (non-train) document, carrying the content's eval-doc count.
+    * Built ONCE per stream from the reference corpus; localCheckpoint
+    * pins it so every micro-batch joins the same materialized frame
+    * instead of re-deriving it (the served-index discipline).
+    */
+  def evalIndex(s: SparkSession, refDir: String): DataFrame = {
+    val split = graft.pipeline.TextAnalysis.sampleSplit(s, refDir)
+      .select("doc_id", "split")
+    val evalCounts = graft.Tables.documents(s, refDir)
+      .select(md5(col("text")).as("echash"), col("doc_id"))
+      .join(split, "doc_id")
+      .filter(col("split") =!= "train")
+      .groupBy("echash").agg(count(lit(1)).as("n_eval"))
+    val evalSh = graft.Tables.documents(s, refDir)
+      .groupBy(md5(col("text")).as("echash")).agg(min("text").as("text"))
+      .join(evalCounts, "echash")
+      .select(col("echash"), col("n_eval"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("echash"), col("n_eval"),
+        explode(graft.pipeline.Dedup.shinglesOf("ws")).as("sh"))
+      .select(md5(col("sh")).as("h"), col("echash"), col("n_eval"))
+      .distinct()
+    evalSh.localCheckpoint()
+  }
+
+  /** Per-batch verdicts for the TRAIN-split documents of `batch`
+    * against the prepared index: (doc_id, n_shared_shingles,
+    * n_eval_docs), inner — clean documents emit nothing (the batch
+    * operator's contract).
+    */
+  private[streaming] def verdicts(batch: DataFrame, idx: DataFrame): DataFrame = {
+    // train membership is the same pure doc_id-hash rule as
+    // TextAnalysis.sampleSplit — an arriving doc knows its split
+    val isTrain =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L) < 80L
+    val docSh = batch.filter(isTrain)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"), explode(graft.pipeline.Dedup.shinglesOf("ws")).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .distinct()
+    val hits = docSh.join(idx, "h")
+    val shared = hits.groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared_shingles"))
+    val evalDocs = hits.select("doc_id", "echash", "n_eval").distinct()
+      .groupBy("doc_id").agg(sum("n_eval").as("n_eval_docs"))
+    shared.join(evalDocs, "doc_id")
+      .select("doc_id", "n_shared_shingles", "n_eval_docs")
+  }
+
+  /** One AvailableNow pass: documents under `inDir` stream through the
+    * guard against `refDir`'s eval index; contaminated-doc verdicts
+    * append to `outDir` as parquet (exactly-once via the checkpoint +
+    * deterministic per-batch recompute).
+    */
+  def runOnce(s: SparkSession, inDir: String, outDir: String,
+              checkpoint: String, refDir: String): Unit = {
+    val idx = evalIndex(s, refDir)
+    val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        verdicts(batch, idx)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   *  - The per-document quality rules stream: the composite score and
   *    the Gopher repetition fractions are pure projections over the
   *    document's own words (array builtins, zero state).
-  *  - The corpus-global signals (unigram-LM typicality, near-dup,
-  *    contamination) do NOT stream — they need corpus-wide state; run
-  *    them in batch over this sink's output (same files), the same
-  *    batch-over-ingested contract as the rejected PromQL verbs.
+  *  - The corpus-global signals (unigram-LM typicality, near-dup) do
+  *    NOT stream — they need corpus-wide state; run them in batch over
+  *    this sink's output (same files), the same batch-over-ingested
+  *    contract as the rejected PromQL verbs. Contamination is the
+  *    exception: its reference side is a FIXED benchmark index, so it
+  *    streams as the stateless [[ContaminationStream]] guard.
   */
 object CurationStream {
 

@@ -377,6 +377,55 @@ class CurationSpec extends AnyFunSuite {
     assert(backoffFired, "no held-out bigram missed the train counts")
   }
 
+  test("Kneser-Ney LM replays driver-side; unseen-history leg fires on held-out") {
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    def inTrain(id: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100 < 80
+    val trainBg = docs.filter(d => inTrain(d._1))
+      .flatMap(_._2.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    val c12 = trainBg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = trainBg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1f = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = c12.size.toLong
+    val v = docs.filter(d => inTrain(d._1)).flatMap(_._2).distinct.length.toLong
+    val ntv = nt + v + 1L
+    def lnQ(c: Long) = BigDecimal(q12(math.log(c.toDouble)))
+    def lp(b: (String, String)): BigDecimal =
+      if (c1.contains(b._1)) {
+        val num = math.max(4L * c12.getOrElse(b, 0L) - 3L, 0L) * ntv +
+          3L * n1f(b._1) * (n1b.getOrElse(b._2, 0L) + 1L)
+        lnQ(num) - lnQ(4L * c1(b._1)) - lnQ(ntv)
+      } else lnQ(n1b.getOrElse(b._2, 0L) + 1L) - lnQ(ntv)
+    val want = docs.map { case (id, ws) =>
+      val bgs = ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val mean =
+        if (bgs.isEmpty) 0.0
+        else bgs.map(lp).sum.toDouble / bgs.length.toDouble
+      (id, inTrain(id), bgs.length.toLong, mean)
+    }.toSet
+    val got = Curation.lmKneserNey(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+    // both smoothing legs genuinely fire on the held-out side: an
+    // unseen bigram under a SEEN history (the discounted-interpolation
+    // branch with c12 = 0) and ideally an unseen history
+    val heldBgs = docs.filter(d => !inTrain(d._1))
+      .flatMap(_._2.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    assert(heldBgs.exists(b => !c12.contains(b) && c1.contains(b._1)),
+      "no held-out bigram exercised the interpolation branch")
+    // and the continuation signal is non-degenerate: distinct-history
+    // counts differ from raw frequency ranks somewhere
+    assert(n1b.values.toSeq.distinct.length > 1, "degenerate continuation counts")
+  }
+
   test("mixture solver derives integer rates that meet the budget") {
     val rows = Curation.mixtureSolve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
