@@ -1458,6 +1458,10 @@ object OracleSql {
     // to their window formulations, so they share the same oracle
     base ++ Map(
       "q_topk_native" -> base("q_topk"),
+      // the HyperBall-iteration form must EQUAL the BFS harmonic —
+      // exact 64-bit masks make the sketch lossless, so the shared
+      // oracle states the equivalence as a hashed contract
+      "q_harmonic_ball" -> base("q_harmonic"),
       "q_window_rank_native" -> base("q_window_rank"),
       // the chunk-backed PromQL evaluations must reproduce their
       // row-store siblings exactly (XOR codec is lossless and the

@@ -250,6 +250,7 @@ object SparkEntry {
     "q_pagerank"     -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d)),
     "q_harmonic"     -> ((s, d) => graft.operators.Graph.harmonic(s, d)),
+    "q_harmonic_ball" -> ((s, d) => graft.operators.Graph.harmonicBall(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),
     "q_bucketed_join" -> (graft.sources.BucketedStore.bucketedJoin _),
     "q_asof_join"      -> (Relational.asofJoin _),

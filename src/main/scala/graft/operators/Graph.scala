@@ -222,6 +222,52 @@ object Graph {
     * (the pagerank discipline). Reference posture: Common Crawl
     * publishes harmonic centrality as its primary host ranking.
     */
+  /** Harmonic centrality via the HYPERBALL iteration (Boldi & Vigna
+    * 2013) — the structure that scales to web graphs: each node keeps a
+    * NEIGHBORHOOD SKETCH, each round every node merges its neighbors'
+    * sketches (one co-partitioned join + one merge partial-agg — state
+    * is V sketches, never V² pairs), and the harmonic sum accrues
+    * incrementally as Σ_r (|B(v,r)| − |B(v,r−1)|)·⌊Scale/r⌋. Here V is
+    * dimension-bounded (≤ 64), so the sketch is an EXACT 64-bit mask
+    * (bit_or merge, bit_count size) and the result provably EQUALS
+    * [[harmonic]] — the spec and the shared oracle pin the equivalence.
+    * At web scale the only change is the sketch type: the mask becomes
+    * an HLL register vector (merge = per-register max, |B| = the HLL
+    * estimate) — same joins, same accrual, same plan shape; the
+    * per-node state is registers, not reachable-sets.
+    */
+  def harmonicBall(s: SparkSession, dir: String,
+                   radius: Int = HarmonicRadius): DataFrame = {
+    require(radius >= 1, "radius must be >= 1")
+    val keep = strongTradeEdges(s, dir)
+    val adj = keep.select(col("a").as("src"), col("b").as("t"))
+      .union(keep.select(col("b").as("src"), col("a").as("t")))
+      .cache()
+    val nations = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    val maxKey = nations.agg(max("node")).head().getInt(0)
+    require(maxKey < 64,
+      "exact-mask HyperBall needs node ids < 64; larger graphs take the HLL sketch")
+    var cur = nations.select(col("node"),
+      expr("shiftleft(1L, node)").as("mask"), lit(0L).as("h"))
+    for (r <- 1 to radius) {
+      val nbr = cur.select(col("node").as("src"), col("mask"))
+        .join(adj, "src")
+        .select(col("t").as("node"), col("mask"))
+      val merged = cur.select(col("node"), col("mask")).union(nbr)
+        .groupBy("node").agg(expr("bit_or(mask)").as("nmask"))
+      cur = cur.join(merged, "node")
+        .select(col("node"), col("nmask").as("mask"),
+          (col("h") +
+            (bit_count(col("nmask")) - bit_count(col("mask"))).cast("long") *
+              lit(Scale / r)).as("h"))
+        .localCheckpoint() // V rows of (mask, accumulator) per round
+    }
+    cur.join(nations, "node")
+      .select(col("n_name").as("nation"), col("h").as("harmonic_scaled"),
+        (col("h").cast("double") / lit(1.0e12)).as("harmonic"))
+  }
+
   def harmonic(s: SparkSession, dir: String,
                radius: Int = HarmonicRadius): DataFrame = {
     require(radius >= 1, "radius must be >= 1")

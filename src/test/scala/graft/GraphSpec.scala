@@ -110,6 +110,15 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1)
   }
 
+  test("harmonicBall (HyperBall iteration, exact masks) equals BFS harmonic") {
+    val bfs = Graph.harmonic(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val ball = Graph.harmonicBall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(ball === bfs,
+      "the incremental ball accrual must reproduce the min-plus BFS sum")
+  }
+
   test("pagerank mass bounds: every rank >= teleport base, total <= Scale") {
     val ranks = Graph.pagerank(spark, sf).collect().map(_.getLong(1))
     val nV = ranks.length.toLong
