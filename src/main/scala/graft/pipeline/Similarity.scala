@@ -305,9 +305,26 @@ object Similarity {
   }
 
   /** IVF cell assignment: nearest centroid by exact L2, ties → lower k. */
+  /** Memoized cell-assignment frame — the IVF INDEX itself (vec_id →
+    * cell, with norms), built once per (session, corpus, cell count)
+    * and served to every leg that probes it (ivf, ivfSq8, residual
+    * encode, recall records): the write-once serving posture a real
+    * IVF deployment has, and measured at sf0.1 it stops the recall
+    * records from re-deriving the assignment once per leg. Keyed like
+    * truthStore/Dedup.dirKey (session identity included — a
+    * checkpointed frame dies with its SparkContext).
+    */
+  private val cellStore =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def clearCellStore(): Unit = cellStore.clear()
+
   private def cells(s: SparkSession, dir: String,
                     numCells: Int = NumCells): DataFrame =
-    assignTo(withNorm(s, dir), formulaCentroids(numCells))
+    cellStore.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "|" + dir + "|" + numCells,
+      _ => assignTo(withNorm(s, dir), formulaCentroids(numCells))
+        .localCheckpoint())
 
   /** Formula-centroid cell assignment over ANY (vec_id, embedding)
     * frame — the stateless kernel the STREAMING index maintainer
