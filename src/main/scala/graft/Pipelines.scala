@@ -1518,6 +1518,24 @@ object Pipelines {
          |JOIN (${text("text_repetition")}) r USING (doc_id)
          |JOIN ($lmScoreSql) l USING (doc_id)""".stripMargin
     },
+    // the streaming curation sink's backlog contract: kept set = the
+    // quality-passing contents deduped to their min doc_id — the same
+    // text_quality / text_repetition formulas the batch entries hash,
+    // composed (identical contents share identical scores, so MIN
+    // aggregates pick the survivor's values exactly)
+    "doc_curation_stream" -> {
+      import graft.pipeline.Curation._
+      s"""WITH q AS (${text("text_quality")}),
+         |r AS (${text("text_repetition")}),
+         |d AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+         |j AS (SELECT d.content_hash, d.doc_id, q.score, r.dup_word_frac
+         |      FROM d JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |      WHERE q.score >= CAST($DefaultMinQuality AS DOUBLE)
+         |        AND r.dup_word_frac <= CAST($DefaultMaxDupWordFrac AS DOUBLE))
+         |SELECT content_hash, MIN(doc_id) AS doc_id, MIN(score) AS score,
+         |       MIN(dup_word_frac) AS dup_word_frac
+         |FROM j GROUP BY 1""".stripMargin
+    },
     // stratified mix sampling: same nibble hash as doc_sample but
     // salted with 'mix:', CASE rates generated from the same weight
     // map the Spark side folds over

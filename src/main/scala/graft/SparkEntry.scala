@@ -413,6 +413,8 @@ object SparkEntry {
     "doc_hybrid_search" -> ((s, d) => graft.pipeline.Retrieval.hybridSearch(s, d)),
     "doc_lm_bigram"     -> ((s, d) => graft.pipeline.Curation.lmBigram(s, d)),
     "doc_lm_kn"         -> ((s, d) => graft.pipeline.Curation.lmKneserNey(s, d)),
+    "doc_curation_stream" -> ((s, d) =>
+      graft.streaming.CurationStream.keptStore(s, d)),
     // CCNet-style perplexity-band gate over the bigram LM (rank-statistic
     // terciles, head+middle kept)
     "doc_ppl_filter"    -> ((s, d) => graft.pipeline.Curation.pplFilter(s, d)),

@@ -198,9 +198,18 @@ object Bpe {
     * refinement).
     */
   def tokenCounts(s: SparkSession, dir: String,
-                  merges: Int = Merges): DataFrame = {
-    val ms = learnedMerges(s, dir, merges)
-    val init = Tables.documents(s, dir)
+                  merges: Int = Merges): DataFrame =
+    tokenCountsOf(Tables.documents(s, dir), learnedMerges(s, dir, merges))
+
+  /** Learned-tokenizer token counts over ANY (doc_id, text) frame —
+    * the stateless apply kernel shared by the batch entry and the
+    * STREAMING tokenizer (streaming/BpeStream): the model is a ≤
+    * `merges`-row constant folded into the plan as replace literals,
+    * so tokenization is a pure projection + one doc-keyed partial agg.
+    */
+  private[graft] def tokenCountsOf(docs: DataFrame,
+                                   ms: Seq[Merge]): DataFrame = {
+    val init = docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
       .withColumn("syms", symsOf)
