@@ -405,6 +405,36 @@ object OracleSql {
         |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase')
         |WHERE rn = 1""".stripMargin,
+    // 3.x experimental range verbs: first sample's value, and the
+    // ts_of_* family (timestamp of the window's extremum / last
+    // sample, epoch seconds as double — same int64 µs / 1e6 division
+    // on both engines). ts_of ties: latest sample wins (Prometheus
+    // iterates in time order with >= / <=), hence DESC time keys.
+    "q_promql_first_ot" ->
+      """SELECT step, user_id, value FROM (
+        |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 21600
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rn = 1""".stripMargin,
+    "q_promql_ts_of_last" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       MAX(epoch_us(ts)) / 1000000.0 AS value
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+    "q_promql_ts_of_max" ->
+      """SELECT step, user_id, epoch_us(ts) / 1000000.0 AS value FROM (
+        |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 21600
+        |                            ORDER BY value DESC, epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rn = 1""".stripMargin,
+    "q_promql_ts_of_min" ->
+      """SELECT step, user_id, epoch_us(ts) / 1000000.0 AS value FROM (
+        |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 86400
+        |                            ORDER BY value ASC, epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click')
+        |WHERE rn = 1""".stripMargin,
     "q_promql_delta" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, value,

@@ -103,6 +103,14 @@ object SparkEntry {
       s, d, "quantile_over_time(0.5, click[1d])")),
     "q_promql_last_ot" -> ((s, d) => graft.operators.Promql.query(
       s, d, "last_over_time(purchase[1d])")),
+    "q_promql_first_ot" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "first_over_time(purchase[6h])")),
+    "q_promql_ts_of_last" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "ts_of_last_over_time(view[1d])")),
+    "q_promql_ts_of_max" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "ts_of_max_over_time(purchase[6h])")),
+    "q_promql_ts_of_min" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "ts_of_min_over_time(click[1d])")),
     "q_promql_mad_ot" -> ((s, d) => graft.operators.Promql.query(
       s, d, "mad_over_time(click[1d])")),
     "q_promql_delta" -> ((s, d) => graft.operators.Promql.query(

@@ -49,7 +49,8 @@ import graft.Tables
   *   func     := ("rate"|"increase"|"count_over_time"|"sum_over_time"|
   *                "avg_over_time"|"min_over_time"|"max_over_time"|
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
-  *                "mad_over_time"|
+  *                "mad_over_time"|"first_over_time"|"ts_of_last_over_time"|
+  *                "ts_of_max_over_time"|"ts_of_min_over_time"|
   *                "changes"|"resets"|"delta"|"deriv"|
   *                "rate_extrapolated"|"increase_extrapolated")
   *               "(" (selector range | expr "[" dur ":" dur "]") ")"
@@ -315,7 +316,8 @@ object Promql {
     "last_over_time", "stddev_over_time", "stdvar_over_time",
     "mad_over_time",
     "changes", "resets", "delta", "deriv", "irate", "idelta",
-    "present_over_time",
+    "present_over_time", "first_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
     "rate_extrapolated", "increase_extrapolated")
   // longest-first so ">=" is not eaten as ">" + "="
   private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
@@ -1199,6 +1201,26 @@ object Promql {
       case "min_over_time"   => grouped.agg(min("value").as("value"))
       case "max_over_time"   => grouped.agg(max("value").as("value"))
       case "last_over_time"  => grouped.agg(max_by(col("value"), tkey).as("value"))
+      case "first_over_time" => grouped.agg(min_by(col("value"), tkey).as("value"))
+      case "ts_of_last_over_time" =>
+        // the 3.x experimental ts_of_* family emits the sample's
+        // TIMESTAMP (epoch seconds, float) as the value; samples at
+        // the same instant share the instant, so plain max suffices
+        grouped.agg((max(unix_micros(col("ts"))) / lit(1e6)).as("value"))
+      case "ts_of_max_over_time" | "ts_of_min_over_time" =>
+        // Prometheus iterates in time order with >= (resp. <=), so
+        // among equal extrema the LATEST sample's timestamp wins —
+        // lexicographic (value, ts, event_id) arg-extremum, negating
+        // the time key for the min form to keep last-wins ties. The
+        // full struct is unique per sample (event_id), so the
+        // arg-extremum is deterministic.
+        val us = unix_micros(col("ts"))
+        val pick =
+          if (fn == "ts_of_max_over_time")
+            max_by(us, struct(col("value"), us, col("event_id")))
+          else
+            min_by(us, struct(col("value"), negate(us), negate(col("event_id"))))
+        grouped.agg((pick / lit(1e6)).as("value"))
       case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
       case "delta" =>
         // newest − oldest stored value in the window (PromQL delta,

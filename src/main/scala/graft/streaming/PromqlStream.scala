@@ -69,6 +69,11 @@ object PromqlStream {
       (graft.functions.ExactNum.exactSumSq(col("value"))
         - exactSum * exactSum / count(lit(1))) / count(lit(1))
     val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
+    // the ts_of_* family and first_over_time are arg-extremum picks
+    // over the unique (value?, ts, event_id) key — order-independent,
+    // so they stream as fused aggregations with the batch evaluator's
+    // exact tie rules (latest extremum wins for ts_of_max/min)
+    val us = unix_micros(col("ts"))
     Map(
       "count_over_time" -> count(lit(1)).cast("double"),
       "sum_over_time" -> exactSum,
@@ -76,6 +81,12 @@ object PromqlStream {
       "min_over_time" -> min(col("value")),
       "max_over_time" -> max(col("value")),
       "last_over_time" -> max_by(col("value"), tkey),
+      "first_over_time" -> min_by(col("value"), tkey),
+      "ts_of_last_over_time" -> (max(us) / lit(1e6)),
+      "ts_of_max_over_time" ->
+        (max_by(us, struct(col("value"), us, col("event_id"))) / lit(1e6)),
+      "ts_of_min_over_time" ->
+        (min_by(us, struct(col("value"), negate(us), negate(col("event_id")))) / lit(1e6)),
       "present_over_time" -> max(lit(1.0)),
       "stddev_over_time" -> sqrt(guarded),
       "stdvar_over_time" -> guarded)
@@ -113,8 +124,9 @@ object PromqlStream {
   private def notStreamable(what: String): Nothing =
     throw new IllegalArgumentException(
       s"not streamable: $what — the streaming subset is " +
-        "[sum|min|max by(...)] (count|sum|avg|min|max|last|present|" +
-        "stddev|stdvar_over_time(metric{matchers}[W])), the buffered " +
+        "[sum|min|max by(...)] (count|sum|avg|min|max|last|first|" +
+        "present|stddev|stdvar|ts_of_last|ts_of_max|ts_of_min" +
+        "_over_time(metric{matchers}[W])), the buffered " +
         "window-local verbs (rate|increase|quantile_over_time|delta|" +
         "irate|idelta|changes|resets|deriv|predict_linear|" +
         "holt_winters), or a bare selector; run cross-window queries " +

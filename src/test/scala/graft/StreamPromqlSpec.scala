@@ -117,6 +117,13 @@ class StreamPromqlSpec extends AnyFunSuite {
     assertEqualsBatch("stddev_over_time(click[1d])", "sdot")
   }
 
+  test("first_over_time and the ts_of_* family equal batch (arg-extremum picks)") {
+    assertEqualsBatch("first_over_time(purchase[6h])", "fot")
+    assertEqualsBatch("ts_of_last_over_time(view[1d])", "tslast")
+    assertEqualsBatch("ts_of_max_over_time(purchase[6h])", "tsmax")
+    assertEqualsBatch("ts_of_min_over_time(click[1d])", "tsmin")
+  }
+
   /** The buffered-state (flatMapGroupsWithState) harness: run the query
     * over the real events file, then flush every open window. The
     * watermark a batch USES comes from the data of prior batches, so
