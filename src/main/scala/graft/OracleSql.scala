@@ -435,6 +435,60 @@ object OracleSql {
         |                            ORDER BY value ASC, epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'click')
         |WHERE rn = 1""".stripMargin,
+    // native-histogram verb family: the window's samples form the
+    // implicit schema-0 histogram per (step, series); count/sum/avg
+    // read the header, stddev/fraction estimate from the buckets
+    // (mirrors of the q_nhist_* oracles keyed (step, user_id))
+    "q_promql_hist_count" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+    "q_promql_hist_avg" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+    "q_promql_hist_stddev" ->
+      s"""WITH h AS (
+         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+         |st AS (
+         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+         |               / CAST(COUNT(*) AS DOUBLE), 12) AS hist_avg
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |t AS (
+         |  SELECT h.step, h.user_id, st.n,
+         |         CAST((CAST(3.0 * power(2.0, CAST(k AS DOUBLE) - 2.0) AS DECIMAL(16,12))
+         |               - CAST(hist_avg AS DECIMAL(16,12)))
+         |            * (CAST(3.0 * power(2.0, CAST(k AS DOUBLE) - 2.0) AS DECIMAL(16,12))
+         |               - CAST(hist_avg AS DECIMAL(16,12)))
+         |            + CAST('0.0000000000005' AS DECIMAL(14,13))
+         |           AS DECIMAL(20,12)) * CAST(cnt AS DECIMAL(12,0)) AS term
+         |  FROM h JOIN st ON st.step = h.step AND st.user_id = h.user_id)
+         |SELECT step, user_id,
+         |       sqrt(CAST(CAST(SUM(term) + CAST('0.00005' AS DECIMAL(6,5))
+         |                      AS DECIMAL(30,4)) AS DOUBLE)
+         |            / CAST(MAX(n) AS DOUBLE)) AS value
+         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_promql_hist_fraction" ->
+      s"""WITH h AS (
+         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+         |t AS (
+         |  SELECT step, user_id, cnt,
+         |         CAST(round(CAST(cnt AS DOUBLE) * least(1.0,
+         |           greatest(0.0, least(3.0, pow(2.0, k))
+         |                         - greatest(0.3, pow(2.0, k - 1)))
+         |           / (pow(2.0, k) - pow(2.0, k - 1))), 12)
+         |           AS DECIMAL(28,12)) AS term
+         |  FROM h)
+         |SELECT step, user_id,
+         |       round(CAST(SUM(term) AS DOUBLE)
+         |             / CAST(SUM(cnt) AS DOUBLE), 12) AS value
+         |FROM t GROUP BY 1, 2""".stripMargin,
     "q_promql_delta" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, value,

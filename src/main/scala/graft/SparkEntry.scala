@@ -111,6 +111,14 @@ object SparkEntry {
       s, d, "ts_of_max_over_time(purchase[6h])")),
     "q_promql_ts_of_min" -> ((s, d) => graft.operators.Promql.query(
       s, d, "ts_of_min_over_time(click[1d])")),
+    "q_promql_hist_count" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_count(view[1d])")),
+    "q_promql_hist_avg" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_avg(purchase[1d])")),
+    "q_promql_hist_stddev" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_stddev(click[1d])")),
+    "q_promql_hist_fraction" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_fraction(0.3, 3.0, click[1d])")),
     "q_promql_mad_ot" -> ((s, d) => graft.operators.Promql.query(
       s, d, "mad_over_time(click[1d])")),
     "q_promql_delta" -> ((s, d) => graft.operators.Promql.query(

@@ -51,6 +51,8 @@ import graft.Tables
   *                "last_over_time"|"stddev_over_time"|"stdvar_over_time"|
   *                "mad_over_time"|"first_over_time"|"ts_of_last_over_time"|
   *                "ts_of_max_over_time"|"ts_of_min_over_time"|
+  *                "histogram_count"|"histogram_sum"|"histogram_avg"|
+  *                "histogram_stddev"|"histogram_stdvar"|
   *                "changes"|"resets"|"delta"|"deriv"|
   *                "rate_extrapolated"|"increase_extrapolated")
   *               "(" (selector range | expr "[" dur ":" dur "]") ")"
@@ -58,6 +60,8 @@ import graft.Tables
   *                evaluates on the aligned inner-step grid, the outer
   *                function ranges over those evaluations; needs the
   *                stepped evaluator)
+  *             | "histogram_fraction" "(" number "," number ","
+  *                 selector range ")"   (native-histogram SLO verb)
   *             | "quantile_over_time" "(" number ","
   *                 (selector range | expr "[" dur ":" dur "]") ")"
   *   selector := (metric | "") [ "{" matcher ("," matcher)* "}" ]
@@ -318,6 +322,8 @@ object Promql {
     "changes", "resets", "delta", "deriv", "irate", "idelta",
     "present_over_time", "first_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "histogram_count", "histogram_sum", "histogram_avg",
+    "histogram_stddev", "histogram_stdvar",
     "rate_extrapolated", "increase_extrapolated")
   // longest-first so ">=" is not eaten as ">" + "="
   private val cmpOps = Seq("==", "!=", ">=", "<=", ">", "<")
@@ -698,6 +704,22 @@ object Promql {
       val lbl = p.quoted()
       p.eat(","); val child = parseExpr(p); p.eat(")")
       Agg("count_values", by, child, without = without, vlabel = lbl)
+    } else if (name == "histogram_fraction") {
+      // histogram_fraction(lo, hi, v[d]) — the native-histogram SLO
+      // verb: fraction of the window's sample mass inside (lo, hi],
+      // estimated from the schema-0 buckets the window's samples
+      // implicitly form (see the rangeOver histogram_* family note).
+      p.eat("(")
+      val lo = p.number().getOrElse(p.fail("expected lower bound"))
+      p.eat(",")
+      val hi = p.number().getOrElse(p.fail("expected upper bound"))
+      if (hi <= lo) p.fail("histogram_fraction needs lo < hi")
+      p.eat(",")
+      val sel = parseSelector(p)
+      p.eat("["); val secs = p.duration(); p.eat("]")
+      val modded = parseRangeModifiers(p, sel)
+      p.eat(")")
+      RangeFunc("histogram_fraction", modded, secs, lo, hi)
     } else if (name == "holt_winters" ||
                name == "double_exponential_smoothing") {
       // holt_winters(v[d], sf, tf): double exponential smoothing.
@@ -1222,6 +1244,48 @@ object Promql {
             min_by(us, struct(col("value"), negate(us), negate(col("event_id"))))
         grouped.agg((pick / lit(1e6)).as("value"))
       case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
+      case "histogram_count" => grouped.agg(count(lit(1)).cast("double").as("value"))
+      case "histogram_sum"   => grouped.agg(exactSum(col("value")).as("value"))
+      case "histogram_avg"   => grouped.agg((exactSum(col("value")) / count(lit(1))).as("value"))
+      case "histogram_stddev" | "histogram_stdvar" =>
+        // the native-histogram estimator pair over the schema-0
+        // histogram the window's samples implicitly form (bucket k =
+        // (2^(k−1), 2^k], mass at the arithmetic midpoint 3·2^(k−2)) —
+        // the exact decimal chain of TimeSeries.nhistStddev, keyed per
+        // (step, series) instead of per metric. Scale: bucket count is
+        // schema-bounded (≤16 per histogram); two partial-agg passes
+        // plus a co-partitioned join, no windows.
+        val b = stepped.withColumn("k", TimeSeries.nhK(col("value")))
+          .groupBy(keyCols :+ col("k"): _*).agg(count(lit(1)).as("cnt"))
+        val stats = stepped.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("n"),
+            round(exactSum(col("value")) / count(lit(1)), 12).as("hist_avg"))
+        val mid = lit(3.0) * pow(lit(2.0), col("k").cast("double") - lit(2.0))
+        val devD = mid.cast("decimal(16,12)") - col("hist_avg").cast("decimal(16,12)")
+        val agg = b.join(stats, "step" +: labels)
+          .withColumn("term",
+            (devD * devD).cast("decimal(20,12)") * col("cnt").cast("decimal(12,0)"))
+          .groupBy(keyCols: _*)
+          .agg(sum("term").cast("decimal(30,4)").as("t"), max("n").as("n"))
+        val stdvar = col("t").cast("double") / col("n").cast("double")
+        agg.select(keyCols :+
+          (if (fn == "histogram_stddev") sqrt(stdvar) else stdvar).as("value"): _*)
+      case "histogram_fraction" =>
+        // fraction of window mass inside (q, q2] — per-bucket overlap
+        // weight over exact power-of-two bounds (TimeSeries
+        // .nhistFraction law: round-12 decimal terms, one shared final
+        // division). No windows: projection + two partial aggs.
+        val lower = pow(lit(2.0), col("k").cast("double") - lit(1.0))
+        val upper = pow(lit(2.0), col("k").cast("double"))
+        val ov = greatest(lit(0.0), least(lit(q2), upper) - greatest(lit(q), lower))
+        val w = least(lit(1.0), ov / (upper - lower))
+        stepped.withColumn("k", TimeSeries.nhK(col("value")))
+          .groupBy(keyCols :+ col("k"): _*).agg(count(lit(1)).as("cnt"))
+          .withColumn("term",
+            round(col("cnt").cast("double") * w, 12).cast("decimal(28,12)"))
+          .groupBy(keyCols: _*).agg(sum("cnt").as("n"), sum("term").as("t"))
+          .select(keyCols :+
+            round(col("t").cast("double") / col("n").cast("double"), 12).as("value"): _*)
       case "delta" =>
         // newest − oldest stored value in the window (PromQL delta,
         // sans extrapolation) — max_by/min_by, no window sort

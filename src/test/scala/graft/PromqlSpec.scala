@@ -1091,6 +1091,55 @@ class PromqlSpec extends AnyFunSuite {
     assert(proof, "corpus must exhibit string-vs-numeric divergence")
   }
 
+  test("first/ts_of_* pick the right sample; ts_of_max on the max's timestamp") {
+    val first = Promql.query(spark, sf, "first_over_time(purchase[6h])")
+    val last = Promql.query(spark, sf, "last_over_time(purchase[6h])")
+    assert(first.count() === last.count(), "same series/step grid")
+    // ts_of_last == the plain max sample time per group; value is epoch secs
+    val tsl = Promql.query(spark, sf, "ts_of_last_over_time(view[1d])")
+    val manual = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .groupBy((floor(unix_micros(col("ts")) / 1e6 / 86400) * 86400)
+        .cast("long").as("step"), col("user_id"))
+      .agg((max(unix_micros(col("ts"))) / 1e6).as("value"))
+    assert(tsl.exceptAll(manual).count() === 0 &&
+      manual.exceptAll(tsl).count() === 0)
+    // ts_of_max's timestamp belongs to a sample holding the group max
+    val tmax = Promql.query(spark, sf, "ts_of_max_over_time(purchase[6h])")
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select((floor(unix_micros(col("ts")) / 1e6 / 21600) * 21600)
+        .cast("long").as("step"), col("user_id"),
+        (unix_micros(col("ts")) / 1e6).as("t"), col("value"))
+    val mx = ev.groupBy("step", "user_id").agg(max("value").as("vmax"))
+    // every reported timestamp is the time of a sample holding the max
+    val witnessed = tmax.join(ev.join(mx, Seq("step", "user_id"))
+        .filter(col("value") === col("vmax"))
+        .select(col("step"), col("user_id"), col("t").as("value")),
+      Seq("step", "user_id", "value"), "left_semi")
+    assert(witnessed.count() === tmax.count())
+    assert(tmax.count() === mx.count())
+  }
+
+  test("native-histogram verbs: count==count_over_time, fraction in [0,1], stdvar=stddev^2") {
+    val hc = Promql.query(spark, sf, "histogram_count(view[1d])")
+    val ct = Promql.query(spark, sf, "count_over_time(view[1d])")
+    assert(hc.exceptAll(ct).count() === 0 && ct.exceptAll(hc).count() === 0)
+    val fr = Promql.query(spark, sf, "histogram_fraction(0.3, 3.0, click[1d])")
+    assert(fr.filter(col("value") < 0.0 || col("value") > 1.0).count() === 0)
+    assert(fr.count() > 0)
+    // full-domain fraction is exactly 1 (bucket spans cover the value domain)
+    val frAll = Promql.query(spark, sf,
+      "histogram_fraction(0.0078125, 1024.0, click[1d])")
+    assert(frAll.filter(col("value") =!= 1.0).count() === 0)
+    val sd = Promql.query(spark, sf, "histogram_stddev(click[1d])")
+    val sv = Promql.query(spark, sf, "histogram_stdvar(click[1d])")
+    val j = sd.withColumnRenamed("value", "sdv")
+      .join(sv, Seq("step", "user_id"))
+    assert(j.filter(abs(col("sdv") * col("sdv") - col("value")) > 1e-9).count() === 0)
+    intercept[IllegalArgumentException] {
+      Promql.parse("histogram_fraction(3.0, 0.3, click[1d])")
+    }
+  }
+
   test("mad_over_time windows all carry a partitionSpec") {
     val plan = Promql.query(spark, sf, "mad_over_time(click[1d])")
       .queryExecution.sparkPlan
