@@ -89,7 +89,13 @@ object PromqlStream {
         (min_by(us, struct(col("value"), negate(us), negate(col("event_id")))) / lit(1e6)),
       "present_over_time" -> max(lit(1.0)),
       "stddev_over_time" -> sqrt(guarded),
-      "stdvar_over_time" -> guarded)
+      "stdvar_over_time" -> guarded,
+      // native-histogram HEADER verbs are plain fused aggregations;
+      // the bucket-estimator pair (histogram_stddev/stdvar/fraction)
+      // needs a two-level bucket agg — batch-only, rejected here
+      "histogram_count" -> count(lit(1)).cast("double"),
+      "histogram_sum" -> exactSum,
+      "histogram_avg" -> (exactSum / count(lit(1))))
   }
 
   /** (outer agg, inner verb) → fused single-aggregation value column —

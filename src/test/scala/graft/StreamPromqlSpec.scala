@@ -124,6 +124,13 @@ class StreamPromqlSpec extends AnyFunSuite {
     assertEqualsBatch("ts_of_min_over_time(click[1d])", "tsmin")
   }
 
+  test("native-histogram header verbs stream; bucket estimators are rejected") {
+    assertEqualsBatch("histogram_avg(purchase[1d])", "havg")
+    intercept[IllegalArgumentException] {
+      PromqlStream.query(spark, stageInput("hsd"), "histogram_stddev(click[1d])")
+    }
+  }
+
   /** The buffered-state (flatMapGroupsWithState) harness: run the query
     * over the real events file, then flush every open window. The
     * watermark a batch USES comes from the data of prior batches, so
