@@ -458,6 +458,11 @@ object SparkEntry {
     "bpe_train"  -> ((s, d) => graft.pipeline.Bpe.train(s, d)),
     "bpe_tokens" -> ((s, d) => graft.pipeline.Bpe.tokenCounts(s, d)),
     "bpe_vocab"  -> ((s, d) => graft.pipeline.Bpe.vocabTop(s, d)),
+    // rows-only: SentencePiece-style unigram-LM tokenizer (Viterbi-EM
+    // over the once-reduced vocabulary, exact-BigInt argmax — no SQL
+    // lattice exists for the oracle; UnigramSpec carries the contract)
+    "unigram_train"  -> ((s, d) => graft.pipeline.Unigram.train(s, d)),
+    "unigram_tokens" -> ((s, d) => graft.pipeline.Unigram.tokenCounts(s, d)),
     // I. multimodal: REAL javax.imageio decode of executor-synthesized
     // PNG filmstrips. The *_dims / *_idx projections are oracle-hashed
     // (filmstrip geometry is arithmetic in doc_id — DuckDB recomputes
