@@ -489,6 +489,23 @@ object OracleSql {
          |       round(CAST(SUM(term) AS DOUBLE)
          |             / CAST(SUM(cnt) AS DOUBLE), 12) AS value
          |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_promql_hist_quantile" ->
+      s"""WITH h AS (
+         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT step, user_id, k, cnt,
+         |         SUM(cnt) OVER (PARTITION BY step, user_id ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY step, user_id) AS n
+         |  FROM h)
+         |SELECT step, user_id,
+         |       round(pow(2.0, k - 1) + (pow(2.0, k) - pow(2.0, k - 1)) *
+         |             (CAST(rnk - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+         |         AS value
+         |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
+         |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
     "q_promql_delta" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 21600) * 21600 AS step, user_id, value,

@@ -119,6 +119,8 @@ object SparkEntry {
       s, d, "histogram_stddev(click[1d])")),
     "q_promql_hist_fraction" -> ((s, d) => graft.operators.Promql.query(
       s, d, "histogram_fraction(0.3, 3.0, click[1d])")),
+    "q_promql_hist_quantile" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "histogram_quantile(0.9, click[1d])")),
     "q_promql_mad_ot" -> ((s, d) => graft.operators.Promql.query(
       s, d, "mad_over_time(click[1d])")),
     "q_promql_delta" -> ((s, d) => graft.operators.Promql.query(

@@ -650,15 +650,35 @@ object Promql {
         RangeFunc("quantile_over_time", modded, secs, phi)
       }
     } else if (name == "histogram_quantile") {
-      // the data model stores VALUE histograms, not le-bucketed counter
-      // series, so histogram_quantile evaluates as the exact discrete
-      // cross-series quantile (documented divergence: no per-bucket
-      // linear interpolation — there are no buckets to interpolate)
+      // two forms, matching the two histogram kinds Prometheus has:
+      //   histogram_quantile(phi, expr)   — instant-vector arg: the
+      //     data model stores VALUE histograms, not le-bucketed
+      //     counter series, so this evaluates as the exact discrete
+      //     cross-series quantile (documented divergence: no
+      //     per-bucket interpolation — there are no buckets)
+      //   histogram_quantile(phi, sel[w]) — range-selector arg: the
+      //     NATIVE-histogram form; the window's samples form the
+      //     schema-0 histogram and the quantile interpolates between
+      //     the exact power-of-two bucket bounds (the
+      //     TimeSeries.nhistQuantile law, keyed per series)
       p.eat("(")
       val phi = p.number().getOrElse(p.fail("expected quantile in [0,1]"))
       if (phi < 0.0 || phi > 1.0) p.fail("quantile must be in [0,1]")
-      p.eat(","); val child = parseExpr(p); p.eat(")")
-      Agg("quantile", Seq.empty, child, q = phi)
+      p.eat(","); val child = parseExpr(p)
+      if (p.peek("[")) {
+        p.eat("["); val secs = p.duration(); p.eat("]")
+        val sel = child match {
+          case s: Selector => s
+          case _ => p.fail("the native histogram_quantile form needs " +
+            "a plain range selector")
+        }
+        val modded = parseRangeModifiers(p, sel)
+        p.eat(")")
+        RangeFunc("histogram_quantile", modded, secs, phi)
+      } else {
+        p.eat(")")
+        Agg("quantile", Seq.empty, child, q = phi)
+      }
     } else if (name == "absent") {
       p.eat("("); val sel = parseSelector(p); p.eat(")")
       AbsentFn(sel)
@@ -1270,6 +1290,28 @@ object Promql {
         val stdvar = col("t").cast("double") / col("n").cast("double")
         agg.select(keyCols :+
           (if (fn == "histogram_stddev") sqrt(stdvar) else stdvar).as("value"): _*)
+      case "histogram_quantile" =>
+        // native form: interpolate between the exact power-of-two
+        // bucket bounds at rank ceil(round(φ·n, 9)) — the TimeSeries
+        // .nhistQuantile law keyed per (step, series); the cumulative
+        // window is ≤16 rows per histogram BY SCHEMA, so the rank
+        // pass is bounded at any corpus size.
+        val b = stepped.withColumn("k", TimeSeries.nhK(col("value")))
+          .groupBy(keyCols :+ col("k"): _*).agg(count(lit(1)).as("cnt"))
+        val byH = Window.partitionBy(keyCols: _*)
+        val wCum = byH.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lower = pow(lit(2.0), col("k").cast("double") - lit(1.0))
+        val upper = pow(lit(2.0), col("k").cast("double"))
+        b.withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n", sum("cnt").over(byH))
+          .withColumn("rnk", graft.functions.ExactNum.ceilPos(col("n"), q))
+          .filter(col("cum") >= col("rnk") &&
+            col("cum") - col("cnt") < col("rnk"))
+          .select(keyCols :+
+            round(lower + (upper - lower) *
+              ((col("rnk") - col("cum") + col("cnt")).cast("double") /
+                col("cnt").cast("double")), 12).as("value"): _*)
       case "histogram_fraction" =>
         // fraction of window mass inside (q, q2] — per-bucket overlap
         // weight over exact power-of-two bounds (TimeSeries

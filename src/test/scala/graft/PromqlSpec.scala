@@ -1138,6 +1138,21 @@ class PromqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Promql.parse("histogram_fraction(3.0, 0.3, click[1d])")
     }
+    // native histogram_quantile: every interpolated value sits inside
+    // its schema-0 bucket span, and the cumulative window is per-series
+    val hq = Promql.query(spark, sf, "histogram_quantile(0.9, click[1d])")
+    assert(hq.count() > 0)
+    assert(hq.filter(col("value") < math.pow(2.0, -7) ||
+      col("value") > math.pow(2.0, 10)).count() === 0)
+    val hw = hq.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(hw.nonEmpty)
+    hw.foreach(w => assert(w.partitionSpec.nonEmpty))
+    // the instant-vector form still parses to the discrete cross-series
+    // quantile (both histogram kinds reachable from one spelling)
+    assert(Promql.query(spark, sf,
+      "histogram_quantile(0.9, count_over_time(click[1d]))").count() > 0)
   }
 
   test("mad_over_time windows all carry a partitionSpec") {
