@@ -1236,6 +1236,24 @@ object OracleSql {
   private val relational: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleSql,
+    // weakly connected components over the support-thresholded
+    // co-purchase graph: transitive closure by recursive CTE (the
+    // dedup_clusters pattern), min reachable part id as the label
+    "q_components" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (SELECT a.pk AS x, b.pk AS y
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |      GROUP BY 1, 2
+         |      HAVING COUNT(*) >= ${graft.operators.Graph.ComponentsSupport}),
+         |sym AS (SELECT x AS id1, y AS id2 FROM e UNION SELECT y, x FROM e),
+         |nodes AS (SELECT DISTINCT id1 AS id FROM sym),
+         |r AS (
+         |  WITH RECURSIVE reach(id, m) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT s.id1, reach.m FROM sym s JOIN reach ON reach.id = s.id2)
+         |  SELECT * FROM reach)
+         |SELECT id AS part_id, MIN(m) AS component_id FROM r GROUP BY 1""".stripMargin,
     "q_harmonic" -> harmonicSql,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

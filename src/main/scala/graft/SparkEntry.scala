@@ -267,6 +267,7 @@ object SparkEntry {
     "q_semi_anti"    -> (Relational.semiAnti _),
     "q_pagerank"     -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d)),
+    "q_components"   -> ((s, d) => graft.operators.Graph.components(s, d)),
     "q_harmonic"     -> ((s, d) => graft.operators.Graph.harmonic(s, d)),
     "q_harmonic_ball" -> ((s, d) => graft.operators.Graph.harmonicBall(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),

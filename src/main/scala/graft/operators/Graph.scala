@@ -116,6 +116,49 @@ object Graph {
       .distinct()
   }
 
+  /** Co-purchase edges with SUPPORT (distinct orders containing the
+    * pair) at least `minSupport` — the thresholded graph community
+    * detection wants: the raw co-purchase graph is one dense giant
+    * component (every popular part transitively touches everything),
+    * while support-thresholded edges keep only repeated co-purchases.
+    * Same pair-explode projection as [[basketEdges]]; the DISTINCT
+    * becomes a groupBy count (identical shuffle key, one extra long
+    * of state per pair).
+    */
+  val ComponentsSupport = 2
+
+  def supportedEdges(s: SparkSession, dir: String,
+                     minSupport: Int = ComponentsSupport): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (p, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), q ->
+          |    struct(p AS x, q AS y))))""".stripMargin)).as("e"))
+      .groupBy(col("e.x").as("x"), col("e.y").as("y"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("x", "y")
+
+  /** WEAKLY CONNECTED COMPONENTS over the support-thresholded
+    * co-purchase graph — "product communities", labeled by the
+    * minimum reachable part id. Rides [[graft.pipeline.Dedup
+    * .clustersFromEdges]]: distributed min-label propagation WITH
+    * pointer jumping (each round a node takes min of its label, its
+    * neighbors' labels, and its label's label — O(log diameter)
+    * shuffle rounds instead of O(diameter), the same iteration an
+    * HLL-free large-star/small-star CC runs at web scale). Driver
+    * holds only the convergence counter.
+    */
+  def components(s: SparkSession, dir: String,
+                 minSupport: Int = ComponentsSupport): DataFrame = {
+    val e = supportedEdges(s, dir, minSupport)
+      .select(col("x").as("id1"), col("y").as("id2"))
+    graft.pipeline.Dedup.clustersFromEdges(e)._1
+      .select(col("doc_id").as("part_id"), col("cluster_id").as("component_id"))
+  }
+
   /** Per-part triangle counts over the co-purchase graph via
     * DEGREE-ORDERED ORIENTATION (Schank & Wagner 2005; distributed
     * treatment in Suri & Vassilvitskii 2011): direct every undirected

@@ -44,7 +44,12 @@ class CancellationSpec extends AnyFunSuite {
       Thread.sleep(100)
     assert(tracker.getJobIdsForGroup(group).nonEmpty, "job never started")
     val t0 = System.nanoTime()
-    spark.sparkContext.cancelJobGroup(group)
+    // AndFutureJobs matters: a multi-job action (AQE stages, broadcast
+    // sub-jobs) re-submits under the same group after the first kill —
+    // plain cancelJobGroup only hits jobs active at call time, and the
+    // NEXT stage of the 10⁹-row count then runs to completion (the
+    // exact flake this spec shipped with)
+    spark.sparkContext.cancelJobGroupAndFutureJobs(group)
     t.join(60000)
     assert(!t.isAlive, "cancelled query must terminate")
     assert(!finished, "the O(n²) count must not have completed")

@@ -119,6 +119,38 @@ class GraphSpec extends AnyFunSuite {
       "the incremental ball accrual must reproduce the min-plus BFS sum")
   }
 
+  test("components: labels are component minima; a union-find recount agrees") {
+    import org.apache.spark.sql.functions._
+    val got = Graph.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Graph.supportedEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // driver union-find reference
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got === want)
+    // the threshold genuinely sparsifies: strictly fewer edges than raw
+    assert(edges.length < Graph.basketEdges(spark, sf).count())
+    // pointer jumping converges in logarithmic rounds
+    val (_, rounds) = graft.pipeline.Dedup.clustersFromEdges(
+      Graph.supportedEdges(spark, sf)
+        .select(col("x").as("id1"), col("y").as("id2")))
+    assert(rounds <= 8, s"pointer jumping took $rounds rounds")
+  }
+
   test("pagerank mass bounds: every rank >= teleport base, total <= Scale") {
     val ranks = Graph.pagerank(spark, sf).collect().map(_.getLong(1))
     val nV = ranks.length.toLong
