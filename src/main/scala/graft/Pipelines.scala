@@ -482,6 +482,45 @@ object Pipelines {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rnk
          |  FROM pairs)
          |WHERE rnk <= ${Similarity.KnnGraphK}""".stripMargin,
+    // k-core of the MUTUAL knn graph by unrolled peeling: each round
+    // recomputes live degrees and drops edges with an under-k
+    // endpoint; rounds past the fixed point no-op, so the unroll only
+    // needs to DOMINATE the true peeling depth (the engine loop
+    // asserts rounds <= KcoreOracleRounds). MATERIALIZED: e$r is
+    // referenced 3x per round — default inlining goes exponential
+    // (the bpe_train fd-exhaustion lesson).
+    "q_kcore" -> {
+      val k = graft.operators.Graph.KcoreK
+      val r = graft.operators.Graph.KcoreOracleRounds
+      val head =
+        s"""WITH emb AS (SELECT vec_id, embedding,
+           |  ${dot("embedding", "embedding")} AS norm,
+           |  ${bucket("embedding")} AS bucket FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr_id,
+           |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
+           |  FROM emb a JOIN emb b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+           |g AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+           |  SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cosine DESC, nbr_id) AS rnk FROM pairs)
+           |  WHERE rnk <= ${Similarity.KnnGraphK}),
+           |e0 AS MATERIALIZED (SELECT a.vec_id AS x, a.nbr_id AS y FROM g a
+           |  JOIN g b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+           |  WHERE a.vec_id < a.nbr_id)""".stripMargin
+      val rounds = (0 until r).map { i =>
+        s"""k$i AS (SELECT node FROM (
+           |    SELECT x AS node FROM e$i UNION ALL SELECT y FROM e$i)
+           |  GROUP BY 1 HAVING COUNT(*) >= $k),
+           |e${i + 1} AS MATERIALIZED (SELECT x, y FROM e$i
+           |  JOIN k$i kx ON kx.node = e$i.x
+           |  JOIN k$i ky ON ky.node = e$i.y)""".stripMargin
+      }
+      (Seq(head) ++ rounds).mkString(",\n") +
+        s"""
+           |SELECT node AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+           |  SELECT x AS node FROM e$r UNION ALL SELECT y FROM e$r)
+           |GROUP BY 1""".stripMargin
+    },
     "ann_range" -> annSql("ann_range"),
     "ann_range_lsh" -> annSql("ann_range_lsh"),
     "ann_pq" -> annSql("ann_pq"),
@@ -1973,10 +2012,14 @@ object Pipelines {
     val symsInit =
       "chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31))" +
         " || chr(31) || chr(31) || chr(30) || chr(31)"
+    // AS MATERIALIZED: every s$r is referenced twice (pair CTE + next
+    // round's replace) — DuckDB's default inlining would expand the
+    // chain to 2^rounds scans of the documents parquet (fd exhaustion
+    // long before timeout; surfaced by the 10-round WordPiece twin)
     val head =
       s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest($words) AS w FROM documents) GROUP BY 1),
-         |s0 AS (SELECT w, freq, $symsInit AS syms FROM wf)""".stripMargin
+         |s0 AS MATERIALIZED (SELECT w, freq, $symsInit AS syms FROM wf)""".stripMargin
     val rounds = (0 until merges).map { r =>
       s"""p$r AS (SELECT p.x AS x, p.y AS y, SUM(freq) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(sy)),
@@ -1986,7 +2029,7 @@ object Pipelines {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt FROM p$r
          |  ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
-         |s${r + 1} AS (SELECT w, freq,
+         |s${r + 1} AS MATERIALIZED (SELECT w, freq,
          |    replace(syms, chr(31) || b.x || chr(31) || chr(31) || b.y || chr(31),
          |            chr(31) || b.x || b.y || chr(31)) AS syms
          |  FROM s$r, b$r b)""".stripMargin
@@ -2024,6 +2067,72 @@ object Pipelines {
              |SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM tk
              |GROUP BY 1 ORDER BY cnt DESC, token ASC
              |LIMIT ${graft.pipeline.Bpe.VocabTopK}""".stripMargin),
+    )
+  }
+
+  /** WordPiece merge training unrolled per round — the bpeCtes chain
+    * plus, per round, a symbol-unigram CTE and the quantized-rational
+    * rank key score_q = (c12·10¹⁸) // (c1·c2) in HUGEINT (exact floor
+    * division, mirroring Spark's decimal(38,0) DIV — see
+    * graft.pipeline.Wordpiece). The hash proves every round's argmax
+    * AND both engines' agreement on the likelihood ranking.
+    *
+    * The symbol tables are declared AS MATERIALIZED: each round
+    * references its predecessor more than once (pair CTE + next-round
+    * replace), and DuckDB's default CTE inlining would expand the
+    * chain exponentially — 2^rounds scans of the documents parquet,
+    * which exhausts file handles before it exhausts time.
+    */
+  private def wpCtes(merges: Int): String = {
+    val symsInit =
+      "chr(31) || array_to_string(string_split(w, ''), chr(31) || chr(31))" +
+        " || chr(31) || chr(31) || chr(30) || chr(31)"
+    val head =
+      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($words) AS w FROM documents) GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, freq, $symsInit AS syms FROM wf)""".stripMargin
+    val rounds = (0 until merges).map { r =>
+      s"""sy$r AS MATERIALIZED (SELECT freq, list_filter(string_split(syms, chr(31)),
+         |    t -> t <> '') AS sy FROM s$r),
+         |u$r AS (SELECT t AS sym, SUM(freq) AS c FROM (
+         |    SELECT freq, unnest(sy) AS t FROM sy$r) GROUP BY 1),
+         |p$r AS (SELECT p.x AS x, p.y AS y, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(x := sy[i], y := sy[i + 1]))) AS p
+         |    FROM sy$r)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT x, y, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST((CAST(cnt AS HUGEINT) * 1000000000000000000)
+         |         // (CAST(ux.c AS HUGEINT) * CAST(uy.c AS HUGEINT)) AS BIGINT)
+         |      AS score
+         |  FROM p$r p JOIN u$r ux ON ux.sym = p.x JOIN u$r uy ON uy.sym = p.y
+         |  ORDER BY score DESC, x ASC, y ASC LIMIT 1),
+         |s${r + 1} AS (SELECT w, freq,
+         |    replace(syms, chr(31) || b.x || chr(31) || chr(31) || b.y || chr(31),
+         |            chr(31) || b.x || b.y || chr(31)) AS syms
+         |  FROM s$r, b$r b)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n")
+  }
+
+  private lazy val wordpiece: Map[String, String] = {
+    val m = graft.pipeline.Wordpiece.Merges
+    Map(
+      "wordpiece_train" ->
+        (wpCtes(m) + "\n" +
+          (0 until m).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS m, x, y, cnt, score FROM b$r")
+            .mkString("\nUNION ALL ")),
+      "wordpiece_tokens" ->
+        (wpCtes(m) +
+          s""",
+             |tok AS (SELECT t.doc_id, len(list_filter(
+             |    string_split(v.syms, chr(31)), x -> x <> '')) AS n_sym
+             |  FROM (SELECT doc_id, unnest($words) AS w FROM documents) t
+             |  JOIN s$m v USING (w))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(n_sym) AS BIGINT) AS n_wp_tokens
+             |FROM tok GROUP BY 1""".stripMargin),
     )
   }
 
@@ -2091,6 +2200,7 @@ object Pipelines {
 
   def oracles: Map[String, String] =
     dedup ++ similarity ++ text ++ lmRetrieval ++ writer ++ mm ++ bpe ++
+      wordpiece ++
       Map("doc_tfidf_knn" -> tfidfKnnSql(0L),
           // hot-key capped: the oracle re-derives the dropped block set
           "doc_tfidf_knn_capped" ->

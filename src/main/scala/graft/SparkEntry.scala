@@ -268,6 +268,7 @@ object SparkEntry {
     "q_pagerank"     -> ((s, d) => graft.operators.Graph.pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d)),
     "q_components"   -> ((s, d) => graft.operators.Graph.components(s, d)),
+    "q_kcore"        -> ((s, d) => graft.operators.Graph.kcore(s, d)),
     "q_harmonic"     -> ((s, d) => graft.operators.Graph.harmonic(s, d)),
     "q_harmonic_ball" -> ((s, d) => graft.operators.Graph.harmonicBall(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),
@@ -461,6 +462,11 @@ object SparkEntry {
     "bpe_train"  -> ((s, d) => graft.pipeline.Bpe.train(s, d)),
     "bpe_tokens" -> ((s, d) => graft.pipeline.Bpe.tokenCounts(s, d)),
     "bpe_vocab"  -> ((s, d) => graft.pipeline.Bpe.vocabTop(s, d)),
+    // WordPiece (BERT-family) trainer: BPE's merge loop ranked by the
+    // likelihood score c12/(c1*c2), exact via the quantized-rational
+    // integer rank key; rounds oracle-unrolled like bpe_train
+    "wordpiece_train"  -> ((s, d) => graft.pipeline.Wordpiece.train(s, d)),
+    "wordpiece_tokens" -> ((s, d) => graft.pipeline.Wordpiece.tokenCounts(s, d)),
     // rows-only: SentencePiece-style unigram-LM tokenizer (Viterbi-EM
     // over the once-reduced vocabulary, exact-BigInt argmax — no SQL
     // lattice exists for the oracle; UnigramSpec carries the contract)

@@ -356,4 +356,76 @@ object Graph {
         (coalesce(col("h"), lit(0L)).cast("double") / lit(1.0e12))
           .as("harmonic"))
   }
+
+  /** k-core membership target over the mutual-kNN graph (degrees are
+    * bounded by KnnGraphK = 3, so 2 is the first interesting core).
+    */
+  val KcoreK = 2
+
+  /** Oracle unroll depth — the engine loop must converge within this
+    * many peels (asserted; measured 10 / 5 / 9 rounds at sf0.001 /
+    * 0.01 / 0.1 — peeling depth is O(10) even on web graphs).
+    */
+  val KcoreOracleRounds = 16
+
+  /** k-CORE of the MUTUAL k-NN embedding graph — the maximal subgraph
+    * where every surviving vector keeps ≥ k surviving mutual
+    * neighbors, by ITERATIVE PEELING (Matula & Beck 1983; the
+    * Batagelj-Zaveršnik algorithm's synchronous distributed form):
+    * each round one degree partial-agg over the live edge list and two
+    * node-keyed semi joins dropping edges that lost an endpoint, until
+    * a round removes nothing. The fixed point IS the k-core whatever
+    * order peels happen in — that confluence is why the synchronous
+    * distributed peel and any sequential peel agree exactly (the spec
+    * pins a one-node-at-a-time driver peel).
+    *
+    * Substrate choice on record: the co-purchase graphs are ER-like
+    * and ER cores are all-or-nothing (measured: the 3-core of the
+    * support graph is EVERYTHING at sf0.001 and EMPTY at sf0.1 — a
+    * sharp threshold, the known random-graph phase transition), so the
+    * entry runs on the MUTUAL k-NN graph, where mutuality is selective
+    * and the 2-core is the dense-cluster extractor SemDeDup-style
+    * curation consumes (measured survivors ≈ 65-70%% of mutual nodes
+    * at every SF, rounds ≤ 10). Mutual edges: intersect the directed
+    * top-k lists with their reverses — one dedup shuffle on the pair
+    * key over the (N·k)-row graph frame.
+    *
+    * Scale shape: per round the only shuffles are the degree groupBy
+    * (E-row input, V-row output) and the two co-partitioned joins on
+    * the node key; driver state is one edge COUNT per round (the
+    * convergence test). Rounds = peeling depth, asserted ≤
+    * [[KcoreOracleRounds]] so the unrolled DuckDB oracle provably
+    * reaches the same fixed point (extra oracle rounds no-op past
+    * convergence). Output: surviving vectors with their in-core
+    * mutual degree.
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = KcoreK): DataFrame = {
+    val g = graft.pipeline.Similarity.knnGraph(s, dir)
+      .select(col("vec_id").as("x"), col("nbr_id").as("y"))
+    var e = g.intersect(g.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") < col("y"))
+      .localCheckpoint()
+    var nEdges = e.count()
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      val keep = e
+        .select(explode(array(col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "x"), Seq("x"))
+        .join(keep.withColumnRenamed("node", "y"), Seq("y"))
+        .select("x", "y").localCheckpoint()
+      val n2 = e2.count()
+      rounds += 1
+      require(rounds <= KcoreOracleRounds,
+        s"k-core peel did not converge in $KcoreOracleRounds rounds " +
+          "— raise KcoreOracleRounds (and the oracle unroll) together")
+      stable = n2 == nEdges
+      e = e2; nEdges = n2
+    }
+    e.select(explode(array(col("x"), col("y"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("core_deg"))
+  }
 }

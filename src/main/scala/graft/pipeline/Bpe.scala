@@ -61,13 +61,13 @@ object Bpe {
   /** Double delimiter — separates adjacent wrapped symbols. */
   private[graft] val DD = D + D
 
-  private val symsOf: org.apache.spark.sql.Column =
+  private[pipeline] val symsOf: org.apache.spark.sql.Column =
     concat(lit(D), array_join(split(col("w"), ""), DD), lit(DD), lit(Eow), lit(D))
 
   /** The (word, freq, syms) vocabulary — the only corpus-derived state
     * the merge loop touches.
     */
-  private def vocab(s: SparkSession, dir: String): DataFrame =
+  private[pipeline] def vocab(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))

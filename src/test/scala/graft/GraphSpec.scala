@@ -151,6 +151,40 @@ class GraphSpec extends AnyFunSuite {
     assert(rounds <= 8, s"pointer jumping took $rounds rounds")
   }
 
+  test("kcore: fixed point matches a driver-side sequential peel") {
+    val got = Graph.kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the mutual edge set from the knn graph, then peel ONE
+    // node at a time (Batagelj-Zaveršnik order) — k-core is confluent,
+    // so the synchronous distributed peel must reach the same core
+    val dir = graft.pipeline.Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = dir.filter { case (a, b) => a < b && dir.contains((b, a)) }
+      .toArray
+    var live = edges
+    var changed = true
+    while (changed) {
+      val deg = live.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, o) => n -> o.length }
+      val doomed = deg.collectFirst {
+        case (n, d) if d < Graph.KcoreK => n
+      }
+      doomed match {
+        case Some(n) => live = live.filter(e => e._1 != n && e._2 != n)
+        case None    => changed = false
+      }
+    }
+    val want = live.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, o) => n -> o.length.toLong }
+    assert(got === want)
+    // non-degenerate at the fixture corpus: the peel removed
+    // something and kept something
+    assert(got.nonEmpty)
+    assert(got.size < edges.flatMap(e => Seq(e._1, e._2)).distinct.length)
+    // every survivor honors the core invariant
+    assert(got.values.forall(_ >= Graph.KcoreK))
+  }
+
   test("pagerank mass bounds: every rank >= teleport base, total <= Scale") {
     val ranks = Graph.pagerank(spark, sf).collect().map(_.getLong(1))
     val nV = ranks.length.toLong
