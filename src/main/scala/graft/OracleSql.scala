@@ -1266,6 +1266,28 @@ object OracleSql {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    // TPC-H Q13 shape: LEFT join keeps zero-order customers; the
+    // priority filter must sit in the join condition
+    "q13_custdist" ->
+      """WITH oc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist FROM oc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // TPC-H Q17 shape, decorrelated: per-part avg as an aggregate
+    // join; qty < avg/5 cross-multiplied to the exact integer test
+    "q17_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+        |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         l_extendedprice
+        |       FROM lineitem JOIN p ON p_partkey = l_partkey),
+        |st AS (SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n
+        |       FROM li GROUP BY 1)
+        |SELECT coalesce(
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0,
+        |    0.0) AS avg_yearly
+        |FROM li JOIN st USING (l_partkey) WHERE 5 * qty * n < sum_qty""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS orderdate,

@@ -1692,6 +1692,20 @@ object Pipelines {
          |ORDER BY sum_tf DESC, doc_id ASC
          |LIMIT ${graft.pipeline.Retrieval.SearchK}""".stripMargin
     },
+    // positional phrase search: the oracle slides a window over the
+    // tokenized text directly (the index is the ENGINE's layout; the
+    // phrase semantics are adjacency on 0-based word positions)
+    "doc_phrase_search" -> {
+      val ph = graft.pipeline.Retrieval.PhraseTerms
+      val conds = ph.zipWithIndex
+        .map { case (t, i) => s"ws[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, $words AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(range(1, len(ws) - ${ph.size - 2})) AS i, ws
+         |      FROM t WHERE len(ws) >= ${ph.size})
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |       CAST(MIN(i - 1) AS BIGINT) AS first_pos
+         |FROM w WHERE $conds GROUP BY 1""".stripMargin
+    },
     // pii scrub: deterministic injection mirrored by doc_id arithmetic;
     // RE2 'g' flag matches Spark's replace-all; patterns restricted to
     // explicit classes so Java regex and RE2 agree

@@ -259,6 +259,10 @@ object SparkEntry {
       s, d, """count_over_time(click{k=~"4.*"}[1d])""")),
     // D. relational core
     "q1_pricing"     -> (Relational.q1Pricing _),
+    // TPC-H Q13/Q17 shapes: left-join distribution; decorrelated
+    // correlated-scalar-subquery with the exact integer threshold
+    "q13_custdist"   -> (Relational.custDist _),
+    "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     "q3_shipping"    -> (Relational.q3Shipping _),
     "q5_local"       -> (Relational.q5Local _),
     "q_window_rank"  -> (Relational.windowRank _),
@@ -424,6 +428,8 @@ object SparkEntry {
     // inverted-index store: vocabulary head + conjunctive term search
     "doc_inverted"      -> ((s, d) => graft.pipeline.Retrieval.invertedVocab(s, d)),
     "doc_term_search"   -> ((s, d) => graft.pipeline.Retrieval.termSearch(s, d)),
+    // positional phrase search through the with-positions posting store
+    "doc_phrase_search" -> ((s, d) => graft.pipeline.Retrieval.phraseSearch(s, d)),
     // hashed-feature linear classifier (fastText-shaped serving path)
     "doc_quality_clf"   -> ((s, d) => graft.pipeline.Curation.qualityClf(s, d)),
     // in-engine classifier TRAINING: batch perceptron distilling the

