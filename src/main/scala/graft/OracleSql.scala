@@ -1255,6 +1255,32 @@ object OracleSql {
          |  SELECT * FROM reach)
          |SELECT id AS part_id, MIN(m) AS component_id FROM r GROUP BY 1""".stripMargin,
     "q_harmonic" -> harmonicSql,
+    // label propagation unrolled per synchronous round (the pagerank
+    // pattern): neighbor-label counts + packed-key arg_max per node.
+    // MATERIALIZED on the label tables — each feeds the next round.
+    "q_labelprop" -> {
+      val r = graft.operators.Graph.LabelPropRounds
+      val head =
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |e AS MATERIALIZED (SELECT a.pk AS x, b.pk AS y
+           |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |      GROUP BY 1, 2
+           |      HAVING COUNT(*) >= ${graft.operators.Graph.ComponentsSupport}),
+           |sym AS MATERIALIZED (SELECT x AS src, y AS dst FROM e
+           |      UNION ALL SELECT y, x FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym)""".stripMargin
+      val rounds = (0 until r).map { i =>
+        s"""c$i AS (SELECT s.src, l.lab, COUNT(*) AS c FROM sym s
+           |  JOIN l$i l ON l.node = s.dst GROUP BY 1, 2),
+           |l${i + 1} AS MATERIALIZED (SELECT src AS node,
+           |    arg_max(lab, c * 4294967296 - lab) AS lab
+           |  FROM c$i GROUP BY 1)""".stripMargin
+      }
+      (Seq(head) ++ rounds).mkString(",\n") +
+        s"""
+           |SELECT node AS part_id, CAST(lab AS BIGINT) AS community_id
+           |FROM l$r""".stripMargin
+    },
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -273,6 +273,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d)),
     "q_components"   -> ((s, d) => graft.operators.Graph.components(s, d)),
     "q_kcore"        -> ((s, d) => graft.operators.Graph.kcore(s, d)),
+    "q_labelprop"    -> ((s, d) => graft.operators.Graph.labelProp(s, d)),
     "q_harmonic"     -> ((s, d) => graft.operators.Graph.harmonic(s, d)),
     "q_harmonic_ball" -> ((s, d) => graft.operators.Graph.harmonicBall(s, d)),
     "q_salted_join"  -> (Relational.saltedJoin _),

@@ -428,4 +428,48 @@ object Graph {
     e.select(explode(array(col("x"), col("y"))).as("vec_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Synchronous label-propagation rounds the entry runs (the
+    * SEMANTICS is "R synchronous rounds", not convergence — LPA can
+    * oscillate under synchronous update, and a convergence loop would
+    * make the result plan-dependent; a fixed unroll keeps both engines
+    * and any cluster size bit-identical).
+    */
+  val LabelPropRounds = 4
+
+  /** COMMUNITY DETECTION by label propagation (Raghavan et al. 2007)
+    * over the support-thresholded co-purchase graph: every node starts
+    * as its own label; each synchronous round a node adopts its
+    * neighbors' most frequent label. Every nondeterminism in the
+    * classic algorithm is pinned: synchronous updates (no visit
+    * order), the argmax tie broken by (count DESC, label ASC) through
+    * the packed key cnt·2³² − label (the invertedVocab convention;
+    * exact while labels < 2³² — node ids here), and a fixed round
+    * count (see [[LabelPropRounds]]).
+    *
+    * Scale shape = pagerank's: the edge list is built once; per round
+    * one co-partitioned join (labels onto edge endpoints) + one
+    * (node, label)-keyed partial-agg count + one node-keyed max_by —
+    * all shuffles on node-sized frames, lineage cut per round, the
+    * driver holds nothing but the loop index.
+    */
+  def labelProp(s: SparkSession, dir: String,
+                rounds: Int = LabelPropRounds): DataFrame = {
+    val e = supportedEdges(s, dir)
+    val sym = e.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint()
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      lab = sym.join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("node"))
+        .agg(max_by(col("lab"),
+          col("c") * lit(4294967296L) - col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    lab.select(col("node").as("part_id"), col("lab").as("community_id"))
+  }
 }

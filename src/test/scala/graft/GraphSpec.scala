@@ -185,6 +185,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.forall(_ >= Graph.KcoreK))
   }
 
+  test("labelProp replays a driver-side synchronous reference exactly") {
+    val got = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Graph.supportedEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = e ++ e.map(_.swap)
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LabelPropRounds) {
+      lab = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view
+          .mapValues(_.length.toLong).toMap
+        // (count DESC, label ASC) — the packed-key tie-break
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === lab)
+    // propagation actually coalesced labels: fewer distinct labels
+    // than nodes after the rounds
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("pagerank mass bounds: every rank >= teleport base, total <= Scale") {
     val ranks = Graph.pagerank(spark, sf).collect().map(_.getLong(1))
     val nV = ranks.length.toLong
