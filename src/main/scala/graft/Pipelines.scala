@@ -1516,6 +1516,59 @@ object Pipelines {
     },
     "doc_bm25" -> bm25Sql,
     "doc_bm25_batch" -> bm25BatchSql,
+    // MMR: pool = the bm25 entry's own SQL; pairwise tf-idf cosine in
+    // the doc_tfidf_knn micro-unit discipline; the greedy trajectory
+    // unrolled one CTE per pick (argmax by BIGINT mmr_q, ties to the
+    // lower doc_id). MATERIALIZED where referenced per round.
+    "doc_mmr" -> {
+      import graft.pipeline.Retrieval.{MmrK, MmrRelW, MmrSimW}
+      val head =
+        s"""WITH pool AS MATERIALIZED (SELECT doc_id,
+           |  CAST(round(score * 1e9) AS BIGINT) AS rel_q FROM ($bm25Sql)),
+           |toks AS (SELECT doc_id, unnest($words) AS w FROM documents),
+           |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+           |nn0 AS (SELECT COUNT(*) AS n FROM documents),
+           |vocab AS (SELECT w,
+           |  CAST(round(ln((n + 1.0) / (df + 1.0)) + 1.0, 12) AS DECIMAL(28,12)) AS idf
+           |  FROM dfq, nn0),
+           |vec AS (SELECT tf.doc_id, tf.w,
+           |  CAST(round(CAST(tf AS DECIMAL(6,0)) * idf * 1000000, 0) AS BIGINT) AS wq
+           |  FROM tf JOIN pool USING (doc_id) JOIN vocab USING (w)),
+           |norms AS (SELECT doc_id,
+           |  SUM(CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0))) AS nn
+           |  FROM vec GROUP BY 1),
+           |sims0 AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           |  SUM(CAST(x.wq AS DECIMAL(19,0)) * CAST(y.wq AS DECIMAL(19,0))) AS dot
+           |  FROM vec x JOIN vec y ON y.w = x.w AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |simsh AS (SELECT a, b, CAST(round(round(CAST(dot AS DOUBLE) /
+           |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 9)
+           |    * 1e9) AS BIGINT) AS sim_q
+           |  FROM sims0 JOIN norms na ON na.doc_id = a
+           |  JOIN norms nb ON nb.doc_id = b),
+           |sims AS MATERIALIZED (SELECT a, b, sim_q FROM simsh
+           |  UNION ALL SELECT b, a, sim_q FROM simsh),
+           |sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id,
+           |  CAST(NULL AS BIGINT) AS rel_q, CAST(NULL AS BIGINT) AS mmr_q,
+           |  CAST(NULL AS BIGINT) AS rnk WHERE 1 = 0)""".stripMargin
+      val rounds = (1 to MmrK).map { r =>
+        s"""m$r AS (SELECT s.a AS doc_id, MAX(s.sim_q) AS ms FROM sims s
+           |  JOIN sel${r - 1} t ON s.b = t.doc_id GROUP BY 1),
+           |c$r AS (SELECT p.doc_id, p.rel_q,
+           |    $MmrRelW * p.rel_q - $MmrSimW * coalesce(m.ms, 0) AS mmr_q
+           |  FROM pool p LEFT JOIN m$r m USING (doc_id)
+           |  WHERE p.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})),
+           |b$r AS (SELECT doc_id, rel_q, mmr_q, CAST($r AS BIGINT) AS rnk
+           |  FROM c$r ORDER BY mmr_q DESC, doc_id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1}
+           |  UNION ALL SELECT * FROM b$r)""".stripMargin
+      }
+      (Seq(head) ++ rounds).mkString(",\n") +
+        s"""
+           |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, rel_q, mmr_q
+           |FROM sel$MmrK""".stripMargin
+    },
     // RRF hybrid: the two legs' own proven SQL composed, integer
     // floor-div contributions summed per (qid, doc)
     "doc_hybrid_search" -> {

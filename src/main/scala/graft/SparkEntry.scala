@@ -431,6 +431,8 @@ object SparkEntry {
     "doc_term_search"   -> ((s, d) => graft.pipeline.Retrieval.termSearch(s, d)),
     // positional phrase search through the with-positions posting store
     "doc_phrase_search" -> ((s, d) => graft.pipeline.Retrieval.phraseSearch(s, d)),
+    // MMR diversity re-ranking of the bm25 page (exact-integer greedy)
+    "doc_mmr" -> ((s, d) => graft.pipeline.Retrieval.mmr(s, d)),
     // hashed-feature linear classifier (fastText-shaped serving path)
     "doc_quality_clf"   -> ((s, d) => graft.pipeline.Curation.qualityClf(s, d)),
     // in-engine classifier TRAINING: batch perceptron distilling the

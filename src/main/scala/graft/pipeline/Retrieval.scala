@@ -320,6 +320,95 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"), min("p0").as("first_pos"))
   }
 
+  /** MMR result-page size, relevance/diversity weights (λ = 0.3 in
+    * tenths: mmr = 7·rel − 3·max-sim, all integer units).
+    */
+  val MmrK = 10
+  val MmrRelW = 7L
+  val MmrSimW = 3L
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity pass a RAG serving stack runs over its
+    * retrieval page: greedily pick the candidate maximizing
+    * relW·rel − simW·max_sim(candidate, already-picked), so
+    * near-duplicate hits stop crowding the page. Exact-integer
+    * contract: rel_q = bm25 score (already 9-decimal-quantized)
+    * ×10⁹ as BIGINT; pairwise sim_q = tf-idf cosine (the
+    * doc_tfidf_knn micro-unit discipline: integer weights,
+    * decimal(38,0) dots/norms, one double sqrt-division quantized at
+    * 9) ×10⁹ as BIGINT — every MMR comparison is a BIGINT compare,
+    * ties to the lower doc_id, so the greedy trajectory is
+    * bit-identical cross-engine and the oracle can unroll it (one CTE
+    * per pick, the trainer-argmax pattern).
+    *
+    * Scale shape: the candidate pool is a RESULT PAGE (top-20) by
+    * definition of the operator — pool relevance and the pool×pool
+    * similarity matrix are computed in-engine (the global-vocabulary
+    * idf is the corpus-sized part: one (doc,term) shuffle + a
+    * vocabulary-bounded broadcast, the doc_tfidf plan), and only the
+    * page-sized score rows (≤ 20 rel + 190 sims) reach the driver for
+    * the k-step greedy loop — the same driver-holds-the-model posture
+    * as the tokenizer trainers.
+    */
+  def mmr(s: SparkSession, dir: String, k: Int = MmrK): DataFrame = {
+    import s.implicits._
+    val pool = bm25(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(score * 1e9) AS BIGINT)").as("rel_q"))
+    val poolIds = broadcast(pool.select("doc_id"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(s, dir).count()
+    val vocab = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .withColumn("idf", expr(
+        s"CAST(round(ln(($n + 1.0) / (df + 1.0)) + 1.0, 12) AS DECIMAL(28,12))"))
+      .select("w", "idf")
+    val vec = tf.join(poolIds, "doc_id").join(broadcast(vocab), "w")
+      .withColumn("wq", expr(
+        "CAST(round(CAST(tf AS DECIMAL(6,0)) * idf * 1000000, 0) AS BIGINT)"))
+      .select("doc_id", "w", "wq")
+    val norms = vec.groupBy("doc_id")
+      .agg(sum(expr("CAST(wq AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(19,0))"))
+        .as("nn"))
+    val va = vec.select(col("doc_id").as("a"), col("w"), col("wq").as("wa"))
+    val vb = vec.select(col("doc_id").as("b"), col("w"), col("wq").as("wb"))
+    val sims = va.join(vb, Seq("w")).filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(expr("CAST(wa AS DECIMAL(19,0)) * CAST(wb AS DECIMAL(19,0))"))
+        .as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nn").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nn").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), expr(
+        "CAST(round(round(CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 9) * 1e9) " +
+          "AS BIGINT)").as("sim_q"))
+    // result-page-sized collects: <= pool rel rows + pool^2/2 sim rows
+    val rel = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simMap = sims.collect().flatMap { r =>
+      val (a, b, sq) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq((a, b) -> sq, (b, a) -> sq)
+    }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var cands = rel.keySet
+    var rnk = 1
+    while (rnk <= k && cands.nonEmpty) {
+      val scored = cands.map { d =>
+        val ms = picked.map(p => simMap.getOrElse((d, p._2), 0L))
+          .foldLeft(0L)(math.max)
+        (d, MmrRelW * rel(d) - MmrSimW * ms)
+      }
+      val (d, mq) = scored.minBy { case (id, q) => (-q, id) }
+      picked += ((rnk, d, rel(d), mq))
+      cands -= d
+      rnk += 1
+    }
+    picked.toSeq.toDF("rnk", "doc_id", "rel_q", "mmr_q")
+      .select(col("rnk").cast("int").as("rnk"), col("doc_id"),
+        col("rel_q"), col("mmr_q"))
+  }
+
   /** HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al. 2009,
     * the standard lexical+dense combiner) of the BM25 service leg and
     * the dense ANN leg: score(d) = Σ_legs ⌊SCALE/(K + rank_leg(d))⌋.
