@@ -1301,6 +1301,19 @@ object OracleSql {
         |  GROUP BY 1)
         |SELECT c_count, COUNT(*) AS custdist FROM oc GROUP BY 1
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // TPC-H Q22 shape: global scalar threshold (cross-multiplied to
+    // cents) + anti join on orders
+    "q22_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |st AS (SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n FROM c WHERE bal_c > 0),
+        |idle AS (SELECT c.* FROM c WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT'))
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM idle, st WHERE bal_c * n > sum_c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // TPC-H Q17 shape, decorrelated: per-part avg as an aggregate
     // join; qty < avg/5 cross-multiplied to the exact integer test
     "q17_small_qty" ->

@@ -2003,6 +2003,12 @@ object Pipelines {
   private val writer: Map[String, String] = Map(
     "q_sorted_write" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // schema evolution: the merged read must equal the widened table
+    // with NULL event_type exactly on the old-generation rows
+    "q_schema_evolution" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN user_id % 2 = 1 THEN event_type ELSE NULL END AS event_type
+        |FROM events""".stripMargin,
     "q_compaction" ->
       "SELECT event_id, user_id, event_type, value FROM events",
   )

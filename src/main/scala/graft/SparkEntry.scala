@@ -262,7 +262,11 @@ object SparkEntry {
     // TPC-H Q13/Q17 shapes: left-join distribution; decorrelated
     // correlated-scalar-subquery with the exact integer threshold
     "q13_custdist"   -> (Relational.custDist _),
+    // schema-evolution read: two file generations, one mergeSchema
+    // scan, NULLs exactly where the pre-widening files are
+    "q_schema_evolution" -> ((s, d) => graft.sources.EvoStore.read(s, d)),
     "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    "q22_idle_rich"  -> (Relational.idleRichCustomers _),
     "q3_shipping"    -> (Relational.q3Shipping _),
     "q5_local"       -> (Relational.q5Local _),
     "q_window_rank"  -> (Relational.windowRank _),

@@ -431,6 +431,38 @@ object Relational {
     * brand's lineitems never leave their partitions between the agg
     * and the filter join.
     */
+  /** TPC-H Q22 shape (promising idle customers): a GLOBAL scalar
+    * subquery (corpus average balance) + an anti join (customers with
+    * no URGENT orders — the synthetic corpus gives every customer
+    * SOME order, so the unfiltered Q22 anti join would be empty; the
+    * priority filter keeps the shape non-degenerate: 5 / 75 / 937
+    * kept at sf0.001/0.01/0.1). The scalar aggregate is one broadcast
+    * row crossed into the scan — never a shuffle; the anti join
+    * shuffles on custkey co-partitioned with the filtered-orders
+    * side. Exactness: balances are cents — ×100 to BIGINT — and
+    * `bal > avg` is the cross-multiplied integer test bal_c·n > sum_c
+    * (the q17 discipline: no float thresholds); the reported total
+    * re-divides the exact cent sum once.
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val st = c.filter(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n"))
+    val idle = c.join(
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    idle.crossJoin(broadcast(st))
+      .filter(col("bal_c") * col("n") > col("sum_c"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("bal_c").cast("double") / lit(100.0)).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   def smallQtyRevenue(s: SparkSession, dir: String,
                       brand: String = "Brand#3"): DataFrame = {
     val parts = Tables.part(s, dir)

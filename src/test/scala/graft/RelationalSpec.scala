@@ -274,6 +274,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.getOrElse(0L, 0L) === nCust - withOrders)
   }
 
+  test("idleRichCustomers: anti join + exact global threshold") {
+    val got = Relational.idleRichCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val custs = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val pos = custs.filter(_._3 > 0)
+    val (sumC, n) = (pos.map(_._3).sum, pos.length.toLong)
+    val keep = custs.filter(c =>
+      !withOrders.contains(c._1) && c._3 * n > sumC)
+    val want = keep.groupBy(_._2).map { case (seg, cs) =>
+      (seg, cs.length.toLong, cs.map(_._3).sum.toDouble / 100.0)
+    }.toSeq.sortBy(_._1)
+    assert(keep.nonEmpty, "fixture has idle above-average customers")
+    assert(got.toSeq === want)
+    // the scalar side is a broadcast, not a shuffle: no shuffle
+    // exchange between the scan and the threshold filter
+    val plan = Relational.idleRichCustomers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"scalar must broadcast:\n$plan")
+  }
+
   test("smallQtyRevenue equals the correlated-subquery reference") {
     val got = Relational.smallQtyRevenue(spark, sf).collect()(0).getDouble(0)
     val li = Tables.lineitem(spark, sf)
