@@ -1019,6 +1019,22 @@ object OracleSql {
       """SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(1.0 AS DOUBLE) AS value
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    // date-component verbs: value = epoch seconds -> the date via pure
+    // epoch-day arithmetic (timezone-free, the Spark side's rule);
+    // DuckDB dayofweek is already 0=Sunday like PromQL
+    "q_promql_date_fns" ->
+      """WITH v AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(MAX(epoch_us(ts)) AS DOUBLE) / 1000000.0 AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |d AS (SELECT step, user_id,
+        |        DATE '1970-01-01' +
+        |          CAST(CAST(floor(value) AS BIGINT) // 86400 AS INT) AS dd
+        |      FROM v)
+        |SELECT step, user_id,
+        |  CAST(dayofweek(dd) + 100 * dayofmonth(last_day(dd))
+        |       + 10000 * month(dd) AS DOUBLE) AS value
+        |FROM d""".stripMargin,
     "q_promql_count_values" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -1759,6 +1759,21 @@ object Pipelines {
          |       CAST(MIN(i - 1) AS BIGINT) AS first_pos
          |FROM w WHERE $conds GROUP BY 1""".stripMargin
     },
+    // proximity (NEAR/W) search: unordered word-distance window over
+    // the same 0-based positions the phrase oracle derives
+    "doc_near_search" -> {
+      val (t1, t2) = graft.pipeline.Retrieval.NearTerms
+      val w = graft.pipeline.Retrieval.NearW
+      s"""WITH t AS (SELECT doc_id, $words AS ws FROM documents),
+         |p AS (SELECT doc_id, i - 1 AS pos, ws[i] AS term
+         |      FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM t)),
+         |a AS (SELECT doc_id, pos AS p1 FROM p WHERE term = '$t1'),
+         |b AS (SELECT doc_id, pos AS p2 FROM p WHERE term = '$t2')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+         |       CAST(MIN(abs(p1 - p2)) AS BIGINT) AS min_gap
+         |FROM a JOIN b USING (doc_id) WHERE abs(p1 - p2) <= $w
+         |GROUP BY 1""".stripMargin
+    },
     // pii scrub: deterministic injection mirrored by doc_id arithmetic;
     // RE2 'g' flag matches Spark's replace-all; patterns restricted to
     // explicit classes so Java regex and RE2 agree

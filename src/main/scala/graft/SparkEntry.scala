@@ -212,6 +212,12 @@ object SparkEntry {
       s, d, "clamp(avg_over_time(purchase[1h]), 30, 60)")),
     "q_promql_hour" -> ((s, d) => graft.operators.Promql.query(
       s, d, "hour(timestamp(purchase))")),
+    // the rest of the date-component verb family in one composite
+    // (vector arithmetic keeps each leg visible in the packed value)
+    "q_promql_date_fns" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "day_of_week(timestamp(purchase)) " +
+        "+ 100 * days_in_month(timestamp(purchase)) " +
+        "+ 10000 * month(timestamp(purchase))")),
     "q_promql_group" -> ((s, d) => graft.operators.Promql.query(
       s, d, "group(count_over_time(click[1h]))")),
     "q_promql_count_values" -> ((s, d) => graft.operators.Promql.query(
@@ -437,6 +443,8 @@ object SparkEntry {
     "doc_phrase_search" -> ((s, d) => graft.pipeline.Retrieval.phraseSearch(s, d)),
     // MMR diversity re-ranking of the bm25 page (exact-integer greedy)
     "doc_mmr" -> ((s, d) => graft.pipeline.Retrieval.mmr(s, d)),
+    // NEAR/W proximity search through the positional store
+    "doc_near_search" -> ((s, d) => graft.pipeline.Retrieval.nearSearch(s, d)),
     // hashed-feature linear classifier (fastText-shaped serving path)
     "doc_quality_clf"   -> ((s, d) => graft.pipeline.Curation.qualityClf(s, d)),
     // in-engine classifier TRAINING: batch perceptron distilling the

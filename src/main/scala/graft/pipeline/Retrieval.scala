@@ -320,6 +320,36 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"), min("p0").as("first_pos"))
   }
 
+  /** NEAR search window (max word distance) and default term pair. */
+  val NearW = 3L
+  val NearTerms: (String, String) = ("spark", "merge")
+
+  /** PROXIMITY (NEAR/W) search through the positional index — the
+    * second classic positional-postings query beside the exact phrase:
+    * docs where the two terms occur within `w` words of each other, in
+    * either order. Each term's postings are pruned out of the store
+    * (pushed-down term equality), joined on doc_id, and the distance
+    * filter runs as a projection — the per-doc cross of the two
+    * posting lists is bounded by per-doc term frequency (≤ doc
+    * length), never corpus-sized; the join itself keys on doc_id.
+    * Output: (doc_id, pair count within the window, closest gap).
+    */
+  def nearSearch(s: SparkSession, dir: String,
+                 t1: String = NearTerms._1, t2: String = NearTerms._2,
+                 w: Long = NearW): DataFrame = {
+    require(Seq(t1, t2).forall(_.matches("[A-Za-z0-9_]+")), "plain words")
+    val pos = posIndexTable(s, dir)
+    val a = pos.filter(col("term") === t1)
+      .select(col("doc_id"), col("pos").cast("long").as("p1"))
+    val b = pos.filter(col("term") === t2)
+      .select(col("doc_id"), col("pos").cast("long").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("p1") - col("p2")) <= w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near"),
+        min(abs(col("p1") - col("p2"))).as("min_gap"))
+  }
+
   /** MMR result-page size, relevance/diversity weights (λ = 0.3 in
     * tenths: mmr = 7·rel − 3·max-sim, all integer units).
     */

@@ -58,6 +58,29 @@ class RetrievalSpec extends AnyFunSuite {
       "term equality must reach the parquet scan")
   }
 
+  test("nearSearch equals a driver recount; unordered window honored") {
+    val got = Retrieval.nearSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (t1, t2) = Retrieval.NearTerms
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ws = wordsOf(r.getString(1))
+        val p1 = ws.indices.filter(ws(_) == t1)
+        val p2 = ws.indices.filter(ws(_) == t2)
+        val pairs = for (a <- p1; b <- p2
+                         if math.abs(a - b) <= Retrieval.NearW) yield
+          math.abs(a - b).toLong
+        if (pairs.isEmpty) None
+        else Some(r.getLong(0) -> (pairs.length.toLong, pairs.min))
+      }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // both orders count: some doc must have the pair only as "t2 .. t1"
+    // OR gaps in both directions exist across the corpus (weak check:
+    // min_gap 1 appears — adjacency in either order)
+    assert(got.values.exists(_._2 <= Retrieval.NearW))
+  }
+
   test("mmr replays a driver greedy reference from its own pool+sims") {
     val ms = Retrieval.mmr(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
