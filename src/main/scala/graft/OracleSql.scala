@@ -1433,6 +1433,25 @@ object OracleSql {
     "q_sessionize" ->
       sessionizeSql(graft.operators.Behavior.DefaultSessionGapSec),
     "q_sessionize_30m" -> sessionizeSql(1800L),
+    // native session_window semantics: a successor merges only when
+    // diff < gap (strict window overlap) — own oracle, no session_idx
+    "q_sessionize_native" -> {
+      val gapUs = graft.operators.Behavior.DefaultSessionGapSec * 1000000L
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         |f AS (SELECT user_id, ts_us, event_id, value,
+         |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= $gapUs
+         |             THEN 1 ELSE 0 END AS is_new
+         |      FROM e),
+         |g AS (SELECT user_id, ts_us, value,
+         |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |      FROM f)
+         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |       COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+         |FROM g GROUP BY user_id, session_idx""".stripMargin
+    },
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
         |           FROM events WHERE event_type IN ('view','click','purchase')),

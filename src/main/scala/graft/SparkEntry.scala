@@ -295,6 +295,9 @@ object SparkEntry {
     "q_interval_join_15m" -> ((s, d) => Relational.intervalJoin(s, d, widthSec = 900L)),
     // ordered event-stream analytics (sessionization / funnel / cohort)
     "q_sessionize"     -> ((s, d) => graft.operators.Behavior.sessionize(s, d)),
+    // the native session_window TVF form (strict-overlap merge rule)
+    "q_sessionize_native" -> ((s, d) =>
+      graft.operators.Behavior.sessionizeNative(s, d)),
     "q_sessionize_30m" -> ((s, d) => graft.operators.Behavior.sessionize(s, d, gapSec = 1800L)),
     "q_funnel"         -> (graft.operators.Behavior.funnel _),
     "q_retention"      -> (graft.operators.Behavior.retention _),

@@ -77,6 +77,35 @@ object Behavior {
         (col("cum") - col("cum_before")).cast("double").as("value_sum"))
   }
 
+  /** Sessionization through Spark's NATIVE session_window TVF — the
+    * q_topk_native convention: the same analysis as [[sessionize]]
+    * expressed through the built-in operator so the engine's dynamic
+    * gap-merge machinery (SessionWindowStateStore in streaming, merged
+    * windows in batch) is on the record next to the composed
+    * window-function form. One semantic difference, pinned by its own
+    * oracle: the native window [t, t+gap) merges a successor only when
+    * diff < gap (STRICT), while the composed form starts a new session
+    * on diff > gap — at diff == gap exactly they disagree, so this
+    * entry's oracle mirrors the strict rule rather than hash-sharing
+    * q_sessionize's. Output end_us subtracts the gap Spark adds to the
+    * window end (native end = last event + gap). Plan: one shuffle on
+    * user_id, no window sort — the TVF aggregates directly.
+    */
+  def sessionizeNative(s: SparkSession, dir: String,
+                       gapSec: Long = Behavior.DefaultSessionGapSec): DataFrame = {
+    require(gapSec > 0, "session gap must be positive")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).as("vs"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - lit(gapSec * 1000000L))
+          .as("end_us"),
+        col("n_events"), col("vs").cast("double").as("value_sum"))
+  }
+
   /** Strictly-ordered conversion funnel view → click → purchase: a stage
     * counts only when an event of the PREVIOUS stage happened strictly
     * earlier in the user's (ts, event_id) order. Each stage predicate is

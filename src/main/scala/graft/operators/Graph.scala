@@ -127,8 +127,27 @@ object Graph {
     */
   val ComponentsSupport = 2
 
+  /** Memoized, localCheckpointed support-graph edge list — the SERVED
+    * GRAPH posture (Similarity.cellStore's discipline, session
+    * identity in the key): components, label propagation, and any
+    * future consumer share ONE materialization per (session, corpus,
+    * support) instead of re-deriving the lineitem pair-explode per
+    * query. At 100 TB the edge list is a written table; in-JVM the
+    * checkpoint is its stand-in.
+    */
+  private val edgeStore =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def clearEdgeStore(): Unit = edgeStore.clear()
+
   def supportedEdges(s: SparkSession, dir: String,
                      minSupport: Int = ComponentsSupport): DataFrame =
+    edgeStore.computeIfAbsent(
+      System.identityHashCode(s).toHexString + "|" + dir + "|" + minSupport,
+      _ => supportedEdgesUncached(s, dir, minSupport).localCheckpoint())
+
+  private def supportedEdgesUncached(s: SparkSession, dir: String,
+                                     minSupport: Int): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))

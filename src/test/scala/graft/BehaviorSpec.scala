@@ -30,6 +30,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("sessionizeNative equals the strict-rule reference; no window sort") {
+    val fast = Behavior.sessionizeNative(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = Behavior.DefaultSessionGapSec * 1000000L
+    // strict overlap: a successor merges only when diff < gap
+    val naive = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("value_sum"))
+      .drop("session_idx")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // the TVF aggregates without a window sort operator
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
+      s"native session_window must not plan a window:\n$plan")
+  }
+
   test("sessionize is a single wide exchange (no groupBy on the session key)") {
     val plan = planOf(Behavior.sessionize(spark, sf))
     // formatted mode: each Exchange node appears once as "(N) Exchange"
