@@ -31,6 +31,14 @@ object OracleSql {
       "SELECT event_id, event_type, user_id FROM events WHERE regexp_matches(event_type, '^(cl|si)')",
     "q_scan_neg" ->
       "SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'error' AND user_id % 10 = 5",
+    // semi-structured: the props JSON parsed and aggregated as a
+    // typed column (DuckDB ->> mirrors get_json_object's $.k)
+    "q_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY 1""".stripMargin,
     "q_distinct_one" ->
       "SELECT DISTINCT event_type FROM events",
     "q_distinct_series" ->

@@ -21,6 +21,8 @@ object SparkEntry {
     "q_scan_in"      -> (Scan.scanIn _),
     "q_scan_regex"   -> (Scan.scanRegex _),
     "q_scan_neg"     -> (Scan.scanNeg _),
+    // semi-structured JSON extraction in the scan projection
+    "q_props_json"   -> (Scan.propsJson _),
     // B. distinct / series identity
     "q_distinct_one"    -> (Scan.distinctOne _),
     "q_distinct_series" -> (Scan.distinctSeries _),

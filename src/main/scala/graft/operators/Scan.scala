@@ -219,4 +219,23 @@ object Scan {
     */
   def labelNames(s: SparkSession, dir: String): DataFrame =
     labelNamesFor(s, dir, Seq("event_type", "user_id"))
+
+  /** Semi-structured extraction: the `props` JSON column parsed in the
+    * scan projection (`get_json_object` — codegen'd, no UDF) and
+    * aggregated as if it were a typed column. The point on record:
+    * JSON parsing stays INSIDE whole-stage codegen and the aggregate
+    * is a plain partial-agg groupBy — semi-structured data costs one
+    * projection, not a schema migration. At 100 TB the same query
+    * benefits from parquet column pruning (only `props` + keys are
+    * read) and pushed event_type filters.
+    */
+  def propsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        sum(when(col("k") >= 90L, 1L).otherwise(0L)).as("n_high"))
 }

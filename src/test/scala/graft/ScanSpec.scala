@@ -121,4 +121,26 @@ class ScanSpec extends AnyFunSuite {
     assert(rows.head.getString(0) === "event_type")
     assert(rows.head.getLong(1) === 4) // the 5 types minus 'error'
   }
+
+  test("propsJson: codegen'd extraction matches a driver JSON parse") {
+    val got = Scan.propsJson(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = Tables.events(spark, sf).select("event_type", "props")
+      .collect()
+      .map { r =>
+        val k = """"k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(r.getString(1))
+          .get.group(1).toLong
+        (r.getString(0), k)
+      }
+      .groupBy(_._1).map { case (t, rows) =>
+        val ks = rows.map(_._2)
+        t -> (ks.length.toLong, ks.sum, ks.max, ks.count(_ >= 90L).toLong)
+      }
+    assert(got === want)
+    // parsing stays inside codegen: no UDF/eval nodes in the plan
+    val plan = Scan.propsJson(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
 }
