@@ -932,6 +932,26 @@ object OracleSql {
         |       (CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
         |       / ((t1 - t2) / 1000000.0) AS value
         |FROM g WHERE v2 IS NOT NULL AND t1 <> t2""".stripMargin,
+    // idelta: same last-two-samples pivot as irate, but the value is
+    // the RAW difference (gauge semantics — no counter-reset clamp, no
+    // per-second pacing; zero-elapsed pairs still drop, matching
+    // Prometheus instantValue for both verbs)
+    "q_promql_idelta" ->
+      """WITH x AS (
+        |  SELECT ((epoch_us(ts)//1000000) // 604800) * 604800 AS step, user_id, value,
+        |         epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id, (epoch_us(ts)//1000000) // 604800
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT step, user_id,
+        |         MAX(CASE WHEN rn = 1 THEN value END) AS v1,
+        |         MAX(CASE WHEN rn = 2 THEN value END) AS v2,
+        |         MAX(CASE WHEN rn = 1 THEN us END) AS t1,
+        |         MAX(CASE WHEN rn = 2 THEN us END) AS t2
+        |  FROM x WHERE rn <= 2 GROUP BY 1, 2)
+        |SELECT step, user_id, v1 - v2 AS value
+        |FROM g WHERE v2 IS NOT NULL AND t1 <> t2""".stripMargin,
     // holt_winters: the per-window double-exponential-smoothing fold,
     // unrolled as a recursive CTE that consumes one sample per
     // iteration. Every arithmetic step mirrors the Spark aggregate-HOF

@@ -2026,6 +2026,24 @@ object Pipelines {
         |FROM events""".stripMargin,
     "q_compaction" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // snapshot time travel: each version's row set re-derived from the
+    // deterministic commit rules (v1 = even generation, v2 = all rows,
+    // v3 = all minus the delete predicate) — the hash proves the
+    // manifest reads reconstruct every historical version exactly
+    "q_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, event_id, user_id,
+        |       event_type, epoch_us(ts) AS us, value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_id, user_id, event_type,
+        |       epoch_us(ts), value
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), event_id, user_id, event_type,
+        |       epoch_us(ts), value
+        |FROM events
+        |WHERE NOT (event_type = 'error'
+        |           OR (event_type = 'signup' AND user_id % 3 = 0))""".stripMargin,
   )
 
   // ---- I. multimodal ------------------------------------------------------

@@ -202,6 +202,10 @@ object SparkEntry {
       s, d, """sort_by_label(sum_over_time(click[1h]), "user_id")""")),
     "q_promql_irate" -> ((s, d) => graft.operators.Promql.query(
       s, d, "irate(click[1w])")),
+    // instantaneous delta: raw last-pair difference (gauge semantics —
+    // NO counter-reset clamp, value may be negative)
+    "q_promql_idelta" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "idelta(purchase[1w])")),
     "q_promql_predict" -> ((s, d) => graft.operators.Promql.query(
       s, d, "predict_linear(click[1d], 3600)")),
     "q_promql_timestamp" -> ((s, d) => graft.operators.Promql.query(
@@ -273,6 +277,17 @@ object SparkEntry {
     // schema-evolution read: two file generations, one mergeSchema
     // scan, NULLs exactly where the pre-widening files are
     "q_schema_evolution" -> ((s, d) => graft.sources.EvoStore.read(s, d)),
+    // snapshot time travel: three manifest versions (insert / append /
+    // metadata+COW delete) read as-of and unioned under a version tag
+    "q_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.functions.lit
+      val snap = graft.sources.SnapshotStore
+      Seq(1, 2, 3).map(v => snap.readAt(s, d, v)
+        .withColumn("version", lit(v.toLong)))
+        .reduce(_ unionByName _)
+        .select("version", "event_id", "user_id", "event_type", "us",
+          "value")
+    }),
     "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     "q22_idle_rich"  -> (Relational.idleRichCustomers _),
     "q3_shipping"    -> (Relational.q3Shipping _),
