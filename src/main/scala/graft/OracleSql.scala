@@ -1358,6 +1358,37 @@ object OracleSql {
         |  CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
         |FROM idle, st WHERE bal_c * n > sum_c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TPC-H Q18 shape: the HAVING subquery as a pre-join aggregate;
+    // top-100 deterministic under the unique orderkey tiebreak
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)
+        |         AS orderdate,
+        |       o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair as one per-order
+    // aggregate; returnflag='R' is the lateness stand-in (no
+    // receipt/commit dates in this corpus)
+    "q21_waiting_supp" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, COUNT(*) AS ns, SUM(r) AS nr,
+        |    MAX(CASE WHEN r = 1 THEN l_suppkey END) AS rs
+        |  FROM ps GROUP BY 1)
+        |SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM po JOIN supplier ON rs = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE ns >= 2 AND nr = 1 AND n_nationkey % 5 = 3
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     // TPC-H Q17 shape, decorrelated: per-part avg as an aggregate
     // join; qty < avg/5 cross-multiplied to the exact integer test
     "q17_small_qty" ->

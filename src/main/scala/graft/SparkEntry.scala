@@ -289,6 +289,11 @@ object SparkEntry {
           "value")
     }),
     "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
+    // TPC-H Q18/Q21 shapes: HAVING-subquery decorrelated to a
+    // pre-join partial agg; double-EXISTS collapsed to one per-order
+    // aggregate (returnflag stands in for the lateness test)
+    "q18_big_orders" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    "q21_waiting_supp" -> (Relational.waitingSuppliers _),
     "q22_idle_rich"  -> (Relational.idleRichCustomers _),
     "q3_shipping"    -> (Relational.q3Shipping _),
     "q5_local"       -> (Relational.q5Local _),

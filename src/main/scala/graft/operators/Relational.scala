@@ -463,6 +463,79 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q18 shape (large-volume customers): the HAVING subquery
+    * `o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+    * HAVING SUM(l_quantity) > T)` decorrelated into a per-order
+    * partial agg (map-side-combinable on the fine-grained orderkey —
+    * no hot reducers possible) whose HAVING filter drops ~98% of
+    * orders BEFORE any join. The surviving orders join orders
+    * co-partitioned on orderkey (AQE may broadcast the shrunken agg
+    * side at runtime — either plan is right); customer is a broadcast
+    * dim. Quantities are integral doubles cast to long so the
+    * threshold is exact integer arithmetic. Top-100 by
+    * (o_totalprice desc, o_orderkey) — the unique key makes the limit
+    * deterministic; TopK pushes through the sort (TakeOrderedAndProject,
+    * never a global sort materialization).
+    */
+  def largeVolumeCustomers(s: SparkSession, dir: String,
+                           minQty: Long = 250L): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("orderdate"),
+        col("o_totalprice"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * double-correlated EXISTS / NOT EXISTS — "another supplier exists
+    * on the order AND no OTHER supplier failed" — decorrelated into
+    * ONE per-order aggregate instead of two correlated self-joins:
+    * after collapsing lineitem to (order, supplier, failed?) rows
+    * (failed = any returned line, `l_returnflag='R'` standing in for
+    * the receipt>commit lateness test — this corpus carries no
+    * receipt/commit dates), a per-order agg computes (#suppliers,
+    * #failed-suppliers, the failed supplier when unique). The Q21
+    * predicate is then a plain filter — ns≥2 ∧ nr=1 — and the waiting
+    * supplier is already IN the row (nr=1 makes max-when exact), so
+    * the EXISTS pair costs two orderkey-prefix shuffles total, no
+    * self-join ever materializes order×supplier×supplier pairs. The
+    * supplier⋈nation dimension chain (fifth-of-nations cut) collapses
+    * to one broadcast. 100 TB: both shuffles are fine-grained
+    * (orderkey / (orderkey,suppkey)); the final count is a partial agg
+    * over ≤|suppliers| keys.
+    */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("r").as("r"))
+    val perOrder = perSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("ns"), sum("r").as("nr"),
+        max(when(col("r") === 1L, col("l_suppkey"))).as("rs"))
+      .filter(col("ns") >= 2L && col("nr") === 1L)
+    val dims = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).filter(col("n_nationkey") % 5 === 3),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    perOrder.join(broadcast(dims), col("rs") === col("s_suppkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   def smallQtyRevenue(s: SparkSession, dir: String,
                       brand: String = "Brand#3"): DataFrame = {
     val parts = Tables.part(s, dir)

@@ -318,4 +318,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(keep.nonEmpty, "threshold keeps some rows at the fixture corpus")
     assert(got === want)
   }
+
+  test("largeVolumeCustomers equals the HAVING-subquery reference") {
+    val got = Relational.largeVolumeCustomers(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(5)))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong))
+    val want = li.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > 250L).toMap
+    assert(got.nonEmpty, "threshold keeps some orders at the fixture corpus")
+    assert(got.toMap === want.filter(kv => got.toMap.contains(kv._1)))
+    assert(got.map(_._1).toSet === want.keySet.intersect(got.map(_._1).toSet))
+    // under 100 qualifying orders at sf0.001 the limit must not bind
+    if (want.size <= 100) assert(got.length === want.size)
+    // top-k pushes through the sort: no global sort materialization
+    val plan = planOf(Relational.largeVolumeCustomers(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy must compile to TakeOrderedAndProject:\n$plan")
+  }
+
+  test("waitingSuppliers equals the double-EXISTS reference") {
+    val got = Relational.waitingSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2) == "R"))
+    val perOrder = li.groupBy(_._1).view.mapValues { rows =>
+      val supp = rows.map(_._2).distinct
+      val rSupp = rows.filter(_._3).map(_._2).distinct
+      (supp.size, rSupp)
+    }
+    val waits = perOrder.collect {
+      case (_, (ns, rs)) if ns >= 2 && rs.size == 1 => rs.head
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val supp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_nationkey") % 5 === 3),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+    val want = waits.toSeq.flatMap { case (sk, n) =>
+      supp.get(sk).map { case (sn, nn) => (sn, nn, n) }
+    }.sortBy(t => (-t._3, t._1))
+    assert(want.nonEmpty, "nation cut keeps some waiting suppliers")
+    assert(got.toSeq === want)
+    // the EXISTS pair never self-joins: exactly the two aggregate
+    // shuffles plus the broadcast dim join
+    val plan = planOf(Relational.waitingSuppliers(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"dims must broadcast:\n$plan")
+  }
 }
