@@ -2030,6 +2030,19 @@ object Pipelines {
     // deterministic commit rules (v1 = even generation, v2 = all rows,
     // v3 = all minus the delete predicate) — the hash proves the
     // manifest reads reconstruct every historical version exactly
+    // CDF incremental read: the change sets re-derived from the same
+    // deterministic commit rules — v1→v2 inserts the odd generation,
+    // v2→v3 deletes the predicate rows; COW-carried rows in neither
+    "q_snapshot_delta" ->
+      """SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS version,
+        |       event_id, user_id, event_type, epoch_us(ts) AS us, value
+        |FROM events WHERE event_id % 2 = 1
+        |UNION ALL
+        |SELECT 'delete', CAST(3 AS BIGINT), event_id, user_id,
+        |       event_type, epoch_us(ts), value
+        |FROM events
+        |WHERE event_type = 'error'
+        |   OR (event_type = 'signup' AND user_id % 3 = 0)""".stripMargin,
     "q_time_travel" ->
       """SELECT CAST(1 AS BIGINT) AS version, event_id, user_id,
         |       event_type, epoch_us(ts) AS us, value

@@ -288,6 +288,16 @@ object SparkEntry {
         .select("version", "event_id", "user_id", "event_type", "us",
           "value")
     }),
+    // incremental read (CDF): manifest-diff changes between commits —
+    // v1→v2 is pure inserts (the append), v2→v3 pure deletes (the
+    // predicate); COW-carried rows appear in neither
+    "q_snapshot_delta" -> ((s, d) => {
+      val snap = graft.sources.SnapshotStore
+      snap.changesBetween(s, d, 1, 2)
+        .unionByName(snap.changesBetween(s, d, 2, 3))
+        .select("change_type", "version", "event_id", "user_id",
+          "event_type", "us", "value")
+    }),
     "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     // TPC-H Q18/Q21 shapes: HAVING-subquery decorrelated to a
     // pre-join partial agg; double-EXISTS collapsed to one per-order

@@ -64,6 +64,37 @@ class SnapshotStoreSpec extends AnyFunSuite {
       f.contains("/v2_signup")), "a pre-COW signup file was read at v3")
   }
 
+  test("changesBetween: manifest-diff CDF reads only touched groups") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val del = col("event_type") === "error" ||
+      (col("event_type") === "signup" && col("user_id") % 3 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(key).sorted.toSeq
+    // v1→v2: pure inserts — exactly the odd generation
+    val c12 = SnapshotStore.changesBetween(spark, sf, 1, 2)
+    assert(c12.filter(col("change_type") =!= "insert").count() === 0)
+    assert(ids(c12) === ids(ev.filter(col("event_id") % 2 === 1)))
+    // v2→v3: pure deletes — exactly the predicate rows; COW-carried
+    // signup rows appear in NEITHER change set
+    val c23 = SnapshotStore.changesBetween(spark, sf, 2, 3)
+    assert(c23.filter(col("change_type") =!= "delete").count() === 0)
+    assert(ids(c23) === ids(ev.filter(del)))
+    // O(changed files): the manifest diff touches only error/signup
+    // groups and their COW rewrites — and the executed plan scans no
+    // untouched group (carried click/view/purchase groups absent)
+    val m2 = SnapshotStore.manifest(spark, sf, 2).toSet
+    val m3 = SnapshotStore.manifest(spark, sf, 3).toSet
+    val touched = (m2 diff m3) union (m3 diff m2)
+    assert(touched.nonEmpty && touched.forall(g =>
+      g.contains("_error") || g.contains("_signup")),
+      s"untouched group in the diff: ${touched.mkString(", ")}")
+    val plan = c23.queryExecution.executedPlan.toString
+    Seq("_click", "_view", "_purchase").foreach(t =>
+      assert(!plan.contains(t), s"untouched $t group scanned:\n$plan"))
+  }
+
   test("pushdown and pruning survive the manifest read") {
     val plan = SnapshotStore.readAt(spark, sf, 3)
       .filter(col("user_id") === 7L).select("event_id", "user_id")
