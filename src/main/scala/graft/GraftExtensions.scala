@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // MV rewrite: hourly sums over raw events re-planned onto the
+    // downsample rollup when materialized; opt-in per session via
+    // spark.graft.rollup.rewrite (see plans/RollupRewrite.scala)
+    ext.injectOptimizerRule(graft.plans.RollupRewrite.apply)
     ext.injectFunction((
       FunctionIdentifier("decimal_dot"),
       info("decimal_dot",

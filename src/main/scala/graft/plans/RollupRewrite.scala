@@ -1,0 +1,176 @@
+package graft.plans
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, TruncTimestamp, UnixTimestamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, expr, sum}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.DownsampleStore
+
+/** MATERIALIZED-VIEW REWRITE as a Catalyst optimizer rule: an hourly
+  * `sum by (event_type)` aggregate over the RAW events table is
+  * transparently re-planned onto the 5-minute downsample rollup
+  * (sources/DownsampleStore.scala) when that store is materialized —
+  * the user writes the query against raw data; the optimizer serves it
+  * from the table that is orders of magnitude smaller. This is the
+  * aggregate-rewrite every warehouse ships (Calcite's
+  * MaterializedViewRule, BigQuery/Snowflake MV smart-tuning), expressed
+  * the Spark-native way: a `Rule[LogicalPlan]` injected through
+  * `SparkSessionExtensions.injectOptimizerRule` — no fork, no wrapper
+  * API; `spark.sql(...)` text and DataFrame trees both hit it.
+  *
+  * Soundness gates, in match order:
+  *   1. the flag `spark.graft.rollup.rewrite` is on for THIS session
+  *      (sessions are the isolation unit — a cloned session opts in
+  *      without changing sibling query plans);
+  *   2. the scan is a single-root parquet relation over
+  *      `<dir>/events.parquet` and the MV for that exact dir is
+  *      MATERIALIZED (`_SUCCESS` present) — the staleness gate: no
+  *      store, no rewrite (immutable inputs make freshness = existence,
+  *      ChunkStore's write-once contract);
+  *   3. the aggregate is EXACTLY the shape the rollup answers
+  *      losslessly: grouping on (hour-truncated ts, event_type), the
+  *      one measure the exact-decimal SUM of value — hour windows
+  *      align to 300 s buckets (300 | 3600) and DECIMAL partial sums
+  *      merge associatively, so the rewrite is bit-for-bit, not
+  *      approximately, equal (the contract q_downsample_sum proves by
+  *      sharing q_range_sum_by's oracle hash).
+  *
+  * The replacement plan re-aggregates rollup rows (≤ series × 12/hour)
+  * instead of raw samples — at 100 TB the difference between scanning
+  * a year of samples and scanning the rollup's few GB. Output
+  * attributes keep the ORIGINAL ExprIds (re-aliased), so parent
+  * operators never notice the swap. Grouping-expression matching
+  * DEALIASES through any stack of Projects down to the relation, so
+  * the rule is insensitive to where in the fixed-point batch it fires;
+  * the rewritten plan no longer matches (the rollup scan groups on
+  * `bucket div 3600`, not a timestamp trunc), so the rule is
+  * idempotent under re-application.
+  */
+case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  val Flag = "spark.graft.rollup.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.conf.get(Flag, "false").toBoolean) return plan
+    plan.transformDown {
+      case agg: Aggregate =>
+        tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Walk Project stacks down to a parquet relation, accumulating alias
+    * substitutions so expressions above can be compared against the
+    * relation's raw columns.
+    */
+  private def flatten(p: LogicalPlan)
+      : Option[(Map[ExprId, Expression], LogicalRelation)] = p match {
+    case r: LogicalRelation => Some((Map.empty, r))
+    case Project(list, child) =>
+      flatten(child).map { case (m, r) =>
+        val m2 = m ++ list.collect { case a: Alias =>
+          a.exprId -> dealias(a.child, m)
+        }
+        (m2, r)
+      }
+    case _ => None
+  }
+
+  private def dealias(e: Expression, m: Map[ExprId, Expression]): Expression =
+    e.transformUp {
+      case at: AttributeReference if m.contains(at.exprId) => m(at.exprId)
+    }
+
+  /** The expression reads exactly the relation's `ts` column, through
+    * at most casts (the µs-long layout arrives as cast(ts as timestamp)).
+    */
+  private def isTsColumn(e: Expression): Boolean = e match {
+    case at: AttributeReference => at.name == "ts"
+    case c: Cast => isTsColumn(c.child)
+    case _ => false
+  }
+
+  private def isHourStep(e: Expression): Boolean = e match {
+    case UnixTimestamp(TruncTimestamp(Literal(fmt: UTF8String, _), ts, _), _, _, _) =>
+      fmt.toString.equalsIgnoreCase("hour") && isTsColumn(ts)
+    case _ => false
+  }
+
+  private def isExactValueSum(e: Expression): Boolean = e match {
+    case Cast(AggregateExpression(Sum(inner: Cast, _), _, false, None, _), DoubleType, _, _) =>
+      (inner.child, inner.dataType) match {
+        case (v: AttributeReference, d: DecimalType) =>
+          v.name == "value" && d.precision == 30 && d.scale == 6
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.size != 2 ||
+      agg.aggregateExpressions.size != 3) return None
+    flatten(agg.child).flatMap { case (subst, rel) =>
+      val fs = rel.relation match {
+        case h: HadoopFsRelation => Some(h)
+        case _ => None
+      }
+      val eventsDir = fs.flatMap { h =>
+        h.location.rootPaths match {
+          case Seq(one) if one.toUri.getPath.endsWith("/events.parquet") =>
+            Some(new File(one.toUri.getPath).getParent)
+          case _ => None
+        }
+      }
+      eventsDir.flatMap { dir =>
+        val store = DownsampleStore.storePath(session, dir)
+        if (!new File(store, "_SUCCESS").isFile) None // MV not materialized
+        else {
+          val g = agg.groupingExpressions.map(e => dealias(e, subst))
+          val hourOk = g.count(isHourStep) == 1
+          val etOk = g.exists {
+            case at: AttributeReference => at.name == "event_type"
+            case _ => false
+          }
+          val sumOk = agg.aggregateExpressions.exists {
+            case a: Alias => isExactValueSum(dealias(a.child, subst))
+            case _ => false
+          }
+          // the two non-measure outputs must be the grouping columns
+          // themselves (possibly re-aliased) — anything else is a shape
+          // the rollup does not answer
+          val othersOk = agg.aggregateExpressions.forall {
+            case a: Alias =>
+              val d = dealias(a.child, subst)
+              isHourStep(d) || isExactValueSum(d)
+            case at: AttributeReference => at.name == "event_type"
+            case _ => false
+          }
+          if (hourOk && etOk && sumOk && othersOk) Some(substitute(agg, store))
+          else None
+        }
+      }
+    }
+  }
+
+  /** The replacement: hourly re-aggregation of the rollup store, output
+    * re-aliased to the original ExprIds so parents are untouched.
+    */
+  private def substitute(agg: Aggregate, store: String): LogicalPlan = {
+    val mv = session.read.parquet(store)
+      .groupBy(expr("(bucket div 3600) * 3600").as("step"), col("event_type"))
+      .agg(sum("sum_dec").cast("double").as("sum_value"))
+    val rew = mv.queryExecution.analyzed
+    // positional mapping is safe: both sides are (step, label, measure)
+    val byKind: Seq[Attribute] = rew.output
+    Project(agg.output.zip(byKind).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }, rew)
+  }
+}

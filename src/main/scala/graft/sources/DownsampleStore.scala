@@ -64,6 +64,12 @@ object DownsampleStore {
   private def path(s: SparkSession, dir: String): String =
     s"${ChunkStore.storeRoot(s)}/downsample_${ResolutionSec}s_${ChunkStore.pathTag(dir)}"
 
+  /** Public store location for a dataset dir — the existence probe the
+    * optimizer's MV-rewrite rule (plans/RollupRewrite.scala) uses as
+    * its freshness gate (write-once store: materialized ⇔ fresh).
+    */
+  def storePath(s: SparkSession, dir: String): String = path(s, dir)
+
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once store (same freshness contract as ChunkStore: immutable

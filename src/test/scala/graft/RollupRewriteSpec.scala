@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import SparkFixture.{sf, spark}
+
+import graft.operators.TimeSeries
+import graft.sources.DownsampleStore
+
+/** MV rewrite (plans/RollupRewrite.scala): the hourly sum-by aggregate
+  * over raw events is transparently served from the 5-minute rollup —
+  * same bits, a fraction of the scan — and every soundness gate holds.
+  */
+class RollupRewriteSpec extends AnyFunSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def optIn() = {
+    DownsampleStore.table(spark, sf).count() // materialize the MV
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.rollup.rewrite", "true")
+    s2
+  }
+
+  test("flag on + MV materialized: plan reads the rollup, bits unchanged") {
+    val s2 = optIn()
+    val rew = TimeSeries.rangeSumBy(s2, sf)
+    val plan = rew.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"rewritten plan must scan the rollup store:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"rewritten plan must NOT scan raw events:\n$plan")
+    // bit-for-bit: DECIMAL partial sums merge exactly, 300 | 3600
+    assert(rows(rew) === rows(TimeSeries.rangeSumBy(spark, sf)))
+  }
+
+  test("session isolation: the sibling session's plan is untouched") {
+    optIn()
+    val raw = TimeSeries.rangeSumBy(spark, sf)
+    assert(!raw.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+  }
+
+  test("shape gate: near-miss aggregates are not rewritten") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    // same grouping, different measure (max) — rollup could answer it
+    // but the rule only claims the sum shape it can prove exact
+    val near = Tables.events(s2, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(max("value").as("mx"))
+    assert(!near.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+    // different grouping (day, not hour) — windows don't align
+    val day = Tables.events(s2, sf)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    assert(!day.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+  }
+
+  test("SQL text hits the same rule (extension point, not API wrapper)") {
+    val s2 = optIn()
+    Tables.events(s2, sf).createOrReplaceTempView("ev_mv")
+    val viaSql = s2.sql(
+      """SELECT unix_timestamp(date_trunc('hour', ts)) AS step, event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM ev_mv GROUP BY 1, 2""".stripMargin)
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"SQL-text query must rewrite too:\n$plan")
+    assert(rows(viaSql) === rows(TimeSeries.rangeSumBy(spark, sf)))
+  }
+}
