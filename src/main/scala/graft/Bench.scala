@@ -110,7 +110,12 @@ object Bench {
         "ann_pq_trained", "ann_ivfpq_res_trained", "ann_recall_trained",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding",
         "mm_decode", "q_zorder_scan", "q_downsample", "doc_inverted",
-        "dedup_semantic_trained", "bpe_train").foreach { n =>
+        "dedup_semantic_trained", "bpe_train",
+        // round-12 completeness (VERDICT r11 #6): the memoized graph
+        // edge list, the bigram LM scored frame, and the knn-graph /
+        // recall truth stores otherwise build inside the first timed rep
+        "q_triangle_count", "doc_lm_bigram", "emb_knn_graph",
+        "ann_recall").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run
@@ -124,23 +129,33 @@ object Bench {
     // driver never sets it; a partial record is visibly partial (its
     // `queries` map names exactly what ran).
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", ".*")
-    // per query: (median, min) over reps
-    val results: Map[String, (Double, Double)] = SparkEntry.queries
-      .filter(_._1.matches(only)).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-        }
+    // REP-MAJOR timed loop (round-12 fix; VERDICT r11 "next round" #1).
+    // The old loop was query-major: 3 reps back-to-back per query, in
+    // Map hash order. A host slow window then sweeps a contiguous block
+    // of queries through ALL their reps at once, so min-of-3 can't
+    // filter it — r10 flagged 24 entries >2x and r11 flagged a disjoint
+    // 10 on bit-identical binaries. Rep-major runs the FULL sorted
+    // surface once per rep: a slow window hits different queries in
+    // different reps, and the per-query min recovers the quiet number.
+    val timedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.queries.toSeq.filter(_._1.matches(only)).sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, fn) <- timedQueries) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+    }
+    // per query: (median, min) over reps
+    val results: Map[String, (Double, Double)] = timedQueries.map { case (name, _) =>
+      val times = samples.getOrElse(name, Nil)
       if (times.length < reps && !failed.contains(name)) failed += name
       name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
-    }
+    }.toMap
     val ok = results.filter(_._2._1 >= 0.0)
     val total = ok.values.map(_._1).sum
     val totalMin = ok.values.map(_._2).sum

@@ -39,6 +39,15 @@ object OracleSql {
         |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
         |  CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY 1""".stripMargin,
+    // typed shredding: the same key at two types (BIGINT sum vs
+    // lexicographic VARCHAR max) + a declared-but-absent key pinning
+    // missing-key -> NULL
+    "q_props_shred" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(props->>'k') AS max_k_str,
+        |  CAST(SUM(CASE WHEN props->>'m' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_m
+        |FROM events GROUP BY 1""".stripMargin,
     "q_distinct_one" ->
       "SELECT DISTINCT event_type FROM events",
     "q_distinct_series" ->
@@ -1747,6 +1756,16 @@ object OracleSql {
       // raw-events hourly sum bit-for-bit (300 s divides 3600 s and the
       // store's partial sums stay DECIMAL) — downsampling's correctness
       // contract, stated as a shared oracle
-      "q_downsample_sum" -> base("q_range_sum_by"))
+      "q_downsample_sum" -> base("q_range_sum_by"),
+      // Prometheus 3.x renamed holt_winters to
+      // double_exponential_smoothing (same fold, same params) — the
+      // alias must hash-match the original's recursive-CTE oracle
+      "q_promql_double_exp" -> base("q_promql_holt"),
+      // rollup-rewrite serving (round-12, VERDICT r11 #3): with
+      // spark.graft.rollup.rewrite on, the hourly sum is answered from
+      // the downsample store yet must be BIT-EQUAL to the raw-events
+      // aggregation — db/writer.go's compaction-serving posture,
+      // stated as a shared oracle hash
+      "q_rollup_rewrite" -> base("q_range_sum_by"))
   }
 }

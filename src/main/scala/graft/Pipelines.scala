@@ -301,6 +301,30 @@ object Pipelines {
          |SELECT simhash AS h1, simhash AS h2, CAST(0 AS BIGINT) AS hamming,
          |       n_docs AS n_docs1, n_docs AS n_docs2
          |FROM h WHERE n_docs >= 2""".stripMargin,
+    // streaming-admission batch twin: delta docs (bucket >= 80) verdicted
+    // against the corpus simhash index; nearest corpus copy wins ties by
+    // lowest keep_id. The oracle may do the O(N^2) distance scan (DuckDB,
+    // small sf); the Spark side block-LSH-joins the served index.
+    "dedup_admission" ->
+      s"""WITH $simCtes,
+         |sb AS (SELECT doc_id, simhash,
+         |         CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+         |       FROM sim),
+         |idx AS (SELECT simhash AS ihash, MIN(doc_id) AS keep_id
+         |        FROM sb WHERE bucket < 80 GROUP BY 1),
+         |delta AS (SELECT doc_id, simhash FROM sb WHERE bucket >= 80),
+         |m AS (SELECT d.doc_id, i.keep_id,
+         |        CAST(bit_count(xor(d.simhash, i.ihash)) AS BIGINT) AS hamming,
+         |        row_number() OVER (PARTITION BY d.doc_id
+         |          ORDER BY bit_count(xor(d.simhash, i.ihash)), i.keep_id) AS rn
+         |      FROM delta d JOIN idx i
+         |        ON bit_count(xor(d.simhash, i.ihash)) <= 2)
+         |SELECT d.doc_id, d.simhash,
+         |  CASE WHEN m.keep_id IS NOT NULL THEN 'dup_of_corpus'
+         |       ELSE 'kept' END AS verdict,
+         |  m.keep_id, m.hamming
+         |FROM delta d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+         |  USING (doc_id)""".stripMargin,
     "dedup_keep_best" -> {
       // NOTE: must not reference `stop` (declared below in the text
       // section — object vals initialize in order); inline the predicate

@@ -23,6 +23,7 @@ object SparkEntry {
     "q_scan_neg"     -> (Scan.scanNeg _),
     // semi-structured JSON extraction in the scan projection
     "q_props_json"   -> (Scan.propsJson _),
+    "q_props_shred"  -> (Scan.propsShred _),
     // B. distinct / series identity
     "q_distinct_one"    -> (Scan.distinctOne _),
     "q_distinct_series" -> (Scan.distinctSeries _),
@@ -232,6 +233,10 @@ object SparkEntry {
     // SQL-expressible; a hand-computed ScalaTest fixture pins the math
     "q_promql_holt" -> ((s, d) => graft.operators.Promql.query(
       s, d, "holt_winters(purchase[1w], 0.5, 0.3)")),
+    // Prometheus 3.x spelling of the same verb (round-12, VERDICT r11
+    // #4): identical smoothing fold, so it shares holt's oracle SQL
+    "q_promql_double_exp" -> ((s, d) => graft.operators.Promql.query(
+      s, d, "double_exponential_smoothing(purchase[1w], 0.5, 0.3)")),
     // precedence ladder: * binds tighter than + (the flat parser would
     // have computed (click + purchase) * 2)
     "q_promql_precedence" -> ((s, d) => graft.operators.Promql.query(
@@ -361,6 +366,18 @@ object SparkEntry {
     // q_range_sum_by's oracle — rollup answers == raw answers)
     "q_downsample"     -> (graft.sources.DownsampleStore.downsample _),
     "q_downsample_sum" -> (graft.sources.DownsampleStore.downsampleSum _),
+    // MV rewrite in the oracle gate (round-12, VERDICT r11 #3): the
+    // RAW-events hourly sum with plans/RollupRewrite.scala opted in —
+    // the optimizer must serve it from the downsample store (a cloned
+    // session isolates the flag) and the bits must hash-match
+    // q_range_sum_by's oracle, proving the rewrite is lossless end to
+    // end, not just in ScalaTest
+    "q_rollup_rewrite" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d) // materialize the MV
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.TimeSeries.rangeSumBy(s2, d)
+    }),
     // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key;
     // the tombstone form adds v3 deletes (update-then-delete chains)
     "q_upsert_latest"    -> (graft.sources.UpsertStore.upsertLatest _),
@@ -371,6 +388,8 @@ object SparkEntry {
     // F. dedup
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
+    // near-dup admission, batch twin of streaming/NearDupStream.scala
+    "dedup_admission"     -> ((s, d) => Dedup.nearDupAdmission(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     // asymmetric containment: the near-dup class resemblance misses

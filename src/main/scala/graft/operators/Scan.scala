@@ -238,4 +238,36 @@ object Scan {
         sum("k").as("sum_k"),
         max("k").as("max_k"),
         sum(when(col("k") >= 90L, 1L).otherwise(0L)).as("n_high"))
+
+  /** Typed JSON shredding (round-12; VERDICT r11 #7): `from_json` with a
+    * DECLARED schema instead of path extraction — the warehouse
+    * "shred at read" posture. Three legs of the contract on record:
+    *  - the typed leg (`p.k` as LONG) aggregates through the struct
+    *    field, which Catalyst's OptimizeJsonExprs collapses back to a
+    *    single-field parse (no full-object materialization);
+    *  - the string leg extracts the SAME key at a different type
+    *    (lexicographic MAX over the raw text — "99" > "100"), pinning
+    *    that type assignment happens at shred time, not storage time;
+    *  - the absent-key leg (`m STRING` declared, never present) pins
+    *    missing-key → NULL, the schema-tolerance semantics that let a
+    *    reader declare forward-compatible schemas over old data.
+    * Pushdown note (what survives JSON): nothing pushes INTO the JSON —
+    * parquet sees `props` as an opaque string, so there is no
+    * PushedFilter on `k` — but column pruning still holds (ReadSchema
+    * is exactly {event_type, props}; PropsShredSpec asserts it) and the
+    * parse runs inside whole-stage codegen. At 100 TB the design answer
+    * to "filter on a JSON key" is to shred it to a real column at write
+    * time (SortedWriter's posture); this entry is the read-side bridge.
+    */
+  def propsShred(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG, m STRING")).as("p"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.k")).as("sum_k"),
+        max(col("k_str")).as("max_k_str"),
+        sum(when(col("p.m").isNull, 1L).otherwise(0L)).as("n_missing_m"))
 }

@@ -311,8 +311,14 @@ object Dedup {
   /** (doc_id, simhash): 16-bit SimHash from per-token md5 bits (tokens
     * with multiplicity). All-integer arithmetic → exact across engines.
     */
-  private[graft] def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir).select(
+  private[graft] def simhashPerDoc(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** The same 16-bit SimHash over an arbitrary (doc_id, text) frame —
+    * the form the streaming admission guard computes per micro-batch.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       col("doc_id"),
       explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
     val h16 = conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long")
@@ -455,6 +461,90 @@ object Dedup {
         coalesce(col("corpus_id"),
           when(col("doc_id") > col("delta_min"), col("delta_min")))
           .as("keep_id"))
+  }
+
+  /** Pigeonhole block columns for a 16-bit simhash column: a pair within
+    * Hamming distance `maxDist` must agree on at least one of the
+    * `maxDist + 1` bit blocks, so an equi-join on (block, bits) is a
+    * complete candidate generator. Shared by the batch near-hash join
+    * and the streaming admission guard.
+    */
+  private def simhashBlockCols(hash: Column, maxDist: Int): Seq[Column] = {
+    val nBlocks = maxDist + 1
+    val base = 16 / nBlocks
+    val sizes = Seq.tabulate(nBlocks)(i => if (i < 16 % nBlocks) base + 1 else base)
+    val offsets = sizes.scanLeft(0)(_ + _).init
+    offsets.zip(sizes).zipWithIndex.map { case ((off, len), i) =>
+      struct(lit(i).as("block"), (shiftright(hash, off) % (1L << len)).as("bits"))
+    }
+  }
+
+  /** The SERVED near-dup admission index: the ingested corpus collapsed
+    * to its DISTINCT simhash values (keep_id = min corpus doc_id per
+    * hash), block-exploded for the pigeonhole equi-join. Bounded by the
+    * 2¹⁶ hash space regardless of corpus size — the index a production
+    * ingest maintains and every arriving batch joins against.
+    */
+  def admissionIndex(corpusSim: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 7, "16-bit simhash: 1 <= maxDist <= 7")
+    corpusSim
+      .groupBy("simhash").agg(min("doc_id").as("keep_id"))
+      .select(col("simhash").as("ihash"), col("keep_id"),
+        explode(array(simhashBlockCols(col("simhash"), maxDist): _*)).as("bk"))
+      .select(col("ihash"), col("keep_id"),
+        col("bk.block").as("block"), col("bk.bits").as("bits"))
+  }
+
+  /** Admission verdicts for a frame of (doc_id, simhash) arrivals
+    * against a prepared [[admissionIndex]]: `dup_of_corpus` (keep_id =
+    * the nearest corpus copy, ties by lowest id; hamming = the
+    * distance) or `kept`. Per-doc work is O(blocks × matched index
+    * rows) — never a scan of the corpus.
+    */
+  def admissionVerdicts(deltaSim: DataFrame, idx: DataFrame,
+                        maxDist: Int = 2): DataFrame = {
+    val deltaBlocks = deltaSim
+      .select(col("doc_id"), col("simhash"),
+        explode(array(simhashBlockCols(col("simhash"), maxDist): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.block").as("block"), col("bk.bits").as("bits"))
+    val matches = deltaBlocks.join(idx, Seq("block", "bits"))
+      .withColumn("hamming",
+        expr("bit_count(simhash ^ ihash)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("hamming"), col("keep_id")),
+        struct(col("hamming"), col("keep_id"))).as("best"))
+      .select(col("doc_id"), col("best.keep_id").as("keep_id"),
+        col("best.hamming").as("hamming"))
+    deltaSim.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        when(col("keep_id").isNotNull, "dup_of_corpus")
+          .otherwise("kept").as("verdict"),
+        col("keep_id"), col("hamming"))
+  }
+
+  /** Incremental NEAR-dup admission, batch form — the delta-vs-corpus
+    * twin of [[incremental]] at simhash granularity: the corpus split
+    * (shared unsalted doc_id-hash bucket < `corpusPct`) collapses to
+    * its served simhash index; the arriving delta (bucket ≥) is checked
+    * against it and verdicted `dup_of_corpus` / `kept`. This is the
+    * batch contract the ONLINE [[graft.streaming.NearDupStream]] must
+    * reproduce doc-for-doc on a backlog run. Work per ingest is
+    * O(delta × blocks + matched index rows), never O(corpus) — at
+    * 100 TB the index is hash-space-bounded (≤ 2¹⁶ rows) and
+    * broadcasts.
+    */
+  def nearDupAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
+                       maxDist: Int = 2): DataFrame = {
+    require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
+    val sims = simhashPerDoc(s, dir).withColumn("bucket",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L)
+    val idx = admissionIndex(sims.filter(col("bucket") < corpusPct), maxDist)
+    admissionVerdicts(
+      sims.filter(col("bucket") >= corpusPct).select("doc_id", "simhash"),
+      idx, maxDist)
   }
 
   /** Duplicate clusters: connected components over the verified near-dup

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** ONLINE near-dup admission — the streaming leg of
+  * [[graft.pipeline.Dedup.nearDupAdmission]] (round-12; VERDICT r11
+  * #5): arriving documents are checked against the SERVED simhash
+  * index of the already-ingested corpus as they arrive, and verdicted
+  * `dup_of_corpus` / `kept` before admission — the production ingest
+  * shape where yesterday's 100 TB is an index, not a re-scan.
+  *
+  * Why this streams when the all-pairs near-dup doesn't (the
+  * [[ContaminationStream]] pattern): the guard's reference side — the
+  * corpus simhash index — is FIXED for the life of the stream, and an
+  * arriving document's verdict depends only on its own simhash against
+  * that index: zero cross-document, zero cross-batch state. The index
+  * is built once (collapse-first: distinct simhash values with their
+  * min-doc_id survivor, block-exploded for the pigeonhole equi-join,
+  * ≤ 2¹⁶ × blocks rows whatever the corpus size) and localCheckpointed
+  * so every micro-batch joins the same materialized frame. Each
+  * micro-batch's plan is exactly the batch operator's join leg:
+  * simhash → block-explode → equi-join → min_by. At scale the index is
+  * KBs against a TB/day stream and broadcasts; newly-ADMITTED docs
+  * join the index at the next index rebuild (the batch
+  * dedup_incremental cadence), mirroring how served dedup indexes are
+  * versioned in practice — within a stream generation, arrivals are
+  * judged against the generation's corpus, exactly the batch twin's
+  * contract, which is what makes the backlog equivalence provable.
+  */
+object NearDupStream {
+
+  /** The served index: corpus = the shared unsalted doc_id-hash split
+    * (bucket < corpusPct), collapsed to distinct simhash values and
+    * block-exploded (graft.pipeline.Dedup.admissionIndex). Built ONCE
+    * per stream; localCheckpoint pins it.
+    */
+  def corpusIndex(s: SparkSession, refDir: String, corpusPct: Int = 80,
+                  maxDist: Int = 2): DataFrame = {
+    val sims = graft.pipeline.Dedup.simhashOf(graft.Tables.documents(s, refDir))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100L)
+      .filter(col("bucket") < corpusPct)
+      .select("doc_id", "simhash")
+    graft.pipeline.Dedup.admissionIndex(sims, maxDist).localCheckpoint()
+  }
+
+  /** Per-batch admission verdicts for the DELTA-split documents of
+    * `batch` against the prepared index: (doc_id, simhash, verdict,
+    * keep_id, hamming). Delta membership is the same pure doc_id-hash
+    * rule as the batch twin — an arriving doc knows its split.
+    */
+  private[streaming] def verdicts(batch: DataFrame, idx: DataFrame,
+                                  corpusPct: Int = 80,
+                                  maxDist: Int = 2): DataFrame = {
+    val isDelta =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L) >= corpusPct
+    val deltaSim = graft.pipeline.Dedup.simhashOf(batch.filter(isDelta))
+    graft.pipeline.Dedup.admissionVerdicts(deltaSim, idx, maxDist)
+  }
+
+  /** One AvailableNow pass: documents under `inDir` stream through the
+    * admission guard against `refDir`'s corpus index; verdict rows
+    * append to `outDir` as parquet (exactly-once via the checkpoint +
+    * deterministic per-batch recompute).
+    */
+  def runOnce(s: SparkSession, inDir: String, outDir: String,
+              checkpoint: String, refDir: String,
+              corpusPct: Int = 80, maxDist: Int = 2): Unit = {
+    val idx = corpusIndex(s, refDir, corpusPct, maxDist)
+    val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        verdicts(batch, idx, corpusPct, maxDist)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.NearDupStream
+import SparkFixture.{sf, spark}
+
+/** Online near-dup admission (streaming/NearDupStream.scala): arriving
+  * docs verdicted against the served corpus simhash index; a backlog
+  * run must equal the batch twin (pipeline/Dedup.nearDupAdmission)
+  * doc-for-doc, including across a restart.
+  */
+class NearDupStreamSpec extends AnyFunSuite {
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val base = s"/root/repo/target/tmp/neardupstream_$tag"
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Files.createDirectories(Paths.get(in))
+    (in, out, cp)
+  }
+
+  test("streamed admission equals batch nearDupAdmission, across a restart") {
+    val (in, out, cp) = freshDirs("equiv")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def land(wave: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"${in}_stage_$tag"
+      wave.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$in/$tag.parquet"))
+    }
+    land(docs.filter(col("doc_id") % 2 === 0), "w0")
+    NearDupStream.runOnce(spark, in, out, cp, sf)
+    land(docs.filter(col("doc_id") % 2 === 1), "w1")
+    NearDupStream.runOnce(spark, in, out, cp, sf)
+    val got = spark.read.parquet(out)
+      .select("doc_id", "simhash", "verdict", "keep_id", "hamming")
+    val want = graft.pipeline.Dedup.nearDupAdmission(spark, sf)
+    // the fixture must exercise both verdicts
+    assert(want.filter(col("verdict") === "dup_of_corpus").count() > 0)
+    assert(want.filter(col("verdict") === "kept").count() > 0)
+    assert(got.count() === want.count(),
+      "one verdict per delta doc, none double-emitted")
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "streamed verdicts must equal the batch twin's rows")
+  }
+
+  test("state is index-bounded: verdicts need no cross-batch doc state") {
+    // the same corpus index judges a batch of ONE doc identically to
+    // the backlog run — per-arrival work touches only the index
+    val idx = NearDupStream.corpusIndex(spark, sf)
+    val batch = graft.pipeline.Dedup.nearDupAdmission(spark, sf)
+      .select(col("doc_id").as("want_id"), col("verdict").as("want_verdict"),
+        col("keep_id").as("want_keep"))
+    val one = batch.limit(1).collect()(0)
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === one.getLong(0))
+    val v = graft.pipeline.Dedup.admissionVerdicts(
+      graft.pipeline.Dedup.simhashOf(doc), idx).collect()(0)
+    assert(v.getAs[String]("verdict") === one.getString(1))
+  }
+
+  test("re-running the drained stream emits nothing new") {
+    val (in, out, cp) = freshDirs("drain")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"))
+    NearDupStream.runOnce(spark, in, out, cp, sf)
+    val n1 = spark.read.parquet(out).count()
+    NearDupStream.runOnce(spark, in, out, cp, sf)
+    assert(spark.read.parquet(out).count() === n1)
+  }
+}

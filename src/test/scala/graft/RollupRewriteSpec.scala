@@ -62,6 +62,16 @@ class RollupRewriteSpec extends AnyFunSuite {
       .contains("downsample_300s"))
   }
 
+  test("driver entry q_rollup_rewrite opts in and reads the rollup") {
+    val df = SparkEntry.queries("q_rollup_rewrite")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"q_rollup_rewrite must scan the rollup store:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"q_rollup_rewrite must NOT scan raw events:\n$plan")
+    assert(rows(df) === rows(TimeSeries.rangeSumBy(spark, sf)))
+  }
+
   test("SQL text hits the same rule (extension point, not API wrapper)") {
     val s2 = optIn()
     Tables.events(s2, sf).createOrReplaceTempView("ev_mv")

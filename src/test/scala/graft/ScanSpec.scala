@@ -42,6 +42,28 @@ class ScanSpec extends AnyFunSuite {
       s"unselected columns must not be read:\n$plan")
   }
 
+  test("propsShred: typed leg == path leg, absent key is NULL, scan pruned") {
+    val df = Scan.propsShred(spark, sf)
+    // column pruning survives the JSON parse: only the two referenced
+    // physical columns are read (nothing pushes INTO the opaque string)
+    val read = planOf(df).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("event_type") && read.contains("props"), read)
+    assert(!read.contains("value") && !read.contains("user_id"), read)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the declared-but-absent key m is NULL on every row
+    rows.foreach(r => assert(r.getAs[Long]("n_missing_m") === r.getAs[Long]("n")))
+    // typed-leg sums agree with the path-extraction entry
+    val viaPath = Scan.propsJson(spark, sf)
+      .select("event_type", "sum_k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("sum_k") === viaPath(r.getString(0))))
+    // string leg is lexicographic, not numeric: max over text digits
+    val maxStr = rows.map(_.getAs[String]("max_k_str")).max
+    assert(maxStr.forall(_.isDigit))
+  }
+
   test("scanIn pushes an In filter") {
     val plan = planOf(Scan.scanIn(spark, sf))
     assert(plan.contains("In(event_type"), plan)
