@@ -61,32 +61,32 @@ scale factors, so the baseline is graft's own measurement — locked here
 so every later round's `BENCH_r{{N}}.json` can be graded against a fixed
 bar (the 2x gate in the goal statement).
 
-**Round-8 re-lock** (supersedes the round-3 64-query baseline): the
-round-3 lock predated {len(queries) - 64} of the current {len(queries)}
-entries and held stub-era numbers for the multimodal kernel (mm_decode
-0.14s for a byte-arithmetic stub; the real javax.imageio decode
-honestly costs ~0.5s), which produced standing false >2x flags the
-judge had to adjudicate every round. This lock covers the full surface
-at the real-kernel numbers.
+**Round-12 full re-lock** (supersedes the round-9 lock plus the six
+round-10 partial appends, which this section replaces entirely): the
+first clean lock taken with the REP-MAJOR bench loop (round 12 —
+each rep runs the whole sorted query surface once, so a host slow
+window hits different queries in different reps and the per-query
+median/min filters it; the old query-major loop ran a query's reps
+back-to-back, which is how rounds 10/11 produced disjoint >2x flag
+sets on bit-identical binaries). Covers the full {len(queries)}-entry
+surface, including the round-12 entries (q_props_shred,
+q_promql_double_exp, q_rollup_rewrite, dedup_admission).
 
-**Host-noise disclosure (measured round 8, 2026-08-13):** three
-quiet-box runs within ~1h of each other (loadavg_start 1.59 / 0.62 /
-1.03, contended-guard green every time) totalled 70.4s / 85.8s / 72.9s
-on the same code — ~20% uniform spread — and all sat 1.26-1.50x above
-the round-7 quiet record for the 150 common queries: the virtualized
-host has speed windows that loadavg cannot see. The locked number per
-query is therefore the MEDIAN
-across runs ({prov}), a central estimate of the quiet-box level, NOT a
-best-case. Consequences for reading ratios: a fast host window shows
-~0.8x, a slow quiet window ~1.2-1.4x; only >2x on an unchanged query is
-a regression signal, and the `contended`/`loadavg_start` stamps in the
-bench JSON (round-8 guard) identify records where even that is noise.
+**Host-noise disclosure (measured rounds 8-11):** this virtualized
+host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
+BENCH_r11 on identical code: 224.5s vs 186.4s median totals). The
+locked number per query is the MEDIAN across quiet records
+({prov}), a central estimate of the quiet-box level, NOT a best-case.
+Consequences for reading ratios: a fast host window shows ~0.8x, a
+slow quiet window ~1.2-1.4x; only >2x on an unchanged query is a
+regression signal, and the `contended`/`loadavg_start` stamps in the
+bench JSON identify records where even that is noise.
 
 **Setup:** sf0.1 (`/root/testdata/sf0.1`), `local[32]`, per-query
-MEDIAN seconds over n reps after one untimed warmup (write-once
-artifacts pre-built), noop sink. Recorded 2026-08-13 (round 8) at
-commit {commit}; Bench refuses or stamps records above loadavg 2.5
-since round 8.
+MEDIAN seconds over n rep-major reps after one untimed warmup
+(write-once artifacts pre-built), noop sink. Recorded 2026-08-15
+(round 12) at commit {commit}; Bench refuses or stamps records above
+loadavg 2.5 since round 8.
 
 Bench emits `vs_baseline` (min-of-n / baseline median) per query when
 this file is present; a ratio > 2.0 on an unchanged query is a

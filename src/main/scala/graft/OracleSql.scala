@@ -89,6 +89,13 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the full algebraic-measure family over the hourly step — also the
+    // shared oracle for the MV-rewritten q_rollup_rewrite_stats
+    "q_range_stats_by" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+        |       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_rate" ->
       """WITH x AS (
         |  SELECT user_id, event_type, event_id, value,
@@ -1766,6 +1773,9 @@ object OracleSql {
       // the downsample store yet must be BIT-EQUAL to the raw-events
       // aggregation — db/writer.go's compaction-serving posture,
       // stated as a shared oracle hash
-      "q_rollup_rewrite" -> base("q_range_sum_by"))
+      "q_rollup_rewrite" -> base("q_range_sum_by"),
+      // the widened measure family (count/min/max/sum) served from the
+      // rollup must hash-match the raw-events formulation
+      "q_rollup_rewrite_stats" -> base("q_range_stats_by"))
   }
 }

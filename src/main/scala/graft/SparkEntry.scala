@@ -229,8 +229,8 @@ object SparkEntry {
       s, d, "group(count_over_time(click[1h]))")),
     "q_promql_count_values" -> ((s, d) => graft.operators.Promql.query(
       s, d, """count_values("cnt", count_over_time(click[1h]))""")),
-    // rows-only: the sequential smoothing fold is not reasonably
-    // SQL-expressible; a hand-computed ScalaTest fixture pins the math
+    // oracle: the smoothing fold unrolled as a recursive CTE (round 9
+    // upgraded this from rows-only — see OracleSql q_promql_holt)
     "q_promql_holt" -> ((s, d) => graft.operators.Promql.query(
       s, d, "holt_winters(purchase[1w], 0.5, 0.3)")),
     // Prometheus 3.x spelling of the same verb (round-12, VERDICT r11
@@ -377,6 +377,15 @@ object SparkEntry {
       val s2 = s.newSession()
       s2.conf.set("spark.graft.rollup.rewrite", "true")
       graft.operators.TimeSeries.rangeSumBy(s2, d)
+    }),
+    // the widened lossless-measure family (count/min/max/sum) through
+    // the same rewrite; raw twin q_range_stats_by carries the oracle
+    "q_range_stats_by" -> (graft.operators.TimeSeries.rangeStatsBy _),
+    "q_rollup_rewrite_stats" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.TimeSeries.rangeStatsBy(s2, d)
     }),
     // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key;
     // the tombstone form adds v3 deletes (update-then-delete chains)

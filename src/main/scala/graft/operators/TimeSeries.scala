@@ -50,6 +50,19 @@ object TimeSeries {
       .groupBy(stepHour(col("ts")), col("event_type"))
       .agg(exactSum(col("value")).as("sum_value"))
 
+  /** Hourly (count, min, max, exact sum) by event_type — the full
+    * algebraic-measure family the downsample rollup answers losslessly;
+    * `q_rollup_rewrite_stats` runs this same query with the MV rewrite
+    * opted in and must hash-match its oracle (round 12).
+    */
+  def rangeStatsBy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(stepHour(col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        exactSum(col("value")).as("sum_value"))
+
   /** PromQL `rate()`: per-series dValue/dt between consecutive samples.
     * Time deltas in microseconds (both engines agree at µs precision;
     * ns does not survive Spark's parquet read).

@@ -4,7 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, TruncTimestamp, UnixTimestamp}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -113,9 +113,47 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Output kinds the rollup answers LOSSLESSLY (round 12 widened the
+    * single-sum shape to the full algebraic-measure family): the two
+    * grouping keys, plus sum (DECIMAL partials merge associatively),
+    * min/max (order statistics compose through any partition), and
+    * count (hourly row count = Σ bucket n_samples). avg is served as
+    * sum/count by composition, not matched directly — a query writing
+    * avg(value) computes it from the two rewritten measures.
+    */
+  private sealed trait OutKind
+  private case object StepK extends OutKind
+  private case object EtK extends OutKind
+  private case object SumK extends OutKind
+  private case object MinK extends OutKind
+  private case object MaxK extends OutKind
+  private case object CntK extends OutKind
+
+  private def isValueAttr(e: Expression): Boolean = e match {
+    case at: AttributeReference => at.name == "value"
+    case _ => false
+  }
+
+  private def classify(e: Expression): Option[OutKind] = e match {
+    case _ if isHourStep(e) => Some(StepK)
+    case at: AttributeReference if at.name == "event_type" => Some(EtK)
+    case _ if isExactValueSum(e) => Some(SumK)
+    case AggregateExpression(Min(v), _, false, None, _) if isValueAttr(v) =>
+      Some(MinK)
+    case AggregateExpression(Max(v), _, false, None, _) if isValueAttr(v) =>
+      Some(MaxK)
+    // COUNT(*) analyzes to Count(1); count(value) is equivalent here
+    // (the rollup counts exactly the rows the raw scan would)
+    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+      Some(CntK)
+    case AggregateExpression(Count(Seq(v)), _, false, None, _) if isValueAttr(v) =>
+      Some(CntK)
+    case _ => None
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.size != 2 ||
-      agg.aggregateExpressions.size != 3) return None
+      agg.aggregateExpressions.size < 3) return None
     flatten(agg.child).flatMap { case (subst, rel) =>
       val fs = rel.relation match {
         case h: HadoopFsRelation => Some(h)
@@ -138,38 +176,53 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             case at: AttributeReference => at.name == "event_type"
             case _ => false
           }
-          val sumOk = agg.aggregateExpressions.exists {
-            case a: Alias => isExactValueSum(dealias(a.child, subst))
+          // every output must be a grouping key or a recognized
+          // measure — anything else is a shape the rollup does not
+          // answer losslessly
+          val kinds = agg.aggregateExpressions.map {
+            case a: Alias => classify(dealias(a.child, subst))
+            case at: AttributeReference => classify(at)
+            case _ => None
+          }
+          val measureOk = kinds.flatten.exists {
+            case SumK | MinK | MaxK | CntK => true
             case _ => false
           }
-          // the two non-measure outputs must be the grouping columns
-          // themselves (possibly re-aliased) — anything else is a shape
-          // the rollup does not answer
-          val othersOk = agg.aggregateExpressions.forall {
-            case a: Alias =>
-              val d = dealias(a.child, subst)
-              isHourStep(d) || isExactValueSum(d)
-            case at: AttributeReference => at.name == "event_type"
-            case _ => false
-          }
-          if (hourOk && etOk && sumOk && othersOk) Some(substitute(agg, store))
+          if (hourOk && etOk && measureOk && kinds.forall(_.isDefined) &&
+            kinds.flatten.count(_ == StepK) == 1 &&
+            kinds.flatten.count(_ == EtK) == 1)
+            Some(substitute(agg, store, kinds.flatten))
           else None
         }
       }
     }
   }
 
-  /** The replacement: hourly re-aggregation of the rollup store, output
-    * re-aliased to the original ExprIds so parents are untouched.
+  /** The replacement: hourly re-aggregation of the rollup store with
+    * the measures the query asked for, projected in the query's output
+    * order and re-aliased to the original ExprIds so parents are
+    * untouched. Measures the query didn't ask for are pruned by the
+    * optimizer's own column pruning.
     */
-  private def substitute(agg: Aggregate, store: String): LogicalPlan = {
-    val mv = session.read.parquet(store)
+  private def substitute(agg: Aggregate, store: String,
+                         kinds: Seq[OutKind]): LogicalPlan = {
+    val grouped = session.read.parquet(store)
       .groupBy(expr("(bucket div 3600) * 3600").as("step"), col("event_type"))
-      .agg(sum("sum_dec").cast("double").as("sum_value"))
-    val rew = mv.queryExecution.analyzed
-    // positional mapping is safe: both sides are (step, label, measure)
-    val byKind: Seq[Attribute] = rew.output
-    Project(agg.output.zip(byKind).map { case (o, n) =>
+      .agg(
+        sum("sum_dec").cast("double").as("m_sum"),
+        org.apache.spark.sql.functions.min("min_value").as("m_min"),
+        org.apache.spark.sql.functions.max("max_value").as("m_max"),
+        sum("n_samples").as("m_cnt"))
+    val ordered = kinds.map {
+      case StepK => col("step")
+      case EtK   => col("event_type")
+      case SumK  => col("m_sum")
+      case MinK  => col("m_min")
+      case MaxK  => col("m_max")
+      case CntK  => col("m_cnt")
+    }
+    val rew = grouped.select(ordered: _*).queryExecution.analyzed
+    Project(agg.output.zip(rew.output).map { case (o, n) =>
       Alias(n, o.name)(exprId = o.exprId)
     }, rew)
   }

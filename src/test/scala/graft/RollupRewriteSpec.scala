@@ -45,12 +45,13 @@ class RollupRewriteSpec extends AnyFunSuite {
   test("shape gate: near-miss aggregates are not rewritten") {
     val s2 = optIn()
     import org.apache.spark.sql.functions._
-    // same grouping, different measure (max) — rollup could answer it
-    // but the rule only claims the sum shape it can prove exact
+    // same grouping, a measure the rollup CANNOT answer (stddev needs
+    // Σv² which the store doesn't carry) — round 12 widened the matched
+    // family to count/min/max/sum, so the non-member probe moved too
     val near = Tables.events(s2, sf)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
         col("event_type"))
-      .agg(max("value").as("mx"))
+      .agg(stddev("value").as("sd"))
     assert(!near.queryExecution.executedPlan.toString
       .contains("downsample_300s"))
     // different grouping (day, not hour) — windows don't align
@@ -70,6 +71,31 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(!plan.contains("events.parquet"),
       s"q_rollup_rewrite must NOT scan raw events:\n$plan")
     assert(rows(df) === rows(TimeSeries.rangeSumBy(spark, sf)))
+  }
+
+  test("widened measures: count/min/max/sum all serve from the rollup, bit-equal") {
+    val s2 = optIn()
+    val rew = TimeSeries.rangeStatsBy(s2, sf)
+    val plan = rew.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"stats query must scan the rollup store:\n$plan")
+    assert(!plan.contains("events.parquet"), plan)
+    def statRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(statRows(rew) === statRows(TimeSeries.rangeStatsBy(spark, sf)))
+  }
+
+  test("avg-shaped queries are NOT matched (only lossless measures rewrite)") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    val avgQ = Tables.events(s2, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(avg("value").as("a"))
+    assert(!avgQ.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
   }
 
   test("SQL text hits the same rule (extension point, not API wrapper)") {
