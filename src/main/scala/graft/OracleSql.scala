@@ -1776,6 +1776,16 @@ object OracleSql {
       "q_rollup_rewrite" -> base("q_range_sum_by"),
       // the widened measure family (count/min/max/sum) served from the
       // rollup must hash-match the raw-events formulation
-      "q_rollup_rewrite_stats" -> base("q_range_stats_by"))
+      "q_rollup_rewrite_stats" -> base("q_range_stats_by"),
+      // label-filter replay + grain drop through the rewrite: the
+      // filtered hourly sum served from the store equals raw semantics
+      "q_rollup_rewrite_filtered" -> base("q_range_sum"),
+      // user-grain grouping + label filter; the oracle aggregates RAW
+      // events, so the hash proves the store-served answer losslessly
+      "q_rollup_rewrite_user" ->
+        """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+          |       COUNT(*) AS n, MIN(value) AS min_value,
+          |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+          |FROM events WHERE event_type = 'click' GROUP BY 1, 2""".stripMargin)
   }
 }

@@ -387,6 +387,32 @@ object SparkEntry {
       s2.conf.set("spark.graft.rollup.rewrite", "true")
       graft.operators.TimeSeries.rangeStatsBy(s2, d)
     }),
+    // label FILTERS replay on the store (whole-group selection) and the
+    // grouping may drop store labels (finer grain re-aggregates): the
+    // flagship filtered hourly sum served from the rollup, sharing
+    // q_range_sum's oracle
+    "q_rollup_rewrite_filtered" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.TimeSeries.rangeSum(s2, d)
+    }),
+    // user-grain grouping + label filter through the rewrite; the
+    // DuckDB oracle aggregates RAW events, so the hash proves the
+    // store-served answer equals raw semantics
+    "q_rollup_rewrite_user" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(s2, d)
+        .filter(col("event_type") === "click")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_value"),
+          graft.functions.ExactNum.exactSum(col("value")).as("sum_value"))
+    }),
     // merge-on-read upsert: base@v1 ∪ delta@v2 → latest per key;
     // the tombstone form adds v3 deletes (update-then-delete chains)
     "q_upsert_latest"    -> (graft.sources.UpsertStore.upsertLatest _),

@@ -66,21 +66,35 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Walk Project stacks down to a parquet relation, accumulating alias
-    * substitutions so expressions above can be compared against the
-    * relation's raw columns.
+  /** Walk Project/Filter stacks down to a parquet relation, accumulating
+    * alias substitutions (so expressions above can be compared against
+    * the relation's raw columns) and the dealiased filter conjuncts
+    * (round 12: a label-column filter selects WHOLE rollup groups —
+    * every store row carries (user_id, event_type) — so the rewrite
+    * stays lossless with the filter replayed on the store).
     */
   private def flatten(p: LogicalPlan)
-      : Option[(Map[ExprId, Expression], LogicalRelation)] = p match {
-    case r: LogicalRelation => Some((Map.empty, r))
-    case Project(list, child) =>
-      flatten(child).map { case (m, r) =>
-        val m2 = m ++ list.collect { case a: Alias =>
-          a.exprId -> dealias(a.child, m)
+      : Option[(Map[ExprId, Expression], Seq[Expression], LogicalRelation)] =
+    p match {
+      case r: LogicalRelation => Some((Map.empty, Nil, r))
+      case Project(list, child) =>
+        flatten(child).map { case (m, fs, r) =>
+          val m2 = m ++ list.collect { case a: Alias =>
+            a.exprId -> dealias(a.child, m)
+          }
+          (m2, fs, r)
         }
-        (m2, r)
-      }
-    case _ => None
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        flatten(child).map { case (m, fs, r) =>
+          (m, fs ++ conjunctsOf(cond).map(dealias(_, m)), r)
+        }
+      case _ => None
+    }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
   }
 
   private def dealias(e: Expression, m: Map[ExprId, Expression]): Expression =
@@ -124,10 +138,12 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private sealed trait OutKind
   private case object StepK extends OutKind
   private case object EtK extends OutKind
+  private case object UserK extends OutKind
   private case object SumK extends OutKind
   private case object MinK extends OutKind
   private case object MaxK extends OutKind
   private case object CntK extends OutKind
+  private val KeyKinds: Set[OutKind] = Set(StepK, EtK, UserK)
 
   private def isValueAttr(e: Expression): Boolean = e match {
     case at: AttributeReference => at.name == "value"
@@ -137,6 +153,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private def classify(e: Expression): Option[OutKind] = e match {
     case _ if isHourStep(e) => Some(StepK)
     case at: AttributeReference if at.name == "event_type" => Some(EtK)
+    case at: AttributeReference if at.name == "user_id" => Some(UserK)
     case _ if isExactValueSum(e) => Some(SumK)
     case AggregateExpression(Min(v), _, false, None, _) if isValueAttr(v) =>
       Some(MinK)
@@ -151,10 +168,57 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A filter conjunct the rollup can replay losslessly: a predicate
+    * over the STORE'S OWN label columns (event_type / user_id) in the
+    * shapes the optimizer actually produces for label matchers. Such a
+    * predicate selects whole (bucket, user_id, event_type) groups, so
+    * aggregation over the surviving rollup rows equals aggregation over
+    * the surviving raw rows. Predicates touching ts or value are NOT
+    * convertible (they cut within buckets) — returning None vetoes the
+    * whole rewrite.
+    */
+  private def storeFilter(e: Expression): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    def isLabel(a: AttributeReference): Boolean =
+      a.name == "event_type" || a.name == "user_id"
+    def l2c(l: Literal): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.lit(
+        CatalystTypeConverters.convertToScala(l.value, l.dataType))
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) if isLabel(a) =>
+        Some(col(a.name) === l2c(l))
+      case EqualTo(l: Literal, a: AttributeReference) if isLabel(a) =>
+        Some(col(a.name) === l2c(l))
+      case Not(EqualTo(a: AttributeReference, l: Literal)) if isLabel(a) =>
+        Some(col(a.name) =!= l2c(l))
+      case GreaterThan(a: AttributeReference, l: Literal) if isLabel(a) =>
+        Some(col(a.name) > l2c(l))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if isLabel(a) =>
+        Some(col(a.name) >= l2c(l))
+      case LessThan(a: AttributeReference, l: Literal) if isLabel(a) =>
+        Some(col(a.name) < l2c(l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if isLabel(a) =>
+        Some(col(a.name) <= l2c(l))
+      case In(a: AttributeReference, vs) if isLabel(a) &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+        Some(col(a.name).isin(vs.map(v =>
+          CatalystTypeConverters.convertToScala(
+            v.asInstanceOf[Literal].value,
+            v.asInstanceOf[Literal].dataType)): _*))
+      case InSet(a: AttributeReference, vs) if isLabel(a) =>
+        Some(col(a.name).isin(vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)): _*))
+      case IsNotNull(a: AttributeReference) if isLabel(a) =>
+        Some(col(a.name).isNotNull)
+      case _ => None
+    }
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.size != 2 ||
-      agg.aggregateExpressions.size < 3) return None
-    flatten(agg.child).flatMap { case (subst, rel) =>
+    if (agg.groupingExpressions.isEmpty || agg.groupingExpressions.size > 3 ||
+      agg.aggregateExpressions.size < 2) return None
+    flatten(agg.child).flatMap { case (subst, filters, rel) =>
       val fs = rel.relation match {
         case h: HadoopFsRelation => Some(h)
         case _ => None
@@ -170,52 +234,63 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         val store = DownsampleStore.storePath(session, dir)
         if (!new File(store, "_SUCCESS").isFile) None // MV not materialized
         else {
-          val g = agg.groupingExpressions.map(e => dealias(e, subst))
-          val hourOk = g.count(isHourStep) == 1
-          val etOk = g.exists {
-            case at: AttributeReference => at.name == "event_type"
-            case _ => false
-          }
-          // every output must be a grouping key or a recognized
-          // measure — anything else is a shape the rollup does not
-          // answer losslessly
+          // grouping keys: the hour step plus any subset of the store's
+          // label columns — absent labels roll up across (the store's
+          // finer grain re-aggregates losslessly)
+          val groupKinds = agg.groupingExpressions
+            .map(e => classify(dealias(e, subst)))
+          val gk = groupKinds.flatten
+          val groupOk = groupKinds.forall(_.isDefined) &&
+            gk.forall(KeyKinds) && gk.count(_ == StepK) == 1 &&
+            gk.distinct.size == gk.size
+          // every output must be a grouped key or a recognized measure
           val kinds = agg.aggregateExpressions.map {
             case a: Alias => classify(dealias(a.child, subst))
             case at: AttributeReference => classify(at)
             case _ => None
           }
-          val measureOk = kinds.flatten.exists {
-            case SumK | MinK | MaxK | CntK => true
-            case _ => false
-          }
-          if (hourOk && etOk && measureOk && kinds.forall(_.isDefined) &&
-            kinds.flatten.count(_ == StepK) == 1 &&
-            kinds.flatten.count(_ == EtK) == 1)
-            Some(substitute(agg, store, kinds.flatten))
+          val ok = kinds.flatten
+          val outOk = kinds.forall(_.isDefined) &&
+            ok.filter(KeyKinds).forall(gk.contains) &&
+            ok.exists(!KeyKinds(_))
+          // every filter conjunct must replay on the store's label
+          // columns — one unconvertible predicate vetoes the rewrite
+          val fCols = filters.map(storeFilter)
+          if (groupOk && outOk && fCols.forall(_.isDefined))
+            Some(substitute(agg, store, ok, gk, fCols.flatten))
           else None
         }
       }
     }
   }
 
-  /** The replacement: hourly re-aggregation of the rollup store with
-    * the measures the query asked for, projected in the query's output
-    * order and re-aliased to the original ExprIds so parents are
-    * untouched. Measures the query didn't ask for are pruned by the
-    * optimizer's own column pruning.
+  /** The replacement: the label filters replayed on the rollup store,
+    * re-aggregated to the query's grouping grain with the measures the
+    * query asked for, projected in the query's output order and
+    * re-aliased to the original ExprIds so parents are untouched.
+    * Measures the query didn't ask for are pruned by the optimizer's
+    * own column pruning.
     */
   private def substitute(agg: Aggregate, store: String,
-                         kinds: Seq[OutKind]): LogicalPlan = {
-    val grouped = session.read.parquet(store)
-      .groupBy(expr("(bucket div 3600) * 3600").as("step"), col("event_type"))
+                         outKinds: Seq[OutKind], groupKinds: Seq[OutKind],
+                         filters: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
+    val src = filters.foldLeft(session.read.parquet(store))(_.filter(_))
+    val keyCols = groupKinds.map {
+      case StepK => expr("(bucket div 3600) * 3600").as("step")
+      case EtK   => col("event_type")
+      case UserK => col("user_id")
+      case other => sys.error(s"non-key grouping kind $other")
+    }
+    val grouped = src.groupBy(keyCols: _*)
       .agg(
         sum("sum_dec").cast("double").as("m_sum"),
         org.apache.spark.sql.functions.min("min_value").as("m_min"),
         org.apache.spark.sql.functions.max("max_value").as("m_max"),
         sum("n_samples").as("m_cnt"))
-    val ordered = kinds.map {
+    val ordered = outKinds.map {
       case StepK => col("step")
       case EtK   => col("event_type")
+      case UserK => col("user_id")
       case SumK  => col("m_sum")
       case MinK  => col("m_min")
       case MaxK  => col("m_max")

@@ -98,6 +98,56 @@ class RollupRewriteSpec extends AnyFunSuite {
       .contains("downsample_300s"))
   }
 
+  test("label filters replay on the store; grain may drop store labels") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    // the flagship filtered hourly sum: filter on event_type, grouping
+    // drops both labels — finer store grain re-aggregates losslessly
+    val rew = TimeSeries.rangeSum(s2, sf)
+    val plan = rew.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"filtered hourly sum must serve from the rollup:\n$plan")
+    assert(!plan.contains("events.parquet"), plan)
+    def sumRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    assert(sumRows(rew) === sumRows(TimeSeries.rangeSum(spark, sf)))
+    // user-grain grouping with an IN filter
+    val byUser = Tables.events(s2, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(byUser.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+    val raw = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(byUser.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(byUser).count() === 0)
+  }
+
+  test("a ts or value filter vetoes the rewrite (cuts within buckets)") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    val tsFiltered = Tables.events(s2, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:30:00").cast("timestamp"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    assert(!tsFiltered.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+    val vFiltered = Tables.events(s2, sf)
+      .filter(col("value") > 50.0)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    assert(!vFiltered.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+  }
+
   test("SQL text hits the same rule (extension point, not API wrapper)") {
     val s2 = optIn()
     Tables.events(s2, sf).createOrReplaceTempView("ev_mv")
