@@ -69,8 +69,9 @@ window hits different queries in different reps and the per-query
 median/min filters it; the old query-major loop ran a query's reps
 back-to-back, which is how rounds 10/11 produced disjoint >2x flag
 sets on bit-identical binaries). Covers the full {len(queries)}-entry
-surface, including the round-12 entries (q_props_shred,
-q_promql_double_exp, q_rollup_rewrite, dedup_admission).
+surface, including the eight round-12 entries (q_props_shred,
+q_promql_double_exp, dedup_admission, q_range_stats_by, and the
+q_rollup_rewrite family x4).
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
