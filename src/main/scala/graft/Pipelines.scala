@@ -301,6 +301,21 @@ object Pipelines {
          |SELECT simhash AS h1, simhash AS h2, CAST(0 AS BIGINT) AS hamming,
          |       n_docs AS n_docs1, n_docs AS n_docs2
          |FROM h WHERE n_docs >= 2""".stripMargin,
+    // persistent content-index lifecycle: v1 = corpus index, v2 appends
+    // the delta's NEW contents (first-ingested wins); the oracle
+    // re-derives both versions from the split rules
+    "dedup_index_maintain" ->
+      s"""WITH b AS (SELECT doc_id, md5(text) AS chash,
+         |             CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+         |           FROM documents),
+         |old AS (SELECT chash, MIN(doc_id) AS keep_id FROM b
+         |        WHERE bucket < 80 GROUP BY 1),
+         |neu AS (SELECT n.chash, MIN(n.doc_id) AS keep_id
+         |        FROM b n LEFT JOIN old o USING (chash)
+         |        WHERE n.bucket >= 80 AND o.chash IS NULL GROUP BY 1)
+         |SELECT chash, keep_id, CAST(1 AS INTEGER) AS since_version FROM old
+         |UNION ALL
+         |SELECT chash, keep_id, CAST(2 AS INTEGER) AS since_version FROM neu""".stripMargin,
     // streaming-admission batch twin: delta docs (bucket >= 80) verdicted
     // against the corpus simhash index; nearest corpus copy wins ties by
     // lowest keep_id. The oracle may do the O(N^2) distance scan (DuckDB,

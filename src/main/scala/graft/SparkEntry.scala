@@ -425,6 +425,9 @@ object SparkEntry {
     "dedup_incremental"   -> ((s, d) => Dedup.incremental(s, d)),
     // near-dup admission, batch twin of streaming/NearDupStream.scala
     "dedup_admission"     -> ((s, d) => Dedup.nearDupAdmission(s, d)),
+    // the persistent content-index lifecycle behind dedup_incremental:
+    // v1 corpus index + O(delta) v2 append, both write-once
+    "dedup_index_maintain" -> ((s, d) => Dedup.indexMaintain(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     // asymmetric containment: the near-dup class resemblance misses

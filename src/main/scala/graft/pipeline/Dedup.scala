@@ -463,6 +463,47 @@ object Dedup {
           .as("keep_id"))
   }
 
+  /** PERSISTENT content-index maintenance (round 12) — the lifecycle
+    * behind [[incremental]], materialized: the index an ingest pipeline
+    * actually serves is a STORE, not a derivation, and each ingest
+    * appends only the delta's NEW contents to it. v1 = the corpus
+    * split's (chash, min doc_id) index; v2 = v1 plus one row per
+    * delta content absent from v1 (first-arriving delta copy wins —
+    * the FIRST-INGESTED contract, which is the production rule: an
+    * index maps content to the copy that entered the corpus first, not
+    * to a global min over time). Both versions are write-once
+    * (`_SUCCESS` freshness, the ChunkStore contract), so maintenance
+    * is idempotent and each ingest's write cost is O(new contents),
+    * never O(index): at 100 TB the v2 append is delta-sized while the
+    * served index stays immutable behind it. Output: the v2 index with
+    * `since_version` provenance.
+    */
+  def indexMaintain(s: SparkSession, dir: String,
+                    corpusPct: Int = 80): DataFrame = {
+    require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
+    val root = graft.sources.ChunkStore.storeRoot(s)
+    val tag = graft.sources.ChunkStore.pathTag(dir)
+    val v1 = s"$root/dedupidx_$tag/v1"
+    val v2 = s"$root/dedupidx_$tag/v2"
+    def b = Tables.documents(s, dir).select(
+      col("doc_id"), md5(col("text")).as("chash"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L).as("bucket"))
+    if (!new java.io.File(v1, "_SUCCESS").isFile)
+      b.filter(col("bucket") < corpusPct)
+        .groupBy("chash").agg(min("doc_id").as("keep_id"))
+        .write.mode("overwrite").parquet(v1)
+    if (!new java.io.File(v2, "_SUCCESS").isFile) {
+      val served = s.read.parquet(v1)
+      b.filter(col("bucket") >= corpusPct)
+        .groupBy("chash").agg(min("doc_id").as("keep_id"))
+        .join(served.select("chash"), Seq("chash"), "left_anti")
+        .write.mode("overwrite").parquet(v2)
+    }
+    s.read.parquet(v1).withColumn("since_version", lit(1))
+      .unionAll(s.read.parquet(v2).withColumn("since_version", lit(2)))
+  }
+
   /** Pigeonhole block columns for a 16-bit simhash column: a pair within
     * Hamming distance `maxDist` must agree on at least one of the
     * `maxDist + 1` bit blocks, so an equi-join on (block, bits) is a
