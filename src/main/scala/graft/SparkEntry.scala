@@ -303,6 +303,11 @@ object SparkEntry {
         .select("change_type", "version", "event_id", "user_id",
           "event_type", "us", "value")
     }),
+    "q4_priority"    -> (Relational.q4Priority _),
+    "q6_forecast"    -> (Relational.q6Forecast _),
+    "q12_priority"   -> (Relational.q12Priority _),
+    "q14_promo"      -> (Relational.q14Promo _),
+    "q19_discount"   -> (Relational.q19Discount _),
     "q17_small_qty"  -> ((s, d) => Relational.smallQtyRevenue(s, d)),
     // TPC-H Q18/Q21 shapes: HAVING-subquery decorrelated to a
     // pre-join partial agg; double-EXISTS collapsed to one per-order

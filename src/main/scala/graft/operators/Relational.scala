@@ -418,6 +418,106 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q4 shape (order-priority EXISTS count, round 12): orders in
+    * one quarter having at least one RETURNED line — `l_returnflag =
+    * 'R'` stands in for the original `l_commitdate < l_receiptdate`,
+    * which the synthetic schema doesn't carry. The EXISTS compiles to
+    * ONE left-semi shuffle join on the order key plus a 5-row
+    * partial agg — never a fact-fact inner join that would duplicate
+    * orders per matching line and need a distinct.
+    */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6 (forecast revenue): the pure scan-aggregate — every
+    * predicate (ship year, discount band, quantity cap) pushes to the
+    * parquet scan, the sum is one map-side-combinable decimal agg,
+    * zero joins, one 1-row shuffle. The query whose 100 TB cost IS the
+    * scan, which is why the pushdown matters.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q12 shape (priority-by-class conditional counts): one
+    * fact-fact equi join on the order key, then CASE-bucketed counts —
+    * `l_returnflag` plays the ship-mode class the synthetic schema
+    * lacks. The CASE lives INSIDE the aggregate (map-side combinable),
+    * not as a pre-pivot.
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q14 (promo revenue share): month of lineitem ⋈ broadcast
+    * part, a conditional and an unconditional decimal sum in the SAME
+    * single aggregate pass, divided in double at the one-row edge.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(s, dir).select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        exactSum(when(col("p_type") === "PROMO", disc).otherwise(0.0)) /
+        exactSum(disc)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, OR-of-ANDs): three brand/size/
+    * quantity bands OR'd together across a lineitem ⋈ broadcast part
+    * join. The disjunction mixes both sides' columns, so it cannot
+    * push whole — but Catalyst extracts the per-side convertible
+    * residues (the brand/size disjunction to the part scan, the
+    * quantity disjunction to lineitem) via PushExtraPredicateThroughJoin,
+    * which is the behavior worth pinning at 100 TB: the scan prunes
+    * even when the full predicate can't move.
+    */
+  def q19Discount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val bands =
+      (col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#5" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20.0, 30.0))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
   /** TPC-H Q17 shape (small-quantity revenue): the correlated scalar
     * subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE
     * l_partkey = p_partkey)` DECORRELATED into a per-part aggregate

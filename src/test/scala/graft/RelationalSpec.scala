@@ -261,6 +261,53 @@ class RelationalSpec extends AnyFunSuite {
       s"grouping sets must aggregate in one shuffle:\n$plan")
   }
 
+  test("q4Priority: EXISTS plans as one semi join, counts match a distinct-join") {
+    val df = Relational.q4Priority(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    val ref = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+        .select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    assert(df.exceptAll(ref).count() === 0 && ref.exceptAll(df).count() === 0)
+  }
+
+  test("q6Forecast: every predicate reaches the parquet scan") {
+    val plan = planOf(Relational.q6Forecast(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.03)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_discount,0.07)"), plan)
+    assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
+    assert(plan.contains("l_shipdate"), plan) // both date bounds pushed
+    assert(Relational.q6Forecast(spark, sf).collect()(0).getDouble(0) > 0.0)
+  }
+
+  test("q12Priority: high + low = all joined lines in the window") {
+    val df = Relational.q12Priority(spark, sf)
+    val total = df.agg(sum(col("high_line_count") + col("low_line_count")))
+      .collect()(0).getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total === expected)
+  }
+
+  test("q14Promo and q19Discount broadcast the part dimension") {
+    val p14 = planOf(Relational.q14Promo(spark, sf))
+    assert(p14.contains("BroadcastHashJoin"), p14)
+    val share = Relational.q14Promo(spark, sf).collect()(0).getDouble(0)
+    assert(share > 0.0 && share < 100.0)
+    val p19 = planOf(Relational.q19Discount(spark, sf))
+    assert(p19.contains("BroadcastHashJoin"), p19)
+    // the per-side residue of the OR-of-ANDs prunes the part scan
+    assert(p19.contains("Brand#12"), s"brand disjunction should reach a scan:\n$p19")
+    assert(Relational.q19Discount(spark, sf).collect()(0).getDouble(0) > 0.0)
+  }
+
   test("custDist: distribution sums to all customers, zero bucket kept") {
     val rows = Relational.custDist(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
