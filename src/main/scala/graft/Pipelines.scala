@@ -393,6 +393,34 @@ object Pipelines {
          |         ${dot("a.embedding", "b.embedding")} / (sqrt(a.norm) * sqrt(b.norm)) AS cosine
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.3""".stripMargin,
+    // embedding-cosine admission (the vector sibling of dedup_admission):
+    // delta vectors (vec_id-hash split >= 80) verdicted against the
+    // collapsed corpus vector index through the LSH bucket join;
+    // highest cosine wins, ties by lowest keep_id
+    "emb_admission" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  ${bucket("embedding")} AS bucket,
+         |  CAST(($vecNibble) % 100 AS BIGINT) AS split FROM embeddings),
+         |idx0 AS (SELECT embedding AS iemb, MIN(vec_id) AS keep_id
+         |         FROM emb WHERE split < 80 GROUP BY 1),
+         |idx AS (SELECT keep_id, iemb, ${dot("iemb", "iemb")} AS inorm,
+         |               ${bucket("iemb")} AS bucket FROM idx0),
+         |delta AS (SELECT vec_id, embedding, norm, bucket
+         |          FROM emb WHERE split >= 80),
+         |m AS (SELECT d.vec_id, i.keep_id,
+         |        ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) AS cosine
+         |      FROM delta d JOIN idx i ON d.bucket = i.bucket),
+         |f AS (SELECT vec_id, keep_id, cosine,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY cosine DESC, keep_id) AS rn
+         |      FROM m WHERE cosine >= 0.3)
+         |SELECT d.vec_id,
+         |  CASE WHEN f.keep_id IS NOT NULL THEN 'dup_of_corpus'
+         |       ELSE 'kept' END AS verdict,
+         |  f.keep_id, f.cosine
+         |FROM delta d LEFT JOIN (SELECT vec_id, keep_id, cosine FROM f
+         |                        WHERE rn = 1) f USING (vec_id)""".stripMargin,
     // the auto-planes variant: the correctness gate runs at sf0.01
     // (N = 500 embeddings), where suggestedPlanes(500, 64) = 3 — the
     // oracle mirrors that plane count; SimilaritySpec pins the formula
@@ -2047,6 +2075,12 @@ object Pipelines {
     * conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10); shared
     * by doc_sample and doc_contamination so the split cannot drift.
     */
+  /** The same unsalted hash split on vec_id (embedding admission). */
+  private lazy val vecNibble: String = (1 to 4).map { k =>
+    val mul = math.pow(16, 4 - k).toLong
+    s"((instr('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), $k, 1)) - 1) * $mul)"
+  }.mkString(" + ")
+
   private lazy val bucketNibble: String = (1 to 4).map { k =>
     val mul = math.pow(16, 4 - k).toLong
     s"((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1) * $mul)"

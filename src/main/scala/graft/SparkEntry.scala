@@ -433,6 +433,8 @@ object SparkEntry {
     // the persistent content-index lifecycle behind dedup_incremental:
     // v1 corpus index + O(delta) v2 append, both write-once
     "dedup_index_maintain" -> ((s, d) => Dedup.indexMaintain(s, d)),
+    // embedding-cosine admission: the vector sibling of dedup_admission
+    "emb_admission"       -> ((s, d) => Dedup.embAdmission(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     // asymmetric containment: the near-dup class resemblance misses

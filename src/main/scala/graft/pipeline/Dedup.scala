@@ -753,6 +753,77 @@ object Dedup {
     crossPairs.unionAll(intraPairs)
   }
 
+  /** Embedding-cosine admission index: the ingested corpus collapsed to
+    * DISTINCT vectors (keep_id = min corpus vec_id per embedding), each
+    * carrying its LSH bucket and exact-decimal self-dot — the served
+    * form an arriving batch probes with ONE bucket equi-join. Index
+    * size is bounded by distinct vectors; at 100 TB the planes knob
+    * (Similarity.suggestedPlanes) keeps expected bucket population flat.
+    */
+  def embAdmissionIndex(corpus: DataFrame,
+                        numPlanes: Int = Similarity.NumPlanes): DataFrame =
+    corpus.groupBy("embedding").agg(min("vec_id").as("keep_id"))
+      .select(col("keep_id"), col("embedding").as("iemb"),
+        Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
+        graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
+          .as("inorm"))
+
+  /** Admission verdicts for arriving (vec_id, embedding) rows against a
+    * prepared [[embAdmissionIndex]]: `dup_of_corpus` (the highest-cosine
+    * corpus vector at ≥ threshold; ties by lowest keep_id) or `kept`.
+    * INDEXED semantics, same soundness posture as ann_range_lsh: only
+    * the arrival's own LSH bucket is probed — every miss is a
+    * cross-bucket pair — which is the 100 TB trade every online
+    * near-dup gate makes (the batch dedup_embedding sweep with the
+    * corpus-sized planes knob is the offline complement).
+    */
+  def embAdmissionVerdicts(delta: DataFrame, idx: DataFrame,
+                           numPlanes: Int = Similarity.NumPlanes,
+                           threshold: Double = 0.3): DataFrame = {
+    val d = delta.select(col("vec_id"), col("embedding"),
+      Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
+      graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
+        .as("norm"))
+    val best = d.join(idx, Seq("bucket"))
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
+          (sqrt(col("norm")) * sqrt(col("inorm"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("keep_id"), col("cosine")),
+        struct((-col("cosine")).as("nc"), col("keep_id"))).as("best"))
+      .select(col("vec_id"), col("best.keep_id").as("keep_id"),
+        col("best.cosine").as("cosine"))
+    d.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("keep_id").isNotNull, "dup_of_corpus")
+          .otherwise("kept").as("verdict"),
+        col("keep_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine admission, batch form — the vector-space sibling
+    * of [[nearDupAdmission]] (round 12): corpus = the unsalted
+    * vec_id-hash split (bucket < corpusPct) collapsed to its served
+    * vector index; the arriving delta is verdicted against it. The
+    * ONLINE leg streams on the same served index
+    * (graft.streaming.NearDupStream.embRunOnce).
+    */
+  def embAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
+                   numPlanes: Int = Similarity.NumPlanes,
+                   threshold: Double = 0.3): DataFrame = {
+    require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("split",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100L)
+    val idx = embAdmissionIndex(
+      emb.filter(col("split") < corpusPct).select("vec_id", "embedding"),
+      numPlanes)
+    embAdmissionVerdicts(
+      emb.filter(col("split") >= corpusPct).select("vec_id", "embedding"),
+      idx, numPlanes, threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
     * over an embedding column: cluster the corpus, call vectors in the
     * SAME cluster with cosine ≥ `threshold` semantic duplicates, and

@@ -83,4 +83,61 @@ object NearDupStream {
       .start()
     q.awaitTermination()
   }
+
+  // ---- the EMBEDDING-cosine admission leg (round 12) -------------------
+
+  val embSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** The served vector index from `refDir`'s corpus split, built once
+    * and pinned (collapsed to distinct vectors + LSH bucket + exact
+    * self-dot — graft.pipeline.Dedup.embAdmissionIndex).
+    */
+  def embCorpusIndex(s: SparkSession, refDir: String, corpusPct: Int = 80,
+                     numPlanes: Int = graft.pipeline.Similarity.NumPlanes)
+      : DataFrame = {
+    val corpus = graft.Tables.embeddings(s, refDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("split",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100L)
+      .filter(col("split") < corpusPct)
+      .select("vec_id", "embedding")
+    graft.pipeline.Dedup.embAdmissionIndex(corpus, numPlanes).localCheckpoint()
+  }
+
+  /** One AvailableNow pass over arriving embedding rows: each batch's
+    * delta-split vectors are verdicted by cosine against the served
+    * index (same zero-cross-batch-state shape as the simhash leg; the
+    * per-batch plan is the batch operator's bucket join).
+    */
+  def embRunOnce(s: SparkSession, inDir: String, outDir: String,
+                 checkpoint: String, refDir: String, corpusPct: Int = 80,
+                 numPlanes: Int = graft.pipeline.Similarity.NumPlanes,
+                 threshold: Double = 0.3): Unit = {
+    val idx = embCorpusIndex(s, refDir, corpusPct, numPlanes)
+    val isDelta =
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100L) >= corpusPct
+    val q = s.readStream.schema(embSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Dedup.embAdmissionVerdicts(
+          batch.filter(isDelta).select("vec_id", "embedding"),
+          idx, numPlanes, threshold)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -63,6 +63,30 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(v.getAs[String]("verdict") === one.getString(1))
   }
 
+  test("embedding admission: streamed verdicts equal the batch twin across a restart") {
+    val (in, out, cp) = freshDirs("emb")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    def land(wave: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"${in}_stage_$tag"
+      wave.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$in/$tag.parquet"))
+    }
+    land(vecs.filter(col("vec_id") % 2 === 0), "w0")
+    graft.streaming.NearDupStream.embRunOnce(spark, in, out, cp, sf)
+    land(vecs.filter(col("vec_id") % 2 === 1), "w1")
+    graft.streaming.NearDupStream.embRunOnce(spark, in, out, cp, sf)
+    val got = spark.read.parquet(out)
+      .select("vec_id", "verdict", "keep_id", "cosine")
+    val want = graft.pipeline.Dedup.embAdmission(spark, sf)
+    assert(want.count() > 0, "fixture must produce verdicts")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "streamed embedding verdicts must equal the batch twin")
+  }
+
   test("re-running the drained stream emits nothing new") {
     val (in, out, cp) = freshDirs("drain")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
