@@ -48,6 +48,15 @@ object OracleSql {
         |  MAX(props->>'k') AS max_k_str,
         |  CAST(SUM(CASE WHEN props->>'m' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_m
         |FROM events GROUP BY 1""".stripMargin,
+    // write-time shred: the oracle re-derives k from the raw JSON, so
+    // the hash proves the shredded store wrote faithful values AND the
+    // pushed-filter query over it aggregates correctly
+    "q_props_write_shred" ->
+      """SELECT event_type, COUNT(*) AS n_high,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value_high
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) >= 90
+        |GROUP BY 1""".stripMargin,
     "q_distinct_one" ->
       "SELECT DISTINCT event_type FROM events",
     "q_distinct_series" ->

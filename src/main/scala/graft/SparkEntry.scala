@@ -24,6 +24,7 @@ object SparkEntry {
     // semi-structured JSON extraction in the scan projection
     "q_props_json"   -> (Scan.propsJson _),
     "q_props_shred"  -> (Scan.propsShred _),
+    "q_props_write_shred" -> (Scan.propsWriteShred _),
     // B. distinct / series identity
     "q_distinct_one"    -> (Scan.distinctOne _),
     "q_distinct_series" -> (Scan.distinctSeries _),

@@ -259,6 +259,37 @@ object Scan {
     * to "filter on a JSON key" is to shred it to a real column at write
     * time (SortedWriter's posture); this entry is the read-side bridge.
     */
+  /** WRITE-TIME shredding (round 12) — the posture propsShred's doc
+    * points at: at 100 TB you don't re-parse JSON per query, you shred
+    * the hot key to a REAL column once at ingest and filters on it push
+    * down like any native column. The store materializes events with
+    * `k` extracted (write-once, `_SUCCESS` freshness, sorted by k so
+    * row-group stats prune the range filter); the query then filters
+    * `k >= 90` WITH a PushedFilter — the thing the read-time JSON parse
+    * can never give (PropsShredSpec asserts both halves of that
+    * contrast). Oracle: the same aggregation re-deriving k from raw
+    * JSON, so the hash also proves the shred wrote faithful values.
+    */
+  def propsWriteShred(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${graft.sources.ChunkStore.storeRoot(s)}/shredded_" +
+      graft.sources.ChunkStore.pathTag(dir)
+    if (!new java.io.File(out, "_SUCCESS").isFile) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .repartitionByRange(
+          graft.sources.ChunkStore.targetPartitions(s, s"$dir/events.parquet"),
+          col("k"))
+        .sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("k") >= 90L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_high"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value_high"))
+  }
+
   def propsShred(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),

@@ -64,6 +64,24 @@ class ScanSpec extends AnyFunSuite {
     assert(maxStr.forall(_.isDigit))
   }
 
+  test("propsWriteShred: the shredded store pushes the k filter the JSON parse can't") {
+    val df = Scan.propsWriteShred(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(k,90)"),
+      s"write-time shred must give k a real PushedFilter:\n$plan")
+    // contrast: the read-time parse never pushes into the JSON
+    val readTime = planOf(Scan.propsShred(spark, sf))
+    assert(!readTime.contains("PushedFilters: [") ||
+      !readTime.contains("(k,"), "read-time JSON keys cannot push down")
+    // values faithful to the raw JSON derivation
+    val want = Tables.events(spark, sf)
+      .filter(get_json_object(col("props"), "$.k").cast("long") >= 90L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_high"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value_high"))
+    assert(df.exceptAll(want).count() === 0 && want.exceptAll(df).count() === 0)
+  }
+
   test("scanIn pushes an In filter") {
     val plan = planOf(Scan.scanIn(spark, sf))
     assert(plan.contains("In(event_type"), plan)
