@@ -1835,6 +1835,9 @@ object OracleSql {
       // label-filter replay + grain drop through the rewrite: the
       // filtered hourly sum served from the store equals raw semantics
       "q_rollup_rewrite_filtered" -> base("q_range_sum"),
+      // the PromQL front-end served from the rollup: same query text,
+      // same oracle hash as the raw-scanning q_promql_sum
+      "q_promql_rollup_sum" -> base("q_promql_sum"),
       // user-grain grouping + label filter; the oracle aggregates RAW
       // events, so the hash proves the store-served answer losslessly
       "q_rollup_rewrite_user" ->

@@ -69,6 +69,18 @@ object SparkEntry {
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),
+    // the SAME PromQL text with the MV rewrite opted in: the inner
+    // window aggregate is served from the downsample store (the
+    // generalized aligned-step matcher covers the front-end's
+    // floor-div spelling at any 300s-multiple width) and the hash must
+    // match q_promql_sum's oracle — Prometheus-over-rollup, the Thanos
+    // downsampled-serving posture, proven in the driver record
+    "q_promql_rollup_sum" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Promql.query(s2, d, """sum(count_over_time(click[1h]))""")
+    }),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // Prometheus 3.x sampling aggregators, made deterministic (the

@@ -117,6 +117,46 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Double, _) if v == math.floor(v) && !v.isInfinite =>
+      Some(v.toLong)
+    case Cast(c, _, _, _) => litLong(c)
+    case _ => None
+  }
+
+  private def isUnixTs(e: Expression): Boolean = e match {
+    case Cast(c, _, _, _) => isUnixTs(c)
+    case UnixTimestamp(ts, _, _, _) => isTsColumn(ts)
+    case _ => false
+  }
+
+  /** The step width (seconds) when `e` is a bucket-ALIGNED time step the
+    * rollup can tile exactly: either `unix_timestamp(date_trunc('hour',
+    * ts))` (the relational entries' spelling, width 3600) or
+    * `floor(unix_timestamp(ts) / W) * W` (the PromQL front-end's
+    * tumbling-window spelling) for any W that is a multiple of the
+    * store's 300 s resolution. 300 | W makes every W-window an exact
+    * union of rollup buckets — the alignment law that keeps the rewrite
+    * bit-exact at every width, not just hours.
+    */
+  private def alignedStep(e: Expression): Option[Long] = e match {
+    case _ if isHourStep(e) => Some(3600L)
+    case Cast(inner, org.apache.spark.sql.types.LongType, _, _) =>
+      alignedStep(inner)
+    case org.apache.spark.sql.catalyst.expressions.Multiply(
+        org.apache.spark.sql.catalyst.expressions.Floor(
+          org.apache.spark.sql.catalyst.expressions.Divide(ux, dEx, _)), mEx, _) =>
+      for {
+        d <- litLong(dEx)
+        m <- litLong(mEx)
+        if d == m && d > 0 &&
+          d % graft.sources.DownsampleStore.ResolutionSec == 0 && isUnixTs(ux)
+      } yield d
+    case _ => None
+  }
+
   private def isExactValueSum(e: Expression): Boolean = e match {
     case Cast(AggregateExpression(Sum(inner: Cast, _), _, false, None, _), DoubleType, _, _) =>
       (inner.child, inner.dataType) match {
@@ -136,14 +176,19 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * avg(value) computes it from the two rewritten measures.
     */
   private sealed trait OutKind
-  private case object StepK extends OutKind
+  private case class StepK(widthSec: Long) extends OutKind
   private case object EtK extends OutKind
   private case object UserK extends OutKind
   private case object SumK extends OutKind
   private case object MinK extends OutKind
   private case object MaxK extends OutKind
   private case object CntK extends OutKind
-  private val KeyKinds: Set[OutKind] = Set(StepK, EtK, UserK)
+  private case object CntDblK extends OutKind
+
+  private def isKeyKind(k: OutKind): Boolean = k match {
+    case StepK(_) | EtK | UserK => true
+    case _ => false
+  }
 
   private def isValueAttr(e: Expression): Boolean = e match {
     case at: AttributeReference => at.name == "value"
@@ -151,7 +196,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def classify(e: Expression): Option[OutKind] = e match {
-    case _ if isHourStep(e) => Some(StepK)
+    case _ if alignedStep(e).isDefined => Some(StepK(alignedStep(e).get))
     case at: AttributeReference if at.name == "event_type" => Some(EtK)
     case at: AttributeReference if at.name == "user_id" => Some(UserK)
     case _ if isExactValueSum(e) => Some(SumK)
@@ -165,6 +210,9 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       Some(CntK)
     case AggregateExpression(Count(Seq(v)), _, false, None, _) if isValueAttr(v) =>
       Some(CntK)
+    // the PromQL count_over_time spelling: count cast to double
+    case Cast(inner, DoubleType, _, _) if classify(inner).contains(CntK) =>
+      Some(CntDblK)
     case _ => None
   }
 
@@ -241,18 +289,21 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             .map(e => classify(dealias(e, subst)))
           val gk = groupKinds.flatten
           val groupOk = groupKinds.forall(_.isDefined) &&
-            gk.forall(KeyKinds) && gk.count(_ == StepK) == 1 &&
+            gk.forall(isKeyKind) &&
+            gk.count(_.isInstanceOf[StepK]) == 1 &&
             gk.distinct.size == gk.size
           // every output must be a grouped key or a recognized measure
           val kinds = agg.aggregateExpressions.map {
             case a: Alias => classify(dealias(a.child, subst))
-            case at: AttributeReference => classify(at)
+            // a bare output attribute may itself be a lower Project's
+            // alias (the PromQL front-end's pre-computed `step` column)
+            case at: AttributeReference => classify(dealias(at, subst))
             case _ => None
           }
           val ok = kinds.flatten
           val outOk = kinds.forall(_.isDefined) &&
-            ok.filter(KeyKinds).forall(gk.contains) &&
-            ok.exists(!KeyKinds(_))
+            ok.filter(isKeyKind).forall(gk.contains) &&
+            ok.exists(k => !isKeyKind(k))
           // every filter conjunct must replay on the store's label
           // columns — one unconvertible predicate vetoes the rewrite
           val fCols = filters.map(storeFilter)
@@ -276,7 +327,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                          filters: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
     val src = filters.foldLeft(session.read.parquet(store))(_.filter(_))
     val keyCols = groupKinds.map {
-      case StepK => expr("(bucket div 3600) * 3600").as("step")
+      case StepK(w) => expr(s"(bucket div $w) * $w").as("step")
       case EtK   => col("event_type")
       case UserK => col("user_id")
       case other => sys.error(s"non-key grouping kind $other")
@@ -288,13 +339,14 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.functions.max("max_value").as("m_max"),
         sum("n_samples").as("m_cnt"))
     val ordered = outKinds.map {
-      case StepK => col("step")
+      case StepK(_) => col("step")
       case EtK   => col("event_type")
       case UserK => col("user_id")
       case SumK  => col("m_sum")
       case MinK  => col("m_min")
       case MaxK  => col("m_max")
       case CntK  => col("m_cnt")
+      case CntDblK => col("m_cnt").cast("double")
     }
     val rew = grouped.select(ordered: _*).queryExecution.analyzed
     Project(agg.output.zip(rew.output).map { case (o, n) =>

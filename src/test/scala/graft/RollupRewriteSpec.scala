@@ -148,6 +148,26 @@ class RollupRewriteSpec extends AnyFunSuite {
       .contains("downsample_300s"))
   }
 
+  test("PromQL window verbs serve from the rollup at any 300s-aligned width") {
+    val s2 = optIn()
+    import graft.operators.Promql
+    for (q <- Seq("sum_over_time(click[1h])", "count_over_time(click[2h])",
+      "min_over_time(purchase[1h])", "sum(count_over_time(click[1h]))")) {
+      val rew = Promql.query(s2, sf, q)
+      val plan = rew.queryExecution.executedPlan.toString
+      assert(plan.contains("downsample_300s"),
+        s"PromQL '$q' must serve from the rollup:\n${plan.take(1500)}")
+      assert(!plan.contains("events.parquet"), q)
+      val raw = Promql.query(spark, sf, q)
+      assert(rew.exceptAll(raw).count() === 0 &&
+        raw.exceptAll(rew).count() === 0, s"'$q' must stay bit-equal")
+    }
+    // a NON-aligned width must NOT rewrite (90s is not a bucket union)
+    val odd = Promql.query(s2, sf, "sum_over_time(click[90s])")
+    assert(!odd.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+  }
+
   test("SQL text hits the same rule (extension point, not API wrapper)") {
     val s2 = optIn()
     Tables.events(s2, sf).createOrReplaceTempView("ev_mv")
