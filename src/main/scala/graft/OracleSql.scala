@@ -1838,6 +1838,9 @@ object OracleSql {
       // the PromQL front-end served from the rollup: same query text,
       // same oracle hash as the raw-scanning q_promql_sum
       "q_promql_rollup_sum" -> base("q_promql_sum"),
+      // the endpoint family: last_over_time served as the extreme
+      // non-empty bucket's stored last_value
+      "q_promql_rollup_last" -> base("q_promql_last_ot"),
       // user-grain grouping + label filter; the oracle aggregates RAW
       // events, so the hash proves the store-served answer losslessly
       "q_rollup_rewrite_user" ->

@@ -81,6 +81,16 @@ object SparkEntry {
       s2.conf.set("spark.graft.rollup.rewrite", "true")
       graft.operators.Promql.query(s2, d, """sum(count_over_time(click[1h]))""")
     }),
+    // the ENDPOINT verb family from the rollup: last_over_time's
+    // arg-max-by-sample-key is served as the extreme non-empty bucket's
+    // stored last_value (the store's per-bucket endpoint uses the same
+    // (µs, event_id) total order) — shares the raw entry's oracle hash
+    "q_promql_rollup_last" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Promql.query(s2, d, "last_over_time(purchase[1d])")
+    }),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // Prometheus 3.x sampling aggregators, made deterministic (the

@@ -184,6 +184,9 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   private case object MaxK extends OutKind
   private case object CntK extends OutKind
   private case object CntDblK extends OutKind
+  private case object AvgK extends OutKind
+  private case object LastK extends OutKind
+  private case object FirstK extends OutKind
 
   private def isKeyKind(k: OutKind): Boolean = k match {
     case StepK(_) | EtK | UserK => true
@@ -213,7 +216,42 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // the PromQL count_over_time spelling: count cast to double
     case Cast(inner, DoubleType, _, _) if classify(inner).contains(CntK) =>
       Some(CntDblK)
+    // avg as the exact-sum / count COMPOSITION (PromQL avg_over_time):
+    // both operands are independently lossless, so the double division
+    // of identical operands is identical — unlike the builtin avg(),
+    // whose double running sum is order-dependent and stays unmatched
+    case org.apache.spark.sql.catalyst.expressions.Divide(a, b, _)
+      if isExactValueSum(a) && classify(b).contains(CntDblK) => Some(AvgK)
+    // last/first_over_time: arg-max/min of value by the (µs, event_id)
+    // sample key — the store's per-bucket last_value/first_value use
+    // the same total order, so the window answer is the extreme
+    // NON-EMPTY bucket's stored endpoint
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(v, k),
+        _, false, None, _) if isValueAttr(v) && isSampleKey(k) => Some(LastK)
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(v, k),
+        _, false, None, _) if isValueAttr(v) && isSampleKey(k) => Some(FirstK)
     case _ => None
+  }
+
+  /** The (unix_micros(ts), event_id) sample-order struct both the
+    * PromQL evaluator and the downsample store's endpoint picks use.
+    */
+  private def isSampleKey(e: Expression): Boolean = e match {
+    case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      cns.valExprs match {
+        case Seq(t, eid: AttributeReference) =>
+          eid.name == "event_id" && (t match {
+            case org.apache.spark.sql.catalyst.expressions.UnixMicros(ts) =>
+              isTsColumn(ts)
+            case Cast(org.apache.spark.sql.catalyst.expressions.UnixMicros(ts), _, _, _) =>
+              isTsColumn(ts)
+            case _ => false
+          })
+        case _ => false
+      }
+    case _ => false
   }
 
   /** A filter conjunct the rollup can replay losslessly: a predicate
@@ -307,7 +345,25 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // every filter conjunct must replay on the store's label
           // columns — one unconvertible predicate vetoes the rewrite
           val fCols = filters.map(storeFilter)
-          if (groupOk && outOk && fCols.forall(_.isDefined))
+          // last/first pick the extreme bucket's stored endpoint, which
+          // is only THE series endpoint when each group maps to one
+          // store row per bucket: both labels must be grouped or pinned
+          // by an equality filter, else two same-bucket rows tie
+          val pinned: Set[OutKind] = filters.flatMap {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, _: Literal) =>
+              if (a.name == "event_type") Some(EtK)
+              else if (a.name == "user_id") Some(UserK) else None
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                _: Literal, a: AttributeReference) =>
+              if (a.name == "event_type") Some(EtK)
+              else if (a.name == "user_id") Some(UserK) else None
+            case _ => None
+          }.toSet
+          val endpointOk = !ok.exists(k => k == LastK || k == FirstK) ||
+            ((gk.contains(EtK) || pinned(EtK)) &&
+              (gk.contains(UserK) || pinned(UserK)))
+          if (groupOk && outOk && endpointOk && fCols.forall(_.isDefined))
             Some(substitute(agg, store, ok, gk, fCols.flatten))
           else None
         }
@@ -337,7 +393,11 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         sum("sum_dec").cast("double").as("m_sum"),
         org.apache.spark.sql.functions.min("min_value").as("m_min"),
         org.apache.spark.sql.functions.max("max_value").as("m_max"),
-        sum("n_samples").as("m_cnt"))
+        sum("n_samples").as("m_cnt"),
+        org.apache.spark.sql.functions
+          .max_by(col("last_value"), col("bucket")).as("m_last"),
+        org.apache.spark.sql.functions
+          .min_by(col("first_value"), col("bucket")).as("m_first"))
     val ordered = outKinds.map {
       case StepK(_) => col("step")
       case EtK   => col("event_type")
@@ -347,6 +407,9 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case MaxK  => col("m_max")
       case CntK  => col("m_cnt")
       case CntDblK => col("m_cnt").cast("double")
+      case AvgK  => col("m_sum") / col("m_cnt").cast("double")
+      case LastK => col("m_last")
+      case FirstK => col("m_first")
     }
     val rew = grouped.select(ordered: _*).queryExecution.analyzed
     Project(agg.output.zip(rew.output).map { case (o, n) =>

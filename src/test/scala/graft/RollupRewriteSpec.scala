@@ -152,7 +152,9 @@ class RollupRewriteSpec extends AnyFunSuite {
     val s2 = optIn()
     import graft.operators.Promql
     for (q <- Seq("sum_over_time(click[1h])", "count_over_time(click[2h])",
-      "min_over_time(purchase[1h])", "sum(count_over_time(click[1h]))")) {
+      "min_over_time(purchase[1h])", "sum(count_over_time(click[1h]))",
+      "avg_over_time(click[1h])", "last_over_time(purchase[1d])",
+      "first_over_time(purchase[1d])")) {
       val rew = Promql.query(s2, sf, q)
       val plan = rew.queryExecution.executedPlan.toString
       assert(plan.contains("downsample_300s"),
@@ -165,6 +167,30 @@ class RollupRewriteSpec extends AnyFunSuite {
     // a NON-aligned width must NOT rewrite (90s is not a bucket union)
     val odd = Promql.query(s2, sf, "sum_over_time(click[90s])")
     assert(!odd.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+  }
+
+  test("endpoint verbs veto when a label is neither grouped nor pinned") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    // last-by-sample-key with user_id ungrouped and unpinned: two store
+    // rows could share the extreme bucket, so the rewrite must refuse
+    val loose = Tables.events(s2, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy((floor(unix_timestamp(col("ts")) / 86400L) * 86400L)
+        .cast("long").as("step"))
+      .agg(max_by(col("value"),
+        struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+    assert(!loose.queryExecution.executedPlan.toString
+      .contains("downsample_300s"))
+    // the same query with user_id grouped rewrites (spec of the gate)
+    val tight = Tables.events(s2, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy((floor(unix_timestamp(col("ts")) / 86400L) * 86400L)
+        .cast("long").as("step"), col("user_id"))
+      .agg(max_by(col("value"),
+        struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+    assert(tight.queryExecution.executedPlan.toString
       .contains("downsample_300s"))
   }
 
