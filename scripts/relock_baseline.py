@@ -69,9 +69,12 @@ window hits different queries in different reps and the per-query
 median/min filters it; the old query-major loop ran a query's reps
 back-to-back, which is how rounds 10/11 produced disjoint >2x flag
 sets on bit-identical binaries). Covers the full {len(queries)}-entry
-surface, including the eight round-12 entries (q_props_shred,
-q_promql_double_exp, dedup_admission, q_range_stats_by, and the
-q_rollup_rewrite family x4).
+surface, including the 18 round-12 entries: the admission family
+(dedup_admission, emb_admission, dedup_index_maintain), JSON shredding
+(q_props_shred, q_props_write_shred), q_promql_double_exp, the
+rollup-rewrite family (q_range_stats_by + q_rollup_rewrite x4 +
+q_promql_rollup_sum/_last), and the TPC-H five
+(q4/q6/q12/q14/q19).
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs

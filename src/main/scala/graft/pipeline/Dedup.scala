@@ -442,13 +442,22 @@ object Dedup {
     * exactly what this shape avoids (on the index side the join key is
     * a uniform md5 — no skew by construction).
     */
+  /** The shared UNSALTED hash split in [0, 100) over any id column —
+    * the one corpus/delta membership rule every batch twin and
+    * streaming leg must agree on (a drift here silently breaks every
+    * backlog-equivalence contract). Mirrors TextAnalysis.sampleSplit's
+    * bucket and the oracle's md5-nibble SQL.
+    */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100L
+
   def incremental(s: SparkSession, dir: String,
                   corpusPct: Int = 80): DataFrame = {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
     val b = Tables.documents(s, dir).select(
       col("doc_id"), md5(col("text")).as("chash"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L).as("bucket"))
+      splitBucket(col("doc_id")).as("bucket"))
     val corpusIdx = b.filter(col("bucket") < corpusPct)
       .groupBy("chash").agg(min("doc_id").as("corpus_id"))
     val delta = b.filter(col("bucket") >= corpusPct).select("doc_id", "chash")
@@ -483,12 +492,14 @@ object Dedup {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
     val root = graft.sources.ChunkStore.storeRoot(s)
     val tag = graft.sources.ChunkStore.pathTag(dir)
-    val v1 = s"$root/dedupidx_$tag/v1"
-    val v2 = s"$root/dedupidx_$tag/v2"
+    // the split percentage is part of the store's identity (the
+    // DownsampleStore-encodes-ResolutionSec convention): a different
+    // corpusPct must never silently serve the stale split's index
+    val v1 = s"$root/dedupidx_${tag}_p$corpusPct/v1"
+    val v2 = s"$root/dedupidx_${tag}_p$corpusPct/v2"
     def b = Tables.documents(s, dir).select(
       col("doc_id"), md5(col("text")).as("chash"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L).as("bucket"))
+      splitBucket(col("doc_id")).as("bucket"))
     if (!new java.io.File(v1, "_SUCCESS").isFile)
       b.filter(col("bucket") < corpusPct)
         .groupBy("chash").agg(min("doc_id").as("keep_id"))
@@ -579,9 +590,8 @@ object Dedup {
   def nearDupAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
                        maxDist: Int = 2): DataFrame = {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
-    val sims = simhashPerDoc(s, dir).withColumn("bucket",
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L)
+    val sims = simhashPerDoc(s, dir)
+      .withColumn("bucket", splitBucket(col("doc_id")))
     val idx = admissionIndex(sims.filter(col("bucket") < corpusPct), maxDist)
     admissionVerdicts(
       sims.filter(col("bucket") >= corpusPct).select("doc_id", "simhash"),
@@ -813,9 +823,7 @@ object Dedup {
                    threshold: Double = 0.3): DataFrame = {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("split",
-        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L)
+      .withColumn("split", splitBucket(col("vec_id")))
     val idx = embAdmissionIndex(
       emb.filter(col("split") < corpusPct).select("vec_id", "embedding"),
       numPlanes)

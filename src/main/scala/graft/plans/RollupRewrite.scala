@@ -208,9 +208,11 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case AggregateExpression(Max(v), _, false, None, _) if isValueAttr(v) =>
       Some(MaxK)
     // COUNT(*) analyzes to Count(1); count(value) is equivalent here
-    // (the rollup counts exactly the rows the raw scan would)
-    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
-      Some(CntK)
+    // (the rollup counts exactly the rows the raw scan would). The
+    // literal must be NON-NULL: count(NULL) is always 0, not the row
+    // count — matching it would be a silent wrong answer
+    case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+      if v != null => Some(CntK)
     case AggregateExpression(Count(Seq(v)), _, false, None, _) if isValueAttr(v) =>
       Some(CntK)
     // the PromQL count_over_time spelling: count cast to double

@@ -71,10 +71,13 @@ object SortedWriter {
     * vectorized reader will actually read. Diagnostic/test helper.
     */
   def survivingRowGroups(path: String, column: String, value: Long,
-                         useStats: Boolean, useBloom: Boolean): (Int, Int) = {
+                         useStats: Boolean, useBloom: Boolean,
+                         conf0: org.apache.hadoop.conf.Configuration = null)
+      : (Int, Int) = {
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf =
+      if (conf0 != null) conf0 else new org.apache.hadoop.conf.Configuration()
     val pred = FilterApi.eq(FilterApi.longColumn(column),
       java.lang.Long.valueOf(value))
     val files = new java.io.File(path).listFiles().toSeq

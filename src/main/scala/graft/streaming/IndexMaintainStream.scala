@@ -31,13 +31,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IndexMaintainStream {
 
-  /** The queryable index as of now: base ∪ all appended deltas. */
-  def currentIndex(s: SparkSession, storeDir: String): DataFrame = {
+  /** The queryable index as of now: base ∪ all appended deltas.
+    * `excludeBatch` drops one batch's own part from the view — the
+    * replay correctness hinge: a replayed foreachBatch must anti-join
+    * against the index WITHOUT its own prior (possibly partial) output,
+    * both so the recompute reproduces the identical rows and so the
+    * overwrite never reads the directory it is about to replace.
+    */
+  def currentIndex(s: SparkSession, storeDir: String,
+                   excludeBatch: Long = -1L): DataFrame = {
     val base = s.read.parquet(s"$storeDir/base")
       .withColumn("since_version", lit(1))
     val deltaDir = new java.io.File(s"$storeDir/delta")
     val parts = Option(deltaDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName != s"batch=$excludeBatch")
       .map(_.getPath)
     if (parts.isEmpty) base
     else base.unionAll(
@@ -54,14 +62,24 @@ object IndexMaintainStream {
               checkpoint: String, refDir: String,
               corpusPct: Int = 80): Unit = {
     val base = s"$storeDir/base"
+    // the split percentage is part of the store's identity: a reuse
+    // with a different corpusPct would silently serve the wrong split
+    val pctMarker = java.nio.file.Paths.get(storeDir, "_corpus_pct")
     if (!new java.io.File(base, "_SUCCESS").isFile) {
       graft.Tables.documents(s, refDir).select(
         col("doc_id"), md5(col("text")).as("chash"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L).as("bucket"))
+        graft.pipeline.Dedup.splitBucket(col("doc_id")).as("bucket"))
         .filter(col("bucket") < corpusPct)
         .groupBy("chash").agg(min("doc_id").as("keep_id"))
         .write.mode("overwrite").parquet(base)
+      java.nio.file.Files.createDirectories(pctMarker.getParent)
+      java.nio.file.Files.write(pctMarker,
+        corpusPct.toString.getBytes("UTF-8"))
+    } else {
+      val stored = new String(java.nio.file.Files.readAllBytes(pctMarker),
+        "UTF-8").trim
+      require(stored == corpusPct.toString,
+        s"$storeDir was built with corpusPct=$stored, not $corpusPct")
     }
     val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
     val hasDeltas = Option(new java.io.File(s"$storeDir/delta").listFiles())
@@ -70,16 +88,15 @@ object IndexMaintainStream {
       s"$storeDir/delta already holds parts but checkpoint $checkpoint is " +
         "fresh: batch ids would restart at 0 and overwrite them")
     val isDelta =
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L) >= corpusPct
+      graft.pipeline.Dedup.splitBucket(col("doc_id")) >= corpusPct
     val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batch.filter(isDelta)
           .select(col("doc_id"), md5(col("text")).as("chash"))
           .groupBy("chash").agg(min("doc_id").as("keep_id"))
-          .join(currentIndex(s, storeDir).select("chash"),
-            Seq("chash"), "left_anti")
+          .join(currentIndex(s, storeDir, excludeBatch = batchId)
+            .select("chash"), Seq("chash"), "left_anti")
         fresh.write.mode("overwrite")
           .parquet(s"$storeDir/delta/batch=$batchId")
         ()

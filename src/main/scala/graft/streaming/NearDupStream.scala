@@ -39,9 +39,7 @@ object NearDupStream {
   def corpusIndex(s: SparkSession, refDir: String, corpusPct: Int = 80,
                   maxDist: Int = 2): DataFrame = {
     val sims = graft.pipeline.Dedup.simhashOf(graft.Tables.documents(s, refDir))
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L)
+      .withColumn("bucket", graft.pipeline.Dedup.splitBucket(col("doc_id")))
       .filter(col("bucket") < corpusPct)
       .select("doc_id", "simhash")
     graft.pipeline.Dedup.admissionIndex(sims, maxDist).localCheckpoint()
@@ -56,26 +54,42 @@ object NearDupStream {
                                   corpusPct: Int = 80,
                                   maxDist: Int = 2): DataFrame = {
     val isDelta =
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L) >= corpusPct
+      graft.pipeline.Dedup.splitBucket(col("doc_id")) >= corpusPct
     val deltaSim = graft.pipeline.Dedup.simhashOf(batch.filter(isDelta))
     graft.pipeline.Dedup.admissionVerdicts(deltaSim, idx, maxDist)
   }
 
+  /** Batch-id-keyed verdict sink (the streaming/Ingest.scala part
+    * discipline): foreachBatch is at-least-once, so a blind append
+    * would double a replayed batch's verdicts — instead each batch
+    * OVERWRITES its own `batch=<id>` directory with its deterministic
+    * recompute, and a fresh checkpoint over an existing sink is
+    * refused (batch ids would restart at 0 and clobber).
+    */
+  private[streaming] def guardFreshCheckpoint(outDir: String,
+                                              checkpoint: String): Unit = {
+    val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
+    val hasParts = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+    require(!(freshCheckpoint && hasParts),
+      s"$outDir already holds batch parts but checkpoint $checkpoint is " +
+        "fresh: batch ids would restart at 0 and overwrite them")
+  }
+
   /** One AvailableNow pass: documents under `inDir` stream through the
-    * admission guard against `refDir`'s corpus index; verdict rows
-    * append to `outDir` as parquet (exactly-once via the checkpoint +
-    * deterministic per-batch recompute).
+    * admission guard against `refDir`'s corpus index; each batch's
+    * verdict rows land exactly once in `outDir/batch=<id>`.
     */
   def runOnce(s: SparkSession, inDir: String, outDir: String,
               checkpoint: String, refDir: String,
               corpusPct: Int = 80, maxDist: Int = 2): Unit = {
+    guardFreshCheckpoint(outDir, checkpoint)
     val idx = corpusIndex(s, refDir, corpusPct, maxDist)
     val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         verdicts(batch, idx, corpusPct, maxDist)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -105,9 +119,7 @@ object NearDupStream {
       : DataFrame = {
     val corpus = graft.Tables.embeddings(s, refDir)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("split",
-        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L)
+      .withColumn("split", graft.pipeline.Dedup.splitBucket(col("vec_id")))
       .filter(col("split") < corpusPct)
       .select("vec_id", "embedding")
     graft.pipeline.Dedup.embAdmissionIndex(corpus, numPlanes).localCheckpoint()
@@ -122,17 +134,17 @@ object NearDupStream {
                  checkpoint: String, refDir: String, corpusPct: Int = 80,
                  numPlanes: Int = graft.pipeline.Similarity.NumPlanes,
                  threshold: Double = 0.3): Unit = {
+    guardFreshCheckpoint(outDir, checkpoint)
     val idx = embCorpusIndex(s, refDir, corpusPct, numPlanes)
     val isDelta =
-      (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100L) >= corpusPct
+      graft.pipeline.Dedup.splitBucket(col("vec_id")) >= corpusPct
     val q = s.readStream.schema(embSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.pipeline.Dedup.embAdmissionVerdicts(
           batch.filter(isDelta).select("vec_id", "embedding"),
           idx, numPlanes, threshold)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

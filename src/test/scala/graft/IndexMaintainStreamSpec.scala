@@ -64,6 +64,26 @@ class IndexMaintainStreamSpec extends AnyFunSuite {
     assert(anchored.count() === got.count())
   }
 
+  test("replay hinge: a batch's own prior output is excluded from its anti-join view") {
+    val (in, store, cp) = freshDirs("replay")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$in/documents.parquet"))
+    IndexMaintainStream.runOnce(spark, in, store, cp, sf)
+    val batches = new java.io.File(s"$store/delta").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+    assert(batches.nonEmpty)
+    val bid = batches.head.stripPrefix("batch=").toLong
+    val full = IndexMaintainStream.currentIndex(spark, store)
+    val excl = IndexMaintainStream.currentIndex(spark, store, excludeBatch = bid)
+    val batchRows = spark.read
+      .parquet(s"$store/delta/batch=$bid").count()
+    // the excluded view drops exactly that batch's rows — so a replayed
+    // foreachBatch re-derives the identical fresh set instead of
+    // anti-joining against its own partial output
+    assert(full.count() - excl.count() === batchRows)
+    assert(batchRows > 0)
+  }
+
   test("drained stream appends nothing; fresh checkpoint over deltas refused") {
     val (in, store, cp) = freshDirs("drain")
     Files.copy(Paths.get(s"$sf/documents.parquet"),

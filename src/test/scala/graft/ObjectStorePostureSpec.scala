@@ -88,7 +88,7 @@ class ObjectStorePostureSpec extends AnyFunSuite {
     postureOpts.foreach { case (k, v) => conf.set(k, v) }
     val (surviving, total) =
       SortedWriter.survivingRowGroups(out, "user_id", 20L,
-        useStats = true, useBloom = false)
+        useStats = true, useBloom = false, conf0 = conf)
     assert(total > 1, s"fixture needs multiple row groups, had $total")
     assert(surviving < total,
       s"sorted-store stats pruning must survive: $surviving/$total groups")
