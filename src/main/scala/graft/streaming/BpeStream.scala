@@ -28,12 +28,15 @@ object BpeStream {
   def runOnce(s: SparkSession, inDir: String, outDir: String,
               checkpoint: String, refDir: String,
               merges: Int = graft.pipeline.Bpe.Merges): Unit = {
+    NearDupStream.guardFreshCheckpoint(outDir, checkpoint)
     val model = graft.pipeline.Bpe.learnedMerges(s, refDir, merges)
     val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-id-keyed overwrite (round 12, the Ingest discipline):
+        // a replayed batch rewrites its own part, never double-appends
         graft.pipeline.Bpe.tokenCountsOf(batch, model)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -92,12 +92,16 @@ object ContaminationStream {
     */
   def runOnce(s: SparkSession, inDir: String, outDir: String,
               checkpoint: String, refDir: String): Unit = {
+    NearDupStream.guardFreshCheckpoint(outDir, checkpoint)
     val idx = evalIndex(s, refDir)
     val q = s.readStream.schema(CurationStream.docSchema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-id-keyed overwrite (round 12, the Ingest discipline):
+        // foreachBatch is at-least-once, so a blind append would double
+        // a replayed batch's verdicts — each batch rewrites its own part
         verdicts(batch, idx)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
