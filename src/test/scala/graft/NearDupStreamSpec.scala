@@ -87,6 +87,49 @@ class NearDupStreamSpec extends AnyFunSuite {
       "streamed embedding verdicts must equal the batch twin")
   }
 
+  test("embedding admission is sound and bucket-complete") {
+    import graft.pipeline.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("split", Dedup.splitBucket(col("vec_id")))
+    val corpus = emb.filter(col("split") < 80).select("vec_id", "embedding")
+    val delta = emb.filter(col("split") >= 80).select("vec_id", "embedding")
+    val verdicts = Dedup.embAdmissionVerdicts(
+      delta, Dedup.embAdmissionIndex(corpus))
+    // soundness: every emitted dup's cosine is a TRUE >=-threshold pair
+    // against the claimed keep (brute-force recompute)
+    val dot = graft.functions.VectorOps.dot _
+    val keeps = corpus.groupBy("embedding").agg(min("vec_id").as("keep_id"))
+      .select(col("keep_id"), col("embedding").as("kemb"))
+    val recheck = verdicts.filter(col("verdict") === "dup_of_corpus")
+      .join(delta, Seq("vec_id")).join(keeps, Seq("keep_id"))
+      .withColumn("true_cos",
+        dot(col("embedding"), col("kemb")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("kemb"), col("kemb")))))
+    assert(recheck.count() > 0, "fixture must emit dups")
+    assert(recheck.filter(col("cosine") =!= col("true_cos")).count() === 0,
+      "reported cosine must equal the brute-force recompute")
+    assert(recheck.filter(col("true_cos") < 0.3).count() === 0,
+      "no emitted pair may sit under the threshold")
+    // bucket-completeness: a kept doc has NO same-bucket corpus vector
+    // at >= threshold (misses are cross-bucket only — the indexed trade)
+    val keptB = verdicts.filter(col("verdict") === "kept")
+      .join(delta, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.planeBucket(col("embedding")).as("bucket"))
+    val corpusB = keeps.select(col("keep_id"), col("kemb"),
+      Similarity.planeBucket(col("kemb")).as("bucket"))
+    val missed = keptB.join(corpusB, Seq("bucket"))
+      .withColumn("cos",
+        dot(col("embedding"), col("kemb")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("kemb"), col("kemb")))))
+      .filter(col("cos") >= 0.3)
+    assert(missed.count() === 0,
+      "a kept doc must have no same-bucket corpus match at threshold")
+  }
+
   test("re-running the drained stream emits nothing new") {
     val (in, out, cp) = freshDirs("drain")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
