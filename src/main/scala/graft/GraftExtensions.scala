@@ -53,5 +53,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"xor_decode expects exactly 1 argument, got ${other.size}")
       }))
+    // PromQL as a SQL TABLE FUNCTION (round 12): SQL users evaluate a
+    // PromQL range query inline and JOIN/filter/aggregate the result
+    // like any table — `SELECT * FROM promql('rate(click[1h])', dir)`.
+    // The builder compiles the query text through the same front-end
+    // the API uses, so the SQL surface inherits every verb, the
+    // streaming-rejection rules, and (in an opted-in session) the
+    // rollup rewrite. The dataset dir is the second literal arg, or the
+    // session conf `spark.graft.data.dir` when omitted.
+    ext.injectTableFunction((
+      FunctionIdentifier("promql"),
+      info("promql",
+        "promql(query[, dir]) - evaluate a PromQL range query over the events table at `dir`"),
+      (exprs: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case _ => throw new IllegalArgumentException(
+            s"promql: $what must be a string literal")
+        }
+        val s = org.apache.spark.sql.SparkSession.active
+        val (q, dir) = exprs match {
+          case Seq(qe) =>
+            val d = s.conf.getOption("spark.graft.data.dir").getOrElse(
+              throw new IllegalArgumentException(
+                "promql(query): set spark.graft.data.dir or pass the dir argument"))
+            (str(qe, "query"), d)
+          case Seq(qe, de) => (str(qe, "query"), str(de, "dir"))
+          case other => throw new IllegalArgumentException(
+            s"promql expects 1 or 2 arguments, got ${other.size}")
+        }
+        graft.operators.Promql.query(s, dir, q).queryExecution.analyzed
+      }))
   }
 }

@@ -1838,6 +1838,8 @@ object OracleSql {
       // the PromQL front-end served from the rollup: same query text,
       // same oracle hash as the raw-scanning q_promql_sum
       "q_promql_rollup_sum" -> base("q_promql_sum"),
+      // the SQL table-function surface compiles to the same plan
+      "q_promql_sql_tvf" -> base("q_promql_sum"),
       // the endpoint family: last_over_time served as the extreme
       // non-empty bucket's stored last_value
       "q_promql_rollup_last" -> base("q_promql_last_ot"),

@@ -75,6 +75,11 @@ object SparkEntry {
     // floor-div spelling at any 300s-multiple width) and the hash must
     // match q_promql_sum's oracle — Prometheus-over-rollup, the Thanos
     // downsampled-serving posture, proven in the driver record
+    // PromQL through the SQL TABLE FUNCTION surface (round 12): same
+    // compiled plan, same oracle hash as q_promql_sum — SQL text users
+    // get the whole verb surface via `FROM promql('...', dir)`
+    "q_promql_sql_tvf" -> ((s, d) =>
+      s.sql(s"SELECT * FROM promql('sum(count_over_time(click[1h]))', '$d')")),
     "q_promql_rollup_sum" -> ((s, d) => {
       graft.sources.DownsampleStore.table(s, d)
       val s2 = s.newSession()

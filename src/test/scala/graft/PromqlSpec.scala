@@ -1165,4 +1165,30 @@ class PromqlSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"unpartitioned window: ${w.simpleStringWithNodeId()}"))
   }
+
+  test("promql table function: SQL text surface equals the API, composable") {
+    // explicit dir argument
+    val viaSql = spark.sql(
+      s"SELECT * FROM promql('sum_over_time(click[1h])', '$sf')")
+    val viaApi = Promql.query(spark, sf, "sum_over_time(click[1h])")
+    assert(viaSql.exceptAll(viaApi).count() === 0 &&
+      viaApi.exceptAll(viaSql).count() === 0)
+    // session-conf dir (isolated session, so the conf doesn't leak)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.data.dir", sf)
+    val viaConf = s2.sql("SELECT count(*) AS n FROM promql('rate(click[1h])')")
+      .collect()(0).getLong(0)
+    assert(viaConf === Promql.query(spark, sf, "rate(click[1h])").count())
+    // composes like any table: filter + aggregate over the TVF result
+    val top = spark.sql(
+      s"""SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+         |FROM promql('sum_over_time(purchase[1h])', '$sf')
+         |GROUP BY 1 ORDER BY total DESC, user_id LIMIT 5""".stripMargin)
+    assert(top.count() === 5)
+    // errors are aimed at the user, not the analyzer
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM promql(42)").collect())
+    assert(e.getMessage.contains("string literal") ||
+      e.getMessage.contains("promql"))
+  }
 }
