@@ -194,6 +194,18 @@ class RollupRewriteSpec extends AnyFunSuite {
       .contains("downsample_300s"))
   }
 
+  test("the promql table function inherits the rewrite in an opted-in session") {
+    val s2 = optIn()
+    val viaTvf = s2.sql(
+      s"SELECT * FROM promql('sum_over_time(click[1h])', '$sf')")
+    val plan = viaTvf.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s"),
+      s"TVF-compiled PromQL must serve from the rollup when opted in:\n${plan.take(1500)}")
+    val raw = graft.operators.Promql.query(spark, sf, "sum_over_time(click[1h])")
+    assert(viaTvf.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(viaTvf).count() === 0)
+  }
+
   test("SQL text hits the same rule (extension point, not API wrapper)") {
     val s2 = optIn()
     Tables.events(s2, sf).createOrReplaceTempView("ev_mv")
