@@ -1863,6 +1863,27 @@ object Pipelines {
          |      '$ipRe', '<IP>', 'g')) AS scrubbed_hash
          |FROM a""".stripMargin
     },
+    // corpus n-gram novelty: fraction of a doc's distinct shingles that
+    // appear in no OTHER distinct content (collapse-first; docs with <3
+    // words have no shingles and are excluded by the inner join)
+    "text_novelty" ->
+      s"""WITH c AS (SELECT md5(text) AS chash, MIN(text) AS text
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT chash, $words AS ws FROM c),
+         |sh AS (SELECT DISTINCT chash, s AS sh FROM (
+         |  SELECT chash, unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS s FROM w)),
+         |cnt AS (SELECT sh, COUNT(*) AS n_contents FROM sh GROUP BY 1),
+         |per AS (SELECT sh.chash,
+         |          CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |          CAST(SUM(CASE WHEN cnt.n_contents >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |        FROM sh JOIN cnt USING (sh) GROUP BY 1)
+         |SELECT d.doc_id, per.n_shingles, per.n_shared,
+         |  1.0 - CAST(per.n_shared AS DOUBLE) / CAST(per.n_shingles AS DOUBLE) AS novelty
+         |FROM (SELECT doc_id, md5(text) AS chash FROM documents) d
+         |JOIN per USING (chash)""".stripMargin,
     // entropy: ln only over integers, quantized at 12; c·ln c summed in
     // exact decimal; final H = ln(n) − clogc/n in shared IEEE
     "text_entropy" ->

@@ -545,6 +545,7 @@ object SparkEntry {
     "text_dup_spans"   -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_dup_scrub"   -> ((s, d) => TextAnalysis.dupScrub(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),
+    "text_novelty"     -> (TextAnalysis.novelty _),
     "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),
     "doc_sample"       -> ((s, d) => TextAnalysis.sampleSplit(s, d)),
     "doc_contamination" -> ((s, d) => graft.pipeline.Curation.contamination(s, d)),

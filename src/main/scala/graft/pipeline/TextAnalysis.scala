@@ -262,6 +262,39 @@ object TextAnalysis {
     * (doc, word) then doc — no joins, no windows; empty docs keep a
     * defined 0 entropy.
     */
+  /** Corpus n-gram NOVELTY (round 12) — the curation signal the
+    * shingle family doesn't yet expose: the fraction of a document's
+    * distinct 3-gram shingles that appear in NO other distinct content
+    * (novelty 0 = everything in the doc exists elsewhere — boilerplate
+    * and near-dup survivors; novelty 1 = entirely fresh text). Shape is
+    * collapse-first like the rest of the family: shingles are derived
+    * once per DISTINCT content, the corpus shingle frequency is a
+    * shingle-keyed partial agg (uniform md5-shaped key, no skew), and
+    * docs inherit their content's score through the chash join — work
+    * is O(distinct contents × shingles), never O(docs²). Docs with
+    * < 3 words have no shingles and are excluded (no defined novelty),
+    * matching the oracle's inner join.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("chash"))
+      .agg(min("text").as("text"))
+    val sh = c.select(col("chash"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("chash"), explode(Dedup.shinglesOf("ws")).as("sh"))
+      .distinct()
+    val cnt = sh.groupBy("sh").agg(count(lit(1)).as("n_contents"))
+    val per = sh.join(cnt, "sh").groupBy("chash")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_contents") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("chash"))
+      .join(per, "chash")
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (lit(1.0) - col("n_shared").cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
+  }
+
   def entropy(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(words).as("w"))

@@ -7,6 +7,24 @@ import SparkFixture.{sf, spark}
 
 class TextAnalysisSpec extends AnyFunSuite {
 
+  test("novelty: bounds, duplicate contents share scores, exact duplicates score 0") {
+    val df = TextAnalysis.novelty(spark, sf)
+    assert(df.count() > 0)
+    assert(df.filter(col("novelty") < 0.0 || col("novelty") > 1.0).count() === 0)
+    assert(df.filter(col("n_shared") > col("n_shingles")).count() === 0)
+    // duplicate contents get identical (n_shingles, n_shared, novelty)
+    val byContent = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("chash"))
+      .join(df, "doc_id")
+      .groupBy("chash")
+      .agg(countDistinct("novelty").as("k"), count(lit(1)).as("n"))
+    assert(byContent.filter(col("k") =!= 1).count() === 0)
+    // the boundary is exact, not approximate: all-shared docs score
+    // exactly 0.0 (1.0 - n/n leaves no float residue)
+    val allShared = df.filter(col("n_shared") === col("n_shingles"))
+    assert(allShared.filter(col("novelty") =!= 0.0).count() === 0)
+  }
+
   test("tokens matches a Scala-side recount on a sample") {
     val docs = Tables.documents(spark, sf).limit(20).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
