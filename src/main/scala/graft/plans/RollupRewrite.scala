@@ -207,14 +207,18 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       Some(MinK)
     case AggregateExpression(Max(v), _, false, None, _) if isValueAttr(v) =>
       Some(MaxK)
-    // COUNT(*) analyzes to Count(1); count(value) is equivalent here
-    // (the rollup counts exactly the rows the raw scan would). The
-    // literal must be NON-NULL: count(NULL) is always 0, not the row
-    // count — matching it would be a silent wrong answer
+    // COUNT(*) analyzes to Count(1); count(value) is equivalent ONLY
+    // when the schema proves value can never be NULL — the rollup's
+    // n_samples is the ROW count, and count(value) over a nullable
+    // column is the non-null count, a silently different number the
+    // moment a NULL lands (ADVICE r12). Parquet-read columns are
+    // nullable, so in practice count(value) stays raw and only the
+    // count(*)/count(1)/count(non-null-literal) spellings rewrite.
+    // The literal must be NON-NULL too: count(NULL) is always 0.
     case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
       if v != null => Some(CntK)
-    case AggregateExpression(Count(Seq(v)), _, false, None, _) if isValueAttr(v) =>
-      Some(CntK)
+    case AggregateExpression(Count(Seq(v)), _, false, None, _)
+      if isValueAttr(v) && !v.nullable => Some(CntK)
     // the PromQL count_over_time spelling: count cast to double
     case Cast(inner, DoubleType, _, _) if classify(inner).contains(CntK) =>
       Some(CntDblK)

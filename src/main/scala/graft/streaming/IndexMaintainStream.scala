@@ -40,7 +40,11 @@ object IndexMaintainStream {
     */
   def currentIndex(s: SparkSession, storeDir: String,
                    excludeBatch: Long = -1L): DataFrame = {
+    // explicit columns on BOTH legs: the union below is positional, and
+    // relying on the base parquet's physical column order would silently
+    // swap chash/keep_id if a future writer reordered them (ADVICE r12)
     val base = s.read.parquet(s"$storeDir/base")
+      .select("chash", "keep_id")
       .withColumn("since_version", lit(1))
     val deltaDir = new java.io.File(s"$storeDir/delta")
     val parts = Option(deltaDir.listFiles()).getOrElse(Array.empty)
@@ -66,16 +70,27 @@ object IndexMaintainStream {
     // with a different corpusPct would silently serve the wrong split
     val pctMarker = java.nio.file.Paths.get(storeDir, "_corpus_pct")
     if (!new java.io.File(base, "_SUCCESS").isFile) {
+      // marker BEFORE the base commit: a crash between the two can then
+      // only leave a marker without a base (harmless — the next run
+      // rebuilds both), never a committed base whose split identity is
+      // unknowable (ADVICE r12)
+      java.nio.file.Files.createDirectories(pctMarker.getParent)
+      java.nio.file.Files.write(pctMarker,
+        corpusPct.toString.getBytes("UTF-8"))
       graft.Tables.documents(s, refDir).select(
         col("doc_id"), md5(col("text")).as("chash"),
         graft.pipeline.Dedup.splitBucket(col("doc_id")).as("bucket"))
         .filter(col("bucket") < corpusPct)
         .groupBy("chash").agg(min("doc_id").as("keep_id"))
         .write.mode("overwrite").parquet(base)
-      java.nio.file.Files.createDirectories(pctMarker.getParent)
-      java.nio.file.Files.write(pctMarker,
-        corpusPct.toString.getBytes("UTF-8"))
     } else {
+      // a committed base with no marker is a store this code did not
+      // write (or a pre-marker layout): name the repair instead of
+      // throwing a raw NoSuchFileException on every run
+      require(java.nio.file.Files.exists(pctMarker),
+        s"$storeDir has a committed base but no $pctMarker marker: the " +
+          "store's corpus split is unknowable — rebuild the store or " +
+          "restore the marker from the job that built it")
       val stored = new String(java.nio.file.Files.readAllBytes(pctMarker),
         "UTF-8").trim
       require(stored == corpusPct.toString,

@@ -69,11 +69,24 @@ object NearDupStream {
   private[streaming] def guardFreshCheckpoint(outDir: String,
                                               checkpoint: String): Unit = {
     val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
-    val hasParts = Option(new java.io.File(outDir).listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+    val files = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val hasParts =
+      files.exists(f => f.isDirectory && f.getName.startsWith("batch="))
     require(!(freshCheckpoint && hasParts),
       s"$outDir already holds batch parts but checkpoint $checkpoint is " +
         "fresh: batch ids would restart at 0 and overwrite them")
+    // a sink written by an older FLAT layout (bare part files at the
+    // root) is just as unsafe: new batch= dirs would land beside the
+    // old parts, the root would double-count them, and partition
+    // discovery over a mixed flat/partitioned layout can fail outright
+    // (ADVICE r12) — require explicit cleanup instead
+    val hasFlatParts = files.exists(f =>
+      f.isFile && (f.getName.endsWith(".parquet") ||
+        f.getName.startsWith("part-")))
+    require(!hasFlatParts,
+      s"$outDir holds flat parquet parts from a non-batch-keyed layout: " +
+        "clean it out before streaming batch-keyed output there")
   }
 
   /** One AvailableNow pass: documents under `inDir` stream through the

@@ -48,6 +48,18 @@ class NearDupStreamSpec extends AnyFunSuite {
       "streamed verdicts must equal the batch twin's rows")
   }
 
+  test("a sink holding FLAT parquet parts is refused, not mixed into") {
+    val (in, out, _) = freshDirs("flatguard")
+    // an old non-batch-keyed layout left bare part files at the root:
+    // writing batch= dirs beside them would double-count on read
+    spark.range(1).toDF("doc_id").coalesce(1).write.parquet(out)
+    assert(new java.io.File(out).listFiles()
+      .exists(f => f.isFile && f.getName.startsWith("part-")))
+    intercept[IllegalArgumentException] {
+      NearDupStream.runOnce(spark, in, out, s"$out/../cp_flat", sf)
+    }
+  }
+
   test("state is index-bounded: verdicts need no cross-batch doc state") {
     // the same corpus index judges a batch of ONE doc identically to
     // the backlog run — per-arrival work touches only the index

@@ -87,6 +87,32 @@ class RollupRewriteSpec extends AnyFunSuite {
     assert(statRows(rew) === statRows(TimeSeries.rangeStatsBy(spark, sf)))
   }
 
+  test("count over a NULLABLE measure column is NOT matched") {
+    val s2 = optIn()
+    import org.apache.spark.sql.functions._
+    // parquet-read columns are nullable: count(value) is the NON-NULL
+    // count, which the rollup's row-count n_samples cannot answer the
+    // moment a NULL lands — the gate must veto on schema nullability
+    // (ADVICE r12), while the count(*) spelling keeps rewriting
+    val ev = Tables.events(s2, sf)
+    assert(ev.schema("value").nullable,
+      "fixture premise: the parquet read reports value as nullable")
+    val cntVal = ev
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(count(col("value")).as("n"))
+    assert(!cntVal.queryExecution.executedPlan.toString
+      .contains("downsample_300s"),
+      "count(nullable value) must stay on the raw scan")
+    val cntStar = ev
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(cntStar.queryExecution.executedPlan.toString
+      .contains("downsample_300s"),
+      "count(*) must keep rewriting")
+  }
+
   test("avg-shaped queries are NOT matched (only lossless measures rewrite)") {
     val s2 = optIn()
     import org.apache.spark.sql.functions._
