@@ -28,6 +28,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects exactly 2 arguments, got ${other.size}")
   }
 
+  /** Table-function arguments must be literals: the builder runs at
+    * analysis time, before any row exists.
+    */
+  private def strLit(e: Expression, fn: String, what: String): String =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal")
+    }
+
+  private def intLit(e: Expression, fn: String, what: String): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // MV rewrite: hourly sums over raw events re-planned onto the
@@ -66,24 +86,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("promql",
         "promql(query[, dir]) - evaluate a PromQL range query over the events table at `dir`"),
       (exprs: Seq[Expression]) => {
-        def str(e: Expression, what: String): String = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-            v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
-          case _ => throw new IllegalArgumentException(
-            s"promql: $what must be a string literal")
-        }
         val s = org.apache.spark.sql.SparkSession.active
         val (q, dir) = exprs match {
           case Seq(qe) =>
             val d = s.conf.getOption("spark.graft.data.dir").getOrElse(
               throw new IllegalArgumentException(
                 "promql(query): set spark.graft.data.dir or pass the dir argument"))
-            (str(qe, "query"), d)
-          case Seq(qe, de) => (str(qe, "query"), str(de, "dir"))
+            (strLit(qe, "promql", "query"), d)
+          case Seq(qe, de) =>
+            (strLit(qe, "promql", "query"), strLit(de, "promql", "dir"))
           case other => throw new IllegalArgumentException(
             s"promql expects 1 or 2 arguments, got ${other.size}")
         }
         graft.operators.Promql.query(s, dir, q).queryExecution.analyzed
+      }))
+    // The snapshot store's TIME-TRAVEL surface as SQL table functions
+    // (round 13): `SELECT * FROM snapshot_at(dir, v)` reads the table
+    // as of version v — planning ONLY that manifest's file groups —
+    // and `snapshot_changes(dir, v1, v2)` is the CDF incremental read
+    // (Delta's table_changes / Iceberg's incremental scan, served
+    // through the same injectTableFunction mechanism as promql()).
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_at"),
+      info("snapshot_at",
+        "snapshot_at(dir, v) - read the snapshot-versioned events table as of version v"),
+      (exprs: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.active
+        exprs match {
+          case Seq(de, ve) =>
+            graft.sources.SnapshotStore.readAt(s,
+              strLit(de, "snapshot_at", "dir"),
+              intLit(ve, "snapshot_at", "version"))
+              .queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            s"snapshot_at expects (dir, version), got ${other.size} arguments")
+        }
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_changes"),
+      info("snapshot_changes",
+        "snapshot_changes(dir, v_from, v_to) - row-level changes between two committed versions (manifest diff)"),
+      (exprs: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.active
+        exprs match {
+          case Seq(de, fe, te) =>
+            graft.sources.SnapshotStore.changesBetween(s,
+              strLit(de, "snapshot_changes", "dir"),
+              intLit(fe, "snapshot_changes", "v_from"),
+              intLit(te, "snapshot_changes", "v_to"))
+              .queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            s"snapshot_changes expects (dir, v_from, v_to), got ${other.size} arguments")
+        }
       }))
   }
 }

@@ -1840,6 +1840,11 @@ object OracleSql {
       "q_promql_rollup_sum" -> base("q_promql_sum"),
       // the SQL table-function surface compiles to the same plan
       "q_promql_sql_tvf" -> base("q_promql_sum"),
+      // the snapshot TVFs are the same manifest reads as the API
+      // entries — shared hashes prove the SQL surface serves the
+      // identical versioned row sets
+      "q_snapshot_at_tvf" -> base("q_time_travel"),
+      "q_snapshot_changes_tvf" -> base("q_snapshot_delta"),
       // the endpoint family: last_over_time served as the extreme
       // non-empty bucket's stored last_value
       "q_promql_rollup_last" -> base("q_promql_last_ot"),

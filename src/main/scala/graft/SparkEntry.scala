@@ -331,6 +331,21 @@ object SparkEntry {
         .select("change_type", "version", "event_id", "user_id",
           "event_type", "us", "value")
     }),
+    // the same two snapshot surfaces through the SQL table functions
+    // (GraftExtensions.injectTableFunction): pure SQL text, same rows —
+    // each shares its API twin's oracle hash
+    "q_snapshot_at_tvf" -> ((s, d) => s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS version, * FROM snapshot_at('$d', 1)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), * FROM snapshot_at('$d', 2)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), * FROM snapshot_at('$d', 3)""".stripMargin)),
+    "q_snapshot_changes_tvf" -> ((s, d) => s.sql(
+      s"""SELECT change_type, version, event_id, user_id, event_type, us, value
+         |FROM snapshot_changes('$d', 1, 2)
+         |UNION ALL
+         |SELECT change_type, version, event_id, user_id, event_type, us, value
+         |FROM snapshot_changes('$d', 2, 3)""".stripMargin)),
     "q4_priority"    -> (Relational.q4Priority _),
     "q6_forecast"    -> (Relational.q6Forecast _),
     "q12_priority"   -> (Relational.q12Priority _),

@@ -34,6 +34,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("2 arguments"))
   }
 
+  test("snapshot_at TVF serves each version's exact row set from its manifest") {
+    val snap = graft.sources.SnapshotStore
+    for (v <- Seq(1, 2, 3)) {
+      val viaSql = spark.sql(s"SELECT * FROM snapshot_at('$sf', $v)")
+      val viaApi = snap.readAt(spark, sf, v)
+      assert(viaSql.exceptAll(viaApi).count() === 0 &&
+        viaApi.exceptAll(viaSql).count() === 0, s"version $v must match")
+      // the plan must touch ONLY the manifest's file groups: v1 never
+      // reads a v2 group, v3 never reads a dropped 'error' group
+      val scanned = viaSql.queryExecution.executedPlan.toString
+      if (v == 1) assert(!scanned.contains("v2_"), scanned.take(800))
+      if (v == 3) assert(!scanned.contains("_error"), scanned.take(800))
+    }
+    // version is an integer-literal contract, enforced at analysis
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM snapshot_at('$sf', 'one')").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("snapshot_changes TVF equals the API incremental read") {
+    val snap = graft.sources.SnapshotStore
+    for ((f, t) <- Seq((1, 2), (2, 3), (1, 3))) {
+      val viaSql = spark.sql(s"SELECT * FROM snapshot_changes('$sf', $f, $t)")
+      val viaApi = snap.changesBetween(spark, sf, f, t)
+      assert(viaSql.exceptAll(viaApi).count() === 0 &&
+        viaApi.exceptAll(viaSql).count() === 0, s"$f -> $t must match")
+    }
+    // TVF output is a table: SQL can aggregate/join it like any other
+    val counts = spark.sql(
+      s"""SELECT change_type, COUNT(*) AS n
+         |FROM snapshot_changes('$sf', 2, 3) GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("delete") && counts("delete") > 0)
+  }
+
   test("xor_decode is callable from SQL and round-trips encoded samples") {
     import spark.implicits._
     val samples = Array((1000L, 1.5), (2000L, 2.5), (4000L, -3.25))
