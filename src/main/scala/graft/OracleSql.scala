@@ -1848,6 +1848,10 @@ object OracleSql {
       // the endpoint family: last_over_time served as the extreme
       // non-empty bucket's stored last_value
       "q_promql_rollup_last" -> base("q_promql_last_ot"),
+      // STEPPED serving (round 13): the same range query evaluated at
+      // aligned steps, answered from the rollup — per-step lookback
+      // windows are bucket unions, hash shared with the raw evaluation
+      "q_promql_rollup_stepped" -> base("q_promql_stepped"),
       // user-grain grouping + label filter; the oracle aggregates RAW
       // events, so the hash proves the store-served answer losslessly
       "q_rollup_rewrite_user" ->

@@ -96,6 +96,17 @@ object SparkEntry {
       s2.conf.set("spark.graft.rollup.rewrite", "true")
       graft.operators.Promql.query(s2, d, "last_over_time(purchase[1d])")
     }),
+    // STEPPED range queries from the rollup (round 13): the Grafana
+    // path — per-step lookback windows are unions of 300s buckets, so
+    // queryAt plans onto downsample_300s (plans/SteppedRollup.scala);
+    // shares q_promql_stepped's oracle hash
+    "q_promql_rollup_stepped" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Promql.queryAt(s2, d, "sum(click)",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))
+    }),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // Prometheus 3.x sampling aggregators, made deterministic (the

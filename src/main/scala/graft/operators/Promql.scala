@@ -1783,12 +1783,16 @@ object Promql {
     val kMin = greatest(lit(0L), ceil(delta / sUs).cast("long"))
     val kMax = least(lit(spec.maxK),
       (ceil((delta + wUs) / sUs) - 1).cast("long"))
+    // reserved internal names: a bare "k" would collide with (and
+    // silently replace) the derived payload label k on a
+    // `click{k=...}` stepped query — a real stepped-evaluator bug
+    // found writing the round-13 rollup-serving spec
     samples
-      .withColumn("k_min", kMin).withColumn("k_max", kMax)
-      .filter(col("k_min") <= col("k_max"))
-      .withColumn("k", explode(sequence(col("k_min"), col("k_max"))))
-      .withColumn("step", col("k") * spec.stepSec + spec.startSec)
-      .drop("k_min", "k_max", "k")
+      .withColumn("__cs_kmin", kMin).withColumn("__cs_kmax", kMax)
+      .filter(col("__cs_kmin") <= col("__cs_kmax"))
+      .withColumn("__cs_k", explode(sequence(col("__cs_kmin"), col("__cs_kmax"))))
+      .withColumn("step", col("__cs_k") * spec.stepSec + spec.startSec)
+      .drop("__cs_kmin", "__cs_kmax", "__cs_k")
   }
 
   /** Like [[coveringSteps]], but for an already-evaluated vector whose
@@ -1802,12 +1806,25 @@ object Promql {
     val kMin = greatest(lit(0L), ceil(delta / spec.stepSec).cast("long"))
     val kMax = least(lit(spec.maxK),
       (ceil((delta + windowSec) / spec.stepSec) - 1).cast("long"))
-    df.withColumn("k_min", kMin).withColumn("k_max", kMax)
-      .filter(col("k_min") <= col("k_max"))
-      .withColumn("k", explode(sequence(col("k_min"), col("k_max"))))
-      .withColumn("step", col("k") * spec.stepSec + spec.startSec)
-      .drop("k_min", "k_max", "k")
+    df.withColumn("__cs_kmin", kMin).withColumn("__cs_kmax", kMax)
+      .filter(col("__cs_kmin") <= col("__cs_kmax"))
+      .withColumn("__cs_k", explode(sequence(col("__cs_kmin"), col("__cs_kmax"))))
+      .withColumn("step", col("__cs_k") * spec.stepSec + spec.startSec)
+      .drop("__cs_kmin", "__cs_kmax", "__cs_k")
   }
+
+  /** The stepped MV-serving hook (plans/SteppedRollup.scala): only the
+    * row-store source is eligible — the chunk path's whole purpose is
+    * exercising the XOR codec — and every other soundness gate
+    * (opt-in flag, verb, alignment, matchers, staleness,
+    * boundary-cleanliness) lives inside SteppedRollup.serve.
+    */
+  private def steppedRollup(s: SparkSession, dir: String, fn: String,
+                            sel: Selector, windowSec: Long, spec: EvalSpec)
+                           (implicit src: SampleSource): Option[DataFrame] =
+    if (src != EventsSource) None
+    else graft.plans.SteppedRollup.serve(
+      s, dir, fn, sel, windowSec, spec, seriesLabels(sel))
 
   /** Evaluate at the spec's aligned steps — true PromQL range-query
     * semantics (per-step lookback / overlapping range windows) instead
@@ -1844,17 +1861,26 @@ object Promql {
 
       case sel: Selector =>
         // instant vector at step t: most recent sample in (t−lookback, t]
-        coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
-          .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
-          .agg(max_by(col("value"),
-            struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+        // — exactly last_over_time over the lookback window, which an
+        // opted-in session serves from the downsample rollup when the
+        // grid is 300 s-aligned (plans/SteppedRollup.scala)
+        steppedRollup(s, dir, "last_over_time", sel, spec.lookbackSec, spec)
+          .getOrElse {
+            coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
+              .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
+              .agg(max_by(col("value"),
+                struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+          }
 
       case RangeFunc(fn, sel, rangeSec, q, q2) =>
-        // lookback window (step − W, step]
-        val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
-        rangeApply(covered, fn, rangeSec, q,
-          (col("step") - rangeSec).cast("double"), col("step").cast("double"),
-          seriesLabels(sel), q2)
+        // lookback window (step − W, step]; lossless verbs over aligned
+        // windows serve from the rollup in an opted-in session
+        steppedRollup(s, dir, fn, sel, rangeSec, spec).getOrElse {
+          val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
+          rangeApply(covered, fn, rangeSec, q,
+            (col("step") - rangeSec).cast("double"), col("step").cast("double"),
+            seriesLabels(sel), q2)
+        }
 
       case SubqueryFunc(fn, child, rangeSec, stepSec, q) =>
         // inner expr evaluates on the ABSOLUTE stepSec-aligned grid

@@ -54,9 +54,17 @@ import graft.sources.DownsampleStore
   * `bucket div 3600`, not a timestamp trunc), so the rule is
   * idempotent under re-application.
   */
+object RollupRewrite {
+  /** The session opt-in flag, shared by this Catalyst rule and the
+    * stepped PromQL front-end serving (SteppedRollup.scala) — one
+    * switch turns on the whole MV family.
+    */
+  val Flag = "spark.graft.rollup.rewrite"
+}
+
 case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  val Flag = "spark.graft.rollup.rewrite"
+  val Flag = RollupRewrite.Flag
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get(Flag, "false").toBoolean) return plan

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Promql
+import graft.sources.DownsampleStore
+
+/** STEPPED PromQL range queries served from the downsample rollup — the
+  * Grafana-dashboard path (round 13; VERDICT r12 #1): a range query
+  * evaluates `sum(click)` or `avg_over_time(click[1h])` at aligned
+  * steps `start, start+step, …, end`, each step aggregating its own
+  * lookback window `(t − W, t]`. When start/step/W are all multiples of
+  * the store's 300 s resolution, every per-step window is an exact
+  * UNION OF ROLLUP BUCKETS — the same alignment law the tumbling
+  * rewrite (RollupRewrite.scala) uses — so the query re-aggregates
+  * rollup rows (series × W/300 per step) instead of raw samples. This
+  * is Thanos's downsampled-block serving posture for the single
+  * highest-traffic query shape a dashboard issues.
+  *
+  * Why this lives in the FRONT-END and not the Catalyst rule: the
+  * stepped evaluator's plan explodes each sample to its covering steps
+  * (Generate over a computed k-range) before aggregating. A Generate
+  * carries per-row multiplicities the algebraic matcher cannot safely
+  * re-derive from the tree — the semantic form (verb, window, spec)
+  * lives in the PromQL front-end, which therefore makes the access-path
+  * choice itself, exactly where Thanos's query frontend picks a
+  * downsampling resolution. Same opt-in flag, same staleness gate, same
+  * bit-exactness contract as the rule.
+  *
+  * The boundary soundness gate: PromQL 3.x windows are (t − W, t] —
+  * open at the left. Bucket [b, b+300) decomposes into such windows
+  * exactly iff no sample sits at a bucket's first microsecond (u ≡ 0
+  * mod 300 s), so serving additionally requires the store's
+  * `_edge_count` marker to be zero (DownsampleStore.boundaryClean) —
+  * a property recorded once per write-once store. A boundary-dirty
+  * store falls back to the raw evaluator, never to a wrong answer.
+  */
+object SteppedRollup {
+
+  /** Verbs the rollup answers losslessly over bucket partials — the
+    * same algebraic family the tumbling rule serves: sums/counts merge
+    * associatively (DECIMAL partials), order statistics compose, and
+    * last/first are the extreme bucket's stored endpoint (exactly one
+    * store row per series per bucket, and the evaluator always groups
+    * by full series identity, so the arg-pick never ties). The
+    * rate/increase family stays raw: extrapolation needs exact in-window
+    * first/last sample TIMESTAMPS and reset scans the partials lack.
+    */
+  val LosslessFns: Set[String] = Set(
+    "sum_over_time", "count_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "last_over_time", "first_over_time")
+
+  /** Serve `fn(sel[windowSec])` at `spec`'s aligned steps from the
+    * rollup, or None when any soundness gate fails (caller falls back
+    * to the raw evaluator):
+    *   - session flag off, verb not lossless, or window/start/step not
+    *     300 s-aligned (a misaligned window cuts within buckets);
+    *   - selector pins a fixed @ time, carries a non-aligned offset, or
+    *     references derived (payload) labels the store doesn't carry;
+    *   - a matcher touches anything but the store's own label columns;
+    *   - store not materialized (`_SUCCESS`) or not boundary-clean.
+    */
+  def serve(s: SparkSession, dir: String, fn: String, sel: Promql.Selector,
+            windowSec: Long, spec: Promql.EvalSpec,
+            labels: Seq[String]): Option[DataFrame] = {
+    val R = DownsampleStore.ResolutionSec
+    val shapeOk =
+      s.conf.get(RollupRewrite.Flag, "false").toBoolean &&
+        LosslessFns.contains(fn) &&
+        windowSec > 0 && windowSec % R == 0 &&
+        spec.startSec % R == 0 && spec.stepSec % R == 0 &&
+        sel.atSec.isEmpty && sel.offsetSec % R == 0 &&
+        sel.extraLabels.isEmpty &&
+        sel.matchers.forall(m => m._1 == "user_id" || m._1 == "event_type") &&
+        labels.forall(l => l == "user_id" || l == "event_type")
+    if (!shapeOk) return None
+    val store = DownsampleStore.storePath(s, dir)
+    if (!new java.io.File(store, "_SUCCESS").isFile) return None // MV not materialized
+    if (!DownsampleStore.boundaryClean(s, dir)) return None
+    val t = s.read.parquet(store)
+    val named =
+      if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
+    // label matchers replay verbatim on the store's own label columns
+    // (whole-row selection — every store row carries both labels), via
+    // the SAME matcher path the raw scan uses
+    val matched = graft.operators.Scan.applyMatchers(named, sel.matchers)
+    // offset shifts the sample axis by a bucket-aligned amount, so the
+    // store serves it by shifting the bucket axis
+    val shifted =
+      if (sel.offsetSec == 0L) matched
+      else matched.withColumn("bucket", col("bucket") + lit(sel.offsetSec))
+    // bucket b (covering [b, b+R) on the shifted axis) lies wholly
+    // inside step t's window (t − W, t] iff t − W <= b <= t − R — the
+    // range prune reaches the store's parquet row groups (the store is
+    // range-partitioned and sorted on bucket)
+    val pruned = shifted.filter(
+      col("bucket") >= lit(spec.startSec - windowSec) &&
+        col("bucket") <= lit(spec.endSec - R))
+    // covering steps of a bucket: t = A + kS with
+    //   kMin = ceil((b + R − A) / S), kMax = floor((b + W − A) / S),
+    // clamped to the spec grid. Deltas stay far below 2^53, so the
+    // double floor/ceil is exact (the raw evaluator's same argument).
+    val delta = (col("bucket") - lit(spec.startSec)).cast("double")
+    val kMin = greatest(lit(0L),
+      ceil((delta + lit(R.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
+    val kMax = least(lit(spec.maxK),
+      floor((delta + lit(windowSec.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
+    val covered = pruned
+      .withColumn("__sr_kmin", kMin).withColumn("__sr_kmax", kMax)
+      .filter(col("__sr_kmin") <= col("__sr_kmax"))
+      .withColumn("__sr_k", explode(sequence(col("__sr_kmin"), col("__sr_kmax"))))
+      .withColumn("step", col("__sr_k") * spec.stepSec + spec.startSec)
+    val g = covered.groupBy(("step" +: labels).map(col): _*)
+    // each measure mirrors the raw evaluator's arithmetic EXACTLY:
+    // decimal partial sums re-merge (bit-equal through the double
+    // cast), counts are sums of bucket row counts, avg is the same
+    // double division of the same two operands, endpoints are the
+    // extreme covering bucket's stored pick
+    val out = fn match {
+      case "count_over_time" =>
+        g.agg(sum("n_samples").cast("double").as("value"))
+      case "sum_over_time" =>
+        g.agg(sum("sum_dec").cast("double").as("value"))
+      case "avg_over_time" =>
+        g.agg((sum("sum_dec").cast("double") / sum("n_samples")).as("value"))
+      case "min_over_time" => g.agg(min("min_value").as("value"))
+      case "max_over_time" => g.agg(max("max_value").as("value"))
+      case "last_over_time" =>
+        g.agg(max_by(col("last_value"), col("bucket")).as("value"))
+      case "first_over_time" =>
+        g.agg(min_by(col("first_value"), col("bucket")).as("value"))
+    }
+    Some(out)
+  }
+}

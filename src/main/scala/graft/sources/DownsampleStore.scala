@@ -86,9 +86,54 @@ object DownsampleStore {
             ChunkStore.targetPartitions(s, s"$dir/events.parquet"), col("bucket"))
           .sortWithinPartitions("bucket", "event_type", "user_id")
           .write.mode(SaveMode.Overwrite).parquet(out)
+        writeEdgeMarker(s, dir, out) // stores are born with their marker
       }
       out
     })
+
+  /** Count of raw samples sitting EXACTLY on a bucket boundary, as a
+    * store-side marker. Stepped PromQL windows are (t − W, t] — open at
+    * the left — so a W-window is an exact union of buckets only when no
+    * sample's µs timestamp is a multiple of the resolution (the one
+    * point a bucket holds that its covering window excludes). The count
+    * is computed once per write-once store and published atomically;
+    * the stepped MV serving (plans/SteppedRollup.scala) refuses any
+    * store whose count is nonzero.
+    */
+  private def writeEdgeMarker(s: SparkSession, dir: String,
+                              out: String): Long = {
+    val cnt = Tables.events(s, dir)
+      .filter(expr(s"unix_micros(ts) % ${ResolutionSec * 1000000L} = 0"))
+      .count()
+    val tmp = java.io.File.createTempFile("edge", ".tmp", new java.io.File(out))
+    java.nio.file.Files.write(tmp.toPath,
+      cnt.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(out, "_edge_count").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cnt
+  }
+
+  private val edgeClean =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff no raw sample sits exactly on a resolution boundary —
+    * the store property that makes (t − W, t] windows exact unions of
+    * buckets. Reads the `_edge_count` marker; a pre-marker store gets
+    * its count computed and backfilled once (the store is write-once,
+    * so the count can never go stale).
+    */
+  def boundaryClean(s: SparkSession, dir: String): Boolean =
+    edgeClean.computeIfAbsent(path(s, dir), { out =>
+      val marker = new java.io.File(out, "_edge_count")
+      val cnt =
+        if (marker.isFile)
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else writeEdgeMarker(s, dir, out)
+      java.lang.Boolean.valueOf(cnt == 0L)
+    }).booleanValue()
 
   /** The stored rollup table (built on first access). */
   def table(s: SparkSession, dir: String): DataFrame =
