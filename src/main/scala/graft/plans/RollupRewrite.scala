@@ -60,6 +60,18 @@ object RollupRewrite {
     * switch turns on the whole MV family.
     */
   val Flag = "spark.graft.rollup.rewrite"
+
+  /** Opt-in to the STREAM-MAINTAINED rollup store (round 13; the
+    * near-real-time dashboard loop): set to a
+    * streaming/RollupMaintainStream store dir and flagged queries serve
+    * from it instead of the batch MV, gated by the store's `_watermark`
+    * staleness marker — only steps whose whole window closes at or
+    * before the horizon are served (results trail live data by the
+    * watermark; they are never silently partial). The conf names the
+    * store explicitly because freshness is now a BOUND, not existence:
+    * choosing bounded staleness is the user's call, never the rule's.
+    */
+  val StreamStoreConf = "spark.graft.rollup.streamStore"
 }
 
 case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
@@ -331,9 +343,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         }
       }
       eventsDir.flatMap { dir =>
-        val store = DownsampleStore.storePath(session, dir)
-        if (!new File(store, "_SUCCESS").isFile) None // MV not materialized
-        else {
+        resolveStore(dir).flatMap { case (store, horizon) =>
           // grouping keys: the hour step plus any subset of the store's
           // label columns — absent labels roll up across (the store's
           // finer grain re-aggregates losslessly)
@@ -378,10 +388,28 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             ((gk.contains(EtK) || pinned(EtK)) &&
               (gk.contains(UserK) || pinned(UserK)))
           if (groupOk && outOk && endpointOk && fCols.forall(_.isDefined))
-            Some(substitute(agg, store, ok, gk, fCols.flatten))
+            Some(substitute(agg, store, ok, gk, fCols.flatten, horizon))
           else None
         }
       }
+    }
+  }
+
+  /** Resolve the rollup store serving this session: the
+    * stream-maintained store when [[RollupRewrite.StreamStoreConf]]
+    * names one (freshness = its `_watermark` horizon, returned so the
+    * substitute can cut at complete steps), else the batch MV for the
+    * query's events dir (freshness = existence, the write-once
+    * `_SUCCESS` contract). No marker / no store → no rewrite.
+    */
+  private def resolveStore(dir: String): Option[(String, Option[Long])] = {
+    val streamDir = session.conf.get(RollupRewrite.StreamStoreConf, "")
+    if (streamDir.nonEmpty)
+      graft.streaming.RollupMaintainStream.horizonSec(streamDir)
+        .map(h => (s"$streamDir/parts", Some(h)))
+    else {
+      val store = DownsampleStore.storePath(session, dir)
+      if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
     }
   }
 
@@ -394,8 +422,19 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def substitute(agg: Aggregate, store: String,
                          outKinds: Seq[OutKind], groupKinds: Seq[OutKind],
-                         filters: Seq[org.apache.spark.sql.Column]): LogicalPlan = {
-    val src = filters.foldLeft(session.read.parquet(store))(_.filter(_))
+                         filters: Seq[org.apache.spark.sql.Column],
+                         horizon: Option[Long] = None): LogicalPlan = {
+    val read = session.read.parquet(store)
+      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
+        "min_value", "max_value", "first_value", "last_value")
+    // stream-maintained store: serve ONLY steps whose whole window
+    // closes at or before the staleness horizon — a half-flushed step
+    // must not serve as the step's total (the explicit bound the
+    // StreamStoreConf opt-in buys)
+    val stepW = groupKinds.collectFirst { case StepK(w) => w }.get
+    val bounded = horizon.fold(read)(h =>
+      read.filter(expr(s"(bucket div $stepW) * $stepW + $stepW <= $h")))
+    val src = filters.foldLeft(bounded)(_.filter(_))
     val keyCols = groupKinds.map {
       case StepK(w) => expr(s"(bucket div $w) * $w").as("step")
       case EtK   => col("event_type")

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** STREAMING maintenance of the downsample rollup as a QUERYABLE STORE
+  * (round 13; VERDICT r12 #2) — the near-real-time dashboard loop: the
+  * batch MV (sources/DownsampleStore.scala) trails ingest by a nightly
+  * build; this job keeps a rollup store trailing the live stream by
+  * only the watermark delay, and the MV rewrite
+  * (plans/RollupRewrite.scala) serves opted-in queries from it with an
+  * EXPLICIT staleness bound in place of the write-once `_SUCCESS` gate.
+  *
+  * Mechanics: [[StreamAgg.downsampleStream]]'s aggregation — the same
+  * (bucket × series) measures as the batch store, with the DECIMAL
+  * partial sums kept decimal (the rewrite's bit-exactness hinges on
+  * re-merging exact partials) — runs in APPEND mode, so a (bucket,
+  * series) row is emitted exactly once, when the event-time watermark
+  * passes the bucket's end and the row is FINAL. Emissions land in
+  * batch-id-keyed parts (the streaming/Ingest.scala exactly-once
+  * discipline: a replayed batch overwrites its own `parts/batch=<id>`
+  * with the deterministic recompute; a fresh checkpoint over existing
+  * parts is refused), so the served store is a plain parquet read —
+  * no upsert resolution, every row final.
+  *
+  * Staleness as metadata: after each maintenance pass the pass's
+  * event-time watermark is published atomically as the store's
+  * `_watermark` marker. The marker is the store's completeness
+  * contract — every bucket ending at or before it has been flushed —
+  * and the rewrite serves ONLY query steps whose whole window closes
+  * at or before the marker (a half-flushed hour must not serve as the
+  * hour's total). Queries therefore trail live data by watermark +
+  * one maintenance cadence, never silently under-count.
+  *
+  * 100 TB shape: the stream's state is open buckets only (watermark-
+  * bounded); each part holds final rollup rows (series × buckets per
+  * cadence), and the served store is rollup-sized regardless of ingest
+  * volume — the same argument as the batch MV, made continuous.
+  */
+object RollupMaintainStream {
+
+  /** The maintained store's rollup frame: identical columns to the
+    * batch store's (DownsampleStore.rollup) — sum_dec STAYS DECIMAL so
+    * the rewrite's re-aggregation merges exact partials.
+    */
+  private def rollupStream(s: SparkSession, inDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val orderKey =
+      col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
+    Ingest.eventsStream(s, inDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("value").cast("decimal(30,6)")).as("sum_dec"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        min_by(col("value"), orderKey).as("first_value"),
+        max_by(col("value"), orderKey).as("last_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("user_id"), col("event_type"), col("n_samples"),
+        col("sum_dec"), col("min_value"), col("max_value"),
+        col("first_value"), col("last_value"))
+  }
+
+  /** The store's completeness horizon (epoch seconds): every bucket
+    * ending at or before it is flushed and final. Absent marker = no
+    * completed maintenance pass = nothing servable.
+    */
+  def horizonSec(storeDir: String): Option[Long] = {
+    val marker = new java.io.File(storeDir, "_watermark")
+    if (!marker.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** One AvailableNow maintenance pass: new event files under `inDir`
+    * advance the rollup store at `storeDir`; finalized bucket rows land
+    * exactly once under `parts/batch=<id>`, then the pass's watermark
+    * is published as the staleness marker.
+    */
+  def runOnce(s: SparkSession, inDir: String, storeDir: String,
+              checkpoint: String): Unit = {
+    val parts = s"$storeDir/parts"
+    NearDupStream.guardFreshCheckpoint(parts, checkpoint)
+    val q = rollupStream(s, inDir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$parts/batch=$batchId"); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // publish the pass's event-time watermark as the staleness bound:
+    // append mode flushed every bucket ending at or before it. The
+    // marker only ever advances (a drained pass reports no progress —
+    // keep the previous horizon rather than regressing to None).
+    val wm = Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(ts => java.time.Instant.parse(ts).getEpochSecond)
+    wm.foreach { h =>
+      val prev = horizonSec(storeDir).getOrElse(Long.MinValue)
+      if (h > prev) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(storeDir))
+        val tmp = java.io.File.createTempFile("wmk", ".tmp",
+          new java.io.File(storeDir))
+        java.nio.file.Files.write(tmp.toPath,
+          h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(storeDir, "_watermark").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** The served store: all finalized rollup rows (plain read — append
+    * mode means no upsert resolution; `batch` partition column dropped).
+    */
+  def table(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/parts")
+      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
+        "min_value", "max_value", "first_value", "last_value")
+}
