@@ -33,6 +33,22 @@ object Pipelines {
       .map(p => s"(CASE WHEN ${planeDot(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** Multi-probe LSH bucket LIST (mirror of
+    * Similarity.planeProbeBuckets): the vector's own bucket plus the
+    * (nprobe − 1) smallest-|margin| single-plane sign flips — struct
+    * list_sort orders (m, p) lexicographically, the same (abs dot,
+    * plane index) total order the Spark side sorts by.
+    */
+  private def probeBuckets(vec: String, nprobe: Int,
+                           planes: Int = Similarity.NumPlanes): String = {
+    require(nprobe >= 2, "nprobe = 1 is the plain bucket")
+    val margins = (0 until planes)
+      .map(p => s"{'m': abs(${planeDot(vec, p)}), 'p': $p}").mkString(", ")
+    s"""list_concat([${bucket(vec, planes)}],
+       | list_transform(list_sort([$margins])[1:${nprobe - 1}],
+       |   s -> xor(${bucket(vec, planes)}, 1 << s.p)))""".stripMargin
+  }
+
   /** Sign bits of one 32-bit half of `vec` packed into a BIGINT — the
     * mirror of Similarity.signSketch (i is 1-based here; halves stay
     * below 2³² so no shift touches the sign bit).
@@ -421,6 +437,90 @@ object Pipelines {
          |  f.keep_id, f.cosine
          |FROM delta d LEFT JOIN (SELECT vec_id, keep_id, cosine FROM f
          |                        WHERE rn = 1) f USING (vec_id)""".stripMargin,
+    // multi-probe admission (round 13): the arrival probes its own
+    // bucket plus its smallest-margin sign flip — same verdict shape,
+    // strictly-wider candidate set
+    "emb_admission_probe2" ->
+      s"""WITH emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  CAST(($vecNibble) % 100 AS BIGINT) AS split FROM embeddings),
+         |idx0 AS (SELECT embedding AS iemb, MIN(vec_id) AS keep_id
+         |         FROM emb WHERE split < 80 GROUP BY 1),
+         |idx AS (SELECT keep_id, iemb, ${dot("iemb", "iemb")} AS inorm,
+         |               ${bucket("iemb")} AS bucket FROM idx0),
+         |delta AS (SELECT vec_id, embedding, norm
+         |          FROM emb WHERE split >= 80),
+         |dp AS (SELECT vec_id, embedding, norm,
+         |         unnest(${probeBuckets("embedding", 2)}) AS bucket
+         |       FROM delta),
+         |m AS (SELECT d.vec_id, i.keep_id,
+         |        ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) AS cosine
+         |      FROM dp d JOIN idx i ON d.bucket = i.bucket),
+         |f AS (SELECT vec_id, keep_id, cosine,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY cosine DESC, keep_id) AS rn
+         |      FROM m WHERE cosine >= 0.3)
+         |SELECT d.vec_id,
+         |  CASE WHEN f.keep_id IS NOT NULL THEN 'dup_of_corpus'
+         |       ELSE 'kept' END AS verdict,
+         |  f.keep_id, f.cosine
+         |FROM delta d LEFT JOIN (SELECT vec_id, keep_id, cosine FROM f
+         |                        WHERE rn = 1) f USING (vec_id)""".stripMargin,
+    // measured recall of the admission gates (round 13): truth is the
+    // brute-force scan; the simhash pigeonhole leg is COMPLETE, so its
+    // oracle states n_hits = n_truth (a block-math regression would
+    // hash-mismatch); the LSH legs mirror the probe-set membership
+    "admission_recall" -> {
+      def embHits(alias: String, nprobe: Int): String = {
+        val src = if (nprobe == 1)
+          s"SELECT vec_id, embedding, norm, ${bucket("embedding")} AS bucket FROM vdelta"
+        else
+          s"SELECT vec_id, embedding, norm, unnest(${probeBuckets("embedding", nprobe)}) AS bucket FROM vdelta"
+        s"""$alias AS (SELECT d.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM ($src) d JOIN vidx i ON d.bucket = i.bucket
+           |  WHERE ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) >= 0.3
+           |  GROUP BY 1)""".stripMargin
+      }
+      def embLeg(alias: String, nprobe: Int): String =
+        s"""SELECT 'emb_probe$nprobe' AS method, t.vec_id AS id, t.n_truth,
+           |       coalesce(h.n_hits, 0) AS n_hits
+           |FROM vtruth t LEFT JOIN $alias h USING (vec_id)""".stripMargin
+      s"""WITH $simCtes,
+         |sb AS (SELECT doc_id, simhash,
+         |         CAST(($bucketNibble) % 100 AS BIGINT) AS bucket
+         |       FROM sim),
+         |ih AS (SELECT DISTINCT simhash AS ihash FROM sb WHERE bucket < 80),
+         |sdelta AS (SELECT doc_id, simhash FROM sb WHERE bucket >= 80),
+         |stp AS (SELECT d.simhash, CAST(COUNT(*) AS BIGINT) AS n_truth
+         |        FROM (SELECT DISTINCT simhash FROM sdelta) d JOIN ih i
+         |          ON bit_count(xor(d.simhash, i.ihash)) <= 2
+         |        GROUP BY 1),
+         |emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  CAST(($vecNibble) % 100 AS BIGINT) AS split FROM embeddings),
+         |vidx0 AS (SELECT embedding AS iemb, MIN(vec_id) AS keep_id
+         |          FROM emb WHERE split < 80 GROUP BY 1),
+         |vidx AS (SELECT keep_id, iemb, ${dot("iemb", "iemb")} AS inorm,
+         |                ${bucket("iemb")} AS bucket FROM vidx0),
+         |vdelta AS (SELECT vec_id, embedding, norm
+         |           FROM emb WHERE split >= 80),
+         |vtruth AS (SELECT d.vec_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+         |  FROM vdelta d JOIN vidx i
+         |    ON ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) >= 0.3
+         |  GROUP BY 1),
+         |${embHits("h1", 1)},
+         |${embHits("h2", 2)},
+         |${embHits("h4", 4)}
+         |SELECT method, id, n_truth, n_hits,
+         |       CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM (
+         |SELECT 'simhash_block' AS method, d.doc_id AS id,
+         |       t.n_truth, t.n_truth AS n_hits
+         |FROM sdelta d JOIN stp t USING (simhash)
+         |UNION ALL ${embLeg("h1", 1)}
+         |UNION ALL ${embLeg("h2", 2)}
+         |UNION ALL ${embLeg("h4", 4)})""".stripMargin
+    },
     // the auto-planes variant: the correctness gate runs at sf0.01
     // (N = 500 embeddings), where suggestedPlanes(500, 64) = 3 — the
     // oracle mirrors that plane count; SimilaritySpec pins the formula

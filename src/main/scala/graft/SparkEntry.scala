@@ -489,6 +489,13 @@ object SparkEntry {
     "dedup_index_maintain" -> ((s, d) => Dedup.indexMaintain(s, d)),
     // embedding-cosine admission: the vector sibling of dedup_admission
     "emb_admission"       -> ((s, d) => Dedup.embAdmission(s, d)),
+    // the multi-probe recall knob (round 13): smallest-margin sign
+    // flips widen the probed bucket set deterministically
+    "emb_admission_probe2" -> ((s, d) => Dedup.embAdmission(s, d, nprobe = 2)),
+    // measured recall of both admission gates vs brute-force truth —
+    // simhash pigeonhole proven complete (recall ≡ 1), the LSH probe
+    // graded at widths 1/2/4 (monotone, spec-asserted)
+    "admission_recall"    -> ((s, d) => Dedup.admissionRecall(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     // asymmetric containment: the near-dup class resemblance misses

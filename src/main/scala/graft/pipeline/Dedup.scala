@@ -789,11 +789,22 @@ object Dedup {
     */
   def embAdmissionVerdicts(delta: DataFrame, idx: DataFrame,
                            numPlanes: Int = Similarity.NumPlanes,
-                           threshold: Double = 0.3): DataFrame = {
-    val d = delta.select(col("vec_id"), col("embedding"),
-      Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
+                           threshold: Double = 0.3,
+                           nprobe: Int = 1): DataFrame = {
+    // nprobe > 1 probes the (nprobe − 1) smallest-margin sign flips too
+    // (Similarity.planeProbeBuckets) — the recall knob the measurement
+    // record (admissionRecall) grades; nprobe = 1 keeps the original
+    // single-equi-join plan byte-for-byte
+    val d0 = delta.select(col("vec_id"), col("embedding"),
       graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
         .as("norm"))
+    val d =
+      if (nprobe == 1)
+        d0.withColumn("bucket",
+          Similarity.planeBucket(col("embedding"), numPlanes))
+      else
+        d0.withColumn("bucket", explode(
+          Similarity.planeProbeBuckets(col("embedding"), numPlanes, nprobe)))
     val best = d.join(idx, Seq("bucket"))
       .withColumn("cosine",
         graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
@@ -804,7 +815,9 @@ object Dedup {
         struct((-col("cosine")).as("nc"), col("keep_id"))).as("best"))
       .select(col("vec_id"), col("best.keep_id").as("keep_id"),
         col("best.cosine").as("cosine"))
-    d.select("vec_id").join(best, Seq("vec_id"), "left")
+    // anchor on the UNEXPLODED arrivals: one verdict row per vec_id
+    // whatever the probe width
+    d0.select("vec_id").join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("keep_id").isNotNull, "dup_of_corpus")
           .otherwise("kept").as("verdict"),
@@ -820,7 +833,7 @@ object Dedup {
     */
   def embAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
                    numPlanes: Int = Similarity.NumPlanes,
-                   threshold: Double = 0.3): DataFrame = {
+                   threshold: Double = 0.3, nprobe: Int = 1): DataFrame = {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("split", splitBucket(col("vec_id")))
@@ -829,7 +842,86 @@ object Dedup {
       numPlanes)
     embAdmissionVerdicts(
       emb.filter(col("split") >= corpusPct).select("vec_id", "embedding"),
-      idx, numPlanes, threshold)
+      idx, numPlanes, threshold, nprobe)
+  }
+
+  /** MEASURED RECALL of the online admission gates (round 13; VERDICT
+    * r12 #6) — the ann_recall posture applied to admission: for each
+    * arriving delta item with at least one TRUE corpus match (hamming ≤
+    * maxDist / cosine ≥ threshold, brute-forced over the COLLAPSED
+    * index — a measurement query re-running the exact scan by
+    * construction, like ann_recall), the fraction of true matches the
+    * indexed probe catches.
+    *
+    * Legs: `simhash_block` — the pigeonhole block join is a COMPLETE
+    * generator, so its measured recall is identically 1.0; the record
+    * proves that theorem empirically every round (a regression in the
+    * block math would hash-mismatch). `emb_probe1/2/4` — the LSH
+    * bucket probe at increasing multi-probe widths
+    * (Similarity.planeProbeBuckets): misses are cross-bucket only, and
+    * widening the probe set only adds candidates, so recall is monotone
+    * in nprobe (spec-asserted on this record, AdmissionRecallSpec).
+    */
+  def admissionRecall(s: SparkSession, dir: String, corpusPct: Int = 80,
+                      maxDist: Int = 2, numPlanes: Int = Similarity.NumPlanes,
+                      threshold: Double = 0.3): DataFrame = {
+    // ---- simhash leg: truth over DISTINCT hashes (≤ 2^16 each side) --
+    val sims = simhashPerDoc(s, dir)
+      .withColumn("bucket", splitBucket(col("doc_id")))
+    val ihashes = sims.filter(col("bucket") < corpusPct)
+      .select(col("simhash").as("ihash")).distinct()
+    val delta = sims.filter(col("bucket") >= corpusPct)
+      .select("doc_id", "simhash")
+    val dhashes = delta.select("simhash").distinct()
+    val truePairs = dhashes.crossJoin(broadcast(ihashes))
+      .filter(expr("bit_count(simhash ^ ihash)") <= maxDist)
+    val idx = admissionIndex(
+      sims.filter(col("bucket") < corpusPct).select("doc_id", "simhash"),
+      maxDist)
+    val caughtPairs = dhashes
+      .select(col("simhash"),
+        explode(array(simhashBlockCols(col("simhash"), maxDist): _*)).as("bk"))
+      .select(col("simhash"), col("bk.block").as("block"), col("bk.bits").as("bits"))
+      .join(idx, Seq("block", "bits"))
+      .filter(expr("bit_count(simhash ^ ihash)") <= maxDist)
+      .select("simhash", "ihash").distinct()
+    def perDoc(pairs: DataFrame, out: String): DataFrame =
+      delta.join(pairs.groupBy("simhash").agg(count(lit(1)).as(out)),
+        Seq("simhash"))
+    val simLeg = perDoc(truePairs, "n_truth")
+      .join(perDoc(caughtPairs, "n_hits").select("doc_id", "n_hits"),
+        Seq("doc_id"), "left")
+      .select(lit("simhash_block").as("method"), col("doc_id").as("id"),
+        col("n_truth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    // ---- embedding legs: truth over the collapsed vector index ------
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("split", splitBucket(col("vec_id")))
+    val vidx = embAdmissionIndex(
+      emb.filter(col("split") < corpusPct).select("vec_id", "embedding"),
+      numPlanes)
+    val vdelta = emb.filter(col("split") >= corpusPct)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
+          .as("norm"))
+    val cos = graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
+      (sqrt(col("norm")) * sqrt(col("inorm")))
+    val vtruth = vdelta.crossJoin(broadcast(vidx.drop("bucket")))
+      .filter(cos >= threshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_truth"))
+    def embLeg(nprobe: Int): DataFrame = {
+      val probed = vdelta.withColumn("bucket", explode(
+        Similarity.planeProbeBuckets(col("embedding"), numPlanes, nprobe)))
+        .join(vidx, Seq("bucket"))
+        .filter(cos >= threshold)
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+      vtruth.join(probed, Seq("vec_id"), "left")
+        .select(lit(s"emb_probe$nprobe").as("method"),
+          col("vec_id").as("id"), col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }
+    (simLeg +: Seq(1, 2, 4).map(embLeg)).reduce(_ unionAll _)
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup

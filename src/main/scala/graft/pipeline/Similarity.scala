@@ -80,6 +80,39 @@ object Similarity {
       when(d > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** MULTI-PROBE LSH bucket list (round 13; Lv et al. 2007, VLDB
+    * "Multi-Probe LSH"): the vector's own bucket plus the buckets
+    * reached by flipping its (nprobe − 1) SMALLEST-MARGIN hyperplane
+    * signs — the planes the point sits closest to, where a true
+    * neighbor most plausibly landed on the other side. Margins reuse
+    * the exact-decimal plane dots, so probe selection is deterministic
+    * and engine-portable (ties break by plane index). Probing more
+    * buckets only ADDS candidates: recall is monotone in nprobe by
+    * construction, which AdmissionRecallSpec asserts on the record.
+    */
+  def planeProbeBuckets(embedding: Column, numPlanes: Int = NumPlanes,
+                        nprobe: Int = 1): Column = {
+    require(nprobe >= 1 && nprobe <= numPlanes + 1,
+      s"nprobe must be in [1, numPlanes + 1], got $nprobe")
+    val dots = (0 until numPlanes).map { p =>
+      graft.functions.VectorOps.dot(embedding,
+        litVector(IndexedSeq.tabulate(Dim)(i => planeComponent(p, i).toDouble)))
+    }
+    val own = dots.zipWithIndex
+      .map { case (d, p) => when(d > 0, lit(1 << p)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    if (nprobe == 1) array(own)
+    else {
+      val ranked = sort_array(array(dots.zipWithIndex.map { case (d, p) =>
+        struct(abs(d).as("m"), lit(p).as("p"))
+      }: _*))
+      val flips = (0 until nprobe - 1).map(i =>
+        own.bitwiseXOR(call_function("shiftleft", lit(1),
+          ranked.getItem(i).getField("p"))))
+      array(own +: flips: _*)
+    }
+  }
+
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(
       col("vec_id"), col("embedding"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity}
+import SparkFixture.{sf, spark}
+
+/** The admission-gate recall record (Dedup.admissionRecall) and the
+  * multi-probe knob (Similarity.planeProbeBuckets): completeness where
+  * it is a theorem, monotonicity where it is a knob — the ann_recall
+  * posture applied to the online gates (VERDICT r12 #6).
+  */
+class AdmissionRecallSpec extends AnyFunSuite {
+
+  private lazy val rec = Dedup.admissionRecall(spark, sf).collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)))
+
+  test("the simhash pigeonhole generator is complete: recall identically 1") {
+    val sim = rec.filter(_._1 == "simhash_block")
+    assert(sim.nonEmpty, "fixture must have true near-hash pairs")
+    assert(sim.forall(r => r._3 == r._4 && r._5 == 1.0),
+      "every true hamming<=2 pair must be caught by the block join")
+  }
+
+  test("every leg is sound: the probe never claims an untrue pair") {
+    assert(rec.forall(r => r._4 <= r._3), "n_hits must never exceed n_truth")
+    assert(rec.forall(r => r._3 > 0), "the record keys on ids WITH truth")
+  }
+
+  test("embedding recall is monotone in probe width, per arrival and overall") {
+    def byId(m: String) =
+      rec.filter(_._1 == m).map(r => r._2 -> r._5).toMap
+    val (p1, p2, p4) = (byId("emb_probe1"), byId("emb_probe2"), byId("emb_probe4"))
+    assert(p1.keySet === p2.keySet && p2.keySet === p4.keySet,
+      "every leg measures the same arrivals")
+    p1.keySet.foreach { id =>
+      assert(p1(id) <= p2(id) && p2(id) <= p4(id),
+        s"arrival $id: recall must be monotone in nprobe")
+    }
+    def avg(m: Map[Long, Double]) = m.values.sum / m.size
+    assert(avg(p1) < avg(p4),
+      "widening the probe set must strictly help somewhere on the fixture")
+  }
+
+  test("probe sets nest: own bucket first, distinct, widening only adds") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val probes = emb.select(col("vec_id"),
+      Similarity.planeBucket(col("embedding")).as("own"),
+      Similarity.planeProbeBuckets(col("embedding"), nprobe = 1).as("b1"),
+      Similarity.planeProbeBuckets(col("embedding"), nprobe = 2).as("b2"),
+      Similarity.planeProbeBuckets(col("embedding"), nprobe = 4).as("b4"))
+      .collect()
+    probes.foreach { r =>
+      val own = r.getInt(1)
+      val (b1, b2, b4) = (r.getSeq[Int](2), r.getSeq[Int](3), r.getSeq[Int](4))
+      assert(b1 === Seq(own), "nprobe=1 is exactly the own bucket")
+      assert(b2.head == own && b4.head == own, "own bucket probes first")
+      assert(b2.toSet.subsetOf(b4.toSet), "probe sets nest")
+      assert(b4.distinct.length == b4.length, "no duplicate probes")
+      // every extra probe is one sign flip away from the own bucket
+      b4.tail.foreach(b =>
+        assert(java.lang.Integer.bitCount(b ^ own) == 1))
+    }
+  }
+
+  test("probe-2 verdicts only improve on probe-1: dups stay dups, cosine never drops") {
+    val v1 = Dedup.embAdmission(spark, sf)
+      .select(col("vec_id"), col("verdict").as("v1"), col("cosine").as("c1"))
+    val v2 = Dedup.embAdmission(spark, sf, nprobe = 2)
+      .select(col("vec_id"), col("verdict").as("v2"), col("cosine").as("c2"))
+    val j = v1.join(v2, Seq("vec_id")).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      // join column order: (vec_id, v1, c1, v2, c2)
+      if (r.getString(1) == "dup_of_corpus") {
+        assert(r.getString(3) == "dup_of_corpus",
+          "a probe-1 dup must stay a dup under a wider probe")
+        assert(r.getDouble(4) >= r.getDouble(2) - 1e-12,
+          "the wider probe's best cosine can only improve")
+      }
+    }
+    val n1 = j.count(_.getString(1) == "dup_of_corpus")
+    val n2 = j.count(_.getString(3) == "dup_of_corpus")
+    assert(n2 >= n1, "probe-2 verdicts a superset of arrivals as dups")
+  }
+}
