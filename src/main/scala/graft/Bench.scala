@@ -118,7 +118,11 @@ object Bench {
         "ann_recall",
         // round-12 stores: the shredded-events store and the versioned
         // dedup content index also build on first touch
-        "q_props_write_shred", "dedup_index_maintain").foreach { n =>
+        "q_props_write_shred", "dedup_index_maintain",
+        // round-13: the stepped rollup serving probes the store's
+        // _edge_count boundary marker — a pre-marker store would
+        // backfill it (one raw scan) inside the first timed rep
+        "q_promql_rollup_stepped").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run
