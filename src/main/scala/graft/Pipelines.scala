@@ -1270,12 +1270,12 @@ object Pipelines {
          |    ELSE [] END) AS sp
          |  FROM ws),
          |spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM spans0),
-         |dup AS (SELECT s, MIN(doc_id * ${1L << graft.pipeline.TextAnalysis.ScrubPosBits} + pos) AS ck
+         |dup AS (SELECT s, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS ck
          |        FROM spans GROUP BY s HAVING COUNT(*) >= 2),
          |rem AS (SELECT DISTINCT doc_id, p FROM (
          |    SELECT o.doc_id, unnest(range(o.pos, o.pos + 4)) AS p
          |    FROM spans o JOIN dup USING (s)
-         |    WHERE o.doc_id * ${1L << graft.pipeline.TextAnalysis.ScrubPosBits} + o.pos <> dup.ck)),
+         |    WHERE struct_pack(doc_id := o.doc_id, pos := o.pos) <> dup.ck)),
          |rp AS (SELECT doc_id, list_sort(list(p)) AS rp FROM rem GROUP BY 1)
          |SELECT b.doc_id, b.n_tokens,
          |  CAST(coalesce(len(rp.rp), 0) AS BIGINT) AS n_removed,

@@ -162,9 +162,11 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_frac"))
   }
 
-  /** Positions fit in [[ScrubPosBits]] bits for the canonical-occurrence
-    * min-key (doc_id·2^bits + pos) — 2^20 tokens/doc, far above any
-    * real document; the spec asserts the corpus honors it.
+  /** Historic position-packing width, kept only as the spec's
+    * tokens-per-doc sanity bound: the canonical-occurrence key is a
+    * (doc_id, pos) STRUCT since round 13 (the packed
+    * `doc_id·2^bits + pos` long overflowed for ids ≥ 2^43), so no
+    * operator headroom depends on this anymore.
     */
   val ScrubPosBits = 20
 
@@ -194,7 +196,6 @@ object TextAnalysis {
   def dupScrub(s: SparkSession, dir: String,
                gram: Int = 4, minCount: Long = 2): DataFrame = {
     require(gram >= 2, "a span needs at least 2 tokens")
-    val enc = 1L << ScrubPosBits
     val base = Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
@@ -208,13 +209,18 @@ object TextAnalysis {
     }
     val occ = base.select(col("doc_id"), explode(shingleExpr).as("sp"))
       .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    // canonical occurrence = lexicographic min of (doc_id, pos) AS A
+    // STRUCT: the old `doc_id << ScrubPosBits | pos` packing overflows
+    // long once doc_id exceeds 2^43 (found benching the key-shifted
+    // sf1 staging, r13) — struct ordering is the same total order with
+    // no headroom assumption on the id space
     val dup = occ.groupBy("s")
       .agg(count(lit(1)).as("c"),
-        min(col("doc_id") * lit(enc) + col("pos")).as("ck"))
+        min(struct(col("doc_id"), col("pos"))).as("ck"))
       .filter(col("c") >= minCount)
       .select("s", "ck")
     val removed = occ.join(dup, "s")
-      .filter(col("doc_id") * lit(enc) + col("pos") =!= col("ck"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("ck"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
       .distinct()

@@ -124,12 +124,27 @@ object CurationStream {
     if (!new java.io.File(cp).isDirectory)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     // the file-stream source watches a DIRECTORY: stage the corpus
-    // file into the store's inbox once (idempotent by name)
+    // into the store's inbox once (idempotent by name). The corpus may
+    // be a single parquet FILE (the driver-generated testdata) or a
+    // spark-written DIRECTORY of part files (soak stagings, real
+    // deployments) — a bare Files.copy of a directory stages an empty
+    // shell and the stream reads nothing (found benching sf1, r13)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    val staged = java.nio.file.Paths.get(s"$in/documents.parquet")
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"), staged)
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src)
+      try parts.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach { p =>
+          val dst = java.nio.file.Paths.get(s"$in/${p.getFileName}")
+          if (!java.nio.file.Files.exists(dst))
+            java.nio.file.Files.copy(p, dst)
+        }
+      finally parts.close()
+    } else {
+      val staged = java.nio.file.Paths.get(s"$in/documents.parquet")
+      if (!java.nio.file.Files.exists(staged))
+        java.nio.file.Files.copy(src, staged)
+    }
     try runOnce(s, in, out, cp)
     catch {
       case _: Throwable =>
