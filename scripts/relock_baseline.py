@@ -61,20 +61,20 @@ scale factors, so the baseline is graft's own measurement — locked here
 so every later round's `BENCH_r{{N}}.json` can be graded against a fixed
 bar (the 2x gate in the goal statement).
 
-**Round-12 full re-lock** (supersedes the round-9 lock plus the six
-round-10 partial appends, which this section replaces entirely): the
-first clean lock taken with the REP-MAJOR bench loop (round 12 —
-each rep runs the whole sorted query surface once, so a host slow
-window hits different queries in different reps and the per-query
-median/min filters it; the old query-major loop ran a query's reps
-back-to-back, which is how rounds 10/11 produced disjoint >2x flag
-sets on bit-identical binaries). Covers the full {len(queries)}-entry
-surface, including the 18 round-12 entries: the admission family
-(dedup_admission, emb_admission, dedup_index_maintain), JSON shredding
-(q_props_shred, q_props_write_shred), q_promql_double_exp, the
-rollup-rewrite family (q_range_stats_by + q_rollup_rewrite x4 +
-q_promql_rollup_sum/_last), and the TPC-H five
-(q4/q6/q12/q14/q19).
+**Round-13 full re-lock** (supersedes the round-12 lock, same
+rep-major method — each rep runs the whole sorted query surface once,
+so a host slow window hits different queries in different reps and the
+per-query median/min filters it). Covers the full {len(queries)}-entry
+surface, including the 6 round-13 entries: q_promql_rollup_stepped
+(stepped serving from the rollup), the snapshot TVFs
+(q_snapshot_at_tvf / q_snapshot_changes_tvf), the range-query TVF
+(q_promql_range_tvf), and the admission-measurement pair
+(admission_recall — deliberately re-runs brute-force truth, ~2.4 s by
+construction — and emb_admission_probe2). Window disclosure for this
+lock: the two full-surface records ran in a ~1.13x-slow (but quiet,
+loadavg < 0.7) host window relative to the round-12 lock on the 291
+shared keys — absorbed per the noise policy below; expect early
+round-14 ratios to read ~0.85-0.9x if the window is faster.
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
@@ -89,7 +89,7 @@ bench JSON identify records where even that is noise.
 **Setup:** sf0.1 (`/root/testdata/sf0.1`), `local[32]`, per-query
 MEDIAN seconds over n rep-major reps after one untimed warmup
 (write-once artifacts pre-built), noop sink. Recorded 2026-08-15
-(round 12) at commit {commit}; Bench refuses or stamps records above
+(round 13) at commit {commit}; Bench refuses or stamps records above
 loadavg 2.5 since round 8.
 
 Bench emits `vs_baseline` (min-of-n / baseline median) per query when
@@ -107,6 +107,29 @@ Total (sum of locked medians): {total:.2f} s
 Machine-readable line (parsed by graft.Bench):
 
 {ml}
+
+## sf1 scaling lock (round 13)
+
+One full-surface record at sf1 (10x sf0.1: target/soak/sf1, key-shifted
+fact tables via scripts/soak_stage.scala; dims fixed) — the measured
+scaling curve VERDICT r12 #7 asked for, replacing per-family soaks:
+
+- 296 queries, 3 rep-major reps, ZERO failures, quiet box
+  (loadavg_start 1.805): median total **374.1 s**, min-of-3 343.7 s —
+  **1.95x total at 10x data**; median per-query ratio vs the sf0.1
+  lock **1.84x**.
+- Worst scalers are the CPU-linear audio decodes (mm_audio_features
+  26.6x, mm_audio_meta 23.4x: per-doc synthesized-audio decode is
+  data-linear CPU work that underfills 32 cores at sf0.1 — not a
+  shuffle problem); everything else <= 5.6x, and the shuffle-bound
+  relational/time-series core sits near 2-3x.
+- The record is target/bench_sf1_r13.json (committed); the single-rep
+  shake-out before it found and fixed two REAL scale bugs (dupScrub
+  key-packing overflow at doc_id >= 2^43; CurationStream staging of
+  directory-shaped tables).
+
+This section documents a fixed record at a different scale; the
+machine-readable line above (sf0.1) remains the per-round 2x gate.
 """
     with open("/root/repo/BASELINE.md", "w") as f:
         f.write(body)

@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn: $what must be an integer literal")
     }
 
+  private def intLitLong(e: Expression, fn: String, what: String): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // MV rewrite: hourly sums over raw events re-planned onto the
@@ -99,6 +108,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"promql expects 1 or 2 arguments, got ${other.size}")
         }
         graft.operators.Promql.query(s, dir, q).queryExecution.analyzed
+      }))
+    // TRUE RANGE QUERIES from SQL (round 13): Prometheus's
+    // query_range API surface — aligned steps + per-step lookback —
+    // as a table function. In an opted-in session the front-end's
+    // stepped rollup serving applies transparently, so the SQL user
+    // gets the Grafana path at rollup cost.
+    //   SELECT * FROM promql_range('sum(click)', dir, start, end, step[, lookback])
+    ext.injectTableFunction((
+      FunctionIdentifier("promql_range"),
+      info("promql_range",
+        "promql_range(query, dir, start, end, step[, lookback]) - evaluate a PromQL range query at aligned steps with per-step lookback"),
+      (exprs: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.active
+        def long(e: Expression, what: String): Long =
+          intLitLong(e, "promql_range", what)
+        val (q, dir, spec) = exprs match {
+          case Seq(qe, de, st, en, sp) =>
+            (strLit(qe, "promql_range", "query"),
+              strLit(de, "promql_range", "dir"),
+              graft.operators.Promql.EvalSpec(
+                long(st, "start"), long(en, "end"), long(sp, "step")))
+          case Seq(qe, de, st, en, sp, lb) =>
+            (strLit(qe, "promql_range", "query"),
+              strLit(de, "promql_range", "dir"),
+              graft.operators.Promql.EvalSpec(
+                long(st, "start"), long(en, "end"), long(sp, "step"),
+                long(lb, "lookback")))
+          case other => throw new IllegalArgumentException(
+            "promql_range expects (query, dir, start, end, step[, lookback]), " +
+              s"got ${other.size} arguments")
+        }
+        graft.operators.Promql.queryAt(s, dir, q, spec)
+          .queryExecution.analyzed
       }))
     // The snapshot store's TIME-TRAVEL surface as SQL table functions
     // (round 13): `SELECT * FROM snapshot_at(dir, v)` reads the table

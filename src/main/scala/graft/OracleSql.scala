@@ -1840,6 +1840,8 @@ object OracleSql {
       "q_promql_rollup_sum" -> base("q_promql_sum"),
       // the SQL table-function surface compiles to the same plan
       "q_promql_sql_tvf" -> base("q_promql_sum"),
+      // the range-query TVF evaluates the same stepped grid
+      "q_promql_range_tvf" -> base("q_promql_stepped"),
       // the snapshot TVFs are the same manifest reads as the API
       // entries — shared hashes prove the SQL surface serves the
       // identical versioned row sets

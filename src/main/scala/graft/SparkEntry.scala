@@ -80,6 +80,10 @@ object SparkEntry {
     // get the whole verb surface via `FROM promql('...', dir)`
     "q_promql_sql_tvf" -> ((s, d) =>
       s.sql(s"SELECT * FROM promql('sum(count_over_time(click[1h]))', '$d')")),
+    // the query_range API surface from SQL (round 13): aligned steps +
+    // per-step lookback — same evaluation as q_promql_stepped, same hash
+    "q_promql_range_tvf" -> ((s, d) => s.sql(
+      s"SELECT * FROM promql_range('sum(click)', '$d', 1704067200, 1704153600, 3600, 7200)")),
     "q_promql_rollup_sum" -> ((s, d) => {
       graft.sources.DownsampleStore.table(s, d)
       val s2 = s.newSession()

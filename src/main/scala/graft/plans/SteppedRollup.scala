@@ -75,10 +75,29 @@ object SteppedRollup {
         sel.matchers.forall(m => m._1 == "user_id" || m._1 == "event_type") &&
         labels.forall(l => l == "user_id" || l == "event_type")
     if (!shapeOk) return None
-    val store = DownsampleStore.storePath(s, dir)
-    if (!new java.io.File(store, "_SUCCESS").isFile) return None // MV not materialized
-    if (!DownsampleStore.boundaryClean(s, dir)) return None
+    // store resolution mirrors the tumbling rule's: the explicit
+    // stream-maintained store (horizon = its watermark marker; only
+    // steps whose whole window closes at or before it serve) when the
+    // session names one, else the batch MV (freshness = existence)
+    val streamDir = s.conf.get(RollupRewrite.StreamStoreConf, "")
+    val resolved: Option[(String, Option[Long])] =
+      if (streamDir.nonEmpty) {
+        import graft.streaming.{RollupMaintainStream => RMS}
+        for {
+          h <- RMS.horizonSec(streamDir)
+          e <- RMS.edgeCount(streamDir) if e == 0L
+        } yield (s"$streamDir/parts", Some(h))
+      } else {
+        val store = DownsampleStore.storePath(s, dir)
+        if (new java.io.File(store, "_SUCCESS").isFile &&
+          DownsampleStore.boundaryClean(s, dir)) Some((store, None))
+        else None
+      }
+    if (resolved.isEmpty) return None
+    val (store, horizon) = resolved.get
     val t = s.read.parquet(store)
+      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
+        "min_value", "max_value", "first_value", "last_value")
     val named =
       if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
     // label matchers replay verbatim on the store's own label columns
@@ -106,11 +125,15 @@ object SteppedRollup {
       ceil((delta + lit(R.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
     val kMax = least(lit(spec.maxK),
       floor((delta + lit(windowSec.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
-    val covered = pruned
+    val covered0 = pruned
       .withColumn("__sr_kmin", kMin).withColumn("__sr_kmax", kMax)
       .filter(col("__sr_kmin") <= col("__sr_kmax"))
       .withColumn("__sr_k", explode(sequence(col("__sr_kmin"), col("__sr_kmax"))))
       .withColumn("step", col("__sr_k") * spec.stepSec + spec.startSec)
+    // stream-maintained store: step t's window (t − W, t] is complete
+    // iff every bucket ending ≤ t is flushed, i.e. t ≤ horizon — later
+    // steps are withheld, never served partial (the staleness contract)
+    val covered = horizon.fold(covered0)(h => covered0.filter(col("step") <= h))
     val g = covered.groupBy(("step" +: labels).map(col): _*)
     // each measure mirrors the raw evaluator's arithmetic EXACTLY:
     // decimal partial sums re-merge (bit-equal through the double

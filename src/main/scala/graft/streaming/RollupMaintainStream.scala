@@ -58,23 +58,57 @@ object RollupMaintainStream {
         min("value").as("min_value"),
         max("value").as("max_value"),
         min_by(col("value"), orderKey).as("first_value"),
-        max_by(col("value"), orderKey).as("last_value"))
+        max_by(col("value"), orderKey).as("last_value"),
+        // boundary-edge accounting for the stepped serving's soundness
+        // gate: samples exactly on the bucket's first microsecond are
+        // the one point an open-left (t−W, t] window excludes while
+        // the bucket includes — counted per row, summed into the
+        // store's _edge_count marker after each pass
+        sum(when(col("us") % lit(ResolutionSec * 1000000L) === 0, 1L)
+          .otherwise(0L)).as("n_edge"))
       .select(
         unix_timestamp(col("window.start")).as("bucket"),
         col("user_id"), col("event_type"), col("n_samples"),
         col("sum_dec"), col("min_value"), col("max_value"),
-        col("first_value"), col("last_value"))
+        col("first_value"), col("last_value"), col("n_edge"))
   }
+
+  /** The downsample resolution (seconds) — same as the batch store's. */
+  private val ResolutionSec: Long = graft.sources.DownsampleStore.ResolutionSec
 
   /** The store's completeness horizon (epoch seconds): every bucket
     * ending at or before it is flushed and final. Absent marker = no
     * completed maintenance pass = nothing servable.
     */
-  def horizonSec(storeDir: String): Option[Long] = {
-    val marker = new java.io.File(storeDir, "_watermark")
+  def horizonSec(storeDir: String): Option[Long] =
+    readMarker(storeDir, "_watermark")
+
+  /** Count of flushed samples sitting exactly on a bucket boundary —
+    * the stream store's sibling of DownsampleStore's `_edge_count`
+    * (the stepped serving refuses a nonzero store). None until the
+    * first maintenance pass publishes it.
+    */
+  def edgeCount(storeDir: String): Option[Long] =
+    readMarker(storeDir, "_edge_count")
+
+  private def readMarker(storeDir: String, name: String): Option[Long] = {
+    val marker = new java.io.File(storeDir, name)
     if (!marker.isFile) None
     else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private def writeMarker(storeDir: String, name: String,
+                          value: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    val tmp = java.io.File.createTempFile("mrk", ".tmp",
+      new java.io.File(storeDir))
+    java.nio.file.Files.write(tmp.toPath,
+      value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(storeDir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One AvailableNow maintenance pass: new event files under `inDir`
@@ -104,18 +138,15 @@ object RollupMaintainStream {
       .map(ts => java.time.Instant.parse(ts).getEpochSecond)
     wm.foreach { h =>
       val prev = horizonSec(storeDir).getOrElse(Long.MinValue)
-      if (h > prev) {
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(storeDir))
-        val tmp = java.io.File.createTempFile("wmk", ".tmp",
-          new java.io.File(storeDir))
-        java.nio.file.Files.write(tmp.toPath,
-          h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp.toPath,
-          new java.io.File(storeDir, "_watermark").toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      if (h > prev) writeMarker(storeDir, "_watermark", h)
+    }
+    // publish the store-wide boundary-edge count (exactly-once parts
+    // make the re-aggregation idempotent; the stepped serving refuses
+    // a nonzero store — same soundness gate as the batch MV)
+    if (Option(new java.io.File(parts).listFiles()).exists(_.nonEmpty)) {
+      val edges = s.read.parquet(parts)
+        .agg(sum("n_edge")).collect()(0).getLong(0)
+      writeMarker(storeDir, "_edge_count", edges)
     }
   }
 

@@ -34,6 +34,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("2 arguments"))
   }
 
+  test("promql_range TVF evaluates the stepped grid and inherits the rollup serving") {
+    import graft.operators.Promql
+    val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+    val viaSql = spark.sql(
+      s"SELECT * FROM promql_range('sum(click)', '$sf', 1704067200, 1704153600, 3600, 7200)")
+    val viaApi = Promql.queryAt(spark, sf, "sum(click)", spec)
+    assert(viaSql.exceptAll(viaApi).count() === 0 &&
+      viaApi.exceptAll(viaSql).count() === 0)
+    assert(viaApi.count() > 0)
+    // default lookback (300s) spelling works too
+    assert(spark.sql(
+      s"SELECT * FROM promql_range('sum(click)', '$sf', 1704067200, 1704153600, 3600)")
+      .columns.toSeq === Seq("step", "value"))
+    // an opted-in session serves the TVF's evaluation from the rollup
+    graft.sources.DownsampleStore.table(spark, sf).count()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.rollup.rewrite", "true")
+    val served = s2.sql(
+      s"SELECT * FROM promql_range('sum(click)', '$sf', 1704067200, 1704153600, 3600, 7200)")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_300s") && !plan.contains("events.parquet"),
+      s"opted-in promql_range must serve from the rollup:\n${plan.take(1000)}")
+    assert(served.exceptAll(viaApi).count() === 0 &&
+      viaApi.exceptAll(served).count() === 0)
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM promql_range('sum(click)', '$sf', 1704067200)").collect())
+    assert(err.getMessage.contains("promql_range expects"))
+  }
+
   test("snapshot_at TVF serves each version's exact row set from its manifest") {
     val snap = graft.sources.SnapshotStore
     for (v <- Seq(1, 2, 3)) {

@@ -77,6 +77,37 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     assert(rows(served).nonEmpty)
   }
 
+  test("stepped PromQL serves from the stream-maintained store up to the horizon") {
+    val (in, store, cp) = freshDirs("stepped")
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+    land(in, ev, "all")
+    RollupMaintainStream.runOnce(spark, in, store, cp)
+    RollupMaintainStream.runOnce(spark, in, store, cp) // drain: flush + advance
+    val h = RollupMaintainStream.horizonSec(store).get
+    assert(RollupMaintainStream.edgeCount(store).contains(0L),
+      "the fixture corpus is boundary-clean and the store must record it")
+    val s2 = spark.newSession()
+    s2.conf.set(RollupRewrite.Flag, "true")
+    s2.conf.set(RollupRewrite.StreamStoreConf, store)
+    import graft.operators.Promql
+    val spec = Promql.EvalSpec(1704067200L, 1706659200L, 3600L, 7200L)
+    val served = Promql.queryAt(s2, dir01, "sum_over_time(click[1h])", spec)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_maintain"),
+      s"stepped query must scan the stream store:\n${plan.take(1000)}")
+    assert(!plan.contains("events.parquet"), plan.take(1000))
+    val raw = Promql.queryAt(spark, dir01, "sum_over_time(click[1h])", spec)
+      .filter(col("step") <= h)
+    assert(served.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(served).count() === 0,
+      "served stepped answer must equal raw up to the horizon")
+    assert(raw.count() > 0)
+    // steps beyond the horizon are withheld, never served partial
+    val rawFull = Promql.queryAt(spark, dir01, "sum_over_time(click[1h])", spec)
+    assert(rawFull.count() > raw.count(),
+      "fixture must have steps beyond the horizon")
+  }
+
   test("a store without the _watermark marker does not serve") {
     val (_, store, _) = freshDirs("nomarker")
     Files.createDirectories(Paths.get(s"$store/parts"))
