@@ -43,7 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-        v.toInt
+        // a silent toInt would WRAP an out-of-range version onto a
+        // valid small one and serve the wrong snapshot (review r13)
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$fn: $what $v is out of integer range")
+        else v.toInt
       case _ => throw new IllegalArgumentException(
         s"$fn: $what must be an integer literal")
     }

@@ -341,6 +341,15 @@ object Promql {
   private val derivedLabels: Seq[(String, Column)] = Seq(
     "k" -> regexp_extract(col("props"), "\"k\": (\\d+)", 1))
 
+  // reserved evaluator column names: a derived label with one of these
+  // names would be silently clobbered by the evaluator's own
+  // withColumn/groupBy axes (the round-13 `k` explode collision, made
+  // a registration-time error instead of a per-site trap)
+  private val ReservedCols =
+    Set("step", "value", "ts", "ts_ns", "us", "event_id", "istep")
+  require(derivedLabels.forall(d => !ReservedCols(d._1)),
+    s"derived label names must avoid the evaluator's reserved columns $ReservedCols")
+
   /** Every label name the expression references — matcher keys, agg
     * by/without lists, vector-matching on/ignoring lists, label-fn
     * sources.

@@ -404,10 +404,17 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def resolveStore(dir: String): Option[(String, Option[Long])] = {
     val streamDir = session.conf.get(RollupRewrite.StreamStoreConf, "")
-    if (streamDir.nonEmpty)
-      graft.streaming.RollupMaintainStream.horizonSec(streamDir)
-        .map(h => (s"$streamDir/parts", Some(h)))
-    else {
+    if (streamDir.nonEmpty) {
+      import graft.streaming.{RollupMaintainStream => RMS}
+      // the store carries its source-dataset identity: a session-level
+      // conf must never serve a DIFFERENT dataset's queries from it
+      // (review r13) — dir mismatch or missing marker → no rewrite
+      for {
+        src <- RMS.sourceDir(streamDir)
+        if new File(src).getCanonicalPath == new File(dir).getCanonicalPath
+        h <- RMS.horizonSec(streamDir)
+      } yield (s"$streamDir/parts", Some(h))
+    } else {
       val store = DownsampleStore.storePath(session, dir)
       if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
     }
@@ -425,8 +432,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                          filters: Seq[org.apache.spark.sql.Column],
                          horizon: Option[Long] = None): LogicalPlan = {
     val read = session.read.parquet(store)
-      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
-        "min_value", "max_value", "first_value", "last_value")
+      .select(DownsampleStore.ServingCols.map(col): _*)
     // stream-maintained store: serve ONLY steps whose whole window
     // closes at or before the staleness horizon — a half-flushed step
     // must not serve as the step's total (the explicit bound the

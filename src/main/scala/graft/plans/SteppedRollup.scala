@@ -83,7 +83,12 @@ object SteppedRollup {
     val resolved: Option[(String, Option[Long])] =
       if (streamDir.nonEmpty) {
         import graft.streaming.{RollupMaintainStream => RMS}
+        // the store's recorded source dataset must be the query's —
+        // a session conf never serves another dataset's data
         for {
+          src <- RMS.sourceDir(streamDir)
+          if new java.io.File(src).getCanonicalPath ==
+            new java.io.File(dir).getCanonicalPath
           h <- RMS.horizonSec(streamDir)
           e <- RMS.edgeCount(streamDir) if e == 0L
         } yield (s"$streamDir/parts", Some(h))
@@ -96,8 +101,7 @@ object SteppedRollup {
     if (resolved.isEmpty) return None
     val (store, horizon) = resolved.get
     val t = s.read.parquet(store)
-      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
-        "min_value", "max_value", "first_value", "last_value")
+      .select(DownsampleStore.ServingCols.map(col): _*)
     val named =
       if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
     // label matchers replay verbatim on the store's own label columns
@@ -130,10 +134,14 @@ object SteppedRollup {
       .filter(col("__sr_kmin") <= col("__sr_kmax"))
       .withColumn("__sr_k", explode(sequence(col("__sr_kmin"), col("__sr_kmax"))))
       .withColumn("step", col("__sr_k") * spec.stepSec + spec.startSec)
-    // stream-maintained store: step t's window (t − W, t] is complete
-    // iff every bucket ending ≤ t is flushed, i.e. t ≤ horizon — later
-    // steps are withheld, never served partial (the staleness contract)
-    val covered = horizon.fold(covered0)(h => covered0.filter(col("step") <= h))
+    // stream-maintained store: step t's window reads ORIGINAL-axis
+    // buckets up to t − offset (the bucket shift above), all flushed
+    // iff t − offset ≤ horizon — later steps are withheld, never
+    // served partial. The offset term matters both ways: a negative
+    // (forward-looking) offset needs buckets BEYOND t (stricter), a
+    // positive one reads older data (more steps servable).
+    val covered = horizon.fold(covered0)(h =>
+      covered0.filter(col("step") <= lit(h + sel.offsetSec)))
     val g = covered.groupBy(("step" +: labels).map(col): _*)
     // each measure mirrors the raw evaluator's arithmetic EXACTLY:
     // decimal partial sums re-merge (bit-equal through the double

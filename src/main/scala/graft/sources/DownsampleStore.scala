@@ -33,6 +33,14 @@ object DownsampleStore {
   /** 5-minute buckets — Thanos's first downsampling resolution. */
   val ResolutionSec: Long = 300L
 
+  /** The rollup's SERVING schema — the one column list every consumer
+    * (the MV rule, the stepped front-end, the stream store's reader)
+    * selects, so the schema cannot drift between them (review r13).
+    */
+  val ServingCols: Seq[String] = Seq(
+    "bucket", "user_id", "event_type", "n_samples", "sum_dec",
+    "min_value", "max_value", "first_value", "last_value")
+
   /** Deterministic sample-order key: (µs, event_id) packed into one
     * numeric so both engines' arg-min/arg-max apply the identical total
     * order — DECIMAL(38,0) here, HUGEINT in the DuckDB mirror, the same

@@ -51,7 +51,11 @@ object RollupMaintainStream {
     Ingest.eventsStream(s, inDir)
       .withColumn("us", unix_micros(col("ts")))
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "5 minutes"), col("user_id"), col("event_type"))
+      // window width derived from the ONE resolution constant — a
+      // hardcoded "5 minutes" here could silently drift from the edge
+      // accounting and the serving math below (review r13)
+      .groupBy(window(col("ts"), s"$ResolutionSec seconds"),
+        col("user_id"), col("event_type"))
       .agg(
         count(lit(1)).as("n_samples"),
         sum(col("value").cast("decimal(30,6)")).as("sum_dec"),
@@ -111,15 +115,42 @@ object RollupMaintainStream {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The events-table dir this store was maintained FROM — the binding
+    * the rewrite checks so one session's StreamStoreConf can never
+    * serve a DIFFERENT dataset's queries (review r13: the store must
+    * carry its source identity, not trust the conf blindly).
+    */
+  def sourceDir(storeDir: String): Option[String] = {
+    val marker = new java.io.File(storeDir, "_source_dir")
+    if (!marker.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
   /** One AvailableNow maintenance pass: new event files under `inDir`
-    * advance the rollup store at `storeDir`; finalized bucket rows land
-    * exactly once under `parts/batch=<id>`, then the pass's watermark
-    * is published as the staleness marker.
+    * (a landing dir receiving `sourceDir`'s events) advance the rollup
+    * store at `storeDir`; finalized bucket rows land exactly once under
+    * `parts/batch=<id>`, then the pass's markers are published —
+    * `_edge_count` BEFORE `_watermark`: a crash between the two leaves
+    * a higher edge count with a lower horizon (refuses more, never
+    * serves a boundary-dirty window), whereas the reverse order could
+    * pass the stepped gate on a stale-low edge count.
     */
   def runOnce(s: SparkSession, inDir: String, storeDir: String,
-              checkpoint: String): Unit = {
+              checkpoint: String, sourceDir: String): Unit = {
     val parts = s"$storeDir/parts"
     NearDupStream.guardFreshCheckpoint(parts, checkpoint)
+    val srcMarker = new java.io.File(storeDir, "_source_dir")
+    if (srcMarker.isFile) {
+      val stored = this.sourceDir(storeDir).get
+      require(stored == sourceDir,
+        s"$storeDir was maintained from $stored, not $sourceDir")
+    } else {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(storeDir))
+      java.nio.file.Files.write(srcMarker.toPath,
+        sourceDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val q = rollupStream(s, inDir).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -129,7 +160,14 @@ object RollupMaintainStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // publish the pass's event-time watermark as the staleness bound:
+    // edge count first (see the ordering note above); coalesce covers
+    // the empty-store first pass (sum over zero rows is NULL)
+    if (Option(new java.io.File(parts).listFiles()).exists(_.nonEmpty)) {
+      val edges = s.read.parquet(parts)
+        .agg(coalesce(sum("n_edge"), lit(0L))).collect()(0).getLong(0)
+      writeMarker(storeDir, "_edge_count", edges)
+    }
+    // then the pass's event-time watermark as the staleness bound:
     // append mode flushed every bucket ending at or before it. The
     // marker only ever advances (a drained pass reports no progress —
     // keep the previous horizon rather than regressing to None).
@@ -140,21 +178,14 @@ object RollupMaintainStream {
       val prev = horizonSec(storeDir).getOrElse(Long.MinValue)
       if (h > prev) writeMarker(storeDir, "_watermark", h)
     }
-    // publish the store-wide boundary-edge count (exactly-once parts
-    // make the re-aggregation idempotent; the stepped serving refuses
-    // a nonzero store — same soundness gate as the batch MV)
-    if (Option(new java.io.File(parts).listFiles()).exists(_.nonEmpty)) {
-      val edges = s.read.parquet(parts)
-        .agg(sum("n_edge")).collect()(0).getLong(0)
-      writeMarker(storeDir, "_edge_count", edges)
-    }
   }
 
-  /** The served store: all finalized rollup rows (plain read — append
-    * mode means no upsert resolution; `batch` partition column dropped).
+  /** The served store: all finalized rollup rows in the rollup's
+    * serving schema (plain read — append mode means no upsert
+    * resolution; `batch` partition column and n_edge dropped). The ONE
+    * reader both the rule and the stepped front-end go through.
     */
   def table(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(s"$storeDir/parts")
-      .select("bucket", "user_id", "event_type", "n_samples", "sum_dec",
-        "min_value", "max_value", "first_value", "last_value")
+      .select(graft.sources.DownsampleStore.ServingCols.map(col): _*)
 }

@@ -45,11 +45,11 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     // buckets only complete across the restart, which is the point
     val cut = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
     land(in, ev.filter(col("ts") < lit(cut)), "w0")
-    RollupMaintainStream.runOnce(spark, in, store, cp)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
     land(in, ev.filter(col("ts") >= lit(cut)), "w1")
-    RollupMaintainStream.runOnce(spark, in, store, cp)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
     // one drain pass lets the final wave's watermark advance flush
-    RollupMaintainStream.runOnce(spark, in, store, cp)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
     val h = RollupMaintainStream.horizonSec(store).get
     assert(h > 1705276800L, s"horizon $h must have advanced past wave 0")
 
@@ -81,8 +81,8 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     val (in, store, cp) = freshDirs("stepped")
     val ev = spark.read.parquet(s"$dir01/events.parquet")
     land(in, ev, "all")
-    RollupMaintainStream.runOnce(spark, in, store, cp)
-    RollupMaintainStream.runOnce(spark, in, store, cp) // drain: flush + advance
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01) // drain: flush + advance
     val h = RollupMaintainStream.horizonSec(store).get
     assert(RollupMaintainStream.edgeCount(store).contains(0L),
       "the fixture corpus is boundary-clean and the store must record it")
@@ -108,6 +108,27 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
       "fixture must have steps beyond the horizon")
   }
 
+  test("the store is bound to its source dataset: other dirs never serve") {
+    val (in, store, cp) = freshDirs("binding")
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+    land(in, ev.limit(2000), "w0")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    assert(RollupMaintainStream.sourceDir(store).contains(dir01))
+    val s2 = spark.newSession()
+    s2.conf.set(RollupRewrite.Flag, "true")
+    s2.conf.set(RollupRewrite.StreamStoreConf, store)
+    // a query over a DIFFERENT dataset in the same session must not be
+    // answered from this store — wrong data, not just stale
+    val other = graft.operators.TimeSeries.rangeSumBy(s2, SparkFixture.sf)
+    assert(!other.queryExecution.executedPlan.toString
+      .contains("rollup_maintain"),
+      "another dataset's query must never serve from this store")
+    // and a maintenance run claiming a different source is refused
+    intercept[IllegalArgumentException] {
+      RollupMaintainStream.runOnce(spark, in, store, cp, SparkFixture.sf)
+    }
+  }
+
   test("a store without the _watermark marker does not serve") {
     val (_, store, _) = freshDirs("nomarker")
     Files.createDirectories(Paths.get(s"$store/parts"))
@@ -123,9 +144,9 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     val (in, store, cp) = freshDirs("guard")
     val ev = spark.read.parquet(s"$dir01/events.parquet")
     land(in, ev.limit(100), "w0")
-    RollupMaintainStream.runOnce(spark, in, store, cp)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
     intercept[IllegalArgumentException] {
-      RollupMaintainStream.runOnce(spark, in, store, s"${cp}_fresh")
+      RollupMaintainStream.runOnce(spark, in, store, s"${cp}_fresh", dir01)
     }
   }
 }
