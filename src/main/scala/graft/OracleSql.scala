@@ -1342,7 +1342,7 @@ object OracleSql {
         s"""c$i AS (SELECT s.src, l.lab, COUNT(*) AS c FROM sym s
            |  JOIN l$i l ON l.node = s.dst GROUP BY 1, 2),
            |l${i + 1} AS MATERIALIZED (SELECT src AS node,
-           |    arg_max(lab, c * 4294967296 - lab) AS lab
+           |    arg_max(lab, CAST(c AS HUGEINT) * 9223372036854775808 - lab) AS lab
            |  FROM c$i GROUP BY 1)""".stripMargin
       }
       (Seq(head) ++ rounds).mkString(",\n") +
@@ -1727,16 +1727,17 @@ object OracleSql {
         |  AND epoch_us(ts) <= 1704240000000000""".stripMargin,
     // downsampling rollup: the 5m store row-for-row from raw events.
     // first/last use the packed (µs, event_id) arg-key — HUGEINT here,
-    // DECIMAL(38,0) on the Spark side, same formula (the pair is unique,
-    // so the pick never ties)
+    // the Spark side orders by the (us, event_id) STRUCT; the HUGEINT
+    // us*2^63 + event_id packing is order-identical for nonnegative
+    // BIGINT ids (the pair is unique, so the pick never ties)
     "q_downsample" ->
       """SELECT (epoch_us(ts) // 300000000) * 300 AS bucket,
         |       user_id, event_type,
         |       COUNT(*) AS n_samples,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
         |       MIN(value) AS min_value, MAX(value) AS max_value,
-        |       arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id) AS first_value,
-        |       arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id) AS last_value
+        |       arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id) AS first_value,
+        |       arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id) AS last_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // merge-on-read upsert: the oracle rebuilds the same base ∪ delta
     // union and resolves latest-per-key with the identical arg-max

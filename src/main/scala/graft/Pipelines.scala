@@ -1893,7 +1893,7 @@ object Pipelines {
       s"""WITH toks AS (SELECT doc_id, unnest($words) AS term FROM documents),
          |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
          |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-         |       arg_max(doc_id, tf * 4294967296 - doc_id) AS top_doc_id,
+         |       arg_max(doc_id, CAST(tf AS HUGEINT) * 9223372036854775808 - doc_id) AS top_doc_id,
          |       MAX(tf) AS top_tf
          |FROM tf GROUP BY term
          |ORDER BY df DESC, term ASC

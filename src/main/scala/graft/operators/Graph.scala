@@ -486,7 +486,10 @@ object Graph {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("src").as("node"))
         .agg(max_by(col("lab"),
-          col("c") * lit(4294967296L) - col("lab")).as("lab"))
+          // (count, lowest-label) tiebreak as a STRUCT: the old
+          // c*2^32 - lab packing inverted the order once labels
+          // (min node ids) exceeded 2^32 (round-13 overflow class)
+          struct(col("c"), -col("lab"))).as("lab"))
         .localCheckpoint()
     }
     lab.select(col("node").as("part_id"), col("lab").as("community_id"))

@@ -231,7 +231,7 @@ object Retrieval {
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         sum("tf").as("total_tf"),
-        max_by(col("doc_id"), col("tf") * lit(4294967296L) - col("doc_id")).as("top_doc_id"),
+        max_by(col("doc_id"), struct(col("tf"), -col("doc_id"))).as("top_doc_id"),
         max("tf").as("top_tf"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(VocabTop)

@@ -41,13 +41,16 @@ object DownsampleStore {
     "bucket", "user_id", "event_type", "n_samples", "sum_dec",
     "min_value", "max_value", "first_value", "last_value")
 
-  /** Deterministic sample-order key: (µs, event_id) packed into one
-    * numeric so both engines' arg-min/arg-max apply the identical total
-    * order — DECIMAL(38,0) here, HUGEINT in the DuckDB mirror, the same
-    * formula on both sides. The pair is unique per sample, so the
-    * arg-pick never ties.
+  /** Deterministic sample-order key: the (µs, event_id) STRUCT — the
+    * exact total order the PromQL evaluator's max_by/min_by picks use,
+    * with no headroom assumption on the id space (round 13: the old
+    * `us·2^32 + event_id` packing reordered across microseconds once
+    * event_id ≥ 2^32 — the dupScrub overflow class). The DuckDB mirror
+    * packs `us·2^63 + event_id` (HUGEINT), order-identical to the
+    * struct for any nonnegative BIGINT id. The pair is unique per
+    * sample, so the arg-pick never ties.
     */
-  private def orderKey = col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
+  private def orderKey = struct(col("us"), col("event_id"))
 
   /** The rollup frame: one row per (bucket, series) with re-aggregable
     * aggregates. `sum_value` stays DECIMAL so downstream re-aggregation

@@ -41,8 +41,7 @@ object StreamAgg {
     */
   def downsampleStream(s: SparkSession, inDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val orderKey =
-      col("us").cast("decimal(38,0)") * lit(4294967296L) + col("event_id")
+    val orderKey = struct(col("us"), col("event_id"))
     Ingest.eventsStream(s, inDir)
       .withColumn("us", unix_micros(col("ts")))
       .withWatermark("ts", "1 hour")
