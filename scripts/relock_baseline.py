@@ -65,12 +65,14 @@ bar (the 2x gate in the goal statement).
 rep-major method — each rep runs the whole sorted query surface once,
 so a host slow window hits different queries in different reps and the
 per-query median/min filters it). Covers the full {len(queries)}-entry
-surface, including the 6 round-13 entries: q_promql_rollup_stepped
-(stepped serving from the rollup), the snapshot TVFs
-(q_snapshot_at_tvf / q_snapshot_changes_tvf), the range-query TVF
-(q_promql_range_tvf), and the admission-measurement pair
-(admission_recall — deliberately re-runs brute-force truth, ~2.4 s by
-construction — and emb_admission_probe2). Window disclosure for this
+surface, including the 8 round-13 entries: q_promql_rollup_stepped
+(stepped serving from the rollup), the stepped-rate pair
+(q_promql_stepped_rate / q_promql_rollup_rate — the counter-aggregate
+serving), the snapshot TVFs (q_snapshot_at_tvf /
+q_snapshot_changes_tvf), the range-query TVF (q_promql_range_tvf),
+and the admission-measurement pair (admission_recall — deliberately
+re-runs brute-force truth, ~2.4 s by construction — and
+emb_admission_probe2). Window disclosure for this
 lock: the two full-surface records ran in a ~1.13x-slow (but quiet,
 loadavg < 0.7) host window relative to the round-12 lock on the 291
 shared keys — absorbed per the noise policy below; expect early

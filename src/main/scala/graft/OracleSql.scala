@@ -385,6 +385,29 @@ object OracleSql {
         |  WHERE e.event_type = 'click')
         |SELECT step, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |FROM cov WHERE rn = 1 GROUP BY 1""".stripMargin,
+    // true range-query rate: per-step lookback windows, reset-corrected
+    // growth summed in DECIMAL exactly like the evaluator's exactSum
+    "q_promql_stepped_rate" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value,
+        |         epoch_us(e.ts) AS us, e.event_id
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'),
+        |g AS (
+        |  SELECT step, user_id, value,
+        |         lag(value) OVER (PARTITION BY step, user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM cov)
+        |SELECT step, user_id,
+        |  CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0
+        |                     WHEN value >= prev THEN value - prev
+        |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
+        |    / 3600.0 AS value
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "q_promql_changes" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
@@ -1843,6 +1866,9 @@ object OracleSql {
       "q_promql_sql_tvf" -> base("q_promql_sum"),
       // the range-query TVF evaluates the same stepped grid
       "q_promql_range_tvf" -> base("q_promql_stepped"),
+      // stepped rate served from the rollup's counter partials must
+      // reproduce the raw stepped evaluation bit-for-bit
+      "q_promql_rollup_rate" -> base("q_promql_stepped_rate"),
       // the snapshot TVFs are the same manifest reads as the API
       // entries — shared hashes prove the SQL surface serves the
       // identical versioned row sets

@@ -111,6 +111,19 @@ object SparkEntry {
       graft.operators.Promql.queryAt(s2, d, "sum(click)",
         graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))
     }),
+    // stepped rate: the raw evaluation, and the same query served from
+    // the rollup's counter partials (inc_dec + boundary endpoints) —
+    // Thanos's counter aggregate, hash-shared
+    "q_promql_stepped_rate" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "rate(click[1h])",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))),
+    "q_promql_rollup_rate" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Promql.queryAt(s2, d, "rate(click[1h])",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))
+    }),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // Prometheus 3.x sampling aggregators, made deterministic (the

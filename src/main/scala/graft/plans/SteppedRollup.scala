@@ -51,6 +51,21 @@ object SteppedRollup {
     "sum_over_time", "count_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "last_over_time", "first_over_time")
 
+  /** The counter family (round 13, Thanos's counter aggregate): the
+    * stored-value rate/increase semantics decompose exactly over
+    * buckets — a window's reset-corrected growth = Σ within-bucket
+    * growths (the store's `inc_dec` partial, quantized per pair exactly
+    * like the evaluator's exactSum) + Σ boundary growths between
+    * consecutive non-empty covered buckets, reconstructed at query
+    * time from the stored endpoints (last_value of the previous bucket
+    * vs first_value of the next — the same (µs, event_id)-ordered
+    * samples the raw lag pairs). Served from the BATCH store only: the
+    * streaming rollup cannot carry inc_dec (bucket samples split
+    * across micro-batches; within-bucket pair order is not an
+    * incremental aggregate).
+    */
+  val CounterFns: Set[String] = Set("rate", "increase")
+
   /** Serve `fn(sel[windowSec])` at `spec`'s aligned steps from the
     * rollup, or None when any soundness gate fails (caller falls back
     * to the raw evaluator):
@@ -65,9 +80,10 @@ object SteppedRollup {
             windowSec: Long, spec: Promql.EvalSpec,
             labels: Seq[String]): Option[DataFrame] = {
     val R = DownsampleStore.ResolutionSec
+    val counter = CounterFns.contains(fn)
     val shapeOk =
       s.conf.get(RollupRewrite.Flag, "false").toBoolean &&
-        LosslessFns.contains(fn) &&
+        (LosslessFns.contains(fn) || counter) &&
         windowSec > 0 && windowSec % R == 0 &&
         spec.startSec % R == 0 && spec.stepSec % R == 0 &&
         sel.atSec.isEmpty && sel.offsetSec % R == 0 &&
@@ -100,8 +116,14 @@ object SteppedRollup {
       }
     if (resolved.isEmpty) return None
     val (store, horizon) = resolved.get
+    // counter verbs need the batch store's inc_dec partial — the
+    // stream store doesn't carry it (see CounterFns)
+    if (counter && horizon.isDefined) return None
+    val servCols =
+      if (counter) DownsampleStore.ServingCols :+ "inc_dec"
+      else DownsampleStore.ServingCols
     val t = s.read.parquet(store)
-      .select(DownsampleStore.ServingCols.map(col): _*)
+      .select(servCols.map(col): _*)
     val named =
       if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
     // label matchers replay verbatim on the store's own label columns
@@ -149,6 +171,30 @@ object SteppedRollup {
     // double division of the same two operands, endpoints are the
     // extreme covering bucket's stored pick
     val out = fn match {
+      case "rate" | "increase" =>
+        // boundary growths: consecutive NON-EMPTY covered buckets per
+        // (step, series) — lag over rollup rows reproduces exactly the
+        // raw evaluator's consecutive-sample pairs that straddle a
+        // bucket edge; within-bucket pairs are the stored inc_dec
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy(("step" +: labels).map(col): _*)
+          .orderBy(col("bucket"))
+        val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+        val withPrev = covered
+          .withColumn("__sr_prev_last", lag("last_value", 1).over(bw))
+        val boundary = when(col("__sr_prev_last").isNull, lit(null))
+          .otherwise(when(col("first_value") >= col("__sr_prev_last"),
+            col("first_value") - col("__sr_prev_last"))
+            .otherwise(col("first_value"))).cast(dec)
+        val inc = withPrev.withColumn("__sr_binc", boundary)
+          .groupBy(("step" +: labels).map(col): _*)
+          .agg((coalesce(sum(col("inc_dec")), zero) +
+            coalesce(sum(col("__sr_binc")), zero))
+            .cast("double").as("value"))
+        if (fn == "increase") inc
+        else inc.withColumn("value",
+          col("value") / lit(windowSec.toDouble))
       case "count_over_time" =>
         g.agg(sum("n_samples").cast("double").as("value"))
       case "sum_over_time" =>

@@ -56,13 +56,22 @@ object DownsampleStore {
     * aggregates. `sum_value` stays DECIMAL so downstream re-aggregation
     * is exact; callers lower to DOUBLE only at output edges.
     */
-  def rollup(s: SparkSession, dir: String): DataFrame =
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       // `div`, not `/`: long/long is DOUBLE division in Spark and µs
       // magnitudes sit near double's exact-integer edge (Tables.scala
       // documents the same trap for the ns→µs truncation)
       .withColumn("bucket", expr(s"(us div ${ResolutionSec * 1000000L}) * $ResolutionSec"))
+      // COUNTER partials (round 13, Thanos's counter aggregate): the
+      // per-series previous sample, so the bucket can carry the sum of
+      // its WITHIN-bucket reset-corrected growths — cross-bucket pairs
+      // are reconstructed at query time from the stored endpoints
+      .withColumn("__prev_v", lag("value", 1).over(w))
+      .withColumn("__prev_b", lag("bucket", 1).over(w))
       .groupBy(col("bucket"), col("user_id"), col("event_type"))
       .agg(
         count(lit(1)).as("n_samples"),
@@ -70,10 +79,20 @@ object DownsampleStore {
         min("value").as("min_value"),
         max("value").as("max_value"),
         min_by(col("value"), orderKey).as("first_value"),
-        max_by(col("value"), orderKey).as("last_value"))
+        max_by(col("value"), orderKey).as("last_value"),
+        // Σ reset-corrected growth over same-bucket consecutive pairs,
+        // quantized PER PAIR exactly like the evaluator's exactSum
+        sum(when(col("__prev_b") === col("bucket"),
+          when(col("value") >= col("__prev_v"),
+            col("value") - col("__prev_v")).otherwise(col("value")))
+          .cast("decimal(30,6)")).as("inc_dec"))
+  }
 
+  // `c1` = counter-partials schema revision (round 13): the store is
+  // write-once, so a schema extension is a new path — pre-c1 stores on
+  // disk are orphaned, never half-read
   private def path(s: SparkSession, dir: String): String =
-    s"${ChunkStore.storeRoot(s)}/downsample_${ResolutionSec}s_${ChunkStore.pathTag(dir)}"
+    s"${ChunkStore.storeRoot(s)}/downsample_${ResolutionSec}s_c1_${ChunkStore.pathTag(dir)}"
 
   /** Public store location for a dataset dir — the existence probe the
     * optimizer's MV-rewrite rule (plans/RollupRewrite.scala) uses as

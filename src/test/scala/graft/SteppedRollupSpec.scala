@@ -54,6 +54,27 @@ class SteppedRollupSpec extends AnyFunSuite {
       assertBitEqual(s"$fn(click[1h])")
   }
 
+  test("rate/increase serve from the counter partials, bit-equal") {
+    // Thanos's counter aggregate: within-bucket reset-corrected growth
+    // (inc_dec) + boundary pairs from stored endpoints must reproduce
+    // the raw lag-over-samples evaluation exactly
+    assertBitEqual("rate(click[1h])")
+    assertBitEqual("increase(click[2h])")
+    assertBitEqual("sum(rate(click[1h]))")
+    assertBitEqual("""increase(purchase{user_id=~"1.*"}[1d])""")
+    // the extrapolated parity mode needs in-window timestamps the
+    // partials lack — stays raw
+    val s2 = optIn()
+    assertRaw(Promql.queryAt(s2, sf, "rate_extrapolated(click[1h])", spec),
+      "extrapolated rate")
+    // the driver entry pair shares one evaluation
+    val served = SparkEntry.queries("q_promql_rollup_rate")(spark, sf)
+    assertServed(served, "q_promql_rollup_rate")
+    val raw = SparkEntry.queries("q_promql_stepped_rate")(spark, sf)
+    assert(served.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(served).count() === 0)
+  }
+
   test("instant selectors (the lookback window) serve from the rollup") {
     // sum(click): the q_promql_rollup_stepped entry's query — the leaf
     // instant vector is last_over_time over the aligned 2h lookback
@@ -87,8 +108,10 @@ class SteppedRollupSpec extends AnyFunSuite {
       EvalSpec(1704067210L, 1704153610L, 3600L, 7200L)), "misaligned start")
     assertRaw(Promql.queryAt(s2, sf, "sum_over_time(click[1h])",
       EvalSpec(1704067200L, 1704153600L, 90L, 7200L)), "misaligned step")
-    // rate needs exact in-window sample timestamps the partials lack
-    assertRaw(Promql.queryAt(s2, sf, "rate(click[1h])", spec), "rate")
+    // stddev needs Σv² the store doesn't carry (rate moved to the
+    // counter partials this round — see the counter test above)
+    assertRaw(Promql.queryAt(s2, sf, "stddev_over_time(click[1h])", spec),
+      "stddev_over_time")
     // the derived payload label k is not a store column — falls back
     // to raw and must evaluate there (the fallback also covers the
     // coveringSteps column-collision fix: the explode index used to
