@@ -412,6 +412,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       for {
         src <- RMS.sourceDir(streamDir)
         if new File(src).getCanonicalPath == new File(dir).getCanonicalPath
+        if RMS.keyRevOk(streamDir)
         h <- RMS.horizonSec(streamDir)
       } yield (s"$streamDir/parts", Some(h))
     } else {

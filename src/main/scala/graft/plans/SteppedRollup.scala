@@ -44,8 +44,10 @@ object SteppedRollup {
     * last/first are the extreme bucket's stored endpoint (exactly one
     * store row per series per bucket, and the evaluator always groups
     * by full series identity, so the arg-pick never ties). The
-    * rate/increase family stays raw: extrapolation needs exact in-window
-    * first/last sample TIMESTAMPS and reset scans the partials lack.
+    * stored-value rate/increase serve too — via [[CounterFns]]'s
+    * counter partials below; only the *_extrapolated parity variants
+    * stay raw (edge extrapolation needs exact in-window first/last
+    * sample TIMESTAMPS the partials lack).
     */
   val LosslessFns: Set[String] = Set(
     "sum_over_time", "count_over_time", "avg_over_time",
@@ -105,6 +107,7 @@ object SteppedRollup {
           src <- RMS.sourceDir(streamDir)
           if new java.io.File(src).getCanonicalPath ==
             new java.io.File(dir).getCanonicalPath
+          if RMS.keyRevOk(streamDir)
           h <- RMS.horizonSec(streamDir)
           e <- RMS.edgeCount(streamDir) if e == 0L
         } yield (s"$streamDir/parts", Some(h))
@@ -120,7 +123,7 @@ object SteppedRollup {
     // stream store doesn't carry it (see CounterFns)
     if (counter && horizon.isDefined) return None
     val servCols =
-      if (counter) DownsampleStore.ServingCols :+ "inc_dec"
+      if (counter) DownsampleStore.CounterServingCols
       else DownsampleStore.ServingCols
     val t = s.read.parquet(store)
       .select(servCols.map(col): _*)

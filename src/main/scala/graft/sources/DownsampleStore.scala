@@ -21,12 +21,14 @@ import graft.Tables
   *  - first/last: arg-min/arg-max over the (µs, event_id) composite —
   *    deterministic because the pair is unique per sample.
   *
-  * Single-pass shape: the rollup is one partial-aggregable groupBy —
-  * no windows, no self-joins — so the map side emits one row per
-  * (series × bucket) per partition and the shuffle carries rollup rows,
-  * not samples. The store is range-partitioned on the bucket and sorted
-  * by (bucket, series), so a query over a time slice prunes row groups
-  * on bucket min/max exactly like the raw sorted store.
+  * Build shape: one shuffle on (series, bucket) — the counter
+  * partial's lag window (round 13) partitions on the same keys the
+  * groupBy aggregates on, so the sort is bucket-local (bounded by one
+  * bucket's samples per series, never a whole series) and the
+  * aggregation reuses the window's partitioning. The store is
+  * range-partitioned on the bucket and sorted by (bucket, series), so
+  * a query over a time slice prunes row groups on bucket min/max
+  * exactly like the raw sorted store.
   */
 object DownsampleStore {
 
@@ -40,6 +42,13 @@ object DownsampleStore {
   val ServingCols: Seq[String] = Seq(
     "bucket", "user_id", "event_type", "n_samples", "sum_dec",
     "min_value", "max_value", "first_value", "last_value")
+
+  /** The counter-verb serving schema: ServingCols plus the batch
+    * store's inc_dec partial — defined HERE beside ServingCols so the
+    * two lists cannot drift (the stream store deliberately lacks
+    * inc_dec; counter serving is batch-store-only).
+    */
+  val CounterServingCols: Seq[String] = ServingCols :+ "inc_dec"
 
   /** Deterministic sample-order key: the (µs, event_id) STRUCT — the
     * exact total order the PromQL evaluator's max_by/min_by picks use,
@@ -57,8 +66,16 @@ object DownsampleStore {
     * is exact; callers lower to DOUBLE only at output edges.
     */
   def rollup(s: SparkSession, dir: String): DataFrame = {
+    // COUNTER partials (round 13, Thanos's counter aggregate): the
+    // bucket carries the sum of its WITHIN-bucket reset-corrected
+    // growths; cross-bucket pairs are reconstructed at query time from
+    // the stored endpoints. The lag window partitions by (series,
+    // BUCKET), not just series: only same-bucket pairs survive anyway
+    // (each bucket's first row gets a NULL prev, exactly the excluded
+    // cross-bucket pair), the shuffle aligns with the groupBy keys, and
+    // a hot series can never pile onto one sort task (review r13).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id", "event_type")
+      .partitionBy("user_id", "event_type", "bucket")
       .orderBy(col("us"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("us", unix_micros(col("ts")))
@@ -66,12 +83,7 @@ object DownsampleStore {
       // magnitudes sit near double's exact-integer edge (Tables.scala
       // documents the same trap for the ns→µs truncation)
       .withColumn("bucket", expr(s"(us div ${ResolutionSec * 1000000L}) * $ResolutionSec"))
-      // COUNTER partials (round 13, Thanos's counter aggregate): the
-      // per-series previous sample, so the bucket can carry the sum of
-      // its WITHIN-bucket reset-corrected growths — cross-bucket pairs
-      // are reconstructed at query time from the stored endpoints
       .withColumn("__prev_v", lag("value", 1).over(w))
-      .withColumn("__prev_b", lag("bucket", 1).over(w))
       .groupBy(col("bucket"), col("user_id"), col("event_type"))
       .agg(
         count(lit(1)).as("n_samples"),
@@ -82,7 +94,7 @@ object DownsampleStore {
         max_by(col("value"), orderKey).as("last_value"),
         // Σ reset-corrected growth over same-bucket consecutive pairs,
         // quantized PER PAIR exactly like the evaluator's exactSum
-        sum(when(col("__prev_b") === col("bucket"),
+        sum(when(col("__prev_v").isNotNull,
           when(col("value") >= col("__prev_v"),
             col("value") - col("__prev_v")).otherwise(col("value")))
           .cast("decimal(30,6)")).as("inc_dec"))

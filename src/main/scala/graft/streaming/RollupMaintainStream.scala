@@ -126,6 +126,16 @@ object RollupMaintainStream {
       java.nio.charset.StandardCharsets.UTF_8).trim)
   }
 
+  /** True iff the store's endpoint picks were chosen under the current
+    * struct (us, event_id) order key — serving refuses anything else.
+    */
+  def keyRevOk(storeDir: String): Boolean = {
+    val marker = new java.io.File(storeDir, "_key_rev")
+    marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim == "struct1"
+  }
+
   /** One AvailableNow maintenance pass: new event files under `inDir`
     * (a landing dir receiving `sourceDir`'s events) advance the rollup
     * store at `storeDir`; finalized bucket rows land exactly once under
@@ -149,6 +159,13 @@ object RollupMaintainStream {
         java.nio.file.Paths.get(storeDir))
       java.nio.file.Files.write(srcMarker.toPath,
         sourceDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // order-key revision: struct (us, event_id) picks (round 13).
+      // Serving requires this marker, so a store whose endpoints were
+      // chosen under the old overflow-prone packed key can never serve
+      // (the batch store's _c1_ path bump, as a marker)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(storeDir, "_key_rev"),
+        "struct1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val q = rollupStream(s, inDir).writeStream
       .outputMode("append")
