@@ -414,7 +414,11 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         if new File(src).getCanonicalPath == new File(dir).getCanonicalPath
         if RMS.keyRevOk(streamDir)
         h <- RMS.horizonSec(streamDir)
-      } yield (s"$streamDir/parts", Some(h))
+        // zero-data passes publish markers without landing parts — an
+        // empty store falls back to the raw scan, never throws at plan
+        // time (ADVICE r13)
+        parts <- RMS.servableParts(streamDir)
+      } yield (parts, Some(h))
     } else {
       val store = DownsampleStore.storePath(session, dir)
       if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
@@ -432,8 +436,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
                          outKinds: Seq[OutKind], groupKinds: Seq[OutKind],
                          filters: Seq[org.apache.spark.sql.Column],
                          horizon: Option[Long] = None): LogicalPlan = {
-    val read = session.read.parquet(store)
-      .select(DownsampleStore.ServingCols.map(col): _*)
+    val read = DownsampleStore.readServing(session, store)
     // stream-maintained store: serve ONLY steps whose whole window
     // closes at or before the staleness horizon — a half-flushed step
     // must not serve as the step's total (the explicit bound the

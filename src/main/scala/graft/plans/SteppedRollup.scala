@@ -110,7 +110,10 @@ object SteppedRollup {
           if RMS.keyRevOk(streamDir)
           h <- RMS.horizonSec(streamDir)
           e <- RMS.edgeCount(streamDir) if e == 0L
-        } yield (s"$streamDir/parts", Some(h))
+          // markers can exist with no parts (zero-data pass) — fall
+          // back to raw, never throw at plan time (ADVICE r13)
+          parts <- RMS.servableParts(streamDir)
+        } yield (parts, Some(h))
       } else {
         val store = DownsampleStore.storePath(s, dir)
         if (new java.io.File(store, "_SUCCESS").isFile &&
@@ -122,11 +125,7 @@ object SteppedRollup {
     // counter verbs need the batch store's inc_dec partial — the
     // stream store doesn't carry it (see CounterFns)
     if (counter && horizon.isDefined) return None
-    val servCols =
-      if (counter) DownsampleStore.CounterServingCols
-      else DownsampleStore.ServingCols
-    val t = s.read.parquet(store)
-      .select(servCols.map(col): _*)
+    val t = DownsampleStore.readServing(s, store, counters = counter)
     val named =
       if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
     // label matchers replay verbatim on the store's own label columns

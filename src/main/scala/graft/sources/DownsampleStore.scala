@@ -43,12 +43,24 @@ object DownsampleStore {
     "bucket", "user_id", "event_type", "n_samples", "sum_dec",
     "min_value", "max_value", "first_value", "last_value")
 
-  /** The counter-verb serving schema: ServingCols plus the batch
-    * store's inc_dec partial — defined HERE beside ServingCols so the
-    * two lists cannot drift (the stream store deliberately lacks
-    * inc_dec; counter serving is batch-store-only).
+  /** The counter-verb serving schema: ServingCols plus the store's
+    * inc_dec partial — defined HERE beside ServingCols so the two
+    * lists cannot drift. The batch store always carries it; the stream
+    * store carries it from schema rev c1 on (round 14), gated by its
+    * `_schema_rev` marker.
     */
   val CounterServingCols: Seq[String] = ServingCols :+ "inc_dec"
+
+  /** The ONE store reader every serving consumer goes through — the
+    * Catalyst rule (plans/RollupRewrite.scala), the stepped front-end
+    * (plans/SteppedRollup.scala) and the stream store's table() all
+    * project through this helper, so the serving schema cannot drift
+    * between them (ADVICE r13: the anti-drift guarantee was doc-only).
+    */
+  def readServing(s: SparkSession, path: String,
+                  counters: Boolean = false): DataFrame =
+    s.read.parquet(path).select(
+      (if (counters) CounterServingCols else ServingCols).map(col): _*)
 
   /** Deterministic sample-order key: the (µs, event_id) STRUCT — the
     * exact total order the PromQL evaluator's max_by/min_by picks use,
@@ -129,6 +141,12 @@ object DownsampleStore {
           .sortWithinPartitions("bucket", "event_type", "user_id")
           .write.mode(SaveMode.Overwrite).parquet(out)
         writeEdgeMarker(s, dir, out) // stores are born with their marker
+      } else if (!new java.io.File(out, "_edge_count").isFile) {
+        // a crash between the parquet commit and the marker move left
+        // the store marker-less: repair HERE, off the planning path —
+        // boundaryClean refuses marker-less stores instead of stalling
+        // the planner on a raw scan (ADVICE r13)
+        writeEdgeMarker(s, dir, out)
       }
       out
     })
@@ -162,20 +180,27 @@ object DownsampleStore {
 
   /** True iff no raw sample sits exactly on a resolution boundary —
     * the store property that makes (t − W, t] windows exact unions of
-    * buckets. Reads the `_edge_count` marker; a pre-marker store gets
-    * its count computed and backfilled once (the store is write-once,
-    * so the count can never go stale).
+    * buckets. Reads the `_edge_count` marker ONLY: a marker-less store
+    * (a crash between the parquet commit and the marker move) refuses —
+    * boundaryClean runs inside query planning (SteppedRollup.serve),
+    * and backfilling the count there would stall the planner on a full
+    * raw scan (ADVICE r13). The repair happens off the planning path,
+    * in ensureWritten, so the missing-marker verdict is NOT cached.
     */
-  def boundaryClean(s: SparkSession, dir: String): Boolean =
-    edgeClean.computeIfAbsent(path(s, dir), { out =>
+  def boundaryClean(s: SparkSession, dir: String): Boolean = {
+    val out = path(s, dir)
+    Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
       val marker = new java.io.File(out, "_edge_count")
-      val cnt =
-        if (marker.isFile)
-          new String(java.nio.file.Files.readAllBytes(marker.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        else writeEdgeMarker(s, dir, out)
-      java.lang.Boolean.valueOf(cnt == 0L)
-    }).booleanValue()
+      if (!marker.isFile) false // refuse; repaired by the next table()
+      else {
+        val clean = new String(
+          java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong == 0L
+        edgeClean.put(out, java.lang.Boolean.valueOf(clean))
+        clean
+      }
+    }
+  }
 
   /** The stored rollup table (built on first access). */
   def table(s: SparkSession, dir: String): DataFrame =

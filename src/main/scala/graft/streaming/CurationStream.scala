@@ -123,6 +123,34 @@ object CurationStream {
     val cp = s"$root/curstream_$tag/cp"
     if (!new java.io.File(cp).isDirectory)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    // SOURCE FINGERPRINT (ADVICE r13): spark part-file names embed
+    // UUIDs, so "idempotent by name" staging is only a no-op while the
+    // corpus is the SAME corpus — a regenerated source directory would
+    // union old and new part files in the inbox and the stream would
+    // ingest both corpora. Record the source's (name, size) manifest
+    // once; a mismatched re-stage wipes inbox + checkpoint + store and
+    // rebuilds from scratch (determinism makes the rebuild exact).
+    val srcPath = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val fp: String = {
+      val entries =
+        if (java.nio.file.Files.isDirectory(srcPath)) {
+          val st = java.nio.file.Files.list(srcPath)
+          try st.filter(_.getFileName.toString.endsWith(".parquet"))
+            .map[String](p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+            .sorted().toArray.mkString("\n")
+          finally st.close()
+        } else s"documents.parquet:${java.nio.file.Files.size(srcPath)}"
+      java.util.UUID.nameUUIDFromBytes(
+        entries.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    }
+    val fpFile = new java.io.File(s"$root/curstream_$tag", "_source_fp")
+    if (fpFile.isFile && new String(
+        java.nio.file.Files.readAllBytes(fpFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim != fp) {
+      Seq(in, out, cp).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      fpFile.delete()
+    }
     // the file-stream source watches a DIRECTORY: stage the corpus
     // into the store's inbox once (idempotent by name). The corpus may
     // be a single parquet FILE (the driver-generated testdata) or a
@@ -144,6 +172,14 @@ object CurationStream {
       val staged = java.nio.file.Paths.get(s"$in/documents.parquet")
       if (!java.nio.file.Files.exists(staged))
         java.nio.file.Files.copy(src, staged)
+    }
+    if (!fpFile.isFile) {
+      val tmp = java.io.File.createTempFile("srcfp", ".tmp", fpFile.getParentFile)
+      java.nio.file.Files.write(tmp.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, fpFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     try runOnce(s, in, out, cp)
     catch {

@@ -196,12 +196,27 @@ object RollupMaintainStream {
     }
   }
 
+  /** The parts path iff at least one maintenance batch actually landed
+    * rows there — the gate every serving path resolves through (ADVICE
+    * r13: a `_watermark` published on a zero-data pass, with no parts
+    * on disk, must fall back to raw serving, not throw at plan time).
+    */
+  def servableParts(storeDir: String): Option[String] = {
+    val parts = new java.io.File(storeDir, "parts")
+    val entries = Option(parts.listFiles()).getOrElse(Array.empty)
+    if (entries.exists(f => f.isDirectory || f.getName.endsWith(".parquet")))
+      Some(parts.getPath)
+    else None
+  }
+
   /** The served store: all finalized rollup rows in the rollup's
     * serving schema (plain read — append mode means no upsert
-    * resolution; `batch` partition column and n_edge dropped). The ONE
-    * reader both the rule and the stepped front-end go through.
+    * resolution; `batch` partition column and n_edge dropped), through
+    * the ONE shared reader (DownsampleStore.readServing) the rule and
+    * the stepped front-end also use, so the projections cannot drift.
     */
   def table(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(s"$storeDir/parts")
-      .select(graft.sources.DownsampleStore.ServingCols.map(col): _*)
+    graft.sources.DownsampleStore.readServing(s,
+      servableParts(storeDir).getOrElse(
+        sys.error(s"$storeDir has no maintained parts to serve")))
 }
