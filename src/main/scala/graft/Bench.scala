@@ -122,7 +122,11 @@ object Bench {
         // round-13: the stepped rollup serving probes the store's
         // _edge_count boundary marker — a pre-marker store would
         // backfill it (one raw scan) inside the first timed rep
-        "q_promql_rollup_stepped").foreach { n =>
+        "q_promql_rollup_stepped",
+        // round-14: the 1h chain level — pre-built so every
+        // hour-aligned rollup-serving entry picks it deterministically
+        // across reps (the picker is existence-probed)
+        "q_downsample_1h").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run

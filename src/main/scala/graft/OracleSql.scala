@@ -387,6 +387,20 @@ object OracleSql {
         |FROM cov WHERE rn = 1 GROUP BY 1""".stripMargin,
     // true range-query rate: per-step lookback windows, reset-corrected
     // growth summed in DECIMAL exactly like the evaluator's exactSum
+    // the wide stepped range verb (1d windows on a 2h grid) — the raw
+    // twin whose hash the 1h-level rollup serving must reproduce
+    "q_promql_stepped_wide" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704412800, 7200)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 86400) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click')
+        |SELECT step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM cov GROUP BY 1, 2""".stripMargin,
     "q_promql_stepped_rate" ->
       """WITH steps AS (
         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
@@ -1762,6 +1776,37 @@ object OracleSql {
         |       arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id) AS first_value,
         |       arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id) AS last_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // the 1h chain level STRAIGHT FROM RAW — Spark builds it from the
+    // 300s store, so the hash proves every carried partial (sums,
+    // order stats, endpoints, counter inc_dec) re-merges exactly
+    // through the intermediate level. inc_sum mirrors the evaluator's
+    // lag fold: per-pair growth quantized to DECIMAL(30,6), summed,
+    // NULL when the hour holds no consecutive pair.
+    "q_downsample_1h" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |         user_id, event_type, value,
+        |         epoch_us(ts) AS us, event_id,
+        |         lag(value) OVER (PARTITION BY user_id, event_type,
+        |                            epoch_us(ts) // 3600000000
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT bucket, user_id, event_type,
+        |       COUNT(*) AS n_samples,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       arg_min(value, CAST(us AS HUGEINT) * 9223372036854775808 + event_id) AS first_value,
+        |       arg_max(value, CAST(us AS HUGEINT) * 9223372036854775808 + event_id) AS last_value,
+        |       CAST(SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |                          WHEN value >= prev THEN value - prev
+        |                          ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS inc_sum
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // daily sums from the 1h level vs the same daily sum over raw —
+    // the chain's re-aggregation contract at the next grain up
+    "q_downsample_sum_1d" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400 AS step, event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // merge-on-read upsert: the oracle rebuilds the same base ∪ delta
     // union and resolves latest-per-key with the identical arg-max
     "q_upsert_latest" ->
@@ -1881,6 +1926,10 @@ object OracleSql {
       // aligned steps, answered from the rollup — per-step lookback
       // windows are bucket unions, hash shared with the raw evaluation
       "q_promql_rollup_stepped" -> base("q_promql_stepped"),
+      // MULTI-RESOLUTION serving (round 14): the hour-aligned day-window
+      // query served from the 1h chain level must still reproduce the
+      // raw stepped evaluation bit-for-bit
+      "q_promql_rollup_stepped_1h" -> base("q_promql_stepped_wide"),
       // user-grain grouping + label filter; the oracle aggregates RAW
       // events, so the hash proves the store-served answer losslessly
       "q_rollup_rewrite_user" ->

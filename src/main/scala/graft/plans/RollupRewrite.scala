@@ -343,17 +343,19 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         }
       }
       eventsDir.flatMap { dir =>
-        resolveStore(dir).flatMap { case (store, horizon) =>
-          // grouping keys: the hour step plus any subset of the store's
-          // label columns — absent labels roll up across (the store's
-          // finer grain re-aggregates losslessly)
-          val groupKinds = agg.groupingExpressions
-            .map(e => classify(dealias(e, subst)))
-          val gk = groupKinds.flatten
-          val groupOk = groupKinds.forall(_.isDefined) &&
-            gk.forall(isKeyKind) &&
-            gk.count(_.isInstanceOf[StepK]) == 1 &&
-            gk.distinct.size == gk.size
+        // grouping keys first: the step width picks the chain level —
+        // the step plus any subset of the store's label columns;
+        // absent labels roll up across (the store's finer grain
+        // re-aggregates losslessly)
+        val groupKinds = agg.groupingExpressions
+          .map(e => classify(dealias(e, subst)))
+        val gk = groupKinds.flatten
+        val groupOk = groupKinds.forall(_.isDefined) &&
+          gk.forall(isKeyKind) &&
+          gk.count(_.isInstanceOf[StepK]) == 1 &&
+          gk.distinct.size == gk.size
+        val stepW = gk.collectFirst { case StepK(w) => w }
+        stepW.flatMap(resolveStore(dir, _)).flatMap { case (store, horizon) =>
           // every output must be a grouped key or a recognized measure
           val kinds = agg.aggregateExpressions.map {
             case a: Alias => classify(dealias(a.child, subst))
@@ -400,9 +402,15 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * names one (freshness = its `_watermark` horizon, returned so the
     * substitute can cut at complete steps), else the batch MV for the
     * query's events dir (freshness = existence, the write-once
-    * `_SUCCESS` contract). No marker / no store → no rewrite.
+    * `_SUCCESS` contract) at the COARSEST chain level the step width
+    * aligns to (round 14): an hour-multiple step reads the 1 h store —
+    * 12× fewer rows — falling to 300 s when the hour level is absent.
+    * Tumbling windows are closed-left like the buckets, so level
+    * choice needs no boundary-cleanliness gate (unlike the stepped
+    * front-end's open-left windows). No marker / no store → no rewrite.
     */
-  private def resolveStore(dir: String): Option[(String, Option[Long])] = {
+  private def resolveStore(dir: String,
+                           stepW: Long): Option[(String, Option[Long])] = {
     val streamDir = session.conf.get(RollupRewrite.StreamStoreConf, "")
     if (streamDir.nonEmpty) {
       import graft.streaming.{RollupMaintainStream => RMS}
@@ -420,8 +428,18 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         parts <- RMS.servableParts(streamDir)
       } yield (parts, Some(h))
     } else {
-      val store = DownsampleStore.storePath(session, dir)
-      if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
+      val hourPick =
+        if (stepW % DownsampleStore.HourResolutionSec != 0) None
+        else {
+          val p = DownsampleStore.storePath1h(session, dir)
+          if (new File(p, "_SUCCESS").isFile)
+            Some((p, Option.empty[Long]))
+          else None
+        }
+      hourPick.orElse {
+        val store = DownsampleStore.storePath(session, dir)
+        if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
+      }
     }
   }
 

@@ -96,9 +96,18 @@ object SteppedRollup {
     // store resolution mirrors the tumbling rule's: the explicit
     // stream-maintained store (horizon = its watermark marker; only
     // steps whose whole window closes at or before it serve) when the
-    // session names one, else the batch MV (freshness = existence)
+    // session names one, else the batch MV (freshness = existence).
+    // Batch serving PICKS THE COARSEST aligned chain level (round 14,
+    // Thanos's auto-downsampling resolution pick): an hour-aligned
+    // query reads the 1 h store — 12× fewer rollup rows — and only
+    // falls to the 300 s level when the hour level is absent, dirty,
+    // or the grid is finer than an hour. The stream store is
+    // 300 s-only (its maintenance loop targets freshness, not depth).
+    def alignedTo(r: Long): Boolean =
+      windowSec % r == 0 && spec.startSec % r == 0 &&
+        spec.stepSec % r == 0 && sel.offsetSec % r == 0
     val streamDir = s.conf.get(RollupRewrite.StreamStoreConf, "")
-    val resolved: Option[(String, Option[Long])] =
+    val resolved: Option[(String, Option[Long], Long)] =
       if (streamDir.nonEmpty) {
         import graft.streaming.{RollupMaintainStream => RMS}
         // the store's recorded source dataset must be the query's —
@@ -113,15 +122,27 @@ object SteppedRollup {
           // markers can exist with no parts (zero-data pass) — fall
           // back to raw, never throw at plan time (ADVICE r13)
           parts <- RMS.servableParts(streamDir)
-        } yield (parts, Some(h))
+        } yield (parts, Some(h), R)
       } else {
-        val store = DownsampleStore.storePath(s, dir)
-        if (new java.io.File(store, "_SUCCESS").isFile &&
-          DownsampleStore.boundaryClean(s, dir)) Some((store, None))
-        else None
+        val hourPick =
+          if (!alignedTo(DownsampleStore.HourResolutionSec)) None
+          else {
+            val p = DownsampleStore.storePath1h(s, dir)
+            if (new java.io.File(p, "_SUCCESS").isFile &&
+              DownsampleStore.boundaryClean1h(s, dir))
+              Some((p, Option.empty[Long], DownsampleStore.HourResolutionSec))
+            else None
+          }
+        hourPick.orElse {
+          val store = DownsampleStore.storePath(s, dir)
+          if (new java.io.File(store, "_SUCCESS").isFile &&
+            DownsampleStore.boundaryClean(s, dir))
+            Some((store, None, R))
+          else None
+        }
       }
     if (resolved.isEmpty) return None
-    val (store, horizon) = resolved.get
+    val (store, horizon, res) = resolved.get
     // counter verbs need the batch store's inc_dec partial — the
     // stream store doesn't carry it (see CounterFns)
     if (counter && horizon.isDefined) return None
@@ -137,20 +158,20 @@ object SteppedRollup {
     val shifted =
       if (sel.offsetSec == 0L) matched
       else matched.withColumn("bucket", col("bucket") + lit(sel.offsetSec))
-    // bucket b (covering [b, b+R) on the shifted axis) lies wholly
-    // inside step t's window (t − W, t] iff t − W <= b <= t − R — the
+    // bucket b (covering [b, b+res) on the shifted axis) lies wholly
+    // inside step t's window (t − W, t] iff t − W <= b <= t − res — the
     // range prune reaches the store's parquet row groups (the store is
     // range-partitioned and sorted on bucket)
     val pruned = shifted.filter(
       col("bucket") >= lit(spec.startSec - windowSec) &&
-        col("bucket") <= lit(spec.endSec - R))
+        col("bucket") <= lit(spec.endSec - res))
     // covering steps of a bucket: t = A + kS with
-    //   kMin = ceil((b + R − A) / S), kMax = floor((b + W − A) / S),
+    //   kMin = ceil((b + res − A) / S), kMax = floor((b + W − A) / S),
     // clamped to the spec grid. Deltas stay far below 2^53, so the
     // double floor/ceil is exact (the raw evaluator's same argument).
     val delta = (col("bucket") - lit(spec.startSec)).cast("double")
     val kMin = greatest(lit(0L),
-      ceil((delta + lit(R.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
+      ceil((delta + lit(res.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
     val kMax = least(lit(spec.maxK),
       floor((delta + lit(windowSec.toDouble)) / lit(spec.stepSec.toDouble)).cast("long"))
     val covered0 = pruned

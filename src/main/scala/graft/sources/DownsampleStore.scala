@@ -35,6 +35,16 @@ object DownsampleStore {
   /** 5-minute buckets — Thanos's first downsampling resolution. */
   val ResolutionSec: Long = 300L
 
+  /** 1-hour buckets — the second level of the resolution chain (round
+    * 14; Thanos keeps a 5m AND a 1h level for exactly this reason: a
+    * year-wide dashboard reads 8.7k hourly rows/series where the 300 s
+    * level reads 105k). Built FROM the 300 s store, never from raw —
+    * the partial-merge identity (DECIMAL sums re-merge, order
+    * statistics compose, endpoints chain, counter partials carry up)
+    * is what q_downsample_1h oracle-proves.
+    */
+  val HourResolutionSec: Long = 3600L
+
   /** The rollup's SERVING schema — the one column list every consumer
     * (the MV rule, the stepped front-end, the stream store's reader)
     * selects, so the schema cannot drift between them (review r13).
@@ -117,6 +127,130 @@ object DownsampleStore {
   // disk are orphaned, never half-read
   private def path(s: SparkSession, dir: String): String =
     s"${ChunkStore.storeRoot(s)}/downsample_${ResolutionSec}s_c1_${ChunkStore.pathTag(dir)}"
+
+  private def path1h(s: SparkSession, dir: String): String =
+    s"${ChunkStore.storeRoot(s)}/downsample_${HourResolutionSec}s_c1_${ChunkStore.pathTag(dir)}"
+
+  /** Public 1 h-store location — the existence probe the resolution
+    * pickers (SteppedRollup.serve, RollupRewrite.resolveStore) use.
+    */
+  def storePath1h(s: SparkSession, dir: String): String = path1h(s, dir)
+
+  /** The 1 h rollup frame, RE-AGGREGATED FROM the 300 s store (the
+    * chain build — at 100 TB the hourly level reads rollup rows, never
+    * raw samples):
+    *  - n_samples / sum_dec: partial sums merge exactly (DECIMAL);
+    *  - min/max: order statistics compose;
+    *  - first/last: the extreme NON-EMPTY child bucket's stored
+    *    endpoint (one store row per (series, child bucket), so the
+    *    arg-pick never ties);
+    *  - inc_dec: Σ child inc_dec (within-300 s pairs) + Σ boundary
+    *    growths between consecutive non-empty child buckets inside the
+    *    hour, reconstructed from the stored endpoints and quantized
+    *    per pair exactly like the evaluator's exactSum — together
+    *    exactly the hour's within-bucket reset-corrected pair sum.
+    * The lag window partitions by (series, HOUR), so the sort is
+    * hour-local (≤ 12 child rows per series per hour) and aligned with
+    * the groupBy keys — one shuffle, no hot-series pileup.
+    */
+  def rollup1h(s: SparkSession, dir: String): DataFrame = {
+    val H = HourResolutionSec
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type", "hbucket")
+      .orderBy(col("bucket"))
+    table(s, dir)
+      .withColumn("hbucket", expr(s"(bucket div $H) * $H"))
+      .withColumn("__prev_last", lag("last_value", 1).over(w))
+      .withColumn("__binc",
+        when(col("__prev_last").isNull, lit(null))
+          .otherwise(when(col("first_value") >= col("__prev_last"),
+            col("first_value") - col("__prev_last"))
+            .otherwise(col("first_value"))).cast(dec))
+      .groupBy(col("hbucket"), col("user_id"), col("event_type"))
+      .agg(
+        sum("n_samples").as("n_samples"),
+        sum("sum_dec").as("sum_dec"),
+        min("min_value").as("min_value"),
+        max("max_value").as("max_value"),
+        min_by(col("first_value"), col("bucket")).as("first_value"),
+        max_by(col("last_value"), col("bucket")).as("last_value"),
+        // null iff the hour contains no pair at all (mirrors the raw
+        // build's sum-over-no-rows NULL); else merge both partial kinds
+        when(sum("inc_dec").isNull && sum("__binc").isNull,
+          lit(null).cast(dec))
+          .otherwise(coalesce(sum("inc_dec"), zero) +
+            coalesce(sum("__binc"), zero)).as("inc_dec"))
+      .withColumnRenamed("hbucket", "bucket")
+  }
+
+  /** Write-once 1 h store (built on first access; builds the 300 s
+    * level first — the chain). Born with its own `_edge_count` marker:
+    * a sample on a 3600 s boundary is necessarily on a 300 s boundary
+    * (300 | 3600), so a clean 300 s store proves the 1 h level clean
+    * for free; only a dirty 300 s store pays a raw count at build time.
+    */
+  private def ensureWritten1h(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(path1h(s, dir), { out =>
+      val success = new java.io.File(out, "_SUCCESS")
+      if (!success.isFile) {
+        rollup1h(s, dir)
+          .repartitionByRange(
+            ChunkStore.targetPartitions(s, path(s, dir)), col("bucket"))
+          .sortWithinPartitions("bucket", "event_type", "user_id")
+          .write.mode(SaveMode.Overwrite).parquet(out)
+        writeEdgeMarker1h(s, dir, out)
+      } else if (!new java.io.File(out, "_edge_count").isFile) {
+        writeEdgeMarker1h(s, dir, out) // crash repair, off the planner
+      }
+      out
+    })
+
+  private def writeEdgeMarker1h(s: SparkSession, dir: String,
+                                out: String): Long = {
+    val fine = new java.io.File(path(s, dir), "_edge_count")
+    val fineCnt =
+      if (fine.isFile)
+        new String(java.nio.file.Files.readAllBytes(fine.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    val cnt =
+      if (fineCnt == 0L) 0L
+      else Tables.events(s, dir)
+        .filter(expr(s"unix_micros(ts) % ${HourResolutionSec * 1000000L} = 0"))
+        .count()
+    val tmp = java.io.File.createTempFile("edge", ".tmp", new java.io.File(out))
+    java.nio.file.Files.write(tmp.toPath,
+      cnt.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(out, "_edge_count").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cnt
+  }
+
+  /** [[boundaryClean]] for the 1 h level (its own `_edge_count` marker,
+    * same refuse-don't-compute posture).
+    */
+  def boundaryClean1h(s: SparkSession, dir: String): Boolean = {
+    val out = path1h(s, dir)
+    Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
+      val marker = new java.io.File(out, "_edge_count")
+      if (!marker.isFile) false
+      else {
+        val clean = new String(
+          java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong == 0L
+        edgeClean.put(out, java.lang.Boolean.valueOf(clean))
+        clean
+      }
+    }
+  }
+
+  /** The stored 1 h rollup (chain-built on first access). */
+  def table1h(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureWritten1h(s, dir))
 
   /** Public store location for a dataset dir — the existence probe the
     * optimizer's MV-rewrite rule (plans/RollupRewrite.scala) uses as
@@ -225,5 +359,30 @@ object DownsampleStore {
   def downsampleSum(s: SparkSession, dir: String): DataFrame =
     table(s, dir)
       .groupBy(expr("(bucket div 3600) * 3600").as("step"), col("event_type"))
+      .agg(sum("sum_dec").cast("double").as("sum_value"))
+
+  /** The 1 h chain level as a query result, INCLUDING the carried
+    * counter partial (inc_sum, DOUBLE at the output edge — null when
+    * the hour holds no consecutive pair, mirroring the raw build).
+    * Oracle: the same aggregation straight over raw events, with the
+    * within-hour lag pairs — one SQL statement proving every carried
+    * partial (sums, order stats, endpoints, AND the counter chain)
+    * re-merges bit-exactly through the 300 s level.
+    */
+  def downsample1h(s: SparkSession, dir: String): DataFrame =
+    table1h(s, dir).select(
+      col("bucket"), col("user_id"), col("event_type"), col("n_samples"),
+      col("sum_dec").cast("double").as("sum_value"),
+      col("min_value"), col("max_value"), col("first_value"),
+      col("last_value"), col("inc_dec").cast("double").as("inc_sum"))
+
+  /** Daily `sum by (event_type)` answered from the 1 h level — the
+    * year-dashboard shape: 24 hourly rows/series/day instead of 288
+    * 300 s rows, and the DECIMAL partials still merge exactly (the
+    * chain's whole point). Oracle: the same daily sum over raw events.
+    */
+  def downsampleSum1d(s: SparkSession, dir: String): DataFrame =
+    table1h(s, dir)
+      .groupBy(expr("(bucket div 86400) * 86400").as("step"), col("event_type"))
       .agg(sum("sum_dec").cast("double").as("sum_value"))
 }

@@ -54,7 +54,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val served = s2.sql(
       s"SELECT * FROM promql_range('sum(click)', '$sf', 1704067200, 1704153600, 3600, 7200)")
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s") && !plan.contains("events.parquet"),
+    assert(plan.contains("downsample_") && !plan.contains("events.parquet"),
       s"opted-in promql_range must serve from the rollup:\n${plan.take(1000)}")
     assert(served.exceptAll(viaApi).count() === 0 &&
       viaApi.exceptAll(served).count() === 0)

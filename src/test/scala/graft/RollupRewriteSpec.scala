@@ -27,7 +27,7 @@ class RollupRewriteSpec extends AnyFunSuite {
     val s2 = optIn()
     val rew = TimeSeries.rangeSumBy(s2, sf)
     val plan = rew.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"rewritten plan must scan the rollup store:\n$plan")
     assert(!plan.contains("events.parquet"),
       s"rewritten plan must NOT scan raw events:\n$plan")
@@ -39,7 +39,7 @@ class RollupRewriteSpec extends AnyFunSuite {
     optIn()
     val raw = TimeSeries.rangeSumBy(spark, sf)
     assert(!raw.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("shape gate: near-miss aggregates are not rewritten") {
@@ -53,20 +53,20 @@ class RollupRewriteSpec extends AnyFunSuite {
         col("event_type"))
       .agg(stddev("value").as("sd"))
     assert(!near.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
     // different grouping (day, not hour) — windows don't align
     val day = Tables.events(s2, sf)
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("step"),
         col("event_type"))
       .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
     assert(!day.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("driver entry q_rollup_rewrite opts in and reads the rollup") {
     val df = SparkEntry.queries("q_rollup_rewrite")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"q_rollup_rewrite must scan the rollup store:\n$plan")
     assert(!plan.contains("events.parquet"),
       s"q_rollup_rewrite must NOT scan raw events:\n$plan")
@@ -77,7 +77,7 @@ class RollupRewriteSpec extends AnyFunSuite {
     val s2 = optIn()
     val rew = TimeSeries.rangeStatsBy(s2, sf)
     val plan = rew.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"stats query must scan the rollup store:\n$plan")
     assert(!plan.contains("events.parquet"), plan)
     def statRows(df: org.apache.spark.sql.DataFrame) =
@@ -102,14 +102,14 @@ class RollupRewriteSpec extends AnyFunSuite {
         col("event_type"))
       .agg(count(col("value")).as("n"))
     assert(!cntVal.queryExecution.executedPlan.toString
-      .contains("downsample_300s"),
+      .contains("downsample_"),
       "count(nullable value) must stay on the raw scan")
     val cntStar = ev
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(cntStar.queryExecution.executedPlan.toString
-      .contains("downsample_300s"),
+      .contains("downsample_"),
       "count(*) must keep rewriting")
   }
 
@@ -121,7 +121,7 @@ class RollupRewriteSpec extends AnyFunSuite {
         col("event_type"))
       .agg(avg("value").as("a"))
     assert(!avgQ.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("label filters replay on the store; grain may drop store labels") {
@@ -131,7 +131,7 @@ class RollupRewriteSpec extends AnyFunSuite {
     // drops both labels — finer store grain re-aggregates losslessly
     val rew = TimeSeries.rangeSum(s2, sf)
     val plan = rew.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"filtered hourly sum must serve from the rollup:\n$plan")
     assert(!plan.contains("events.parquet"), plan)
     def sumRows(df: org.apache.spark.sql.DataFrame) =
@@ -145,7 +145,7 @@ class RollupRewriteSpec extends AnyFunSuite {
         col("user_id"))
       .agg(count(lit(1)).as("n"))
     assert(byUser.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
     val raw = Tables.events(spark, sf)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
@@ -164,14 +164,14 @@ class RollupRewriteSpec extends AnyFunSuite {
         col("event_type"))
       .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
     assert(!tsFiltered.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
     val vFiltered = Tables.events(s2, sf)
       .filter(col("value") > 50.0)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("step"),
         col("event_type"))
       .agg(sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
     assert(!vFiltered.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("PromQL window verbs serve from the rollup at any 300s-aligned width") {
@@ -183,7 +183,7 @@ class RollupRewriteSpec extends AnyFunSuite {
       "first_over_time(purchase[1d])")) {
       val rew = Promql.query(s2, sf, q)
       val plan = rew.queryExecution.executedPlan.toString
-      assert(plan.contains("downsample_300s"),
+      assert(plan.contains("downsample_"),
         s"PromQL '$q' must serve from the rollup:\n${plan.take(1500)}")
       assert(!plan.contains("events.parquet"), q)
       val raw = Promql.query(spark, sf, q)
@@ -193,7 +193,7 @@ class RollupRewriteSpec extends AnyFunSuite {
     // a NON-aligned width must NOT rewrite (90s is not a bucket union)
     val odd = Promql.query(s2, sf, "sum_over_time(click[90s])")
     assert(!odd.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("endpoint verbs veto when a label is neither grouped nor pinned") {
@@ -208,7 +208,7 @@ class RollupRewriteSpec extends AnyFunSuite {
       .agg(max_by(col("value"),
         struct(unix_micros(col("ts")), col("event_id"))).as("value"))
     assert(!loose.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
     // the same query with user_id grouped rewrites (spec of the gate)
     val tight = Tables.events(s2, sf)
       .filter(col("event_type") === "purchase")
@@ -217,7 +217,7 @@ class RollupRewriteSpec extends AnyFunSuite {
       .agg(max_by(col("value"),
         struct(unix_micros(col("ts")), col("event_id"))).as("value"))
     assert(tight.queryExecution.executedPlan.toString
-      .contains("downsample_300s"))
+      .contains("downsample_"))
   }
 
   test("the promql table function inherits the rewrite in an opted-in session") {
@@ -225,11 +225,33 @@ class RollupRewriteSpec extends AnyFunSuite {
     val viaTvf = s2.sql(
       s"SELECT * FROM promql('sum_over_time(click[1h])', '$sf')")
     val plan = viaTvf.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"TVF-compiled PromQL must serve from the rollup when opted in:\n${plan.take(1500)}")
     val raw = graft.operators.Promql.query(spark, sf, "sum_over_time(click[1h])")
     assert(viaTvf.exceptAll(raw).count() === 0 &&
       raw.exceptAll(viaTvf).count() === 0)
+  }
+
+  test("resolution picker: an hour-multiple step reads the 1h chain level") {
+    DownsampleStore.table1h(spark, sf).count() // materialize the chain
+    val s2 = optIn()
+    // the hourly flagship: step 3600 is an hour multiple → 1h level
+    val rew = TimeSeries.rangeSumBy(s2, sf)
+    val plan = rew.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_3600s"),
+      s"hourly grouping must read the 1h level once it exists:\n$plan")
+    assert(!plan.contains("downsample_300s") && !plan.contains("events.parquet"),
+      plan)
+    assert(rows(rew) === rows(TimeSeries.rangeSumBy(spark, sf)))
+    // a 30-minute tumbling grid is 300s-aligned but NOT hour-aligned:
+    // the rule must fall to the fine level, not refuse
+    import graft.operators.Promql
+    val fine = Promql.query(s2, sf, "sum_over_time(click[30m])")
+    assert(fine.queryExecution.executedPlan.toString.contains("downsample_300s"),
+      "a 30m tumbling window must fall to the 300s level")
+    val fineRaw = Promql.query(spark, sf, "sum_over_time(click[30m])")
+    assert(fine.exceptAll(fineRaw).count() === 0 &&
+      fineRaw.exceptAll(fine).count() === 0)
   }
 
   test("SQL text hits the same rule (extension point, not API wrapper)") {
@@ -240,7 +262,7 @@ class RollupRewriteSpec extends AnyFunSuite {
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM ev_mv GROUP BY 1, 2""".stripMargin)
     val plan = viaSql.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"SQL-text query must rewrite too:\n$plan")
     assert(rows(viaSql) === rows(TimeSeries.rangeSumBy(spark, sf)))
   }

@@ -29,14 +29,14 @@ class SteppedRollupSpec extends AnyFunSuite {
 
   private def assertServed(df: DataFrame, tag: String): Unit = {
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("downsample_300s"),
+    assert(plan.contains("downsample_"),
       s"$tag must scan the rollup store:\n${plan.take(1200)}")
     assert(!plan.contains("events.parquet"),
       s"$tag must NOT scan raw events:\n${plan.take(1200)}")
   }
 
   private def assertRaw(df: DataFrame, tag: String): Unit =
-    assert(!df.queryExecution.executedPlan.toString.contains("downsample_300s"),
+    assert(!df.queryExecution.executedPlan.toString.contains("downsample_"),
       s"$tag must stay on the raw scan")
 
   private def assertBitEqual(q: String, sp: EvalSpec = spec): Unit = {
@@ -169,5 +169,80 @@ class SteppedRollupSpec extends AnyFunSuite {
     val s2 = optIn()
     val df = Promql.queryAt(s2, sf, "sum(click)", spec, graft.operators.ChunkSource)
     assertRaw(df, "chunk source")
+  }
+
+  test("multi-resolution picker: hour-aligned grids read the 1h chain level") {
+    DownsampleStore.table1h(spark, sf).count() // materialize the chain
+    val s2 = optIn()
+    // day-window sum on a 2h grid — every parameter hour-aligned, so
+    // the picker must choose the 1h level (12x fewer rollup rows)
+    val wideSpec = EvalSpec(1704067200L, 1704412800L, 7200L, 7200L)
+    val served = Promql.queryAt(s2, sf, "sum_over_time(click[1d])", wideSpec)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_3600s"),
+      s"hour-aligned grid must read the 1h level:\n${plan.take(1200)}")
+    assert(!plan.contains("downsample_300s") && !plan.contains("events.parquet"),
+      s"1h serving must not also scan the fine level or raw:\n${plan.take(1200)}")
+    val raw = Promql.queryAt(spark, sf, "sum_over_time(click[1d])", wideSpec)
+    assert(served.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(served).count() === 0, "1h serving must stay bit-equal")
+    assert(raw.count() > 0)
+    // counter partials carried UP THE CHAIN: rate at an hour window
+    // serves from the 1h level's inc_dec + endpoints, still bit-exact
+    val r1h = Promql.queryAt(s2, sf, "rate(click[2h])", spec)
+    assert(r1h.queryExecution.executedPlan.toString.contains("downsample_3600s"),
+      "hour-aligned rate must read the 1h level")
+    val rRaw = Promql.queryAt(spark, sf, "rate(click[2h])", spec)
+    assert(r1h.exceptAll(rRaw).count() === 0 &&
+      rRaw.exceptAll(r1h).count() === 0, "1h-level rate must stay bit-equal")
+    // 300s-aligned but NOT hour-aligned: the picker falls to the fine
+    // level — never refuses what a finer level can serve
+    val fine = Promql.queryAt(s2, sf, "sum_over_time(click[30m])", spec)
+    assert(fine.queryExecution.executedPlan.toString.contains("downsample_300s"),
+      "a 30m window must fall to the 300s level")
+    val fineRaw = Promql.queryAt(spark, sf, "sum_over_time(click[30m])", spec)
+    assert(fine.exceptAll(fineRaw).count() === 0 &&
+      fineRaw.exceptAll(fine).count() === 0)
+    // the driver entry pair
+    val entry = SparkEntry.queries("q_promql_rollup_stepped_1h")(spark, sf)
+    assert(entry.queryExecution.executedPlan.toString.contains("downsample_3600s"))
+    val twin = SparkEntry.queries("q_promql_stepped_wide")(spark, sf)
+    assert(entry.exceptAll(twin).count() === 0 &&
+      twin.exceptAll(entry).count() === 0)
+  }
+
+  test("the 1h chain level re-merges every partial exactly (store equality)") {
+    // the 1h store built FROM the 300s store must equal the same
+    // aggregation computed straight from raw events — sums, order
+    // stats, endpoints AND the counter inc_dec (within-hour pair sum)
+    import org.apache.spark.sql.expressions.Window
+    val H = DownsampleStore.HourResolutionSec
+    val dec = "decimal(30,6)"
+    val w = Window.partitionBy("user_id", "event_type", "hb")
+      .orderBy(col("us"), col("event_id"))
+    val raw = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("hb", expr(s"(us div ${H * 1000000L}) * $H"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .groupBy(col("hb").as("bucket"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("value").cast(dec)).as("sum_dec"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("first_value"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("last_value"),
+        sum(when(col("prev").isNotNull,
+          when(col("value") >= col("prev"), col("value") - col("prev"))
+            .otherwise(col("value"))).cast(dec)).as("inc_dec"))
+    val chained = DownsampleStore.table1h(spark, sf)
+      .select(raw.columns.map(col): _*)
+      .withColumn("sum_dec", col("sum_dec").cast(dec))
+      .withColumn("inc_dec", col("inc_dec").cast(dec))
+    val rawN = raw
+      .withColumn("sum_dec", col("sum_dec").cast(dec))
+      .withColumn("inc_dec", col("inc_dec").cast(dec))
+    assert(chained.exceptAll(rawN).count() === 0 &&
+      rawN.exceptAll(chained).count() === 0,
+      "chain-built 1h rows must equal raw-built 1h rows")
+    assert(rawN.count() > 0)
   }
 }
