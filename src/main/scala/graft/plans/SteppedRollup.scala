@@ -61,10 +61,12 @@ object SteppedRollup {
     * consecutive non-empty covered buckets, reconstructed at query
     * time from the stored endpoints (last_value of the previous bucket
     * vs first_value of the next — the same (µs, event_id)-ordered
-    * samples the raw lag pairs). Served from the BATCH store only: the
-    * streaming rollup cannot carry inc_dec (bucket samples split
-    * across micro-batches; within-bucket pair order is not an
-    * incremental aggregate).
+    * samples the raw lag pairs). Served from the batch store, and
+    * (round 14) from stream stores whose parts carry the c1 revision:
+    * RollupMaintainStream's buffered-state fold sees each bucket whole
+    * when the watermark closes it, so inc_dec is computed online —
+    * pre-c1 stream stores (windowed-agg parts without the column)
+    * keep refusing via the `_schema_rev` gate.
     */
   val CounterFns: Set[String] = Set("rate", "increase")
 
@@ -143,9 +145,11 @@ object SteppedRollup {
       }
     if (resolved.isEmpty) return None
     val (store, horizon, res) = resolved.get
-    // counter verbs need the batch store's inc_dec partial — the
-    // stream store doesn't carry it (see CounterFns)
-    if (counter && horizon.isDefined) return None
+    // counter verbs need the inc_dec partial: always present in the
+    // batch store, present in stream stores from part-schema rev c1 on
+    if (counter && horizon.isDefined && streamDir.nonEmpty &&
+      !graft.streaming.RollupMaintainStream.counterRevOk(streamDir))
+      return None
     val t = DownsampleStore.readServing(s, store, counters = counter)
     val named =
       if (sel.metric.isEmpty) t else t.filter(col("event_type") === sel.metric)
