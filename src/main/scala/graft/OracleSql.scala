@@ -513,6 +513,10 @@ object OracleSql {
       """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
         |       CAST(COUNT(*) AS DOUBLE) AS value
         |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
+    "q_promql_hist_sum" ->
+      """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin,
     "q_promql_hist_avg" ->
       """SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS value
@@ -1930,6 +1934,11 @@ object OracleSql {
       // query served from the 1h chain level must still reproduce the
       // raw stepped evaluation bit-for-bit
       "q_promql_rollup_stepped_1h" -> base("q_promql_stepped_wide"),
+      // native-histogram HEADER verbs from the rollup (round 14): the
+      // store's n_samples / sum_dec fields answer histogram_count/sum
+      // losslessly — hash-shared with the raw twins
+      "q_promql_rollup_hist_count" -> base("q_promql_hist_count"),
+      "q_promql_rollup_hist_sum" -> base("q_promql_hist_sum"),
       // user-grain grouping + label filter; the oracle aggregates RAW
       // events, so the hash proves the store-served answer losslessly
       "q_rollup_rewrite_user" ->

@@ -51,7 +51,12 @@ object SteppedRollup {
     */
   val LosslessFns: Set[String] = Set(
     "sum_over_time", "count_over_time", "avg_over_time",
-    "min_over_time", "max_over_time", "last_over_time", "first_over_time")
+    "min_over_time", "max_over_time", "last_over_time", "first_over_time",
+    // the native-histogram HEADER verbs (round 14; VERDICT r13 #6):
+    // over the schema-0 histogram a window's samples implicitly form,
+    // count/sum/avg ARE the window's count/exact-sum/avg — the same
+    // n_samples / sum_dec fields the store carries
+    "histogram_count", "histogram_sum", "histogram_avg")
 
   /** The counter family (round 13, Thanos's counter aggregate): the
     * stored-value rate/increase semantics decompose exactly over
@@ -222,11 +227,11 @@ object SteppedRollup {
         if (fn == "increase") inc
         else inc.withColumn("value",
           col("value") / lit(windowSec.toDouble))
-      case "count_over_time" =>
+      case "count_over_time" | "histogram_count" =>
         g.agg(sum("n_samples").cast("double").as("value"))
-      case "sum_over_time" =>
+      case "sum_over_time" | "histogram_sum" =>
         g.agg(sum("sum_dec").cast("double").as("value"))
-      case "avg_over_time" =>
+      case "avg_over_time" | "histogram_avg" =>
         g.agg((sum("sum_dec").cast("double") / sum("n_samples")).as("value"))
       case "min_over_time" => g.agg(min("min_value").as("value"))
       case "max_over_time" => g.agg(max("max_value").as("value"))

@@ -171,6 +171,31 @@ class SteppedRollupSpec extends AnyFunSuite {
     assertRaw(df, "chunk source")
   }
 
+  test("native-histogram header verbs serve from the rollup (tumbling and stepped)") {
+    // histogram_count/sum/avg over the implicit schema-0 histogram ARE
+    // the window's count/exact-sum/avg — the store's n_samples/sum_dec
+    // fields (VERDICT r13 #6). Stepped path:
+    assertBitEqual("histogram_count(view[1h])")
+    assertBitEqual("histogram_sum(view[2h])")
+    assertBitEqual("histogram_avg(purchase[1h])")
+    // tumbling path (the Catalyst rule matches the compiled shapes):
+    val s2 = optIn()
+    for (q <- Seq("histogram_count(view[1d])", "histogram_sum(view[1d])")) {
+      val rew = Promql.query(s2, sf, q)
+      val plan = rew.queryExecution.executedPlan.toString
+      assert(plan.contains("downsample_"),
+        s"tumbling '$q' must serve from the rollup:\n${plan.take(1200)}")
+      assert(!plan.contains("events.parquet"), q)
+      val raw = Promql.query(spark, sf, q)
+      assert(rew.exceptAll(raw).count() === 0 &&
+        raw.exceptAll(rew).count() === 0, s"'$q' must stay bit-equal")
+    }
+    // the bucket-shaped estimator verbs need per-bucket counts the
+    // store doesn't carry — they must stay raw
+    assertRaw(Promql.queryAt(optIn(), sf, "histogram_stddev(click[1h])", spec),
+      "histogram_stddev")
+  }
+
   test("multi-resolution picker: hour-aligned grids read the 1h chain level") {
     DownsampleStore.table1h(spark, sf).count() // materialize the chain
     val s2 = optIn()
