@@ -139,7 +139,12 @@ object CurationStream {
             .map[String](p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
             .sorted().toArray.mkString("\n")
           finally st.close()
-        } else s"documents.parquet:${java.nio.file.Files.size(srcPath)}"
+        } else {
+          // single plain file: names carry no UUID, so size alone can
+          // collide across regenerations (ADVICE r14) — fold mtime in
+          val mt = java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
+          s"documents.parquet:${java.nio.file.Files.size(srcPath)}:$mt"
+        }
       java.util.UUID.nameUUIDFromBytes(
         entries.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     }

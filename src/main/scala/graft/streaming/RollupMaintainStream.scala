@@ -42,7 +42,19 @@ object RollupMaintainStream {
 
   /** One buffered sample of an open bucket. */
   case class BSample(us: Long, event_id: Long, value: Double)
-  case class BState(samples: Seq[BSample])
+
+  /** An open bucket's buffer as three primitive-array columns (ADVICE
+    * r14): one struct object per sample in a `Seq[BSample]` state row
+    * costs a per-element struct encoder round-trip every micro-batch;
+    * primitive arrays encode as three packed vectors. The state is
+    * still rewritten once per micro-batch touching the group (that's
+    * inherent to flatMapGroupsWithState), but each rewrite is an
+    * O(n) array concat of unboxed values, not n boxed structs.
+    * NOTE: this is a STATE-schema change — a checkpoint holding the
+    * old Seq[BSample] state refuses to resume (Spark's state-schema
+    * validation), which is the right failure: rebuild the store.
+    */
+  case class BState(us: Array[Long], eid: Array[Long], value: Array[Double])
 
   /** A finalized rollup row — the stream store's part schema. Rev c1
     * (round 14; VERDICT r13 #2) carries the COUNTER PARTIAL `inc_dec`
@@ -82,8 +94,9 @@ object RollupMaintainStream {
     * bucket's samples arrived across many micro-batches.
     */
   private def foldBucket(bucket: Long, uid: Long, et: String,
-                         samples: Seq[BSample]): BRow = {
-    val sorted = samples.sortBy(r => (r.us, r.event_id))
+                         b: BState): BRow = {
+    val sorted = Array.tabulate(b.us.length)(i =>
+      BSample(b.us(i), b.eid(i), b.value(i))).sortBy(r => (r.us, r.event_id))
     var sum = java.math.BigDecimal.ZERO
     var inc: java.math.BigDecimal = null
     var mn = sorted.head.value
@@ -140,14 +153,27 @@ object RollupMaintainStream {
           if (state.hasTimedOut) {
             // watermark passed the bucket end: the bucket is complete
             val out = state.getOption
-              .map(b => foldBucket(bucket, uid, et, b.samples))
+              .map(b => foldBucket(bucket, uid, et, b))
             state.remove()
             out.iterator
           } else {
-            val buf = state.getOption.map(_.samples).getOrElse(Seq.empty)
+            val prev = state.getOption
+              .getOrElse(BState(Array.empty, Array.empty, Array.empty))
+            val add = rows.toArray
             state.update(BState(
-              buf ++ rows.map(r => BSample(r._3, r._4, r._5))))
-            state.setTimeoutTimestamp(math.max((bucket + R) * 1000L,
+              prev.us ++ add.map(_._3),
+              prev.eid ++ add.map(_._4),
+              prev.value ++ add.map(_._5)))
+            // EventTimeTimeout fires only when the watermark STRICTLY
+            // exceeds the timeout, so anchor it at bucket-end − 1 ms:
+            // the group times out once wm >= bucket end, which is
+            // exactly the horizon contract runOnce publishes (`every
+            // bucket ending at or before _watermark is flushed`).
+            // Anchoring at bucket-end itself left the newest bucket
+            // unflushed whenever the final watermark landed exactly on
+            // a bucket boundary, while the horizon admitted its step —
+            // a silently incomplete step total (ADVICE r14, high).
+            state.setTimeoutTimestamp(math.max((bucket + R) * 1000L - 1L,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
@@ -308,7 +334,14 @@ object RollupMaintainStream {
   def servableParts(storeDir: String): Option[String] = {
     val parts = new java.io.File(storeDir, "parts")
     val entries = Option(parts.listFiles()).getOrElse(Array.empty)
-    if (entries.exists(f => f.isDirectory || f.getName.endsWith(".parquet")))
+    // a committed batch that emitted ZERO rows still leaves its
+    // batch=<id> directory (with only a _SUCCESS marker) — bare
+    // directory existence is not proof rows landed (ADVICE r14), so
+    // probe for an actual parquet data file before declaring servable
+    def hasData(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") && f.length() > 0L
+    if (entries.exists(f => hasData(f) || (f.isDirectory &&
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasData))))
       Some(parts.getPath)
     else None
   }

@@ -163,6 +163,53 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     } finally Files.write(rev, orig)
   }
 
+  test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
+    // ADVICE r14 (high): EventTimeTimeout fires only when the watermark
+    // STRICTLY exceeds the timeout. Anchoring the timeout at bucket-end
+    // meant a final watermark landing exactly on a 300s boundary left
+    // the bucket ending there unflushed, while the published horizon
+    // admitted its step — the serving then under-counted silently.
+    // Craft a wave whose max event ts is exactly start+2h, so the
+    // watermark is exactly hour-aligned (and 300-aligned).
+    val (in, store, cp) = freshDirs("boundarywm")
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+    val anchorSec = 1704074400L // 2024-01-01T02:00:00 exactly
+    val anchor = ev.limit(1).select(
+      lit(999999999L).as("event_id"),
+      to_timestamp(lit(anchorSec)).as("ts"),
+      lit(1L).as("user_id"), lit("click").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+    val wave = ev.filter(col("ts") < to_timestamp(lit(anchorSec)))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .union(anchor)
+    land(in, wave, "w0")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01) // drain
+    val h = RollupMaintainStream.horizonSec(store).get
+    assert(h === anchorSec - 3600L,
+      s"the pass watermark must land exactly on the hour boundary, got $h")
+    // the 300s bucket ending exactly at the horizon must be flushed
+    val parts = RollupMaintainStream.servableParts(store).get
+    val newest = spark.read.parquet(parts)
+      .agg(max(col("bucket"))).collect()(0).getLong(0)
+    assert(newest + 300L === h,
+      s"bucket ending at the horizon must be flushed: max bucket $newest, horizon $h")
+    // and the hour step ending exactly at the horizon serves complete
+    val s2 = spark.newSession()
+    s2.conf.set(RollupRewrite.Flag, "true")
+    s2.conf.set(RollupRewrite.StreamStoreConf, store)
+    val served = graft.operators.TimeSeries.rangeSumBy(s2, dir01)
+    assert(served.queryExecution.executedPlan.toString.contains("rollup_maintain"))
+    val raw = graft.operators.TimeSeries.rangeSumBy(spark, dir01)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getLong(0) == h - 3600L)
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val servedMap = m(served)
+    assert(servedMap === m(raw),
+      "the step ending exactly at the horizon must serve the COMPLETE hour")
+    assert(servedMap.nonEmpty)
+  }
+
   test("the store is bound to its source dataset: other dirs never serve") {
     val (in, store, cp) = freshDirs("binding")
     val ev = spark.read.parquet(s"$dir01/events.parquet")
