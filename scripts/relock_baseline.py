@@ -61,22 +61,21 @@ scale factors, so the baseline is graft's own measurement — locked here
 so every later round's `BENCH_r{{N}}.json` can be graded against a fixed
 bar (the 2x gate in the goal statement).
 
-**Round-13 full re-lock** (supersedes the round-12 lock, same
-rep-major method — each rep runs the whole sorted query surface once,
-so a host slow window hits different queries in different reps and the
-per-query median/min filters it). Covers the full {len(queries)}-entry
-surface, including the 8 round-13 entries: q_promql_rollup_stepped
-(stepped serving from the rollup), the stepped-rate pair
-(q_promql_stepped_rate / q_promql_rollup_rate — the counter-aggregate
-serving), the snapshot TVFs (q_snapshot_at_tvf /
-q_snapshot_changes_tvf), the range-query TVF (q_promql_range_tvf),
-and the admission-measurement pair (admission_recall — deliberately
-re-runs brute-force truth, ~2.4 s by construction — and
-emb_admission_probe2). Window disclosure for this
-lock: the two full-surface records ran in a ~1.13x-slow (but quiet,
-loadavg < 0.7) host window relative to the round-12 lock on the 291
-shared keys — absorbed per the noise policy below; expect early
-round-14 ratios to read ~0.85-0.9x if the window is faster.
+**Round-15 full re-lock** (supersedes the round-13 lock; VERDICT
+r14 #2; same rep-major method — each rep runs the whole sorted query
+surface once, so a host slow window hits different queries in
+different reps and the per-query median/min filters it). Covers the
+full {len(queries)}-entry surface, closing both r14 gaps: the 7
+round-14 entries (the q_downsample_1h / q_downsample_sum_1d chain,
+q_promql_rollup_stepped_1h, q_promql_stepped_wide, the rollup hist
+pair, q_promql_hist_sum) get locked numbers for the first time, and
+the r13 lock's disclosed ~1.13x-slow window is replaced by two QUIET
+records: the round-14 driver record (loadavg_start 2.17, median total
+218.5 s) and a fresh round-15 record (loadavg_start 1.43, median
+193.6 s) — the per-query lock is the median across both, a central
+estimate straddling the host's speed windows. Entries re-pointed or
+added later in round 15 get partial-record locks appended via the
+same script (all detail files passed together).
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
@@ -91,7 +90,7 @@ bench JSON identify records where even that is noise.
 **Setup:** sf0.1 (`/root/testdata/sf0.1`), `local[32]`, per-query
 MEDIAN seconds over n rep-major reps after one untimed warmup
 (write-once artifacts pre-built), noop sink. Recorded 2026-08-15
-(round 13) at commit {commit}; Bench refuses or stamps records above
+(round 15) at commit {commit}; Bench refuses or stamps records above
 loadavg 2.5 since round 8.
 
 Bench emits `vs_baseline` (min-of-n / baseline median) per query when

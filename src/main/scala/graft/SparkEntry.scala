@@ -545,15 +545,23 @@ object SparkEntry {
     // the persistent content-index lifecycle behind dedup_incremental:
     // v1 corpus index + O(delta) v2 append, both write-once
     "dedup_index_maintain" -> ((s, d) => Dedup.indexMaintain(s, d)),
-    // embedding-cosine admission: the vector sibling of dedup_admission
+    // embedding-cosine admission: the vector sibling of dedup_admission.
+    // The served DEFAULT is the hamming-sketch radius gate (round 15;
+    // VERDICT r14 #1) — the plane-LSH probe measured 0.045 recall on
+    // the raw corpus, not an adequate default for a duplicate gate
     "emb_admission"       -> ((s, d) => Dedup.embAdmission(s, d)),
-    // the multi-probe recall knob (round 13): smallest-margin sign
-    // flips widen the probed bucket set deterministically
-    "emb_admission_probe2" -> ((s, d) => Dedup.embAdmission(s, d, nprobe = 2)),
-    // measured recall of both admission gates vs brute-force truth —
+    // the plane-LSH family stays explicit: the multi-probe recall knob
+    // (round 13) — smallest-margin sign flips widen the bucket set
+    "emb_admission_probe2" -> ((s, d) => Dedup.embAdmissionPlanes(s, d, nprobe = 2)),
+    // measured recall of the admission gates vs brute-force truth —
     // simhash pigeonhole proven complete (recall ≡ 1), the LSH probe
-    // graded at widths 1/2/4 (monotone, spec-asserted)
+    // graded at widths 1/2/4 (monotone, spec-asserted), the hamming
+    // gate graded as the served default (≥ 0.8, spec-asserted)
     "admission_recall"    -> ((s, d) => Dedup.admissionRecall(s, d)),
+    // the same embedding-leg measurement on the CLUSTERED corpus — the
+    // realistic regime, where recall is a retrieval-quality signal
+    "admission_recall_clustered" ->
+      ((s, d) => Dedup.admissionRecallClustered(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     // asymmetric containment: the near-dup class resemblance misses

@@ -776,7 +776,12 @@ object Dedup {
       .select(col("keep_id"), col("embedding").as("iemb"),
         Similarity.planeBucket(col("embedding"), numPlanes).as("bucket"),
         graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
-          .as("inorm"))
+          .as("inorm"),
+        // 64-bit sign sketch in two 32-bit halves (Similarity's
+        // hammingAnn packing) — 16 bytes per index row lets the
+        // hamming gate's radius prefilter run sketch-only (round 15)
+        Similarity.signSketch(col("embedding"), 0).as("isk0"),
+        Similarity.signSketch(col("embedding"), 1).as("isk1"))
 
   /** Admission verdicts for arriving (vec_id, embedding) rows against a
     * prepared [[embAdmissionIndex]]: `dup_of_corpus` (the highest-cosine
@@ -824,6 +829,55 @@ object Dedup {
         col("keep_id"), col("cosine"))
   }
 
+  /** Admission verdicts through the HAMMING-SKETCH gate (round 15;
+    * VERDICT r14 #1) — the measured-adequate served default: the
+    * arriving batch (small, broadcast) scans the index under a
+    * sketch-popcount radius prefilter, then the exact cosine ≥
+    * threshold verdict runs on survivors only. On the raw
+    * near-orthogonal corpus the plane-LSH bucket equi-join measures
+    * 0.045 recall at nprobe=1 (admission_recall's emb_probe1 leg —
+    * the documented degenerate regime) while this gate's measured
+    * recall tracks ann_hamming's (~0.84 at radius 28); the recall
+    * record (admissionRecall's emb_hamming leg) re-measures it every
+    * round.
+    *
+    * Scale shape: the ann_hamming trade, applied to admission. The
+    * radius cut is a broadcast-nested-loop FILTER over a 16-byte/row
+    * sketch projection of the index — zero shuffles, work = |delta| ×
+    * |index| two-long popcounts, with only ball survivors reaching the
+    * 256-byte vectors and the cosine kernel. Linear in index size per
+    * pass (the price of radius completeness over the sketch — a bucket
+    * join cannot express a hamming ball), sublinear alternatives stay
+    * available as the plane-LSH legs ([[embAdmissionPlanes]]) when
+    * measured-recall requirements allow.
+    */
+  def embAdmissionVerdictsHamming(delta: DataFrame, idx: DataFrame,
+                                  radius: Int = Similarity.HammingRadius,
+                                  threshold: Double = 0.3): DataFrame = {
+    val d0 = delta.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
+        .as("norm"),
+      Similarity.signSketch(col("embedding"), 0).as("qs0"),
+      Similarity.signSketch(col("embedding"), 1).as("qs1"))
+    val ham = (expr("bit_count(isk0 ^ qs0)") +
+      expr("bit_count(isk1 ^ qs1)")).cast("long")
+    val best = broadcast(d0).join(idx, ham <= radius)
+      .withColumn("cosine",
+        graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
+          (sqrt(col("norm")) * sqrt(col("inorm"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("keep_id"), col("cosine")),
+        struct((-col("cosine")).as("nc"), col("keep_id"))).as("best"))
+      .select(col("vec_id"), col("best.keep_id").as("keep_id"),
+        col("best.cosine").as("cosine"))
+    d0.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("keep_id").isNotNull, "dup_of_corpus")
+          .otherwise("kept").as("verdict"),
+        col("keep_id"), col("cosine"))
+  }
+
   /** Embedding-cosine admission, batch form — the vector-space sibling
     * of [[nearDupAdmission]] (round 12): corpus = the unsalted
     * vec_id-hash split (bucket < corpusPct) collapsed to its served
@@ -831,9 +885,9 @@ object Dedup {
     * ONLINE leg streams on the same served index
     * (graft.streaming.NearDupStream.embRunOnce).
     */
-  def embAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
-                   numPlanes: Int = Similarity.NumPlanes,
-                   threshold: Double = 0.3, nprobe: Int = 1): DataFrame = {
+  def embAdmissionPlanes(s: SparkSession, dir: String, corpusPct: Int = 80,
+                         numPlanes: Int = Similarity.NumPlanes,
+                         threshold: Double = 0.3, nprobe: Int = 1): DataFrame = {
     require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("split", splitBucket(col("vec_id")))
@@ -843,6 +897,28 @@ object Dedup {
     embAdmissionVerdicts(
       emb.filter(col("split") >= corpusPct).select("vec_id", "embedding"),
       idx, numPlanes, threshold, nprobe)
+  }
+
+  /** The SERVED DEFAULT embedding-admission gate (round 15; VERDICT
+    * r14 #1): the hamming-sketch radius gate — the admission_recall
+    * record measures the plane-LSH legs at 0.045/0.082/0.142 recall on
+    * the raw corpus (nprobe 1/2/4), which is not an adequate default
+    * for an online duplicate gate; the sketch gate's measured recall
+    * on the same record is the adequate bar (AdmissionRecallSpec pins
+    * it ≥ 0.8 and ≥ every plane leg). The plane family stays available
+    * explicitly ([[embAdmissionPlanes]]) as the sublinear trade.
+    */
+  def embAdmission(s: SparkSession, dir: String, corpusPct: Int = 80,
+                   radius: Int = Similarity.HammingRadius,
+                   threshold: Double = 0.3): DataFrame = {
+    require(corpusPct > 0 && corpusPct < 100, "corpusPct must split both ways")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("split", splitBucket(col("vec_id")))
+    val idx = embAdmissionIndex(
+      emb.filter(col("split") < corpusPct).select("vec_id", "embedding"))
+    embAdmissionVerdictsHamming(
+      emb.filter(col("split") >= corpusPct).select("vec_id", "embedding"),
+      idx, radius, threshold)
   }
 
   /** MEASURED RECALL of the online admission gates (round 13; VERDICT
@@ -893,7 +969,26 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(lit("simhash_block").as("method"), col("doc_id").as("id"),
         col("n_truth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    // ---- embedding legs: truth over the collapsed vector index ------
+    simLeg.unionAll(
+        admissionRecallEmb(s, dir, corpusPct, numPlanes, threshold))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+  }
+
+  /** The embedding legs of the admission-recall record — probe-width
+    * plane legs plus the hamming-sketch leg — parameterized by dir so
+    * the same measurement runs on the raw corpus (inside
+    * [[admissionRecall]]) and on the CLUSTERED derived corpus
+    * ([[admissionRecallClustered]], round 15): the raw near-orthogonal
+    * table is the documented LSH-degenerate canary; the clustered
+    * corpus is the regime where recall is a real quality signal.
+    */
+  private def admissionRecallEmb(s: SparkSession, dir: String,
+                                 corpusPct: Int = 80,
+                                 numPlanes: Int = Similarity.NumPlanes,
+                                 threshold: Double = 0.3,
+                                 radius: Int = Similarity.HammingRadius)
+      : DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("split", splitBucket(col("vec_id")))
     val vidx = embAdmissionIndex(
@@ -902,27 +997,45 @@ object Dedup {
     val vdelta = emb.filter(col("split") >= corpusPct)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
-          .as("norm"))
+          .as("norm"),
+        Similarity.signSketch(col("embedding"), 0).as("qs0"),
+        Similarity.signSketch(col("embedding"), 1).as("qs1"))
     val cos = graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
       (sqrt(col("norm")) * sqrt(col("inorm")))
     val vtruth = vdelta.crossJoin(broadcast(vidx.drop("bucket")))
       .filter(cos >= threshold)
       .groupBy("vec_id").agg(count(lit(1)).as("n_truth"))
-    def embLeg(nprobe: Int): DataFrame = {
-      val probed = vdelta.withColumn("bucket", explode(
-        Similarity.planeProbeBuckets(col("embedding"), numPlanes, nprobe)))
-        .join(vidx, Seq("bucket"))
-        .filter(cos >= threshold)
-        .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
-      vtruth.join(probed, Seq("vec_id"), "left")
-        .select(lit(s"emb_probe$nprobe").as("method"),
-          col("vec_id").as("id"), col("n_truth"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    }
-    (simLeg +: Seq(1, 2, 4).map(embLeg)).reduce(_ unionAll _)
+    def leg(name: String, probed: DataFrame): DataFrame =
+      vtruth.join(
+          probed.filter(cos >= threshold)
+            .groupBy("vec_id").agg(count(lit(1)).as("n_hits")),
+          Seq("vec_id"), "left")
+        .select(lit(name).as("method"), col("vec_id").as("id"),
+          col("n_truth"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    def embLeg(nprobe: Int): DataFrame =
+      leg(s"emb_probe$nprobe",
+        vdelta.withColumn("bucket", explode(
+          Similarity.planeProbeBuckets(col("embedding"), numPlanes, nprobe)))
+          .join(vidx, Seq("bucket")))
+    // the served default's leg: sketch-popcount radius prefilter, then
+    // the exact cosine cut — the candidate set embAdmission verdicts on
+    val hamLeg: DataFrame = leg("emb_hamming",
+      broadcast(vdelta).join(vidx,
+        (expr("bit_count(isk0 ^ qs0)") +
+          expr("bit_count(isk1 ^ qs1)")).cast("long") <= radius))
+    (Seq(1, 2, 4).map(embLeg) :+ hamLeg).reduce(_ unionAll _)
+  }
+
+  /** [[admissionRecallEmb]] on the CLUSTERED derived corpus — the
+    * realistic measurement regime (VERDICT r14 #1): topic structure
+    * gives the plane probes real mass to catch, so the record grades
+    * the gates where recall is a quality signal, with the raw-corpus
+    * record ([[admissionRecall]]) kept as the degenerate canary.
+    */
+  def admissionRecallClustered(s: SparkSession, dir: String): DataFrame =
+    admissionRecallEmb(s, dir + Tables.ClusteredTag)
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_truth").cast("double"))
-  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
     * over an embedding column: cluster the corpus, call vectors in the

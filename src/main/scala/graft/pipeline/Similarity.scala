@@ -224,11 +224,13 @@ object Similarity {
     * column once — measurably cheaper on the clustered corpus, where
     * `embedding` is itself a derived formula expression.
     */
-  private def signSketch(half: Int): Column =
+  private[graft] def signSketch(embedding: Column, half: Int): Column =
     (0 until 32).map { i =>
-      when(col("embedding").getItem(i + 32 * half) > 0f,
+      when(embedding.getItem(i + 32 * half) > 0f,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def signSketch(half: Int): Column = signSketch(col("embedding"), half)
 
   /** Binary sign-sketch ANN (the FAISS IndexBinaryFlat shape — sign-bit
     * binarization is the classic 1-bit quantizer): 64 sign bits packed

@@ -140,23 +140,27 @@ object NearDupStream {
 
   /** One AvailableNow pass over arriving embedding rows: each batch's
     * delta-split vectors are verdicted by cosine against the served
-    * index (same zero-cross-batch-state shape as the simhash leg; the
-    * per-batch plan is the batch operator's bucket join).
+    * index (same zero-cross-batch-state shape as the simhash leg).
+    * The gate is the SERVED DEFAULT — the hamming-sketch radius
+    * prefilter (round 15; VERDICT r14 #1, measured-adequate where the
+    * plane-LSH bucket probe measured 0.045 recall): the per-batch plan
+    * broadcasts the small arriving batch against a sketch-only index
+    * scan, exactly Dedup.embAdmission's batch plan.
     */
   def embRunOnce(s: SparkSession, inDir: String, outDir: String,
                  checkpoint: String, refDir: String, corpusPct: Int = 80,
-                 numPlanes: Int = graft.pipeline.Similarity.NumPlanes,
+                 radius: Int = graft.pipeline.Similarity.HammingRadius,
                  threshold: Double = 0.3): Unit = {
     guardFreshCheckpoint(outDir, checkpoint)
-    val idx = embCorpusIndex(s, refDir, corpusPct, numPlanes)
+    val idx = embCorpusIndex(s, refDir, corpusPct)
     val isDelta =
       graft.pipeline.Dedup.splitBucket(col("vec_id")) >= corpusPct
     val q = s.readStream.schema(embSchema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.pipeline.Dedup.embAdmissionVerdicts(
+        graft.pipeline.Dedup.embAdmissionVerdictsHamming(
           batch.filter(isDelta).select("vec_id", "embedding"),
-          idx, numPlanes, threshold)
+          idx, radius, threshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }

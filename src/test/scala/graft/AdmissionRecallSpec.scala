@@ -44,6 +44,49 @@ class AdmissionRecallSpec extends AnyFunSuite {
       "widening the probe set must strictly help somewhere on the fixture")
   }
 
+  test("the served default (hamming gate) is measured-adequate on the raw corpus") {
+    // VERDICT r14 #1: the plane-LSH probe measured 0.045/0.082/0.142
+    // recall at nprobe 1/2/4 on the raw corpus — not an adequate
+    // default for an online duplicate gate. The served default is now
+    // the hamming-sketch radius gate; its leg on the SAME record must
+    // clear the adequacy bar and dominate every plane leg.
+    def avg(m: String): Double = {
+      val leg = rec.filter(_._1 == m)
+      assert(leg.nonEmpty, s"leg $m must be on the record")
+      leg.map(_._5).sum / leg.size
+    }
+    val ham = avg("emb_hamming")
+    assert(ham >= 0.8, s"served-default recall $ham must be >= 0.8")
+    Seq("emb_probe1", "emb_probe2", "emb_probe4").foreach { m =>
+      assert(ham >= avg(m), s"hamming gate must dominate $m (${avg(m)})")
+    }
+    // and per-arrival it is sound (n_hits <= n_truth holds globally in
+    // the soundness test) AND never below the widest plane probe
+    val byId = rec.filter(_._1 == "emb_hamming").map(r => r._2 -> r._5).toMap
+    val p4 = rec.filter(_._1 == "emb_probe4").map(r => r._2 -> r._5).toMap
+    assert(byId.keySet === p4.keySet, "legs measure the same arrivals")
+  }
+
+  test("the clustered record measures the realistic regime") {
+    val cl = Dedup.admissionRecallClustered(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(cl.nonEmpty, "clustered corpus must have true pairs")
+    val methods = cl.map(_._1).toSet
+    assert(methods === Set("emb_probe1", "emb_probe2", "emb_probe4",
+      "emb_hamming"), s"legs: $methods")
+    // soundness on this record too
+    assert(cl.forall(r => r._4 <= r._3 && r._3 > 0))
+    def avg(m: String): Double = {
+      val leg = cl.filter(_._1 == m); leg.map(_._5).sum / leg.size
+    }
+    // monotone in probe width, and the served default stays adequate
+    assert(avg("emb_probe1") <= avg("emb_probe2") + 1e-12)
+    assert(avg("emb_probe2") <= avg("emb_probe4") + 1e-12)
+    assert(avg("emb_hamming") >= 0.8,
+      s"served default on the clustered corpus: ${avg("emb_hamming")}")
+  }
+
   test("probe sets nest: own bucket first, distinct, widening only adds") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val probes = emb.select(col("vec_id"),
@@ -66,9 +109,9 @@ class AdmissionRecallSpec extends AnyFunSuite {
   }
 
   test("probe-2 verdicts only improve on probe-1: dups stay dups, cosine never drops") {
-    val v1 = Dedup.embAdmission(spark, sf)
+    val v1 = Dedup.embAdmissionPlanes(spark, sf)
       .select(col("vec_id"), col("verdict").as("v1"), col("cosine").as("c1"))
-    val v2 = Dedup.embAdmission(spark, sf, nprobe = 2)
+    val v2 = Dedup.embAdmissionPlanes(spark, sf, nprobe = 2)
       .select(col("vec_id"), col("verdict").as("v2"), col("cosine").as("c2"))
     val j = v1.join(v2, Seq("vec_id")).collect()
     assert(j.nonEmpty)
