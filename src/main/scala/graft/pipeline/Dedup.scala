@@ -836,10 +836,10 @@ object Dedup {
     * threshold verdict runs on survivors only. On the raw
     * near-orthogonal corpus the plane-LSH bucket equi-join measures
     * 0.045 recall at nprobe=1 (admission_recall's emb_probe1 leg —
-    * the documented degenerate regime) while this gate's measured
-    * recall tracks ann_hamming's (~0.84 at radius 28); the recall
-    * record (admissionRecall's emb_hamming leg) re-measures it every
-    * round.
+    * the documented degenerate regime) while this gate measures 0.857
+    * there and 0.9999 on the clustered corpus (radius 28); the recall
+    * records (admission_recall / admission_recall_clustered,
+    * emb_hamming leg) re-measure both every round.
     *
     * Scale shape: the ann_hamming trade, applied to admission. The
     * radius cut is a broadcast-nested-loop FILTER over a 16-byte/row
