@@ -422,6 +422,30 @@ object OracleSql {
         |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
         |    / 3600.0 AS value
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // the 2h-window stepped rate — the raw twin whose hash the 1h
+    // chain level's counter serving (q_promql_rollup_rate_1h) must
+    // reproduce (round 15)
+    "q_promql_stepped_rate_2h" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value,
+        |         epoch_us(e.ts) AS us, e.event_id
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'),
+        |g AS (
+        |  SELECT step, user_id, value,
+        |         lag(value) OVER (PARTITION BY step, user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM cov)
+        |SELECT step, user_id,
+        |  CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0
+        |                     WHEN value >= prev THEN value - prev
+        |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
+        |    / 7200.0 AS value
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "q_promql_changes" ->
       """WITH x AS (
         |  SELECT ((epoch_us(ts)//1000000) // 86400) * 86400 AS step, user_id, value,
@@ -1918,6 +1942,12 @@ object OracleSql {
       // stepped rate served from the rollup's counter partials must
       // reproduce the raw stepped evaluation bit-for-bit
       "q_promql_rollup_rate" -> base("q_promql_stepped_rate"),
+      // the same counter contract at the 1h CHAIN level (round 15):
+      // inc_dec merged up the chain + hour-boundary endpoint growths
+      "q_promql_rollup_rate_1h" -> base("q_promql_stepped_rate_2h"),
+      // the RULE path's hour pick: the hourly tumbling rewrite served
+      // from downsample_3600s equals the raw-events aggregation
+      "q_rollup_rewrite_1h" -> base("q_range_sum_by"),
       // the snapshot TVFs are the same manifest reads as the API
       // entries — shared hashes prove the SQL surface serves the
       // identical versioned row sets

@@ -252,6 +252,15 @@ class RollupRewriteSpec extends AnyFunSuite {
     val fineRaw = Promql.query(spark, sf, "sum_over_time(click[30m])")
     assert(fine.exceptAll(fineRaw).count() === 0 &&
       fineRaw.exceptAll(fine).count() === 0)
+    // the driver entry records exactly this pick (round 15; VERDICT
+    // r14 #5): q_rollup_rewrite_1h must scan the 1h level and equal
+    // its raw twin row-for-row
+    val entry = SparkEntry.queries("q_rollup_rewrite_1h")(spark, sf)
+    val eplan = entry.queryExecution.executedPlan.toString
+    assert(eplan.contains("downsample_3600s") &&
+      !eplan.contains("downsample_300s") && !eplan.contains("events.parquet"),
+      s"driver entry must read the 1h level:\n${eplan.take(1200)}")
+    assert(rows(entry) === rows(TimeSeries.rangeSumBy(spark, sf)))
   }
 
   test("SQL text hits the same rule (extension point, not API wrapper)") {

@@ -234,6 +234,15 @@ class SteppedRollupSpec extends AnyFunSuite {
     val twin = SparkEntry.queries("q_promql_stepped_wide")(spark, sf)
     assert(entry.exceptAll(twin).count() === 0 &&
       twin.exceptAll(entry).count() === 0)
+    // the 1h COUNTER entry pair (round 15; VERDICT r14 #5): rate from
+    // the chain level, driver-recorded
+    val rateEntry = SparkEntry.queries("q_promql_rollup_rate_1h")(spark, sf)
+    assert(rateEntry.queryExecution.executedPlan.toString
+      .contains("downsample_3600s"), "rate entry must read the 1h level")
+    val rateTwin = SparkEntry.queries("q_promql_stepped_rate_2h")(spark, sf)
+    assert(rateEntry.exceptAll(rateTwin).count() === 0 &&
+      rateTwin.exceptAll(rateEntry).count() === 0)
+    assert(rateTwin.count() > 0)
   }
 
   test("the 1h chain level re-merges every partial exactly (store equality)") {
