@@ -422,6 +422,21 @@ object OracleSql {
         |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
         |    / 3600.0 AS value
         |FROM g GROUP BY 1, 2""".stripMargin,
+    // the month-long stepped range verb — the raw twin whose hash the
+    // hybrid fresh-tail serving (q_promql_stepped_fresh: rollup for
+    // closed steps + raw for the open tail) must reproduce (round 15)
+    "q_promql_stepped_long" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1706659200, 3600)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click')
+        |SELECT step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM cov GROUP BY 1, 2""".stripMargin,
     // the 2h-window stepped rate — the raw twin whose hash the 1h
     // chain level's counter serving (q_promql_rollup_rate_1h) must
     // reproduce (round 15)
@@ -1948,6 +1963,9 @@ object OracleSql {
       // the RULE path's hour pick: the hourly tumbling rewrite served
       // from downsample_3600s equals the raw-events aggregation
       "q_rollup_rewrite_1h" -> base("q_range_sum_by"),
+      // hybrid fresh-tail: rollup-closed steps + raw open tail must
+      // together reproduce the full raw stepped evaluation
+      "q_promql_stepped_fresh" -> base("q_promql_stepped_long"),
       // the snapshot TVFs are the same manifest reads as the API
       // entries — shared hashes prove the SQL surface serves the
       // identical versioned row sets

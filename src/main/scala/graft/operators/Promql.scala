@@ -1829,11 +1829,12 @@ object Promql {
     * boundary-cleanliness) lives inside SteppedRollup.serve.
     */
   private def steppedRollup(s: SparkSession, dir: String, fn: String,
-                            sel: Selector, windowSec: Long, spec: EvalSpec)
+                            sel: Selector, windowSec: Long, spec: EvalSpec,
+                            rawTail: EvalSpec => DataFrame)
                            (implicit src: SampleSource): Option[DataFrame] =
     if (src != EventsSource) None
     else graft.plans.SteppedRollup.serve(
-      s, dir, fn, sel, windowSec, spec, seriesLabels(sel))
+      s, dir, fn, sel, windowSec, spec, seriesLabels(sel), rawTail)
 
   /** Evaluate at the spec's aligned steps — true PromQL range-query
     * semantics (per-step lookback / overlapping range windows) instead
@@ -1872,24 +1873,35 @@ object Promql {
         // instant vector at step t: most recent sample in (t−lookback, t]
         // — exactly last_over_time over the lookback window, which an
         // opted-in session serves from the downsample rollup when the
-        // grid is 300 s-aligned (plans/SteppedRollup.scala)
-        steppedRollup(s, dir, "last_over_time", sel, spec.lookbackSec, spec)
-          .getOrElse {
-            coveringSteps(select(s, dir, sel, bounds(spec.lookbackSec)), spec, spec.lookbackSec)
-              .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
-              .agg(max_by(col("value"),
-                struct(unix_micros(col("ts")), col("event_id"))).as("value"))
-          }
+        // grid is 300 s-aligned (plans/SteppedRollup.scala). The raw
+        // evaluation is parameterized by spec so the hybrid fresh-tail
+        // can re-run it over only the open tail's narrowed range
+        def rawSel(sp: EvalSpec): DataFrame =
+          coveringSteps(select(s, dir, sel,
+              Some((sp.startSec - sp.lookbackSec, sp.endSec))),
+              sp, sp.lookbackSec)
+            .groupBy(("step" +: seriesLabels(sel)).map(col): _*)
+            .agg(max_by(col("value"),
+              struct(unix_micros(col("ts")), col("event_id"))).as("value"))
+        steppedRollup(s, dir, "last_over_time", sel, spec.lookbackSec, spec,
+            rawSel)
+          .getOrElse(rawSel(spec))
 
       case RangeFunc(fn, sel, rangeSec, q, q2) =>
         // lookback window (step − W, step]; lossless verbs over aligned
-        // windows serve from the rollup in an opted-in session
-        steppedRollup(s, dir, fn, sel, rangeSec, spec).getOrElse {
-          val covered = coveringSteps(select(s, dir, sel, bounds(rangeSec)), spec, rangeSec)
+        // windows serve from the rollup in an opted-in session; the
+        // raw path takes the spec so the fresh-tail hybrid can narrow
+        // both the step grid and the scan's pushed ts bounds to the
+        // open tail only
+        def rawRange(sp: EvalSpec): DataFrame = {
+          val covered = coveringSteps(select(s, dir, sel,
+            Some((sp.startSec - rangeSec, sp.endSec))), sp, rangeSec)
           rangeApply(covered, fn, rangeSec, q,
             (col("step") - rangeSec).cast("double"), col("step").cast("double"),
             seriesLabels(sel), q2)
         }
+        steppedRollup(s, dir, fn, sel, rangeSec, spec, rawRange)
+          .getOrElse(rawRange(spec))
 
       case SubqueryFunc(fn, child, rangeSec, stepSec, q) =>
         // inner expr evaluates on the ABSOLUTE stepSec-aligned grid
