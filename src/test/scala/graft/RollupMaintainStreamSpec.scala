@@ -217,6 +217,18 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     val withheld = Promql.queryAt(s3, dir01, q, spec)
     assert(withheld.count() === closedN,
       "default serving must keep withholding the open tail")
+    // the counter verbs ride the same hybrid: closed steps from the
+    // store's inc_dec partials, the open tail raw, bit-equal overall
+    val rq = "rate(click[2h])"
+    val rServed = Promql.queryAt(s2, dir01, rq, spec)
+    val rPlan = rServed.queryExecution.executedPlan.toString
+    assert(rPlan.contains("rollupstream") && rPlan.contains("events.parquet"),
+      s"hybrid rate must read both sides:\n${rPlan.take(1200)}")
+    val rRaw = Promql.queryAt(spark, dir01, rq, spec)
+    assert(rServed.exceptAll(rRaw).count() === 0 &&
+      rRaw.exceptAll(rServed).count() === 0,
+      "hybrid rate must equal the full raw evaluation")
+    assert(rRaw.count() > 0)
   }
 
   test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
