@@ -73,9 +73,13 @@ the r13 lock's disclosed ~1.13x-slow window is replaced by two QUIET
 records: the round-14 driver record (loadavg_start 2.17, median total
 218.5 s) and a fresh round-15 record (loadavg_start 1.43, median
 193.6 s) — the per-query lock is the median across both, a central
-estimate straddling the host's speed windows. Entries re-pointed or
-added later in round 15 get partial-record locks appended via the
-same script (all detail files passed together).
+estimate straddling the host's speed windows. The 9 entries added or
+re-pointed in round 15 (the admission family around the hamming-sketch
+served default, the 1h-level pick pair, the hybrid fresh-tail pair)
+are locked from a quiet NEW-CODE partial record (n=3, loadavg 1.07);
+for the two whose semantics changed (emb_admission — now the hamming
+gate — and admission_recall — grew the emb_hamming leg) the old-code
+records are excluded from their medians.
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
