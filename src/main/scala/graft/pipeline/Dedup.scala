@@ -859,23 +859,18 @@ object Dedup {
         .as("norm"),
       Similarity.signSketch(col("embedding"), 0).as("qs0"),
       Similarity.signSketch(col("embedding"), 1).as("qs1"))
-    // TWO-PHASE on purpose: a single join with (popcount AND cosine) in
-    // one condition lets Catalyst fuse the exact-decimal dot into the
-    // nested-loop condition, running the 64-element kernel for EVERY
-    // (delta × index) pair (measured 1.8 s vs 0.6 s at sf0.1). Phase 1
-    // generates candidates over 24-byte sketch projections only;
-    // phase 2 fetches the vectors for ball SURVIVORS via equi joins —
-    // the cosine cannot sink below them because it needs both sides.
-    val cand = broadcast(d0.select(col("vec_id"), col("qs0"), col("qs1")))
-      .join(idx.select(col("keep_id"), col("isk0"), col("isk1")),
-        (expr("bit_count(isk0 ^ qs0)") +
-          expr("bit_count(isk1 ^ qs1)")).cast("long") <= radius)
-      .select(col("vec_id"), col("keep_id"))
-    val best = cand
-      .join(d0.select(col("vec_id"), col("embedding"), col("norm")),
-        Seq("vec_id"))
-      .join(idx.select(col("keep_id"), col("iemb"), col("inorm")),
-        Seq("keep_id"))
+    // Plan-shape note (measured at sf0.1, noop-sink reps): the fused
+    // one-join plan below runs ~1.1 s; a two-phase variant (sketch-only
+    // candidate BNL, vectors fetched for survivors via equi joins) and
+    // a popcount-first ordered condition both measured EQUAL OR SLOWER
+    // (1.3–1.7 s) — at radius 28 the ball keeps ~19 % of pairs on the
+    // near-orthogonal corpus, so the join-back machinery costs more
+    // than the short-circuited dots save. The linear sketch scan is the
+    // honest cost of radius completeness (FAISS IndexBinaryFlat's
+    // shape); the sublinear alternative remains the plane-LSH gate.
+    val ham = (expr("bit_count(isk0 ^ qs0)") +
+      expr("bit_count(isk1 ^ qs1)")).cast("long")
+    val best = broadcast(d0).join(idx, ham <= radius)
       .withColumn("cosine",
         graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
           (sqrt(col("norm")) * sqrt(col("inorm"))))
@@ -1032,21 +1027,12 @@ object Dedup {
           Similarity.planeProbeBuckets(col("embedding"), numPlanes, nprobe)))
           .join(vidx, Seq("bucket")))
     // the served default's leg: sketch-popcount radius prefilter, then
-    // the exact cosine cut — the candidate set embAdmission verdicts
-    // on, in the same two-phase shape (candidates over 24-byte sketch
-    // projections; vectors fetched for ball survivors only, so the
-    // decimal-dot kernel never fuses into the nested-loop condition)
-    val hamCand = broadcast(vdelta.select(col("vec_id"), col("qs0"), col("qs1")))
-      .join(vidx.select(col("keep_id"), col("isk0"), col("isk1")),
-        (expr("bit_count(isk0 ^ qs0)") +
-          expr("bit_count(isk1 ^ qs1)")).cast("long") <= radius)
-      .select(col("vec_id"), col("keep_id"))
+    // the exact cosine cut — the candidate set embAdmission verdicts on
+    // (same fused plan shape; see the plan-shape note there)
     val hamLeg: DataFrame = leg("emb_hamming",
-      hamCand
-        .join(vdelta.select(col("vec_id"), col("embedding"), col("norm")),
-          Seq("vec_id"))
-        .join(vidx.select(col("keep_id"), col("iemb"), col("inorm")),
-          Seq("keep_id")))
+      broadcast(vdelta).join(vidx,
+        (expr("bit_count(isk0 ^ qs0)") +
+          expr("bit_count(isk1 ^ qs1)")).cast("long") <= radius))
     (Seq(1, 2, 4).map(embLeg) :+ hamLeg).reduce(_ unionAll _)
   }
 
