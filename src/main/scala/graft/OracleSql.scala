@@ -437,6 +437,41 @@ object OracleSql {
         |SELECT step, user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
         |FROM cov GROUP BY 1, 2""".stripMargin,
+    // the week-window day-grid stepped verbs — raw twins whose hashes
+    // the 1d chain level's serving must reproduce (round 15)
+    "q_promql_stepped_vwide" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1706659200, 86400)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 604800) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click')
+        |SELECT step, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM cov GROUP BY 1, 2""".stripMargin,
+    "q_promql_stepped_rate_1w" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1706659200, 86400)) AS step),
+        |cov AS (
+        |  SELECT st.step, e.user_id, e.value,
+        |         epoch_us(e.ts) AS us, e.event_id
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 604800) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'),
+        |g AS (
+        |  SELECT step, user_id, value,
+        |         lag(value) OVER (PARTITION BY step, user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM cov)
+        |SELECT step, user_id,
+        |  CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0
+        |                     WHEN value >= prev THEN value - prev
+        |                     ELSE value END AS DECIMAL(30,6))) AS DOUBLE)
+        |    / 604800.0 AS value
+        |FROM g GROUP BY 1, 2""".stripMargin,
     // the 2h-window stepped rate — the raw twin whose hash the 1h
     // chain level's counter serving (q_promql_rollup_rate_1h) must
     // reproduce (round 15)
@@ -1844,6 +1879,28 @@ object OracleSql {
         |                          WHEN value >= prev THEN value - prev
         |                          ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS inc_sum
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // the 1d chain level (round 15): the same aggregation straight
+    // over raw events with within-DAY lag pairs — the hash proves the
+    // twice-folded store (300s -> 1h -> 1d) re-merges every partial
+    "q_downsample_1d" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket,
+        |         user_id, event_type, value,
+        |         epoch_us(ts) AS us, event_id,
+        |         lag(value) OVER (PARTITION BY user_id, event_type,
+        |                            epoch_us(ts) // 86400000000
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT bucket, user_id, event_type,
+        |       COUNT(*) AS n_samples,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value,
+        |       arg_min(value, CAST(us AS HUGEINT) * 9223372036854775808 + event_id) AS first_value,
+        |       arg_max(value, CAST(us AS HUGEINT) * 9223372036854775808 + event_id) AS last_value,
+        |       CAST(SUM(CAST(CASE WHEN prev IS NULL THEN NULL
+        |                          WHEN value >= prev THEN value - prev
+        |                          ELSE value END AS DECIMAL(30,6))) AS DOUBLE) AS inc_sum
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
     // daily sums from the 1h level vs the same daily sum over raw —
     // the chain's re-aggregation contract at the next grain up
     "q_downsample_sum_1d" ->
@@ -1966,6 +2023,10 @@ object OracleSql {
       // hybrid fresh-tail: rollup-closed steps + raw open tail must
       // together reproduce the full raw stepped evaluation
       "q_promql_stepped_fresh" -> base("q_promql_stepped_long"),
+      // the 1d chain level's serving twins (round 15): lossless verb
+      // and the counter chain through TWO folds
+      "q_promql_rollup_stepped_1d" -> base("q_promql_stepped_vwide"),
+      "q_promql_rollup_rate_1d" -> base("q_promql_stepped_rate_1w"),
       // the snapshot TVFs are the same manifest reads as the API
       // entries — shared hashes prove the SQL surface serves the
       // identical versioned row sets

@@ -442,18 +442,19 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         parts <- RMS.servableParts(streamDir)
       } yield (parts, Some(h))
     } else {
-      val hourPick =
-        if (stepW % DownsampleStore.HourResolutionSec != 0) None
-        else {
-          val p = DownsampleStore.storePath1h(session, dir)
-          if (new File(p, "_SUCCESS").isFile)
-            Some((p, Option.empty[Long]))
-          else None
+      // coarsest-first chain pick: 1 d (round 15), then 1 h, then 300 s
+      def levelPick(res: Long, p: String): Option[(String, Option[Long])] =
+        if (stepW % res != 0) None
+        else if (new File(p, "_SUCCESS").isFile) Some((p, Option.empty[Long]))
+        else None
+      levelPick(DownsampleStore.DayResolutionSec,
+          DownsampleStore.storePath1d(session, dir))
+        .orElse(levelPick(DownsampleStore.HourResolutionSec,
+          DownsampleStore.storePath1h(session, dir)))
+        .orElse {
+          val store = DownsampleStore.storePath(session, dir)
+          if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
         }
-      hourPick.orElse {
-        val store = DownsampleStore.storePath(session, dir)
-        if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
-      }
     }
   }
 

@@ -140,22 +140,29 @@ object SteppedRollup {
           parts <- RMS.servableParts(streamDir)
         } yield (parts, Some(h), R)
       } else {
-        val hourPick =
-          if (!alignedTo(DownsampleStore.HourResolutionSec)) None
-          else {
-            val p = DownsampleStore.storePath1h(s, dir)
-            if (new java.io.File(p, "_SUCCESS").isFile &&
-              DownsampleStore.boundaryClean1h(s, dir))
-              Some((p, Option.empty[Long], DownsampleStore.HourResolutionSec))
+        // coarsest-first: 1 d (round 15), then 1 h, then 300 s — each
+        // level only when the whole grid aligns to it, the store
+        // exists, and it is boundary-clean; a finer level is never
+        // refused when a coarser one is absent
+        def levelPick(res: Long, p: String,
+                      clean: => Boolean): Option[(String, Option[Long], Long)] =
+          if (!alignedTo(res)) None
+          else if (new java.io.File(p, "_SUCCESS").isFile && clean)
+            Some((p, Option.empty[Long], res))
+          else None
+        levelPick(DownsampleStore.DayResolutionSec,
+            DownsampleStore.storePath1d(s, dir),
+            DownsampleStore.boundaryClean1d(s, dir))
+          .orElse(levelPick(DownsampleStore.HourResolutionSec,
+            DownsampleStore.storePath1h(s, dir),
+            DownsampleStore.boundaryClean1h(s, dir)))
+          .orElse {
+            val store = DownsampleStore.storePath(s, dir)
+            if (new java.io.File(store, "_SUCCESS").isFile &&
+              DownsampleStore.boundaryClean(s, dir))
+              Some((store, None, R))
             else None
           }
-        hourPick.orElse {
-          val store = DownsampleStore.storePath(s, dir)
-          if (new java.io.File(store, "_SUCCESS").isFile &&
-            DownsampleStore.boundaryClean(s, dir))
-            Some((store, None, R))
-          else None
-        }
       }
     if (resolved.isEmpty) return None
     val (store, horizon, res) = resolved.get

@@ -45,6 +45,9 @@ object DownsampleStore {
     */
   val HourResolutionSec: Long = 3600L
 
+  /** The day chain level's resolution (round 15). */
+  val DayResolutionSec: Long = 86400L
+
   /** The rollup's SERVING schema — the one column list every consumer
     * (the MV rule, the stepped front-end, the stream store's reader)
     * selects, so the schema cannot drift between them (review r13).
@@ -136,6 +139,12 @@ object DownsampleStore {
     */
   def storePath1h(s: SparkSession, dir: String): String = path1h(s, dir)
 
+  private def path1d(s: SparkSession, dir: String): String =
+    s"${ChunkStore.storeRoot(s)}/downsample_${DayResolutionSec}s_c1_${ChunkStore.pathTag(dir)}"
+
+  /** Public 1 d-store location (picker existence probe, round 15). */
+  def storePath1d(s: SparkSession, dir: String): String = path1d(s, dir)
+
   /** The 1 h rollup frame, RE-AGGREGATED FROM the 300 s store (the
     * chain build — at 100 TB the hourly level reads rollup rows, never
     * raw samples):
@@ -153,22 +162,39 @@ object DownsampleStore {
     * hour-local (≤ 12 child rows per series per hour) and aligned with
     * the groupBy keys — one shuffle, no hot-series pileup.
     */
-  def rollup1h(s: SparkSession, dir: String): DataFrame = {
-    val H = HourResolutionSec
+  def rollup1h(s: SparkSession, dir: String): DataFrame =
+    rollupFrom(table(s, dir), HourResolutionSec)
+
+  /** The 1 d level, re-aggregated FROM the 1 h store — the third chain
+    * link (round 15): the same fold as 300 s → 1 h, one level up, so
+    * the within-day counter pair sum merges ≤ 24 hourly inc_dec
+    * partials + the hour-boundary endpoint growths. Year-wide
+    * dashboards read 288× fewer rows than the 300 s level.
+    */
+  def rollup1d(s: SparkSession, dir: String): DataFrame =
+    rollupFrom(table1h(s, dir), DayResolutionSec)
+
+  /** One chain fold: a finer-level rollup frame re-aggregated into
+    * `R`-second parent buckets. The lag window partitions by (series,
+    * parent bucket), so the sort is parent-local (≤ parent/child rows
+    * per series per parent) and aligned with the groupBy keys — one
+    * shuffle, no hot-series pileup.
+    */
+  private def rollupFrom(child: DataFrame, R: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 6)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id", "event_type", "hbucket")
+      .partitionBy("user_id", "event_type", "pbucket")
       .orderBy(col("bucket"))
-    table(s, dir)
-      .withColumn("hbucket", expr(s"(bucket div $H) * $H"))
+    child
+      .withColumn("pbucket", expr(s"(bucket div $R) * $R"))
       .withColumn("__prev_last", lag("last_value", 1).over(w))
       .withColumn("__binc",
         when(col("__prev_last").isNull, lit(null))
           .otherwise(when(col("first_value") >= col("__prev_last"),
             col("first_value") - col("__prev_last"))
             .otherwise(col("first_value"))).cast(dec))
-      .groupBy(col("hbucket"), col("user_id"), col("event_type"))
+      .groupBy(col("pbucket"), col("user_id"), col("event_type"))
       .agg(
         sum("n_samples").as("n_samples"),
         sum("sum_dec").as("sum_dec"),
@@ -176,13 +202,13 @@ object DownsampleStore {
         max("max_value").as("max_value"),
         min_by(col("first_value"), col("bucket")).as("first_value"),
         max_by(col("last_value"), col("bucket")).as("last_value"),
-        // null iff the hour contains no pair at all (mirrors the raw
+        // null iff the parent contains no pair at all (mirrors the raw
         // build's sum-over-no-rows NULL); else merge both partial kinds
         when(sum("inc_dec").isNull && sum("__binc").isNull,
           lit(null).cast(dec))
           .otherwise(coalesce(sum("inc_dec"), zero) +
             coalesce(sum("__binc"), zero)).as("inc_dec"))
-      .withColumnRenamed("hbucket", "bucket")
+      .withColumnRenamed("pbucket", "bucket")
   }
 
   /** Write-once 1 h store (built on first access; builds the 300 s
@@ -192,24 +218,42 @@ object DownsampleStore {
     * for free; only a dirty 300 s store pays a raw count at build time.
     */
   private def ensureWritten1h(s: SparkSession, dir: String): String =
-    written.computeIfAbsent(path1h(s, dir), { out =>
+    ensureWrittenLevel(s, dir, path1h(s, dir), () => rollup1h(s, dir),
+      path(s, dir), HourResolutionSec)
+
+  private def ensureWritten1d(s: SparkSession, dir: String): String =
+    ensureWrittenLevel(s, dir, path1d(s, dir), () => rollup1d(s, dir),
+      path1h(s, dir), DayResolutionSec)
+
+  /** Write-once build of one chain level. Born with its own
+    * `_edge_count` marker: a sample on an `R`-second boundary is
+    * necessarily on the FINER level's boundary (the finer resolution
+    * divides R), so a clean finer store proves this level clean for
+    * free; only a dirty finer store pays a raw count at build time.
+    */
+  private def ensureWrittenLevel(s: SparkSession, dir: String, out: String,
+                                 frame: () => DataFrame, finePath: String,
+                                 resolutionSec: Long): String =
+    written.computeIfAbsent(out, { out =>
       val success = new java.io.File(out, "_SUCCESS")
       if (!success.isFile) {
-        rollup1h(s, dir)
+        frame()
           .repartitionByRange(
             ChunkStore.targetPartitions(s, path(s, dir)), col("bucket"))
           .sortWithinPartitions("bucket", "event_type", "user_id")
           .write.mode(SaveMode.Overwrite).parquet(out)
-        writeEdgeMarker1h(s, dir, out)
+        writeEdgeMarkerLevel(s, dir, out, finePath, resolutionSec)
       } else if (!new java.io.File(out, "_edge_count").isFile) {
-        writeEdgeMarker1h(s, dir, out) // crash repair, off the planner
+        // crash repair, off the planner
+        writeEdgeMarkerLevel(s, dir, out, finePath, resolutionSec)
       }
       out
     })
 
-  private def writeEdgeMarker1h(s: SparkSession, dir: String,
-                                out: String): Long = {
-    val fine = new java.io.File(path(s, dir), "_edge_count")
+  private def writeEdgeMarkerLevel(s: SparkSession, dir: String, out: String,
+                                   finePath: String,
+                                   resolutionSec: Long): Long = {
+    val fine = new java.io.File(finePath, "_edge_count")
     val fineCnt =
       if (fine.isFile)
         new String(java.nio.file.Files.readAllBytes(fine.toPath),
@@ -218,7 +262,7 @@ object DownsampleStore {
     val cnt =
       if (fineCnt == 0L) 0L
       else Tables.events(s, dir)
-        .filter(expr(s"unix_micros(ts) % ${HourResolutionSec * 1000000L} = 0"))
+        .filter(expr(s"unix_micros(ts) % ${resolutionSec * 1000000L} = 0"))
         .count()
     val tmp = java.io.File.createTempFile("edge", ".tmp", new java.io.File(out))
     java.nio.file.Files.write(tmp.toPath,
@@ -251,6 +295,28 @@ object DownsampleStore {
   /** The stored 1 h rollup (chain-built on first access). */
   def table1h(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensureWritten1h(s, dir))
+
+  /** [[boundaryClean]] for the 1 d level (round 15). */
+  def boundaryClean1d(s: SparkSession, dir: String): Boolean = {
+    val out = path1d(s, dir)
+    Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
+      val marker = new java.io.File(out, "_edge_count")
+      if (!marker.isFile) false
+      else {
+        val clean = new String(
+          java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong == 0L
+        edgeClean.put(out, java.lang.Boolean.valueOf(clean))
+        clean
+      }
+    }
+  }
+
+  /** The stored 1 d rollup (chain-built on first access: 300 s → 1 h →
+    * 1 d, each level reading only the one below — never raw samples).
+    */
+  def table1d(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureWritten1d(s, dir))
 
   /** Public store location for a dataset dir — the existence probe the
     * optimizer's MV-rewrite rule (plans/RollupRewrite.scala) uses as
@@ -385,4 +451,18 @@ object DownsampleStore {
     table1h(s, dir)
       .groupBy(expr("(bucket div 86400) * 86400").as("step"), col("event_type"))
       .agg(sum("sum_dec").cast("double").as("sum_value"))
+
+  /** The 1 d chain level as a query result (round 15) — the
+    * twice-folded store: 300 s partials merged into hours, hours into
+    * days. Oracle: the same aggregation straight over raw events with
+    * within-DAY lag pairs — one hash proving sums, order stats,
+    * endpoints AND the counter chain re-merge bit-exactly through TWO
+    * levels of re-aggregation.
+    */
+  def downsample1d(s: SparkSession, dir: String): DataFrame =
+    table1d(s, dir).select(
+      col("bucket"), col("user_id"), col("event_type"), col("n_samples"),
+      col("sum_dec").cast("double").as("sum_value"),
+      col("min_value"), col("max_value"), col("first_value"),
+      col("last_value"), col("inc_dec").cast("double").as("inc_sum"))
 }

@@ -261,6 +261,17 @@ class RollupRewriteSpec extends AnyFunSuite {
       !eplan.contains("downsample_300s") && !eplan.contains("events.parquet"),
       s"driver entry must read the 1h level:\n${eplan.take(1200)}")
     assert(rows(entry) === rows(TimeSeries.rangeSumBy(spark, sf)))
+    // the 1d level extends the same coarsest-first pick (round 15): a
+    // day-tumbling window reads downsample_86400s once the level exists
+    DownsampleStore.table1d(spark, sf).count()
+    val daily = Promql.query(s2, sf, "sum_over_time(click[1d])")
+    val dplan = daily.queryExecution.executedPlan.toString
+    assert(dplan.contains("downsample_86400s") &&
+      !dplan.contains("downsample_3600s") && !dplan.contains("downsample_300s"),
+      s"a day-tumbling window must read the 1d level:\n${dplan.take(1200)}")
+    val dailyRaw = Promql.query(spark, sf, "sum_over_time(click[1d])")
+    assert(daily.exceptAll(dailyRaw).count() === 0 &&
+      dailyRaw.exceptAll(daily).count() === 0)
   }
 
   test("SQL text hits the same rule (extension point, not API wrapper)") {

@@ -245,6 +245,71 @@ class SteppedRollupSpec extends AnyFunSuite {
     assert(rateTwin.count() > 0)
   }
 
+  test("the 1d chain level serves day-aligned grids, coarsest-first") {
+    DownsampleStore.table1d(spark, sf).count() // materialize the chain
+    val s2 = optIn()
+    // week-window day-grid: every parameter day-aligned → the 1d level
+    val daySpec = EvalSpec(1704067200L, 1706659200L, 86400L, 7200L)
+    val served = Promql.queryAt(s2, sf, "sum_over_time(click[1w])", daySpec)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("downsample_86400s"),
+      s"day-aligned grid must read the 1d level:\n${plan.take(1200)}")
+    assert(!plan.contains("downsample_3600s") &&
+      !plan.contains("downsample_300s") && !plan.contains("events.parquet"),
+      s"1d serving must not also scan finer levels or raw:\n${plan.take(1200)}")
+    val raw = Promql.queryAt(spark, sf, "sum_over_time(click[1w])", daySpec)
+    assert(served.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(served).count() === 0, "1d serving must stay bit-equal")
+    assert(raw.count() > 0)
+    // the counter chain through TWO folds: rate at a week window
+    val r1d = Promql.queryAt(s2, sf, "rate(click[1w])", daySpec)
+    assert(r1d.queryExecution.executedPlan.toString.contains("downsample_86400s"),
+      "day-aligned rate must read the 1d level")
+    val rRaw = Promql.queryAt(spark, sf, "rate(click[1w])", daySpec)
+    assert(r1d.exceptAll(rRaw).count() === 0 &&
+      rRaw.exceptAll(r1d).count() === 0, "1d-level rate must stay bit-equal")
+    // hour-aligned but NOT day-aligned: falls to the 1h level
+    val hourly = Promql.queryAt(s2, sf, "sum_over_time(click[1d])",
+      EvalSpec(1704067200L, 1704412800L, 7200L, 7200L))
+    assert(hourly.queryExecution.executedPlan.toString.contains("downsample_3600s"),
+      "an hour-grid query must fall to the 1h level, never be refused")
+    // the driver entry pairs
+    val entry = SparkEntry.queries("q_promql_rollup_stepped_1d")(spark, sf)
+    assert(entry.queryExecution.executedPlan.toString.contains("downsample_86400s"))
+    val twin = SparkEntry.queries("q_promql_stepped_vwide")(spark, sf)
+    assert(entry.exceptAll(twin).count() === 0 &&
+      twin.exceptAll(entry).count() === 0)
+  }
+
+  test("the 1d chain level re-merges every partial exactly (store equality)") {
+    // the 1d store built from the 1h store (itself built from 300s)
+    // must equal the same aggregation computed straight from raw events
+    import org.apache.spark.sql.expressions.Window
+    val D = DownsampleStore.DayResolutionSec
+    val dec = "decimal(30,6)"
+    val w = Window.partitionBy("user_id", "event_type", "db")
+      .orderBy(col("us"), col("event_id"))
+    val raw = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("db", expr(s"(us div ${D * 1000000L}) * $D"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .groupBy(col("db").as("bucket"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("value").cast(dec)).as("sum_dec"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("first_value"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("last_value"),
+        sum(when(col("prev").isNotNull,
+          when(col("value") >= col("prev"), col("value") - col("prev"))
+            .otherwise(col("value"))).cast(dec)).as("inc_dec"))
+    val stored = DownsampleStore.table1d(spark, sf)
+      .select(raw.columns.map(col).toSeq: _*)
+    assert(stored.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(stored).count() === 0,
+      "the twice-folded 1d store must equal the direct raw aggregation")
+    assert(raw.count() > 0)
+  }
+
   test("the 1h chain level re-merges every partial exactly (store equality)") {
     // the 1h store built FROM the 300s store must equal the same
     // aggregation computed straight from raw events — sums, order
