@@ -73,13 +73,14 @@ the r13 lock's disclosed ~1.13x-slow window is replaced by two QUIET
 records: the round-14 driver record (loadavg_start 2.17, median total
 218.5 s) and a fresh round-15 record (loadavg_start 1.43, median
 193.6 s) — the per-query lock is the median across both, a central
-estimate straddling the host's speed windows. The 9 entries added or
+estimate straddling the host's speed windows. The 14 entries added or
 re-pointed in round 15 (the admission family around the hamming-sketch
-served default, the 1h-level pick pair, the hybrid fresh-tail pair)
-are locked from a quiet NEW-CODE partial record (n=3, loadavg 1.07);
-for the two whose semantics changed (emb_admission — now the hamming
-gate — and admission_recall — grew the emb_hamming leg) the old-code
-records are excluded from their medians.
+served default, the 1h-level pick pair, the hybrid fresh-tail pair,
+and the 1d chain level's five) are locked from quiet NEW-CODE partial
+records (n=3 each, zero failures); for the two whose semantics changed
+(emb_admission — now the hamming gate — and admission_recall — grew
+the emb_hamming leg) the old-code records are excluded from their
+medians.
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs
