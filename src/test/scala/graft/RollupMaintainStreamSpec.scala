@@ -229,6 +229,17 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
       rRaw.exceptAll(rServed).count() === 0,
       "hybrid rate must equal the full raw evaluation")
     assert(rRaw.count() > 0)
+    // the INSTANT-VECTOR path (plain selector → last_over_time over the
+    // lookback) rides the hybrid through its own raw callback too
+    val iServed = Promql.queryAt(s2, dir01, "click", spec)
+    val iPlan = iServed.queryExecution.executedPlan.toString
+    assert(iPlan.contains("rollupstream") && iPlan.contains("events.parquet"),
+      s"hybrid instant vector must read both sides:\n${iPlan.take(1200)}")
+    val iRaw = Promql.queryAt(spark, dir01, "click", spec)
+    assert(iServed.exceptAll(iRaw).count() === 0 &&
+      iRaw.exceptAll(iServed).count() === 0,
+      "hybrid instant vector must equal the full raw evaluation")
+    assert(iRaw.count() > 0)
   }
 
   test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
