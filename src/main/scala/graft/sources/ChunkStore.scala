@@ -102,6 +102,30 @@ object ChunkStore {
   /** A dataset dir as a filesystem-safe path fragment. */
   def pathTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Content fingerprint of a staged corpus source — ONE definition
+    * site for every stream store that stages a corpus into an inbox
+    * (streaming/CurationStream, RollupMaintainStream.demoStore): a
+    * spark-written DIRECTORY fingerprints by its part names + sizes
+    * (the names embed UUIDs, so a regenerated corpus always differs);
+    * a single plain FILE carries no UUID, so size alone can collide
+    * across regenerations — fold last-modified time in (ADVICE r14).
+    */
+  def sourceFingerprint(src: java.nio.file.Path, singleName: String): String = {
+    val entries =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val st = java.nio.file.Files.list(src)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .map[String](p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
+          .sorted().toArray.mkString("\n")
+        finally st.close()
+      } else {
+        val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
+        s"$singleName:${java.nio.file.Files.size(src)}:$mt"
+      }
+    java.util.UUID.nameUUIDFromBytes(
+      entries.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
+
   private def chunkPath(s: SparkSession, dir: String) =
     s"${storeRoot(s)}/chunks_${FormatTag}_${pathTag(dir)}"
 

@@ -217,13 +217,23 @@ object DownsampleStore {
     * (300 | 3600), so a clean 300 s store proves the 1 h level clean
     * for free; only a dirty 300 s store pays a raw count at build time.
     */
-  private def ensureWritten1h(s: SparkSession, dir: String): String =
+  // materialize the FINER level BEFORE entering this level's
+  // computeIfAbsent: ConcurrentHashMap forbids the mapping function
+  // from inserting into the same map (recursive update — livelock or
+  // IllegalStateException depending on hash bins), and frame() walks
+  // down the chain. With the child key already present, the nested
+  // computeIfAbsent inside frame() is a plain read.
+  private def ensureWritten1h(s: SparkSession, dir: String): String = {
+    ensureWritten(s, dir)
     ensureWrittenLevel(s, dir, path1h(s, dir), () => rollup1h(s, dir),
       path(s, dir), HourResolutionSec)
+  }
 
-  private def ensureWritten1d(s: SparkSession, dir: String): String =
+  private def ensureWritten1d(s: SparkSession, dir: String): String = {
+    ensureWritten1h(s, dir)
     ensureWrittenLevel(s, dir, path1d(s, dir), () => rollup1d(s, dir),
       path1h(s, dir), DayResolutionSec)
+  }
 
   /** Write-once build of one chain level. Born with its own
     * `_edge_count` marker: a sample on an `R`-second boundary is
@@ -277,40 +287,16 @@ object DownsampleStore {
   /** [[boundaryClean]] for the 1 h level (its own `_edge_count` marker,
     * same refuse-don't-compute posture).
     */
-  def boundaryClean1h(s: SparkSession, dir: String): Boolean = {
-    val out = path1h(s, dir)
-    Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
-      val marker = new java.io.File(out, "_edge_count")
-      if (!marker.isFile) false
-      else {
-        val clean = new String(
-          java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong == 0L
-        edgeClean.put(out, java.lang.Boolean.valueOf(clean))
-        clean
-      }
-    }
-  }
+  def boundaryClean1h(s: SparkSession, dir: String): Boolean =
+    boundaryCleanAt(path1h(s, dir))
 
   /** The stored 1 h rollup (chain-built on first access). */
   def table1h(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(ensureWritten1h(s, dir))
 
   /** [[boundaryClean]] for the 1 d level (round 15). */
-  def boundaryClean1d(s: SparkSession, dir: String): Boolean = {
-    val out = path1d(s, dir)
-    Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
-      val marker = new java.io.File(out, "_edge_count")
-      if (!marker.isFile) false
-      else {
-        val clean = new String(
-          java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong == 0L
-        edgeClean.put(out, java.lang.Boolean.valueOf(clean))
-        clean
-      }
-    }
-  }
+  def boundaryClean1d(s: SparkSession, dir: String): Boolean =
+    boundaryCleanAt(path1d(s, dir))
 
   /** The stored 1 d rollup (chain-built on first access: 300 s → 1 h →
     * 1 d, each level reading only the one below — never raw samples).
@@ -387,11 +373,17 @@ object DownsampleStore {
     * raw scan (ADVICE r13). The repair happens off the planning path,
     * in ensureWritten, so the missing-marker verdict is NOT cached.
     */
-  def boundaryClean(s: SparkSession, dir: String): Boolean = {
-    val out = path(s, dir)
+  def boundaryClean(s: SparkSession, dir: String): Boolean =
+    boundaryCleanAt(path(s, dir))
+
+  /** One definition of the marker-read posture for every chain level:
+    * missing marker = refuse (repaired by the level's next build),
+    * verdict cached per store path.
+    */
+  private def boundaryCleanAt(out: String): Boolean =
     Option(edgeClean.get(out)).map(_.booleanValue()).getOrElse {
       val marker = new java.io.File(out, "_edge_count")
-      if (!marker.isFile) false // refuse; repaired by the next table()
+      if (!marker.isFile) false
       else {
         val clean = new String(
           java.nio.file.Files.readAllBytes(marker.toPath),
@@ -400,7 +392,6 @@ object DownsampleStore {
         clean
       }
     }
-  }
 
   /** The stored rollup table (built on first access). */
   def table(s: SparkSession, dir: String): DataFrame =

@@ -131,23 +131,8 @@ object CurationStream {
     // once; a mismatched re-stage wipes inbox + checkpoint + store and
     // rebuilds from scratch (determinism makes the rebuild exact).
     val srcPath = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val fp: String = {
-      val entries =
-        if (java.nio.file.Files.isDirectory(srcPath)) {
-          val st = java.nio.file.Files.list(srcPath)
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .map[String](p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
-            .sorted().toArray.mkString("\n")
-          finally st.close()
-        } else {
-          // single plain file: names carry no UUID, so size alone can
-          // collide across regenerations (ADVICE r14) — fold mtime in
-          val mt = java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
-          s"documents.parquet:${java.nio.file.Files.size(srcPath)}:$mt"
-        }
-      java.util.UUID.nameUUIDFromBytes(
-        entries.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
-    }
+    val fp = graft.sources.ChunkStore.sourceFingerprint(
+      srcPath, "documents.parquet")
     val fpFile = new java.io.File(s"$root/curstream_$tag", "_source_fp")
     if (fpFile.isFile && new String(
         java.nio.file.Files.readAllBytes(fpFile.toPath),

@@ -301,7 +301,15 @@ object RollupMaintainStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$parts/batch=$batchId"); ()
+        // skip EMPTY batches: Spark writes a schema-only parquet part
+        // even for zero rows, which would satisfy servableParts's
+        // data-file probe on a store that never flushed anything
+        // (ADVICE r14). Determinism makes the skip replay-stable: a
+        // replayed batch recomputes the same rows, so its dir's
+        // presence/absence cannot flip across retries.
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$parts/batch=$batchId")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -356,6 +364,14 @@ object RollupMaintainStream {
     * idempotent within a round (a matching fingerprint with a
     * published horizon returns the existing store without starting a
     * stream).
+    *
+    * Crash-window safety: a kill between the two runOnce passes leaves
+    * a STALER store, never a wrong one — runOnce publishes the
+    * watermark its last executed batch USED (the one its timeouts
+    * fired against), so every bucket ending at or before the marker is
+    * already flushed after pass 1 (probed empirically: one pass over
+    * the sf0.01 corpus flushes exactly the raw sample count within its
+    * published horizon); the drain pass only ADVANCES the horizon.
     */
   def demoStore(s: SparkSession, dir: String): String = {
     val root = graft.sources.ChunkStore.storeRoot(s)
@@ -365,21 +381,8 @@ object RollupMaintainStream {
     val store = s"$base/store"
     val cp = s"$base/cp"
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val fp: String = {
-      val entries =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val st = java.nio.file.Files.list(src)
-          try st.filter(_.getFileName.toString.endsWith(".parquet"))
-            .map[String](p => s"${p.getFileName}:${java.nio.file.Files.size(p)}")
-            .sorted().toArray.mkString("\n")
-          finally st.close()
-        } else {
-          val mt = java.nio.file.Files.getLastModifiedTime(src).toMillis
-          s"events.parquet:${java.nio.file.Files.size(src)}:$mt"
-        }
-      java.util.UUID.nameUUIDFromBytes(
-        entries.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
-    }
+    val fp =
+      graft.sources.ChunkStore.sourceFingerprint(src, "events.parquet")
     val fpFile = new java.io.File(base, "_source_fp")
     if (fpFile.isFile && new String(
         java.nio.file.Files.readAllBytes(fpFile.toPath),

@@ -60,8 +60,10 @@ class AdmissionRecallSpec extends AnyFunSuite {
     Seq("emb_probe1", "emb_probe2", "emb_probe4").foreach { m =>
       assert(ham >= avg(m), s"hamming gate must dominate $m (${avg(m)})")
     }
-    // and per-arrival it is sound (n_hits <= n_truth holds globally in
-    // the soundness test) AND never below the widest plane probe
+    // per-arrival dominance is NOT a theorem (the hamming ball and a
+    // probe-4 bucket set catch different pair geometries), so the
+    // per-id assertion is only that every leg measures the SAME
+    // arrivals — the adequacy claims above are the leg averages
     val byId = rec.filter(_._1 == "emb_hamming").map(r => r._2 -> r._5).toMap
     val p4 = rec.filter(_._1 == "emb_probe4").map(r => r._2 -> r._5).toMap
     assert(byId.keySet === p4.keySet, "legs measure the same arrivals")
