@@ -289,6 +289,28 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     assert(servedMap.nonEmpty)
   }
 
+  test("a single pass's published horizon covers only flushed buckets") {
+    // the demoStore crash-window argument, pinned: runOnce publishes
+    // the watermark its last executed batch USED, so even WITHOUT a
+    // drain pass every bucket ending at or before the marker is
+    // flushed — a kill between passes leaves a staler store, never a
+    // wrong one
+    val (in, store, cp) = freshDirs("onepass")
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+    land(in, ev, "all")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01) // NO drain
+    val h = RollupMaintainStream.horizonSec(store).get
+    val parts = RollupMaintainStream.servableParts(store).get
+    val flushed = spark.read.parquet(parts)
+      .agg(sum("n_samples")).collect()(0).getLong(0)
+    val expected = ev.filter(
+      expr(s"(unix_micros(cast(ts as timestamp)) div 1000000 div 300) * 300 + 300 <= $h"))
+      .count()
+    assert(flushed === expected,
+      s"pass-1 store must hold exactly the raw samples within horizon $h")
+    assert(expected > 0L)
+  }
+
   test("the store is bound to its source dataset: other dirs never serve") {
     val (in, store, cp) = freshDirs("binding")
     val ev = spark.read.parquet(s"$dir01/events.parquet")
