@@ -89,6 +89,28 @@ object OracleSql {
     (-6 to 9).map(k => s"WHEN value <= ${math.pow(2.0, k)} THEN $k")
       .mkString("CASE ", " ", " ELSE 10 END")
 
+  /** Generalized-schema bucket index (mirror of TimeSeries.nhKS). The
+    * bound literals are generated from the SAME doubles the Spark plan
+    * compares against (TimeSeries.nhBound), serialized via shortest-
+    * round-trip Double.toString — DuckDB's correctly-rounded strtod
+    * recovers the identical bits, so membership is bit-exact.
+    */
+  private def nhKCaseS(schema: Int): String = {
+    val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
+    (lo to hi).map(i =>
+      s"WHEN value <= ${graft.operators.TimeSeries.nhBound(schema, i)} THEN $i")
+      .mkString("CASE ", " ", s" ELSE ${hi + 1} END")
+  }
+
+  /** k → bound(k) literal CASE (mirror of TimeSeries.nhBoundCol). */
+  private def nhBoundCaseS(schema: Int, k: String): String = {
+    val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
+    (lo - 1 to hi).map(i =>
+      s"WHEN ($k) = $i THEN ${graft.operators.TimeSeries.nhBound(schema, i)}")
+      .mkString("CASE ", " ",
+        s" ELSE ${graft.operators.TimeSeries.nhBound(schema, hi + 1)} END")
+  }
+
   private val timeSeries: Map[String, String] = Map(
     "q_range_sum" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
@@ -329,6 +351,57 @@ object OracleSql {
          |       round(CAST(SUM(term) AS DOUBLE)
          |             / CAST(SUM(cnt) AS DOUBLE), 12) AS fraction
          |FROM t GROUP BY 1, 2""".stripMargin,
+    // GENERALIZED schemas (round 15): the same build at schema −2
+    // (base-16 buckets, exact powers of two) and schema +2 (4 sub-
+    // buckets per octave from the fixed double bound table) — the
+    // documented schema-0 restriction closed, still oracle-hashed
+    "q_nhist_schema_neg" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |       CAST(${nhKCaseS(-2)} AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_nhist_schema_pos" ->
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |       CAST(${nhKCaseS(2)} AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_nhist_quantile_pos" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST(${nhKCaseS(2)} AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT step, event_type, k, cnt,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type) AS n
+         |  FROM h)
+         |SELECT step, event_type,
+         |       round((${nhBoundCaseS(2, "k - 1")})
+         |             + ((${nhBoundCaseS(2, "k")}) - (${nhBoundCaseS(2, "k - 1")})) *
+         |             (CAST(rnk - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+         |         AS q_value
+         |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
+         |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
+    // UPSTREAM-PARITY interpolation at schema 0: exponential-scale
+    // interpolation q = 2^(k−1+frac) (Prometheus ≥ 2.47 semantics);
+    // the exponent arithmetic is exact IEEE on both engines, the one
+    // pow(2, e) rounds at 9 dp
+    "q_nhist_quantile_exp" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, event_type,
+         |         CAST($nhKCase AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT step, event_type, k, cnt,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type) AS n
+         |  FROM h)
+         |SELECT step, event_type,
+         |       round(pow(2.0, (CAST(k AS DOUBLE) - 1.0 +
+         |             CAST(rnk - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1.0), 9)
+         |         AS q_value
+         |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
+         |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
     "q_count_values" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(floor(value / 10) AS BIGINT) AS v_bucket,

@@ -66,6 +66,14 @@ object SparkEntry {
     "q_nhist_quantile"  -> ((s, d) => TimeSeries.nhistQuantile(s, d)),
     "q_nhist_fraction"  -> ((s, d) => TimeSeries.nhistFraction(s, d)),
     "q_nhist_stddev"    -> (TimeSeries.nhistStddev _),
+    // generalized schemas (round 15): −2 (coarser, exact 16^k bounds),
+    // +2 (finer, fixed double bound table) + quantiles — incl. the
+    // upstream-parity exponential-scale interpolation at schema 0
+    "q_nhist_schema_neg"   -> ((s, d) => TimeSeries.nhistBuildSchema(s, d, -2)),
+    "q_nhist_schema_pos"   -> ((s, d) => TimeSeries.nhistBuildSchema(s, d, 2)),
+    "q_nhist_quantile_pos" -> ((s, d) => TimeSeries.nhistQuantileSchema(s, d, 2)),
+    "q_nhist_quantile_exp" -> ((s, d) =>
+      TimeSeries.nhistQuantileSchema(s, d, 0, 0.9, exponential = true)),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),

@@ -336,7 +336,9 @@ object TimeSeries {
     * doubles, which is what makes the whole family oracle-hashable —
     * the reason this entry fixes schema 0 rather than the upstream
     * default −4..8 range of schemas (whose 2^(1/2^s) bounds are
-    * transcendental). The [−6, 9] index window spans the table's value
+    * transcendental — but see the GENERALIZED family below, which
+    * closes that restriction via a fixed double bound table: schemas
+    * −4..3 are all oracle-hashable). The [−6, 9] index window spans the table's value
     * domain; out-of-range values clamp to the edge buckets, mirroring
     * upstream's span clamping. Bucket COUNT is bounded by the schema,
     * not the data — every per-histogram window below runs over ≤ 16
@@ -486,6 +488,135 @@ object TimeSeries {
       .select(col("step"), col("event_type"),
         round(col("t").cast("double") / col("n").cast("double"), 12)
           .as("fraction"))
+  }
+
+  // ---- native histograms, GENERALIZED schema (−4..3) --------------------
+
+  /** Exact bucket bound for ANY supported schema — closes the schema-0
+    * restriction documented above. Prometheus native histograms put
+    * bucket i at upper bound 2^(i / 2^schema) (histogram.proto's
+    * sb_schema; schema 0 = powers of two, negative = coarser, positive
+    * = finer). The published reason this family fixed schema 0 was that
+    * non-zero schemas have "transcendental" bounds — but that is only
+    * half true:
+    *
+    *  - schema ≤ 0: bound(i) = 2^(i·2^|s|) is an EXACT power of two,
+    *    same as schema 0, just a wider stride.
+    *  - schema > 0: 2^(i/2^s) is irrational, but the ENGINE does not
+    *    need the real number — it needs ONE well-defined double both
+    *    engines compare against. We define bound(i) :=
+    *    exact2^floor(i/2^s) × subBound(i mod 2^s), where the 2^s
+    *    sub-bounds are fixed doubles (StrictMath.pow of the rational
+    *    exponent) and the power-of-two scaling is EXACT in IEEE — so
+    *    every bound is one reproducible double, serialized into the
+    *    oracle SQL via shortest-round-trip Double.toString (DuckDB's
+    *    correctly-rounded strtod recovers the identical bits). This is
+    *    exactly how upstream Prometheus implements positive schemas:
+    *    frexp + a precomputed float64 sub-bucket bound table
+    *    (model/histogram's exponential bounds), not live exp2 calls.
+    *
+    * Bucket membership is therefore a pure double comparison both
+    * engines evaluate identically — the family stays oracle-hashable at
+    * every schema.
+    */
+  def nhBound(schema: Int, i: Int): Double = {
+    require(schema >= -4 && schema <= 3, s"unsupported schema $schema")
+    if (schema <= 0) StrictMath.pow(2.0, (i.toLong << -schema).toDouble)
+    else {
+      val parts = 1 << schema
+      val m = Math.floorDiv(i, parts)
+      val j = Math.floorMod(i, parts)
+      // exact scaling: multiplying a double by 2^m is exact in IEEE
+      // (no rounding) for the in-range exponents this window spans
+      StrictMath.pow(2.0, j.toDouble / parts) * StrictMath.pow(2.0, m.toDouble)
+    }
+  }
+
+  /** Index window per schema, derived from the SAME value-domain octave
+    * range [−6, 9] the schema-0 family fixed: bucket iLo absorbs
+    * everything below (upstream's span clamp), iHi+1 is the overflow
+    * bucket. Bucket COUNT stays bounded by the schema (≤ 16·2^s rows
+    * per histogram), never by the data — the scale property.
+    */
+  private[graft] def nhIdx(schema: Int): (Int, Int) = {
+    def cdiv(a: Int, b: Int): Int = -Math.floorDiv(-a, b)
+    if (schema >= 0) (-6 << schema, 9 << schema)
+    else (cdiv(-6, 1 << -schema), cdiv(9, 1 << -schema))
+  }
+
+  /** Bucket index at `schema`: smallest i in the window with
+    * value ≤ bound(i) — the when-chain stays whole-stage-codegen'd
+    * (≤ 61 branches at schema 2), zero joins, zero lookups.
+    */
+  private[graft] def nhKS(v: Column, schema: Int): Column = {
+    val (lo, hi) = nhIdx(schema)
+    (lo to hi).foldRight(lit(hi + 1)) { (i, rest) =>
+      when(v <= lit(nhBound(schema, i)), lit(i)).otherwise(rest)
+    }
+  }
+
+  /** k → bound(k) as a literal when-chain (the quantile's inverse
+    * mapping; covers the clamp and overflow buckets too).
+    */
+  private def nhBoundCol(schema: Int, kc: Column): Column = {
+    val (lo, hi) = nhIdx(schema)
+    (lo - 1 to hi).foldRight(lit(nhBound(schema, hi + 1))) { (i, rest) =>
+      when(kc === i, lit(nhBound(schema, i))).otherwise(rest)
+    }
+  }
+
+  /** The ingest shape at an arbitrary schema — one row per
+    * (step, metric, bucket), same long form as [[nhistBuild]].
+    */
+  def nhistBuildSchema(s: SparkSession, dir: String, schema: Int): DataFrame =
+    Tables.events(s, dir)
+      .select(stepHour(col("ts")), col("event_type"),
+        nhKS(col("value"), schema).as("k"))
+      .groupBy("step", "event_type", "k")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** histogram_quantile over the generalized-schema buckets. Two
+    * interpolation modes:
+    *
+    *  - linear (default): the engine contract shared with
+    *    [[nhistQuantile]] — linear in value space between the exact
+    *    bucket bounds.
+    *  - exponential (`exponential = true`): UPSTREAM PARITY — since
+    *    Prometheus 2.47 native-histogram quantiles interpolate on the
+    *    exponential scale, q = lower·(upper/lower)^frac =
+    *    2^((k−1+frac)/2^s). The exponent arithmetic is exact-IEEE on
+    *    both engines ((k−1+frac) is double addition, /2^s an exact
+    *    scaling); the one transcendental op is the final pow(2, e),
+    *    rounded at 9 dp on both sides (measured flip-free at sf0.01
+    *    and sf0.1 — see NhistSchemaSpec for the convexity contract
+    *    exp ≤ linear that pins the semantics).
+    *
+    * Scale shape: identical to [[nhistQuantile]] — the cumulative
+    * window is bounded per histogram BY SCHEMA (≤ 61 rows at schema 2).
+    */
+  def nhistQuantileSchema(s: SparkSession, dir: String, schema: Int,
+                          q: Double = 0.9,
+                          exponential: Boolean = false): DataFrame = {
+    val byH = Window.partitionBy("step", "event_type")
+    val wCum = byH.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lower = nhBoundCol(schema, col("k") - 1)
+    val upper = nhBoundCol(schema, col("k"))
+    val frac = (col("rnk") - col("cum") + col("cnt")).cast("double") /
+      col("cnt").cast("double")
+    val qv =
+      if (exponential) {
+        val parts = math.pow(2.0, schema.toDouble) // exact for |s| ≤ 3
+        round(pow(lit(2.0),
+          (col("k").cast("double") - lit(1.0) + frac) / lit(parts)), 9)
+      } else round(lower + (upper - lower) * frac, 12)
+    nhistBuildSchema(s, dir, schema)
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(byH))
+      .withColumn("rnk", ceilPos(col("n"), q))
+      .filter(col("cum") >= col("rnk") &&
+        col("cum") - col("cnt") < col("rnk"))
+      .select(col("step"), col("event_type"), qv.as("q_value"))
   }
 
   /** SCRAPE-INTERVAL inference: per metric, the distribution of
