@@ -102,6 +102,73 @@ object OracleSql {
       .mkString("CASE ", " ", s" ELSE ${hi + 1} END")
   }
 
+  /** Alerting-rule oracle (mirror of operators.Alerts.alertStates over
+    * the stepped 2h-count expr): islands → hysteresis chains → running
+    * ignition time; `keep` = 0 reduces to the plain `for:` rule (every
+    * gap breaks the chain, no extension rows).
+    */
+  private def alertOracle(keep: Long): String = {
+    val base =
+      s"""WITH steps AS (
+         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+         |cnt AS (
+         |  SELECT st.step, e.event_type, CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM events e JOIN steps st
+         |    ON st.step * 1000000 >= epoch_us(e.ts)
+         |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+         |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
+         |  GROUP BY 1, 2),
+         |held AS (SELECT * FROM cnt WHERE value > 6),
+         |isl AS (
+         |  SELECT *, step - 3600 * ROW_NUMBER() OVER
+         |    (PARTITION BY event_type ORDER BY step) AS island
+         |  FROM held),
+         |spans AS (
+         |  SELECT event_type, island, MIN(step) AS a_start, MAX(step) AS a_end
+         |  FROM isl GROUP BY 1, 2),
+         |chains AS (
+         |  SELECT *, CASE WHEN gap IS NULL OR gap > ${keep + 3600L} THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT *, a_start - LAG(a_end) OVER
+         |          (PARTITION BY event_type ORDER BY a_start) AS gap
+         |        FROM spans)),
+         |chain2 AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY event_type ORDER BY a_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+         |  FROM chains),
+         |ign AS (
+         |  SELECT *, MIN(CASE WHEN a_end - a_start >= 7200 THEN a_start + 7200 END)
+         |    OVER (PARTITION BY event_type, chain ORDER BY a_start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fire_time
+         |  FROM chain2),
+         |hs AS (
+         |  SELECT i.step, i.event_type, i.value,
+         |         CASE WHEN g.fire_time IS NOT NULL AND i.step >= g.fire_time
+         |              THEN 'firing' ELSE 'pending' END AS alertstate
+         |  FROM isl i JOIN ign g
+         |    ON g.event_type = i.event_type AND g.island = i.island)""".stripMargin
+    if (keep <= 0L)
+      base + "\nSELECT step, event_type, alertstate, value FROM hs"
+    else
+      base +
+        s""",
+           |ser AS (SELECT DISTINCT event_type FROM hs),
+           |dense AS (
+           |  SELECT g.step, g.event_type, h.alertstate, h.value,
+           |    MAX(CASE WHEN h.alertstate IS NOT NULL THEN g.step END) OVER w AS last_held,
+           |    last_value(h.alertstate IGNORE NULLS) OVER w AS last_state,
+           |    last_value(CASE WHEN h.alertstate IS NOT NULL THEN h.value END IGNORE NULLS) OVER w AS last_value
+           |  FROM (SELECT st.step, s.event_type FROM steps st CROSS JOIN ser s) g
+           |  LEFT JOIN hs h ON h.step = g.step AND h.event_type = g.event_type
+           |  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.step
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT step, event_type,
+           |       COALESCE(alertstate, 'firing') AS alertstate,
+           |       COALESCE(value, last_value) AS value
+           |FROM dense
+           |WHERE alertstate IS NOT NULL
+           |   OR (last_state = 'firing' AND step - last_held <= $keep)""".stripMargin
+  }
+
   /** k → bound(k) literal CASE (mirror of TimeSeries.nhBoundCol). */
   private def nhBoundCaseS(schema: Int, k: String): String = {
     val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
@@ -445,6 +512,11 @@ object OracleSql {
          |SELECT step, user_id, value FROM per
          |WHERE CAST(($nib) AS DOUBLE) / 281474976710656.0 < 0.3""".stripMargin
     },
+    // alerting-rule state machine (round 15): mirror of Alerts.rule —
+    // stepped 2h-count expr > 6, gaps-and-islands `for:` clock, and
+    // (keep variant) hysteresis chains + dense-grid extension rows
+    "q_promql_alert" -> alertOracle(0L),
+    "q_promql_alert_keep" -> alertOracle(3600L),
     "q_promql_stepped" ->
       """WITH steps AS (
         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),

@@ -213,6 +213,21 @@ object SparkEntry {
       s, d, "limit_ratio(0.3, avg_over_time(click[1h]))")),
     "q_promql_ratio" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum_over_time(purchase[1h]) / on(user_id) sum_over_time(click[1h])""")),
+    // ALERTING-RULE evaluation (round 15): the pending→firing `for:`
+    // state machine over a stepped comparison expr — gaps-and-islands
+    // per alert label set, no sequential fold; and the
+    // `keep_firing_for:` hysteresis variant (firing bridges short
+    // condition gaps, extension rows emitted at missed evals)
+    "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
+      s, d,
+      """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+      forSec = 7200L)),
+    "q_promql_alert_keep" -> ((s, d) => graft.operators.Alerts.rule(
+      s, d,
+      """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
+      graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+      forSec = 7200L, keepSec = 3600L)),
     // true range-query evaluation: aligned steps + per-step lookback
     "q_promql_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "sum(click)",

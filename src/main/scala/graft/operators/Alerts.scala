@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prometheus ALERTING-RULE evaluation over the stepped PromQL
+  * evaluator — the rule state machine users actually run on a TSDB
+  * (the reference serves the Prometheus querier API,
+  * prometheus/querier.go; rule evaluation is the standing consumer of
+  * that API: an instant-vector expr evaluated on an aligned grid, fed
+  * through the pending → firing `for:` clock, with `keep_firing_for:`
+  * hysteresis on resolve).
+  *
+  * Semantics implemented (upstream rules/alerting.go behavior, restated
+  * on the aligned step grid):
+  *
+  *  - the rule expr (usually a comparison-filtered vector) returns, at
+  *    each evaluation step, the label sets for which the condition
+  *    HOLDS;
+  *  - a label set becomes PENDING at its first held step (active_at),
+  *    and FIRING once it has held continuously for ≥ `for` seconds
+  *    (step − active_at ≥ forSec);
+  *  - a PENDING alert whose condition stops holding is dropped
+  *    immediately;
+  *  - a FIRING alert whose condition stops holding keeps firing while
+  *    (step − lastHeldStep) ≤ keepFiringFor, then resolves; if the
+  *    condition holds again inside that window the alert CONTINUES
+  *    firing (no new pending phase) — hysteresis bridges gaps.
+  *
+  * Spark-first shape: NO sequential fold. The per-series recurrence
+  * factors into window passes, each partitioned by the series label
+  * set and bounded by the evaluation grid length (spec.maxK + 1 rows
+  * per series — never sample count):
+  *
+  *  1. consecutive held runs via gaps-and-islands
+  *     (step − row_number·stepSec);
+  *  2. islands chain into hysteresis groups: a gap of g seconds
+  *     bridges iff every missed eval stays within keep of the last
+  *     held step, i.e. g ≤ keepFiringFor + stepSec;
+  *  3. a chain IGNITES at the first island that holds long enough on
+  *     its own (span ≥ forSec); its fire time is island_start + forSec.
+  *     A running min over the chain gives each held row its governing
+  *     fire time: firing iff step ≥ that time. Pre-ignition islands
+  *     evaluate pending-only — exactly upstream's "pending alerts do
+  *     not survive a missed eval, so they cannot seed hysteresis";
+  *  4. resolve-side extension rows (firing emitted at steps where the
+  *     expr did NOT hold) come from the dense grid of alerted series ×
+  *     steps, a broadcast of the alerted label sets (alert cardinality,
+  *     not series cardinality) against a sequence() of the grid.
+  *
+  * With keepFiringFor = 0 every gap breaks the chain and no extension
+  * rows exist — the plain `for:` rule falls out of the same plan.
+  */
+object Alerts {
+
+  /** Evaluate an alerting rule: `expr` (a PromQL string whose result is
+    * the held-condition vector) on `spec`'s grid, with `for:` = forSec
+    * and `keep_firing_for:` = keepSec. Returns one row per (step,
+    * label set) where the alert is active: columns (step, labels...,
+    * alertstate ∈ pending|firing, value) — the ALERTS synthetic series
+    * plus the expr's value (last held value on extension steps,
+    * upstream's Alert.Value behavior).
+    */
+  def rule(s: SparkSession, dir: String, expr: String,
+           spec: Promql.EvalSpec, forSec: Long,
+           keepSec: Long = 0L): DataFrame =
+    alertStates(s, Promql.queryAt(s, dir, expr, spec), spec, forSec, keepSec)
+
+  /** The state machine alone, over any stepped held-condition frame
+    * (columns: step, labels..., value). Exposed for the streaming twin
+    * and specs.
+    */
+  def alertStates(s: SparkSession, held: DataFrame, spec: Promql.EvalSpec,
+                  forSec: Long, keepSec: Long): DataFrame = {
+    require(forSec >= 0 && keepSec >= 0, "for/keep_firing_for must be >= 0")
+    val labels = held.columns.filterNot(Set("step", "value")).toSeq
+    val labCols = labels.map(col)
+    val stepS = spec.stepSec
+
+    val bySeries = Window.partitionBy(labCols: _*)
+    val wSteps = bySeries.orderBy("step")
+
+    // 1. consecutive held runs
+    val isl = held
+      .withColumn("island",
+        col("step") - row_number().over(wSteps) * lit(stepS))
+
+    // 2+3. island spans → hysteresis chains → running ignition time.
+    // Island metadata is one row per (series, island) — computed with
+    // aggregations, then windows over islands (rows per series bounded
+    // by the grid length).
+    val spans = isl.groupBy((labCols :+ col("island")): _*)
+      .agg(min("step").as("a_start"), max("step").as("a_end"))
+    val wIsl = bySeries.orderBy("a_start")
+    val chains = spans
+      .withColumn("gap", col("a_start") - lag("a_end", 1).over(wIsl))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > lit(keepSec + stepS), 1L)
+          .otherwise(0L))
+      .withColumn("chain", sum("brk").over(
+        wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byChain = Window.partitionBy((labCols :+ col("chain")): _*)
+      .orderBy("a_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ignited = chains
+      .withColumn("self_fire",
+        when(col("a_end") - col("a_start") >= lit(forSec),
+          col("a_start") + lit(forSec)))
+      .withColumn("fire_time", min("self_fire").over(byChain))
+
+    // held rows with their governing fire time
+    val heldState = isl
+      .join(ignited.select((labCols :+ col("island") :+ col("fire_time")): _*),
+        labels :+ "island")
+      .withColumn("alertstate",
+        when(col("fire_time").isNotNull && col("step") >= col("fire_time"),
+          lit("firing")).otherwise(lit("pending")))
+
+    val outCols = Seq(col("step")) ++ labCols ++
+      Seq(col("alertstate"), col("value"))
+    if (keepSec <= 0L) return heldState.select(outCols: _*)
+
+    // 4. extension rows: dense grid over ALERTED series only
+    val steps = s.range(0, spec.maxK + 1)
+      .select((lit(spec.startSec) + col("id") * lit(stepS)).as("step"))
+    val series = heldState.select(labCols: _*).distinct()
+    val grid = steps.crossJoin(broadcast(series))
+    val wRun = bySeries.orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = grid
+      .join(heldState, (Seq("step") ++ labels).toSeq, "left")
+      .withColumn("last_held",
+        last(when(col("alertstate").isNotNull, col("step")), ignoreNulls = true)
+          .over(wRun))
+      .withColumn("last_state",
+        last(col("alertstate"), ignoreNulls = true).over(wRun))
+      .withColumn("last_value",
+        last(when(col("alertstate").isNotNull, col("value")),
+          ignoreNulls = true).over(wRun))
+    dense
+      .withColumn("out_state",
+        when(col("alertstate").isNotNull, col("alertstate"))
+          .when(col("last_state") === "firing" &&
+            col("step") - col("last_held") <= lit(keepSec), lit("firing")))
+      .filter(col("out_state").isNotNull)
+      .select((Seq(col("step")) ++ labCols ++ Seq(
+        col("out_state").as("alertstate"),
+        coalesce(col("value"), col("last_value")).as("value"))): _*)
+  }
+}

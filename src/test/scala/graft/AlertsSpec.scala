@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Alerts, Promql}
+import SparkFixture.spark
+
+/** The alerting-rule state machine on crafted held-condition timelines:
+  * every upstream transition pinned — pending→firing at exactly `for`,
+  * pending dropped at a missed eval, firing hysteresis bridging gaps ≤
+  * keep_firing_for (with extension rows carrying the last held value),
+  * resolve after the keep window, and pending's inability to seed
+  * hysteresis.
+  */
+class AlertsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val H = 3600L
+  private val spec = Promql.EvalSpec(0L, 20 * H, H)
+
+  private def run(held: Seq[(Long, String, Double)], forSec: Long,
+                  keepSec: Long): Map[(Long, String), (String, Double)] =
+    Alerts.alertStates(spark,
+        held.toDF("step", "series", "value"), spec, forSec, keepSec)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getDouble(3)))
+      .toMap
+
+  // series a: short pending-only island / long island that ignites /
+  // a re-hold within keep / a far-away restart
+  private val heldA = Seq(
+    (0L, "a", 1.0), (H, "a", 2.0),
+    (3 * H, "a", 3.0), (4 * H, "a", 4.0), (5 * H, "a", 5.0),
+    (7 * H, "a", 7.0),
+    (10 * H, "a", 10.0))
+
+  test("for clock: pending until held for >= forSec, firing after") {
+    val m = run(heldA, forSec = 2 * H, keepSec = 0L)
+    assert(m((0L, "a"))._1 === "pending")
+    assert(m((H, "a"))._1 === "pending")
+    // island {3H,4H,5H}: active_at 3H, fires at 3H+2H = 5H
+    assert(m((3 * H, "a"))._1 === "pending")
+    assert(m((4 * H, "a"))._1 === "pending")
+    assert(m((5 * H, "a"))._1 === "firing")
+    // keep=0: every re-hold restarts pending; no extension rows
+    assert(m((7 * H, "a"))._1 === "pending")
+    assert(m((10 * H, "a"))._1 === "pending")
+    assert(m.size === 7, "keep=0 must emit exactly the held rows")
+  }
+
+  test("hysteresis: firing bridges a gap <= keep, extension rows carry the last held value") {
+    val m = run(heldA, forSec = 2 * H, keepSec = H)
+    // unchanged up to ignition
+    assert(m((4 * H, "a"))._1 === "pending")
+    assert(m((5 * H, "a"))._1 === "firing")
+    // missed eval at 6H: within keep of 5H -> extension row, firing,
+    // value = the last held value (5.0)
+    assert(m((6 * H, "a")) === ("firing", 5.0))
+    // re-hold at 7H: CONTINUES firing (no new pending phase)
+    assert(m((7 * H, "a")) === ("firing", 7.0))
+    // 8H: extension (8H - 7H = keep); 9H: 2H past last held > keep -> resolved
+    assert(m((8 * H, "a")) === ("firing", 7.0))
+    assert(!m.contains((9 * H, "a")))
+    // 10H: far restart -> fresh pending
+    assert(m((10 * H, "a"))._1 === "pending")
+  }
+
+  test("pending is dropped at a missed eval and cannot seed hysteresis") {
+    val m = run(heldA, forSec = 2 * H, keepSec = H)
+    // island {0,1H} never fires (span 1H < for 2H): no extension at 2H
+    assert(m((0L, "a"))._1 === "pending")
+    assert(m((H, "a"))._1 === "pending")
+    assert(!m.contains((2 * H, "a")))
+  }
+
+  test("pre-ignition islands chain but stay pending until one holds long enough on its own") {
+    // gaps of exactly keep+step connect every island into one chain,
+    // but ignition needs span >= for; singles never ignite
+    val heldB = Seq(
+      (0L, "b", 1.0), (2 * H, "b", 2.0),
+      (4 * H, "b", 3.0), (5 * H, "b", 4.0), (6 * H, "b", 5.0))
+    val m = run(heldB, forSec = 2 * H, keepSec = H)
+    assert(m((0L, "b"))._1 === "pending")
+    assert(m((2 * H, "b"))._1 === "pending")
+    // NO extension rows at 1H/3H: prior state was pending, not firing
+    assert(!m.contains((H, "b")) && !m.contains((3 * H, "b")))
+    assert(m((4 * H, "b"))._1 === "pending")
+    assert(m((5 * H, "b"))._1 === "pending")
+    assert(m((6 * H, "b"))._1 === "firing")
+  }
+
+  test("forSec = 0 fires immediately; independent series do not interact") {
+    val held = Seq((0L, "a", 1.0), (0L, "b", 2.0), (H, "a", 3.0))
+    val m = run(held, forSec = 0L, keepSec = 0L)
+    assert(m((0L, "a"))._1 === "firing")
+    assert(m((0L, "b"))._1 === "firing")
+    assert(m((H, "a"))._1 === "firing")
+    assert(m.size === 3)
+  }
+
+  test("extension rows never extend past the grid end or before a series' first hold") {
+    val held = Seq((19 * H, "c", 1.0), (20 * H, "c", 2.0))
+    val m = run(held, forSec = 0L, keepSec = 5 * H)
+    // fires at 19H and 20H; grid ends at 20H so no rows beyond
+    assert(m.keys.map(_._1).max === 20 * H)
+    assert(m.keys.map(_._1).min === 19 * H)
+    assert(m.size === 2)
+  }
+}
