@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** ALERTING RULES MAINTAINED ONLINE — the streaming twin of
+  * operators.Alerts: the pending→firing `for:` clock with
+  * `keep_firing_for:` hysteresis, evaluated continuously over the
+  * ingest stream as the watermark advances (the Prometheus ruler's
+  * evaluation loop, re-expressed as one stateful operator).
+  *
+  * The rule shape is the streaming window-local subset's: per
+  * (event_type, tumbling W) sample count compared against a threshold —
+  * the batch twin is
+  * `sum by (event_type)(count_over_time({event_type=~re}[W])) > c`
+  * under the tumbling evaluation. AlertStreamSpec proves the stream's
+  * emissions row-for-row equal to Alerts.alertStates over the batch
+  * evaluation of the same condition, including extension rows.
+  *
+  * State per series is O(1) + the open-window partial counts inside the
+  * watermark horizon — NOT samples (the condition is a count: partials
+  * fold online), and never corpus- or history-sized. Evaluation is
+  * timeout-driven: a bucket is processed once the watermark reaches its
+  * end, INCLUDING buckets with no data (missed evals — where pending
+  * drops and firing extends), which a pure aggregation could never
+  * emit. Timeouts anchor at bucket-end − 1 ms so a watermark landing
+  * exactly on a bucket boundary still fires (the
+  * RollupMaintainStream boundary lesson).
+  *
+  * Append-exact: each (series, step) emits at most once, across
+  * restarts (checkpointed state; the grid cursor is part of the state).
+  */
+object AlertStream {
+
+  /** Per-series state: `cursor` = next grid step to evaluate (epoch
+    * sec; MinValue sentinel = uninitialized), `mode` 0=inactive,
+    * 1=pending, 2=firing, plus the open-bucket partial counts.
+    * (Public: Spark's codegen'd encoders instantiate these from
+    * generated Java.)
+    */
+  case class AlState(cursor: Long, mode: Int, activeAt: Long,
+                     lastHeld: Long, lastValue: Double,
+                     open: Map[Long, Long])
+  case class AlertOut(step: Long, event_type: String,
+                      alertstate: String, value: Double)
+
+  /** Run the rule over the parquet file stream at `inDir`. Caller owns
+    * the sink (Append). `metricRe` anchors like a PromQL =~ matcher.
+    */
+  def run(s: SparkSession, inDir: String, metricRe: String, wSec: Long,
+          threshold: Double, forSec: Long, keepSec: Long,
+          delay: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    require(wSec > 0 && forSec >= 0 && keepSec >= 0, "bad rule params")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Ingest.eventsStream(s, inDir)
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      // the selector disjunct pins this filter ABOVE the watermark
+      // node (never true for real rows): every ingested event drives
+      // the global event clock, whatever the rule selects — a quiet
+      // metric's open buckets must not starve (the PromqlStream
+      // watermark-pinning lesson)
+      .filter(col("event_type").rlike(s"^(?:$metricRe)$$") || col("ts").isNull)
+      // ts rides along: the watermark column must survive projection
+      // for EventTimeTimeout to resolve it
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[AlState, AlertOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          val W = wSec
+          def bucketOf(us: Long): Long =
+            Math.floorDiv(Math.floorDiv(us, 1000000L), W) * W
+          var st = state.getOption.getOrElse(
+            AlState(Long.MinValue, 0, 0L, 0L, 0.0, Map.empty))
+
+          // fold arriving samples into open-bucket partial counts;
+          // buckets below the cursor are already final (their rows
+          // would have been dropped as late — this guard just makes
+          // the invariant explicit so a stray row cannot wedge a
+          // bucket into `open` forever)
+          val arrived = rows.map(r => bucketOf(r._2)).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          if (arrived.nonEmpty) {
+            val floor0 =
+              if (st.cursor == Long.MinValue) arrived.keys.min else st.cursor
+            val open = arrived.filter(_._1 >= floor0).foldLeft(st.open) {
+              case (m, (b, n)) => m.updated(b, m.getOrElse(b, 0L) + n)
+            }
+            st = st.copy(open = open,
+              cursor = if (st.cursor == Long.MinValue) floor0 else st.cursor)
+          }
+
+          // evaluate every grid step whose bucket closed at or before
+          // the watermark, in order — data-less steps included
+          val wmSec = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
+          var done = st.cursor == Long.MinValue
+          while (!done && st.cursor + W <= wmSec) {
+            if (st.mode == 0) {
+              // inactive: empty buckets can emit nothing — jump the
+              // cursor to the next bucket that has data
+              val future = st.open.keys.filter(_ >= st.cursor)
+              if (future.isEmpty) done = true
+              else st = st.copy(cursor = math.max(st.cursor, future.min))
+            }
+            if (!done && st.cursor + W <= wmSec) {
+              val step = st.cursor
+              val cnt = st.open.getOrElse(step, 0L)
+              val held = cnt.toDouble > threshold
+              if (held) {
+                if (st.mode == 0) st = st.copy(mode = 1, activeAt = step)
+                if (st.mode == 1 && step - st.activeAt >= forSec)
+                  st = st.copy(mode = 2)
+                st = st.copy(lastHeld = step, lastValue = cnt.toDouble)
+                out += AlertOut(step, key,
+                  if (st.mode == 2) "firing" else "pending", cnt.toDouble)
+              } else st.mode match {
+                case 1 => st = st.copy(mode = 0) // pending drops at once
+                case 2 =>
+                  if (keepSec > 0 && step - st.lastHeld <= keepSec)
+                    out += AlertOut(step, key, "firing", st.lastValue)
+                  else st = st.copy(mode = 0) // resolved
+                case _ => ()
+              }
+              st = st.copy(open = st.open - step, cursor = step + W)
+            }
+          }
+
+          if (st.mode == 0 && st.open.isEmpty) state.remove()
+          else {
+            state.update(st)
+            // next evaluation: the earliest bucket whose close we are
+            // waiting for — cursor's own end while active (missed
+            // evals matter), else the earliest open bucket's end;
+            // −1 ms so wm == bucket end fires
+            val nextEnd =
+              if (st.mode != 0) st.cursor + W
+              else st.open.keys.min + W
+            state.setTimeoutTimestamp(math.max(nextEnd * 1000L - 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+}

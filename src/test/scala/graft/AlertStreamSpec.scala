@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Alerts, Promql}
+import graft.streaming.AlertStream
+import SparkFixture.{sf, spark}
+
+/** The online alert evaluator must emit row-for-row what the batch
+  * state machine produces over the same data — pending, firing,
+  * hysteresis extension rows included — and emit each (series, step)
+  * at most once across restarts.
+  */
+class AlertStreamSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val W = 21600L       // 6h tumbling buckets
+  private val Thresh = 1.0     // held when the bucket count >= 2
+  private val For = 2 * W      // firing needs 2 consecutive held buckets
+  private val Keep = W         // hysteresis bridges one missed eval
+
+  test("streaming alert emissions equal the batch state machine, extension rows included") {
+    val base = "/root/repo/target/tmp/alertstream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def runOnce(): Unit = {
+      val sq = AlertStream.run(spark, in, "click|purchase", W, Thresh,
+          For, Keep).writeStream
+        .format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    runOnce()
+    // two sentinel hops (the StreamPromqlSpec drain pattern): sentinel 1
+    // advances the watermark past every real bucket, sentinel 2 runs the
+    // batch that applies it. Sentinel rows are "view" — OUTSIDE the rule
+    // selector, so they drive only the clock (the pin-above contract).
+    val maxUs = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("ts_ns"))).head.getLong(0) / 1000L
+    def writeSentinel(id: Long, us: Long): Unit =
+      Seq((id, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+          1L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+    writeSentinel(999999998L, maxUs + (2L * W + 7200L) * 1000000L)
+    runOnce()
+    writeSentinel(999999999L, maxUs + (2L * W + 7200L + 36000L) * 1000000L)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0, "stream must emit alerts")
+
+    // batch twin: tumbling evaluation of the same condition, fed
+    // through the batch state machine on a grid covering the stream's
+    // whole emission domain (last held + keep)
+    val held = Promql.query(spark, sf,
+      s"""sum by (event_type) (count_over_time({event_type=~"click|purchase"}[6h])) > 1""")
+    val steps = held.agg(
+      org.apache.spark.sql.functions.min("step"),
+      org.apache.spark.sql.functions.max("step")).head
+    val spec = Promql.EvalSpec(steps.getLong(0),
+      steps.getLong(1) + Keep + W, W)
+    val want = Alerts.alertStates(spark, held, spec, For, Keep)
+
+    assert(got.columns.sorted === want.columns.sorted)
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.exceptAll(w).count() === 0, "stream-only rows")
+    assert(w.exceptAll(got).count() === 0, "batch-only rows")
+
+    // the fixture must actually exercise all three row kinds
+    val states = got.select("alertstate").distinct().as[String].collect().toSet
+    assert(states === Set("pending", "firing"))
+    val extension = got.as[(Long, String, String, Double)].collect()
+      .filter { case (step, et, st, _) =>
+        st == "firing" &&
+          held.filter(col("step") === step && col("event_type") === et)
+            .isEmpty
+      }
+    assert(extension.nonEmpty,
+      "fixture must produce hysteresis extension rows (firing at a missed eval)")
+
+    // append emit-once across the three restarts
+    assert(got.groupBy("step", "event_type").count()
+      .filter(col("count") > 1).count() === 0, "duplicate emission")
+  }
+
+  test("keep_firing_for = 0 emits exactly the held-step alerts (no extension rows)") {
+    val base = "/root/repo/target/tmp/alertstream0"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$in/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def runOnce(): Unit = {
+      val sq = AlertStream.run(spark, in, "click|purchase", W, Thresh,
+          For, 0L).writeStream
+        .format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    runOnce()
+    val maxUs = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("ts_ns"))).head.getLong(0) / 1000L
+    Seq((999999998L, java.time.LocalDateTime.ofEpochSecond(
+        maxUs / 1000000L + 2 * W + 7200L, 0, java.time.ZoneOffset.UTC),
+        1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    Seq((999999999L, java.time.LocalDateTime.ofEpochSecond(
+        maxUs / 1000000L + 2 * W + 43200L, 0, java.time.ZoneOffset.UTC),
+        1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+    val held = Promql.query(spark, sf,
+      s"""sum by (event_type) (count_over_time({event_type=~"click|purchase"}[6h])) > 1""")
+    val steps = held.agg(
+      org.apache.spark.sql.functions.min("step"),
+      org.apache.spark.sql.functions.max("step")).head
+    val spec = Promql.EvalSpec(steps.getLong(0), steps.getLong(1) + W, W)
+    val want = Alerts.alertStates(spark, held, spec, For, 0L)
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.count() === held.count(), "keep=0: one row per held step")
+    assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
+  }
+}
