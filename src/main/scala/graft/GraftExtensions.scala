@@ -147,6 +147,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Promql.queryAt(s, dir, q, spec)
           .queryExecution.analyzed
       }))
+    // ALERTING RULES from SQL (round 15): the rule state machine as a
+    // table function — SQL users evaluate a rule's expr through the
+    // same front-end and get the ALERTS rows (pending/firing, with
+    // keep_firing_for hysteresis) as a joinable table.
+    //   SELECT * FROM promql_alerts('expr > c', dir, start, end, step,
+    //                               lookback, for[, keep])
+    ext.injectTableFunction((
+      FunctionIdentifier("promql_alerts"),
+      info("promql_alerts",
+        "promql_alerts(expr, dir, start, end, step, lookback, for[, keep]) - evaluate an alerting rule: pending/firing rows with for: and keep_firing_for: semantics"),
+      (exprs: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.active
+        def long(e: Expression, what: String): Long =
+          intLitLong(e, "promql_alerts", what)
+        val (q, dir, spec, forS, keepS) = exprs match {
+          case Seq(qe, de, st, en, sp, lb, fo) =>
+            (strLit(qe, "promql_alerts", "expr"),
+              strLit(de, "promql_alerts", "dir"),
+              graft.operators.Promql.EvalSpec(long(st, "start"),
+                long(en, "end"), long(sp, "step"), long(lb, "lookback")),
+              long(fo, "for"), 0L)
+          case Seq(qe, de, st, en, sp, lb, fo, ke) =>
+            (strLit(qe, "promql_alerts", "expr"),
+              strLit(de, "promql_alerts", "dir"),
+              graft.operators.Promql.EvalSpec(long(st, "start"),
+                long(en, "end"), long(sp, "step"), long(lb, "lookback")),
+              long(fo, "for"), long(ke, "keep"))
+          case other => throw new IllegalArgumentException(
+            "promql_alerts expects (expr, dir, start, end, step, lookback, for[, keep]), " +
+              s"got ${other.size} arguments")
+        }
+        graft.operators.Alerts.rule(s, dir, q, spec, forS, keepS)
+          .queryExecution.analyzed
+      }))
     // The snapshot store's TIME-TRAVEL surface as SQL table functions
     // (round 13): `SELECT * FROM snapshot_at(dir, v)` reads the table
     // as of version v — planning ONLY that manifest's file groups —

@@ -2128,6 +2128,13 @@ object OracleSql {
       "q_promql_chunks_sum" -> base("q_promql_sum"),
       "q_promql_chunks_irate" -> base("q_promql_irate"),
       "q_promql_chunks_stepped" -> base("q_promql_stepped"),
+      // the query-frontend results cache must serve the SAME grid the
+      // direct evaluation produces — head steps read back from the
+      // result store, tail steps evaluated fresh, one hash
+      "q_promql_cached" -> base("q_promql_stepped"),
+      // the SQL table-function alert surface compiles to the same
+      // plan as the API call — one hash
+      "q_promql_alert_tvf" -> base("q_promql_alert_keep"),
       // the downsampled hourly re-aggregation must reproduce the
       // raw-events hourly sum bit-for-bit (300 s divides 3600 s and the
       // store's partial sums stay DECIMAL) — downsampling's correctness

@@ -228,6 +228,21 @@ object SparkEntry {
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
       forSec = 7200L, keepSec = 3600L)),
+    // the same rule through the SQL table function — shares
+    // q_promql_alert_keep's oracle hash
+    "q_promql_alert_tvf" -> ((s, d) => s.sql(
+      "SELECT * FROM promql_alerts('sum by (event_type) (count_over_time({event_type=~\"click|view|purchase|signup|error\"}[2h])) > 6', " +
+        s"'$d', 1704067200, 1704153600, 3600, 7200, 7200, 3600)")),
+    // query-frontend RESULTS CACHE (round 15): prime the head half of
+    // the grid, then serve the full range — head from the result
+    // store, tail evaluated fresh (scan bounded to the tail), one
+    // union sharing q_promql_stepped's oracle hash
+    "q_promql_cached" -> ((s, d) => {
+      val half = graft.operators.Promql.EvalSpec(1704067200L, 1704110400L, 3600L, 7200L)
+      val full = graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+      graft.plans.ResultCache.queryCached(s, d, "sum(click)", half).count()
+      graft.plans.ResultCache.queryCached(s, d, "sum(click)", full)
+    }),
     // true range-query evaluation: aligned steps + per-step lookback
     "q_promql_stepped" -> ((s, d) => graft.operators.Promql.queryAt(
       s, d, "sum(click)",

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Promql
+import graft.plans.ResultCache
+import SparkFixture.{sf, spark}
+
+/** The query-frontend results cache: interval arithmetic, grid-exact
+  * equality with direct evaluation, pure-store serving on repeats, and
+  * tail-only fresh evaluation after priming.
+  */
+class ResultCacheSpec extends AnyFunSuite {
+
+  private val H = 3600L
+  private def clearCache(): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}"))
+
+  test("uncovered interval subtraction is exact and grid-aligned") {
+    def u(s: Long, e: Long, cov: Seq[(Long, Long)]) =
+      ResultCache.uncovered(s, e, H, cov)
+    // nothing covered -> the whole request
+    assert(u(0, 10 * H, Seq.empty) === Seq((0L, 10 * H)))
+    // head covered -> tail only
+    assert(u(0, 10 * H, Seq((0L, 4 * H))) === Seq((5 * H, 10 * H)))
+    // hole in the middle
+    assert(u(0, 10 * H, Seq((3 * H, 5 * H))) ===
+      Seq((0L, 2 * H), (6 * H, 10 * H)))
+    // covered interval extending beyond both ends -> nothing
+    assert(u(2 * H, 8 * H, Seq((0L, 10 * H))) === Seq.empty)
+    // multiple disjoint covers, unsorted input
+    assert(u(0, 10 * H, Seq((6 * H, 7 * H), (1 * H, 2 * H))) ===
+      Seq((0L, 0L), (3 * H, 5 * H), (8 * H, 10 * H)))
+    // adjacent cover ending exactly at request start
+    assert(u(5 * H, 8 * H, Seq((0L, 4 * H))) === Seq((5 * H, 8 * H)))
+  }
+
+  test("prime-head-then-full equals direct evaluation row-for-row") {
+    clearCache()
+    val half = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    val full = Promql.EvalSpec(1704067200L, 1704153600L, H, 7200L)
+    val q = "sum(click)"
+    ResultCache.queryCached(spark, sf, q, half).count()
+    val got = ResultCache.queryCached(spark, sf, q, full)
+    val want = Promql.queryAt(spark, sf, q, full)
+    assert(got.columns.sorted === want.columns.sorted)
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.exceptAll(w).count() === 0, "cache-only rows")
+    assert(w.exceptAll(got).count() === 0, "direct-only rows")
+    assert(got.count() > 0)
+  }
+
+  test("a fully-covered repeat serves purely from the result store (no raw-table scan)") {
+    val full = Promql.EvalSpec(1704067200L, 1704153600L, H, 7200L)
+    val again = ResultCache.queryCached(spark, sf, "sum(click)", full)
+    val plan = SparkFixture.planOf(again)
+    assert(!plan.contains("events.parquet"),
+      "repeat query must not touch the raw table:\n" + plan)
+    assert(plan.contains("result_cache_"), "must scan the result store")
+  }
+
+  test("after priming, only the uncovered tail is evaluated (one new interval dir)") {
+    clearCache()
+    val head = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    val full = Promql.EvalSpec(1704067200L, 1704153600L, H, 7200L)
+    ResultCache.queryCached(spark, sf, "sum(click)", head).count()
+    val root = new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}")
+    def ivDirs() = root.listFiles().flatMap(_.listFiles())
+      .map(_.getName).filter(_.startsWith("iv_")).toSet
+    val before = ivDirs()
+    assert(before === Set("iv_1704067200_1704110400"))
+    ResultCache.queryCached(spark, sf, "sum(click)", full).count()
+    val added = ivDirs() -- before
+    // tail starts one step past the covered head
+    assert(added === Set(s"iv_${1704110400L + H}_1704153600"))
+  }
+
+  test("grid phase and window are part of the cache key") {
+    clearCache()
+    val a = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    val shifted = Promql.EvalSpec(1704067200L + 1800L, 1704110400L + 1800L, H, 7200L)
+    val widened = Promql.EvalSpec(1704067200L, 1704110400L, H, 3600L)
+    ResultCache.queryCached(spark, sf, "sum(click)", a).count()
+    ResultCache.queryCached(spark, sf, "sum(click)", shifted).count()
+    ResultCache.queryCached(spark, sf, "sum(click)", widened).count()
+    val root = new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}")
+    assert(root.listFiles().count(_.isDirectory) === 3,
+      "three incompatible grids must occupy three cache keys")
+    // and the shifted grid's values are their own evaluation
+    val got = ResultCache.queryCached(spark, sf, "sum(click)", shifted)
+    val want = Promql.queryAt(spark, sf, "sum(click)", shifted)
+    assert(got.exceptAll(want.select(got.columns.map(col): _*)).count() === 0)
+  }
+}
