@@ -478,6 +478,17 @@ object OracleSql {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
         |       CAST(COUNT(*) AS DOUBLE) AS value
         |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin,
+    // recording rule: the oracle re-derives the whole composition from
+    // RAW events (inner per-user hourly decimal sum, outer cross-series
+    // decimal sum), so the hash proves the recorded store wrote
+    // faithful samples AND the evaluator read them back exactly
+    "q_promql_recorded" ->
+      """WITH r AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT step, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM r GROUP BY 1""".stripMargin,
     "q_promql_topk" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -233,6 +233,16 @@ object SparkEntry {
     "q_promql_alert_tvf" -> ((s, d) => s.sql(
       "SELECT * FROM promql_alerts('sum by (event_type) (count_over_time({event_type=~\"click|view|purchase|signup|error\"}[2h])) > 6', " +
         s"'$d', 1704067200, 1704153600, 3600, 7200, 7200, 3600)")),
+    // RECORDING RULES (round 15): a PromQL expr persisted as a new
+    // named series, then queried back THROUGH THE EVALUATOR via the
+    // SampleSource seam — the oracle re-derives the composition from
+    // raw events, so the hash proves record + readback + re-aggregate
+    "q_promql_recorded" -> ((s, d) => {
+      graft.sources.RecordedRules.record(s, d, "rec_purchase_sum1h",
+        "sum by (user_id)(sum_over_time(purchase[1h]))")
+      graft.operators.Promql.query(s, d, "sum(rec_purchase_sum1h)",
+        graft.sources.RecordedRules.RecordedSource("rec_purchase_sum1h"))
+    }),
     // query-frontend RESULTS CACHE (round 15): prime the head half of
     // the grid, then serve the full range — head from the result
     // store, tail evaluated fresh (scan bounded to the tail), one
