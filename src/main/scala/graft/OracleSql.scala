@@ -70,6 +70,13 @@ object OracleSql {
       """SELECT 'event_type' AS label, COUNT(DISTINCT event_type) AS cardinality FROM events
         |UNION ALL
         |SELECT 'user_id' AS label, COUNT(DISTINCT user_id) AS cardinality FROM events""".stripMargin,
+    "q_tsdb_stats" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_series,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
     "q_label_values" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS label_value
         |FROM events WHERE event_type = 'click'""".stripMargin,

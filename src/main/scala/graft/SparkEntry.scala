@@ -30,6 +30,8 @@ object SparkEntry {
     "q_distinct_series" -> (Scan.distinctSeries _),
     "q_series_select"   -> (Scan.seriesSelect _),
     "q_label_names"     -> (Scan.labelNames _),
+    // TSDB head status: per-metric series/sample counts + time range
+    "q_tsdb_stats"      -> (Scan.tsdbStats _),
     "q_label_values"    -> ((s, d) => Scan.labelValues(
       s, d, "user_id", Seq(("event_type", "=", "click")))),
     // anchored =~ through the dictionary path (string + numeric) plus !=:

@@ -220,6 +220,22 @@ object Scan {
   def labelNames(s: SparkSession, dir: String): DataFrame =
     labelNamesFor(s, dir, Seq("event_type", "user_id"))
 
+  /** TSDB HEAD STATUS — the `/api/v1/status/tsdb` surface (round 15):
+    * per metric, series count, sample count, and the head's time range
+    * — what an operator reads before deciding what to drop or
+    * downsample, and what Grafana's datasource health check shows.
+    * One partial-agg scan: the count-distinct reduces the per-metric
+    * (metric, series) tuple space, which is dictionary-sized; min/max
+    * timestamps come from the same pass as exact µs integers.
+    */
+  def tsdbStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_series"),
+        count(lit(1)).as("n_samples"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+
   /** Semi-structured extraction: the `props` JSON column parsed in the
     * scan projection (`get_json_object` — codegen'd, no UDF) and
     * aggregated as if it were a typed column. The point on record:
