@@ -44,26 +44,33 @@ object RecordedRules {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad rule name $name")
     val p = path(s, dir, name)
     written.computeIfAbsent(p, _ => {
-      val res = Promql.query(s, dir, expr)
-      val cols = res.columns.toSet
-      require(cols.contains("step") && cols.contains("value"),
-        s"recording rule must produce a (step, value) grid, got $cols")
-      val labels = res.columns.filterNot(Set("step", "value")).toSeq
-      require(labels.forall(_ == "user_id"),
-        s"recording rule labels must be ⊆ {user_id}, got $labels")
-      val keyed =
-        if (labels.contains("user_id")) res
-        else res.withColumn("user_id", lit(0L))
-      keyed.select(
-          timestamp_micros(col("step") * 1000000L).as("ts"),
-          (col("step") * 1000000000L).as("ts_ns"),
-          col("user_id").cast("long").as("user_id"),
-          lit(name).as("event_type"),
-          col("value").cast("double").as("value"),
-          lit(0L).as("event_id"))
+      toSamples(Promql.query(s, dir, expr), name)
         .write.mode("overwrite").parquet(p)
       p
     })
+  }
+
+  /** (step, labels..., value) grid → the sample schema the seam serves.
+    * Shared by the batch recorder and the streaming maintainer
+    * (streaming/RecordingRuleStream) so the two write IDENTICAL rows.
+    */
+  private[graft] def toSamples(res: DataFrame, name: String): DataFrame = {
+    val cols = res.columns.toSet
+    require(cols.contains("step") && cols.contains("value"),
+      s"recording rule must produce a (step, value) grid, got $cols")
+    val labels = res.columns.filterNot(Set("step", "value")).toSeq
+    require(labels.forall(_ == "user_id"),
+      s"recording rule labels must be ⊆ {user_id}, got $labels")
+    val keyed =
+      if (labels.contains("user_id")) res
+      else res.withColumn("user_id", lit(0L))
+    keyed.select(
+      timestamp_micros(col("step") * 1000000L).as("ts"),
+      (col("step") * 1000000000L).as("ts_ns"),
+      col("user_id").cast("long").as("user_id"),
+      lit(name).as("event_type"),
+      col("value").cast("double").as("value"),
+      lit(0L).as("event_id"))
   }
 
   /** Serve a recorded rule's series back through the evaluator: the
