@@ -489,6 +489,22 @@ object OracleSql {
     // RAW events (inner per-user hourly decimal sum, outer cross-series
     // decimal sum), so the hash proves the recorded store wrote
     // faithful samples AND the evaluator read them back exactly
+    // union-namespace mix: recorded rule / raw metric in one expr —
+    // the oracle composes both sides from raw events
+    "q_promql_recorded_mix" ->
+      """WITH r AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT step, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS va
+        |  FROM r GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         CAST(COUNT(*) AS DOUBLE) AS vb
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT a.step, va / vb AS value
+        |FROM a JOIN b ON a.step = b.step WHERE vb <> 0.0""".stripMargin,
     "q_promql_recorded" ->
       """WITH r AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,

@@ -245,6 +245,15 @@ object SparkEntry {
       graft.operators.Promql.query(s, d, "sum(rec_purchase_sum1h)",
         graft.sources.RecordedRules.RecordedSource("rec_purchase_sum1h"))
     }),
+    // ONE NAMESPACE: raw + recorded series through the union source —
+    // a single expression divides a precomputed rule by a raw metric
+    "q_promql_recorded_mix" -> ((s, d) => {
+      graft.sources.RecordedRules.record(s, d, "rec_purchase_sum1h",
+        "sum by (user_id)(sum_over_time(purchase[1h]))")
+      graft.operators.Promql.query(s, d,
+        "sum(rec_purchase_sum1h) / sum(count_over_time(click[1h]))",
+        graft.sources.RecordedRules.UnionSource(Seq("rec_purchase_sum1h")))
+    }),
     // query-frontend RESULTS CACHE (round 15): prime the head half of
     // the grid, then serve the full range — head from the result
     // store, tail evaluated fresh (scan bounded to the tail), one

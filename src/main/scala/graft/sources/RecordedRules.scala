@@ -86,4 +86,26 @@ object RecordedRules {
       }
     }
   }
+
+  /** ONE NAMESPACE for raw and recorded series — Prometheus's actual
+    * posture (a recorded series is just another series in the TSDB): a
+    * source that unions the raw events table with the dataset's
+    * recorded stores, so a single PromQL expression can reference both
+    * (e.g. a raw metric divided by a precomputed rule). Selectors pick
+    * series by metric name after the union; time bounds prune each
+    * leg's parquet scan independently, and a metric-name filter pushed
+    * by the selector prunes the legs it cannot match via parquet
+    * min/max stats on event_type.
+    */
+  case class UnionSource(names: Seq[String]) extends SampleSource {
+    override def load(s: SparkSession, dir: String,
+                      boundsNs: Option[(Long, Long)]): DataFrame = {
+      val cols = Seq("ts", "ts_ns", "user_id", "event_type", "value", "event_id")
+      val legs = graft.operators.EventsSource.load(s, dir, boundsNs)
+        .select(cols.map(col): _*) +:
+        names.map(n => RecordedSource(n).load(s, dir, boundsNs)
+          .select(cols.map(col): _*))
+      legs.reduce(_ unionAll _)
+    }
+  }
 }
