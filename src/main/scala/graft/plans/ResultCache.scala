@@ -21,34 +21,49 @@ import graft.sources.ChunkStore
   * the raw table.
   *
   * Correctness contract: queryCached(expr, spec) returns ROW-FOR-ROW
-  * what Promql.queryAt(expr, spec) returns (grid union is exact; a
-  * step that evaluated to an empty vector is cached-as-empty through
-  * the covered-interval metadata, not by absence of data). Determinism
+  * what Promql.queryAt(expr, spec) returns over the spec's ALIGNED
+  * grid (endSec is clamped to startSec + maxK·stepSec — the last step
+  * the grid actually contains — so an off-grid endSec cannot record an
+  * off-grid covered bound and phase-shift later evaluations). A step
+  * that evaluated to an empty vector is cached-as-empty through the
+  * covered-interval metadata, not by absence of data. Determinism
   * survives the parquet round-trip (doubles are stored bit-exact).
   *
-  * Cache key: (expr text, stepSec, lookbackSec, grid phase
-  * startSec mod stepSec, dataset dir, source fingerprint) — the phase
-  * is part of the key because two grids with different alignment share
-  * no steps; the fingerprint (file size + mtime, the CurationStream
-  * lesson) invalidates the cache when the source is regenerated
-  * in-place.
+  * Cache key: SHA-256 (truncated 128-bit hex — collision-free for any
+  * realistic key population; a 32-bit hash would collide at ~77k
+  * accumulated keys and silently serve one query's grid as another's)
+  * of (expr text, stepSec, lookbackSec, grid phase startSec mod
+  * stepSec, dataset dir, source fingerprint). The phase is part of the
+  * key because two grids with different alignment share no steps; the
+  * fingerprint (file size + mtime, the CurationStream lesson)
+  * invalidates the cache when the source is regenerated in-place.
   *
   * Store layout (write-once, idempotent):
   *   root/result_cache_<tag>/<key>/iv_<a>_<b>/   parquet, one dir per
-  *     evaluated interval (OVERWRITE on re-evaluation, so a crash
-  *     between data write and meta update re-runs idempotently);
+  *     evaluated interval (OVERWRITE on re-evaluation; an interval is
+  *     trusted only when its _SUCCESS marker exists, so a writer
+  *     killed mid-overwrite re-runs instead of serving a torn grid);
   *   root/result_cache_<tag>/<key>/meta          covered intervals,
   *     one "a,b" line each, rewritten atomically via temp+rename.
+  * The moving-dashboard workload appends one single-step interval per
+  * refresh; when a key accumulates more than [[CompactAt]] intervals,
+  * contiguous runs are COMPACTED into one parquet dir (read → rewrite
+  * → atomic meta swap → delete stale dirs), so serve cost stays
+  * O(holes), not O(cache age).
   */
 object ResultCache {
+
+  /** Compact a key's store once its meta carries more intervals. */
+  val CompactAt = 16
 
   private def keyOf(dir: String, expr: String, spec: Promql.EvalSpec): String = {
     val src = Paths.get(dir, "events.parquet")
     val fp = ChunkStore.sourceFingerprint(src, "events.parquet")
     val phase = Math.floorMod(spec.startSec, spec.stepSec)
     val raw = s"$expr|${spec.stepSec}|${spec.lookbackSec}|$phase|$dir|$fp"
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(raw).toLong & 0xffffffffL)
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map("%02x".format(_)).mkString
   }
 
   private def cacheDir(s: SparkSession, dir: String, expr: String,
@@ -56,8 +71,13 @@ object ResultCache {
     Paths.get(s"${ChunkStore.storeRoot(s)}/result_cache_" +
       s"${ChunkStore.pathTag(dir)}/${keyOf(dir, expr, spec)}")
 
+  private def ivDir(root: Path, a: Long, b: Long): Path =
+    root.resolve(s"iv_${a}_$b")
+
   /** Covered intervals (inclusive epoch-sec step bounds), disjoint and
-    * sorted, from the meta file.
+    * sorted, from the meta file — an interval counts only if its data
+    * dir finished writing (_SUCCESS), so a torn overwrite re-evaluates
+    * instead of serving an incomplete grid.
     */
   private def readMeta(root: Path): Seq[(Long, Long)] = {
     val meta = root.resolve("meta")
@@ -66,6 +86,8 @@ object ResultCache {
         Files.readAllLines(meta)).asScala.toSeq
       .filter(_.nonEmpty)
       .map { l => val p = l.split(","); (p(0).toLong, p(1).toLong) }
+      .filter { case (a, b) =>
+        Files.isRegularFile(ivDir(root, a, b).resolve("_SUCCESS")) }
       .sortBy(_._1)
   }
 
@@ -94,6 +116,37 @@ object ResultCache {
     out.toSeq.filter { case (x, y) => x <= y }
   }
 
+  /** Merge contiguous runs (next.a == prev.b + step) of a key's
+    * intervals into single parquet dirs when the count exceeds
+    * [[CompactAt]]. Meta swaps atomically BEFORE stale dirs are
+    * deleted, so a crash mid-compaction leaves either the old state or
+    * the new one, never a covered interval without data.
+    */
+  private def compact(s: SparkSession, root: Path, stepSec: Long,
+                      ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    if (ivs.size <= CompactAt) return ivs
+    val sorted = ivs.sortBy(_._1)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long)]]
+    for (iv <- sorted) {
+      if (runs.nonEmpty && runs.last.last._2 + stepSec == iv._1)
+        runs(runs.size - 1) = runs.last :+ iv
+      else runs += Vector(iv)
+    }
+    val merged = runs.toSeq.map { run =>
+      val (a, b) = (run.head._1, run.last._2)
+      if (run.size > 1) {
+        s.read.parquet(run.map { case (x, y) => ivDir(root, x, y).toString }: _*)
+          .write.mode("overwrite").parquet(ivDir(root, a, b).toString)
+      }
+      (a, b, run)
+    }
+    writeMeta(root, merged.map { case (a, b, _) => (a, b) })
+    for ((a, b, run) <- merged if run.size > 1;
+         (x, y) <- run if (x, y) != ((a, b)))
+      org.apache.commons.io.FileUtils.deleteQuietly(ivDir(root, x, y).toFile)
+    merged.map { case (a, b, _) => (a, b) }
+  }
+
   /** Evaluate `expr` on `spec`'s grid through the cache: covered steps
     * read back from the result store, uncovered sub-ranges evaluated
     * fresh (their parquet scan bounded to the sub-range by the
@@ -103,23 +156,30 @@ object ResultCache {
   def queryCached(s: SparkSession, dir: String, expr: String,
                   spec: Promql.EvalSpec): DataFrame = {
     val root = cacheDir(s, dir, expr, spec)
+    // the last step the grid actually contains — an off-grid endSec
+    // must not record an off-grid covered bound
+    val end = spec.startSec + spec.maxK * spec.stepSec
     val covered0 = readMeta(root)
-    val fresh = uncovered(spec.startSec, spec.endSec, spec.stepSec, covered0)
+    val fresh = uncovered(spec.startSec, end, spec.stepSec, covered0)
     for ((a, b) <- fresh) {
       val sub = Promql.EvalSpec(a, b, spec.stepSec, spec.lookbackSec)
       Promql.queryAt(s, dir, expr, sub)
         .write.mode("overwrite")
-        .parquet(root.resolve(s"iv_${a}_$b").toString)
+        .parquet(ivDir(root, a, b).toString)
     }
-    if (fresh.nonEmpty) writeMeta(root, covered0 ++ fresh)
+    val covered =
+      if (fresh.isEmpty) covered0
+      else compact(s, root, spec.stepSec, {
+        writeMeta(root, covered0 ++ fresh); covered0 ++ fresh
+      })
     // serve the requested grid purely from the store: every interval
     // overlapping the request, step-filtered — a repeat query never
     // touches the raw table at all
-    val serving = (covered0 ++ fresh)
-      .filter { case (a, b) => b >= spec.startSec && a <= spec.endSec }
-      .map { case (a, b) => root.resolve(s"iv_${a}_$b").toString }
+    val serving = covered
+      .filter { case (a, b) => b >= spec.startSec && a <= end }
+      .map { case (a, b) => ivDir(root, a, b).toString }
     require(serving.nonEmpty, "empty evaluation grid")
     s.read.parquet(serving: _*)
-      .filter(col("step") >= spec.startSec && col("step") <= spec.endSec)
+      .filter(col("step") >= spec.startSec && col("step") <= end)
   }
 }

@@ -43,11 +43,28 @@ object RecordedRules {
              expr: String): String = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad rule name $name")
     val p = path(s, dir, name)
-    written.computeIfAbsent(p, _ => {
+    // the memo value carries the expr AND the source fingerprint: a
+    // name reused with a different expression must FAIL (silently
+    // serving the first expr's data would be wrong numbers, no error),
+    // and an in-place regenerated dataset must re-record rather than
+    // serve stale rows for the session's lifetime
+    val fp = ChunkStore.sourceFingerprint(
+      java.nio.file.Paths.get(dir, "events.parquet"), "events.parquet")
+    val tag = s"$expr|$fp"
+    val prev = written.putIfAbsent(p, tag)
+    if (prev == null)
       toSamples(Promql.query(s, dir, expr), name)
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    else if (prev != tag) {
+      val sameExpr = prev.startsWith(s"$expr|")
+      require(sameExpr,
+        s"recording rule '$name' already recorded from a DIFFERENT expr")
+      // same expr, regenerated source: re-record and refresh the memo
+      toSamples(Promql.query(s, dir, expr), name)
+        .write.mode("overwrite").parquet(p)
+      written.put(p, tag)
+    }
+    p
   }
 
   /** (step, labels..., value) grid → the sample schema the seam serves.
@@ -101,10 +118,16 @@ object RecordedRules {
     override def load(s: SparkSession, dir: String,
                       boundsNs: Option[(Long, Long)]): DataFrame = {
       val cols = Seq("ts", "ts_ns", "user_id", "event_type", "value", "event_id")
-      val legs = graft.operators.EventsSource.load(s, dir, boundsNs)
-        .select(cols.map(col): _*) +:
-        names.map(n => RecordedSource(n).load(s, dir, boundsNs)
-          .select(cols.map(col): _*))
+      // props rides along (null on recorded legs): the evaluator's
+      // DERIVED labels project from props, so dropping it would make
+      // any expr using a derived label on a RAW metric fail to analyze
+      // under the one-namespace source
+      val raw = graft.operators.EventsSource.load(s, dir, boundsNs)
+      val rawLeg = raw.select((cols.map(col) :+ col("props")): _*)
+      val legs = rawLeg +: names.map(n =>
+        RecordedSource(n).load(s, dir, boundsNs)
+          .select((cols.map(col) :+
+            lit(null).cast("string").as("props")): _*))
       legs.reduce(_ unionAll _)
     }
   }

@@ -79,16 +79,27 @@ object AlertStream {
           var st = state.getOption.getOrElse(
             AlState(Long.MinValue, 0, 0L, 0L, 0.0, Map.empty))
 
-          // fold arriving samples into open-bucket partial counts;
-          // buckets below the cursor are already final (their rows
-          // would have been dropped as late — this guard just makes
-          // the invariant explicit so a stray row cannot wedge a
-          // bucket into `open` forever)
+          // fold arriving samples into open-bucket partial counts.
+          // Cursor initialization must NOT trust the first batch's min
+          // bucket: an admitted row's event time is >= the watermark,
+          // so any bucket >= floor(wm/W)·W can still receive data — a
+          // series first seen in a LATER bucket must keep earlier
+          // still-open buckets admissible (initializing from the first
+          // arrival would silently drop an in-watermark out-of-order
+          // sample and diverge from the batch machine). After
+          // initialization the invariant cursor <= floor(wm/W)·W holds
+          // (processing stops at cursor + W <= wm), so the >= cursor
+          // guard below never drops an admissible row — it only keeps
+          // a stray late row from wedging a finalized bucket into
+          // `open` forever.
           val arrived = rows.map(r => bucketOf(r._2)).toSeq
             .groupBy(identity).view.mapValues(_.size.toLong).toMap
           if (arrived.nonEmpty) {
+            val wmBucket = Math.floorDiv(
+              Math.floorDiv(state.getCurrentWatermarkMs(), 1000L), W) * W
             val floor0 =
-              if (st.cursor == Long.MinValue) arrived.keys.min else st.cursor
+              if (st.cursor == Long.MinValue) math.min(arrived.keys.min, wmBucket)
+              else st.cursor
             val open = arrived.filter(_._1 >= floor0).foldLeft(st.open) {
               case (m, (b, n)) => m.updated(b, m.getOrElse(b, 0L) + n)
             }

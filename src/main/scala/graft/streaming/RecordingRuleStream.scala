@@ -31,13 +31,10 @@ object RecordingRuleStream {
     s"${graft.sources.ChunkStore.storeRoot(s)}/recorded_stream_" +
       s"${name}_${graft.sources.ChunkStore.pathTag(dir)}"
 
-  def horizonSec(storeDir: String): Option[Long] = {
-    val f = new java.io.File(storeDir, "_watermark")
-    if (f.isFile)
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  // marker IO shared with RollupMaintainStream: temp-file + ATOMIC_MOVE
+  // so a concurrent horizon reader can never observe a torn marker
+  def horizonSec(storeDir: String): Option[Long] =
+    RollupMaintainStream.readMarker(storeDir, "_watermark")
 
   /** One maintenance pass: drain the inbox, append closed windows to
     * the store, advance the horizon. Restart-safe via the checkpoint
@@ -70,9 +67,7 @@ object RecordingRuleStream {
     wm.foreach { h =>
       val prev = horizonSec(storeDir).getOrElse(Long.MinValue)
       if (h > prev)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(storeDir, "_watermark"),
-          h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        RollupMaintainStream.writeMarker(storeDir, "_watermark", h)
     }
   }
 

@@ -199,14 +199,14 @@ object RollupMaintainStream {
   def edgeCount(storeDir: String): Option[Long] =
     readMarker(storeDir, "_edge_count")
 
-  private def readMarker(storeDir: String, name: String): Option[Long] = {
+  private[streaming] def readMarker(storeDir: String, name: String): Option[Long] = {
     val marker = new java.io.File(storeDir, name)
     if (!marker.isFile) None
     else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
   }
 
-  private def writeMarker(storeDir: String, name: String,
+  private[streaming] def writeMarker(storeDir: String, name: String,
                           value: Long): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
     val tmp = java.io.File.createTempFile("mrk", ".tmp",

@@ -94,6 +94,58 @@ class AlertStreamSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0, "duplicate emission")
   }
 
+  test("an in-watermark out-of-order sample for an earlier still-open bucket is counted, not dropped") {
+    // series first seen in bucket 18:00; a later batch delivers an
+    // ADMITTED (above-watermark) sample for the still-open bucket
+    // 17:00 — cursor initialization from the first arrival would drop
+    // it and the 17:00 alert would never exist
+    val base = "/root/repo/target/tmp/alertstream_ooo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    val H = 3600L
+    val day = 1704067200L // 2024-01-01 00:00 UTC
+    def writeWave(tag: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (id, sec, et) =>
+        (id, java.time.LocalDateTime.ofEpochSecond(sec, 0,
+          java.time.ZoneOffset.UTC), 1L, et, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_$tag")
+    def copyWave(tag: String): Unit = {
+      val part = new java.io.File(s"$base/stage_$tag").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$in/$tag.parquet"))
+    }
+    def runOnce(): Unit = {
+      val sq = AlertStream.run(spark, in, "click", H, 0.5, 0L, 0L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    // wave 1: click in bucket 18:00 (first seen), view drives the clock
+    writeWave("w1", Seq((1L, day + 18 * H + 300, "click"),
+      (2L, day + 17 * H, "view")))
+    copyWave("w1"); runOnce()
+    // wave 2: click at 17:30 — bucket 17:00, ABOVE the watermark
+    // (wm after wave 1 = 18:05 − 1h = 17:05)
+    writeWave("w2", Seq((3L, day + 17 * H + 1800, "click")))
+    copyWave("w2"); runOnce()
+    // drain
+    writeWave("w3", Seq((4L, day + 30 * H, "view")))
+    copyWave("w3"); runOnce()
+    writeWave("w4", Seq((5L, day + 40 * H, "view")))
+    copyWave("w4"); runOnce()
+    val got = spark.read.parquet(out)
+      .select("step", "alertstate").as[(Long, String)].collect().toMap
+    assert(got.contains(day + 17 * H),
+      "the out-of-order bucket's alert must exist")
+    assert(got.contains(day + 18 * H))
+    assert(got.size === 2)
+  }
+
   test("keep_firing_for = 0 emits exactly the held-step alerts (no extension rows)") {
     val base = "/root/repo/target/tmp/alertstream0"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

@@ -49,6 +49,19 @@ class RecordedRulesSpec extends AnyFunSuite {
       "time bounds must reach the recorded store's parquet scan:\n" + plan)
   }
 
+  test("re-recording a rule name with a different expr fails loudly instead of serving the old data") {
+    RecordedRules.record(spark, sf, "rec_spec_conflict",
+      "sum by (user_id)(sum_over_time(purchase[1h]))")
+    val e = intercept[IllegalArgumentException] {
+      RecordedRules.record(spark, sf, "rec_spec_conflict",
+        "sum by (user_id)(sum_over_time(click[1h]))")
+    }
+    assert(e.getMessage.contains("DIFFERENT expr"))
+    // same expr re-record stays a no-op success
+    RecordedRules.record(spark, sf, "rec_spec_conflict",
+      "sum by (user_id)(sum_over_time(purchase[1h]))")
+  }
+
   test("rules with labels outside the sample schema are rejected, not mis-stored") {
     val e = intercept[IllegalArgumentException] {
       RecordedRules.record(spark, sf, "rec_spec_bad",

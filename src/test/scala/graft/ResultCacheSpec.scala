@@ -77,6 +77,47 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(added === Set(s"iv_${1704110400L + H}_1704153600"))
   }
 
+  test("an off-grid endSec clamps to the aligned grid and cannot phase-shift later queries") {
+    clearCache()
+    val offGrid = Promql.EvalSpec(1704067200L, 1704110400L + 1800L, H, 7200L)
+    val wide = Promql.EvalSpec(1704067200L, 1704153600L, H, 7200L)
+    ResultCache.queryCached(spark, sf, "sum(click)", offGrid).count()
+    val got = ResultCache.queryCached(spark, sf, "sum(click)", wide)
+    val want = Promql.queryAt(spark, sf, "sum(click)", wide)
+    // every served step sits ON the grid, none is missing
+    val steps = got.select("step").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(steps.forall(st => (st - 1704067200L) % H == 0),
+      s"off-grid steps served: ${steps.filter(st => (st - 1704067200L) % H != 0)}")
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
+  }
+
+  test("moving-dashboard refreshes compact: interval count stays bounded, equality holds") {
+    clearCache()
+    val start = 1704067200L
+    var end = 1704110400L
+    ResultCache.queryCached(spark, sf, "sum(click)",
+      Promql.EvalSpec(start, end, H, 7200L)).count()
+    for (_ <- 1 to 20) { // 20 one-step panel refreshes
+      end += H
+      ResultCache.queryCached(spark, sf, "sum(click)",
+        Promql.EvalSpec(start, end, H, 7200L)).count()
+    }
+    val root = new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}")
+    val ivDirs = root.listFiles().flatMap(_.listFiles())
+      .map(_.getName).filter(_.startsWith("iv_"))
+    assert(ivDirs.length <= ResultCache.CompactAt + 1,
+      s"cache must compact, found ${ivDirs.length} interval dirs")
+    val got = ResultCache.queryCached(spark, sf, "sum(click)",
+      Promql.EvalSpec(start, end, H, 7200L))
+    val want = Promql.queryAt(spark, sf, "sum(click)",
+      Promql.EvalSpec(start, end, H, 7200L))
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
+  }
+
   test("grid phase and window are part of the cache key") {
     clearCache()
     val a = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
