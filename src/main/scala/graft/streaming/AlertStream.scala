@@ -10,17 +10,19 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * ingest stream as the watermark advances (the Prometheus ruler's
   * evaluation loop, re-expressed as one stateful operator).
   *
-  * The rule shape is the streaming window-local subset's: per
-  * (event_type, tumbling W) sample count compared against a threshold —
-  * the batch twin is
-  * `sum by (event_type)(count_over_time({event_type=~re}[W])) > c`
+  * The rule shape is the streaming window-local subset's: a fused
+  * per-(event_type, tumbling W) aggregate — count, sum (exact decimal
+  * contract), min, or max over the window — compared against a
+  * threshold; the batch twin is
+  * `sum by (event_type)(<verb>_over_time({event_type=~re}[W])) > c`
   * under the tumbling evaluation. AlertStreamSpec proves the stream's
-  * emissions row-for-row equal to Alerts.alertStates over the batch
-  * evaluation of the same condition, including extension rows.
+  * emissions row-for-row AND value-exactly equal to Alerts.alertStates
+  * over the batch evaluation of the same condition, including
+  * extension rows.
   *
-  * State per series is O(1) + the open-window partial counts inside the
-  * watermark horizon — NOT samples (the condition is a count: partials
-  * fold online), and never corpus- or history-sized. Evaluation is
+  * State per series is O(1) + one (n, Σ, min, max) partial per open
+  * bucket inside the watermark horizon — NOT samples (every supported
+  * verb folds online), and never corpus- or history-sized. Evaluation is
   * timeout-driven: a bucket is processed once the watermark reaches its
   * end, INCLUDING buckets with no data (missed evals — where pending
   * drops and firing extends), which a pure aggregation could never
@@ -35,24 +37,45 @@ object AlertStream {
 
   /** Per-series state: `cursor` = next grid step to evaluate (epoch
     * sec; MinValue sentinel = uninitialized), `mode` 0=inactive,
-    * 1=pending, 2=firing, plus the open-bucket partial counts.
-    * (Public: Spark's codegen'd encoders instantiate these from
-    * generated Java.)
+    * 1=pending, 2=firing, plus the open-bucket partial aggregates —
+    * (n, sum scaled 1e6, min, max) per bucket, O(1) per open bucket
+    * whatever the verb. (Public: Spark's codegen'd encoders
+    * instantiate these from generated Java.)
     */
   case class AlState(cursor: Long, mode: Int, activeAt: Long,
                      lastHeld: Long, lastValue: Double,
-                     open: Map[Long, Long])
+                     open: Map[Long, (Long, Long, Double, Double)])
   case class AlertOut(step: Long, event_type: String,
                       alertstate: String, value: Double)
 
+  /** The condition's per-bucket aggregate — the fused streaming verb
+    * set, each an O(1) online partial: `count` (count_over_time),
+    * `sum` (sum_over_time, per-sample decimal(30,6) quantization
+    * replicated as scaled-long arithmetic — the exactSum contract, so
+    * the streamed value is BIT-EQUAL to the batch expr), `min`/`max`
+    * (min/max_over_time).
+    */
+  val Verbs: Set[String] = Set("count", "sum", "min", "max")
+
+  /** shortest-repr HALF_UP at 6 dp, scaled to a long — the engine's
+    * decimal(30,6) cast on the JVM (PromqlStream.decimal6Sum's op)
+    */
+  private def q6(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
   /** Run the rule over the parquet file stream at `inDir`. Caller owns
-    * the sink (Append). `metricRe` anchors like a PromQL =~ matcher.
+    * the sink (Append). `metricRe` anchors like a PromQL =~ matcher;
+    * `verb` picks the per-bucket aggregate the threshold compares
+    * against (see [[Verbs]]).
     */
   def run(s: SparkSession, inDir: String, metricRe: String, wSec: Long,
           threshold: Double, forSec: Long, keepSec: Long,
-          delay: String = "1 hour"): DataFrame = {
+          delay: String = "1 hour", verb: String = "count"): DataFrame = {
     import s.implicits._
     require(wSec > 0 && forSec >= 0 && keepSec >= 0, "bad rule params")
+    require(Verbs.contains(verb), s"verb must be one of $Verbs, got $verb")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Ingest.eventsStream(s, inDir)
       .filter(col("ts").isNotNull)
@@ -65,8 +88,9 @@ object AlertStream {
       .filter(col("event_type").rlike(s"^(?:$metricRe)$$") || col("ts").isNull)
       // ts rides along: the watermark column must survive projection
       // for EventTimeTimeout to resolve it
-      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("ts"))
-      .as[(String, Long, java.sql.Timestamp)]
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value").cast("double").as("value"), col("ts"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
 
     src.groupByKey(_._1)
       .flatMapGroupsWithState[AlState, AlertOut](
@@ -92,8 +116,11 @@ object AlertStream {
           // guard below never drops an admissible row — it only keeps
           // a stray late row from wedging a finalized bucket into
           // `open` forever.
-          val arrived = rows.map(r => bucketOf(r._2)).toSeq
-            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val arrived = rows.toSeq.groupBy(r => bucketOf(r._2))
+            .view.mapValues { rs =>
+              val vs = rs.map(_._3)
+              (rs.size.toLong, vs.map(q6).sum, vs.min, vs.max)
+            }.toMap
           if (arrived.nonEmpty) {
             val wmBucket = Math.floorDiv(
               Math.floorDiv(state.getCurrentWatermarkMs(), 1000L), W) * W
@@ -101,7 +128,10 @@ object AlertStream {
               if (st.cursor == Long.MinValue) math.min(arrived.keys.min, wmBucket)
               else st.cursor
             val open = arrived.filter(_._1 >= floor0).foldLeft(st.open) {
-              case (m, (b, n)) => m.updated(b, m.getOrElse(b, 0L) + n)
+              case (m, (b, (n, s6, mn, mx))) =>
+                val prev = m.getOrElse(b, (0L, 0L, Double.MaxValue, Double.MinValue))
+                m.updated(b, (prev._1 + n, prev._2 + s6,
+                  math.min(prev._3, mn), math.max(prev._4, mx)))
             }
             st = st.copy(open = open,
               cursor = if (st.cursor == Long.MinValue) floor0 else st.cursor)
@@ -122,15 +152,29 @@ object AlertStream {
             }
             if (!done && st.cursor + W <= wmSec) {
               val step = st.cursor
-              val cnt = st.open.getOrElse(step, 0L)
-              val held = cnt.toDouble > threshold
+              // a data-less bucket is NOT held whatever the verb and
+              // threshold — the batch expr emits no row for it (an
+              // absent instant vector), so no synthetic 0 compare
+              val agg = st.open.get(step)
+              val value = agg.map { case (n, s6, mn, mx) =>
+                verb match {
+                  case "count" => n.toDouble
+                  case "sum" =>
+                    new java.math.BigDecimal(
+                      java.math.BigInteger.valueOf(s6), 6).doubleValue
+                  case "min" => mn
+                  case "max" => mx
+                }
+              }
+              val held = value.exists(_ > threshold)
               if (held) {
+                val v = value.get
                 if (st.mode == 0) st = st.copy(mode = 1, activeAt = step)
                 if (st.mode == 1 && step - st.activeAt >= forSec)
                   st = st.copy(mode = 2)
-                st = st.copy(lastHeld = step, lastValue = cnt.toDouble)
+                st = st.copy(lastHeld = step, lastValue = v)
                 out += AlertOut(step, key,
-                  if (st.mode == 2) "firing" else "pending", cnt.toDouble)
+                  if (st.mode == 2) "firing" else "pending", v)
               } else st.mode match {
                 case 1 => st = st.copy(mode = 0) // pending drops at once
                 case 2 =>
