@@ -2169,6 +2169,9 @@ object OracleSql {
       // the SQL table-function alert surface compiles to the same
       // plan as the API call — one hash
       "q_promql_alert_tvf" -> base("q_promql_alert_keep"),
+      // alerting at rollup cost: the 1h-store-served rule must
+      // reproduce the raw rule's alert set exactly
+      "q_promql_alert_rollup" -> base("q_promql_alert_keep"),
       // the downsampled hourly re-aggregation must reproduce the
       // raw-events hourly sum bit-for-bit (300 s divides 3600 s and the
       // store's partial sums stay DECIMAL) — downsampling's correctness

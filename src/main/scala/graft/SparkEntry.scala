@@ -230,6 +230,21 @@ object SparkEntry {
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
       graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
       forSec = 7200L, keepSec = 3600L)),
+    // the Thanos-ruler posture: the SAME alert rule evaluated AT
+    // ROLLUP COST — with the rewrite opted in, the resolution picker
+    // serves the 2h-count windows on the hourly grid entirely from
+    // the 1h downsample store (plan-asserted in AlertsSpec: zero raw
+    // scans) — and the state machine's output must still hash-match
+    // the raw evaluation's oracle
+    "q_promql_alert_rollup" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.Alerts.rule(s2, d,
+        """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        forSec = 7200L, keepSec = 3600L)
+    }),
     // the same rule through the SQL table function — shares
     // q_promql_alert_keep's oracle hash
     "q_promql_alert_tvf" -> ((s, d) => s.sql(

@@ -98,6 +98,24 @@ class AlertsSpec extends AnyFunSuite {
     assert(m.size === 3)
   }
 
+  test("with the rewrite opted in, the alert rule evaluates entirely from the rollup store") {
+    val d = SparkFixture.sf
+    graft.sources.DownsampleStore.table(spark, d)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.rollup.rewrite", "true")
+    val df = Alerts.rule(s2, d,
+      """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
+      Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+      forSec = 7200L, keepSec = 3600L)
+    df.collect()
+    val locs = "Location.*?\\[(.*?)\\]".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSet
+    assert(locs.nonEmpty)
+    assert(locs.forall(_.contains("downsample_")),
+      s"alert rule must scan only the rollup store, scanned: $locs")
+  }
+
   test("extension rows never extend past the grid end or before a series' first hold") {
     val held = Seq((19 * H, "c", 1.0), (20 * H, "c", 2.0))
     val m = run(held, forSec = 0L, keepSec = 5 * H)
