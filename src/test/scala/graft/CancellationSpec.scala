@@ -50,16 +50,18 @@ class CancellationSpec extends AnyFunSuite {
     // NEXT stage of the 10⁹-row count then runs to completion (the
     // exact flake this spec shipped with)
     spark.sparkContext.cancelJobGroupAndFutureJobs(group)
-    t.join(60000)
+    t.join(120000)
     assert(!t.isAlive, "cancelled query must terminate")
     assert(!finished, "the O(n²) count must not have completed")
     assert(err != null, "the caller must observe the cancellation")
     val secs = (System.nanoTime() - t0) / 1e9
     // the bound measures interruptOnCancel responsiveness, not box
-    // load: under the full parallel suite all 32 cores are shared, so
-    // it is deliberately generous — promptness in the "not until the
-    // 10⁹-row job drains" sense, quiet-box latency is <2 s
-    assert(secs < 45.0, s"cancellation must be prompt, took $secs s")
+    // load: under the full parallel suite all 32 cores are shared AND
+    // the virtualized host has multi-second scheduling stalls, so it
+    // is deliberately generous (measured flakes at 45 s under suite
+    // parallelism; quiet-box latency is <2 s) — promptness here means
+    // "not until the 10⁹-row job drains", which takes minutes
+    assert(secs < 90.0, s"cancellation must be prompt, took $secs s")
     // the session is not poisoned: a normal query still runs
     assert(Tables.events(spark, sf).limit(5).count() === 5L)
   }
