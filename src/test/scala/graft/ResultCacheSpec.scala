@@ -118,6 +118,26 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
   }
 
+  test("a torn interval (missing _SUCCESS) re-evaluates instead of serving an incomplete grid") {
+    clearCache()
+    val spec = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    ResultCache.queryCached(spark, sf, "sum(click)", spec).count()
+    val root = new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}")
+    val iv = root.listFiles().flatMap(_.listFiles())
+      .find(_.getName.startsWith("iv_")).get
+    // simulate a writer killed mid-overwrite: data files partially
+    // present, no _SUCCESS — meta still lists the interval
+    assert(new java.io.File(iv, "_SUCCESS").delete())
+    val got = ResultCache.queryCached(spark, sf, "sum(click)", spec)
+    // the interval was re-evaluated: _SUCCESS restored, equality holds
+    assert(new java.io.File(iv, "_SUCCESS").isFile,
+      "torn interval must be re-evaluated and re-committed")
+    val want = Promql.queryAt(spark, sf, "sum(click)", spec)
+    val w = want.select(got.columns.map(col): _*)
+    assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
+  }
+
   test("grid phase and window are part of the cache key") {
     clearCache()
     val a = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
