@@ -176,6 +176,60 @@ object OracleSql {
            |   OR (last_state = 'firing' AND step - last_held <= $keep)""".stripMargin
   }
 
+  /** WIDE positive schemas (4..8) — mirrors of TimeSeries.nhBoundWide /
+    * nhKSWide: the fixed sub-bound double table serialized via
+    * shortest-round-trip Double.toString (DuckDB's correctly-rounded
+    * strtod recovers the identical bits), octave scaling as exact
+    * pow(2, m), index by the same guess-then-fix (each engine's log2
+    * guess lands within ±1 of truth; the comparisons against the SAME
+    * literal doubles settle an engine-identical index).
+    */
+  // The per-element '…'::DOUBLE string cast is load-bearing: DuckDB
+  // types a bare numeric list literal DECIMAL(17,16) and its
+  // decimal→double conversion DOUBLE-ROUNDS (int128/10^16 in floating
+  // point — measured one ulp off on 2^(112/256)), so neither the bare
+  // literal nor CAST(list AS DOUBLE[]) recovers the Spark-side bits.
+  // The STRING→DOUBLE cast is correctly rounded (verified over the
+  // whole table), recovering exactly the shortest-round-trip doubles
+  // the Spark plan compares against.
+  private def nhSubListS(schema: Int): String =
+    graft.operators.TimeSeries.nhSubBounds(schema)
+      .map(d => s"'$d'::DOUBLE").mkString("[", ", ", "]")
+
+  /** bound(x) for a runtime integer expression `x` at a wide schema. */
+  private def nhBoundArithS(schema: Int, x: String): String = {
+    val parts = 1 << schema
+    s"(list_extract(${nhSubListS(schema)}, " +
+      s"CAST(($x) - $parts * CAST(floor(($x) / $parts.0) AS BIGINT) AS BIGINT) + 1) " +
+      s"* pow(2.0, floor(($x) / $parts.0)))"
+  }
+
+  /** The wide-schema build CTE chain: `allk` = (step, event_type, k)
+    * one row per event. Below-window values clamp to lo WITHOUT
+    * touching log2 (the domain guard both engines share).
+    */
+  private def nhWideBuildCtes(schema: Int): String = {
+    val parts = 1 << schema
+    val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
+    val boundLo = graft.operators.TimeSeries.nhBound(schema, lo)
+    val fixes = (-2 to 1).map(d =>
+      s"(CASE WHEN value > ${nhBoundArithS(schema, s"g + $d")} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""ev AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+       |              event_type, value FROM events),
+       |wide AS (
+       |  SELECT step, event_type, value,
+       |         CAST(ceil(log2(value) * $parts.0) AS BIGINT) AS g
+       |  FROM ev WHERE value > $boundLo),
+       |allk AS (
+       |  SELECT step, event_type, CAST($lo AS BIGINT) AS k
+       |  FROM ev WHERE value <= $boundLo
+       |  UNION ALL
+       |  SELECT step, event_type,
+       |         GREATEST($lo, LEAST((g - 2) + $fixes, ${hi + 1})) AS k
+       |  FROM wide)""".stripMargin
+  }
+
   /** k → bound(k) literal CASE (mirror of TimeSeries.nhBoundCol). */
   private def nhBoundCaseS(schema: Int, k: String): String = {
     val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
@@ -455,6 +509,33 @@ object OracleSql {
          |         AS q_value
          |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
          |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
+    // WIDE schema 8 — upstream's finest resolution (round 16; VERDICT
+    // r15 #7): 256 sub-buckets per octave from the frexp-style fixed
+    // table, index by engine-identical guess-then-fix
+    "q_nhist_schema_pos8" ->
+      s"""WITH ${nhWideBuildCtes(8)}
+         |SELECT step, event_type, CAST(k AS INTEGER) AS k,
+         |       CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM allk GROUP BY 1, 2, 3""".stripMargin,
+    "q_nhist_quantile_pos8" ->
+      s"""WITH ${nhWideBuildCtes(8)},
+         |h AS (
+         |  SELECT step, event_type, CAST(k AS INTEGER) AS k,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM allk GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT step, event_type, k, cnt,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type ORDER BY k
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY step, event_type) AS n
+         |  FROM h)
+         |SELECT step, event_type,
+         |       (${nhBoundArithS(8, "k - 1")})
+         |             + ((${nhBoundArithS(8, "k")}) - (${nhBoundArithS(8, "k - 1")})) *
+         |             (CAST(rnk - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |         AS q_value
+         |FROM (SELECT *, CAST(ceil(round(n * 0.9, 9)) AS BIGINT) AS rnk FROM c)
+         |WHERE cum >= rnk AND cum - cnt < rnk""".stripMargin,
     // UPSTREAM-PARITY interpolation at schema 0: exponential-scale
     // interpolation q = 2^(k−1+frac) (Prometheus ≥ 2.47 semantics);
     // the exponent arithmetic is exact IEEE on both engines, the one
@@ -512,6 +593,18 @@ object OracleSql {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT step, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS value
         |FROM r GROUP BY 1""".stripMargin,
+    // multi-label recording rule (round 16): inner per-(event_type,
+    // user_id) hourly count, outer sum grouped by the payload-carried
+    // source label — re-derived entirely from raw, so the hash proves
+    // the props channel stored AND reconstituted the by() label set
+    "q_promql_recorded_multi" ->
+      """WITH r AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step,
+        |         event_type AS src, user_id, CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events WHERE regexp_full_match(event_type, 'click|purchase')
+        |  GROUP BY 1, 2, 3)
+        |SELECT step, src, CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS value
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_promql_topk" ->
       """WITH per AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step, user_id,
@@ -551,6 +644,72 @@ object OracleSql {
     // (keep variant) hysteresis chains + dense-grid extension rows
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
+    // ALERTS as series (round 16): the per-user activity alert's state
+    // machine (for=3600, keep=3600, threshold value > 0), its FIRING
+    // rows (held + keep-extension), joined against the raw hourly
+    // per-user count — the whole composition from raw events
+    "q_promql_alerts_series" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |cnt AS (
+        |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
+        |  GROUP BY 1, 2),
+        |held AS (SELECT * FROM cnt WHERE value > 0),
+        |isl AS (
+        |  SELECT *, step - 3600 * ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY step) AS island
+        |  FROM held),
+        |spans AS (
+        |  SELECT user_id, island, MIN(step) AS a_start, MAX(step) AS a_end
+        |  FROM isl GROUP BY 1, 2),
+        |chains AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 7200 THEN 1 ELSE 0 END AS brk
+        |  FROM (SELECT *, a_start - LAG(a_end) OVER
+        |          (PARTITION BY user_id ORDER BY a_start) AS gap
+        |        FROM spans)),
+        |chain2 AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY a_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+        |  FROM chains),
+        |ign AS (
+        |  SELECT *, MIN(CASE WHEN a_end - a_start >= 3600 THEN a_start + 3600 END)
+        |    OVER (PARTITION BY user_id, chain ORDER BY a_start
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fire_time
+        |  FROM chain2),
+        |hs AS (
+        |  SELECT i.step, i.user_id,
+        |         CASE WHEN g.fire_time IS NOT NULL AND i.step >= g.fire_time
+        |              THEN 'firing' ELSE 'pending' END AS alertstate
+        |  FROM isl i JOIN ign g
+        |    ON g.user_id = i.user_id AND g.island = i.island),
+        |ser AS (SELECT DISTINCT user_id FROM hs),
+        |dense AS (
+        |  SELECT g.step, g.user_id, h.alertstate,
+        |    MAX(CASE WHEN h.alertstate IS NOT NULL THEN g.step END) OVER w AS last_held,
+        |    last_value(h.alertstate IGNORE NULLS) OVER w AS last_state
+        |  FROM (SELECT st.step, s.user_id FROM steps st CROSS JOIN ser s) g
+        |  LEFT JOIN hs h ON h.step = g.step AND h.user_id = g.user_id
+        |  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.step
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |firing AS (
+        |  SELECT step, user_id FROM dense
+        |  WHERE alertstate = 'firing'
+        |     OR (alertstate IS NULL AND last_state = 'firing'
+        |         AND step - last_held <= 3600)),
+        |raw1h AS (
+        |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
+        |  GROUP BY 1, 2)
+        |SELECT f.step, f.user_id, 1.0 * r.v AS value
+        |FROM firing f JOIN raw1h r
+        |  ON r.step = f.step AND r.user_id = f.user_id""".stripMargin,
     "q_promql_stepped" ->
       """WITH steps AS (
         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
@@ -2212,6 +2371,12 @@ object OracleSql {
       // hybrid fresh-tail: rollup-closed steps + raw open tail must
       // together reproduce the full raw stepped evaluation
       "q_promql_stepped_fresh" -> base("q_promql_stepped_long"),
+      // the LIVE chain (round 16; VERDICT r15 #2): a day-stepped
+      // month-wide query over the STREAM store serves closed days
+      // from the folded 1d level, closed hours from the folded 1h
+      // level, the open tail raw — one grid, hash-shared with the
+      // raw twin
+      "q_promql_stepped_fresh_1d" -> base("q_promql_stepped_vwide"),
       // the 1d chain level's serving twins (round 15): lossless verb
       // and the counter chain through TWO folds
       "q_promql_rollup_stepped_1d" -> base("q_promql_stepped_vwide"),

@@ -135,6 +135,62 @@ object Pipelines {
 
   // ---- F. dedup ---------------------------------------------------------
 
+  /** Deterministic Lloyd's k-means, mirrored in SQL (round 16) — the
+    * chain Similarity.trainCentroids runs, re-derived so the TRAINED
+    * IVF admission gate stays oracle-hashable (the first trained index
+    * with a full SQL oracle; the ann_*_trained legs predate this and
+    * keep their rows-only tier). Exactness argument, step by step:
+    * seeds are the k lowest-vec_id vectors (float → double cast,
+    * exact); assignment distances are the quantized integer sums
+    * Σ⌊(eᵢ−cᵢ)²·2²⁴⌋ compared as BIGINTs (Spark compares them after an
+    * exact /2²⁴ — order-identical); ties break to the lower cell on
+    * both sides; per-dim means are DECIMAL(30,12) sums (a binary
+    * double can never sit exactly on a 12-dp rounding boundary — an
+    * odd multiple of 5·10⁻¹³ is not a binary fraction — so both
+    * engines' nearest-rounding casts agree on every input) divided by
+    * the member count in double; empty cells keep their previous
+    * centroid. Returns the CTE chain; the final centroid table is
+    * `kmc$iters(cell, pos, cv)` with pos 0-based.
+    */
+  private def kmeansCtes(srcTable: String, k: Int, iters: Int): String = {
+    val head =
+      s"""kme AS (SELECT vec_id, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS ev
+         |        FROM $srcTable CROSS JOIN generate_series(0, 63) t(i)),
+         |kmseed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+         |           FROM (SELECT vec_id FROM $srcTable ORDER BY vec_id LIMIT $k)),
+         |kmc0 AS (SELECT s.cell, e.pos, e.ev AS cv FROM kmseed s JOIN kme e USING (vec_id))""".stripMargin
+    val steps = (1 to iters).map { n =>
+      s"""kmd$n AS (SELECT e.vec_id, c.cell,
+         |  SUM(CAST(floor((e.ev - c.cv) * (e.ev - c.cv) * 16777216.0) AS BIGINT)) AS q
+         |  FROM kme e JOIN kmc${n - 1} c USING (pos) GROUP BY 1, 2),
+         |kma$n AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY q, cell) AS rn
+         |  FROM kmd$n) WHERE rn = 1),
+         |kmm$n AS (SELECT a.cell, e.pos,
+         |  CAST(SUM(CAST(e.ev AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cv
+         |  FROM kma$n a JOIN kme e USING (vec_id) GROUP BY 1, 2),
+         |kmc$n AS (SELECT p.cell, p.pos, COALESCE(m.cv, p.cv) AS cv
+         |  FROM kmc${n - 1} p LEFT JOIN kmm$n m USING (cell, pos))""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Argmin/top-n cell assignment of a (key, vector) relation against a
+    * trained centroid CTE — quantized-integer distances, ties → lower
+    * cell; emits (key, cell) rows for ranks ≤ nprobe.
+    */
+  private def kmAssignSql(rel: String, key: String, vec: String,
+                          centsCte: String, nprobe: Int,
+                          alias: String): String =
+    s"""$alias AS (SELECT $key, cell FROM (
+       |  SELECT e.$key, c.cell,
+       |         row_number() OVER (PARTITION BY e.$key ORDER BY
+       |           SUM(CAST(floor((CAST(e.$vec[t.i + 1] AS DOUBLE) - c.cv)
+       |             * (CAST(e.$vec[t.i + 1] AS DOUBLE) - c.cv) * 16777216.0) AS BIGINT)), c.cell) AS rn
+       |  FROM $rel e CROSS JOIN generate_series(0, 63) t(i)
+       |  JOIN $centsCte c ON c.pos = t.i
+       |  GROUP BY e.$key, c.cell) WHERE rn <= $nprobe)""".stripMargin
+
   /** The embedding legs of the admission-recall record (plane probes
     * 1/2/4 + the hamming-sketch served default), parameterized by
     * corpus — mirror of Dedup.admissionRecallEmb. Returns (the CTE
@@ -165,6 +221,35 @@ object Pipelines {
       s"""SELECT '$name' AS method, t.vec_id AS id, t.n_truth,
          |       coalesce(h.n_hits, 0) AS n_hits
          |FROM vtruth t LEFT JOIN $alias h USING (vec_id)""".stripMargin
+    // the IVF-cell-pruned gate's leg (round 16): trained cells over
+    // the WHOLE table (Similarity.trainCentroids's input), truth and
+    // hits at the gate's own SEMANTIC operating threshold — empty on
+    // the raw corpus (max pairwise cosine ≈ 0.44 < 0.8), the
+    // structural canary
+    val sem = graft.pipeline.Dedup.SemThreshold
+    val ivf =
+      s"""vtruth8 AS (SELECT d.vec_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+         |  FROM vdelta d JOIN vidx i
+         |    ON ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) >= $sem
+         |  GROUP BY 1),
+         |${kmAssignSql("vidx", "keep_id", "iemb",
+             s"kmc${graft.pipeline.Dedup.AdmissionIters}", 1, "kmic")},
+         |${kmAssignSql("vdelta", "vec_id", "embedding",
+             s"kmc${graft.pipeline.Dedup.AdmissionIters}",
+             graft.pipeline.Dedup.AdmissionNprobe, "kmqc")},
+         |hivf AS (SELECT d.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM vdelta d JOIN kmqc ON kmqc.vec_id = d.vec_id
+         |  JOIN kmic ON kmic.cell = kmqc.cell
+         |  JOIN vidx i ON i.keep_id = kmic.keep_id
+         |  WHERE CAST(bit_count(xor(d.qs0, i.isk0)) AS BIGINT)
+         |      + CAST(bit_count(xor(d.qs1, i.isk1)) AS BIGINT)
+         |        <= ${Similarity.HammingRadius}
+         |    AND ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) >= $sem
+         |  GROUP BY 1)""".stripMargin
+    val ivfLeg =
+      s"""SELECT 'emb_ivf_hamming' AS method, t.vec_id AS id, t.n_truth,
+         |       coalesce(h.n_hits, 0) AS n_hits
+         |FROM vtruth8 t LEFT JOIN hivf h USING (vec_id)""".stripMargin
     val ctes =
       s"""emb AS (SELECT vec_id, embedding,
          |  ${dot("embedding", "embedding")} AS norm,
@@ -183,15 +268,19 @@ object Pipelines {
          |  FROM vdelta d JOIN vidx i
          |    ON ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) >= 0.3
          |  GROUP BY 1),
+         |${kmeansCtes(from, graft.pipeline.Dedup.AdmissionCells,
+             graft.pipeline.Dedup.AdmissionIters)},
          |${embHits("h1", 1)},
          |${embHits("h2", 2)},
          |${embHits("h4", 4)},
-         |$hamHits""".stripMargin
+         |$hamHits,
+         |$ivf""".stripMargin
     val legs =
       s"""${embLeg("h1", "emb_probe1")}
          |UNION ALL ${embLeg("h2", "emb_probe2")}
          |UNION ALL ${embLeg("h4", "emb_probe4")}
-         |UNION ALL ${embLeg("hham", "emb_hamming")}""".stripMargin
+         |UNION ALL ${embLeg("hham", "emb_hamming")}
+         |UNION ALL $ivfLeg""".stripMargin
     (ctes, legs)
   }
 
@@ -533,6 +622,53 @@ object Pipelines {
          |  f.keep_id, f.cosine
          |FROM delta d LEFT JOIN (SELECT vec_id, keep_id, cosine FROM f
          |                        WHERE rn = 1) f USING (vec_id)""".stripMargin,
+    // the SERVED gate on the clustered corpus at the semantic
+    // threshold (round 16; VERDICT r15 #1): the picker selects the
+    // TRAINED IVF-cell-pruned hamming machine — this oracle re-derives
+    // the ENTIRE composition including the 3-iteration Lloyd's k-means
+    // (the first trained index with a full SQL oracle), the per-side
+    // cell assignment, the radius cut within probed cells, and the
+    // best-match verdict
+    "emb_admission_ivf" -> {
+      val sem = graft.pipeline.Dedup.SemThreshold
+      val cents = s"kmc${graft.pipeline.Dedup.AdmissionIters}"
+      s"""WITH $clusteredCte,
+         |emb AS (SELECT vec_id, embedding,
+         |  ${dot("embedding", "embedding")} AS norm,
+         |  CAST(($vecNibble) % 100 AS BIGINT) AS split FROM emb_clustered),
+         |idx0 AS (SELECT embedding AS iemb, MIN(vec_id) AS keep_id
+         |         FROM emb WHERE split < 80 GROUP BY 1),
+         |idx AS (SELECT keep_id, iemb, ${dot("iemb", "iemb")} AS inorm,
+         |               ${signSketchSql("iemb", 0)} AS isk0,
+         |               ${signSketchSql("iemb", 1)} AS isk1 FROM idx0),
+         |delta AS (SELECT vec_id, embedding, norm,
+         |            ${signSketchSql("embedding", 0)} AS qs0,
+         |            ${signSketchSql("embedding", 1)} AS qs1
+         |          FROM emb WHERE split >= 80),
+         |${kmeansCtes("emb_clustered", graft.pipeline.Dedup.AdmissionCells,
+             graft.pipeline.Dedup.AdmissionIters)},
+         |${kmAssignSql("idx", "keep_id", "iemb", cents, 1, "kmic")},
+         |${kmAssignSql("delta", "vec_id", "embedding", cents,
+             graft.pipeline.Dedup.AdmissionNprobe, "kmqc")},
+         |m AS (SELECT d.vec_id, i.keep_id,
+         |        ${dot("d.embedding", "i.iemb")} / (sqrt(d.norm) * sqrt(i.inorm)) AS cosine
+         |      FROM delta d JOIN kmqc ON kmqc.vec_id = d.vec_id
+         |      JOIN kmic ON kmic.cell = kmqc.cell
+         |      JOIN idx i ON i.keep_id = kmic.keep_id
+         |      WHERE CAST(bit_count(xor(d.qs0, i.isk0)) AS BIGINT)
+         |          + CAST(bit_count(xor(d.qs1, i.isk1)) AS BIGINT)
+         |            <= ${Similarity.HammingRadius}),
+         |f AS (SELECT vec_id, keep_id, cosine,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY cosine DESC, keep_id) AS rn
+         |      FROM m WHERE cosine >= $sem)
+         |SELECT d.vec_id,
+         |  CASE WHEN f.keep_id IS NOT NULL THEN 'dup_of_corpus'
+         |       ELSE 'kept' END AS verdict,
+         |  f.keep_id, f.cosine
+         |FROM delta d LEFT JOIN (SELECT vec_id, keep_id, cosine FROM f
+         |                        WHERE rn = 1) f USING (vec_id)""".stripMargin
+    },
     // measured recall of the admission gates (round 13): truth is the
     // brute-force scan; the simhash pigeonhole leg is COMPLETE, so its
     // oracle states n_hits = n_truth (a block-math regression would

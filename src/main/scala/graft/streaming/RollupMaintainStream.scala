@@ -332,6 +332,84 @@ object RollupMaintainStream {
       val prev = horizonSec(storeDir).getOrElse(Long.MinValue)
       if (h > prev) writeMarker(storeDir, "_watermark", h)
     }
+    // the compactor runs behind the writer (round 16): fold the pass's
+    // newly closed hours/days into the chain levels — incremental, so
+    // a pass that closed nothing costs two marker reads
+    foldChain(s, storeDir)
+  }
+
+  /** CHAIN LEVELS FOLDED BEHIND THE LIVE WRITER (round 16; VERDICT r15
+    * #2 — the Thanos compactor posture: the compactor runs behind the
+    * receiver, downsampling blocks the moment they close): after each
+    * maintenance pass, closed parents of the 300 s stream store fold
+    * into a 1 h level, and closed days of the 1 h level into a 1 d
+    * level, via the SAME generalized partial-merge the batch chain
+    * uses (DownsampleStore.rollupFrom) — so a year-wide dashboard over
+    * LIVE data reads hourly/daily rows for its closed range instead of
+    * 288× more 300 s rows.
+    *
+    * Incremental and crash-safe: each fold pass reads only child rows
+    * in [prevHorizon, newClosed) — parents already final under the
+    * child's horizon — writes them to a write-once `inc_<a>_<b>` dir
+    * (the name is a pure function of the marker state, so a crash
+    * between the write and the marker advance re-runs the SAME
+    * deterministic increment into the SAME dir as an overwrite), then
+    * advances the level's own `_horizon` marker. An EMPTY increment
+    * advances the marker without writing a dir (the servableParts
+    * posture: data presence is probed, never assumed). Boundary
+    * soundness inherits from the parent store: 300 | 3600 | 86400, so
+    * the stream store's `_edge_count` = 0 gate (already required for
+    * any stream serving) proves every level clean.
+    */
+  def foldChain(s: SparkSession, storeDir: String): Unit = {
+    import graft.sources.DownsampleStore
+    for (h <- horizonSec(storeDir); parts <- servableParts(storeDir)) {
+      foldLevel(s, storeDir,
+        DownsampleStore.readServing(s, parts, counters = true), h, 3600L)
+      for ((incs, h1h) <- foldedLevel(storeDir, 3600L))
+        foldLevel(s, storeDir,
+          DownsampleStore.readServingPaths(s, incs, counters = true),
+          h1h, 86400L)
+    }
+  }
+
+  private def foldLevel(s: SparkSession, storeDir: String,
+                        child: org.apache.spark.sql.DataFrame,
+                        childHorizon: Long, r: Long): Unit = {
+    val dir = s"$storeDir/fold_${r}s"
+    val prev = readMarker(dir, "_horizon")
+    val hClosed = Math.floorDiv(childHorizon, r) * r
+    if (prev.exists(_ >= hClosed)) return
+    val bounded = prev.fold(child.filter(col("bucket") < hClosed))(p =>
+      child.filter(col("bucket") >= p && col("bucket") < hClosed))
+    val inc = graft.sources.DownsampleStore.rollupFrom(bounded, r)
+    if (!inc.isEmpty) {
+      val out = s"$dir/inc_${prev.getOrElse(Long.MinValue)}_$hClosed"
+      inc.repartitionByRange(
+          math.max(1, s.sparkContext.defaultParallelism / 8), col("bucket"))
+        .sortWithinPartitions("bucket", "event_type", "user_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    writeMarker(dir, "_horizon", hClosed)
+  }
+
+  /** The folded level's data-bearing increment dirs and horizon, iff
+    * the level has both a committed marker and committed rows — the
+    * serving probe (SteppedRollup's stream bands resolve through it).
+    */
+  def foldedLevel(storeDir: String,
+                  r: Long): Option[(Seq[String], Long)] = {
+    val dir = new java.io.File(storeDir, s"fold_${r}s")
+    for {
+      h <- readMarker(dir.getPath, "_horizon")
+      incs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("inc_") &&
+          new java.io.File(f, "_SUCCESS").isFile &&
+          Option(f.listFiles()).getOrElse(Array.empty).exists(p =>
+            p.isFile && p.getName.endsWith(".parquet") && p.length() > 0L))
+        .map(_.getPath).toSeq.sorted
+      if incs.nonEmpty
+    } yield (incs, h)
   }
 
   /** The parts path iff at least one maintenance batch actually landed
@@ -413,6 +491,10 @@ object RollupMaintainStream {
       runOnce(s, in, store, cp, dir)
       runOnce(s, in, store, cp, dir) // drain pass: flush + advance
     }
+    // idempotent catch-up: a store maintained before the fold chain
+    // existed (or whose last pass crashed between markers) folds here;
+    // an up-to-date store pays two marker reads
+    foldChain(s, store)
     store
   }
 

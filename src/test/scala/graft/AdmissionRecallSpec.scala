@@ -76,7 +76,7 @@ class AdmissionRecallSpec extends AnyFunSuite {
     assert(cl.nonEmpty, "clustered corpus must have true pairs")
     val methods = cl.map(_._1).toSet
     assert(methods === Set("emb_probe1", "emb_probe2", "emb_probe4",
-      "emb_hamming"), s"legs: $methods")
+      "emb_hamming", "emb_ivf_hamming"), s"legs: $methods")
     // soundness on this record too
     assert(cl.forall(r => r._4 <= r._3 && r._3 > 0))
     def avg(m: String): Double = {
@@ -87,6 +87,53 @@ class AdmissionRecallSpec extends AnyFunSuite {
     assert(avg("emb_probe2") <= avg("emb_probe4") + 1e-12)
     assert(avg("emb_hamming") >= 0.8,
       s"served default on the clustered corpus: ${avg("emb_hamming")}")
+  }
+
+  test("IVF-cell-pruned gate (round 16): served floor, >=4x candidate reduction, picker selection") {
+    val dirC = sf + Tables.ClusteredTag
+    // 1. the leg's measured recall at its operating point clears the
+    //    served floor on the clustered record
+    val cl = Dedup.admissionRecallClustered(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(4)))
+    val ivf = cl.filter(_._1 == "emb_ivf_hamming").map(_._2)
+    assert(ivf.nonEmpty, "clustered record must measure the ivf leg")
+    val avgIvf = ivf.sum / ivf.size
+    assert(avgIvf >= 0.8, s"ivf-gate recall $avgIvf under the 0.8 floor")
+    // ... and the raw record carries the leg as an EMPTY canary (the
+    // semantic truth set is empty on the near-orthogonal corpus)
+    assert(!rec.exists(_._1 == "emb_ivf_hamming"),
+      "raw record's semantic truth set must be empty")
+    // 2. candidate reduction >= 4x vs the flat radius scan, on the
+    //    served split — the sublinearity claim as data
+    val emb = Tables.embeddings(spark, dirC)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("split", Dedup.splitBucket(col("vec_id")))
+    val idx = Dedup.embAdmissionIndex(
+      emb.filter(col("split") < 80).select("vec_id", "embedding"))
+    val delta = emb.filter(col("split") >= 80).select("vec_id", "embedding")
+    val cents = Similarity.trainedCentroids(spark, dirC, Dedup.AdmissionCells)
+    val idxC = idx.withColumn("icell",
+      Similarity.cellColOf(col("iemb"), cents))
+    val probes = delta.withColumn("icell", explode(
+      Similarity.probeCellsColOf(col("embedding"), cents, Dedup.AdmissionNprobe)))
+    val cand = probes.join(idxC, Seq("icell")).count()
+    val flat = delta.count() * idx.count()
+    assert(cand > 0 && flat > 0)
+    assert(flat.toDouble / cand >= 4.0,
+      s"cell pruning must cut candidates >= 4x: $cand of $flat pairs " +
+        f"(${flat.toDouble / cand}%.1fx)")
+    // 3. the PICKER serves this gate at the semantic threshold (a
+    //    cell hash-join plan, no nested-loop scan) and keeps the flat
+    //    radius scan below it (the completeness fallback)
+    val picked = Dedup.embAdmission(spark, dirC,
+      threshold = Dedup.SemThreshold)
+    val pickedPlan = SparkFixture.planOf(picked)
+    assert(!pickedPlan.contains("BroadcastNestedLoopJoin"),
+      "semantic-threshold serve must be the cell-pruned hash join:\n" +
+        pickedPlan)
+    val flatPlan = SparkFixture.planOf(Dedup.embAdmission(spark, sf))
+    assert(flatPlan.contains("BroadcastNestedLoopJoin"),
+      "loose-threshold serve must stay the radius-complete flat scan")
   }
 
   test("probe sets nest: own bucket first, distinct, widening only adds") {

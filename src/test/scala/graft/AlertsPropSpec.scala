@@ -16,22 +16,33 @@ class AlertsPropSpec extends AnyFunSuite {
   private val H = 3600L
   private val Steps = 40
 
-  /** The upstream ruler loop, written the obvious sequential way. */
+  /** The upstream ruler loop, written in rules/alerting.go's LITERAL
+    * form: KeepFiringSince anchors at the first MISSED eval, the alert
+    * keeps firing while (now − since) < keepFiringFor, and a held eval
+    * clears the anchor. No grid rounding here — the engine's
+    * ceil-to-step restatement (Alerts.alertStates keepG) must equal
+    * THIS machine for every keep, step-aligned or not.
+    */
   private def referee(held: Map[Long, Double], grid: Seq[Long],
                       forSec: Long, keepSec: Long): Map[Long, (String, Double)] = {
-    var mode = 0; var activeAt = 0L; var lastHeld = 0L; var lastVal = 0.0
+    var mode = 0; var activeAt = 0L; var lastVal = 0.0
+    var since = Long.MinValue // KeepFiringSince; MinValue = unset
     val out = scala.collection.mutable.Map.empty[Long, (String, Double)]
     for (t <- grid) held.get(t) match {
       case Some(v) =>
         if (mode == 0) { mode = 1; activeAt = t }
         if (mode == 1 && t - activeAt >= forSec) mode = 2
-        lastHeld = t; lastVal = v
+        since = Long.MinValue // held again: anchor clears
+        lastVal = v
         out(t) = (if (mode == 2) "firing" else "pending", v)
       case None => mode match {
         case 1 => mode = 0
         case 2 =>
-          if (keepSec > 0 && t - lastHeld <= keepSec) out(t) = ("firing", lastVal)
-          else mode = 0
+          if (keepSec > 0) {
+            if (since == Long.MinValue) since = t // first missed eval
+            if (t - since < keepSec) out(t) = ("firing", lastVal)
+            else { mode = 0; since = Long.MinValue }
+          } else mode = 0
         case _ => ()
       }
     }
@@ -51,7 +62,9 @@ class AlertsPropSpec extends AnyFunSuite {
       } yield (t, s, (t / H * 10 + s.hashCode.abs % 7).toDouble)
       if (held.nonEmpty) {
         val forSec = rnd.nextInt(4) * H
-        val keepSec = rnd.nextInt(4) * H
+        // HALF-step keeps included (ADVICE r15): the ceil-to-grid
+        // restatement must match the KeepFiringSince referee off-grid
+        val keepSec = rnd.nextInt(8) * H / 2
         val got = Alerts.alertStates(spark,
             held.toDF("step", "series", "value"), spec, forSec, keepSec)
           .collect()

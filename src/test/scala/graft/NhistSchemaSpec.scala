@@ -105,6 +105,64 @@ class NhistSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("wide schemas (4..8): guess-then-fix index equals the definitional smallest-i scan") {
+    // the DEFINITION of the bucket index is the smallest i in the
+    // window with v ≤ bound(i) (clamped/overflowed) — re-derived here
+    // by a driver-side linear scan over the exact bound doubles, so
+    // the arithmetic guess-then-fix is checked against the literal
+    // spec on every distinct corpus value (a when-chain twin at these
+    // widths would blow the column-conversion stack, which is exactly
+    // why the engine uses the arithmetic form)
+    for (s <- Seq(4, 8)) {
+      val (lo, hi) = TimeSeries.nhIdx(s)
+      val rows = Tables.events(spark, sf)
+        .select(col("value"), TimeSeries.nhKSWide(col("value"), s).as("k"))
+        .distinct().collect()
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val v = r.getDouble(0); val k = r.getInt(1)
+        val want = (lo to hi).find(i => v <= TimeSeries.nhBound(s, i))
+          .getOrElse(hi + 1)
+        assert(k === want, s"schema $s value $v: got $k want $want")
+      }
+    }
+  }
+
+  test("wide schemas: octave exactness, strict sub-bound increase, refinement into schema 2") {
+    for (s <- 4 to 8) {
+      val parts = 1 << s
+      for (i <- -300 to 300 by 7)
+        assert(TimeSeries.nhBound(s, i + parts) === 2.0 * TimeSeries.nhBound(s, i))
+      for (j <- 0 until parts - 1)
+        assert(TimeSeries.nhSubBounds(s)(j) < TimeSeries.nhSubBounds(s)(j + 1))
+    }
+    // schema-8 bucket i refines schema-2 bucket ceil(i / 64) — the
+    // shared exponential grid, one law for the whole −4..8 family
+    val rows = Tables.events(spark, sf)
+      .select(TimeSeries.nhKSWide(col("value"), 8).as("k8"),
+        TimeSeries.nhKS(col("value"), 2).as("k2"))
+      .distinct().collect()
+    val (lo8, hi8) = TimeSeries.nhIdx(8)
+    val (lo2, hi2) = TimeSeries.nhIdx(2)
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val k8 = r.getInt(0); val k2 = r.getInt(1)
+      if (k8 > lo8 && k8 <= hi8 && k2 > lo2 && k2 <= hi2)
+        assert(k2 === -Math.floorDiv(-k8, 64),
+          s"fine bucket $k8 should refine ${-Math.floorDiv(-k8, 64)}, got $k2")
+    }
+  }
+
+  test("wide schemas: mass conservation and schema-bounded bucket rows at schema 8") {
+    val n = Tables.events(spark, sf).count()
+    val built = TimeSeries.nhistBuildSchema(spark, sf, 8)
+    assert(built.agg(sum("cnt")).collect()(0).getLong(0) === n)
+    val (lo, hi) = TimeSeries.nhIdx(8)
+    val maxRows = built.groupBy("step", "event_type").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxRows <= (hi - lo + 2).toLong)
+  }
+
   test("finer schema tightens the quantile bracket: schema-2 bucket span contains the schema-2 estimate nearer truth") {
     // the schema-2 estimate's bucket is 4x narrower, so the linear
     // estimates at schema 2 and schema 0 must agree within one

@@ -138,6 +138,45 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(got.exceptAll(w).count() === 0 && w.exceptAll(got).count() === 0)
   }
 
+  test("superseded source fingerprints are swept: N regenerations leave O(1) keys") {
+    clearCache()
+    val spec = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    ResultCache.queryCached(spark, sf, "sum(click)", spec).count()
+    val root = new java.io.File(
+      s"/root/repo/target/tmp/result_cache_${graft.sources.ChunkStore.pathTag(sf)}")
+    val key = root.listFiles().filter(_.isDirectory).head.getName
+    val base = key.substring(0, key.lastIndexOf('_'))
+    // simulate N prior in-place corpus regenerations: sibling keys of
+    // the same query under dead fingerprints
+    for (i <- 1 to 5) {
+      val dead = new java.io.File(root, f"${base}_$i%012x")
+      assert(dead.mkdirs())
+      java.nio.file.Files.writeString(dead.toPath.resolve("meta"), "0,0")
+    }
+    assert(root.listFiles().count(_.getName.startsWith(base + "_")) === 6)
+    // the next WRITE under the live fingerprint retires them all
+    ResultCache.queryCached(spark, sf, "sum(click)",
+      Promql.EvalSpec(1704067200L, 1704114000L, H, 7200L)).count()
+    val left = root.listFiles().filter(_.getName.startsWith(base + "_"))
+      .map(_.getName).toSeq
+    assert(left === Seq(key),
+      s"stale-fp siblings must be swept at write time, found $left")
+  }
+
+  test("a range that evaluates to an empty vector is cached-as-empty and re-servable") {
+    clearCache()
+    val spec = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)
+    val q = """sum(count_over_time({event_type="nosuch"}[1h]))"""
+    assert(ResultCache.queryCached(spark, sf, q, spec).count() === 0)
+    // the repeat serves ONLY from the store: the empty interval's dir
+    // must carry a schema-bearing part file, not zero files
+    val again = ResultCache.queryCached(spark, sf, q, spec)
+    val plan = SparkFixture.planOf(again)
+    assert(!plan.contains("events.parquet"),
+      "cached-empty repeat must not touch the raw table:\n" + plan)
+    assert(again.count() === 0)
+  }
+
   test("grid phase and window are part of the cache key") {
     clearCache()
     val a = Promql.EvalSpec(1704067200L, 1704110400L, H, 7200L)

@@ -242,6 +242,71 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     assert(iRaw.count() > 0)
   }
 
+  test("chain levels fold behind the writer: closed hours/days serve from the fold levels, bit-equal to raw") {
+    // VERDICT r15 #2 — the Thanos compactor posture: the maintenance
+    // pass folds its newly closed hours into fold_3600s and closed
+    // days into fold_86400s, and a wide LIVE query serves each step
+    // from the coarsest folded level that covers it.
+    import graft.operators.Promql
+    import graft.sources.DownsampleStore
+    val store = RollupMaintainStream.demoStore(spark, dir01)
+    val h = RollupMaintainStream.horizonSec(store).get
+    val (incs1h, h1h) = RollupMaintainStream.foldedLevel(store, 3600L).get
+    val (incs1d, h1d) = RollupMaintainStream.foldedLevel(store, 86400L).get
+    assert(h1h === Math.floorDiv(h, 3600L) * 3600L)
+    assert(h1d === Math.floorDiv(h1h, 86400L) * 86400L)
+    assert(h1d > 1704067200L, "fixture must close whole days")
+    // fold-store identity: the INCREMENTAL 1h fold re-merges to
+    // exactly the one-shot fold of the full closed range — every
+    // partial (counts, decimal sums, order stats, endpoints, the
+    // counter inc_dec) byte-equal through the incremental path
+    val folded = DownsampleStore.readServingPaths(spark, incs1h,
+      counters = true)
+    val oneShot = DownsampleStore.rollupFrom(
+      DownsampleStore.readServing(spark,
+          RollupMaintainStream.servableParts(store).get, counters = true)
+        .filter(col("bucket") < h1h), 3600L)
+    assert(folded.exceptAll(oneShot).count() === 0 &&
+      oneShot.exceptAll(folded).count() === 0,
+      "incremental fold must equal the one-shot fold")
+    assert(folded.count() > 0)
+    // serving: an hour-stepped month-wide LIVE query reads closed
+    // hours from fold_3600s (never 300 s rows — the band's step bound
+    // is exactly the fold horizon), the partial hour from the 300 s
+    // parts, the open tail raw — one grid, equal to raw
+    val s2 = spark.newSession()
+    s2.conf.set(RollupRewrite.Flag, "true")
+    s2.conf.set(RollupRewrite.StreamStoreConf, store)
+    s2.conf.set(RollupRewrite.FreshTailConf, "true")
+    val spec = Promql.EvalSpec(1704067200L, 1706659200L, 3600L, 7200L)
+    val served = Promql.queryAt(s2, dir01, "sum_over_time(click[2h])", spec)
+    // formatted explain keeps full scan locations (toString truncates)
+    val plan = SparkFixture.planOf(served)
+    assert(plan.contains("fold_3600s"),
+      s"closed hours must scan the folded 1h level:\n${plan.take(2500)}")
+    val raw = Promql.queryAt(spark, dir01, "sum_over_time(click[2h])", spec)
+    assert(served.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(served).count() === 0)
+    // day-stepped grid: the 1d band joins coarsest-first (both fold
+    // levels in the plan), still bit-equal — including the counter
+    // verbs through TWO stream-side folds
+    val dspec = Promql.EvalSpec(1704067200L, 1706659200L, 86400L, 7200L)
+    val dServed = Promql.queryAt(s2, dir01, "sum_over_time(click[1w])", dspec)
+    val dPlan = SparkFixture.planOf(dServed)
+    assert(dPlan.contains("fold_86400s") && dPlan.contains("fold_3600s"),
+      s"day grid must read both fold levels:\n${dPlan.take(2500)}")
+    val dRaw = Promql.queryAt(spark, dir01, "sum_over_time(click[1w])", dspec)
+    assert(dServed.exceptAll(dRaw).count() === 0 &&
+      dRaw.exceptAll(dServed).count() === 0)
+    assert(dRaw.count() > 0)
+    val rServed = Promql.queryAt(s2, dir01, "rate(click[1w])", dspec)
+    val rRaw = Promql.queryAt(spark, dir01, "rate(click[1w])", dspec)
+    assert(rServed.exceptAll(rRaw).count() === 0 &&
+      rRaw.exceptAll(rServed).count() === 0,
+      "counter chain through two stream folds must equal raw")
+    assert(rRaw.count() > 0)
+  }
+
   test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
     // ADVICE r14 (high): EventTimeTimeout fires only when the watermark
     // STRICTLY exceeds the timeout. Anchoring the timeout at bucket-end
