@@ -61,26 +61,16 @@ scale factors, so the baseline is graft's own measurement — locked here
 so every later round's `BENCH_r{{N}}.json` can be graded against a fixed
 bar (the 2x gate in the goal statement).
 
-**Round-15 full re-lock** (supersedes the round-13 lock; VERDICT
-r14 #2; same rep-major method — each rep runs the whole sorted query
-surface once, so a host slow window hits different queries in
-different reps and the per-query median/min filters it). Covers the
-full {len(queries)}-entry surface, closing both r14 gaps: the 7
-round-14 entries (the q_downsample_1h / q_downsample_sum_1d chain,
-q_promql_rollup_stepped_1h, q_promql_stepped_wide, the rollup hist
-pair, q_promql_hist_sum) get locked numbers for the first time, and
-the r13 lock's disclosed ~1.13x-slow window is replaced by two QUIET
-records: the round-14 driver record (loadavg_start 2.17, median total
-218.5 s) and a fresh round-15 record (loadavg_start 1.43, median
-193.6 s) — the per-query lock is the median across both, a central
-estimate straddling the host's speed windows. The 14 entries added or
-re-pointed in round 15 (the admission family around the hamming-sketch
-served default, the 1h-level pick pair, the hybrid fresh-tail pair,
-and the 1d chain level's five) are locked from quiet NEW-CODE partial
-records (n=3 each, zero failures); for the two whose semantics changed
-(emb_admission — now the hamming gate — and admission_recall — grew
-the emb_hamming leg) the old-code records are excluded from their
-medians.
+**Full re-lock at {commit}** (rep-major method — each rep runs the
+whole sorted query surface once, so a host slow window hits different
+queries in different reps and the per-query median/min filters it).
+Covers the full {len(queries)}-entry surface from quiet full-surface
+records on current code ({prov}); the per-query lock is the median
+across records, a central estimate straddling the host's speed
+windows. EDIT THIS PARAGRAPH after relocking to record WHY the
+re-lock happened (which entries grew or changed) — the script writes
+a neutral skeleton on purpose so stale prior-round prose cannot
+survive a regeneration.
 
 **Host-noise disclosure (measured rounds 8-11):** this virtualized
 host has ±20% speed windows that loadavg cannot see (BENCH_r10 vs

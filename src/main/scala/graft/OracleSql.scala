@@ -230,6 +230,66 @@ object OracleSql {
        |  FROM wide)""".stripMargin
   }
 
+  /** Shared CTE chain of the per-user activity alert (threshold
+    * value > 0, for = 3600, keep = 3600, the q_promql_alerts_* grid):
+    * the full state machine up to the DENSE per-(step, series) frame —
+    * alertstate (null at missed evals), active_at (ActiveAt: fire_time
+    * − for when firing, the island start when pending), and the
+    * last-held/last-state/last-active carries the keep-extension rows
+    * read. Both synthetic-series oracles select from `dense`.
+    */
+  private val alertsSeriesCtes: String =
+    """steps AS (
+      |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+      |cnt AS (
+      |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS value
+      |  FROM events e JOIN steps st
+      |    ON st.step * 1000000 >= epoch_us(e.ts)
+      |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+      |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
+      |  GROUP BY 1, 2),
+      |held AS (SELECT * FROM cnt WHERE value > 0),
+      |isl AS (
+      |  SELECT *, step - 3600 * ROW_NUMBER() OVER
+      |    (PARTITION BY user_id ORDER BY step) AS island
+      |  FROM held),
+      |spans AS (
+      |  SELECT user_id, island, MIN(step) AS a_start, MAX(step) AS a_end
+      |  FROM isl GROUP BY 1, 2),
+      |chains AS (
+      |  SELECT *, CASE WHEN gap IS NULL OR gap > 7200 THEN 1 ELSE 0 END AS brk
+      |  FROM (SELECT *, a_start - LAG(a_end) OVER
+      |          (PARTITION BY user_id ORDER BY a_start) AS gap
+      |        FROM spans)),
+      |chain2 AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY a_start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+      |  FROM chains),
+      |ign AS (
+      |  SELECT *, MIN(CASE WHEN a_end - a_start >= 3600 THEN a_start + 3600 END)
+      |    OVER (PARTITION BY user_id, chain ORDER BY a_start
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fire_time
+      |  FROM chain2),
+      |hs AS (
+      |  SELECT i.step, i.user_id,
+      |         CASE WHEN g.fire_time IS NOT NULL AND i.step >= g.fire_time
+      |              THEN 'firing' ELSE 'pending' END AS alertstate,
+      |         CASE WHEN g.fire_time IS NOT NULL AND i.step >= g.fire_time
+      |              THEN g.fire_time - 3600 ELSE g.a_start END AS active_at
+      |  FROM isl i JOIN ign g
+      |    ON g.user_id = i.user_id AND g.island = i.island),
+      |ser AS (SELECT DISTINCT user_id FROM hs),
+      |dense AS (
+      |  SELECT g.step, g.user_id, h.alertstate, h.active_at,
+      |    MAX(CASE WHEN h.alertstate IS NOT NULL THEN g.step END) OVER w AS last_held,
+      |    last_value(h.alertstate IGNORE NULLS) OVER w AS last_state,
+      |    last_value(CASE WHEN h.alertstate IS NOT NULL THEN h.active_at END
+      |               IGNORE NULLS) OVER w AS last_active
+      |  FROM (SELECT st.step, s.user_id FROM steps st CROSS JOIN ser s) g
+      |  LEFT JOIN hs h ON h.step = g.step AND h.user_id = g.user_id
+      |  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.step
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
   /** k → bound(k) literal CASE (mirror of TimeSeries.nhBoundCol). */
   private def nhBoundCaseS(schema: Int, k: String): String = {
     val (lo, hi) = graft.operators.TimeSeries.nhIdx(schema)
@@ -649,67 +709,33 @@ object OracleSql {
     // rows (held + keep-extension), joined against the raw hourly
     // per-user count — the whole composition from raw events
     "q_promql_alerts_series" ->
-      """WITH steps AS (
-        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
-        |cnt AS (
-        |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS value
-        |  FROM events e JOIN steps st
-        |    ON st.step * 1000000 >= epoch_us(e.ts)
-        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
-        |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
-        |  GROUP BY 1, 2),
-        |held AS (SELECT * FROM cnt WHERE value > 0),
-        |isl AS (
-        |  SELECT *, step - 3600 * ROW_NUMBER() OVER
-        |    (PARTITION BY user_id ORDER BY step) AS island
-        |  FROM held),
-        |spans AS (
-        |  SELECT user_id, island, MIN(step) AS a_start, MAX(step) AS a_end
-        |  FROM isl GROUP BY 1, 2),
-        |chains AS (
-        |  SELECT *, CASE WHEN gap IS NULL OR gap > 7200 THEN 1 ELSE 0 END AS brk
-        |  FROM (SELECT *, a_start - LAG(a_end) OVER
-        |          (PARTITION BY user_id ORDER BY a_start) AS gap
-        |        FROM spans)),
-        |chain2 AS (
-        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY a_start
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
-        |  FROM chains),
-        |ign AS (
-        |  SELECT *, MIN(CASE WHEN a_end - a_start >= 3600 THEN a_start + 3600 END)
-        |    OVER (PARTITION BY user_id, chain ORDER BY a_start
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fire_time
-        |  FROM chain2),
-        |hs AS (
-        |  SELECT i.step, i.user_id,
-        |         CASE WHEN g.fire_time IS NOT NULL AND i.step >= g.fire_time
-        |              THEN 'firing' ELSE 'pending' END AS alertstate
-        |  FROM isl i JOIN ign g
-        |    ON g.user_id = i.user_id AND g.island = i.island),
-        |ser AS (SELECT DISTINCT user_id FROM hs),
-        |dense AS (
-        |  SELECT g.step, g.user_id, h.alertstate,
-        |    MAX(CASE WHEN h.alertstate IS NOT NULL THEN g.step END) OVER w AS last_held,
-        |    last_value(h.alertstate IGNORE NULLS) OVER w AS last_state
-        |  FROM (SELECT st.step, s.user_id FROM steps st CROSS JOIN ser s) g
-        |  LEFT JOIN hs h ON h.step = g.step AND h.user_id = g.user_id
-        |  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.step
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |firing AS (
-        |  SELECT step, user_id FROM dense
-        |  WHERE alertstate = 'firing'
-        |     OR (alertstate IS NULL AND last_state = 'firing'
-        |         AND step - last_held <= 3600)),
-        |raw1h AS (
-        |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS v
-        |  FROM events e JOIN steps st
-        |    ON st.step * 1000000 >= epoch_us(e.ts)
-        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
-        |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
-        |  GROUP BY 1, 2)
-        |SELECT f.step, f.user_id, 1.0 * r.v AS value
-        |FROM firing f JOIN raw1h r
-        |  ON r.step = f.step AND r.user_id = f.user_id""".stripMargin,
+      s"""WITH $alertsSeriesCtes,
+         |firing AS (
+         |  SELECT step, user_id FROM dense
+         |  WHERE alertstate = 'firing'
+         |     OR (alertstate IS NULL AND last_state = 'firing'
+         |         AND step - last_held <= 3600)),
+         |raw1h AS (
+         |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM events e JOIN steps st
+         |    ON st.step * 1000000 >= epoch_us(e.ts)
+         |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+         |  WHERE regexp_full_match(e.event_type, 'click|view|purchase|signup|error')
+         |  GROUP BY 1, 2)
+         |SELECT f.step, f.user_id, 1.0 * r.v AS value
+         |FROM firing f JOIN raw1h r
+         |  ON r.step = f.step AND r.user_id = f.user_id""".stripMargin,
+    // ALERTS_FOR_STATE (round 16): ActiveAt per active (step, series) —
+    // a firing row's episode began when its governing ignition became
+    // pending (fire_time − for, stable across bridged gaps); a pending
+    // island is its own episode (its start)
+    "q_promql_alerts_for_state" ->
+      s"""WITH $alertsSeriesCtes
+         |SELECT step, user_id,
+         |       CAST(COALESCE(active_at, last_active) AS DOUBLE) AS value
+         |FROM dense
+         |WHERE alertstate IS NOT NULL
+         |   OR (last_state = 'firing' AND step - last_held <= 3600)""".stripMargin,
     "q_promql_stepped" ->
       """WITH steps AS (
         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),

@@ -279,6 +279,20 @@ object SparkEntry {
         graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 3600L),
         graft.sources.RecordedRules.UnionSource(Seq("ALERTS__active_user")))
     }),
+    // ALERTS_FOR_STATE (round 16): the second synthetic series —
+    // ActiveAt per active (step, series), the series Prometheus reads
+    // back to restore for: clocks; queried through the union namespace
+    "q_promql_alerts_for_state" -> ((s, d) => {
+      graft.operators.Alerts.recordForState(s, d, "active_user",
+        """sum by (user_id) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 0""",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        forSec = 3600L, keepSec = 3600L)
+      graft.operators.Promql.queryAt(s, d,
+        """max by (user_id)(ALERTS_FOR_STATE{alertname="active_user"})""",
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 3600L),
+        graft.sources.RecordedRules.UnionSource(
+          Seq("ALERTS_FOR_STATE__active_user")))
+    }),
     // the same rule through the SQL table function — shares
     // q_promql_alert_keep's oracle hash
     "q_promql_alert_tvf" -> ((s, d) => s.sql(

@@ -105,12 +105,53 @@ object Alerts {
         "ALERTS"))
   }
 
+  /** The SECOND synthetic series Prometheus publishes per active alert:
+    * `ALERTS_FOR_STATE{alertname=..., <rule labels>} = ActiveAt` (epoch
+    * sec) — the series upstream itself reads back to restore `for:`
+    * clocks across restarts (rules/alerting.go QueryForStateSeries).
+    * Carries alertname + the rule's labels but NOT alertstate (upstream
+    * parity), one sample per active (step, series).
+    */
+  def recordForState(s: SparkSession, dir: String, alertname: String,
+                     expr: String, spec: Promql.EvalSpec, forSec: Long,
+                     keepSec: Long = 0L): String = {
+    require(alertname.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad alert name $alertname")
+    graft.sources.RecordedRules.recordSamples(s, dir,
+      s"ALERTS_FOR_STATE__$alertname",
+      s"$expr @${spec.startSec}/${spec.endSec}/${spec.stepSec}/" +
+        s"${spec.lookbackSec} for=$forSec keep=$keepSec forstate",
+      graft.sources.RecordedRules.toSamples(
+        alertStatesAll(s, Promql.queryAt(s, dir, expr, spec),
+            spec, forSec, keepSec)
+          .withColumn("alertname", lit(alertname))
+          .withColumn("value", col("active_at").cast("double"))
+          .drop("active_at", "alertstate"),
+        "ALERTS_FOR_STATE"))
+  }
+
   /** The state machine alone, over any stepped held-condition frame
     * (columns: step, labels..., value). Exposed for the streaming twin
     * and specs.
     */
   def alertStates(s: SparkSession, held: DataFrame, spec: Promql.EvalSpec,
-                  forSec: Long, keepSec: Long): DataFrame = {
+                  forSec: Long, keepSec: Long): DataFrame =
+    alertStatesAll(s, held, spec, forSec, keepSec).drop("active_at")
+
+  /** [[alertStates]] plus the `active_at` column — upstream's Alert
+    * .ActiveAt, the timestamp the CURRENT episode became pending:
+    * a pre-ignition (pending) island is its own episode (pending drops
+    * at the first missed eval), so active_at = the island's start; a
+    * firing row's episode began when its GOVERNING ignition became
+    * pending, so active_at = fire_time − for — stable across bridged
+    * hysteresis gaps exactly as upstream never resets ActiveAt while
+    * the alert stays firing. Feeds the ALERTS_FOR_STATE synthetic
+    * series ([[recordSeries]]) — the series Prometheus itself uses to
+    * restore `for:` clocks across restarts.
+    */
+  private[graft] def alertStatesAll(s: SparkSession, held: DataFrame,
+                                    spec: Promql.EvalSpec,
+                                    forSec: Long, keepSec: Long): DataFrame = {
     require(forSec >= 0 && keepSec >= 0, "for/keep_firing_for must be >= 0")
     val labels = held.columns.filterNot(Set("step", "value")).toSeq
     val labCols = labels.map(col)
@@ -152,16 +193,20 @@ object Alerts {
           col("a_start") + lit(forSec)))
       .withColumn("fire_time", min("self_fire").over(byChain))
 
-    // held rows with their governing fire time
+    // held rows with their governing fire time + episode start
     val heldState = isl
-      .join(ignited.select((labCols :+ col("island") :+ col("fire_time")): _*),
+      .join(ignited.select((labCols :+ col("island") :+ col("fire_time") :+
+          col("a_start")): _*),
         labels :+ "island")
       .withColumn("alertstate",
         when(col("fire_time").isNotNull && col("step") >= col("fire_time"),
           lit("firing")).otherwise(lit("pending")))
+      .withColumn("active_at",
+        when(col("fire_time").isNotNull && col("step") >= col("fire_time"),
+          col("fire_time") - lit(forSec)).otherwise(col("a_start")))
 
     val outCols = Seq(col("step")) ++ labCols ++
-      Seq(col("alertstate"), col("value"))
+      Seq(col("alertstate"), col("value"), col("active_at"))
     if (keepSec <= 0L) return heldState.select(outCols: _*)
 
     // 4. extension rows: dense grid over ALERTED series only
@@ -181,6 +226,9 @@ object Alerts {
       .withColumn("last_value",
         last(when(col("alertstate").isNotNull, col("value")),
           ignoreNulls = true).over(wRun))
+      .withColumn("last_active",
+        last(when(col("alertstate").isNotNull, col("active_at")),
+          ignoreNulls = true).over(wRun))
     dense
       .withColumn("out_state",
         when(col("alertstate").isNotNull, col("alertstate"))
@@ -189,6 +237,7 @@ object Alerts {
       .filter(col("out_state").isNotNull)
       .select((Seq(col("step")) ++ labCols ++ Seq(
         col("out_state").as("alertstate"),
-        coalesce(col("value"), col("last_value")).as("value"))): _*)
+        coalesce(col("value"), col("last_value")).as("value"),
+        coalesce(col("active_at"), col("last_active")).as("active_at"))): _*)
   }
 }

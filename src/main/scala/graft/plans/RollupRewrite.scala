@@ -369,7 +369,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           gk.count(_.isInstanceOf[StepK]) == 1 &&
           gk.distinct.size == gk.size
         val stepW = gk.collectFirst { case StepK(w) => w }
-        stepW.flatMap(resolveStore(dir, _)).flatMap { case (store, horizon) =>
+        stepW.flatMap(resolveStore(dir, _)).flatMap { case (bands, horizon) =>
           // every output must be a grouped key or a recognized measure
           val kinds = agg.aggregateExpressions.map {
             case a: Alias => classify(dealias(a.child, subst))
@@ -404,7 +404,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             ((gk.contains(EtK) || pinned(EtK)) &&
               (gk.contains(UserK) || pinned(UserK)))
           if (groupOk && outOk && endpointOk && fCols.forall(_.isDefined))
-            Some(substitute(agg, store, ok, gk, fCols.flatten, horizon))
+            Some(substitute(agg, bands, ok, gk, fCols.flatten, horizon))
           else None
         }
       }
@@ -423,8 +423,23 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * choice needs no boundary-cleanliness gate (unlike the stepped
     * front-end's open-left windows). No marker / no store → no rewrite.
     */
+  /** One serving band: part paths, level resolution, and the BUCKET
+    * range it covers ([lo, hi) on the bucket axis; None = unbounded).
+    * Batch stores serve one unbounded band at the coarsest aligned
+    * level; a stream store serves its fold-chain levels as disjoint
+    * bucket ranges (round 16) — closed days from fold_86400s, then
+    * closed hours from fold_3600s, then the 300 s parts. Tumbling step
+    * groups re-aggregate a MIXED-resolution union exactly as long as
+    * the bands tile the bucket axis disjointly and every band's bucket
+    * nests in the step group (stepW % res == 0): partial sums/counts
+    * merge associatively, order statistics compose, and the endpoint
+    * arg-picks order by bucket start, which orders disjoint ranges
+    * chronologically whatever their width.
+    */
+  private type Band = (Seq[String], Long, Option[Long], Option[Long])
+
   private def resolveStore(dir: String,
-                           stepW: Long): Option[(String, Option[Long])] = {
+                           stepW: Long): Option[(Seq[Band], Option[Long])] = {
     val streamDir = session.conf.get(RollupRewrite.StreamStoreConf, "")
     if (streamDir.nonEmpty) {
       import graft.streaming.{RollupMaintainStream => RMS}
@@ -440,12 +455,30 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // empty store falls back to the raw scan, never throws at plan
         // time (ADVICE r13)
         parts <- RMS.servableParts(streamDir)
-      } yield (parts, Some(h))
+      } yield {
+        def lev(res: Long): Option[(Seq[String], Long)] =
+          if (stepW % res != 0) None else RMS.foldedLevel(streamDir, res)
+        val l1d = lev(DownsampleStore.DayResolutionSec)
+        val l1h = lev(DownsampleStore.HourResolutionSec)
+        val h1d = l1d.map(_._2)
+        val h1h = l1h.map(_._2)
+        val bands = Seq(
+          l1d.map { case (incs, hh) =>
+            (incs, DownsampleStore.DayResolutionSec, Option.empty[Long],
+              Some(hh)) },
+          l1h.map { case (incs, hh) =>
+            (incs, DownsampleStore.HourResolutionSec, h1d, Some(hh)) },
+          Some((Seq(parts), DownsampleStore.ResolutionSec,
+            h1h.orElse(h1d), Option.empty[Long]))
+        ).flatten
+        (bands, Some(h))
+      }
     } else {
       // coarsest-first chain pick: 1 d (round 15), then 1 h, then 300 s
-      def levelPick(res: Long, p: String): Option[(String, Option[Long])] =
+      def levelPick(res: Long, p: String): Option[(Seq[Band], Option[Long])] =
         if (stepW % res != 0) None
-        else if (new File(p, "_SUCCESS").isFile) Some((p, Option.empty[Long]))
+        else if (new File(p, "_SUCCESS").isFile)
+          Some((Seq((Seq(p), res, None, None)), Option.empty[Long]))
         else None
       levelPick(DownsampleStore.DayResolutionSec,
           DownsampleStore.storePath1d(session, dir))
@@ -453,7 +486,10 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           DownsampleStore.storePath1h(session, dir)))
         .orElse {
           val store = DownsampleStore.storePath(session, dir)
-          if (new File(store, "_SUCCESS").isFile) Some((store, None)) else None
+          if (new File(store, "_SUCCESS").isFile)
+            Some((Seq((Seq(store), DownsampleStore.ResolutionSec,
+              None, None)), None))
+          else None
         }
     }
   }
@@ -465,11 +501,17 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * Measures the query didn't ask for are pruned by the optimizer's
     * own column pruning.
     */
-  private def substitute(agg: Aggregate, store: String,
+  private def substitute(agg: Aggregate, bands: Seq[Band],
                          outKinds: Seq[OutKind], groupKinds: Seq[OutKind],
                          filters: Seq[org.apache.spark.sql.Column],
                          horizon: Option[Long] = None): LogicalPlan = {
-    val read = DownsampleStore.readServing(session, store)
+    // disjoint bucket-range bands unioned into one serving frame (one
+    // band for batch stores; the fold-chain levels for stream stores)
+    val read = bands.map { case (paths, _, lo, hi) =>
+      val r = DownsampleStore.readServingPaths(session, paths)
+      val r1 = hi.fold(r)(h => r.filter(col("bucket") < h))
+      lo.fold(r1)(l => r1.filter(col("bucket") >= l))
+    }.reduce(_ unionAll _)
     // stream-maintained store: serve ONLY steps whose whole window
     // closes at or before the staleness horizon — a half-flushed step
     // must not serve as the step's total (the explicit bound the

@@ -34,6 +34,36 @@ class AlertsSpec extends AnyFunSuite {
     (7 * H, "a", 7.0),
     (10 * H, "a", 10.0))
 
+  test("ActiveAt (ALERTS_FOR_STATE): pending episodes restart, firing episodes hold across bridged gaps") {
+    def runAll(held: Seq[(Long, String, Double)], forSec: Long,
+               keepSec: Long): Map[(Long, String), (String, Long)] =
+      Alerts.alertStatesAll(spark,
+          held.toDF("step", "series", "value"), spec, forSec, keepSec)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getString(2), r.getLong(4)))
+        .toMap
+    // series a: ignites at 2H (for=2H from island start 0), misses 3H
+    // (keep=H extension), re-holds 4H inside the bridge — ActiveAt must
+    // stay the ORIGINAL episode's start (upstream never resets ActiveAt
+    // while the alert stays firing)
+    val held = Seq(
+      (0L, "a", 1.0), (H, "a", 2.0), (2 * H, "a", 3.0), (4 * H, "a", 4.0),
+      // series b: pending episode at 0, dropped at the missed eval,
+      // NEW pending episode at 2H — ActiveAt restarts
+      (0L, "b", 1.0), (2 * H, "b", 2.0), (3 * H, "b", 3.0))
+    val m = runAll(held, forSec = 2 * H, keepSec = H)
+    assert(m((0L, "a")) === ("pending", 0L))
+    assert(m((H, "a")) === ("pending", 0L))
+    assert(m((2 * H, "a")) === ("firing", 0L))
+    assert(m((3 * H, "a")) === ("firing", 0L), "extension row keeps ActiveAt")
+    assert(m((4 * H, "a")) === ("firing", 0L), "bridged re-hold keeps ActiveAt")
+    assert(m((0L, "b")) === ("pending", 0L))
+    assert(!m.contains((H, "b")), "pending drops at the missed eval")
+    assert(m((2 * H, "b")) === ("pending", 2 * H), "new episode restarts ActiveAt")
+    assert(m((3 * H, "b")) === ("pending", 2 * H))
+  }
+
   test("for clock: pending until held for >= forSec, firing after") {
     val m = run(heldA, forSec = 2 * H, keepSec = 0L)
     assert(m((0L, "a"))._1 === "pending")

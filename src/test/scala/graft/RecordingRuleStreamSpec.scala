@@ -50,9 +50,10 @@ class RecordingRuleStreamSpec extends AnyFunSuite {
     val batch = graft.operators.Promql.query(spark, sf, "rec_stream_spec_batch",
         RecordedRules.RecordedSource("rec_stream_spec_batch"))
     // compare on the raw stored rows instead: read the batch store
+    // (record() returns its own store path, so the r2 schema-rev bump
+    // cannot silently leave this read on a stale pre-r2 dir)
     val batchRows = spark.read.parquet(
-        "/root/repo/target/tmp/recorded_rec_stream_spec_batch_" +
-          graft.sources.ChunkStore.pathTag(sf))
+        RecordedRules.record(spark, sf, "rec_stream_spec_batch", Expr))
       .filter(col("ts_ns") / 1000000000L + W <= h)
       .select("ts_ns", "user_id", "value", "event_id")
     val streamedBelow = streamed

@@ -305,6 +305,27 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
       rRaw.exceptAll(rServed).count() === 0,
       "counter chain through two stream folds must equal raw")
     assert(rRaw.count() > 0)
+    // the tumbling RULE path rides the same bands (round 16): the
+    // hourly rewrite reads the folded 1h level for closed hours and
+    // the 300 s parts for the open ones, mixed resolutions
+    // re-aggregating exactly per step group
+    val ruleServed = graft.operators.TimeSeries.rangeSumBy(s2, dir01)
+    val rulePlan = SparkFixture.planOf(ruleServed)
+    assert(rulePlan.contains("fold_3600s"),
+      s"hourly rewrite must scan the folded 1h level:\n${rulePlan.take(1500)}")
+    assert(!rulePlan.contains("events.parquet"))
+    // collect each side under ITS OWN plan: combining the frames
+    // (exceptAll / an outer step filter) re-optimizes under shapes the
+    // conservative rule vetoes, silently turning the comparison into
+    // raw-vs-raw — the first test in this suite compares the same way
+    def ruleRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val rawRule = graft.operators.TimeSeries.rangeSumBy(spark, dir01)
+      .filter(col("step") + 3600 <= h)
+    assert(ruleRows(ruleServed) === ruleRows(rawRule),
+      "mixed-band tumbling rewrite must equal raw up to the horizon")
+    assert(ruleRows(ruleServed).nonEmpty)
   }
 
   test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
