@@ -383,13 +383,17 @@ object RollupMaintainStream {
     val bounded = prev.fold(child.filter(col("bucket") < hClosed))(p =>
       child.filter(col("bucket") >= p && col("bucket") < hClosed))
     val inc = graft.sources.DownsampleStore.rollupFrom(bounded, r)
-    if (!inc.isEmpty) {
-      val out = s"$dir/inc_${prev.getOrElse(Long.MinValue)}_$hClosed"
-      inc.repartitionByRange(
-          math.max(1, s.sparkContext.defaultParallelism / 8), col("bucket"))
-        .sortWithinPartitions("bucket", "event_type", "user_id")
-        .write.mode("overwrite").parquet(out)
-    }
+    // write unconditionally — an isEmpty probe would COMPUTE the whole
+    // increment once just to decide, then the write computes it again
+    // (2x fold cost per pass at scale). A genuinely empty increment
+    // leaves a data-less dir that [[foldedLevel]]'s file probe simply
+    // never serves; emptiness is CORRECT there (the fold is complete
+    // over its range, so no rows means no data in those parents).
+    val out = s"$dir/inc_${prev.getOrElse(Long.MinValue)}_$hClosed"
+    inc.repartitionByRange(
+        math.max(1, s.sparkContext.defaultParallelism / 8), col("bucket"))
+      .sortWithinPartitions("bucket", "event_type", "user_id")
+      .write.mode("overwrite").parquet(out)
     writeMarker(dir, "_horizon", hClosed)
   }
 

@@ -91,4 +91,48 @@ class ChainFoldPropSpec extends AnyFunSuite {
       assert(edges > 0, s"seed $seed must seat samples on bucket edges")
     }
   }
+
+  test("incremental fold: random horizon sequences union to the one-shot fold") {
+    // the stream chain's crash-safe increment law (round 16,
+    // RollupMaintainStream.foldLevel): for ANY monotone horizon
+    // sequence h_0 < h_1 < …, the per-increment folds of
+    // child[h_{i-1}, h_i) union to the one-shot fold of child[…, h_n)
+    // — because every parent bucket nests in exactly one increment.
+    // Empty increments (a horizon advance over a data gap) included.
+    import spark.implicits._
+    val H = DownsampleStore.HourResolutionSec
+    for (seed <- Seq(11L, 83L, 2024L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = s"/root/repo/target/tmp/chainprop_inc_$seed"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val dir = s"$root/data"
+      genEvents(seed, 600).toDF("event_id", "us", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.store.root", s"$root/stores")
+      val child = DownsampleStore.table(s2, dir) // the 300 s level
+      val hMax = child.agg(max("bucket")).collect()(0).getLong(0) + 300L
+      // random monotone hour-aligned horizon cuts (some advancing over
+      // empty ranges — the generator leaves gaps by construction)
+      val top = (hMax / H + 1L) * H
+      val cuts = (Seq(1704067200L) ++
+        (1 to 4).map(_ => 1704067200L +
+          (rnd.nextLong().abs % ((top - 1704067200L) / H + 1L)) * H) ++
+        Seq(top)).distinct.sorted
+      val incs = cuts.zip(cuts.tail).map { case (lo, hi) =>
+        DownsampleStore.rollupFrom(
+          child.filter(col("bucket") >= lo && col("bucket") < hi), H)
+      }
+      val unioned = incs.reduce(_ unionAll _)
+      val oneShot = DownsampleStore.rollupFrom(
+        child.filter(col("bucket") < top), H)
+      assert(unioned.exceptAll(oneShot).count() === 0 &&
+        oneShot.exceptAll(unioned).count() === 0,
+        s"seed $seed cuts $cuts: increments must union to the one-shot fold")
+      assert(oneShot.count() > 0)
+    }
+  }
 }
