@@ -199,7 +199,7 @@ object RollupMaintainStream {
   def edgeCount(storeDir: String): Option[Long] =
     readMarker(storeDir, "_edge_count")
 
-  private[streaming] def readMarker(storeDir: String, name: String): Option[Long] = {
+  private[graft] def readMarker(storeDir: String, name: String): Option[Long] = {
     val marker = new java.io.File(storeDir, name)
     if (!marker.isFile) None
     else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
@@ -383,6 +383,17 @@ object RollupMaintainStream {
     val bounded = prev.fold(child.filter(col("bucket") < hClosed))(p =>
       child.filter(col("bucket") >= p && col("bucket") < hClosed))
     val inc = graft.sources.DownsampleStore.rollupFrom(bounded, r)
+    // ADVICE r16 (high): a crash after a committed inc write but before
+    // the marker advance leaves an orphan inc_<prev>_<h1>; if the child
+    // horizon then advances, this pass writes inc_<prev>_<h2> whose
+    // range CONTAINS the orphan's — serving both double-counts
+    // [prev, h1). Any sibling starting at the current marker is by
+    // construction unmarked (the marker still reads prev) or about to
+    // be superseded by this wider deterministic recompute — delete it.
+    val start = prev.getOrElse(Long.MinValue)
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"inc_${start}_"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     // write unconditionally — an isEmpty probe would COMPUTE the whole
     // increment once just to decide, then the write computes it again
     // (2x fold cost per pass at scale). A genuinely empty increment
@@ -397,21 +408,58 @@ object RollupMaintainStream {
     writeMarker(dir, "_horizon", hClosed)
   }
 
+  /** One parsed increment dir: covers buckets [a, b), written at refold
+    * generation g (0 for plain increments; compaction/backfill rewrites
+    * of an existing range bump it so the newest rewrite wins).
+    */
+  private[graft] case class IncDir(a: Long, b: Long, g: Long, path: String)
+
+  private[graft] def parseInc(f: java.io.File): Option[IncDir] = {
+    val t = f.getName.stripPrefix("inc_").split('_')
+    if (t.length < 2) None
+    else scala.util.Try(IncDir(t(0).toLong, t(1).toLong,
+      t.lift(2).map(_.stripPrefix("g").toLong).getOrElse(0L),
+      f.getPath)).toOption
+  }
+
+  private[graft] def dataBearing(f: java.io.File): Boolean =
+    f.isDirectory && new java.io.File(f, "_SUCCESS").isFile &&
+      Option(f.listFiles()).getOrElse(Array.empty).exists(p =>
+        p.isFile && p.getName.endsWith(".parquet") && p.length() > 0L)
+
   /** The folded level's data-bearing increment dirs and horizon, iff
     * the level has both a committed marker and committed rows — the
     * serving probe (SteppedRollup's stream bands resolve through it).
+    *
+    * Serves the MARKER-CONSISTENT chain only (ADVICE r16, high): dirs
+    * are parsed as ranges `inc_<a>_<b>[ _g<gen>]` and selected
+    * greedily by descending end — a dir joins only when its whole
+    * range sits at or below the running lower bound (initially the
+    * `_horizon` marker), so a crash-orphaned increment whose range
+    * overlaps a later, wider recompute can never serve alongside it
+    * and double-count rows. Equal ranges resolve to the highest
+    * generation (the newest rewrite); gaps between selected dirs are
+    * genuinely-empty increments (a horizon advance over no data), not
+    * holes — the marker proves the fold complete over [-inf, horizon).
     */
   def foldedLevel(storeDir: String,
                   r: Long): Option[(Seq[String], Long)] = {
     val dir = new java.io.File(storeDir, s"fold_${r}s")
     for {
       h <- readMarker(dir.getPath, "_horizon")
-      incs = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("inc_") &&
-          new java.io.File(f, "_SUCCESS").isFile &&
-          Option(f.listFiles()).getOrElse(Array.empty).exists(p =>
-            p.isFile && p.getName.endsWith(".parquet") && p.length() > 0L))
-        .map(_.getPath).toSeq.sorted
+      parsed = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("inc_") && dataBearing(f))
+        .flatMap(parseInc)
+        // one candidate per range: the newest generation
+        .groupBy(d => (d.a, d.b)).values.map(_.maxBy(_.g)).toSeq
+        // widest-coverage-first on ties (a consolidated dir beats the
+        // chain tail it subsumes); then walk down the bucket axis
+        .sortBy(d => (-d.b, d.a, -d.g))
+      chain = parsed.foldLeft((List.empty[IncDir], h)) {
+        case ((acc, bound), d) =>
+          if (d.b <= bound) (d :: acc, d.a) else (acc, bound)
+      }._1
+      incs = chain.map(_.path).sorted
       if incs.nonEmpty
     } yield (incs, h)
   }

@@ -328,6 +328,69 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     assert(ruleRows(ruleServed).nonEmpty)
   }
 
+  test("a fold-marker crash window never double-counts: overlapping increments are deleted and never served") {
+    // ADVICE r16 (high): a crash after the parquet write of
+    // inc_<prev>_<h1> but before the marker advance leaves the marker
+    // at prev; the next pass (child horizon now h2 > h1) recomputes
+    // the WIDER inc_<prev>_<h2>, whose range contains the orphan's —
+    // serving both silently double-counts [prev, h1) and the 1d fold
+    // bakes the duplication in permanently. The writer deletes the
+    // orphan before writing; foldedLevel additionally serves only the
+    // marker-consistent chain, so pre-fix stores heal on read.
+    import graft.sources.DownsampleStore
+    val (in, store, cp) = freshDirs("foldcrash")
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+    val cut1 = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+    val cut2 = java.time.LocalDateTime.parse("2024-01-20T00:00:00")
+    land(in, ev.filter(col("ts") < lit(cut1)), "w0")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    val foldDir = s"$store/fold_3600s"
+    val m1 = RollupMaintainStream.readMarker(foldDir, "_horizon").get
+    land(in, ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)), "w1")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    val m2 = RollupMaintainStream.readMarker(foldDir, "_horizon").get
+    assert(m2 > m1, "wave 1 must close new hours")
+    assert(new java.io.File(foldDir, s"inc_${m1}_$m2").isDirectory)
+    // simulate the crash: the inc dir committed, the marker did not
+    Files.write(Paths.get(foldDir, "_horizon"), m1.toString.getBytes)
+    land(in, ev.filter(col("ts") >= lit(cut2)), "w2")
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01)
+    RollupMaintainStream.runOnce(spark, in, store, cp, dir01) // drain
+    val m3 = RollupMaintainStream.readMarker(foldDir, "_horizon").get
+    assert(m3 > m2, "wave 2 must close hours past the orphan's end")
+    // the orphan is gone (the writer deleted it before the recompute)
+    assert(!new java.io.File(foldDir, s"inc_${m1}_$m2").exists(),
+      "the overlapped orphan increment must have been deleted")
+    // and the folded level re-merges to exactly the one-shot fold —
+    // every row singly counted through the crash window
+    val (incs, h1h) = RollupMaintainStream.foldedLevel(store, 3600L).get
+    val folded = DownsampleStore.readServingPaths(spark, incs, counters = true)
+    val oneShot = DownsampleStore.rollupFrom(
+      DownsampleStore.readServing(spark,
+          RollupMaintainStream.servableParts(store).get, counters = true)
+        .filter(col("bucket") < h1h), 3600L)
+    assert(folded.exceptAll(oneShot).count() === 0 &&
+      oneShot.exceptAll(folded).count() === 0,
+      "fold chain through the crash window must equal the one-shot fold")
+    assert(folded.count() > 0)
+    // defense in depth: even a PRE-FIX store (overlapping dir present
+    // on disk) serves only the marker-consistent chain — plant a fake
+    // orphan overlapping the chain and assert it never serves
+    val real = new java.io.File(foldDir).listFiles()
+      .filter(_.getName.startsWith(s"inc_${m1}_")).head
+    val fake = new java.io.File(foldDir, s"inc_${m1}_${m3 - 3600L}")
+    org.apache.commons.io.FileUtils.copyDirectory(real, fake)
+    val (incs2, _) = RollupMaintainStream.foldedLevel(store, 3600L).get
+    assert(incs2 === incs, "an overlapping orphan must never join the chain")
+    // same-range rewrites resolve to the newest generation only
+    val regen = new java.io.File(s"${real.getPath}_g1")
+    org.apache.commons.io.FileUtils.copyDirectory(real, regen)
+    val (incs3, _) = RollupMaintainStream.foldedLevel(store, 3600L).get
+    assert(incs3.contains(regen.getPath) && !incs3.contains(real.getPath),
+      "equal ranges must serve the highest generation only")
+    assert(incs3.size === incs.size)
+  }
+
   test("a watermark landing exactly on a bucket boundary flushes the bucket ending there") {
     // ADVICE r14 (high): EventTimeTimeout fires only when the watermark
     // STRICTLY exceeds the timeout. Anchoring the timeout at bucket-end
