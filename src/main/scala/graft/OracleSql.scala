@@ -2403,6 +2403,12 @@ object OracleSql {
       // level, the open tail raw — one grid, hash-shared with the
       // raw twin
       "q_promql_stepped_fresh_1d" -> base("q_promql_stepped_vwide"),
+      // COMPACTION + RETENTION (round 17; VERDICT r16 #1): the same
+      // month-wide hour-stepped query over a store whose raw level was
+      // compacted AND retention-dropped behind the 1h fold horizon —
+      // dropped buckets serve from the fold bands, the open tail raw,
+      // hash-shared with the raw twin
+      "q_promql_stepped_retained" -> base("q_promql_stepped_long"),
       // the 1d chain level's serving twins (round 15): lossless verb
       // and the counter chain through TWO folds
       "q_promql_rollup_stepped_1d" -> base("q_promql_stepped_vwide"),

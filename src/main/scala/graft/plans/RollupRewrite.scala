@@ -454,12 +454,20 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         // zero-data passes publish markers without landing parts — an
         // empty store falls back to the raw scan, never throws at plan
         // time (ADVICE r13)
-        parts <- RMS.servableParts(streamDir)
+        paths <- RMS.servingPaths(streamDir)
+        l1d = if (stepW % DownsampleStore.DayResolutionSec != 0) None
+              else RMS.foldedLevel(streamDir, DownsampleStore.DayResolutionSec)
+        l1h = if (stepW % DownsampleStore.HourResolutionSec != 0) None
+              else RMS.foldedLevel(streamDir, DownsampleStore.HourResolutionSec)
+        // RETENTION floor gate (round 17): raw buckets below the
+        // store's `_compact` floor may have been dropped; the raw band
+        // is complete only above its 1 h-band lower bound (>= floor by
+        // the retention invariant). A grid that cannot join the 1 h
+        // band therefore refuses the rewrite — raw scan, never a
+        // silent under-count.
+        floor = graft.streaming.RollupCompactor.retainFloor(streamDir)
+        if floor == graft.streaming.RollupCompactor.NoFloor || l1h.isDefined
       } yield {
-        def lev(res: Long): Option[(Seq[String], Long)] =
-          if (stepW % res != 0) None else RMS.foldedLevel(streamDir, res)
-        val l1d = lev(DownsampleStore.DayResolutionSec)
-        val l1h = lev(DownsampleStore.HourResolutionSec)
         val h1d = l1d.map(_._2)
         val h1h = l1h.map(_._2)
         val bands = Seq(
@@ -468,7 +476,7 @@ case class RollupRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               Some(hh)) },
           l1h.map { case (incs, hh) =>
             (incs, DownsampleStore.HourResolutionSec, h1d, Some(hh)) },
-          Some((Seq(parts), DownsampleStore.ResolutionSec,
+          Some((paths, DownsampleStore.ResolutionSec,
             h1h.orElse(h1d), Option.empty[Long]))
         ).flatten
         (bands, Some(h))

@@ -123,7 +123,7 @@ object SteppedRollup {
       windowSec % r == 0 && spec.startSec % r == 0 &&
         spec.stepSec % r == 0 && sel.offsetSec % r == 0
     val streamDir = s.conf.get(RollupRewrite.StreamStoreConf, "")
-    val resolved: Option[(String, Option[Long], Long)] =
+    val resolved: Option[(Seq[String], Option[Long], Long)] =
       if (streamDir.nonEmpty) {
         import graft.streaming.{RollupMaintainStream => RMS}
         // the store's recorded source dataset must be the query's —
@@ -137,18 +137,18 @@ object SteppedRollup {
           e <- RMS.edgeCount(streamDir) if e == 0L
           // markers can exist with no parts (zero-data pass) — fall
           // back to raw, never throw at plan time (ADVICE r13)
-          parts <- RMS.servableParts(streamDir)
-        } yield (parts, Some(h), R)
+          paths <- RMS.servingPaths(streamDir)
+        } yield (paths, Some(h), R)
       } else {
         // coarsest-first: 1 d (round 15), then 1 h, then 300 s — each
         // level only when the whole grid aligns to it, the store
         // exists, and it is boundary-clean; a finer level is never
         // refused when a coarser one is absent
         def levelPick(res: Long, p: String,
-                      clean: => Boolean): Option[(String, Option[Long], Long)] =
+                      clean: => Boolean): Option[(Seq[String], Option[Long], Long)] =
           if (!alignedTo(res)) None
           else if (new java.io.File(p, "_SUCCESS").isFile && clean)
-            Some((p, Option.empty[Long], res))
+            Some((Seq(p), Option.empty[Long], res))
           else None
         levelPick(DownsampleStore.DayResolutionSec,
             DownsampleStore.storePath1d(s, dir),
@@ -160,7 +160,7 @@ object SteppedRollup {
             val store = DownsampleStore.storePath(s, dir)
             if (new java.io.File(store, "_SUCCESS").isFile &&
               DownsampleStore.boundaryClean(s, dir))
-              Some((store, None, R))
+              Some((Seq(store), None, R))
             else None
           }
       }
@@ -219,7 +219,7 @@ object SteppedRollup {
     // the next finer band, never serve partial. A fold level joins
     // only when the whole grid aligns to its resolution.
     val bands: Seq[(Seq[String], Long, Option[Long], Option[Long])] =
-      if (horizon.isEmpty) Seq((Seq(store), res, None, None))
+      if (horizon.isEmpty) Seq((store, res, None, None))
       else {
         import graft.streaming.{RollupMaintainStream => RMS}
         val off = sel.offsetSec
@@ -238,10 +238,33 @@ object SteppedRollup {
             (incs, DownsampleStore.DayResolutionSec, Option.empty[Long], h1d) },
           lev1h.map { case (incs, _) =>
             (incs, DownsampleStore.HourResolutionSec, h1d, h1h) },
-          Some((Seq(store), res, h1h.orElse(h1d),
+          Some((store, res, h1h.orElse(h1d),
             Some(horizon.get + off)))
         ).flatten
       }
+    // RETENTION floor gate (round 17; VERDICT r16 #1): raw buckets
+    // below the store's `_compact` floor may have been dropped — every
+    // step the raw band serves must read only retained buckets. The
+    // earliest raw-band step is the first grid point above the band's
+    // lower bound (the 1h/1d fold horizon when those bands joined);
+    // its window reads original-axis buckets down to tMin − W − off.
+    // A query reaching below the floor hands back to the raw events
+    // evaluator — slower, never under-counted. Fold-band steps are
+    // unaffected (those levels are never retention-dropped).
+    if (horizon.isDefined && streamDir.nonEmpty) {
+      val floor = graft.streaming.RollupCompactor.retainFloor(streamDir)
+      if (floor != graft.streaming.RollupCompactor.NoFloor) {
+        val rawLo = bands.last._3 // the raw band's step lower bound
+        val tMin = rawLo.fold(spec.startSec) { l =>
+          math.max(spec.startSec, spec.startSec +
+            (Math.floorDiv(l - spec.startSec, spec.stepSec) + 1L) *
+              spec.stepSec)
+        }
+        val rawHi = horizon.get + sel.offsetSec
+        if (tMin <= math.min(spec.endSec, rawHi) &&
+            tMin - windowSec - sel.offsetSec < floor) return None
+      }
+    }
     val covered = bands.map { case (paths, bres, lo, hi) =>
       val c = coveredFor(paths, bres)
       val c1 = hi.fold(c)(h => c.filter(col("step") <= lit(h)))

@@ -207,12 +207,16 @@ object RollupMaintainStream {
   }
 
   private[streaming] def writeMarker(storeDir: String, name: String,
-                          value: Long): Unit = {
+                          value: Long): Unit =
+    writeMarker(storeDir, name, value.toString)
+
+  private[streaming] def writeMarker(storeDir: String, name: String,
+                          value: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
     val tmp = java.io.File.createTempFile("mrk", ".tmp",
       new java.io.File(storeDir))
     java.nio.file.Files.write(tmp.toPath,
-      value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(storeDir, name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -315,9 +319,11 @@ object RollupMaintainStream {
       .start()
     q.awaitTermination()
     // edge count first (see the ordering note above); coalesce covers
-    // the empty-store first pass (sum over zero rows is NULL)
-    if (Option(new java.io.File(parts).listFiles()).exists(_.nonEmpty)) {
-      val edges = s.read.parquet(parts)
+    // the empty-store first pass (sum over zero rows is NULL). The sum
+    // runs over the marker-gated serving view — after a compaction,
+    // consolidated rows live under compact/, not parts/
+    servingPaths(storeDir).foreach { paths =>
+      val edges = s.read.parquet(paths: _*)
         .agg(coalesce(sum("n_edge"), lit(0L))).collect()(0).getLong(0)
       writeMarker(storeDir, "_edge_count", edges)
     }
@@ -363,9 +369,9 @@ object RollupMaintainStream {
     */
   def foldChain(s: SparkSession, storeDir: String): Unit = {
     import graft.sources.DownsampleStore
-    for (h <- horizonSec(storeDir); parts <- servableParts(storeDir)) {
+    for (h <- horizonSec(storeDir); paths <- servingPaths(storeDir)) {
       foldLevel(s, storeDir,
-        DownsampleStore.readServing(s, parts, counters = true), h, 3600L)
+        DownsampleStore.readServingPaths(s, paths, counters = true), h, 3600L)
       for ((incs, h1h) <- foldedLevel(storeDir, 3600L))
         foldLevel(s, storeDir,
           DownsampleStore.readServingPaths(s, incs, counters = true),
@@ -468,6 +474,8 @@ object RollupMaintainStream {
     * rows there — the gate every serving path resolves through (ADVICE
     * r13: a `_watermark` published on a zero-data pass, with no parts
     * on disk, must fall back to raw serving, not throw at plan time).
+    * PRE-COMPACTION probe only: once RollupCompactor has run, rows live
+    * under `compact/` too — serving resolves through [[servingPaths]].
     */
   def servableParts(storeDir: String): Option[String] = {
     val parts = new java.io.File(storeDir, "parts")
@@ -483,6 +491,41 @@ object RollupMaintainStream {
       Some(parts.getPath)
     else None
   }
+
+  /** The raw level's data-bearing serving dirs under the `_compact`
+    * marker-gated view (round 17; VERDICT r16 #1): the committed
+    * compacted dir (batches <= upTo, consolidated write-once) plus the
+    * live `parts/batch=<id>` dirs with id > upTo. With no compaction
+    * marker this is just the data-bearing batch dirs — the pre-round-17
+    * view. None = nothing servable (the ADVICE r13 fallback).
+    * Mid-swap consistency: the marker commits the view atomically —
+    * batches being superseded are excluded by the id filter the moment
+    * the marker lands, and remain on disk until the cleanup, so every
+    * resolution of this probe sees each row exactly once.
+    */
+  def servingPaths(storeDir: String): Option[Seq[String]] = {
+    val st = RollupCompactor.state(storeDir)
+    val upTo = st.map(_.upTo).getOrElse(Long.MinValue)
+    val compacted = st.map(c => RollupCompactor.compactDir(storeDir, c))
+      .filter(dataBearingLoose).map(_.getPath)
+    val live = Option(new java.io.File(storeDir, "parts").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        scala.util.Try(f.getName.stripPrefix("batch=").toLong)
+          .toOption.exists(_ > upTo) && dataBearingLoose(f))
+      .map(_.getPath).toSeq.sorted
+    val all = compacted.toSeq ++ live
+    if (all.isEmpty) None else Some(all)
+  }
+
+  /** [[dataBearing]] without the `_SUCCESS` requirement — streaming
+    * foreachBatch parquet writes commit without the marker file, so the
+    * batch-dir probe keys on data files alone (servableParts's rule).
+    */
+  private def dataBearingLoose(f: java.io.File): Boolean =
+    f.isDirectory &&
+      Option(f.listFiles()).getOrElse(Array.empty).exists(p =>
+        p.isFile && p.getName.endsWith(".parquet") && p.length() > 0L)
 
   /** A stream-maintained store over `dir`'s events table, staged and
     * maintained under the session's store root — the driver-entry form
@@ -506,7 +549,11 @@ object RollupMaintainStream {
   def demoStore(s: SparkSession, dir: String): String = {
     val root = graft.sources.ChunkStore.storeRoot(s)
     val tag = graft.sources.ChunkStore.pathTag(dir)
-    val base = s"$root/rollupstream_$tag"
+    buildStore(s, dir, s"$root/rollupstream_$tag")
+  }
+
+  private def buildStore(s: SparkSession, dir: String,
+                         base: String): String = {
     val in = s"$base/in"
     val store = s"$base/store"
     val cp = s"$base/cp"
@@ -547,6 +594,29 @@ object RollupMaintainStream {
     // existed (or whose last pass crashed between markers) folds here;
     // an up-to-date store pays two marker reads
     foldChain(s, store)
+    // the compactor runs maintenance-adjacent (round 17; VERDICT r16
+    // #1): batch part dirs consolidate behind the `_compact` marker and
+    // the fold levels merge log-structured — every serving hash is
+    // unchanged by construction (same rows, fewer dirs)
+    RollupCompactor.compact(s, store)
+    store
+  }
+
+  /** [[demoStore]] with RETENTION applied (round 17): after the build,
+    * raw 300 s buckets older than `retainRawFor` behind the 1 h fold
+    * horizon are dropped from the raw level — fold-aligned queries keep
+    * serving them from the chain bands; anything needing dropped raw
+    * buckets falls back to the raw events scan via the floor gates.
+    * Separate store root so the unretained [[demoStore]] twin entries
+    * are untouched.
+    */
+  def demoStoreRetained(s: SparkSession, dir: String,
+                        retainRawFor: Long): String = {
+    val root = graft.sources.ChunkStore.storeRoot(s)
+    val tag = graft.sources.ChunkStore.pathTag(dir)
+    val base = s"$root/rollupstreamret_$tag"
+    val store = buildStore(s, dir, base)
+    RollupCompactor.compact(s, store, Some(retainRawFor))
     store
   }
 
@@ -557,7 +627,7 @@ object RollupMaintainStream {
     * the stepped front-end also use, so the projections cannot drift.
     */
   def table(s: SparkSession, storeDir: String): DataFrame =
-    graft.sources.DownsampleStore.readServing(s,
-      servableParts(storeDir).getOrElse(
+    graft.sources.DownsampleStore.readServingPaths(s,
+      servingPaths(storeDir).getOrElse(
         sys.error(s"$storeDir has no maintained parts to serve")))
 }

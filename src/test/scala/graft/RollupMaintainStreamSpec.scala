@@ -263,8 +263,8 @@ class RollupMaintainStreamSpec extends AnyFunSuite {
     val folded = DownsampleStore.readServingPaths(spark, incs1h,
       counters = true)
     val oneShot = DownsampleStore.rollupFrom(
-      DownsampleStore.readServing(spark,
-          RollupMaintainStream.servableParts(store).get, counters = true)
+      DownsampleStore.readServingPaths(spark,
+          RollupMaintainStream.servingPaths(store).get, counters = true)
         .filter(col("bucket") < h1h), 3600L)
     assert(folded.exceptAll(oneShot).count() === 0 &&
       oneShot.exceptAll(folded).count() === 0,
