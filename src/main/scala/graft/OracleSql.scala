@@ -2409,6 +2409,10 @@ object OracleSql {
       // dropped buckets serve from the fold bands, the open tail raw,
       // hash-shared with the raw twin
       "q_promql_stepped_retained" -> base("q_promql_stepped_long"),
+      // OUT-OF-ORDER BACKFILL (round 17; VERDICT r16 #2): the repaired
+      // store serves the same month grid bit-equal to the raw twin —
+      // late buckets recomputed from source, fold increments refolded
+      "q_promql_stepped_backfill" -> base("q_promql_stepped_long"),
       // the 1d chain level's serving twins (round 15): lossless verb
       // and the counter chain through TWO folds
       "q_promql_rollup_stepped_1d" -> base("q_promql_stepped_vwide"),

@@ -97,7 +97,15 @@ object DownsampleStore {
     * aggregates. `sum_value` stays DECIMAL so downstream re-aggregation
     * is exact; callers lower to DOUBLE only at output edges.
     */
-  def rollup(s: SparkSession, dir: String): DataFrame = {
+  def rollup(s: SparkSession, dir: String): DataFrame =
+    rollupOf(Tables.events(s, dir))
+
+  /** [[rollup]] over an arbitrary events frame — the out-of-order
+    * backfill job (streaming/RollupBackfill.scala) recomputes affected
+    * buckets from the repaired source with EXACTLY the store build's
+    * arithmetic by going through this one definition.
+    */
+  private[graft] def rollupOf(events: DataFrame): DataFrame = {
     // COUNTER partials (round 13, Thanos's counter aggregate): the
     // bucket carries the sum of its WITHIN-bucket reset-corrected
     // growths; cross-bucket pairs are reconstructed at query time from
@@ -109,7 +117,7 @@ object DownsampleStore {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "event_type", "bucket")
       .orderBy(col("us"), col("event_id"))
-    Tables.events(s, dir)
+    events
       .withColumn("us", unix_micros(col("ts")))
       // `div`, not `/`: long/long is DOUBLE division in Spark and µs
       // magnitudes sit near double's exact-integer edge (Tables.scala
