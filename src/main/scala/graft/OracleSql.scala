@@ -702,6 +702,29 @@ object OracleSql {
     // alerting-rule state machine (round 15): mirror of Alerts.rule —
     // stepped 2h-count expr > 6, gaps-and-islands `for:` clock, and
     // (keep variant) hysteresis chains + dense-grid extension rows
+    // RULE GROUP (round 17): the union of every group rule's
+    // independently re-derived output — the alert legs are the two
+    // standalone alert oracles verbatim (the group must hash-match
+    // rule-by-rule), the recording leg the hourly per-user click count
+    "q_promql_rule_group" ->
+      s"""SELECT 'hot_metric' AS rule, step, event_type AS series,
+         |       alertstate, value
+         |FROM (${alertOracle(0L)}) ga
+         |UNION ALL
+         |SELECT 'hot_metric_keep' AS rule, step, event_type AS series,
+         |       alertstate, value
+         |FROM (${alertOracle(3600L)}) gb
+         |UNION ALL
+         |SELECT 'grp_click_cnt1h' AS rule, st.step,
+         |       CAST(e.user_id AS VARCHAR) AS series,
+         |       'none' AS alertstate, CAST(COUNT(*) AS DOUBLE) AS value
+         |FROM events e
+         |JOIN (SELECT unnest(generate_series(1704067200, 1704153600, 3600))
+         |        AS step) st
+         |  ON st.step * 1000000 >= epoch_us(e.ts)
+         | AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+         |WHERE e.event_type = 'click'
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

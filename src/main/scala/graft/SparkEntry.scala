@@ -271,6 +271,26 @@ object SparkEntry {
     // per alert label set, no sequential fold; and the
     // `keep_firing_for:` hysteresis variant (firing bridges short
     // condition gaps, extension rows emitted at missed evals)
+    // RULE GROUPS — N rules, ONE scan (round 17; VERDICT r16 #3,
+    // Prometheus rules/group.go's per-interval group eval): two
+    // alerting rules + one recording rule compile into one shared
+    // events pass (single pruned scan, multi-measure aggregate,
+    // per-rule re-aggregation + state machines); each rule's rows are
+    // hash-equal to its standalone evaluation (the oracle re-derives
+    // all three independently)
+    "q_promql_rule_group" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("hot_metric", "count_over_time",
+            Seq("click", "view", "purchase", "signup", "error"), 7200L,
+            Seq("event_type"), Some((">", 6.0)), forSec = 7200L),
+          graft.operators.RuleGroup.Rule("hot_metric_keep", "count_over_time",
+            Seq("click", "view", "purchase", "signup", "error"), 7200L,
+            Seq("event_type"), Some((">", 6.0)), forSec = 7200L,
+            keepSec = 3600L),
+          graft.operators.RuleGroup.Rule("grp_click_cnt1h",
+            "count_over_time", Seq("click"), 3600L, Seq("user_id"))))),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

@@ -97,6 +97,19 @@ object RecordedRules {
     p
   }
 
+  /** A rule-group recording rule's persist hook (round 17;
+    * operators/RuleGroup): the group evaluator hands the already-
+    * computed grid (one shared scan for the whole group), this wraps it
+    * into the same write-once store [[record]] builds — so a recorded
+    * group rule is served back identically to a standalone one.
+    */
+  private[graft] def recordGroupRule(s: SparkSession, dir: String,
+                                     name: String, ruleKey: String,
+                                     grid: DataFrame): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad rule name $name")
+    recordSamples(s, dir, name, ruleKey, toSamples(grid, name))
+  }
+
   /** (step, labels..., value) grid → the sample schema the seam serves.
     * Shared by the batch recorder and the streaming maintainer
     * (streaming/RecordingRuleStream) so the two write IDENTICAL rows.

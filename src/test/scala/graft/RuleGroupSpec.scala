@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Alerts, Promql, RuleGroup}
+import SparkFixture.spark
+
+/** Rule groups — N rules, one scan (round 17; VERDICT r16 #3): a group
+  * of alerting + recording rules over one selector family compiles
+  * into ONE shared pass (single events scan, multi-measure aggregate),
+  * and each rule's output is bit-equal to its standalone evaluation.
+  */
+class RuleGroupSpec extends AnyFunSuite {
+
+  private val dir01 = "/root/testdata/sf0.01"
+  private val spec = Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L)
+  private val mets = Seq("click", "view", "purchase", "signup", "error")
+
+  private val rules = Seq(
+    RuleGroup.Rule("hot_metric", "count_over_time", mets, 7200L,
+      Seq("event_type"), Some((">", 6.0)), forSec = 7200L),
+    RuleGroup.Rule("hot_metric_keep", "count_over_time", mets, 7200L,
+      Seq("event_type"), Some((">", 6.0)), forSec = 7200L, keepSec = 3600L),
+    RuleGroup.Rule("grp_click_cnt1h", "count_over_time", Seq("click"),
+      3600L, Seq("user_id")))
+
+  private def eq(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+    val bb = b.select(a.columns.map(col).toSeq: _*)
+    assert(a.exceptAll(bb).count() === 0 && bb.exceptAll(a).count() === 0,
+      s"$tag: group output must equal the standalone evaluation")
+    assert(a.count() > 0, s"$tag must produce rows")
+  }
+
+  test("each group rule is bit-equal to its standalone evaluation") {
+    val outs = RuleGroup.evaluate(spark, dir01, spec, rules)
+    val expr = """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6"""
+    eq(outs("hot_metric"),
+      Alerts.rule(spark, dir01, expr, spec, forSec = 7200L), "alert")
+    eq(outs("hot_metric_keep"),
+      Alerts.rule(spark, dir01, expr, spec, forSec = 7200L, keepSec = 3600L),
+      "alert+keep")
+    eq(outs("grp_click_cnt1h"),
+      Promql.queryAt(spark, dir01,
+        "sum by (user_id)(count_over_time(click[1h]))", spec), "recording")
+    // the sum/avg verbs ride the same partial-merge law
+    val more = Seq(
+      RuleGroup.Rule("grp_purchase_sum", "sum_over_time", Seq("purchase"),
+        7200L, Seq("user_id")),
+      RuleGroup.Rule("grp_view_avg", "avg_over_time", Seq("view"),
+        3600L, Seq("user_id", "event_type")))
+    val outs2 = RuleGroup.evaluate(spark, dir01, spec, more)
+    eq(outs2("grp_purchase_sum"),
+      Promql.queryAt(spark, dir01,
+        "sum by (user_id)(sum_over_time(purchase[2h]))", spec), "sum verb")
+    // PromQL drops the metric-name label after a range function; the
+    // group keeps the physical event_type column (pinned to one value
+    // here) — align by dropping it
+    eq(outs2("grp_view_avg").drop("event_type"),
+      Promql.queryAt(spark, dir01, "avg_over_time(view[1h])", spec),
+      "avg verb, series grain")
+  }
+
+  test("one scan: the fan-out reads the shared pass from memory, never the events table") {
+    val union = RuleGroup.evaluateUnion(spark, dir01, spec, rules)
+    assert(union.count() > 0)
+    val plan = union.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val leaves = plan.collectLeaves()
+    val fileScans = leaves.filter(l =>
+      l.getClass.getSimpleName.contains("FileSourceScan") &&
+        l.toString.contains("events"))
+    assert(fileScans.isEmpty,
+      s"rule branches must not rescan events: ${fileScans.map(_.nodeName)}")
+    val imr = leaves.count(_.getClass.getSimpleName
+      .contains("InMemoryTableScan"))
+    assert(imr >= rules.size,
+      s"every rule branch must read the one materialized pass, got $imr")
+    // the recording rule was persisted through the recorded store and
+    // serves back through the evaluator like any standalone rule
+    val back = Promql.query(spark, dir01, "sum(grp_click_cnt1h)",
+      graft.sources.RecordedRules.RecordedSource("grp_click_cnt1h"))
+    assert(back.count() > 0)
+  }
+}
