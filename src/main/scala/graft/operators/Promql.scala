@@ -376,6 +376,12 @@ object Promql {
     case vo: VectorOf => createdLabels(vo.child)
     case lr: LabelReplace => Set(lr.dst) ++ createdLabels(lr.child)
     case lj: LabelJoin => Set(lj.dst) ++ createdLabels(lj.child)
+    // sort()/sort_by_label() are pass-throughs (ADVICE r16): a
+    // label_replace/count_values under them must keep its created-label
+    // exemption, or the scan pre-materializes a label the evaluator
+    // builds itself
+    case sf: SortFn => createdLabels(sf.child)
+    case sl: SortByLabel => createdLabels(sl.child)
     case _ => Set.empty
   }
 
@@ -398,6 +404,11 @@ object Promql {
     case vo: VectorOf => referencedLabels(vo.child)
     case lr: LabelReplace => Set(lr.src) ++ referencedLabels(lr.child)
     case lj: LabelJoin => lj.srcs.toSet ++ referencedLabels(lj.child)
+    // sort_by_label's own key labels are references (ADVICE r16: a
+    // payload label stored by a multi-label recording rule must resolve
+    // when it is only named as a sort key), and both sorts recurse
+    case sf: SortFn => referencedLabels(sf.child)
+    case sl: SortByLabel => sl.labels.toSet ++ referencedLabels(sl.child)
     case _ => Set.empty // Scalar, TimeFn
   }
 
@@ -415,6 +426,8 @@ object Promql {
     case vo: VectorOf => vo.copy(child = mapSelectors(vo.child, f))
     case lr: LabelReplace => lr.copy(child = mapSelectors(lr.child, f))
     case lj: LabelJoin => lj.copy(child = mapSelectors(lj.child, f))
+    case sf: SortFn => sf.copy(child = mapSelectors(sf.child, f))
+    case sl: SortByLabel => sl.copy(child = mapSelectors(sl.child, f))
     case other => other // Scalar, TimeFn
   }
 

