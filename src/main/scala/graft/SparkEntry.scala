@@ -996,6 +996,12 @@ object SparkEntry {
     "mm_frames_idx"  -> (Multimodal.frameIndex _),
     // rows-only: cosine over decoded-pixel histograms (not SQL-expressible)
     "mm_ann"         -> ((s, d) => Multimodal.annByFeatures(s, d)),
+    // IMAGE NEAR-DUP ADMISSION (round 17; VERDICT r16 #7): the decoded
+    // 64-bit phash through the width-generic block-LSH admission gate —
+    // dedup-at-ingest for the multimodal column. Rows-only (pixel
+    // provenance); MmAdmissionSpec pins it ≡ brute force and the
+    // streaming leg ≡ batch.
+    "mm_admission"   -> ((s, d) => Multimodal.admission(s, d)),
     "mm_audio_meta"  -> (Multimodal.audioMeta _),
     "mm_audio_features" -> (Multimodal.audioFeatures _),
   )

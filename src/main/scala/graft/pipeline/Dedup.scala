@@ -515,19 +515,24 @@ object Dedup {
       .unionAll(s.read.parquet(v2).withColumn("since_version", lit(2)))
   }
 
-  /** Pigeonhole block columns for a 16-bit simhash column: a pair within
-    * Hamming distance `maxDist` must agree on at least one of the
-    * `maxDist + 1` bit blocks, so an equi-join on (block, bits) is a
-    * complete candidate generator. Shared by the batch near-hash join
-    * and the streaming admission guard.
+  /** Pigeonhole block columns for a `bits`-wide hash column (16-bit
+    * text simhash, 64-bit image phash): a pair within Hamming distance
+    * `maxDist` must agree on at least one of the `maxDist + 1` bit
+    * blocks, so an equi-join on (block, bits) is a complete candidate
+    * generator. Shared by the batch near-hash join and the streaming
+    * admission guards. Bit extraction is shift + mask (sign-safe for a
+    * full-width 64-bit hash stored in a signed long).
     */
-  private def simhashBlockCols(hash: Column, maxDist: Int): Seq[Column] = {
+  private def simhashBlockCols(hash: Column, maxDist: Int,
+                               bits: Int = 16): Seq[Column] = {
     val nBlocks = maxDist + 1
-    val base = 16 / nBlocks
-    val sizes = Seq.tabulate(nBlocks)(i => if (i < 16 % nBlocks) base + 1 else base)
+    val base = bits / nBlocks
+    val sizes = Seq.tabulate(nBlocks)(i => if (i < bits % nBlocks) base + 1 else base)
     val offsets = sizes.scanLeft(0)(_ + _).init
     offsets.zip(sizes).zipWithIndex.map { case ((off, len), i) =>
-      struct(lit(i).as("block"), (shiftright(hash, off) % (1L << len)).as("bits"))
+      val mask = if (len >= 64) lit(-1L) else lit((1L << len) - 1L)
+      struct(lit(i).as("block"),
+        shiftrightunsigned(hash, off).bitwiseAND(mask).as("bits"))
     }
   }
 
@@ -537,12 +542,15 @@ object Dedup {
     * 2¹⁶ hash space regardless of corpus size — the index a production
     * ingest maintains and every arriving batch joins against.
     */
-  def admissionIndex(corpusSim: DataFrame, maxDist: Int = 2): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 7, "16-bit simhash: 1 <= maxDist <= 7")
+  def admissionIndex(corpusSim: DataFrame, maxDist: Int = 2,
+                     bits: Int = 16): DataFrame = {
+    require(maxDist >= 1 && maxDist + 1 <= bits,
+      s"$bits-bit hash: 1 <= maxDist <= ${bits - 1}")
     corpusSim
       .groupBy("simhash").agg(min("doc_id").as("keep_id"))
       .select(col("simhash").as("ihash"), col("keep_id"),
-        explode(array(simhashBlockCols(col("simhash"), maxDist): _*)).as("bk"))
+        explode(array(simhashBlockCols(col("simhash"), maxDist, bits): _*))
+          .as("bk"))
       .select(col("ihash"), col("keep_id"),
         col("bk.block").as("block"), col("bk.bits").as("bits"))
   }
@@ -554,10 +562,11 @@ object Dedup {
     * rows) — never a scan of the corpus.
     */
   def admissionVerdicts(deltaSim: DataFrame, idx: DataFrame,
-                        maxDist: Int = 2): DataFrame = {
+                        maxDist: Int = 2, bits: Int = 16): DataFrame = {
     val deltaBlocks = deltaSim
       .select(col("doc_id"), col("simhash"),
-        explode(array(simhashBlockCols(col("simhash"), maxDist): _*)).as("bk"))
+        explode(array(simhashBlockCols(col("simhash"), maxDist, bits): _*))
+          .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.block").as("block"), col("bk.bits").as("bits"))
     val matches = deltaBlocks.join(idx, Seq("block", "bits"))

@@ -111,6 +111,60 @@ object NearDupStream {
     q.awaitTermination()
   }
 
+  // ---- the IMAGE-phash admission leg (round 17; VERDICT r16 #7) --------
+
+  /** Inbox schema for arriving media rows: the opaque binary column
+    * plus its id — the multimodal table shape.
+    */
+  val mediaSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+
+  /** The served 64-bit phash index from `refDir`'s media corpus split,
+    * built once and pinned — Dedup.admissionIndex at 64 bits over the
+    * decoded perceptual hashes (bounded by distinct phash values,
+    * never media bytes).
+    */
+  def mediaCorpusIndex(s: SparkSession, refDir: String, corpusPct: Int = 80,
+                       maxDist: Int = 14): DataFrame = {
+    val hashes = graft.pipeline.Multimodal.phashPerDoc(s, refDir)
+      .withColumn("bucket", graft.pipeline.Dedup.splitBucket(col("doc_id")))
+      .filter(col("bucket") < corpusPct)
+      .select("doc_id", "simhash")
+    graft.pipeline.Dedup.admissionIndex(hashes, maxDist, bits = 64)
+      .localCheckpoint()
+  }
+
+  /** One AvailableNow pass over arriving media rows: each batch's
+    * delta-split payloads decode executor-side to their phash and are
+    * verdicted against the served index — image dedup-at-ingest with
+    * the zero-cross-batch-state shape of the simhash leg.
+    */
+  def mediaRunOnce(s: SparkSession, inDir: String, outDir: String,
+                   checkpoint: String, refDir: String, corpusPct: Int = 80,
+                   maxDist: Int = 14): Unit = {
+    guardFreshCheckpoint(outDir, checkpoint)
+    val idx = mediaCorpusIndex(s, refDir, corpusPct, maxDist)
+    val isDelta =
+      graft.pipeline.Dedup.splitBucket(col("doc_id")) >= corpusPct
+    val q = s.readStream.schema(mediaSchema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Dedup.admissionVerdicts(
+          graft.pipeline.Multimodal.phashOf(s, batch.filter(isDelta)),
+          idx, maxDist, bits = 64)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ---- the EMBEDDING-cosine admission leg (round 12) -------------------
 
   val embSchema: org.apache.spark.sql.types.StructType =
