@@ -1470,6 +1470,38 @@ object Pipelines {
          |      i -> rp.rp IS NULL OR NOT list_contains(rp.rp, i)),
          |      i -> b.w[i]), ' '), '') AS text_scrubbed
          |FROM base b LEFT JOIN rp USING (doc_id)""".stripMargin,
+    // TRUE ExactSubstr (suffix-array scrub, k=16): the oracle
+    // re-derives the removed set by the DIRECT method — materialize
+    // every 16-token window over the exact-collapsed corpus, keep the
+    // duplicated ones, cover — which the suffix-ranking operator must
+    // reproduce exactly (a duplicated span of length >= k is precisely
+    // the union of its duplicated k-windows). Every occurrence is cut
+    // (the released deduplicate-text-datasets semantics). 1-based
+    // DuckDB positions are internally consistent.
+    "text_dup_scrub_sa" ->
+      s"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+         |           GROUP BY text),
+         |ws AS (SELECT doc_id, $words AS w FROM d),
+         |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens
+         |         FROM ws),
+         |spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 16
+         |    THEN list_transform(range(1, len(w) - 14),
+         |      i -> struct_pack(pos := i,
+         |             s := array_to_string(list_slice(w, i, i + 15), ' ')))
+         |    ELSE [] END) AS sp FROM ws)),
+         |dupsh AS (SELECT s FROM spans GROUP BY s HAVING COUNT(*) >= 2),
+         |rem AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, unnest(range(pos, pos + 16)) AS p
+         |  FROM spans JOIN dupsh USING (s))),
+         |rp AS (SELECT doc_id, list_sort(list(p)) AS rp FROM rem GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(coalesce(len(rp.rp), 0) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(
+         |    list_transform(list_filter(range(1, CAST(b.n_tokens AS INTEGER) + 1),
+         |      i -> rp.rp IS NULL OR NOT list_contains(rp.rp, i)),
+         |      i -> b.w[i]), ' '), '') AS text_scrubbed
+         |FROM base b LEFT JOIN rp USING (doc_id)""".stripMargin,
     // Gopher repetition metrics: DuckDB lists are 1-based, so bigram i
     // pairs w[i] with w[i+1] for i in range(1, len) (range excludes the
     // upper bound) — exactly Spark's 0-based sequence(0, size-2)

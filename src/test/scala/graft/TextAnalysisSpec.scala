@@ -236,6 +236,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum > 0, "corpus has dup spans; scrub removed none")
   }
 
+  test("suffix-array ExactSubstr: equals a brute-force window replay; fixed-gram scrub is a strict subset") {
+    // VERDICT r16 #4. Brute-force TRUTH on the collapsed corpus: every
+    // 16-token window, duplicated windows cover their positions — the
+    // removed set the suffix-ranking operator must reproduce, and the
+    // superset of the fixed-gram scrub's removed set (fixed-gram keeps
+    // each duplicated window's canonical occurrence; the paper's
+    // operator cuts every occurrence).
+    val k = 16
+    val collapsed = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    // all k-windows with their global (doc, pos) occurrences
+    val occ = scala.collection.mutable.Map.empty[Seq[String], List[(Long, Int)]]
+    for ((d, ws) <- collapsed; i <- 0 to ws.length - k)
+      occ.updateWith(ws.slice(i, i + k).toSeq)(o =>
+        Some((d, i) :: o.getOrElse(Nil)))
+    val dupOcc = occ.values.filter(_.size >= 2)
+    // SA semantics: every occurrence covers
+    val removedSa = dupOcc.flatten
+      .flatMap { case (d, i) => (i until i + k).map(d -> _) }.toSet
+    // fixed-gram semantics: the canonical (min (doc,pos)) survives
+    val removedFixed = dupOcc.flatMap { os =>
+      val ck = os.minBy(identity)
+      os.filterNot(_ == ck)
+    }.flatMap { case (d, i) => (i until i + k).map(d -> _) }.toSet
+    assert(removedFixed.subsetOf(removedSa),
+      "fixed-gram scrub must remove a subset of the suffix-array scrub")
+    assert(removedFixed.size < removedSa.size,
+      "the containment must be strict on a corpus with duplicated spans")
+    assert(removedSa.nonEmpty, "fixture must contain >=16-token dup spans")
+    // the operator reproduces the brute-force truth doc-for-doc
+    val got = TextAnalysis.dupScrubSa(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length === collapsed.size)
+    got.foreach { case (d, nTok, nRem, text) =>
+      val ws = collapsed(d)
+      assert(nTok === ws.length.toLong, s"doc $d token count")
+      val rem = (0 until ws.length).filter(i => removedSa(d -> i))
+      assert(nRem === rem.size.toLong, s"doc $d removed count")
+      val expect = ws.zipWithIndex.collect {
+        case (w, i) if !removedSa(d -> i) => w }.mkString(" ")
+      assert(text === expect, s"doc $d scrubbed text")
+    }
+  }
+
   test("piiScrub detects the injected PII and redacts to a clean text") {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
     val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}".r
