@@ -274,6 +274,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && (k & (k - 1)) == 0,
       "k must be a power of two (prefix doubling lands exactly on k)")
+    require(minCount >= 2,
+      "singleton pruning freezes class reps; minCount below 2 is meaningless")
     // exact collapse first — the paper's pipeline order (ExactSubstr
     // runs after exact dedup; identical docs would otherwise mark every
     // token duplicated). Identical texts make min(doc_id) the survivor.
@@ -290,33 +292,67 @@ object TextAnalysis {
       concat(lit(" #"), col("doc_id")).as("tok"))
     val stream = toks.unionByName(sentinels)
     def rep = min(struct(col("doc_id"), col("p"))).as("nrank")
-    val tokClasses = stream.groupBy("tok").agg(rep)
-    var ranked = stream.join(tokClasses, "tok")
-      .select(col("doc_id"), col("p"), col("nrank").as("rank"))
-    var h = 1
+    val lens = base.select(col("doc_id"), size(col("ws")).as("len"))
+    // SINGLETON PRUNING — the scale law that makes the ranking
+    // duplication-bounded, not corpus-bounded: a class that is a
+    // singleton at level h stays a singleton forever (levels only
+    // REFINE classes), and its representative is frozen at ITSELF
+    // (min of {p} = p), so pruned positions never need recomputing —
+    // a right-side lookup that misses the ACTIVE frame reconstructs
+    // the frozen rep as (doc_id, p+h) when the position exists, or
+    // the shared past-end rep when it doesn't. The active frontier
+    // after level h = positions whose h-token context is duplicated —
+    // on organic text a steeply shrinking fraction, so later rounds
+    // shuffle dup-candidate rows only. Each round localCheckpoints
+    // (the frame is referenced twice per round — the clustersFromEdges
+    // lineage discipline).
+    // SEED at level 4 directly: one groupBy on the literal 4-token
+    // window (tokens are space-free, so ' '-joined windows are
+    // injective — the dupSpans shingle) replaces two doubling rounds;
+    // windows shorter than 4 splice the doc-unique sentinel, which
+    // preserves the class law (short suffixes distinguish by doc and
+    // by distance-to-end exactly as at level 1). Base must divide k.
+    val seed = math.min(4, k)
+    val wSeed = Window.partitionBy("doc_id").orderBy(col("p"))
+      .rowsBetween(0, seed - 1)
+    val seeded = stream
+      .withColumn("ctx", concat_ws(" ", collect_list(col("tok")).over(wSeed)))
+    val tokClasses = seeded.groupBy("ctx")
+      .agg(rep, count(lit(1)).as("csz"))
+    var active = seeded.join(tokClasses, "ctx")
+      .filter(col("csz") >= 2)
+      .select(col("doc_id"), col("p"), col("nrank").as("rank"),
+        col("csz"))
+      .localCheckpoint(true)
+    var h = seed
     while (h < k) {
-      val right = ranked.select(col("doc_id"), (col("p") - h).as("p"),
+      val right = active.select(col("doc_id"), (col("p") - h).as("p"),
         col("rank").as("r2"))
-      val paired = ranked.join(right, Seq("doc_id", "p"), "left")
+      val paired = active.join(right, Seq("doc_id", "p"), "left")
+        .join(broadcast(lens), Seq("doc_id"))
         .withColumn("pr", struct(col("rank").as("a"),
           coalesce(col("r2"),
-            struct(lit(-1L).as("doc_id"), lit(-1).as("p"))).as("b")))
-      val classes = paired.groupBy("pr").agg(rep)
-      ranked = paired.join(classes, "pr")
-        .select(col("doc_id"), col("p"), col("nrank").as("rank"))
+            when(col("p") + h <= col("len"),
+              struct(col("doc_id").as("doc_id"), (col("p") + h).as("p")))
+              .otherwise(
+                struct(lit(-1L).as("doc_id"), lit(-1).as("p")))).as("b")))
+      val classes = paired.groupBy("pr")
+        .agg(rep, count(lit(1)).as("csz2"))
+      active = paired.join(classes, "pr")
+        .filter(col("csz2") >= 2)
+        .select(col("doc_id"), col("p"), col("nrank").as("rank"),
+          col("csz2").as("csz"))
+        .localCheckpoint(true)
       h *= 2
     }
-    // duplicated k-window starts = rank classes with >= minCount
+    // duplicated k-window starts = surviving classes with >= minCount
     // members; coverage = any start within the k-window behind a token
-    val sizes = ranked.groupBy("rank").agg(count(lit(1)).as("csz"))
+    val dupStarts = active.filter(col("csz") >= minCount)
+      .select(col("doc_id"), col("p"), lit(1).as("dup"))
     val win = Window.partitionBy("doc_id").orderBy(col("p"))
       .rangeBetween(-(k - 1), 0)
-    val cov = ranked.join(sizes, "rank")
-      .withColumn("covered",
-        max(when(col("csz") >= minCount, 1).otherwise(0)).over(win))
-      .select(col("doc_id"), col("p"), col("covered"))
-    // reassemble per doc (sentinel rows fall out of the inner join)
-    val out = toks.join(cov, Seq("doc_id", "p"))
+    val out = toks.join(dupStarts, Seq("doc_id", "p"), "left")
+      .withColumn("covered", max(coalesce(col("dup"), lit(0))).over(win))
       .groupBy("doc_id").agg(
         sum(col("covered")).cast("long").as("n_removed"),
         expr("""array_join(transform(
