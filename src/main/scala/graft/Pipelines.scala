@@ -1502,6 +1502,38 @@ object Pipelines {
          |      i -> rp.rp IS NULL OR NOT list_contains(rp.rp, i)),
          |      i -> b.w[i]), ' '), '') AS text_scrubbed
          |FROM base b LEFT JOIN rp USING (doc_id)""".stripMargin,
+    // the SA measuring twin: maximal covered runs via gaps-and-islands
+    // over the same direct-window coverage re-derivation
+    "text_dup_spans_sa" ->
+      s"""WITH d AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+         |           GROUP BY text),
+         |ws AS (SELECT doc_id, $words AS w FROM d),
+         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+         |         FROM ws),
+         |spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 16
+         |    THEN list_transform(range(1, len(w) - 14),
+         |      i -> struct_pack(pos := i,
+         |             s := array_to_string(list_slice(w, i, i + 15), ' ')))
+         |    ELSE [] END) AS sp FROM ws)),
+         |dupsh AS (SELECT s FROM spans GROUP BY s HAVING COUNT(*) >= 2),
+         |rem AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT doc_id, unnest(range(pos, pos + 16)) AS p
+         |  FROM spans JOIN dupsh USING (s))),
+         |isl AS (SELECT doc_id, p,
+         |  p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM rem),
+         |runs AS (SELECT doc_id, island, COUNT(*) AS span_len
+         |         FROM isl GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |               CAST(SUM(span_len) AS BIGINT) AS n_covered,
+         |               CAST(MAX(span_len) AS BIGINT) AS max_span_len
+         |        FROM runs GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_covered, 0) AS n_covered,
+         |  coalesce(a.max_span_len, 0) AS max_span_len
+         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // Gopher repetition metrics: DuckDB lists are 1-based, so bigram i
     // pairs w[i] with w[i+1] for i in range(1, len) (range excludes the
     // upper bound) — exactly Spark's 0-based sequence(0, size-2)

@@ -913,6 +913,10 @@ object SparkEntry {
     // method (direct 16-gram windows over DuckDB lists), so the hash
     // proves the suffix discipline computes exactly the paper's set
     "text_dup_scrub_sa" -> ((s, d) => TextAnalysis.dupScrubSa(s, d)),
+    // the measuring twin: MAXIMAL duplicated spans >= 16 tokens as
+    // per-doc statistics (span count / coverage / longest), the
+    // gaps-and-islands projection of the same suffix-ranked coverage
+    "text_dup_spans_sa" -> ((s, d) => TextAnalysis.dupSpansSa(s, d)),
     "text_entropy"     -> (TextAnalysis.entropy _),
     "text_novelty"     -> (TextAnalysis.novelty _),
     "doc_pii_scrub"    -> (TextAnalysis.piiScrub _),

@@ -271,6 +271,53 @@ object TextAnalysis {
     */
   def dupScrubSa(s: SparkSession, dir: String, k: Int = 16,
                  minCount: Long = 2): DataFrame = {
+    val (base, cov) = saCovered(s, dir, k, minCount)
+    val out = cov.groupBy("doc_id").agg(
+      sum(col("covered")).cast("long").as("n_removed"),
+      expr("""array_join(transform(
+                filter(array_sort(collect_list(struct(p, covered, tok))),
+                       x -> x.covered = 0),
+                x -> x.tok), ' ')""").as("text_scrubbed"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
+  /** The measuring twin of [[dupScrubSa]] (the dupSpans ↔ dupScrub
+    * relationship at suffix-array exactness): per collapsed doc, the
+    * MAXIMAL duplicated spans ≥ k tokens as statistics — span count,
+    * covered tokens, longest span. Maximal spans are the contiguous
+    * runs of covered positions (gaps-and-islands over the coverage
+    * frame); the suffix machinery is shared with the scrub.
+    */
+  def dupSpansSa(s: SparkSession, dir: String, k: Int = 16,
+                 minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, cov) = saCovered(s, dir, k, minCount)
+    val isl = cov.filter(col("covered") === 1)
+      .withColumn("island", col("p") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("span_len"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum("span_len").as("n_covered"),
+        max("span_len").as("max_span_len"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
+  }
+
+  /** The shared suffix-ranking core: (collapsed base docs, per-token
+    * coverage flags) — see [[dupScrubSa]]'s scaladoc for the law.
+    */
+  private def saCovered(s: SparkSession, dir: String, k: Int,
+                        minCount: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && (k & (k - 1)) == 0,
       "k must be a power of two (prefix doubling lands exactly on k)")
@@ -351,19 +398,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("p"), lit(1).as("dup"))
     val win = Window.partitionBy("doc_id").orderBy(col("p"))
       .rangeBetween(-(k - 1), 0)
-    val out = toks.join(dupStarts, Seq("doc_id", "p"), "left")
+    val covered = toks.join(dupStarts, Seq("doc_id", "p"), "left")
       .withColumn("covered", max(coalesce(col("dup"), lit(0))).over(win))
-      .groupBy("doc_id").agg(
-        sum(col("covered")).cast("long").as("n_removed"),
-        expr("""array_join(transform(
-                  filter(array_sort(collect_list(struct(p, covered, tok))),
-                         x -> x.covered = 0),
-                  x -> x.tok), ' ')""").as("text_scrubbed"))
-    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-      .join(out, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+      .select(col("doc_id"), col("p"), col("tok"), col("covered"))
+    (base, covered)
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
