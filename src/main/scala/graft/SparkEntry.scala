@@ -291,6 +291,20 @@ object SparkEntry {
             keepSec = 3600L),
           graft.operators.RuleGroup.Rule("grp_click_cnt1h",
             "count_over_time", Seq("click"), 3600L, Seq("user_id"))))),
+    // COUNTER rules in groups (round 17): the Prometheus-standard rate
+    // alert + an increase recording rule, still one scan — counter
+    // partials ride ONE shared lag pass over the widest-window explode
+    // (a predecessor outside a rule's narrower window is exactly the
+    // rule's stored-value baseline)
+    "q_promql_rule_group_rate" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("grp_rate_alert", "rate",
+            Seq("click", "view"), 7200L, Seq("event_type"),
+            Some((">", 0.002)), forSec = 7200L),
+          graft.operators.RuleGroup.Rule("grp_click_inc", "increase",
+            Seq("click"), 7200L, Seq("user_id"))))),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

@@ -54,7 +54,8 @@ object RuleGroup {
                   cmp: Option[(String, Double)] = None,
                   forSec: Long = 0L, keepSec: Long = 0L) {
     require(Set("count_over_time", "sum_over_time", "avg_over_time",
-      "min_over_time", "max_over_time").contains(verb), s"verb $verb")
+      "min_over_time", "max_over_time", "rate", "increase").contains(verb),
+      s"verb $verb")
     require(by.nonEmpty && by.toSet.subsetOf(Set("user_id", "event_type")),
       s"by() must be within the series grain, got $by")
     require(windowSec > 0 && metrics.nonEmpty)
@@ -87,12 +88,31 @@ object RuleGroup {
     val kMax = least(lit(spec.maxK),
       floor((dOff + lit(wMax * 1000000.0 - 1.0)) / lit(sUs.toDouble))
         .cast("long"))
-    val exploded = ev
+    val exploded0 = ev
       .withColumn("__kmin", kMin).withColumn("__kmax", kMax)
       .filter(col("__kmin") <= col("__kmax"))
       .withColumn("__k", explode(sequence(col("__kmin"), col("__kmax"))))
       .withColumn("step", col("__k") * spec.stepSec + spec.startSec)
       .withColumn("__delta", col("step") * lit(1000000L) - col("__us"))
+    // counter verbs need the previous in-window sample: ONE lag pass
+    // over the (step, series) partition covers every counter rule —
+    // adjacency within the widest window implies adjacency within any
+    // narrower one once both samples qualify, and a predecessor
+    // OUTSIDE the rule's window is exactly "no predecessor" (the
+    // rule's first in-window sample, growth 0 — the evaluator's
+    // stored-value baseline). The window partition equals the groupBy
+    // keys, so the sort rides the same exchange.
+    val hasCounter = rules.exists(r => Set("rate", "increase")(r.verb))
+    val exploded =
+      if (!hasCounter) exploded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((col("step") +: Grain.map(col)): _*)
+          .orderBy(col("__us"), col("event_id"))
+        exploded0
+          .withColumn("__prev_v", lag("value", 1).over(w))
+          .withColumn("__prev_d", lag("__delta", 1).over(w))
+      }
     // ONE aggregation, every rule's verb partial as a conditional
     // measure at the full series grain
     val measures: Seq[Column] = rules.zipWithIndex.flatMap { case (r, i) =>
@@ -108,6 +128,16 @@ object RuleGroup {
             sum(when(cond, 1L)).as(s"__c$i"))
         case "min_over_time" => Seq(min(v).as(s"__n$i"))
         case "max_over_time" => Seq(max(v).as(s"__x$i"))
+        case "rate" | "increase" =>
+          // the evaluator's reset-corrected growth, quantized per pair
+          // (exactSum): predecessor absent-or-outside ⇒ baseline 0
+          val growth = when(
+            col("__prev_v").isNull ||
+              col("__prev_d") >= lit(r.windowSec * 1000000L), lit(0.0))
+            .when(col("value") >= col("__prev_v"),
+              col("value") - col("__prev_v"))
+            .otherwise(col("value"))
+          Seq(sum(when(cond, growth).cast("decimal(30,6)")).as(s"__i$i"))
       }
     }
     val shared = exploded
@@ -125,6 +155,9 @@ object RuleGroup {
           col(s"__s$i").cast("double") / col(s"__c$i")
         case "min_over_time"   => col(s"__n$i")
         case "max_over_time"   => col(s"__x$i")
+        case "increase"        => col(s"__i$i").cast("double")
+        case "rate"            =>
+          col(s"__i$i").cast("double") / lit(r.windowSec.toDouble)
       }
       val perSeries = shared
         .withColumn("__v", seriesValue).filter(col("__v").isNotNull)

@@ -62,6 +62,27 @@ class RuleGroupSpec extends AnyFunSuite {
       "avg verb, series grain")
   }
 
+  test("counter verbs in groups: rate/increase bit-equal to standalone through the shared lag pass") {
+    val counters = Seq(
+      RuleGroup.Rule("grp_rate_alert", "rate", Seq("click", "view"),
+        7200L, Seq("event_type"), Some((">", 0.002)), forSec = 7200L),
+      RuleGroup.Rule("grp_click_inc", "increase", Seq("click"), 7200L,
+        Seq("user_id")),
+      RuleGroup.Rule("grp_purchase_rate", "rate", Seq("purchase"), 3600L,
+        Seq("user_id", "event_type")))
+    val outs = RuleGroup.evaluate(spark, dir01, spec, counters)
+    eq(outs("grp_rate_alert"),
+      graft.operators.Alerts.rule(spark, dir01,
+        """sum by (event_type)(rate({event_type=~"click|view"}[2h])) > 0.002""",
+        spec, forSec = 7200L), "rate alert")
+    eq(outs("grp_click_inc"),
+      Promql.queryAt(spark, dir01,
+        "sum by (user_id)(increase(click[2h]))", spec), "increase recording")
+    eq(outs("grp_purchase_rate").drop("event_type"),
+      Promql.queryAt(spark, dir01, "rate(purchase[1h])", spec),
+      "per-series rate")
+  }
+
   test("one scan: the fan-out reads the shared pass from memory, never the events table") {
     val union = RuleGroup.evaluateUnion(spark, dir01, spec, rules)
     assert(union.count() > 0)
