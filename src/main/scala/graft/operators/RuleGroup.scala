@@ -63,6 +63,17 @@ object RuleGroup {
 
   private val Grain = Seq("user_id", "event_type")
 
+  /** One live shared frame per session (review r17): a long-lived
+    * driver evaluating many groups would otherwise accumulate one
+    * persisted grid×series frame per evaluation for the session's
+    * lifetime. Each evaluate() releases the session's PREVIOUS shared
+    * frame — the returned rule frames of the superseded group fall
+    * back to recomputation if still consumed (correct, just slower),
+    * which is the right trade for a bounded cache.
+    */
+  private val lastShared =
+    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+
   /** Evaluate the group on `spec`'s grid: one scan, one shared pass,
     * one output frame per rule — alert rules as (step, labels...,
     * alertstate, value), recording rules as (step, labels..., value).
@@ -146,6 +157,8 @@ object RuleGroup {
       // the persist is load-bearing (see the object doc): one scan
       // materializes the pass; every rule branch reads memory
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastShared.put(System.identityHashCode(s), shared))
+      .filter(_ ne shared).foreach(_.unpersist(false))
     rules.zipWithIndex.map { case (r, i) =>
       // the rule's per-series value, with the evaluator's arithmetic
       val seriesValue: Column = r.verb match {

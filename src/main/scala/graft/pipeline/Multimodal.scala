@@ -303,13 +303,19 @@ object Multimodal {
     */
   def admission(s: SparkSession, dir: String, corpusPct: Int = 80,
                 maxDist: Int = 14): DataFrame = {
-    val hashed = phashPerDoc(s, dir)
+    // split BEFORE the decode barrier (review r17): the bucket filter
+    // is pure doc_id arithmetic, and a filter above the opaque
+    // mapPartitions decode cannot push through it — filtering the
+    // hashed frame would decode the whole corpus once per branch
+    val pay = payloads(s, dir)
       .withColumn("bucket", graft.pipeline.Dedup.splitBucket(col("doc_id")))
     val idx = graft.pipeline.Dedup.admissionIndex(
-      hashed.filter(col("bucket") < corpusPct).select("doc_id", "simhash"),
+      phashOf(s, pay.filter(col("bucket") < corpusPct)
+        .select("doc_id", "payload")),
       maxDist, bits = 64)
     graft.pipeline.Dedup.admissionVerdicts(
-      hashed.filter(col("bucket") >= corpusPct).select("doc_id", "simhash"),
+      phashOf(s, pay.filter(col("bucket") >= corpusPct)
+        .select("doc_id", "payload")),
       idx, maxDist, bits = 64)
   }
 

@@ -131,7 +131,11 @@ object ResultCache {
     * write + compact + meta-swap sections instead of tearing one
     * interval dir's overwrite; readers were already safe (_SUCCESS
     * gating), this closes the writer-writer window the object doc used
-    * to only document.
+    * to only document. The TTL (default 15 min) must exceed the
+    * longest write + compact section — the lock's mtime is not
+    * refreshed mid-body, so a body outliving the TTL invites takeover
+    * (the token check on release then keeps the overtaken holder from
+    * deleting the taker's lock; its writes were idempotent overwrites).
     */
   private def withBaseLock[T](s: SparkSession, rootDir: Path,
                               base: String)(body: => T): T = {
@@ -152,10 +156,19 @@ object ResultCache {
             Files.getLastModifiedTime(lockFile).toMillis
           catch { case _: Exception => 0L } // vanished: retry acquire
           if (age > ttl) {
-            // stale holder: best-effort takeover (the create race after
-            // the delete is re-run through CREATE_NEW — exactly one
-            // taker wins)
-            try Files.deleteIfExists(lockFile) catch { case _: Exception => () }
+            // stale holder: takeover by ATOMIC RENAME — of N waiters
+            // that all judged the lock stale, exactly one move
+            // succeeds (a check-then-DELETE here could remove a
+            // successful taker's FRESH lock and admit two writers);
+            // the winner removes the renamed corpse, everyone
+            // re-contends through CREATE_NEW
+            try {
+              val corpse = lockFile.resolveSibling(
+                s"${lockFile.getFileName}.stale_$token")
+              Files.move(lockFile, corpse,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(corpse)
+            } catch { case _: Exception => () } // lost the takeover race
           } else Thread.sleep(25L)
       }
     }

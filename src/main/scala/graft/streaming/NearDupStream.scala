@@ -130,10 +130,11 @@ object NearDupStream {
     */
   def mediaCorpusIndex(s: SparkSession, refDir: String, corpusPct: Int = 80,
                        maxDist: Int = 14): DataFrame = {
-    val hashes = graft.pipeline.Multimodal.phashPerDoc(s, refDir)
-      .withColumn("bucket", graft.pipeline.Dedup.splitBucket(col("doc_id")))
-      .filter(col("bucket") < corpusPct)
-      .select("doc_id", "simhash")
+    // split before the decode barrier (review r17): decode only the
+    // corpus split's payloads, not the whole table
+    val hashes = graft.pipeline.Multimodal.phashOf(s,
+      graft.pipeline.Multimodal.payloads(s, refDir)
+        .filter(graft.pipeline.Dedup.splitBucket(col("doc_id")) < corpusPct))
     graft.pipeline.Dedup.admissionIndex(hashes, maxDist, bits = 64)
       .localCheckpoint()
   }

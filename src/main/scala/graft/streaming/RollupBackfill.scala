@@ -130,44 +130,63 @@ object RollupBackfill {
     * chain law), under a bumped generation — untouched increments are
     * never rewritten, and the greedy chain swaps to the new dir the
     * moment it lands.
+    *
+    * Touched parents in a CHAIN GAP get their own fresh increment
+    * (review r17): a data-less increment range the chain never serves
+    * leaves a late batch with no dir to rewrite — without the
+    * gap-filler the marker would keep claiming complete coverage while
+    * the fold level silently misses the repaired rows. Live runOnce
+    * sequences cannot actually produce the state (the increment that
+    * advances a horizon always contains the sample that set the
+    * previous watermark), but repair/restore tooling can — the filler
+    * makes the refold total over the marker's claimed range. Increment
+    * boundaries are r-aligned, so a [p, p+r) filler can never overlap
+    * a chain member and the greedy chain adopts it directly.
     */
-  private def refoldLevel(s: SparkSession, storeDir: String, r: Long,
-                          touched: Set[Long],
-                          childOf: Long => DataFrame): Unit = {
+  private[graft] def refoldLevel(s: SparkSession, storeDir: String, r: Long,
+                                 touched: Set[Long],
+                                 childOf: Long => DataFrame): Unit = {
     if (touched.isEmpty) return
-    for {
-      (incs, levelH) <- RollupMaintainStream.foldedLevel(storeDir, r)
-      folded = touched.filter(_ < levelH)
-      if folded.nonEmpty
-    } {
-      val dir = new File(storeDir, s"fold_${r}s")
-      val allGens = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("inc_"))
-        .flatMap(RollupMaintainStream.parseInc)
-      val chain = incs.flatMap(p => RollupMaintainStream.parseInc(new File(p)))
-      val refolded = folded.map(p =>
-        p -> graft.sources.DownsampleStore.rollupFrom(childOf(p), r)
-          .filter(col("bucket") === p)).toSeq
-      chain.foreach { d =>
-        val inRange = folded.filter(p => p >= d.a && p < d.b)
-        if (inRange.nonEmpty) {
-          val old = s.read.parquet(d.path)
-          val keep = old.filter(!col("bucket").isInCollection(inRange.toSeq))
-          val repl = refolded.collect { case (p, df) if inRange(p) => df }
-            .map(_.select(old.schema.fields.map(f =>
-              col(f.name).cast(f.dataType)).toSeq: _*))
-            .foldLeft(keep)(_ unionByName _)
-          val gen = allGens.filter(x => x.a == d.a && x.b == d.b)
-            .map(_.g).max + 1L
-          val out = new File(dir, s"inc_${d.a}_${d.b}_g$gen")
-          repl.repartitionByRange(
-              math.max(1, s.sparkContext.defaultParallelism / 8),
-              col("bucket"))
-            .sortWithinPartitions("bucket", "event_type", "user_id")
-            .write.mode("overwrite").parquet(out.getPath)
-          org.apache.commons.io.FileUtils.deleteQuietly(new File(d.path))
-        }
+    val dir = new File(storeDir, s"fold_${r}s")
+    val levelH = readMarker(dir.getPath, "_horizon").getOrElse(return)
+    val folded = touched.filter(_ < levelH)
+    if (folded.isEmpty) return
+    val allGens = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("inc_"))
+      .flatMap(RollupMaintainStream.parseInc)
+    val chain = RollupMaintainStream.foldedLevel(storeDir, r)
+      .map(_._1.flatMap(p => RollupMaintainStream.parseInc(new File(p))))
+      .getOrElse(Seq.empty)
+    val refolded = folded.map(p =>
+      p -> graft.sources.DownsampleStore.rollupFrom(childOf(p), r)
+        .filter(col("bucket") === p)).toSeq
+    def write(df: DataFrame, out: File): Unit =
+      df.repartitionByRange(
+          math.max(1, s.sparkContext.defaultParallelism / 8), col("bucket"))
+        .sortWithinPartitions("bucket", "event_type", "user_id")
+        .write.mode("overwrite").parquet(out.getPath)
+    chain.foreach { d =>
+      val inRange = folded.filter(p => p >= d.a && p < d.b)
+      if (inRange.nonEmpty) {
+        val old = s.read.parquet(d.path)
+        val keep = old.filter(!col("bucket").isInCollection(inRange.toSeq))
+        val repl = refolded.collect { case (p, df) if inRange(p) => df }
+          .map(_.select(old.schema.fields.map(f =>
+            col(f.name).cast(f.dataType)).toSeq: _*))
+          .foldLeft(keep)(_ unionByName _)
+        val gen = allGens.filter(x => x.a == d.a && x.b == d.b)
+          .map(_.g).max + 1L
+        write(repl, new File(dir, s"inc_${d.a}_${d.b}_g$gen"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new File(d.path))
       }
+    }
+    val uncovered = folded.filter(p => !chain.exists(d => p >= d.a && p < d.b))
+    uncovered.foreach { p =>
+      val gen = allGens.filter(x => x.a == p && x.b == p + r)
+        .map(_.g).maxOption
+      val out = new File(dir,
+        gen.fold(s"inc_${p}_${p + r}")(g => s"inc_${p}_${p + r}_g${g + 1}"))
+      write(refolded.collectFirst { case (q, df) if q == p => df }.get, out)
     }
   }
 

@@ -120,7 +120,13 @@ object RollupCompactor {
     val prev = state(storeDir)
     val batches = batchDirs(storeDir)
     val prevUpTo = prev.map(_.upTo).getOrElse(Long.MinValue)
-    val m = (batches.map(_._1) ++ prev.map(_.upTo)).maxOption.getOrElse(return)
+    // the marker may only cover COMMITTED batches (review r17): a
+    // crashed mid-write dir (no _SUCCESS) will be REPLAYED by the
+    // stream — covering it would exclude the replayed rows from
+    // serving and the cleanup would delete them; left uncovered, the
+    // replay overwrites the torn dir and the next pass absorbs it
+    val m = (batches.collect { case (id, f) if dataBearing(f) => id } ++
+      prev.map(_.upTo)).maxOption.getOrElse(return)
     val floor = retainRawFor match {
       case None => prev.map(_.floor).getOrElse(NoFloor)
       case Some(w) =>

@@ -1119,17 +1119,13 @@ class PromqlSpec extends AnyFunSuite {
     val rows = bySrc.collect()
     assert(rows.nonEmpty)
     val rankIdx = bySrc.columns.indexOf("rank")
-    assert(rankIdx >= 0 || {
-      // no rank column: ordering is by the collected order per step
-      true
-    })
+    assert(rankIdx >= 0, "sort_by_label must emit its rank column")
     // per step, src values must be lexicographically nondecreasing in
-    // rank order when a rank column exists
-    if (rankIdx >= 0)
-      rows.groupBy(_.getLong(stepIdx)).foreach { case (_, rs) =>
-        val o = rs.sortBy(_.getInt(rankIdx)).map(_.getString(srcIdx))
-        assert(o.sameElements(o.sorted), "sorted by the payload label")
-      }
+    // rank order
+    rows.groupBy(_.getLong(stepIdx)).foreach { case (_, rs) =>
+      val o = rs.sortBy(_.getInt(rankIdx)).map(_.getString(srcIdx))
+      assert(o.sameElements(o.sorted), "sorted by the payload label")
+    }
   }
 
   test("first/ts_of_* pick the right sample; ts_of_max on the max's timestamp") {

@@ -111,6 +111,102 @@ class RollupBackfillSpec extends AnyFunSuite {
     assert(RollupCompactor.state(store).get.gen === 1L)
   }
 
+  test("refoldLevel fills chain gaps: a touched parent with no covering increment gets its own dir") {
+    // the totality defense (review r17): live runOnce sequences cannot
+    // leave a marker-covered range without a serving increment, but
+    // repair/restore tooling can — the refold must then CREATE the
+    // hour's increment, not silently skip it while the marker claims
+    // coverage. Driven directly against a handcrafted fold level.
+    import spark.implicits._
+    val store = "/root/repo/target/tmp/rollup_backfill_unit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    val dir = s"$store/fold_3600s"
+    Files.createDirectories(Paths.get(dir))
+    def childRows(b: Long) = Seq(
+      (b, 1L, "click", 2L, "3.5", 1.0, 2.5, 1.0, 2.5, "1.5"),
+      (b + 300L, 1L, "click", 1L, "4.0", 4.0, 4.0, 4.0, 4.0, null))
+      .toDF("bucket", "user_id", "event_type", "n_samples", "sum_dec",
+        "min_value", "max_value", "first_value", "last_value", "inc_dec")
+      .withColumn("sum_dec", col("sum_dec").cast("decimal(30,6)"))
+      .withColumn("inc_dec", col("inc_dec").cast("decimal(30,6)"))
+    graft.sources.DownsampleStore.rollupFrom(childRows(0L), 3600L)
+      .write.mode("overwrite").parquet(s"$dir/inc_0_3600")
+    Files.write(Paths.get(dir, "_horizon"), "10800".getBytes)
+    RollupBackfill.refoldLevel(spark, store, 3600L, Set(3600L),
+      p => childRows(p))
+    val filler = new java.io.File(dir, "inc_3600_7200")
+    assert(filler.isDirectory, "the gap hour must get its own increment")
+    val (incs, h) = RMS.foldedLevel(store, 3600L).get
+    assert(h === 10800L)
+    assert(incs.map(p => new java.io.File(p).getName).toSet ===
+      Set("inc_0_3600", "inc_3600_7200"),
+      "the greedy chain must adopt the filler beside the original")
+    val rows = spark.read.parquet(filler.getPath)
+    assert(rows.count() === 1L, "one refolded hour row")
+    assert(rows.select("bucket").collect()(0).getLong(0) === 3600L)
+    // idempotent re-run bumps a generation and still serves once
+    RollupBackfill.refoldLevel(spark, store, 3600L, Set(3600L),
+      p => childRows(p))
+    val (incs2, _) = RMS.foldedLevel(store, 3600L).get
+    assert(incs2.size === 2 && incs2.exists(_.endsWith("_g1")),
+      s"re-refold must supersede by generation: $incs2")
+  }
+
+  test("late data landing in a watermark-jump gap is repaired through the covering sparse increment") {
+    // review r17: a wave holding only one far-future sample advances
+    // the watermark across an EMPTY stretch — the fold writes a
+    // data-less increment the chain never serves. Late rows landing in
+    // that stretch then have no chain dir to rewrite; without the
+    // gap-filler the fold marker keeps claiming coverage while the 1h
+    // band silently misses the repaired rows.
+    import spark.implicits._
+    val (in, store, cp) = freshDirs("gap")
+    val ev = Tables.events(spark, dir01)
+    val t1 = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+    land(in, ev.filter(col("ts") < lit(t1)), "w0")
+    RMS.runOnce(spark, in, store, cp, dir01)
+    val h1 = RMS.readMarker(s"$store/fold_3600s", "_horizon").get
+    // wave 1: ONE synthetic sample far in the future — the watermark
+    // jumps, every hour in between closes empty
+    val farSec = 1707567000L // 2024-02-10T11:30
+    val far = Seq((999999999L, 7L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit(farSec)))
+      .withColumn("props", lit("{}"))
+      .withColumn("ts_ns", lit(farSec * 1000000000L))
+      .select(ev.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    land(in, far, "w1")
+    RMS.runOnce(spark, in, store, cp, dir01)
+    val h2 = RMS.readMarker(s"$store/fold_3600s", "_horizon").get
+    assert(h2 > h1 + 86400L, "the watermark jump must close a wide empty range")
+    // the jump increment carries wave 0's straggler buckets (the
+    // increment that advances a horizon always contains the sample
+    // that set the previous watermark), so the chain COVERS the empty
+    // stretch with one wide, sparse dir — the in-chain refold must
+    // repair hours deep inside it
+    val (incsBefore, _) = RMS.foldedLevel(store, 3600L).get
+    assert(incsBefore.exists(p => RMS.parseInc(new java.io.File(p)).get.b >= h2 - 3600L),
+      s"the jump increment must serve: $incsBefore")
+    // late slice lands inside the empty stretch
+    val lateTo = java.time.LocalDateTime.parse("2024-01-10T06:00:00")
+    val late = ev.filter(col("ts") >= lit(t1) && col("ts") < lit(lateTo))
+    assert(late.count() > 0)
+    RollupBackfill.backfill(spark, store, ev.unionByName(far), late)
+    // the repaired window serves bit-equal to raw (store content is
+    // complete up to the end of the late slice)
+    val endSec = 1704866400L // 2024-01-10T06:00
+    val spec = graft.operators.Promql.EvalSpec(1704067200L, endSec, 3600L, 7200L)
+    val got = served(store, "sum_over_time(click[2h])", spec)
+    assert(SparkFixture.planOf(got).contains("fold_3600s"))
+    val raw = graft.operators.Promql.queryAt(spark, dir01,
+      "sum_over_time(click[2h])", spec)
+    assert(got.exceptAll(raw).count() === 0 &&
+      raw.exceptAll(got).count() === 0,
+      "gap hours must serve the backfilled rows from the fold level")
+    assert(raw.filter(col("step") >= 1704844800L).count() > 0,
+      "the comparison must include steps inside the repaired gap")
+  }
+
   test("late rows past the horizon are refused, never silently dropped") {
     val (in, store, cp) = freshDirs("refuse")
     val ev = Tables.events(spark, dir01)
