@@ -42,22 +42,28 @@ import org.apache.spark.sql.functions._
   */
 object RuleGroup {
 
-  /** One group rule, restricted to the ruler's workhorse shape:
-    * `sum by (labels) (verb(metric_set[W]))  [cmp thr]`, with the
-    * outer sum omitted when `by` equals the full series grain.
+  /** One group rule, the ruler's workhorse shape:
+    * `outerAgg by (labels) (verb(metric_set[W]))  [cmp thr]`, with the
+    * outer aggregation omitted when `by` equals the full series grain.
     *
     * @param cmp alerting condition (op, threshold) — None = recording
     *   rule (the value grid itself is the output).
+    * @param outerAgg the vector aggregation over the by() grain:
+    *   sum (default) | min | max | avg — each with the evaluator's
+    *   arithmetic (exactSum decimals; avg = exactSum / count).
     */
   case class Rule(name: String, verb: String, metrics: Seq[String],
                   windowSec: Long, by: Seq[String],
                   cmp: Option[(String, Double)] = None,
-                  forSec: Long = 0L, keepSec: Long = 0L) {
+                  forSec: Long = 0L, keepSec: Long = 0L,
+                  outerAgg: String = "sum") {
     require(Set("count_over_time", "sum_over_time", "avg_over_time",
       "min_over_time", "max_over_time", "rate", "increase").contains(verb),
       s"verb $verb")
     require(by.nonEmpty && by.toSet.subsetOf(Set("user_id", "event_type")),
       s"by() must be within the series grain, got $by")
+    require(Set("sum", "min", "max", "avg").contains(outerAgg),
+      s"outer aggregation $outerAgg")
     require(windowSec > 0 && metrics.nonEmpty)
   }
 
@@ -180,7 +186,13 @@ object RuleGroup {
             col("__v").as("value")): _*)
         else perSeries
           .groupBy((col("step") +: r.by.map(col)): _*)
-          .agg(graft.functions.ExactNum.exactSum(col("__v")).as("value"))
+          .agg((r.outerAgg match {
+            case "sum" => graft.functions.ExactNum.exactSum(col("__v"))
+            case "min" => min(col("__v"))
+            case "max" => max(col("__v"))
+            case "avg" =>
+              graft.functions.ExactNum.exactSum(col("__v")) / count(lit(1))
+          }).as("value"))
       val out = r.cmp match {
         case None => valued
         case Some((op, thr)) =>

@@ -83,6 +83,30 @@ class RuleGroupSpec extends AnyFunSuite {
       "per-series rate")
   }
 
+  test("outer aggregations beyond sum: min/max/avg by() bit-equal to standalone") {
+    val more = Seq(
+      RuleGroup.Rule("grp_max_cnt", "count_over_time",
+        Seq("click", "view", "purchase"), 7200L, Seq("event_type"),
+        Some((">", 1.0)), outerAgg = "max"),
+      RuleGroup.Rule("grp_min_cnt", "count_over_time", Seq("click"),
+        3600L, Seq("event_type"), outerAgg = "min"),
+      RuleGroup.Rule("grp_avg_sum", "sum_over_time", Seq("purchase"),
+        7200L, Seq("event_type"), outerAgg = "avg"))
+    val outs = RuleGroup.evaluate(spark, dir01, spec, more)
+    eq(outs("grp_max_cnt"),
+      graft.operators.Alerts.rule(spark, dir01,
+        """max by (event_type)(count_over_time({event_type=~"click|view|purchase"}[2h])) > 1""",
+        spec, forSec = 0L), "max-by alert")
+    eq(outs("grp_min_cnt"),
+      Promql.queryAt(spark, dir01,
+        """min by (event_type)(count_over_time({event_type=~"click"}[1h]))""",
+        spec), "min-by recording")
+    eq(outs("grp_avg_sum"),
+      Promql.queryAt(spark, dir01,
+        """avg by (event_type)(sum_over_time({event_type=~"purchase"}[2h]))""",
+        spec), "avg-by recording")
+  }
+
   test("one scan: the fan-out reads the shared pass from memory, never the events table") {
     val union = RuleGroup.evaluateUnion(spark, dir01, spec, rules)
     assert(union.count() > 0)
