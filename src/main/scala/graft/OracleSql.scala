@@ -1654,7 +1654,7 @@ object OracleSql {
         |      FROM v)
         |SELECT step, user_id,
         |  CAST(dayofweek(dd) + 100 * dayofmonth(last_day(dd))
-        |       + 10000 * month(dd) AS DOUBLE) AS value
+        |       + 10000 * month(dd) + 1000000 * dayofyear(dd) AS DOUBLE) AS value
         |FROM d""".stripMargin,
     "q_promql_count_values" ->
       """WITH per AS (

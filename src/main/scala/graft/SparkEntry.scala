@@ -570,7 +570,8 @@ object SparkEntry {
     "q_promql_date_fns" -> ((s, d) => graft.operators.Promql.query(
       s, d, "day_of_week(timestamp(purchase)) " +
         "+ 100 * days_in_month(timestamp(purchase)) " +
-        "+ 10000 * month(timestamp(purchase))")),
+        "+ 10000 * month(timestamp(purchase)) " +
+        "+ 1000000 * day_of_year(timestamp(purchase))")),
     "q_promql_group" -> ((s, d) => graft.operators.Promql.query(
       s, d, "group(count_over_time(click[1h]))")),
     "q_promql_count_values" -> ((s, d) => graft.operators.Promql.query(

@@ -303,7 +303,7 @@ object Promql {
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
   private val timeComponentFns = Set("hour", "minute", "month", "year",
-    "day_of_month", "day_of_week", "days_in_month")
+    "day_of_month", "day_of_week", "day_of_year", "days_in_month")
   private val unaryMathFns = Set("abs", "ceil", "floor", "sqrt", "exp",
     "ln", "log2", "log10", "sgn",
     // the Prometheus trig family. Oracle caution (measured on real
@@ -2180,6 +2180,7 @@ object Promql {
       case "day_of_month"  => dayofmonth(d).cast("double")
       // PromQL day_of_week is 0 = Sunday; Spark's is 1 = Sunday
       case "day_of_week"   => (dayofweek(d) - 1).cast("double")
+      case "day_of_year"   => dayofyear(d).cast("double")
       case "days_in_month" => dayofmonth(last_day(d)).cast("double")
       case "round" =>
         val inv = 1.0 / arg

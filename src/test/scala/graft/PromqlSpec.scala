@@ -700,6 +700,9 @@ class PromqlSpec extends AnyFunSuite {
     val spec = Promql.EvalSpec(1704067200L, 1704088800L, 3600L)
     val dow = Promql.queryAt(spark, sf, "day_of_week()", spec)
     assert(dow.count() === 7 && dow.filter(col("value") =!= 1.0).count() === 0)
+    // day_of_year: 2024-01-01 is day 1 (1-based, like Prometheus)
+    val doy = Promql.queryAt(spark, sf, "day_of_year()", spec)
+    assert(doy.count() === 7 && doy.filter(col("value") =!= 1.0).count() === 0)
     // group emits 1 per (step, group)
     val grp = Promql.query(spark, sf, "group(count_over_time(click[1h]))")
     assert(grp.columns.toSeq === Seq("step", "value"))
