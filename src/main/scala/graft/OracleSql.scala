@@ -791,6 +791,50 @@ object OracleSql {
         |SELECT 'grp_click_inc' AS rule, step, CAST(user_id AS VARCHAR) AS series,
         |       'none' AS alertstate, value
         |FROM rec""".stripMargin,
+    // OUTER-AGG rule group (round 17): max-by alert (for:=0 — every
+    // held row fires, no islands machine needed), min-by recording
+    // (min of per-series mins = the plain MIN), avg-by recording over
+    // integral counts (decimal exactSum / count, bit-stable)
+    "q_promql_rule_group_stats" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |mx AS (
+        |  SELECT st.step, e.event_type, MAX(e.value) AS value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT st.step, e.user_id, MIN(e.value) AS value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT st.step, e.user_id, e.event_type, COUNT(*) AS c
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view')
+        |  GROUP BY 1, 2, 3),
+        |av AS (
+        |  SELECT step, user_id,
+        |         CAST(SUM(CAST(CAST(c AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+        |           / COUNT(*) AS value
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT 'grp_max_alert' AS rule, step, event_type AS series,
+        |       'firing' AS alertstate, value
+        |FROM mx WHERE value > 150.0
+        |UNION ALL
+        |SELECT 'grp_min_val' AS rule, step, CAST(user_id AS VARCHAR) AS series,
+        |       'none' AS alertstate, value
+        |FROM mn
+        |UNION ALL
+        |SELECT 'grp_avg_cnt' AS rule, step, CAST(user_id AS VARCHAR) AS series,
+        |       'none' AS alertstate, value
+        |FROM av""".stripMargin,
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

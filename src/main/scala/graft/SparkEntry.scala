@@ -305,6 +305,23 @@ object SparkEntry {
             Some((">", 0.002)), forSec = 7200L),
           graft.operators.RuleGroup.Rule("grp_click_inc", "increase",
             Seq("click"), 7200L, Seq("user_id"))))),
+    // OUTER-AGG rule group (round 17): the by() vector aggregation
+    // generalized past sum — a max-by alert (for:=0 ⇒ every held row
+    // fires) plus min-by and avg-by recording rules, still one scan;
+    // the avg leg averages integral counts so the decimal exactSum
+    // path is bit-stable across engines
+    "q_promql_rule_group_stats" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("grp_max_alert", "max_over_time",
+            Seq("click", "view", "purchase"), 7200L, Seq("event_type"),
+            Some((">", 150.0)), outerAgg = "max"),
+          graft.operators.RuleGroup.Rule("grp_min_val", "min_over_time",
+            Seq("click", "view"), 3600L, Seq("user_id"), outerAgg = "min"),
+          graft.operators.RuleGroup.Rule("grp_avg_cnt", "count_over_time",
+            Seq("click", "view"), 3600L, Seq("user_id"),
+            outerAgg = "avg")))),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
