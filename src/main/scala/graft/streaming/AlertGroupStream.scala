@@ -18,9 +18,12 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *  - one keyed state fold per series holding open-bucket partials at
   *    the group's GCD resolution `g` — each partial is the same
   *    (n, exact-decimal Σ, min, max) quadruple AlertStream keeps, so
-  *    EVERY rule's verb aggregates by merging `W_r / g` base partials
-  *    (counts/sums merge associatively — the decimal string sum stays
-  *    exact — and order stats compose);
+  *    every fused-verb rule aggregates by merging `W_r / g` base
+  *    partials (counts/sums merge associatively — the decimal string
+  *    sum stays exact — and order stats compose); COUNTER rules
+  *    (rate/increase) additionally keep open-bucket samples, shared
+  *    across all counter rules in the group, and evaluate the exact
+  *    order-dependent growth chain at close (see AlertStream.Verbs);
   *  - per matching rule: its own grid machine (cursor, pending→firing
   *    `for:` clock, `keep_firing_for:` hysteresis) stepping at its own
   *    window — the EXACT AlertStream machine, N-ified. Emissions are
@@ -62,9 +65,18 @@ object AlertGroupStream {
     * quadruple — the decimal sum as a plain string, exact over the
     * full decimal(30,6) range) + one machine per MATCHING rule, keyed
     * by rule index, created on the series' first admitted arrival.
+    * When the group carries a COUNTER rule (rate/increase), open base
+    * buckets also keep their samples (`samp`, shared across all
+    * counter rules) — sample order decides the reset-corrected
+    * growth, so counter buckets evaluate from samples at close
+    * (AlertStream.counterBucketValue, the batch evaluator's exact
+    * chain); base-bucket sample lists merge per rule window by
+    * concatenation (the sort happens once, at evaluation).
     */
   case class GState(open: Map[Long, (Long, String, Double, Double)],
-                    mach: Map[Int, GMach])
+                    mach: Map[Int, GMach],
+                    samp: Map[Long, Seq[(Long, Long, Long, Double)]] =
+                      Map.empty)
 
   case class GroupOut(rule: String, step: Long, event_type: String,
                       alertstate: String, value: Double)
@@ -103,8 +115,11 @@ object AlertGroupStream {
       // AlertStream / PromqlStream watermark-pinning lesson)
       .filter(col("event_type").rlike(s"^(?:$unionRe)$$") || col("ts").isNull)
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
-        col("value").cast("double").as("value"), col("ts"))
-      .as[(String, Long, Double, java.sql.Timestamp)]
+        col("value").cast("double").as("value"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+      .as[(String, Long, Double, Long, Long, java.sql.Timestamp)]
+    val counterVerb = Set("rate", "increase")
 
     src.groupByKey(_._1)
       .flatMapGroupsWithState[GState, GroupOut](
@@ -127,26 +142,26 @@ object AlertGroupStream {
           // buckets admissible. The admissibility guard (some matching
           // rule's bucket >= its cursor) only rejects stray late rows
           // that every machine has already finalized.
-          val arrived = rows.toSeq.groupBy(r => baseOf(r._2))
-            .view.mapValues { rs =>
-              val vs = rs.map(_._3)
-              (rs.size.toLong,
-                vs.map(q6).reduce(_ add _).toPlainString, vs.min, vs.max)
-            }.toMap
-          if (arrived.nonEmpty && mine.nonEmpty) {
+          val hasCounter = mine.exists { case (r, _) => counterVerb(r.verb) }
+          val byBucket = rows.toSeq.groupBy(r => baseOf(r._2))
+          if (byBucket.nonEmpty && mine.nonEmpty) {
             val wmBase = Math.floorDiv(
               Math.floorDiv(state.getCurrentWatermarkMs(), 1000L), g) * g
-            val floor0 = math.min(arrived.keys.min, wmBase)
+            val floor0 = math.min(byBucket.keys.min, wmBase)
             val mach = mine.foldLeft(st.mach) { case (m, (r, i)) =>
               if (m.contains(i)) m
               else m.updated(i, GMach(ruleBucket(r.wSec, floor0),
                 0, 0L, 0L, 0.0))
             }
-            val admissible = arrived.filter { case (b, _) =>
+            val admissible = byBucket.filter { case (b, _) =>
               mine.exists { case (r, i) =>
                 ruleBucket(r.wSec, b) >= mach(i).cursor }
             }
-            val open = admissible.foldLeft(st.open) {
+            val open = admissible.view.mapValues { rs =>
+              val vs = rs.map(_._3)
+              (rs.size.toLong,
+                vs.map(q6).reduce(_ add _).toPlainString, vs.min, vs.max)
+            }.foldLeft(st.open) {
               case (m, (b, (n, s6, mn, mx))) =>
                 val prev = m.getOrElse(b,
                   (0L, "0", Double.MaxValue, Double.MinValue))
@@ -155,7 +170,13 @@ object AlertGroupStream {
                     .add(new java.math.BigDecimal(s6)).toPlainString,
                   math.min(prev._3, mn), math.max(prev._4, mx)))
             }
-            st = GState(open, mach)
+            val samp =
+              if (!hasCounter) st.samp
+              else admissible.foldLeft(st.samp) { case (m, (b, rs)) =>
+                m.updated(b, m.getOrElse(b, Seq.empty) ++
+                  rs.map(r => (r._4, r._2, r._5, r._3)))
+              }
+            st = GState(open, mach, samp)
           }
 
           val wmSec = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
@@ -179,6 +200,14 @@ object AlertGroupStream {
                   math.min(mn, p._3), math.max(mx, p._4))
               })
             }
+            // counter rules: concat the window's base sample lists and
+            // evaluate the exact chain (sort happens inside)
+            def counterAt(step: Long): Option[Double] = {
+              val ss = st.samp.collect {
+                case (b, rs) if b >= step && b < step + W => rs }.flatten
+              if (ss.isEmpty) None
+              else Some(AlertStream.counterBucketValue(r.verb, W, ss.toSeq))
+            }
             var done = false
             while (!done && m.cursor + W <= wmSec) {
               if (m.mode == 0) {
@@ -192,15 +221,16 @@ object AlertGroupStream {
               }
               if (!done && m.cursor + W <= wmSec) {
                 val step = m.cursor
-                val agg = aggAt(step)
-                val value = agg.map { case (n, s6, mn, mx) =>
-                  r.verb match {
-                    case "count" => n.toDouble
-                    case "sum"   => s6.doubleValue
-                    case "min"   => mn
-                    case "max"   => mx
+                val value =
+                  if (counterVerb(r.verb)) counterAt(step)
+                  else aggAt(step).map { case (n, s6, mn, mx) =>
+                    r.verb match {
+                      case "count" => n.toDouble
+                      case "sum"   => s6.doubleValue
+                      case "min"   => mn
+                      case "max"   => mx
+                    }
                   }
-                }
                 r.threshold match {
                   case None =>
                     // recording rule: every data-bearing bucket emits
@@ -235,12 +265,12 @@ object AlertGroupStream {
           // GC: a base bucket is dead once EVERY matching rule's
           // cursor has passed its rule bucket
           if (st.mach.nonEmpty) {
-            val live = st.open.filter { case (b, _) =>
+            def liveBucket(b: Long): Boolean =
               mine.exists { case (r, i) =>
                 st.mach.get(i).forall(m =>
                   ruleBucket(r.wSec, b) >= m.cursor) }
-            }
-            st = st.copy(open = live)
+            st = st.copy(open = st.open.filter(kv => liveBucket(kv._1)),
+              samp = st.samp.filter(kv => liveBucket(kv._1)))
           }
 
           val anyActive = mine.exists { case (_, i) =>

@@ -21,8 +21,11 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * extension rows.
   *
   * State per series is O(1) + one (n, Σ, min, max) partial per open
-  * bucket inside the watermark horizon — NOT samples (every supported
-  * verb folds online), and never corpus- or history-sized. Evaluation is
+  * bucket inside the watermark horizon — NOT samples (the fused verbs
+  * fold online; the counter verbs rate/increase keep open-bucket
+  * samples, the honest price of exact order-dependent growth under
+  * out-of-order arrival — see [[Verbs]]) — and never corpus- or
+  * history-sized. Evaluation is
   * timeout-driven: a bucket is processed once the watermark reaches its
   * end, INCLUDING buckets with no data (missed evals — where pending
   * drops and firing extends), which a pure aggregation could never
@@ -48,18 +51,34 @@ object AlertStream {
     */
   case class AlState(cursor: Long, mode: Int, activeAt: Long,
                      lastHeld: Long, lastValue: Double,
-                     open: Map[Long, (Long, String, Double, Double)])
+                     open: Map[Long, (Long, String, Double, Double)],
+                     samp: Map[Long, Seq[(Long, Long, Long, Double)]] =
+                       Map.empty)
   case class AlertOut(step: Long, event_type: String,
                       alertstate: String, value: Double)
 
   /** The condition's per-bucket aggregate — the fused streaming verb
-    * set, each an O(1) online partial: `count` (count_over_time),
-    * `sum` (sum_over_time, per-sample decimal(30,6) quantization
-    * replicated as scaled-long arithmetic — the exactSum contract, so
-    * the streamed value is BIT-EQUAL to the batch expr), `min`/`max`
-    * (min/max_over_time).
+    * set: `count` (count_over_time), `sum` (sum_over_time, the exactSum
+    * decimal contract — streamed values BIT-EQUAL to the batch expr),
+    * `min`/`max` (min/max_over_time), each an O(1) online partial per
+    * open bucket; plus the COUNTER verbs `rate`/`increase` (round 17 —
+    * the Prometheus-standard error-rate alert shape,
+    * `sum by (event_type)(rate({…}[W])) > c`). Counter verbs cannot
+    * fold online under out-of-order arrival (sample ORDER decides the
+    * reset-corrected growth), so their open buckets keep the SAMPLES
+    * — (user_id, µs, event_id, value) — and evaluate at bucket close:
+    * per-series lag growth with the stored-value baseline, per-pair
+    * decimal(30,6) quantization, per-series rate = increase / W, then
+    * the vector exactSum over series — the batch evaluator's chain
+    * operation for operation, so streamed values stay bit-equal. State
+    * for counter verbs is bounded by the samples inside the watermark
+    * horizon (open buckets only — closed buckets drop their samples),
+    * the same bound any stream-stream join carries; the other verbs
+    * stay O(1) per bucket.
     */
-  val Verbs: Set[String] = Set("count", "sum", "min", "max")
+  val Verbs: Set[String] = Set("count", "sum", "min", "max",
+    "rate", "increase")
+  private val CounterVerbs: Set[String] = Set("rate", "increase")
 
   /** shortest-repr HALF_UP at 6 dp — the engine's decimal(30,6)
     * per-sample quantization on the JVM (PromqlStream.decimal6Sum's
@@ -69,6 +88,38 @@ object AlertStream {
   private def q6(v: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** The counter-verb bucket value from the bucket's raw samples —
+    * the batch evaluator's exact chain (Promql.rangeApply's
+    * rate|increase case followed by the vector exactSum): per
+    * (user_id) series, sort by (µs, event_id), reset-corrected growth
+    * with the stored-value baseline (first in-window sample grows 0),
+    * each pair's growth quantized at decimal(30,6) and decimal-summed;
+    * rate divides the per-series increase by W in double; the vector
+    * sum quantizes each per-series value at decimal(30,6) and
+    * decimal-sums. Every operation mirrors the batch expression, so
+    * the streamed value is bit-equal. Shared with AlertGroupStream.
+    */
+  private[streaming] def counterBucketValue(verb: String, wSec: Long,
+      rows: Seq[(Long, Long, Long, Double)]): Double = {
+    val perSeries = rows.groupBy(_._1).valuesIterator.map { rs =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var acc = java.math.BigDecimal.ZERO
+      var prev = 0.0
+      var first = true
+      for (r <- sorted) {
+        if (!first) {
+          val g = if (r._4 >= prev) r._4 - prev else r._4
+          acc = acc.add(q6(g))
+        }
+        prev = r._4
+        first = false
+      }
+      val inc = acc.doubleValue
+      if (verb == "rate") inc / wSec.toDouble else inc
+    }
+    perSeries.map(q6).reduce(_ add _).doubleValue
+  }
 
   /** Run the rule over the parquet file stream at `inDir`. Caller owns
     * the sink (Append). `metricRe` anchors like a PromQL =~ matcher;
@@ -98,8 +149,11 @@ object AlertStream {
       // ts rides along: the watermark column must survive projection
       // for EventTimeTimeout to resolve it
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
-        col("value").cast("double").as("value"), col("ts"))
-      .as[(String, Long, Double, java.sql.Timestamp)]
+        col("value").cast("double").as("value"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+      .as[(String, Long, Double, Long, Long, java.sql.Timestamp)]
+    val isCounter = CounterVerbs(verb)
 
     src.groupByKey(_._1)
       .flatMapGroupsWithState[AlState, AlertOut](
@@ -125,28 +179,36 @@ object AlertStream {
           // guard below never drops an admissible row — it only keeps
           // a stray late row from wedging a finalized bucket into
           // `open` forever.
-          val arrived = rows.toSeq.groupBy(r => bucketOf(r._2))
-            .view.mapValues { rs =>
-              val vs = rs.map(_._3)
-              (rs.size.toLong,
-                vs.map(q6).reduce(_ add _).toPlainString, vs.min, vs.max)
-            }.toMap
-          if (arrived.nonEmpty) {
+          val byBucket = rows.toSeq.groupBy(r => bucketOf(r._2))
+          if (byBucket.nonEmpty) {
             val wmBucket = Math.floorDiv(
               Math.floorDiv(state.getCurrentWatermarkMs(), 1000L), W) * W
             val floor0 =
-              if (st.cursor == Long.MinValue) math.min(arrived.keys.min, wmBucket)
+              if (st.cursor == Long.MinValue) math.min(byBucket.keys.min, wmBucket)
               else st.cursor
-            val open = arrived.filter(_._1 >= floor0).foldLeft(st.open) {
-              case (m, (b, (n, s6, mn, mx))) =>
-                val prev = m.getOrElse(b,
-                  (0L, "0", Double.MaxValue, Double.MinValue))
-                m.updated(b, (prev._1 + n,
-                  new java.math.BigDecimal(prev._2)
-                    .add(new java.math.BigDecimal(s6)).toPlainString,
-                  math.min(prev._3, mn), math.max(prev._4, mx)))
-            }
-            st = st.copy(open = open,
+            val admitted = byBucket.filter(_._1 >= floor0)
+            val open =
+              if (isCounter) st.open // counter buckets keep samples
+              else admitted.view.mapValues { rs =>
+                val vs = rs.map(_._3)
+                (rs.size.toLong,
+                  vs.map(q6).reduce(_ add _).toPlainString, vs.min, vs.max)
+              }.foldLeft(st.open) {
+                case (m, (b, (n, s6, mn, mx))) =>
+                  val prev = m.getOrElse(b,
+                    (0L, "0", Double.MaxValue, Double.MinValue))
+                  m.updated(b, (prev._1 + n,
+                    new java.math.BigDecimal(prev._2)
+                      .add(new java.math.BigDecimal(s6)).toPlainString,
+                    math.min(prev._3, mn), math.max(prev._4, mx)))
+              }
+            val samp =
+              if (!isCounter) st.samp
+              else admitted.foldLeft(st.samp) { case (m, (b, rs)) =>
+                m.updated(b, m.getOrElse(b, Seq.empty) ++
+                  rs.map(r => (r._4, r._2, r._5, r._3)))
+              }
+            st = st.copy(open = open, samp = samp,
               cursor = if (st.cursor == Long.MinValue) floor0 else st.cursor)
           }
 
@@ -155,11 +217,13 @@ object AlertStream {
           val wmSec = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
           val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
           var done = st.cursor == Long.MinValue
+          def dataKeys: Iterable[Long] =
+            if (isCounter) st.samp.keys else st.open.keys
           while (!done && st.cursor + W <= wmSec) {
             if (st.mode == 0) {
               // inactive: empty buckets can emit nothing — jump the
               // cursor to the next bucket that has data
-              val future = st.open.keys.filter(_ >= st.cursor)
+              val future = dataKeys.filter(_ >= st.cursor)
               if (future.isEmpty) done = true
               else st = st.copy(cursor = math.max(st.cursor, future.min))
             }
@@ -168,15 +232,17 @@ object AlertStream {
               // a data-less bucket is NOT held whatever the verb and
               // threshold — the batch expr emits no row for it (an
               // absent instant vector), so no synthetic 0 compare
-              val agg = st.open.get(step)
-              val value = agg.map { case (n, s6, mn, mx) =>
-                verb match {
-                  case "count" => n.toDouble
-                  case "sum" => new java.math.BigDecimal(s6).doubleValue
-                  case "min" => mn
-                  case "max" => mx
+              val value =
+                if (isCounter)
+                  st.samp.get(step).map(counterBucketValue(verb, W, _))
+                else st.open.get(step).map { case (n, s6, mn, mx) =>
+                  verb match {
+                    case "count" => n.toDouble
+                    case "sum" => new java.math.BigDecimal(s6).doubleValue
+                    case "min" => mn
+                    case "max" => mx
+                  }
                 }
-              }
               val held = value.exists(_ > threshold)
               if (held) {
                 val v = value.get
@@ -194,11 +260,13 @@ object AlertStream {
                   else st = st.copy(mode = 0) // resolved
                 case _ => ()
               }
-              st = st.copy(open = st.open - step, cursor = step + W)
+              st = st.copy(open = st.open - step, samp = st.samp - step,
+                cursor = step + W)
             }
           }
 
-          if (st.mode == 0 && st.open.isEmpty) state.remove()
+          if (st.mode == 0 && st.open.isEmpty && st.samp.isEmpty)
+            state.remove()
           else {
             state.update(st)
             // next evaluation: the earliest bucket whose close we are
@@ -207,7 +275,7 @@ object AlertStream {
             // −1 ms so wm == bucket end fires
             val nextEnd =
               if (st.mode != 0) st.cursor + W
-              else st.open.keys.min + W
+              else dataKeys.min + W
             state.setTimeoutTimestamp(math.max(nextEnd * 1000L - 1L,
               state.getCurrentWatermarkMs() + 1L))
           }

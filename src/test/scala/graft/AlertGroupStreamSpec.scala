@@ -30,6 +30,10 @@ class AlertGroupStreamSpec extends AnyFunSuite {
         Some(1.0), forSec = 2 * W6, keepSec = W6),
       AlertGroupStream.SRule("big_sum", "purchase", "sum", W9,
         Some(300.0), forSec = W9, keepSec = 0L),
+      // a COUNTER rule rides the same stream: its 12h buckets close
+      // from the shared 3h-base SAMPLE lists (gcd(6h,9h,12h) = 3h)
+      AlertGroupStream.SRule("err_rate", "click|purchase", "rate",
+        43200L, Some(0.0), forSec = 86400L, keepSec = 43200L),
       AlertGroupStream.SRule("rec_max", "click", "max", W6, None))
 
     val maxUs = Tables.events(spark, sf)
