@@ -835,6 +835,66 @@ object OracleSql {
         |SELECT 'grp_avg_cnt' AS rule, step, CAST(user_id AS VARCHAR) AS series,
         |       'none' AS alertstate, value
         |FROM av""".stripMargin,
+    // DISTRIBUTION rule group (round 17): the stddev alert (max-by,
+    // for:=0 — held rows fire), the stdvar recording at full grain,
+    // and the discrete p90 pick at ceil(round(n·q, 9)) clamped >= 1
+    "q_promql_rule_group_dist" ->
+      """WITH steps2 AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |dev AS (
+        |  SELECT st.step, e.event_type, e.user_id,
+        |    (CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,6))
+        |                   * CAST(e.value AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS DOUBLE)
+        |     - CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+        |       * CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+        |       / COUNT(*)) / COUNT(*) AS var
+        |  FROM events e JOIN steps2 st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |mx AS (
+        |  SELECT step, event_type,
+        |         MAX(sqrt(greatest(0.0, var))) AS value
+        |  FROM dev GROUP BY 1, 2),
+        |var2 AS (
+        |  SELECT st.step, e.user_id, e.event_type,
+        |    greatest(0.0,
+        |      (CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,6))
+        |                     * CAST(e.value AS DECIMAL(18,6))
+        |                     AS DECIMAL(38,12))) AS DOUBLE)
+        |       - CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+        |         * CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+        |         / COUNT(*)) / COUNT(*)) AS value
+        |  FROM events e JOIN steps2 st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3),
+        |qx AS (
+        |  SELECT st.step, e.user_id, e.event_type, e.value,
+        |         row_number() OVER (PARTITION BY st.step, e.user_id
+        |                            ORDER BY e.value, e.event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY st.step, e.user_id) AS n
+        |  FROM events e JOIN steps2 st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click')
+        |SELECT 'grp_dev_alert' AS rule, step, event_type AS series,
+        |       'firing' AS alertstate, value
+        |FROM mx WHERE value > 10.0
+        |UNION ALL
+        |SELECT 'grp_var' AS rule, step,
+        |       CONCAT(CAST(user_id AS VARCHAR), ',', event_type) AS series,
+        |       'none' AS alertstate, value
+        |FROM var2
+        |UNION ALL
+        |SELECT 'grp_p90' AS rule, step,
+        |       CONCAT(CAST(user_id AS VARCHAR), ',', event_type) AS series,
+        |       'none' AS alertstate, value
+        |FROM qx
+        |WHERE rn = greatest(1, CAST(ceil(round(n * 0.9, 9)) AS BIGINT))""".stripMargin,
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

@@ -322,6 +322,24 @@ object SparkEntry {
           graft.operators.RuleGroup.Rule("grp_avg_cnt", "count_over_time",
             Seq("click", "view"), 3600L, Seq("user_id"),
             outerAgg = "avg")))),
+    // DISTRIBUTION verbs in rule groups (round 17): stddev/stdvar ride
+    // the shared pass as exact decimal sum/sumsq/count measures, the
+    // discrete quantile as the window's sorted value list (bounded by
+    // samples per bucket — the batch evaluator's own value-histogram
+    // state bound); the stddev alert outer-aggregates with max (pure
+    // comparison — no re-quantization of sqrt outputs)
+    "q_promql_rule_group_dist" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("grp_dev_alert", "stddev_over_time",
+            Seq("click", "view", "purchase"), 7200L, Seq("event_type"),
+            Some((">", 10.0)), outerAgg = "max"),
+          graft.operators.RuleGroup.Rule("grp_var", "stdvar_over_time",
+            Seq("purchase"), 7200L, Seq("user_id", "event_type")),
+          graft.operators.RuleGroup.Rule("grp_p90", "quantile_over_time",
+            Seq("click"), 3600L, Seq("user_id", "event_type"),
+            q = 0.9)))),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

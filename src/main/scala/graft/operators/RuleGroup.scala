@@ -51,14 +51,19 @@ object RuleGroup {
     * @param outerAgg the vector aggregation over the by() grain:
     *   sum (default) | min | max | avg — each with the evaluator's
     *   arithmetic (exactSum decimals; avg = exactSum / count).
+    * @param q the quantile for verb quantile_over_time (the house
+    *   DISCRETE quantile — stored value at ceil(q·n), the
+    *   quantile_over_time contract).
     */
   case class Rule(name: String, verb: String, metrics: Seq[String],
                   windowSec: Long, by: Seq[String],
                   cmp: Option[(String, Double)] = None,
                   forSec: Long = 0L, keepSec: Long = 0L,
-                  outerAgg: String = "sum") {
+                  outerAgg: String = "sum", q: Double = 0.5) {
     require(Set("count_over_time", "sum_over_time", "avg_over_time",
-      "min_over_time", "max_over_time", "rate", "increase").contains(verb),
+      "min_over_time", "max_over_time", "rate", "increase",
+      "stddev_over_time", "stdvar_over_time",
+      "quantile_over_time").contains(verb),
       s"verb $verb")
     require(by.nonEmpty && by.toSet.subsetOf(Set("user_id", "event_type")),
       s"by() must be within the series grain, got $by")
@@ -145,6 +150,19 @@ object RuleGroup {
             sum(when(cond, 1L)).as(s"__c$i"))
         case "min_over_time" => Seq(min(v).as(s"__n$i"))
         case "max_over_time" => Seq(max(v).as(s"__x$i"))
+        case "stddev_over_time" | "stdvar_over_time" =>
+          // the evaluator's exact sums (exactSum / exactSumSq) as
+          // conditional measures — DECIMAL(18,6)² at scale 12 so x²
+          // below ~1e-3 does not truncate (the ExactNum derivation)
+          val q18 = v.cast("decimal(18,6)")
+          Seq(sum((q18 * q18).cast("decimal(38,12)")).as(s"__qq$i"),
+            sum(v.cast("decimal(30,6)")).as(s"__s$i"),
+            sum(when(cond, 1L)).as(s"__c$i"))
+        case "quantile_over_time" =>
+          // the house discrete quantile needs the window's sorted
+          // values — bounded by samples per (step, series) bucket,
+          // the batch evaluator's own value-histogram state bound
+          Seq(sort_array(collect_list(v)).as(s"__l$i"))
         case "rate" | "increase" =>
           // the evaluator's reset-corrected growth, quantized per pair
           // (exactSum): predecessor absent-or-outside ⇒ baseline 0
@@ -174,6 +192,19 @@ object RuleGroup {
           col(s"__s$i").cast("double") / col(s"__c$i")
         case "min_over_time"   => col(s"__n$i")
         case "max_over_time"   => col(s"__x$i")
+        case "stddev_over_time" | "stdvar_over_time" =>
+          // the evaluator's variance formula, double arithmetic op
+          // for op (negatives clamp to 0, null propagates)
+          val n = col(s"__c$i")
+          val sd = col(s"__s$i").cast("double")
+          val variance = (col(s"__qq$i").cast("double") - sd * sd / n) / n
+          val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
+          if (r.verb == "stddev_over_time") sqrt(guarded) else guarded
+        case "quantile_over_time" =>
+          val arr = col(s"__l$i")
+          when(size(arr) > 0, element_at(arr,
+            graft.functions.ExactNum
+              .quantilePos(size(arr).cast("long"), r.q).cast("int")))
         case "increase"        => col(s"__i$i").cast("double")
         case "rate"            =>
           col(s"__i$i").cast("double") / lit(r.windowSec.toDouble)

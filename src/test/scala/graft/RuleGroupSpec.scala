@@ -107,6 +107,32 @@ class RuleGroupSpec extends AnyFunSuite {
         spec), "avg-by recording")
   }
 
+  test("distribution verbs: stddev/stdvar/quantile bit-equal to standalone") {
+    val more = Seq(
+      RuleGroup.Rule("grp_dev", "stddev_over_time",
+        Seq("click", "view", "purchase"), 7200L, Seq("event_type"),
+        Some((">", 10.0)), outerAgg = "max"),
+      RuleGroup.Rule("grp_var", "stdvar_over_time", Seq("purchase"),
+        7200L, Seq("user_id", "event_type")),
+      RuleGroup.Rule("grp_p90", "quantile_over_time", Seq("click"),
+        3600L, Seq("user_id", "event_type"), q = 0.9))
+    val outs = RuleGroup.evaluate(spark, dir01, spec, more)
+    eq(outs("grp_dev"),
+      graft.operators.Alerts.rule(spark, dir01,
+        """max by (event_type)(stddev_over_time({event_type=~"click|view|purchase"}[2h])) > 10""",
+        spec, forSec = 0L), "stddev max-by alert")
+    eq(outs("grp_var"),
+      Promql.queryAt(spark, dir01,
+        """stdvar_over_time({event_type=~"purchase"}[2h])""",
+        spec).select(col("step"), col("user_id"),
+          col("event_type"), col("value")), "stdvar recording")
+    eq(outs("grp_p90"),
+      Promql.queryAt(spark, dir01,
+        """quantile_over_time(0.9, {event_type=~"click"}[1h])""",
+        spec).select(col("step"), col("user_id"),
+          col("event_type"), col("value")), "p90 recording")
+  }
+
   test("one scan: the fan-out reads the shared pass from memory, never the events table") {
     val union = RuleGroup.evaluateUnion(spark, dir01, spec, rules)
     assert(union.count() > 0)
