@@ -170,9 +170,16 @@ object AlertGroupStream {
                     .add(new java.math.BigDecimal(s6)).toPlainString,
                   math.min(prev._3, mn), math.max(prev._4, mx)))
             }
+            // samples admit on COUNTER-rule liveness only: a bucket a
+            // fused rule still needs but every counter rule has passed
+            // keeps its quadruple, not its samples — sample state is
+            // bounded by the counter windows, not the group's widest
             val samp =
               if (!hasCounter) st.samp
-              else admissible.foldLeft(st.samp) { case (m, (b, rs)) =>
+              else admissible.filter { case (b, _) =>
+                mine.exists { case (r, i) => counterVerb(r.verb) &&
+                  ruleBucket(r.wSec, b) >= mach(i).cursor }
+              }.foldLeft(st.samp) { case (m, (b, rs)) =>
                 m.updated(b, m.getOrElse(b, Seq.empty) ++
                   rs.map(r => (r._4, r._2, r._5, r._3)))
               }
@@ -265,12 +272,14 @@ object AlertGroupStream {
           // GC: a base bucket is dead once EVERY matching rule's
           // cursor has passed its rule bucket
           if (st.mach.nonEmpty) {
-            def liveBucket(b: Long): Boolean =
+            def liveFor(b: Long, counterOnly: Boolean): Boolean =
               mine.exists { case (r, i) =>
-                st.mach.get(i).forall(m =>
-                  ruleBucket(r.wSec, b) >= m.cursor) }
-            st = st.copy(open = st.open.filter(kv => liveBucket(kv._1)),
-              samp = st.samp.filter(kv => liveBucket(kv._1)))
+                (!counterOnly || counterVerb(r.verb)) &&
+                  st.mach.get(i).forall(m =>
+                    ruleBucket(r.wSec, b) >= m.cursor) }
+            st = st.copy(
+              open = st.open.filter(kv => liveFor(kv._1, counterOnly = false)),
+              samp = st.samp.filter(kv => liveFor(kv._1, counterOnly = true)))
           }
 
           val anyActive = mine.exists { case (_, i) =>
