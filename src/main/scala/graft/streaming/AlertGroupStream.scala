@@ -87,6 +87,72 @@ object AlertGroupStream {
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP)
 
+  /** One MAINTENANCE pass of the group with the ruler's write-back
+    * half (the Prometheus group loop: recording rules' outputs land in
+    * the TSDB as they evaluate — rules/group.go's Eval appends to the
+    * appender): drain the inbox once, route each RECORDING rule's
+    * closed buckets into its own recorded store (`baseDir/<rule>` —
+    * RecordedRules.toSamples, the SAME mapping the batch recorder and
+    * RecordingRuleStream use, so rows below the horizon are
+    * byte-identical to a batch record() of the rule), append alert
+    * emissions to `baseDir/alerts`, and advance each store's
+    * `_watermark` completeness horizon. Restart-safe: foreachBatch is
+    * at-least-once, so every batch OVERWRITES its own `batch=<id>`
+    * dirs (the NearDupStream discipline — fresh-checkpoint-over-
+    * existing-store refused), and the group's cursor state makes
+    * emissions themselves append-exact. Serve a rule's store back
+    * through RecordingRuleStream.MaintainedSource.
+    */
+  def runOnce(s: SparkSession, inDir: String, baseDir: String,
+              checkpoint: String, rules: Seq[SRule],
+              delay: String = "1 hour"): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val recRules = rules.filter(_.threshold.isEmpty)
+    rules.foreach(r => require(r.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad rule name ${r.name}"))
+    val stores = recRules.map(r => r.name -> s"$baseDir/${r.name}").toMap
+    (stores.values.toSeq :+ s"$baseDir/alerts").foreach { d =>
+      NearDupStream.guardFreshCheckpoint(s"$d/parts", checkpoint)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    }
+    val q = run(s, inDir, rules, delay).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          for (r <- recRules) {
+            val rows = b.filter(col("rule") === r.name)
+              .select(col("step"), col("event_type"), col("value"))
+            // empty batches skipped — a schema-only part must not make
+            // the store look populated (the RollupMaintainStream lesson)
+            if (!rows.isEmpty)
+              graft.sources.RecordedRules.toSamples(rows, r.name)
+                .write.mode("overwrite")
+                .parquet(s"${stores(r.name)}/parts/batch=$batchId")
+          }
+          val alerts = b.filter(col("alertstate") =!= "none")
+          if (!alerts.isEmpty)
+            alerts.write.mode("overwrite")
+              .parquet(s"$baseDir/alerts/parts/batch=$batchId")
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wm = Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(ts => java.time.Instant.parse(ts).getEpochSecond)
+    wm.foreach { h =>
+      stores.values.foreach { d =>
+        val prev = RollupMaintainStream.readMarker(d, "_watermark")
+          .getOrElse(Long.MinValue)
+        if (h > prev) RollupMaintainStream.writeMarker(d, "_watermark", h)
+      }
+    }
+  }
+
   /** Run the group over the parquet file stream at `inDir`. Caller
     * owns the sink (Append). Emissions: (rule, step, event_type,
     * alertstate, value) — alert rules emit pending/firing rows,
