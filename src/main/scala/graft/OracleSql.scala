@@ -895,6 +895,34 @@ object OracleSql {
         |       'none' AS alertstate, value
         |FROM qx
         |WHERE rn = greatest(1, CAST(ceil(round(n * 0.9, 9)) AS BIGINT))""".stripMargin,
+    // PAYLOAD-LABEL rule group (round 17): the k alert's outer sum of
+    // per-series counts collapses to the direct count per (step, k)
+    // (count decomposes); for:=0 — held rows fire
+    "q_promql_rule_group_k" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |ka AS (
+        |  SELECT st.step, regexp_extract(e.props, '"k": (\d+)', 1) AS k,
+        |         CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT st.step, e.user_id, CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'
+        |  GROUP BY 1, 2)
+        |SELECT 'grp_k_alert' AS rule, step, k AS series,
+        |       'firing' AS alertstate, value
+        |FROM ka WHERE value > 1.0
+        |UNION ALL
+        |SELECT 'grp_usr_cnt' AS rule, step, CAST(user_id AS VARCHAR) AS series,
+        |       'none' AS alertstate, value
+        |FROM uc""".stripMargin,
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

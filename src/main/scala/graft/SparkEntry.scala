@@ -340,6 +340,19 @@ object SparkEntry {
           graft.operators.RuleGroup.Rule("grp_p90", "quantile_over_time",
             Seq("click"), 3600L, Seq("user_id", "event_type"),
             q = 0.9)))),
+    // PAYLOAD-LABEL rule groups (round 17): a rule grouped by the
+    // props label `k` refines its series grain, so the compiler gives
+    // it its own grain pass (two scans for this mixed group, not N);
+    // the k alert fires per payload-label series — Prometheus's
+    // labels-are-a-bag model reaching the ruler
+    "q_promql_rule_group_k" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("grp_k_alert", "count_over_time",
+            Seq("click", "view"), 7200L, Seq("k"), Some((">", 1.0))),
+          graft.operators.RuleGroup.Rule("grp_usr_cnt", "count_over_time",
+            Seq("click"), 3600L, Seq("user_id"))))),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

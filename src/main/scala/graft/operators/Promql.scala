@@ -350,6 +350,16 @@ object Promql {
   require(derivedLabels.forall(d => !ReservedCols(d._1)),
     s"derived label names must avoid the evaluator's reserved columns $ReservedCols")
 
+  /** The projection a non-physical label materializes through — the
+    * registry projection for registry labels, the generic props-JSON
+    * attribute (coalesced to "", Prometheus's absent-label semantics)
+    * otherwise. Shared with RuleGroup so a group's label grain is
+    * column-identical to the evaluator's.
+    */
+  private[graft] def labelProjection(name: String): Column =
+    derivedLabels.toMap.getOrElse(name,
+      coalesce(get_json_object(col("props"), s"$$.$name"), lit("")))
+
   /** True iff `n` would collide with an evaluator-owned or physical
     * column, or with a REGISTRY derived label (whose projection shape
     * a payload writer cannot honor) — the registration-time check

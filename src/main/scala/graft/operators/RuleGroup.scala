@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *  - one covering-step explode at the group's WIDEST window — a
   *    sample's (step, delta) pair decides membership in every rule's
   *    narrower window by a cheap `delta < W_r` predicate;
-  *  - one aggregation at the full series grain (step × user_id ×
-  *    event_type) computing every rule's verb partial as a CONDITIONAL
-  *    measure column — the q_range_stats_by multi-measure posture;
+  *  - one aggregation at the pass's series grain — (step × user_id ×
+  *    event_type), extended by any payload labels the pass's rules
+  *    group by — computing every rule's verb partial as a CONDITIONAL
+  *    measure column (the q_range_stats_by multi-measure posture);
+  *    rules whose by() names a payload label are compiled in their own
+  *    grain's pass (grain-sensitive verbs — avg/stddev/rate — change
+  *    VALUE, not just grouping, under a different grain);
   *  - per rule: re-aggregate the partials to the rule's by() grain
   *    (counts/sums merge associatively, order stats compose, avg =
   *    merged sum / merged count — the evaluator's exactSum decimal
@@ -65,8 +69,16 @@ object RuleGroup {
       "stddev_over_time", "stdvar_over_time",
       "quantile_over_time").contains(verb),
       s"verb $verb")
-    require(by.nonEmpty && by.toSet.subsetOf(Set("user_id", "event_type")),
-      s"by() must be within the series grain, got $by")
+    // by() may reach past the physical grain into PAYLOAD labels
+    // (round 17): a non-physical label refines the rule's series grain
+    // exactly as referencing it refines a standalone query's
+    // (Promql.seriesLabels), so rules are compiled in grain-partitioned
+    // passes — see [[evaluate]]
+    require(by.nonEmpty && by.forall(l =>
+      Set("user_id", "event_type")(l) ||
+        !Set("step", "value", "ts", "ts_ns", "us", "event_id", "istep",
+          "props", "rule", "alertstate")(l)),
+      s"by() labels must be physical or payload labels, got $by")
     require(Set("sum", "min", "max", "avg").contains(outerAgg),
       s"outer aggregation $outerAgg")
     require(windowSec > 0 && metrics.nonEmpty)
@@ -83,24 +95,61 @@ object RuleGroup {
     * which is the right trade for a bounded cache.
     */
   private val lastShared =
-    new java.util.concurrent.ConcurrentHashMap[Int, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[DataFrame]]()
 
-  /** Evaluate the group on `spec`'s grid: one scan, one shared pass,
-    * one output frame per rule — alert rules as (step, labels...,
-    * alertstate, value), recording rules as (step, labels..., value).
+  /** Evaluate the group on `spec`'s grid — one shared pass PER SERIES
+    * GRAIN, one output frame per rule (alert rules as (step, labels...,
+    * alertstate, value), recording rules as (step, labels..., value)).
+    *
+    * Rules whose by() stays within the physical grain share one pass at
+    * (user_id, event_type); a rule naming a payload label refines its
+    * series grain (per-series verbs like avg/stddev/rate are
+    * grain-SENSITIVE — evaluating them at a coarser or finer grain than
+    * the standalone query would change values, not just grouping), so
+    * rules are partitioned by their required grain and each distinct
+    * grain gets its own pass. A group mixing physical and one payload
+    * grain still costs two scans, not N.
     */
   def evaluate(s: SparkSession, dir: String, spec: Promql.EvalSpec,
                rules: Seq[Rule]): Map[String, DataFrame] = {
     require(rules.map(_.name).distinct.size == rules.size, "duplicate rule")
+    val byGrain = rules.zipWithIndex.groupBy { case (r, _) =>
+      Grain ++ r.by.filterNot(Grain.contains).sorted }
+    val passes = byGrain.toSeq.map { case (grain, rs) =>
+      evaluatePass(s, dir, spec, rs, grain)
+    }
+    val frames = passes.map(_._2)
+    Option(lastShared.put(System.identityHashCode(s), frames))
+      .foreach(_.filterNot(f => frames.exists(_ eq f))
+        .foreach(_.unpersist(false)))
+    passes.flatMap(_._1).toMap
+  }
+
+  /** One grain's shared pass: the scan + explode + multi-measure
+    * aggregate + per-rule fan-out, at `grain` (the physical columns
+    * plus any payload labels, materialized with the evaluator's own
+    * projections so the grain is column-identical to standalone).
+    * Measure columns are named by each rule's ORIGINAL index, so
+    * passes never collide.
+    */
+  private def evaluatePass(s: SparkSession, dir: String,
+                           spec: Promql.EvalSpec,
+                           rulesIdx: Seq[(Rule, Int)], grain: Seq[String])
+      : (Map[String, DataFrame], DataFrame) = {
+    val rules = rulesIdx.map(_._1)
     val wMax = rules.map(_.windowSec).max
     val sUs = spec.stepSec * 1000000L
     val aUs = spec.startSec * 1000000L
-    // range-pruned, metric-pruned single scan (both pushed)
-    val ev = graft.Tables.eventsRanged(s, dir,
-        Some(((spec.startSec - wMax) * 1000000000L,
-          spec.endSec * 1000000000L)))
-      .filter(col("event_type").isin(rules.flatMap(_.metrics).distinct: _*))
-      .withColumn("__us", unix_micros(col("ts")))
+    // range-pruned, metric-pruned single scan (both pushed); payload
+    // labels in the grain materialize with the evaluator's projections
+    val ev = grain.filterNot(Grain.contains).foldLeft(
+        graft.Tables.eventsRanged(s, dir,
+            Some(((spec.startSec - wMax) * 1000000000L,
+              spec.endSec * 1000000000L)))
+          .filter(col("event_type")
+            .isin(rules.flatMap(_.metrics).distinct: _*))
+          .withColumn("__us", unix_micros(col("ts")))
+      )((d, l) => d.withColumn(l, Promql.labelProjection(l)))
     // covering steps for the WIDEST window: step k covers sample m iff
     // aUs + k·sUs ∈ [m, m + Wmax·1e6); deltas stay far below 2^53 so
     // the double ceil/floor is exact (the stepped evaluator's argument)
@@ -129,15 +178,15 @@ object RuleGroup {
       if (!hasCounter) exploded0
       else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy((col("step") +: Grain.map(col)): _*)
+          .partitionBy((col("step") +: grain.map(col)): _*)
           .orderBy(col("__us"), col("event_id"))
         exploded0
           .withColumn("__prev_v", lag("value", 1).over(w))
           .withColumn("__prev_d", lag("__delta", 1).over(w))
       }
     // ONE aggregation, every rule's verb partial as a conditional
-    // measure at the full series grain
-    val measures: Seq[Column] = rules.zipWithIndex.flatMap { case (r, i) =>
+    // measure at the pass's series grain
+    val measures: Seq[Column] = rulesIdx.flatMap { case (r, i) =>
       val cond = col("event_type").isin(r.metrics: _*) &&
         col("__delta") < lit(r.windowSec * 1000000L)
       val v = when(cond, col("value"))
@@ -176,14 +225,12 @@ object RuleGroup {
       }
     }
     val shared = exploded
-      .groupBy((col("step") +: Grain.map(col)): _*)
+      .groupBy((col("step") +: grain.map(col)): _*)
       .agg(measures.head, measures.tail: _*)
       // the persist is load-bearing (see the object doc): one scan
       // materializes the pass; every rule branch reads memory
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastShared.put(System.identityHashCode(s), shared))
-      .filter(_ ne shared).foreach(_.unpersist(false))
-    rules.zipWithIndex.map { case (r, i) =>
+    val outs = rulesIdx.map { case (r, i) =>
       // the rule's per-series value, with the evaluator's arithmetic
       val seriesValue: Column = r.verb match {
         case "count_over_time" => col(s"__c$i").cast("double")
@@ -212,7 +259,7 @@ object RuleGroup {
       val perSeries = shared
         .withColumn("__v", seriesValue).filter(col("__v").isNotNull)
       val valued =
-        if (r.by.sorted == Grain.sorted)
+        if (r.by.sorted == grain.sorted)
           perSeries.select((col("step") +: r.by.map(col) :+
             col("__v").as("value")): _*)
         else perSeries
@@ -240,13 +287,18 @@ object RuleGroup {
       }
       r.name -> out
     }.toMap
+    (outs, shared)
   }
 
   /** The driver-entry shape: every rule's output in ONE tagged frame —
     * (rule, step, series, alertstate, value), `series` the rendered
     * by() identity, recording rows tagged alertstate `none`. Recording
     * rules are ALSO persisted through the recorded-rules store (the
-    * ruler records, then serves), keyed by the group evaluation.
+    * ruler records, then serves), keyed by the group evaluation —
+    * which means a RECORDING rule's by() may use generic payload
+    * labels but not REGISTRY labels (toSamples rejects names whose
+    * registered projection a payload write cannot honor); alert rules
+    * carry no such restriction.
     */
   def evaluateUnion(s: SparkSession, dir: String, spec: Promql.EvalSpec,
                     rules: Seq[Rule]): DataFrame = {

@@ -133,6 +133,32 @@ class RuleGroupSpec extends AnyFunSuite {
           col("event_type"), col("value")), "p90 recording")
   }
 
+  test("payload-label by(): k-grained rules compile in their own pass, bit-equal to standalone") {
+    val more = Seq(
+      RuleGroup.Rule("grp_k_alert", "count_over_time", Seq("click", "view"),
+        7200L, Seq("k"), Some((">", 1.0))),
+      // avg_over_time is grain-SENSITIVE: correct only because the k
+      // pass evaluates per (user_id, event_type, k) — the standalone
+      // evaluator's exact grain for a regex selector referencing k
+      RuleGroup.Rule("grp_k_avg", "avg_over_time", Seq("click", "view"),
+        7200L, Seq("k"), outerAgg = "avg"),
+      RuleGroup.Rule("grp_phys", "count_over_time", Seq("click"), 3600L,
+        Seq("user_id")))
+    val outs = RuleGroup.evaluate(spark, dir01, spec, more)
+    eq(outs("grp_k_alert"),
+      graft.operators.Alerts.rule(spark, dir01,
+        """sum by (k)(count_over_time({event_type=~"click|view"}[2h])) > 1""",
+        spec, forSec = 0L), "k-grained alert")
+    eq(outs("grp_k_avg"),
+      Promql.queryAt(spark, dir01,
+        """avg by (k)(avg_over_time({event_type=~"click|view"}[2h]))""",
+        spec), "k-grained avg (grain-sensitive)")
+    eq(outs("grp_phys"),
+      Promql.queryAt(spark, dir01,
+        "sum by (user_id)(count_over_time(click[1h]))", spec),
+      "physical-grain pass in the same group")
+  }
+
   test("one scan: the fan-out reads the shared pass from memory, never the events table") {
     val union = RuleGroup.evaluateUnion(spark, dir01, spec, rules)
     assert(union.count() > 0)
