@@ -353,6 +353,33 @@ object SparkEntry {
             Seq("click", "view"), 7200L, Seq("k"), Some((">", 1.0))),
           graft.operators.RuleGroup.Rule("grp_usr_cnt", "count_over_time",
             Seq("click"), 3600L, Seq("user_id"))))),
+    // ROLLUP-SERVED rule group (round 17): the group compiler reading
+    // the downsample STORE instead of the raw events scan — with the
+    // rewrite opted in, the whole servable pass (count alert with
+    // for:/keep:, rate alert, sum + avg recordings) evaluates from
+    // rollup partials (plan-asserted in RuleGroupRollupSpec: zero raw
+    // scans). The oracle re-derives everything from raw events, so
+    // the hash proves store serving bit-exact through both alert
+    // machines — a 30-rule group over a year reads rollup bytes
+    "q_promql_rule_group_rollup" -> ((s, d) => {
+      graft.sources.DownsampleStore.table(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      graft.operators.RuleGroup.evaluateUnion(s2, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("ru_hot", "count_over_time",
+            Seq("click", "view", "purchase", "signup", "error"), 7200L,
+            Seq("event_type"), Some((">", 6.0)), forSec = 7200L,
+            keepSec = 3600L),
+          graft.operators.RuleGroup.Rule("ru_rate_alert", "rate",
+            Seq("click", "view"), 7200L, Seq("event_type"),
+            Some((">", 0.002)), forSec = 7200L),
+          graft.operators.RuleGroup.Rule("ru_click_sum1h", "sum_over_time",
+            Seq("click"), 3600L, Seq("user_id")),
+          graft.operators.RuleGroup.Rule("ru_view_avg2h", "avg_over_time",
+            Seq("view"), 7200L, Seq("user_id", "event_type"))))
+    }),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

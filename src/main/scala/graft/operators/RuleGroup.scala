@@ -115,8 +115,24 @@ object RuleGroup {
     require(rules.map(_.name).distinct.size == rules.size, "duplicate rule")
     val byGrain = rules.zipWithIndex.groupBy { case (r, _) =>
       Grain ++ r.by.filterNot(Grain.contains).sorted }
-    val passes = byGrain.toSeq.map { case (grain, rs) =>
-      evaluatePass(s, dir, spec, rs, grain)
+    val passes = byGrain.toSeq.flatMap { case (grain, rs) =>
+      // ROLLUP-SERVED pass (round 17, the Thanos-ruler posture at
+      // group scale): with the rewrite opted in, the physical-grain
+      // rules whose verbs the downsample partials answer losslessly
+      // evaluate from the rollup STORE — store-row-sized reads instead
+      // of the raw scan; the rest of the pass (distribution verbs need
+      // per-sample detail) keeps the raw scan. A 30-rule group over a
+      // year of data then reads rollup bytes, not raw.
+      if (grain != Grain) Seq(evaluatePass(s, dir, spec, rs, grain))
+      else {
+        val (able, rest) = rs.partition { case (r, _) => RollupVerbs(r.verb) }
+        rollupPass(s, dir, spec, able) match {
+          case Some(p) if rest.nonEmpty =>
+            Seq(p, evaluatePass(s, dir, spec, rest, grain))
+          case Some(p) => Seq(p)
+          case None    => Seq(evaluatePass(s, dir, spec, rs, grain))
+        }
+      }
     }
     val frames = passes.map(_._2)
     Option(lastShared.put(System.identityHashCode(s), frames))
@@ -230,7 +246,22 @@ object RuleGroup {
       // the persist is load-bearing (see the object doc): one scan
       // materializes the pass; every rule branch reads memory
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outs = rulesIdx.map { case (r, i) =>
+    (fanOut(s, spec, shared, rulesIdx, grain), shared)
+  }
+
+  /** Per-rule fan-out over a materialized shared pass: derive each
+    * rule's per-series value from its measure columns (`__c/__s/__n/
+    * __x/__qq/__l/__i` + rule index), re-aggregate to the rule's by()
+    * grain with the evaluator's arithmetic, then the comparison + the
+    * `for:`/`keep_firing_for:` machine for alerting rules. Shared by
+    * the raw-scan pass and the rollup-served pass — the measure-column
+    * CONTRACT is the seam: any pass that produces bit-identical
+    * measures produces bit-identical rule outputs.
+    */
+  private def fanOut(s: SparkSession, spec: Promql.EvalSpec,
+                     shared: DataFrame, rulesIdx: Seq[(Rule, Int)],
+                     grain: Seq[String]): Map[String, DataFrame] = {
+    rulesIdx.map { case (r, i) =>
       // the rule's per-series value, with the evaluator's arithmetic
       val seriesValue: Column = r.verb match {
         case "count_over_time" => col(s"__c$i").cast("double")
@@ -287,7 +318,156 @@ object RuleGroup {
       }
       r.name -> out
     }.toMap
-    (outs, shared)
+  }
+
+  /** Verbs the rollup store answers for a group rule LOSSLESSLY — the
+    * SteppedRollup families: counts/sums merge associatively from the
+    * store's decimal partials, order statistics compose, and the
+    * counter verbs rebuild the exact growth chain from `inc_dec` +
+    * the stored bucket endpoints. stddev/stdvar/quantile need
+    * per-sample detail the partials lack; those rules keep the raw
+    * pass.
+    */
+  private val RollupVerbs: Set[String] = Set(
+    "count_over_time", "sum_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "rate", "increase")
+
+  /** The shared pass served from the downsample STORE instead of the
+    * raw events scan (round 17) — or None when any soundness gate
+    * fails and the caller falls back to the raw pass:
+    *   - session rewrite flag off, or a verb outside [[RollupVerbs]];
+    *   - a window / the grid start / the grid step not aligned to the
+    *     store resolution (a misaligned window cuts within buckets);
+    *   - no store level materialized + boundary-clean (the
+    *     SteppedRollup.batchLevel pick — coarsest aligned level wins:
+    *     an hour-aligned group reads 12× fewer rollup rows).
+    *
+    * Bit-exactness mirrors the stepped front-end's serving argument,
+    * verb by verb, re-expressed as CONDITIONAL measures so every rule
+    * shares one aggregation: a rule's window is an exact union of
+    * store buckets (left-open windows + boundary-clean store), counts
+    * are sums of `n_samples`, sums re-merge `sum_dec` decimal
+    * partials, min/max fold the bucket order stats, avg divides the
+    * same two operands, and rate/increase = Σ within-bucket `inc_dec`
+    * + Σ boundary growths between consecutive covered buckets — the
+    * lag pass runs ONCE over the widest window's covered buckets, and
+    * a predecessor outside a narrower rule's window is excluded by
+    * the boundary predicate exactly as the raw pass's
+    * outside-the-window predecessor collapses to the stored-value
+    * baseline. `__rn` (covered-bucket count) reproduces the raw
+    * pass's null semantics: a series with no covered bucket emits no
+    * row, while a single-sample bucket (NULL `inc_dec`) still yields
+    * growth 0, not silence.
+    *
+    * 100 TB shape: the group's ONE scan now reads rollup rows —
+    * series × buckets, ~W/res smaller than raw and pruned to the
+    * grid's bucket range at the parquet scan — so a year-long
+    * 30-rule group costs a rollup-sized scan + 30 small re-groups.
+    */
+  private def rollupPass(s: SparkSession, dir: String,
+                         spec: Promql.EvalSpec,
+                         rulesIdx: Seq[(Rule, Int)])
+      : Option[(Map[String, DataFrame], DataFrame)] = {
+    import graft.sources.DownsampleStore
+    if (rulesIdx.isEmpty ||
+      !s.conf.get(graft.plans.RollupRewrite.Flag, "false").toBoolean)
+      return None
+    val rules = rulesIdx.map(_._1)
+    def alignedTo(res: Long): Boolean =
+      spec.startSec % res == 0 && spec.stepSec % res == 0 &&
+        rules.forall(_.windowSec % res == 0)
+    if (!alignedTo(DownsampleStore.ResolutionSec)) return None
+    val lvl = graft.plans.SteppedRollup.batchLevel(s, dir, alignedTo)
+    if (lvl.isEmpty) return None
+    val (store, res) = lvl.get
+    val wMax = rules.map(_.windowSec).max
+    val hasCounter = rules.exists(r => Set("rate", "increase")(r.verb))
+    // one store scan: metric union + bucket-range prune, both pushed
+    val t = DownsampleStore
+      .readServingPaths(s, Seq(store), counters = hasCounter)
+      .filter(col("event_type")
+        .isin(rules.flatMap(_.metrics).distinct: _*))
+      .filter(col("bucket") >= lit(spec.startSec - wMax) &&
+        col("bucket") <= lit(spec.endSec - res))
+    // covering steps of bucket b at the WIDEST window:
+    // t − Wmax <= b <= t − res ⇒ k ∈ [ceil((Δ+res)/S), floor((Δ+Wmax)/S)]
+    // (the stepped evaluator's law; Δ = b − start stays far below 2^53)
+    val delta = (col("bucket") - lit(spec.startSec)).cast("double")
+    val kMin = greatest(lit(0L),
+      ceil((delta + lit(res.toDouble)) / lit(spec.stepSec.toDouble))
+        .cast("long"))
+    val kMax = least(lit(spec.maxK),
+      floor((delta + lit(wMax.toDouble)) / lit(spec.stepSec.toDouble))
+        .cast("long"))
+    val exploded0 = t
+      .withColumn("__kmin", kMin).withColumn("__kmax", kMax)
+      .filter(col("__kmin") <= col("__kmax"))
+      .withColumn("__k", explode(sequence(col("__kmin"), col("__kmax"))))
+      .withColumn("step", col("__k") * spec.stepSec + spec.startSec)
+      // bucket b in rule r's window (t − W_r, t] ⟺ step − b <= W_r
+      // (>= res holds by construction)
+      .withColumn("__bdelta", col("step") - col("bucket"))
+    // counter rules: ONE lag pass over the (step, series) partition
+    // gives each bucket its previous covered bucket's endpoint — the
+    // boundary-growth pairs (the raw pass's one-lag-covers-all
+    // argument, lifted from samples to buckets)
+    val exploded =
+      if (!hasCounter) exploded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((col("step") +: Grain.map(col)): _*)
+          .orderBy(col("bucket"))
+        exploded0
+          .withColumn("__prev_last", lag("last_value", 1).over(w))
+          .withColumn("__prev_b", lag("bucket", 1).over(w))
+      }
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val measures: Seq[Column] = rulesIdx.flatMap { case (r, i) =>
+      val cond = col("event_type").isin(r.metrics: _*) &&
+        col("__bdelta") <= lit(r.windowSec)
+      r.verb match {
+        case "count_over_time" =>
+          Seq(sum(when(cond, col("n_samples"))).as(s"__c$i"))
+        case "sum_over_time" =>
+          Seq(sum(when(cond, col("sum_dec"))).as(s"__s$i"))
+        case "avg_over_time" =>
+          Seq(sum(when(cond, col("sum_dec"))).as(s"__s$i"),
+            sum(when(cond, col("n_samples"))).as(s"__c$i"))
+        case "min_over_time" =>
+          Seq(min(when(cond, col("min_value"))).as(s"__n$i"))
+        case "max_over_time" =>
+          Seq(max(when(cond, col("max_value"))).as(s"__x$i"))
+        case "rate" | "increase" =>
+          // boundary pair (prev, cur) counts for rule r iff BOTH
+          // buckets sit in r's window — prev is the immediately
+          // preceding covered bucket, so prev-in-window makes it
+          // exactly the raw chain's edge-straddling sample pair,
+          // quantized per pair like every growth
+          val boundary = when(col("__prev_b").isNotNull &&
+              (col("step") - col("__prev_b")) <= lit(r.windowSec),
+            when(col("first_value") >= col("__prev_last"),
+              col("first_value") - col("__prev_last"))
+              .otherwise(col("first_value"))).cast(dec)
+          Seq(sum(when(cond, col("inc_dec"))).as(s"__ri$i"),
+            sum(when(cond, boundary)).as(s"__rb$i"),
+            sum(when(cond, 1L)).as(s"__rn$i"))
+      }
+    }
+    val agged = exploded
+      .groupBy((col("step") +: Grain.map(col)): _*)
+      .agg(measures.head, measures.tail: _*)
+    // counter measure contract: __i = within-bucket + boundary sums,
+    // present iff any covered bucket (a lone single-sample bucket has
+    // NULL inc_dec but must still yield growth 0)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val withCounters = rulesIdx.foldLeft(agged) { case (d, (r, i)) =>
+      if (!Set("rate", "increase")(r.verb)) d
+      else d.withColumn(s"__i$i", when(col(s"__rn$i").isNotNull,
+        coalesce(col(s"__ri$i"), zero) + coalesce(col(s"__rb$i"), zero)))
+    }
+    val shared = withCounters
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Some((fanOut(s, spec, shared, rulesIdx, Grain), shared))
   }
 
   /** The driver-entry shape: every rule's output in ONE tagged frame —

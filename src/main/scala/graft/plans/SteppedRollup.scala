@@ -75,6 +75,31 @@ object SteppedRollup {
     */
   val CounterFns: Set[String] = Set("rate", "increase")
 
+  /** Coarsest-first BATCH store level pick — 1 d (round 15), then 1 h,
+    * then 300 s (Thanos's auto-downsampling resolution pick): a level
+    * serves only when the whole grid aligns to it (`alignedTo`), the
+    * store is materialized (`_SUCCESS`), and it is boundary-clean; a
+    * finer level is never refused because a coarser one is absent.
+    * Shared between the stepped front-end and the rule-group compiler
+    * (round 17) so both make the identical access-path choice.
+    */
+  def batchLevel(s: SparkSession, dir: String,
+                 alignedTo: Long => Boolean): Option[(String, Long)] = {
+    def pick(res: Long, p: String, clean: => Boolean): Option[(String, Long)] =
+      if (!alignedTo(res)) None
+      else if (new java.io.File(p, "_SUCCESS").isFile && clean) Some((p, res))
+      else None
+    pick(DownsampleStore.DayResolutionSec,
+        DownsampleStore.storePath1d(s, dir),
+        DownsampleStore.boundaryClean1d(s, dir))
+      .orElse(pick(DownsampleStore.HourResolutionSec,
+        DownsampleStore.storePath1h(s, dir),
+        DownsampleStore.boundaryClean1h(s, dir)))
+      .orElse(pick(DownsampleStore.ResolutionSec,
+        DownsampleStore.storePath(s, dir),
+        DownsampleStore.boundaryClean(s, dir)))
+  }
+
   /** Serve `fn(sel[windowSec])` at `spec`'s aligned steps from the
     * rollup, or None when any soundness gate fails (caller falls back
     * to the raw evaluator):
@@ -139,31 +164,8 @@ object SteppedRollup {
           // back to raw, never throw at plan time (ADVICE r13)
           paths <- RMS.servingPaths(streamDir)
         } yield (paths, Some(h), R)
-      } else {
-        // coarsest-first: 1 d (round 15), then 1 h, then 300 s — each
-        // level only when the whole grid aligns to it, the store
-        // exists, and it is boundary-clean; a finer level is never
-        // refused when a coarser one is absent
-        def levelPick(res: Long, p: String,
-                      clean: => Boolean): Option[(Seq[String], Option[Long], Long)] =
-          if (!alignedTo(res)) None
-          else if (new java.io.File(p, "_SUCCESS").isFile && clean)
-            Some((Seq(p), Option.empty[Long], res))
-          else None
-        levelPick(DownsampleStore.DayResolutionSec,
-            DownsampleStore.storePath1d(s, dir),
-            DownsampleStore.boundaryClean1d(s, dir))
-          .orElse(levelPick(DownsampleStore.HourResolutionSec,
-            DownsampleStore.storePath1h(s, dir),
-            DownsampleStore.boundaryClean1h(s, dir)))
-          .orElse {
-            val store = DownsampleStore.storePath(s, dir)
-            if (new java.io.File(store, "_SUCCESS").isFile &&
-              DownsampleStore.boundaryClean(s, dir))
-              Some((Seq(store), None, R))
-            else None
-          }
-      }
+      } else batchLevel(s, dir, alignedTo)
+        .map { case (p, r) => (Seq(p), Option.empty[Long], r) }
     if (resolved.isEmpty) return None
     val (store, horizon, res) = resolved.get
     // counter verbs need the inc_dec partial: always present in the
