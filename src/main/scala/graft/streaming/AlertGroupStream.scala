@@ -49,7 +49,8 @@ object AlertGroupStream {
     */
   case class SRule(name: String, metricRe: String, verb: String,
                    wSec: Long, threshold: Option[Double],
-                   forSec: Long = 0L, keepSec: Long = 0L) {
+                   forSec: Long = 0L, keepSec: Long = 0L,
+                   q: Double = 0.5) {
     require(AlertStream.Verbs.contains(verb),
       s"verb must be one of ${AlertStream.Verbs}, got $verb")
     require(wSec > 0 && forSec >= 0 && keepSec >= 0, "bad rule params")
@@ -186,6 +187,7 @@ object AlertGroupStream {
         col("event_id").cast("long").as("event_id"), col("ts"))
       .as[(String, Long, Double, Long, Long, java.sql.Timestamp)]
     val counterVerb = Set("rate", "increase")
+    val sampleVerb = AlertStream.SampleVerbs
 
     src.groupByKey(_._1)
       .flatMapGroupsWithState[GState, GroupOut](
@@ -208,7 +210,7 @@ object AlertGroupStream {
           // buckets admissible. The admissibility guard (some matching
           // rule's bucket >= its cursor) only rejects stray late rows
           // that every machine has already finalized.
-          val hasCounter = mine.exists { case (r, _) => counterVerb(r.verb) }
+          val hasSample = mine.exists { case (r, _) => sampleVerb(r.verb) }
           val byBucket = rows.toSeq.groupBy(r => baseOf(r._2))
           if (byBucket.nonEmpty && mine.nonEmpty) {
             val wmBase = Math.floorDiv(
@@ -236,14 +238,16 @@ object AlertGroupStream {
                     .add(new java.math.BigDecimal(s6)).toPlainString,
                   math.min(prev._3, mn), math.max(prev._4, mx)))
             }
-            // samples admit on COUNTER-rule liveness only: a bucket a
-            // fused rule still needs but every counter rule has passed
-            // keeps its quadruple, not its samples — sample state is
-            // bounded by the counter windows, not the group's widest
+            // samples admit on SAMPLE-rule liveness only (counter OR
+            // distribution verbs — round 17's shared channel): a
+            // bucket a fused rule still needs but every sample rule
+            // has passed keeps its quadruple, not its samples — sample
+            // state is bounded by the sample-rule windows, not the
+            // group's widest
             val samp =
-              if (!hasCounter) st.samp
+              if (!hasSample) st.samp
               else admissible.filter { case (b, _) =>
-                mine.exists { case (r, i) => counterVerb(r.verb) &&
+                mine.exists { case (r, i) => sampleVerb(r.verb) &&
                   ruleBucket(r.wSec, b) >= mach(i).cursor }
               }.foldLeft(st.samp) { case (m, (b, rs)) =>
                 m.updated(b, m.getOrElse(b, Seq.empty) ++
@@ -273,13 +277,16 @@ object AlertGroupStream {
                   math.min(mn, p._3), math.max(mx, p._4))
               })
             }
-            // counter rules: concat the window's base sample lists and
-            // evaluate the exact chain (sort happens inside)
-            def counterAt(step: Long): Option[Double] = {
+            // sample rules (counter + distribution): concat the
+            // window's base sample lists and evaluate the exact chain
+            // (sorts happen inside)
+            def sampleAt(step: Long): Option[Double] = {
               val ss = st.samp.collect {
                 case (b, rs) if b >= step && b < step + W => rs }.flatten
               if (ss.isEmpty) None
-              else Some(AlertStream.counterBucketValue(r.verb, W, ss.toSeq))
+              else if (counterVerb(r.verb))
+                Some(AlertStream.counterBucketValue(r.verb, W, ss.toSeq))
+              else Some(AlertStream.distBucketValue(r.verb, r.q, ss.toSeq))
             }
             var done = false
             while (!done && m.cursor + W <= wmSec) {
@@ -295,7 +302,7 @@ object AlertGroupStream {
               if (!done && m.cursor + W <= wmSec) {
                 val step = m.cursor
                 val value =
-                  if (counterVerb(r.verb)) counterAt(step)
+                  if (sampleVerb(r.verb)) sampleAt(step)
                   else aggAt(step).map { case (n, s6, mn, mx) =>
                     r.verb match {
                       case "count" => n.toDouble
@@ -338,14 +345,14 @@ object AlertGroupStream {
           // GC: a base bucket is dead once EVERY matching rule's
           // cursor has passed its rule bucket
           if (st.mach.nonEmpty) {
-            def liveFor(b: Long, counterOnly: Boolean): Boolean =
+            def liveFor(b: Long, sampleOnly: Boolean): Boolean =
               mine.exists { case (r, i) =>
-                (!counterOnly || counterVerb(r.verb)) &&
+                (!sampleOnly || sampleVerb(r.verb)) &&
                   st.mach.get(i).forall(m =>
                     ruleBucket(r.wSec, b) >= m.cursor) }
             st = st.copy(
-              open = st.open.filter(kv => liveFor(kv._1, counterOnly = false)),
-              samp = st.samp.filter(kv => liveFor(kv._1, counterOnly = true)))
+              open = st.open.filter(kv => liveFor(kv._1, sampleOnly = false)),
+              samp = st.samp.filter(kv => liveFor(kv._1, sampleOnly = true)))
           }
 
           val anyActive = mine.exists { case (_, i) =>

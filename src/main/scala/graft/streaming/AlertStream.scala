@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *
   * State per series is O(1) + one (n, Σ, min, max) partial per open
   * bucket inside the watermark horizon — NOT samples (the fused verbs
-  * fold online; the counter verbs rate/increase keep open-bucket
-  * samples, the honest price of exact order-dependent growth under
-  * out-of-order arrival — see [[Verbs]]) — and never corpus- or
+  * fold online; the counter verbs rate/increase and the distribution
+  * verbs avg/stddev/stdvar/quantile keep open-bucket samples, the
+  * honest price of exact order-dependent growth / per-series
+  * distribution shape under out-of-order arrival — see [[Verbs]] and
+  * [[DistVerbs]]) — and never corpus- or
   * history-sized. Evaluation is
   * timeout-driven: a bucket is processed once the watermark reaches its
   * end, INCLUDING buckets with no data (missed evals — where pending
@@ -77,8 +79,24 @@ object AlertStream {
     * stay O(1) per bucket.
     */
   val Verbs: Set[String] = Set("count", "sum", "min", "max",
-    "rate", "increase")
+    "rate", "increase", "avg", "stddev", "stdvar", "quantile")
   private val CounterVerbs: Set[String] = Set("rate", "increase")
+
+  /** DISTRIBUTION verbs (round 17): `avg` (avg_over_time), `stddev`/
+    * `stdvar` (*_over_time), `quantile` (quantile_over_time at `q`) —
+    * the alert shape `sum by (event_type)(<verb>(sel[W])) > c`. These
+    * are per-SERIES verbs (avg of a series' window ≠ avg of the
+    * bucket's pooled samples), so like the counters they cannot fold
+    * from the event_type-grain quadruple; their open buckets ride the
+    * SAME sample channel and evaluate the batch evaluator's exact
+    * per-series chain at close ([[distBucketValue]]). One shared
+    * channel serves rate/increase/avg/stddev/stdvar/quantile alerts —
+    * state bounded by the samples inside the watermark horizon, the
+    * stream-stream-join bound the counters already pay.
+    */
+  private[streaming] val DistVerbs: Set[String] =
+    Set("avg", "stddev", "stdvar", "quantile")
+  private[streaming] val SampleVerbs: Set[String] = CounterVerbs ++ DistVerbs
 
   /** shortest-repr HALF_UP at 6 dp — the engine's decimal(30,6)
     * per-sample quantization on the JVM (PromqlStream.decimal6Sum's
@@ -121,6 +139,48 @@ object AlertStream {
     perSeries.map(q6).reduce(_ add _).doubleValue
   }
 
+  /** The distribution-verb bucket value from the bucket's raw samples
+    * — the batch evaluator's exact per-series chain (Promql.rangeApply)
+    * followed by the vector exactSum, operation for operation:
+    *   - avg: exactSum (per-value decimal(30,6) quantize, decimal
+    *     accumulate, ONE double lowering) divided by the count in
+    *     double — the `exactSum / count` expression;
+    *   - stddev/stdvar: the ExactNum derivation — quantize at 6 dp,
+    *     square IN DECIMAL (scale 12, exact), decimal-sum both
+    *     accumulators, then `(qq − s·s/n)/n` in double with the
+    *     negative clamp, sqrt for stddev;
+    *   - quantile: the house DISCRETE quantile — sorted stored values
+    *     picked at max(1, ceil(round(n·q, 9))), the ceilPos rounding
+    *     guard included (0.95·20 must not ceil one position high).
+    * Then each per-series value quantizes at decimal(30,6) and
+    * decimal-sums (the vector exactSum). Shared with AlertGroupStream.
+    */
+  private[streaming] def distBucketValue(verb: String, q: Double,
+      rows: Seq[(Long, Long, Long, Double)]): Double = {
+    val perSeries = rows.groupBy(_._1).valuesIterator.map { rs =>
+      val vs = rs.map(_._4)
+      val n = vs.size
+      verb match {
+        case "avg" =>
+          vs.map(q6).reduce(_ add _).doubleValue / n
+        case "stddev" | "stdvar" =>
+          val s = vs.map(q6).reduce(_ add _).doubleValue
+          val qq = vs.map { v => val d = q6(v); d.multiply(d) }
+            .reduce(_ add _).doubleValue
+          val variance = (qq - s * s / n) / n
+          val guarded = if (variance < 0.0) 0.0 else variance
+          if (verb == "stddev") math.sqrt(guarded) else guarded
+        case "quantile" =>
+          val pos = math.max(1L, math.ceil(java.math.BigDecimal
+            .valueOf(n.toDouble * q)
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+            .doubleValue).toLong)
+          vs.sorted.apply((pos - 1).toInt)
+      }
+    }
+    perSeries.map(q6).reduce(_ add _).doubleValue
+  }
+
   /** Run the rule over the parquet file stream at `inDir`. Caller owns
     * the sink (Append). `metricRe` anchors like a PromQL =~ matcher;
     * `verb` picks the per-bucket aggregate the threshold compares
@@ -128,7 +188,8 @@ object AlertStream {
     */
   def run(s: SparkSession, inDir: String, metricRe: String, wSec: Long,
           threshold: Double, forSec: Long, keepSec: Long,
-          delay: String = "1 hour", verb: String = "count"): DataFrame = {
+          delay: String = "1 hour", verb: String = "count",
+          q: Double = 0.5): DataFrame = {
     import s.implicits._
     require(wSec > 0 && forSec >= 0 && keepSec >= 0, "bad rule params")
     require(Verbs.contains(verb), s"verb must be one of $Verbs, got $verb")
@@ -154,6 +215,8 @@ object AlertStream {
         col("event_id").cast("long").as("event_id"), col("ts"))
       .as[(String, Long, Double, Long, Long, java.sql.Timestamp)]
     val isCounter = CounterVerbs(verb)
+    val isDist = DistVerbs(verb)
+    val isSample = isCounter || isDist
 
     src.groupByKey(_._1)
       .flatMapGroupsWithState[AlState, AlertOut](
@@ -188,7 +251,7 @@ object AlertStream {
               else st.cursor
             val admitted = byBucket.filter(_._1 >= floor0)
             val open =
-              if (isCounter) st.open // counter buckets keep samples
+              if (isSample) st.open // sample-verb buckets keep samples
               else admitted.view.mapValues { rs =>
                 val vs = rs.map(_._3)
                 (rs.size.toLong,
@@ -203,7 +266,7 @@ object AlertStream {
                     math.min(prev._3, mn), math.max(prev._4, mx)))
               }
             val samp =
-              if (!isCounter) st.samp
+              if (!isSample) st.samp
               else admitted.foldLeft(st.samp) { case (m, (b, rs)) =>
                 m.updated(b, m.getOrElse(b, Seq.empty) ++
                   rs.map(r => (r._4, r._2, r._5, r._3)))
@@ -218,7 +281,7 @@ object AlertStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[AlertOut]
           var done = st.cursor == Long.MinValue
           def dataKeys: Iterable[Long] =
-            if (isCounter) st.samp.keys else st.open.keys
+            if (isSample) st.samp.keys else st.open.keys
           while (!done && st.cursor + W <= wmSec) {
             if (st.mode == 0) {
               // inactive: empty buckets can emit nothing — jump the
@@ -235,6 +298,8 @@ object AlertStream {
               val value =
                 if (isCounter)
                   st.samp.get(step).map(counterBucketValue(verb, W, _))
+                else if (isDist)
+                  st.samp.get(step).map(distBucketValue(verb, q, _))
                 else st.open.get(step).map { case (n, s6, mn, mx) =>
                   verb match {
                     case "count" => n.toDouble

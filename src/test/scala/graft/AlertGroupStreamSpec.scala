@@ -120,6 +120,66 @@ class AlertGroupStreamSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0, "duplicate emission")
   }
 
+  test("distribution verbs in groups: avg/stddev/quantile legs equal their solo twins; stdvar recording batch-exact") {
+    // the shared sample channel serving DISTRIBUTION rules (round 17):
+    // 6h/9h/12h windows force genuine multi-bucket sample concats at
+    // the 3h gcd before each per-series chain evaluates
+    val distRules = Seq(
+      AlertGroupStream.SRule("g_avg", "click|purchase", "avg", W6,
+        Some(0.0), forSec = 2 * W6, keepSec = W6),
+      AlertGroupStream.SRule("g_dev", "click|purchase", "stddev", W9,
+        Some(0.0), forSec = W9),
+      AlertGroupStream.SRule("g_p90", "click|purchase", "quantile",
+        43200L, Some(0.0), forSec = 86400L, keepSec = 43200L, q = 0.9),
+      AlertGroupStream.SRule("g_var_rec", "purchase", "stdvar", W6, None))
+    val base = "/root/repo/target/tmp/alertgroupstream_dist"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val gin = s"$base/group_in"
+    val gout = s"$base/group_out"; val gchk = s"$base/group_chk"
+    evolve(gin) { () =>
+      val sq = AlertGroupStream.run(spark, gin, distRules).writeStream
+        .format("parquet")
+        .option("path", gout).option("checkpointLocation", gchk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    val got = spark.read.parquet(gout)
+    assert(got.count() > 0, "dist group must emit")
+    for (r <- distRules if r.threshold.isDefined) {
+      val tin = s"$base/${r.name}_in"
+      val tout = s"$base/${r.name}_out"; val tchk = s"$base/${r.name}_chk"
+      evolve(tin) { () =>
+        val sq = AlertStream.run(spark, tin, r.metricRe, r.wSec,
+            r.threshold.get, r.forSec, r.keepSec, verb = r.verb, q = r.q)
+          .writeStream.format("parquet")
+          .option("path", tout).option("checkpointLocation", tchk)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
+      val twin = spark.read.parquet(tout)
+      val mineG = got.filter(col("rule") === r.name)
+        .select("step", "event_type", "alertstate", "value")
+      assert(mineG.count() > 0, s"rule ${r.name} must emit")
+      assert(mineG.exceptAll(twin.select(mineG.columns.map(col): _*))
+        .count() === 0, s"${r.name}: group-only rows")
+      assert(twin.select(mineG.columns.map(col): _*).exceptAll(mineG)
+        .count() === 0, s"${r.name}: twin-only rows")
+    }
+    // the stdvar recording rule: every closed data-bearing 6h purchase
+    // bucket, value = the batch evaluator's vector-summed per-series
+    // stdvar (the ExactNum chain) — compared against the batch PromQL
+    // tumbling evaluation itself
+    val want = graft.operators.Promql.query(spark, sf,
+      """sum by (event_type)(stdvar_over_time({event_type=~"purchase"}[6h]))""")
+    val recG = got.filter(col("rule") === "g_var_rec")
+      .select("step", "event_type", "value")
+    assert(recG.count() > 0)
+    assert(recG.exceptAll(want.select(recG.columns.map(col): _*))
+      .count() === 0, "stdvar recording: group-only rows")
+    assert(want.select(recG.columns.map(col): _*).exceptAll(recG)
+      .count() === 0, "stdvar recording: missing buckets")
+  }
+
   test("runOnce persists recording rules through the recorded store; alerts alongside") {
     val base = "/root/repo/target/tmp/alertgroupstream_store"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

@@ -203,6 +203,72 @@ class AlertStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("distribution verbs (avg/stddev/quantile) equal the batch state machine value-exactly") {
+    // per-SERIES verbs over the shared sample channel (round 17): the
+    // streamed value must reproduce the batch chain — per-series
+    // avg/stddev/discrete-quantile with the ExactNum arithmetic, then
+    // the vector exactSum — bit for bit. 12h buckets make per-bucket
+    // sample sets multi-user, so the per-series decomposition is
+    // genuinely exercised; threshold 0 holds everywhere, driving the
+    // machine through pending AND firing.
+    val W12 = 43200L
+    for ((verb, expr, phi) <- Seq(
+      ("avg",
+        "sum by (event_type)(avg_over_time({event_type=~\"click|purchase\"}[12h])) > 0",
+        0.5),
+      ("stddev",
+        "sum by (event_type)(stddev_over_time({event_type=~\"click|purchase\"}[12h])) > 0",
+        0.5),
+      ("quantile",
+        "sum by (event_type)(quantile_over_time(0.9, {event_type=~\"click|purchase\"}[12h])) > 0",
+        0.9))) {
+      val base = s"/root/repo/target/tmp/alertstream_$verb"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val in = s"$base/in"; val chk = s"$base/chk"; val out = s"$base/out"
+      Files.createDirectories(Paths.get(in))
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$in/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      def runOnce(): Unit = {
+        val sq = AlertStream.run(spark, in, "click|purchase", W12, 0.0,
+            2 * W12, W12, verb = verb, q = phi).writeStream
+          .format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      runOnce()
+      val maxUs = Tables.events(spark, sf)
+        .agg(org.apache.spark.sql.functions.max(col("ts_ns"))).head.getLong(0) / 1000L
+      Seq((999999998L, java.time.LocalDateTime.ofEpochSecond(
+          maxUs / 1000000L + 2 * W12 + 7200L, 0, java.time.ZoneOffset.UTC),
+          1L, "view", 1.0, "{}"),
+        (999999999L, java.time.LocalDateTime.ofEpochSecond(
+          maxUs / 1000000L + 2 * W12 + 57600L, 0, java.time.ZoneOffset.UTC),
+          1L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce(); runOnce()
+      val got = spark.read.parquet(out)
+      val held = graft.operators.Promql.query(spark, sf, expr)
+      assert(held.count() > 0, s"$verb condition must hold somewhere")
+      val steps = held.agg(
+        org.apache.spark.sql.functions.min("step"),
+        org.apache.spark.sql.functions.max("step")).head
+      val spec2 = graft.operators.Promql.EvalSpec(steps.getLong(0),
+        steps.getLong(1) + 2 * W12, W12)
+      val want = Alerts.alertStates(spark, held, spec2, 2 * W12, W12)
+      assert(got.columns.sorted === want.columns.sorted)
+      val w = want.select(got.columns.map(col): _*)
+      assert(got.exceptAll(w).count() === 0, s"$verb stream-only rows")
+      assert(w.exceptAll(got).count() === 0, s"$verb batch-only rows")
+      val states = got.select("alertstate").distinct()
+        .as[String].collect().toSet
+      assert(states === Set("pending", "firing"), states.toString)
+    }
+  }
+
   test("an in-watermark out-of-order sample for an earlier still-open bucket is counted, not dropped") {
     // series first seen in bucket 18:00; a later batch delivers an
     // ADMITTED (above-watermark) sample for the still-open bucket
