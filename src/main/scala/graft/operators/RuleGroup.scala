@@ -377,14 +377,48 @@ object RuleGroup {
       spec.startSec % res == 0 && spec.stepSec % res == 0 &&
         rules.forall(_.windowSec % res == 0)
     if (!alignedTo(DownsampleStore.ResolutionSec)) return None
-    val lvl = graft.plans.SteppedRollup.batchLevel(s, dir, alignedTo)
-    if (lvl.isEmpty) return None
-    val (store, res) = lvl.get
     val wMax = rules.map(_.windowSec).max
     val hasCounter = rules.exists(r => Set("rate", "increase")(r.verb))
+    // store resolution mirrors the stepped front-end's: the explicit
+    // STREAM-MAINTAINED store when the session names one (round 17 —
+    // the completeness-gated LIVE ruler: Prometheus evaluates rules a
+    // completeness lag behind now; here that lag is the store's
+    // watermark horizon), else the coarsest aligned batch level.
+    // Groups gate on the WHOLE grid being closed (spec.endSec ≤
+    // horizon): an alert rule's for:/keep: machine walks every step in
+    // order, so a partially-closed grid cannot serve — unlike a plain
+    // range query there is no sound "serve the closed prefix" for a
+    // state machine, and the fallback is the raw scan, never a
+    // truncated grid. Same dataset / key-rev / boundary / counter-rev
+    // / retention-floor gates as SteppedRollup's stream branch; the
+    // group reads the 300 s parts (fold-band serving stays the
+    // stepped front-end's — a refused floor falls back raw, never
+    // under-counts).
+    val streamDir = s.conf.get(graft.plans.RollupRewrite.StreamStoreConf, "")
+    val resolved: Option[(Seq[String], Long)] =
+      if (streamDir.nonEmpty) {
+        import graft.streaming.{RollupCompactor, RollupMaintainStream => RMS}
+        for {
+          src <- RMS.sourceDir(streamDir)
+          if new java.io.File(src).getCanonicalPath ==
+            new java.io.File(dir).getCanonicalPath
+          if RMS.keyRevOk(streamDir)
+          h <- RMS.horizonSec(streamDir)
+          if spec.endSec <= h
+          e <- RMS.edgeCount(streamDir) if e == 0L
+          if !hasCounter || RMS.counterRevOk(streamDir)
+          floor = RollupCompactor.retainFloor(streamDir)
+          if floor == RollupCompactor.NoFloor ||
+            spec.startSec - wMax >= floor
+          paths <- RMS.servingPaths(streamDir)
+        } yield (paths, DownsampleStore.ResolutionSec)
+      } else graft.plans.SteppedRollup.batchLevel(s, dir, alignedTo)
+        .map { case (p, r) => (Seq(p), r) }
+    if (resolved.isEmpty) return None
+    val (store, res) = resolved.get
     // one store scan: metric union + bucket-range prune, both pushed
     val t = DownsampleStore
-      .readServingPaths(s, Seq(store), counters = hasCounter)
+      .readServingPaths(s, store, counters = hasCounter)
       .filter(col("event_type")
         .isin(rules.flatMap(_.metrics).distinct: _*))
       .filter(col("bucket") >= lit(spec.startSec - wMax) &&

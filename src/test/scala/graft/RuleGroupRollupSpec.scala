@@ -128,6 +128,38 @@ class RuleGroupRollupSpec extends AnyFunSuite {
       s"servable rule must read the store, scanned: $hotLocs")
   }
 
+  test("stream-maintained store: a fully-closed grid serves the group from the live store; an open grid refuses whole") {
+    // the completeness-gated LIVE ruler: the group serves from the
+    // stream store only when EVERY step's window is closed at the
+    // store horizon — an alert's for:/keep: machine walks the whole
+    // grid in order, so there is no sound closed-prefix serving; the
+    // open-grid fallback is the raw scan, never a truncated grid
+    val store = graft.streaming.RollupMaintainStream.demoStore(spark, dir01)
+    val h = graft.streaming.RollupMaintainStream.horizonSec(store).get
+    val endAligned = Math.floorDiv(h, 3600L) * 3600L
+    val closedSpec = Promql.EvalSpec(1704067200L, endAligned, 3600L, 7200L)
+    assert(endAligned > 1704067200L, s"fixture horizon $h must open a grid")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.rollup.rewrite", "true")
+    s2.conf.set(graft.plans.RollupRewrite.StreamStoreConf, store)
+    val raw = RuleGroup.evaluate(spark, dir01, closedSpec, rules)
+    val served = RuleGroup.evaluate(s2, dir01, closedSpec, rules)
+    for (r <- rules) eq(served(r.name), raw(r.name), s"live:${r.name}")
+    val locs = served.values.map(scanLocations).reduce(_ ++ _)
+    assert(locs.nonEmpty && locs.forall(_.contains("rollupstream")),
+      s"closed grid must read only the stream store, scanned: $locs")
+    // endSec one step past the horizon → the whole pass refuses and
+    // evaluates raw, still bit-equal
+    val openSpec = Promql.EvalSpec(1704067200L, endAligned + 3600L,
+      3600L, 7200L)
+    val rawO = RuleGroup.evaluate(spark, dir01, openSpec, rules)
+    val servedO = RuleGroup.evaluate(s2, dir01, openSpec, rules)
+    for (r <- rules) eq(servedO(r.name), rawO(r.name), s"open:${r.name}")
+    val locsO = scanLocations(servedO(rules.head.name))
+    assert(locsO.exists(_.contains("events")),
+      s"open grid must fall back to the raw scan, scanned: $locsO")
+  }
+
   test("misaligned window refuses the store and falls back to raw, still exact") {
     val s2 = flagged()
     val odd = Seq(
