@@ -109,6 +109,99 @@ object OracleSql {
       .mkString("CASE ", " ", s" ELSE ${hi + 1} END")
   }
 
+  /** The store-served rule-group oracle, parameterized by rule
+    * names — one derivation shared by the batch-store and
+    * stream-store (live) entries: both must hash-match the same
+    * raw-events re-derivation.
+    */
+  private def groupStoreOracle(hot: String, rateA: String,
+                               sm: String, av: String): String =
+    s"""WITH steps AS (
+         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+         |samp AS (
+         |  SELECT st.step, e.user_id, e.event_type, e.value,
+         |         epoch_us(e.ts) AS us, e.event_id
+         |  FROM events e JOIN steps st
+         |    ON st.step * 1000000 >= epoch_us(e.ts)
+         |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+         |  WHERE e.event_type IN ('click', 'view')),
+         |g AS (SELECT step, user_id, event_type, value,
+         |        lag(value) OVER (PARTITION BY step, user_id, event_type
+         |                         ORDER BY us, event_id) AS prev
+         |      FROM samp),
+         |inc AS (SELECT step, user_id, event_type,
+         |          CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+         |                             WHEN value >= prev THEN value - prev
+         |                             ELSE value END AS DECIMAL(30,6)))
+         |            AS DOUBLE) AS inc
+         |        FROM g GROUP BY 1, 2, 3),
+         |vec AS (SELECT step, event_type,
+         |          CAST(SUM(CAST(inc / 7200.0 AS DECIMAL(30,6))) AS DOUBLE)
+         |            AS value
+         |        FROM inc GROUP BY 1, 2),
+         |held AS (SELECT * FROM vec WHERE value > 0.002),
+         |isl AS (SELECT *, step - 3600 * ROW_NUMBER() OVER
+         |          (PARTITION BY event_type ORDER BY step) AS island
+         |        FROM held),
+         |sp2 AS (SELECT event_type, island, MIN(step) AS a_start,
+         |               MAX(step) AS a_end
+         |        FROM isl GROUP BY 1, 2),
+         |chains AS (SELECT *,
+         |             CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END AS brk
+         |           FROM (SELECT *, a_start - LAG(a_end) OVER
+         |                   (PARTITION BY event_type ORDER BY a_start) AS gap
+         |                 FROM sp2)),
+         |chain2 AS (SELECT *, SUM(brk) OVER
+         |             (PARTITION BY event_type ORDER BY a_start
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+         |           FROM chains),
+         |ign AS (SELECT *, MIN(CASE WHEN a_end - a_start >= 7200
+         |                           THEN a_start + 7200 END)
+         |          OVER (PARTITION BY event_type, chain ORDER BY a_start
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS fire_time
+         |        FROM chain2),
+         |hs AS (SELECT i.step, i.event_type, i.value,
+         |         CASE WHEN gg.fire_time IS NOT NULL AND i.step >= gg.fire_time
+         |              THEN 'firing' ELSE 'pending' END AS alertstate
+         |       FROM isl i JOIN ign gg
+         |         ON gg.event_type = i.event_type AND gg.island = i.island),
+         |sm AS (SELECT st.step, e.user_id, e.event_type,
+         |         CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sv
+         |       FROM events e JOIN steps st
+         |         ON st.step * 1000000 >= epoch_us(e.ts)
+         |        AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+         |       WHERE e.event_type = 'click'
+         |       GROUP BY 1, 2, 3),
+         |rec AS (SELECT step, user_id,
+         |          CAST(SUM(CAST(sv AS DECIMAL(30,6))) AS DOUBLE) AS value
+         |        FROM sm GROUP BY 1, 2),
+         |av AS (SELECT st.step, e.user_id, e.event_type,
+         |         CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+         |           / COUNT(*) AS value
+         |       FROM events e JOIN steps st
+         |         ON st.step * 1000000 >= epoch_us(e.ts)
+         |        AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+         |       WHERE e.event_type = 'view'
+         |       GROUP BY 1, 2, 3)
+         |SELECT '$hot' AS rule, step, event_type AS series,
+         |       alertstate, value
+         |FROM (${alertOracle(3600L)}) rr
+         |UNION ALL
+         |SELECT '$rateA' AS rule, step, event_type AS series,
+         |       alertstate, value
+         |FROM hs
+         |UNION ALL
+         |SELECT '$sm' AS rule, step,
+         |       CAST(user_id AS VARCHAR) AS series,
+         |       'none' AS alertstate, value
+         |FROM rec
+         |UNION ALL
+         |SELECT '$av' AS rule, step,
+         |       CONCAT(CAST(user_id AS VARCHAR), ',', event_type) AS series,
+         |       'none' AS alertstate, value
+         |FROM av""".stripMargin
+
   /** Alerting-rule oracle (mirror of operators.Alerts.alertStates over
     * the stepped 2h-count expr): islands → hysteresis chains → running
     * ignition time; `keep` = 0 reduces to the plain `for:` rule (every
@@ -930,93 +1023,15 @@ object OracleSql {
     // the exactSum vector, the for: machine), the per-user hourly
     // decimal sum (outer exactSum re-quantization included), and the
     // per-series 2h avg — so the hash proves the store partials
-    // reproduce the raw evaluation bit-for-bit
+    // reproduce the raw evaluation bit-for-bit. Shared (parameterized
+    // by rule names) with the LIVE twin, which serves the same group
+    // from the STREAM-maintained store's fold bands.
     "q_promql_rule_group_rollup" ->
-      s"""WITH steps AS (
-         |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
-         |samp AS (
-         |  SELECT st.step, e.user_id, e.event_type, e.value,
-         |         epoch_us(e.ts) AS us, e.event_id
-         |  FROM events e JOIN steps st
-         |    ON st.step * 1000000 >= epoch_us(e.ts)
-         |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
-         |  WHERE e.event_type IN ('click', 'view')),
-         |g AS (SELECT step, user_id, event_type, value,
-         |        lag(value) OVER (PARTITION BY step, user_id, event_type
-         |                         ORDER BY us, event_id) AS prev
-         |      FROM samp),
-         |inc AS (SELECT step, user_id, event_type,
-         |          CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
-         |                             WHEN value >= prev THEN value - prev
-         |                             ELSE value END AS DECIMAL(30,6)))
-         |            AS DOUBLE) AS inc
-         |        FROM g GROUP BY 1, 2, 3),
-         |vec AS (SELECT step, event_type,
-         |          CAST(SUM(CAST(inc / 7200.0 AS DECIMAL(30,6))) AS DOUBLE)
-         |            AS value
-         |        FROM inc GROUP BY 1, 2),
-         |held AS (SELECT * FROM vec WHERE value > 0.002),
-         |isl AS (SELECT *, step - 3600 * ROW_NUMBER() OVER
-         |          (PARTITION BY event_type ORDER BY step) AS island
-         |        FROM held),
-         |sp2 AS (SELECT event_type, island, MIN(step) AS a_start,
-         |               MAX(step) AS a_end
-         |        FROM isl GROUP BY 1, 2),
-         |chains AS (SELECT *,
-         |             CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END AS brk
-         |           FROM (SELECT *, a_start - LAG(a_end) OVER
-         |                   (PARTITION BY event_type ORDER BY a_start) AS gap
-         |                 FROM sp2)),
-         |chain2 AS (SELECT *, SUM(brk) OVER
-         |             (PARTITION BY event_type ORDER BY a_start
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
-         |           FROM chains),
-         |ign AS (SELECT *, MIN(CASE WHEN a_end - a_start >= 7200
-         |                           THEN a_start + 7200 END)
-         |          OVER (PARTITION BY event_type, chain ORDER BY a_start
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |            AS fire_time
-         |        FROM chain2),
-         |hs AS (SELECT i.step, i.event_type, i.value,
-         |         CASE WHEN gg.fire_time IS NOT NULL AND i.step >= gg.fire_time
-         |              THEN 'firing' ELSE 'pending' END AS alertstate
-         |       FROM isl i JOIN ign gg
-         |         ON gg.event_type = i.event_type AND gg.island = i.island),
-         |sm AS (SELECT st.step, e.user_id, e.event_type,
-         |         CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sv
-         |       FROM events e JOIN steps st
-         |         ON st.step * 1000000 >= epoch_us(e.ts)
-         |        AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
-         |       WHERE e.event_type = 'click'
-         |       GROUP BY 1, 2, 3),
-         |rec AS (SELECT step, user_id,
-         |          CAST(SUM(CAST(sv AS DECIMAL(30,6))) AS DOUBLE) AS value
-         |        FROM sm GROUP BY 1, 2),
-         |av AS (SELECT st.step, e.user_id, e.event_type,
-         |         CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
-         |           / COUNT(*) AS value
-         |       FROM events e JOIN steps st
-         |         ON st.step * 1000000 >= epoch_us(e.ts)
-         |        AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
-         |       WHERE e.event_type = 'view'
-         |       GROUP BY 1, 2, 3)
-         |SELECT 'ru_hot' AS rule, step, event_type AS series,
-         |       alertstate, value
-         |FROM (${alertOracle(3600L)}) rr
-         |UNION ALL
-         |SELECT 'ru_rate_alert' AS rule, step, event_type AS series,
-         |       alertstate, value
-         |FROM hs
-         |UNION ALL
-         |SELECT 'ru_click_sum1h' AS rule, step,
-         |       CAST(user_id AS VARCHAR) AS series,
-         |       'none' AS alertstate, value
-         |FROM rec
-         |UNION ALL
-         |SELECT 'ru_view_avg2h' AS rule, step,
-         |       CONCAT(CAST(user_id AS VARCHAR), ',', event_type) AS series,
-         |       'none' AS alertstate, value
-         |FROM av""".stripMargin,
+      groupStoreOracle("ru_hot", "ru_rate_alert", "ru_click_sum1h",
+        "ru_view_avg2h"),
+    "q_promql_rule_group_live" ->
+      groupStoreOracle("rl_hot", "rl_rate_alert", "rl_click_sum1h",
+        "rl_view_avg2h"),
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

@@ -380,6 +380,35 @@ object SparkEntry {
           graft.operators.RuleGroup.Rule("ru_view_avg2h", "avg_over_time",
             Seq("view"), 7200L, Seq("user_id", "event_type"))))
     }),
+    // LIVE rule group (round 17): the SAME group shape served from the
+    // STREAM-MAINTAINED store — the completeness-gated live ruler
+    // (Prometheus evaluates a completeness lag behind now; here the
+    // lag is the store's watermark horizon, and the whole grid must be
+    // closed because an alert's for:/keep: machine walks every step).
+    // The hour-aligned grid reads the folded 1h level (banded serving
+    // — spec-asserted); the oracle is the same raw-events
+    // re-derivation as the batch-store twin, so the hash proves the
+    // live chain's partials reproduce the raw evaluation bit-for-bit
+    "q_promql_rule_group_live" -> ((s, d) => {
+      val store = graft.streaming.RollupMaintainStream.demoStore(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.rollup.rewrite", "true")
+      s2.conf.set(graft.plans.RollupRewrite.StreamStoreConf, store)
+      graft.operators.RuleGroup.evaluateUnion(s2, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("rl_hot", "count_over_time",
+            Seq("click", "view", "purchase", "signup", "error"), 7200L,
+            Seq("event_type"), Some((">", 6.0)), forSec = 7200L,
+            keepSec = 3600L),
+          graft.operators.RuleGroup.Rule("rl_rate_alert", "rate",
+            Seq("click", "view"), 7200L, Seq("event_type"),
+            Some((">", 0.002)), forSec = 7200L),
+          graft.operators.RuleGroup.Rule("rl_click_sum1h", "sum_over_time",
+            Seq("click"), 3600L, Seq("user_id")),
+          graft.operators.RuleGroup.Rule("rl_view_avg2h", "avg_over_time",
+            Seq("view"), 7200L, Seq("user_id", "event_type"))))
+    }),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",

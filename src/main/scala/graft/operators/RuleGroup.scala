@@ -394,10 +394,20 @@ object RuleGroup {
     // group reads the 300 s parts (fold-band serving stays the
     // stepped front-end's — a refused floor falls back raw, never
     // under-counts).
+    import graft.streaming.{RollupCompactor, RollupMaintainStream => RMS}
     val streamDir = s.conf.get(graft.plans.RollupRewrite.StreamStoreConf, "")
-    val resolved: Option[(Seq[String], Long)] =
+    // each band: (part dirs, bucket resolution, exclusive step lower
+    // bound, inclusive step upper bound). Stream stores serve BANDED
+    // (round 17, the stepped front-end's fold discipline at group
+    // scale): closed days from the folded 1 d level, then closed hours
+    // from the folded 1 h level, then the 300 s parts — each STEP
+    // served by exactly one level, a fold level joining only when the
+    // whole grid (start/step/every window) aligns to its resolution.
+    // Within one (step, series) partition all covered buckets come
+    // from one band, so the counter lag pass and every measure stay
+    // single-resolution. Batch stores are one coarsest-aligned band.
+    val resolved: Option[Seq[(Seq[String], Long, Option[Long], Option[Long])]] =
       if (streamDir.nonEmpty) {
-        import graft.streaming.{RollupCompactor, RollupMaintainStream => RMS}
         for {
           src <- RMS.sourceDir(streamDir)
           if new java.io.File(src).getCanonicalPath ==
@@ -407,40 +417,81 @@ object RuleGroup {
           if spec.endSec <= h
           e <- RMS.edgeCount(streamDir) if e == 0L
           if !hasCounter || RMS.counterRevOk(streamDir)
-          floor = RollupCompactor.retainFloor(streamDir)
-          if floor == RollupCompactor.NoFloor ||
-            spec.startSec - wMax >= floor
           paths <- RMS.servingPaths(streamDir)
-        } yield (paths, DownsampleStore.ResolutionSec)
+        } yield {
+          val lev1d =
+            if (alignedTo(DownsampleStore.DayResolutionSec))
+              RMS.foldedLevel(streamDir, DownsampleStore.DayResolutionSec)
+            else None
+          val lev1h =
+            if (alignedTo(DownsampleStore.HourResolutionSec))
+              RMS.foldedLevel(streamDir, DownsampleStore.HourResolutionSec)
+            else None
+          val h1d = lev1d.map(_._2)
+          val h1h = lev1h.map(_._2)
+          Seq(
+            lev1d.map { case (incs, _) =>
+              (incs, DownsampleStore.DayResolutionSec,
+                Option.empty[Long], h1d) },
+            lev1h.map { case (incs, _) =>
+              (incs, DownsampleStore.HourResolutionSec, h1d, h1h) },
+            Some((paths, DownsampleStore.ResolutionSec,
+              h1h.orElse(h1d), Option.empty[Long]))
+          ).flatten
+        }
       } else graft.plans.SteppedRollup.batchLevel(s, dir, alignedTo)
-        .map { case (p, r) => (Seq(p), r) }
+        .map { case (p, r) =>
+          Seq((Seq(p), r, Option.empty[Long], Option.empty[Long])) }
     if (resolved.isEmpty) return None
-    val (store, res) = resolved.get
-    // one store scan: metric union + bucket-range prune, both pushed
-    val t = DownsampleStore
-      .readServingPaths(s, store, counters = hasCounter)
-      .filter(col("event_type")
-        .isin(rules.flatMap(_.metrics).distinct: _*))
-      .filter(col("bucket") >= lit(spec.startSec - wMax) &&
-        col("bucket") <= lit(spec.endSec - res))
-    // covering steps of bucket b at the WIDEST window:
-    // t − Wmax <= b <= t − res ⇒ k ∈ [ceil((Δ+res)/S), floor((Δ+Wmax)/S)]
-    // (the stepped evaluator's law; Δ = b − start stays far below 2^53)
-    val delta = (col("bucket") - lit(spec.startSec)).cast("double")
-    val kMin = greatest(lit(0L),
-      ceil((delta + lit(res.toDouble)) / lit(spec.stepSec.toDouble))
-        .cast("long"))
-    val kMax = least(lit(spec.maxK),
-      floor((delta + lit(wMax.toDouble)) / lit(spec.stepSec.toDouble))
-        .cast("long"))
-    val exploded0 = t
-      .withColumn("__kmin", kMin).withColumn("__kmax", kMax)
-      .filter(col("__kmin") <= col("__kmax"))
-      .withColumn("__k", explode(sequence(col("__kmin"), col("__kmax"))))
-      .withColumn("step", col("__k") * spec.stepSec + spec.startSec)
-      // bucket b in rule r's window (t − W_r, t] ⟺ step − b <= W_r
-      // (>= res holds by construction)
-      .withColumn("__bdelta", col("step") - col("bucket"))
+    val bands = resolved.get
+    // retention floor (the SteppedRollup gate): raw-band steps must
+    // read only retained 300 s buckets; a grid reaching below the
+    // floor hands the whole pass back to the raw evaluator
+    if (streamDir.nonEmpty) {
+      val retFloor = RollupCompactor.retainFloor(streamDir)
+      if (retFloor != RollupCompactor.NoFloor) {
+        val rawLo = bands.last._3
+        val tMin = rawLo.fold(spec.startSec) { l =>
+          math.max(spec.startSec, spec.startSec +
+            (Math.floorDiv(l - spec.startSec, spec.stepSec) + 1L) *
+              spec.stepSec)
+        }
+        if (tMin <= spec.endSec && tMin - wMax < retFloor) return None
+      }
+    }
+    // one band's covered frame: store scan (metric union +
+    // bucket-range prune, both pushed) + covering-step explode at the
+    // band's resolution: t − Wmax <= b <= t − bres ⇒
+    // k ∈ [ceil((Δ+bres)/S), floor((Δ+Wmax)/S)] (the stepped
+    // evaluator's law; Δ = b − start stays far below 2^53), then the
+    // band's step bounds
+    def coveredBand(paths: Seq[String], bres: Long,
+                    lo: Option[Long], hi: Option[Long]): DataFrame = {
+      val t = DownsampleStore
+        .readServingPaths(s, paths, counters = hasCounter)
+        .filter(col("event_type")
+          .isin(rules.flatMap(_.metrics).distinct: _*))
+        .filter(col("bucket") >= lit(spec.startSec - wMax) &&
+          col("bucket") <= lit(spec.endSec - bres))
+      val delta = (col("bucket") - lit(spec.startSec)).cast("double")
+      val kMin = greatest(lit(0L),
+        ceil((delta + lit(bres.toDouble)) / lit(spec.stepSec.toDouble))
+          .cast("long"))
+      val kMax = least(lit(spec.maxK),
+        floor((delta + lit(wMax.toDouble)) / lit(spec.stepSec.toDouble))
+          .cast("long"))
+      val c = t
+        .withColumn("__kmin", kMin).withColumn("__kmax", kMax)
+        .filter(col("__kmin") <= col("__kmax"))
+        .withColumn("__k", explode(sequence(col("__kmin"), col("__kmax"))))
+        .withColumn("step", col("__k") * spec.stepSec + spec.startSec)
+        // bucket b in rule r's window (t − W_r, t] ⟺ step − b <= W_r
+        // (>= bres holds by construction)
+        .withColumn("__bdelta", col("step") - col("bucket"))
+      val c1 = hi.fold(c)(h => c.filter(col("step") <= lit(h)))
+      lo.fold(c1)(l => c1.filter(col("step") > lit(l)))
+    }
+    val exploded0 = bands.map((coveredBand _).tupled).reduce(_ unionAll _)
     // counter rules: ONE lag pass over the (step, series) partition
     // gives each bucket its previous covered bucket's endpoint — the
     // boundary-growth pairs (the raw pass's one-lag-covers-all

@@ -76,11 +76,13 @@ class RuleGroupRollupSpec extends AnyFunSuite {
           leavesOf(q.plan)
         case l => Seq(l)
       }
-    leavesOf(plan)
-      .filter(_.getClass.getSimpleName.contains("FileSourceScan"))
-      .flatMap(l => "Location.*?\\[(.*?)\\]".r
-        .findAllMatchIn(l.toString).map(_.group(1)))
-      .toSet
+    leavesOf(plan).flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        // rootPaths, not the rendered Location[...] — plan strings
+        // truncate long paths and would hide which store level served
+        f.relation.location.rootPaths.map(_.toString)
+      case _ => Seq.empty
+    }.toSet
   }
 
   test("every servable verb: rollup-served group bit-equal to the raw group") {
@@ -148,6 +150,12 @@ class RuleGroupRollupSpec extends AnyFunSuite {
     val locs = served.values.map(scanLocations).reduce(_ ++ _)
     assert(locs.nonEmpty && locs.forall(_.contains("rollupstream")),
       s"closed grid must read only the stream store, scanned: $locs")
+    // the grid is hour-aligned (windows 1h/2h, hourly steps), so the
+    // closed hours serve from the folded 1h level — 12x fewer rollup
+    // rows than the 300s parts (the stepped front-end's band
+    // discipline at group scale)
+    assert(locs.exists(_.contains("fold_3600s")),
+      s"hour-aligned closed steps must read the 1h fold level: $locs")
     // endSec one step past the horizon → the whole pass refuses and
     // evaluates raw, still bit-equal
     val openSpec = Promql.EvalSpec(1704067200L, endAligned + 3600L,
