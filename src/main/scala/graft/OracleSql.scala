@@ -1032,6 +1032,23 @@ object OracleSql {
     "q_promql_rule_group_live" ->
       groupStoreOracle("rl_hot", "rl_rate_alert", "rl_click_sum1h",
         "rl_view_avg2h"),
+    // RULES-FILE entry (round 17): the four group legs are the
+    // store-group oracle verbatim; the fifth leg re-derives the
+    // fallback alert — integral counts halved in double, for:=0 so
+    // every held row fires
+    "q_promql_rules_file" ->
+      (groupStoreOracle("rf_hot", "rf_rate", "rf_click_sum1h",
+        "rf_view_avg2h") +
+        """
+          |UNION ALL
+          |SELECT 'rf_ratio' AS rule, st.step, e.event_type AS series,
+          |       'firing' AS alertstate, CAST(COUNT(*) AS DOUBLE) / 2 AS value
+          |FROM events e JOIN steps st
+          |  ON st.step * 1000000 >= epoch_us(e.ts)
+          | AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+          |WHERE e.event_type IN ('click', 'view')
+          |GROUP BY 1, 2, 3, 4
+          |HAVING CAST(COUNT(*) AS DOUBLE) / 2 > 3""".stripMargin),
     "q_promql_alert" -> alertOracle(0L),
     "q_promql_alert_keep" -> alertOracle(3600L),
     // ALERTS as series (round 16): the per-user activity alert's state

@@ -409,6 +409,35 @@ object SparkEntry {
           graft.operators.RuleGroup.Rule("rl_view_avg2h", "avg_over_time",
             Seq("view"), 7200L, Seq("user_id", "event_type"))))
     }),
+    // PROMETHEUS RULES-FILE front-end (round 17): the upstream ruler's
+    // config surface — a rulefmt YAML parses, group-compilable exprs
+    // evaluate as ONE shared pass through the group compiler, and an
+    // irreducible expr (binary arithmetic) falls back to the generic
+    // alert evaluator. The oracle re-derives all five legs from raw
+    // events (the four group legs are the store-group oracle verbatim)
+    "q_promql_rules_file" -> ((s, d) => graft.operators.RulesFile
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        """groups:
+          |  - name: service_rules
+          |    interval: 1h
+          |    rules:
+          |      - alert: rf_hot
+          |        expr: sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6
+          |        for: 2h
+          |        keep_firing_for: 1h
+          |        labels:
+          |          severity: page
+          |      - alert: rf_rate
+          |        expr: sum by (event_type) (rate({event_type=~"click|view"}[2h])) > 0.002
+          |        for: 2h
+          |      - record: rf_click_sum1h
+          |        expr: sum by (user_id) (sum_over_time(click[1h]))
+          |      - record: rf_view_avg2h
+          |        expr: avg_over_time(view[2h])
+          |      - alert: rf_ratio
+          |        expr: sum by (event_type) (count_over_time({event_type=~"click|view"}[2h])) / 2 > 3
+          |""".stripMargin)),
     "q_promql_alert" -> ((s, d) => graft.operators.Alerts.rule(
       s, d,
       """sum by (event_type) (count_over_time({event_type=~"click|view|purchase|signup|error"}[2h])) > 6""",
