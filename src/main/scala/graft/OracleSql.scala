@@ -988,6 +988,41 @@ object OracleSql {
         |       'none' AS alertstate, value
         |FROM qx
         |WHERE rn = greatest(1, CAST(ceil(round(n * 0.9, 9)) AS BIGINT))""".stripMargin,
+    // CARDINALITY + DISPERSION rule group (round 17): count-by = the
+    // number of per-user series with data in the window; stddev-by =
+    // population stddev of per-series counts via the exact decimal
+    // sum/sumsq chain (the stddev_agg arithmetic over integral counts)
+    "q_promql_rule_group_cnt" ->
+      """WITH steps AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153600, 3600)) AS step),
+        |c1 AS (
+        |  SELECT st.step, e.user_id, e.event_type, COUNT(*) AS c
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 3600) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view')
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (
+        |  SELECT st.step, e.user_id, e.event_type, COUNT(*) AS c
+        |  FROM events e JOIN steps st
+        |    ON st.step * 1000000 >= epoch_us(e.ts)
+        |   AND (st.step - 7200) * 1000000 < epoch_us(e.ts)
+        |  WHERE e.event_type IN ('click', 'view')
+        |  GROUP BY 1, 2, 3)
+        |SELECT 'grp_cnt_series' AS rule, step, event_type AS series,
+        |       'none' AS alertstate, CAST(COUNT(*) AS DOUBLE) AS value
+        |FROM c1 GROUP BY 1, 2, 3, 4
+        |UNION ALL
+        |SELECT 'grp_dev_series' AS rule, step, event_type AS series,
+        |       'none' AS alertstate,
+        |       sqrt(greatest(0.0,
+        |         (CAST(SUM(CAST(CAST(CAST(c AS DOUBLE) AS DECIMAL(18,6))
+        |                   * CAST(CAST(c AS DOUBLE) AS DECIMAL(18,6))
+        |                   AS DECIMAL(38,12))) AS DOUBLE)
+        |          - CAST(SUM(CAST(CAST(c AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+        |            * CAST(SUM(CAST(CAST(c AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+        |            / COUNT(*)) / COUNT(*))) AS value
+        |FROM c2 GROUP BY 1, 2, 3, 4""".stripMargin,
     // PAYLOAD-LABEL rule group (round 17): the k alert's outer sum of
     // per-series counts collapses to the direct count per (step, k)
     // (count decomposes); for:=0 — held rows fire

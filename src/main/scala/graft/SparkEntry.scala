@@ -340,6 +340,20 @@ object SparkEntry {
           graft.operators.RuleGroup.Rule("grp_p90", "quantile_over_time",
             Seq("click"), 3600L, Seq("user_id", "event_type"),
             q = 0.9)))),
+    // CARDINALITY + DISPERSION outer aggs (round 17): count by() —
+    // "how many series are active" — and stddev by() over per-series
+    // window counts, completing PromQL's vector-agg family in rule
+    // groups (sum/min/max/avg/count/group/stddev/stdvar)
+    "q_promql_rule_group_cnt" -> ((s, d) => graft.operators.RuleGroup
+      .evaluateUnion(s, d,
+        graft.operators.Promql.EvalSpec(1704067200L, 1704153600L, 3600L, 7200L),
+        Seq(
+          graft.operators.RuleGroup.Rule("grp_cnt_series",
+            "count_over_time", Seq("click", "view"), 3600L,
+            Seq("event_type"), outerAgg = "count"),
+          graft.operators.RuleGroup.Rule("grp_dev_series",
+            "count_over_time", Seq("click", "view"), 7200L,
+            Seq("event_type"), outerAgg = "stddev")))),
     // PAYLOAD-LABEL rule groups (round 17): a rule grouped by the
     // props label `k` refines its series grain, so the compiler gives
     // it its own grain pass (two scans for this mixed group, not N);

@@ -79,7 +79,8 @@ object RuleGroup {
         !Set("step", "value", "ts", "ts_ns", "us", "event_id", "istep",
           "props", "rule", "alertstate")(l)),
       s"by() labels must be physical or payload labels, got $by")
-    require(Set("sum", "min", "max", "avg").contains(outerAgg),
+    require(Set("sum", "min", "max", "avg", "count", "group",
+      "stddev", "stdvar").contains(outerAgg),
       s"outer aggregation $outerAgg")
     require(windowSec > 0 && metrics.nonEmpty)
   }
@@ -301,6 +302,18 @@ object RuleGroup {
             case "max" => max(col("__v"))
             case "avg" =>
               graft.functions.ExactNum.exactSum(col("__v")) / count(lit(1))
+            // the rest of PromQL's vector-agg family (round 17), each
+            // with the evaluator's own arithmetic (Promql's agg case)
+            case "count" => count(lit(1)).cast("double")
+            case "group" => max(lit(1.0))
+            case "stddev" | "stdvar" =>
+              val variance =
+                (graft.functions.ExactNum.exactSumSq(col("__v"))
+                  - graft.functions.ExactNum.exactSum(col("__v"))
+                    * graft.functions.ExactNum.exactSum(col("__v"))
+                    / count(lit(1))) / count(lit(1))
+              val guarded = when(variance < 0.0, lit(0.0)).otherwise(variance)
+              if (r.outerAgg == "stddev") sqrt(guarded) else guarded
           }).as("value"))
       val out = r.cmp match {
         case None => valued

@@ -176,10 +176,19 @@ object RulesFile {
         cmp, r.forSec, r.keepSec, outer, rf.q)
     vec match {
       case a: Promql.Agg
-          if Set("sum", "min", "max", "avg")(a.op) && !a.without &&
-            a.k == 0 && a.vlabel.isEmpty =>
+          if Set("sum", "min", "max", "avg", "count", "group",
+            "stddev", "stdvar")(a.op) && a.k == 0 && a.vlabel.isEmpty =>
+        // `without (labels)` over the physical grain is the
+        // complementary by(); payload labels can't be enumerated, so
+        // a without() naming one falls back
+        val by =
+          if (!a.without) a.by
+          else if (a.by.forall(Grain.contains))
+            Grain.filterNot(a.by.contains)
+          else Seq.empty
         a.child match {
-          case rf: Promql.RangeFunc => fromRange(rf, a.by, a.op)
+          case rf: Promql.RangeFunc if by.nonEmpty =>
+            fromRange(rf, by, a.op)
           case _ => None
         }
       case rf: Promql.RangeFunc => fromRange(rf, Grain, "sum")

@@ -107,6 +107,31 @@ class RuleGroupSpec extends AnyFunSuite {
         spec), "avg-by recording")
   }
 
+  test("outer aggregations: count/group/stddev/stdvar by() bit-equal to standalone") {
+    val more = Seq(
+      RuleGroup.Rule("grp_cnt_series", "count_over_time",
+        Seq("click", "view"), 3600L, Seq("event_type"), outerAgg = "count"),
+      RuleGroup.Rule("grp_grp", "count_over_time", Seq("click"), 3600L,
+        Seq("event_type"), outerAgg = "group"),
+      RuleGroup.Rule("grp_dev_series", "count_over_time",
+        Seq("click", "view"), 7200L, Seq("event_type"), outerAgg = "stddev"),
+      RuleGroup.Rule("grp_var_series", "count_over_time",
+        Seq("click", "view"), 7200L, Seq("event_type"), outerAgg = "stdvar"))
+    val outs = RuleGroup.evaluate(spark, dir01, spec, more)
+    eq(outs("grp_cnt_series"), Promql.queryAt(spark, dir01,
+      """count by (event_type)(count_over_time({event_type=~"click|view"}[1h]))""",
+      spec), "count-by")
+    eq(outs("grp_grp"), Promql.queryAt(spark, dir01,
+      """group by (event_type)(count_over_time({event_type=~"click"}[1h]))""",
+      spec), "group-by")
+    eq(outs("grp_dev_series"), Promql.queryAt(spark, dir01,
+      """stddev by (event_type)(count_over_time({event_type=~"click|view"}[2h]))""",
+      spec), "stddev-by")
+    eq(outs("grp_var_series"), Promql.queryAt(spark, dir01,
+      """stdvar by (event_type)(count_over_time({event_type=~"click|view"}[2h]))""",
+      spec), "stdvar-by")
+  }
+
   test("distribution verbs: stddev/stdvar/quantile bit-equal to standalone") {
     val more = Seq(
       RuleGroup.Rule("grp_dev", "stddev_over_time",

@@ -87,6 +87,18 @@ class RulesFileSpec extends AnyFunSuite {
     val avg = comp("rf_view_avg2h").get
     assert(avg.verb === "avg_over_time" &&
       avg.by === Seq("user_id", "event_type") && avg.cmp.isEmpty)
+    // without() over the physical grain compiles to the complementary
+    // by(); count/stddev outer aggs compile; a without() naming a
+    // payload label cannot enumerate the grain and falls back
+    def one(expr: String, isAlert: Boolean = false) =
+      RulesFile.compilable(RulesFile.RuleDef("x", expr, isAlert))
+    val wo = one("count without (user_id) (count_over_time(click[1h]))")
+    assert(wo.isDefined && wo.get.by === Seq("event_type") &&
+      wo.get.outerAgg === "count")
+    val dev = one("stddev by (event_type) (count_over_time(click[2h]))")
+    assert(dev.isDefined && dev.get.outerAgg === "stddev")
+    assert(one("sum without (k) (count_over_time(click[1h]))").isEmpty,
+      "without() over a payload label must fall back")
   }
 
   test("every leg bit-equal to its standalone evaluation; fallback leg included") {
