@@ -1053,8 +1053,14 @@ object Dedup {
                       maxDist: Int = 2, numPlanes: Int = Similarity.NumPlanes,
                       threshold: Double = 0.3): DataFrame = {
     // ---- simhash leg: truth over DISTINCT hashes (≤ 2^16 each side) --
+    // the per-doc simhash frame is MATERIALIZED once (optimization r17,
+    // guide §1.2): the record's union branches otherwise re-run the
+    // corpus tokenize+hash pass once per lazy consumer (~7 evaluations
+    // through ihashes/delta/dhashes/idx) — the frame is 2 narrow
+    // columns per doc, far cheaper to hold than to recompute
     val sims = simhashPerDoc(s, dir)
       .withColumn("bucket", splitBucket(col("doc_id")))
+      .localCheckpoint()
     val ihashes = sims.filter(col("bucket") < corpusPct)
       .select(col("simhash").as("ihash")).distinct()
     val delta = sims.filter(col("bucket") >= corpusPct)
@@ -1102,26 +1108,40 @@ object Dedup {
       : DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("split", splitBucket(col("vec_id")))
+    // index and delta frames MATERIALIZED once (optimization r17): six
+    // legs re-derived the plane-bucket index and the query-side sketch
+    // projection per lazy consumer; both are corpus-row-sized with
+    // narrow extra columns
     val vidx = embAdmissionIndex(
       emb.filter(col("split") < corpusPct).select("vec_id", "embedding"),
-      numPlanes)
+      numPlanes).localCheckpoint()
     val vdelta = emb.filter(col("split") >= corpusPct)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.dot(col("embedding"), col("embedding"))
           .as("norm"),
         Similarity.signSketch(col("embedding"), 0).as("qs0"),
         Similarity.signSketch(col("embedding"), 1).as("qs1"))
+      .localCheckpoint()
     val cos = graft.functions.VectorOps.dot(col("embedding"), col("iemb")) /
       (sqrt(col("norm")) * sqrt(col("inorm")))
-    // both truth sets share this frame LAZILY (recomputed per use):
-    // an eager localCheckpoint of the pair projection measured SLOWER
-    // at sf0.1 (3.05 → 3.91 s — materialization beats the saved
-    // recompute only when the kernel is far more expensive than the
-    // quantized dot), so the plain recompute stays
+    // BOTH truth sets (loose + semantic threshold) in ONE brute-force
+    // pass (optimization r17, guide §1.2/§2.4): the record's five legs
+    // each consumed a lazily recomputed truth frame, so the delta×index
+    // cosine kernel — the record's dominant cost — ran once per union
+    // branch (4× for vtruth, 1× for vtruth8). One conditional-count
+    // aggregate computes both thresholds in a single pass, and the
+    // checkpoint materializes COUNTS (one row per delta vec), not the
+    // pair projection — the r15 measurement that rejected an eager
+    // checkpoint materialized the pairs themselves, which is why it
+    // lost; the aggregated frame is delta-sized.
     val cosPairs = vdelta.crossJoin(broadcast(vidx.drop("bucket")))
       .select(col("vec_id"), cos.as("__cos"))
-    val vtruth = cosPairs.filter(col("__cos") >= threshold)
-      .groupBy("vec_id").agg(count(lit(1)).as("n_truth"))
+    val truthCounts = cosPairs.groupBy("vec_id")
+      .agg(count(when(col("__cos") >= threshold, lit(1))).as("__nt"),
+        count(when(col("__cos") >= SemThreshold, lit(1))).as("__nt8"))
+      .localCheckpoint()
+    val vtruth = truthCounts.filter(col("__nt") > 0)
+      .select(col("vec_id"), col("__nt").as("n_truth"))
     def leg(name: String, probed: DataFrame): DataFrame =
       vtruth.join(
           probed.filter(cos >= threshold)
@@ -1151,8 +1171,8 @@ object Dedup {
     // clustered record — the raw record keeps it as a structural
     // canary.
     val cents = Similarity.trainedCentroids(s, dir, AdmissionCells)
-    val vtruth8 = cosPairs.filter(col("__cos") >= SemThreshold)
-      .groupBy("vec_id").agg(count(lit(1)).as("n_truth"))
+    val vtruth8 = truthCounts.filter(col("__nt8") > 0)
+      .select(col("vec_id"), col("__nt8").as("n_truth"))
     val ivfHits = broadcast(vdelta.withColumn("icell", explode(
         Similarity.probeCellsColOf(col("embedding"), cents, AdmissionNprobe))))
       .join(vidx.withColumn("icell", Similarity.cellColOf(col("iemb"), cents)),
