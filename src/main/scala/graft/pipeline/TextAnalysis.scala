@@ -271,18 +271,28 @@ object TextAnalysis {
     */
   def dupScrubSa(s: SparkSession, dir: String, k: Int = 16,
                  minCount: Long = 2): DataFrame = {
-    val (base, cov) = saCovered(s, dir, k, minCount)
-    val out = cov.groupBy("doc_id").agg(
-      sum(col("covered")).cast("long").as("n_removed"),
-      expr("""array_join(transform(
-                filter(array_sort(collect_list(struct(p, covered, tok))),
-                       x -> x.covered = 0),
-                x -> x.tok), ' ')""").as("text_scrubbed"))
-    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-      .join(out, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+    // coverage as PER-ROW ARRAY MATH over the duplicated k-window
+    // starts (optimization r17, guide §2.4): the covered set is the
+    // union of [s, s+k-1] ranges — dup-starts are duplication-bounded,
+    // so expanding them per doc replaces the old corpus-wide
+    // (join + range-frame window + collect_list re-sort) pipeline
+    // (three full shuffles of every token) with one dup-bounded
+    // groupBy and one broadcast-or-shuffle join back to `base`.
+    // A dup start always has its full k-window inside the doc (a
+    // suffix shorter than k splices the doc-unique sentinel and is a
+    // class singleton), so no end-clipping is needed.
+    val (base, starts) = saStarts(s, dir, k, minCount)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("cov", when(col("starts").isNotNull, expr(
+        s"array_distinct(flatten(transform(starts, s -> sequence(s, s + ${k - 1}))))"))
+        .otherwise(expr("array()")))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        expr(
+          """CASE WHEN size(ws) = 0 THEN ''
+            |ELSE concat_ws(' ', transform(
+            |  array_except(sequence(0, size(ws) - 1), cov),
+            |  i -> ws[i])) END""".stripMargin).as("text_scrubbed"))
   }
 
   /** The measuring twin of [[dupScrubSa]] (the dupSpans ↔ dupScrub
@@ -294,31 +304,45 @@ object TextAnalysis {
     */
   def dupSpansSa(s: SparkSession, dir: String, k: Int = 16,
                  minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (base, cov) = saCovered(s, dir, k, minCount)
-    val isl = cov.filter(col("covered") === 1)
-      .withColumn("island", col("p") -
-        row_number().over(Window.partitionBy("doc_id").orderBy("p")))
-    val spans = isl.groupBy("doc_id", "island")
-      .agg(count(lit(1)).as("span_len"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum("span_len").as("n_covered"),
-        max("span_len").as("max_span_len"))
-    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
+    // maximal spans = MERGED INTERVALS over the sorted dup-starts
+    // (optimization r17): [s, s+k-1] ranges merge when the next start
+    // is within end+1 — one per-row fold replaces the old
+    // gaps-and-islands pipeline (corpus-wide coverage window +
+    // row_number window + two groupBys). Same dup-bounded shape as
+    // [[dupScrubSa]]'s coverage.
+    val (base, starts) = saStarts(s, dir, k, minCount)
+    val folded = expr(
+      s"""aggregate(starts,
+         |  named_struct('n', 0L, 'cov', 0L, 'mx', 0L,
+         |               'cs', -999L, 'ce', -999L),
+         |  (a, s) -> CASE WHEN s <= a.ce + 1L
+         |    THEN named_struct('n', a.n, 'cov', a.cov, 'mx', a.mx,
+         |           'cs', a.cs, 'ce', CAST(s + ${k - 1} AS BIGINT))
+         |    ELSE named_struct('n', a.n + 1L,
+         |           'cov', a.cov + IF(a.cs >= 0L, a.ce - a.cs + 1L, 0L),
+         |           'mx', GREATEST(a.mx,
+         |                   IF(a.cs >= 0L, a.ce - a.cs + 1L, 0L)),
+         |           'cs', CAST(s AS BIGINT),
+         |           'ce', CAST(s + ${k - 1} AS BIGINT)) END,
+         |  a -> named_struct(
+         |    'n', a.n,
+         |    'cov', a.cov + IF(a.cs >= 0L, a.ce - a.cs + 1L, 0L),
+         |    'mx', GREATEST(a.mx, IF(a.cs >= 0L, a.ce - a.cs + 1L, 0L))))
+         |""".stripMargin)
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("sp", when(col("starts").isNotNull, folded))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(col("sp.n"), lit(0L)).as("n_spans"),
+        coalesce(col("sp.cov"), lit(0L)).as("n_covered"),
+        coalesce(col("sp.mx"), lit(0L)).as("max_span_len"))
   }
 
-  /** The shared suffix-ranking core: (collapsed base docs, per-token
-    * coverage flags) — see [[dupScrubSa]]'s scaladoc for the law.
+  /** The shared suffix-ranking core: (collapsed base docs, per-doc
+    * SORTED duplicated-k-window start positions) — see
+    * [[dupScrubSa]]'s scaladoc for the law.
     */
-  private def saCovered(s: SparkSession, dir: String, k: Int,
-                        minCount: Long): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  private def saStarts(s: SparkSession, dir: String, k: Int,
+                       minCount: Long): (DataFrame, DataFrame) = {
     require(k >= 2 && (k & (k - 1)) == 0,
       "k must be a power of two (prefix doubling lands exactly on k)")
     require(minCount >= 2,
@@ -330,15 +354,6 @@ object TextAnalysis {
       .groupBy(col("text")).agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
-    val toks = base.select(col("doc_id"),
-      posexplode(col("ws")).as(Seq("p", "tok")))
-    // the sentinel: one per doc, at position len — a NUL-prefixed token
-    // no whitespace-split text produces
-    val sentinels = base.select(col("doc_id"),
-      size(col("ws")).as("p"),
-      concat(lit(" #"), col("doc_id")).as("tok"))
-    val stream = toks.unionByName(sentinels)
-    def rep = min(struct(col("doc_id"), col("p"))).as("nrank")
     val lens = base.select(col("doc_id"), size(col("ws")).as("len"))
     // SINGLETON PRUNING — the scale law that makes the ranking
     // duplication-bounded, not corpus-bounded: a class that is a
@@ -356,20 +371,34 @@ object TextAnalysis {
     // SEED at level 4 directly: one groupBy on the literal 4-token
     // window (tokens are space-free, so ' '-joined windows are
     // injective — the dupSpans shingle) replaces two doubling rounds;
-    // windows shorter than 4 splice the doc-unique sentinel, which
+    // windows shorter than 4 splice the doc-unique sentinel (a
+    // NUL-prefixed token no whitespace-split text produces), which
     // preserves the class law (short suffixes distinguish by doc and
     // by distance-to-end exactly as at level 1). Base must divide k.
+    // Contexts are built PER ROW from the token array (optimization
+    // r17, guide §2.4): ctx(p) = ' '-join of wsx[p..p+seed-1] over
+    // wsx = ws ++ [sentinel] — plain array indexing (out-of-range
+    // reads are NULL and concat_ws skips them, which is exactly the
+    // old stream-window's clipping), replacing the old token-stream
+    // window (an Exchange by doc_id + full corpus sort just to look
+    // ahead 3 tokens) with a whole-stage-codegen projection. Class
+    // rep and size then come from ONE window over the ctx partition:
+    // the old groupBy-then-join-back evaluated the context projection
+    // twice and exchanged it twice.
     val seed = math.min(4, k)
-    val wSeed = Window.partitionBy("doc_id").orderBy(col("p"))
-      .rowsBetween(0, seed - 1)
-    val seeded = stream
-      .withColumn("ctx", concat_ws(" ", collect_list(col("tok")).over(wSeed)))
-    val tokClasses = seeded.groupBy("ctx")
-      .agg(rep, count(lit(1)).as("csz"))
-    var active = seeded.join(tokClasses, "ctx")
+    val wCtx = org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+    var active = base
+      .select(col("doc_id"), concat(col("ws"),
+        array(concat(lit(" #"), col("doc_id")))).as("wsx"))
+      .select(col("doc_id"), col("wsx"),
+        posexplode(col("wsx")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), concat_ws(" ",
+        (0 until seed).map(i => get(col("wsx"), col("p") + i)): _*)
+        .as("ctx"))
+      .withColumn("rank", min(struct(col("doc_id"), col("p"))).over(wCtx))
+      .withColumn("csz", count(lit(1)).over(wCtx))
       .filter(col("csz") >= 2)
-      .select(col("doc_id"), col("p"), col("nrank").as("rank"),
-        col("csz"))
+      .select(col("doc_id"), col("p"), col("rank"), col("csz"))
       .localCheckpoint(true)
     var h = seed
     while (h < k) {
@@ -383,9 +412,12 @@ object TextAnalysis {
               struct(col("doc_id").as("doc_id"), (col("p") + h).as("p")))
               .otherwise(
                 struct(lit(-1L).as("doc_id"), lit(-1).as("p")))).as("b")))
-      val classes = paired.groupBy("pr")
-        .agg(rep, count(lit(1)).as("csz2"))
-      active = paired.join(classes, "pr")
+      // class rep/size via ONE window over the pr partition (same
+      // single-evaluation argument as the seed phase)
+      val wPr = org.apache.spark.sql.expressions.Window.partitionBy("pr")
+      active = paired
+        .withColumn("nrank", min(struct(col("doc_id"), col("p"))).over(wPr))
+        .withColumn("csz2", count(lit(1)).over(wPr))
         .filter(col("csz2") >= 2)
         .select(col("doc_id"), col("p"), col("nrank").as("rank"),
           col("csz2").as("csz"))
@@ -393,15 +425,14 @@ object TextAnalysis {
       h *= 2
     }
     // duplicated k-window starts = surviving classes with >= minCount
-    // members; coverage = any start within the k-window behind a token
-    val dupStarts = active.filter(col("csz") >= minCount)
-      .select(col("doc_id"), col("p"), lit(1).as("dup"))
-    val win = Window.partitionBy("doc_id").orderBy(col("p"))
-      .rangeBetween(-(k - 1), 0)
-    val covered = toks.join(dupStarts, Seq("doc_id", "p"), "left")
-      .withColumn("covered", max(coalesce(col("dup"), lit(0))).over(win))
-      .select(col("doc_id"), col("p"), col("tok"), col("covered"))
-    (base, covered)
+    // members, aggregated to ONE SORTED ARRAY PER DOC — a
+    // duplication-bounded groupBy; the consumers derive coverage /
+    // maximal spans with per-row array math (the old corpus-wide
+    // k-range window over every token is gone)
+    val starts = active.filter(col("csz") >= minCount)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("starts"))
+    (base, starts)
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
